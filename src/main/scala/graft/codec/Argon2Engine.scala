@@ -1,0 +1,284 @@
+package graft.codec
+
+/** Pure-JVM Argon2 (RFC 9106), supporting the Argon2id variant used by the
+  * reference codec (/root/reference/src/main/scala/ai/tripl/arc/transform/codec/Argon2.scala:25-36,
+  * BouncyCastle `Argon2Parameters.ARGON2_id`, version 0x13, no secret / no
+  * additional data). Implemented from the RFC on top of [[Blake2b]].
+  *
+  * Thread-safety: `hash` allocates all working memory per call, so a single
+  * engine instance is safe to share across Spark executor task threads.
+  */
+final class Argon2Engine(parallelism: Int, memoryKB: Int, iterations: Int) {
+  require(parallelism >= 1, "parallelism must be >= 1")
+  require(iterations >= 1, "iterations must be >= 1")
+  require(memoryKB >= 8 * parallelism, "memory must be >= 8*parallelism KB")
+
+  private val VERSION = 0x13
+  private val TYPE_ID = 2 // Argon2id
+  private val SYNC_POINTS = 4
+
+  // m' = 4 * p * floor(m / 4p); laneLength in 1 KiB blocks
+  private val blockCount: Int = {
+    val mPrime = SYNC_POINTS * parallelism * (memoryKB / (SYNC_POINTS * parallelism))
+    math.max(mPrime, 2 * SYNC_POINTS * parallelism)
+  }
+  private val laneLength = blockCount / parallelism
+  private val segmentLength = laneLength / SYNC_POINTS
+
+  /** Argon2id tag of `outLen` bytes for (password, salt). `secret` and
+    * `additional` exist to exercise the RFC 9106 §5.3 test vector; the codec
+    * path never passes them (BC builder defaults both to absent). */
+  def hash(password: Array[Byte], salt: Array[Byte], outLen: Int,
+           secret: Array[Byte] = Array.emptyByteArray,
+           additional: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    // memory: blockCount blocks of 128 u64
+    val memory = Array.ofDim[Long](blockCount, 128)
+
+    val h0 = initialHash(password, salt, outLen, secret, additional)
+
+    // B[i][0] = H'(1024, H0 || LE32(0) || LE32(i)); B[i][1] = H'(1024, H0 || LE32(1) || LE32(i))
+    var lane = 0
+    while (lane < parallelism) {
+      var col = 0
+      while (col < 2) {
+        val in = new Array[Byte](72)
+        System.arraycopy(h0, 0, in, 0, 64)
+        writeIntLE(col, in, 64)
+        writeIntLE(lane, in, 68)
+        bytesToBlock(hPrime(in, 1024), memory(lane * laneLength + col))
+        col += 1
+      }
+      lane += 1
+    }
+
+    var pass = 0
+    while (pass < iterations) {
+      var slice = 0
+      while (slice < SYNC_POINTS) {
+        var l = 0
+        while (l < parallelism) {
+          fillSegment(memory, pass, l, slice)
+          l += 1
+        }
+        slice += 1
+      }
+      pass += 1
+    }
+
+    // C = xor of the final column across lanes; tag = H'(outLen, C)
+    val acc = new Array[Long](128)
+    System.arraycopy(memory(laneLength - 1), 0, acc, 0, 128)
+    lane = 1
+    while (lane < parallelism) {
+      val b = memory(lane * laneLength + laneLength - 1)
+      var i = 0
+      while (i < 128) { acc(i) ^= b(i); i += 1 }
+      lane += 1
+    }
+    val cBytes = new Array[Byte](1024)
+    blockToBytes(acc, cBytes)
+    hPrime(cBytes, outLen)
+  }
+
+  // --- H0 (RFC 9106 §3.2 step 1) ---
+  private def initialHash(password: Array[Byte], salt: Array[Byte], outLen: Int,
+                          secret: Array[Byte], additional: Array[Byte]): Array[Byte] = {
+    val b = new Blake2b(64)
+    val le = new Array[Byte](4)
+    def putInt(v: Int): Unit = { writeIntLE(v, le, 0); b.update(le) }
+    putInt(parallelism)
+    putInt(outLen)
+    putInt(memoryKB)
+    putInt(iterations)
+    putInt(VERSION)
+    putInt(TYPE_ID)
+    putInt(password.length); b.update(password)
+    putInt(salt.length); b.update(salt)
+    putInt(secret.length); b.update(secret)
+    putInt(additional.length); b.update(additional)
+    b.digest()
+  }
+
+  // --- H' variable-length hash (RFC 9106 §3.3) ---
+  private def hPrime(input: Array[Byte], outLen: Int): Array[Byte] = {
+    val le = new Array[Byte](4)
+    writeIntLE(outLen, le, 0)
+    if (outLen <= 64) {
+      new Blake2b(outLen).update(le).update(input).digest()
+    } else {
+      val out = new Array[Byte](outLen)
+      var v = new Blake2b(64).update(le).update(input).digest()
+      System.arraycopy(v, 0, out, 0, 32)
+      var written = 32
+      while (outLen - written > 64) {
+        v = Blake2b.hash(64, v)
+        System.arraycopy(v, 0, out, written, 32)
+        written += 32
+      }
+      val tail = Blake2b.hash(outLen - written, v)
+      System.arraycopy(tail, 0, out, written, tail.length)
+      out
+    }
+  }
+
+  // --- segment filling (RFC 9106 §3.4) ---
+  private def fillSegment(memory: Array[Array[Long]], pass: Int, lane: Int, slice: Int): Unit = {
+    val dataIndependent = TYPE_ID == 2 && pass == 0 && slice < SYNC_POINTS / 2
+
+    // PRNG state for data-independent addressing
+    val addressBlock = new Array[Long](128)
+    val inputBlock = new Array[Long](128)
+    val zeroBlock = new Array[Long](128)
+    if (dataIndependent) {
+      inputBlock(0) = pass.toLong
+      inputBlock(1) = lane.toLong
+      inputBlock(2) = slice.toLong
+      inputBlock(3) = blockCount.toLong
+      inputBlock(4) = iterations.toLong
+      inputBlock(5) = TYPE_ID.toLong
+    }
+
+    var idx = if (pass == 0 && slice == 0) 2 else 0
+    if (dataIndependent && idx == 2) {
+      // consume the first two positions' J values so indices line up
+      inputBlock(6) += 1
+      nextAddressBlock(inputBlock, zeroBlock, addressBlock)
+    }
+
+    var prevIndex = lane * laneLength + (if (idx == 0) (slice * segmentLength + laneLength - 1) % laneLength
+                                         else slice * segmentLength + idx - 1)
+
+    val tmp = new Array[Long](128)
+    val scratch = new Array[Long](128)
+    while (idx < segmentLength) {
+      val posInSegment = idx
+      if (dataIndependent && posInSegment % 128 == 0) {
+        inputBlock(6) += 1
+        nextAddressBlock(inputBlock, zeroBlock, addressBlock)
+      }
+      val (j1, j2) =
+        if (dataIndependent) {
+          val v = addressBlock(posInSegment % 128)
+          (v & 0xffffffffL, (v >>> 32) & 0xffffffffL)
+        } else {
+          val v = memory(prevIndex)(0)
+          (v & 0xffffffffL, (v >>> 32) & 0xffffffffL)
+        }
+
+      val refLane = if (pass == 0 && slice == 0) lane else (j2 % parallelism).toInt
+      val sameLane = refLane == lane
+
+      val refAreaSize: Int =
+        if (pass == 0) {
+          if (slice == 0) posInSegment - 1
+          else if (sameLane) slice * segmentLength + posInSegment - 1
+          else slice * segmentLength + (if (posInSegment == 0) -1 else 0)
+        } else {
+          if (sameLane) laneLength - segmentLength + posInSegment - 1
+          else laneLength - segmentLength + (if (posInSegment == 0) -1 else 0)
+        }
+
+      // phi mapping: z = refAreaSize - 1 - (refAreaSize * (j1^2 >> 32) >> 32)
+      val x = (j1 * j1) >>> 32
+      val y = (refAreaSize.toLong * x) >>> 32
+      val z = (refAreaSize.toLong - 1 - y).toInt
+
+      val startPos = if (pass != 0 && slice != SYNC_POINTS - 1) (slice + 1) * segmentLength else 0
+      val refIndex = (startPos + z) % laneLength
+
+      val curIndex = lane * laneLength + slice * segmentLength + posInSegment
+      val refBlock = memory(refLane * laneLength + refIndex)
+      val prevBlock = memory(prevIndex)
+      val curBlock = memory(curIndex)
+
+      // version 0x13: XOR with existing contents on passes > 0
+      compress(prevBlock, refBlock, curBlock, xorOld = pass > 0, tmp, scratch)
+
+      prevIndex = curIndex
+      idx += 1
+    }
+  }
+
+  private def nextAddressBlock(inputBlock: Array[Long], zeroBlock: Array[Long], out: Array[Long]): Unit = {
+    val tmp = new Array[Long](128)
+    val scratch = new Array[Long](128)
+    java.util.Arrays.fill(out, 0L)
+    compress(zeroBlock, inputBlock, out, xorOld = false, tmp, scratch)
+    val out2 = out.clone()
+    java.util.Arrays.fill(out, 0L)
+    compress(zeroBlock, out2, out, xorOld = false, tmp, scratch)
+  }
+
+  /** G(X, Y): R = X^Y, apply P rowwise then columnwise, output Z ^ R (RFC 9106 §3.5). */
+  private def compress(x: Array[Long], y: Array[Long], out: Array[Long], xorOld: Boolean,
+                       r: Array[Long], z: Array[Long]): Unit = {
+    var i = 0
+    while (i < 128) { r(i) = x(i) ^ y(i); i += 1 }
+    System.arraycopy(r, 0, z, 0, 128)
+
+    // rows: 8 rows of 16 u64
+    i = 0
+    while (i < 8) {
+      permute(z, 16 * i, 16 * i + 1, 16 * i + 2, 16 * i + 3, 16 * i + 4, 16 * i + 5, 16 * i + 6, 16 * i + 7,
+        16 * i + 8, 16 * i + 9, 16 * i + 10, 16 * i + 11, 16 * i + 12, 16 * i + 13, 16 * i + 14, 16 * i + 15)
+      i += 1
+    }
+    // columns: 8 columns of 2-u64 cells
+    i = 0
+    while (i < 8) {
+      val b = 2 * i
+      permute(z, b, b + 1, b + 16, b + 17, b + 32, b + 33, b + 48, b + 49,
+        b + 64, b + 65, b + 80, b + 81, b + 96, b + 97, b + 112, b + 113)
+      i += 1
+    }
+
+    i = 0
+    if (xorOld) {
+      while (i < 128) { out(i) ^= z(i) ^ r(i); i += 1 }
+    } else {
+      while (i < 128) { out(i) = z(i) ^ r(i); i += 1 }
+    }
+  }
+
+  // BLAKE2b round on 16 elements at the given indices, with the Argon2 GB
+  // multiply-add: a = a + b + 2 * trunc32(a) * trunc32(b)
+  private def permute(v: Array[Long], i0: Int, i1: Int, i2: Int, i3: Int, i4: Int, i5: Int, i6: Int, i7: Int,
+                      i8: Int, i9: Int, i10: Int, i11: Int, i12: Int, i13: Int, i14: Int, i15: Int): Unit = {
+    gb(v, i0, i4, i8, i12)
+    gb(v, i1, i5, i9, i13)
+    gb(v, i2, i6, i10, i14)
+    gb(v, i3, i7, i11, i15)
+    gb(v, i0, i5, i10, i15)
+    gb(v, i1, i6, i11, i12)
+    gb(v, i2, i7, i8, i13)
+    gb(v, i3, i4, i9, i14)
+  }
+
+  @inline private def gb(v: Array[Long], a: Int, b: Int, c: Int, d: Int): Unit = {
+    v(a) = v(a) + v(b) + 2L * (v(a) & 0xffffffffL) * (v(b) & 0xffffffffL)
+    v(d) = java.lang.Long.rotateRight(v(d) ^ v(a), 32)
+    v(c) = v(c) + v(d) + 2L * (v(c) & 0xffffffffL) * (v(d) & 0xffffffffL)
+    v(b) = java.lang.Long.rotateRight(v(b) ^ v(c), 24)
+    v(a) = v(a) + v(b) + 2L * (v(a) & 0xffffffffL) * (v(b) & 0xffffffffL)
+    v(d) = java.lang.Long.rotateRight(v(d) ^ v(a), 16)
+    v(c) = v(c) + v(d) + 2L * (v(c) & 0xffffffffL) * (v(d) & 0xffffffffL)
+    v(b) = java.lang.Long.rotateRight(v(b) ^ v(c), 63)
+  }
+
+  @inline private def writeIntLE(v: Int, b: Array[Byte], off: Int): Unit = {
+    b(off) = v.toByte
+    b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte
+    b(off + 3) = (v >>> 24).toByte
+  }
+
+  private def bytesToBlock(bytes: Array[Byte], block: Array[Long]): Unit = {
+    var i = 0
+    while (i < 128) { block(i) = Blake2b.readLongLE(bytes, 8 * i); i += 1 }
+  }
+
+  private def blockToBytes(block: Array[Long], bytes: Array[Byte]): Unit = {
+    var i = 0
+    while (i < 128) { Blake2b.writeLongLE(block(i), bytes, 8 * i); i += 1 }
+  }
+}
