@@ -69,10 +69,11 @@ object Codec {
 
 /** Argon2id — default codec. Tunables and defaults match the reference
   * (/root/reference/src/main/scala/ai/tripl/arc/transform/codec/Argon2.scala:11-17). */
-class Argon2Codec extends Codec {
-  val parallelism: Int = Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_PARALLELISM", 2)
-  val memory: Int = Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_MEMORY", 65536)
-  val iterations: Int = Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_ITERATIONS", 4)
+class Argon2Codec(val parallelism: Int, val memory: Int, val iterations: Int) extends Codec {
+  def this() = this(
+    Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_PARALLELISM", 2),
+    Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_MEMORY", 65536),
+    Codec.envInt("ETL_CONF_MASK_DATA_ARGON2_ITERATIONS", 4))
 
   @transient private lazy val engine = new Argon2Engine(parallelism, memory, iterations)
 
@@ -87,10 +88,11 @@ class Argon2Codec extends Codec {
 
 /** scrypt. Tunables and the reference's lossy `Char.toByte` password
   * conversion (/root/reference/.../codec/SCrypt.scala:25) replicated exactly. */
-class ScryptCodec extends Codec {
-  val cpu: Int = Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_CPU", 16384)
-  val memory: Int = Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_MEMORY", 8)
-  val parallelism: Int = Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_PARALLELISM", 1)
+class ScryptCodec(val cpu: Int, val memory: Int, val parallelism: Int) extends Codec {
+  def this() = this(
+    Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_CPU", 16384),
+    Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_MEMORY", 8),
+    Codec.envInt("ETL_CONF_MASK_DATA_SCRYPT_PARALLELISM", 1))
 
   def name = "SCrypt"
   def describe = s"SCrypt($cpu, $memory, $parallelism)"
@@ -101,9 +103,10 @@ class ScryptCodec extends Codec {
 
 /** PBKDF2-HMAC-SHA512 via javax.crypto — same provider path as the reference
   * (/root/reference/.../codec/PBKDF2WithHmacSHA512.scala:20-32). */
-class Pbkdf2Codec extends Codec {
-  val iterationCount: Int = Codec.envInt("ETL_CONF_MASK_DATA_PBKDF2_ITERATIONS", 262144)
-  val keyLength: Int = Codec.envInt("ETL_CONF_MASK_DATA_PBKDF2_KEY_LENGTH", DEFAULT_HASH_LENGTH)
+class Pbkdf2Codec(val iterationCount: Int, val keyLength: Int) extends Codec {
+  def this() = this(
+    Codec.envInt("ETL_CONF_MASK_DATA_PBKDF2_ITERATIONS", 262144),
+    Codec.envInt("ETL_CONF_MASK_DATA_PBKDF2_KEY_LENGTH", 64))
 
   def name = "PBKDF2WithHmacSHA512"
   def describe = s"PBKDF2WithHmacSHA512($iterationCount, $keyLength)"

@@ -79,7 +79,7 @@ class CodecSpec extends AnyFunSuite {
     ("0123456789abcdef" * 4).getBytes // 64 chars
 
   test("deterministic hash: same value -> same bytes; different value -> different") {
-    val c = new Pbkdf2Codec { override val iterationCount = 64 }
+    val c = new Pbkdf2Codec(64, 64)
     val h1 = c.hash("alice", deterministic = true, passphrase)
     val h2 = c.hash("alice", deterministic = true, passphrase)
     val h3 = c.hash("bob", deterministic = true, passphrase)
@@ -89,7 +89,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("non-deterministic hash ignores value and differs per call") {
-    val c = new Pbkdf2Codec { override val iterationCount = 64 }
+    val c = new Pbkdf2Codec(64, 64)
     val h1 = c.hash("alice", deterministic = false, passphrase)
     val h2 = c.hash("alice", deterministic = false, passphrase)
     assert(h1.length === 64)
@@ -97,7 +97,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("hashLong returns signed first-8-bytes and is deterministic") {
-    val c = new Pbkdf2Codec { override val iterationCount = 64 }
+    val c = new Pbkdf2Codec(64, 64)
     val l1 = c.hashLong("alice", deterministic = true, passphrase)
     val l2 = c.hashLong("alice", deterministic = true, passphrase)
     assert(l1 === l2)
@@ -106,7 +106,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("passphrase split: first half feeds password, second half salts") {
-    val c = new Pbkdf2Codec { override val iterationCount = 64 }
+    val c = new Pbkdf2Codec(64, 64)
     // manual recomputation of the split semantics
     val (pass, salt) = passphrase.splitAt(passphrase.length / 2)
     val manual = c.encrypt("alice".toCharArray ++ pass.map(_.toChar), salt)
@@ -115,9 +115,9 @@ class CodecSpec extends AnyFunSuite {
 
   test("all three codecs produce 64-byte deterministic hashes") {
     val fastEnv = Seq(
-      new Argon2Codec { override val memory = 64; override val iterations = 1 },
-      new ScryptCodec { override val cpu = 64; override val memory = 2; override val parallelism = 1 },
-      new Pbkdf2Codec { override val iterationCount = 64 })
+      new Argon2Codec(2, 64, 1),
+      new ScryptCodec(64, 2, 1),
+      new Pbkdf2Codec(64, 64))
     for (c <- fastEnv) {
       val h1 = c.hash("value", deterministic = true, passphrase)
       val h2 = c.hash("value", deterministic = true, passphrase)
