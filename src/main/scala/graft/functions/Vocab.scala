@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.codec.Codec
+
+/** Hash-indexed realistic pseudonymization over localized vocabularies —
+  * the operator the reference scaffolds but never wires up
+  * (/root/reference/src/main/scala/ai/tripl/arc/util/MaskUtils.scala:3-14,
+  * SURVEY.md §2.5): a value is deterministically replaced by
+  * `vocab[pmod(hashLong(value), vocab.size)]`.
+  *
+  * The vocabulary CONTENT here is synthetic (generated from syllable
+  * products, stable across JVMs) — the reference's word lists are data, not
+  * behavior; any list with the same lookup semantics is equivalent. Lists
+  * are materialized lazily inside each executor's JVM from the generator
+  * (nothing is shipped with task closures).
+  */
+object Vocab {
+
+  private def product(parts: Seq[String]*): Vector[String] =
+    parts.foldLeft(Vector("")) { (acc, next) => acc.flatMap(a => next.map(a + _)) }
+
+  private val onset = Seq("B", "Br", "C", "Ch", "D", "Dr", "F", "G", "Gr", "H", "J", "K", "L", "M", "N", "P", "R", "S", "St", "T", "Tr", "V", "W")
+  private val nucleus = Seq("a", "e", "i", "o", "u", "ai", "ay", "ea", "ee", "ia", "io", "ou")
+  private val maleCoda = Seq("n", "s", "d", "rk", "ll", "m", "x", "th", "ver", "ton")
+  private val femaleCoda = Seq("la", "ra", "na", "sa", "lle", "tte", "lyn", "bel", "ce", "ve")
+  private val surnameSuffix = Seq("son", "well", "ford", "worth", "field", "wood", "stone", "brook", "land", "more")
+
+  /** locale -> category -> list. One locale for now, mirroring the
+    * reference's `en-AU`; the shape admits more. */
+  lazy val localizedLists: Map[String, Map[String, Vector[String]]] = Map(
+    "en-AU" -> Map(
+      "first_name_male" -> product(onset, nucleus, maleCoda),
+      "first_name_female" -> product(onset, nucleus, femaleCoda),
+      "last_name" -> product(onset, nucleus, surnameSuffix),
+      "free_email" -> Vector("gmail.com", "yahoo.com", "hotmail.com")))
+
+  def list(locale: String, category: String): Vector[String] =
+    localizedLists.getOrElse(locale, throw new Exception(s"unknown vocabulary locale '$locale'"))
+      .getOrElse(category, throw new Exception(s"unknown vocabulary category '$category' for locale '$locale'"))
+
+  /** Deterministic vocab pick: pmod of the signed KDF hashLong. */
+  def pick(codec: Codec, passphrase: Array[Byte])(
+      locale: String, category: String, deterministic: Boolean, value: String): String = {
+    if (value == null) return null
+    val vocab = list(locale, category)
+    val h =
+      if (deterministic) java.nio.ByteBuffer.wrap(
+        MaskFunctions.cachedHash(codec, passphrase, deterministic = true, value)).getLong
+      else codec.hashLong(value, deterministic = false, passphrase)
+    val idx = java.lang.Math.floorMod(h, vocab.size.toLong).toInt
+    vocab(idx)
+  }
+
+  /** Pseudonymous email: masked local part + hash-picked free-email domain. */
+  def maskEmail(codec: Codec, passphrase: Array[Byte])(deterministic: Boolean, value: String): String = {
+    if (value == null) return null
+    val local = MaskFunctions.maskString(codec, passphrase)(
+      12, "abcdefghijklmnopqrstuvwxyz", None, deterministic, value)
+    val domain = pick(codec, passphrase)("en-AU", "free_email", deterministic, value)
+    s"$local@$domain"
+  }
+
+  /** Registers:
+    *   mask_name(category STRING, deterministic BOOL, value STRING) -> STRING
+    *   mask_email(deterministic BOOL, value STRING) -> STRING
+    */
+  def register(spark: SparkSession, codec: Codec, passphrase: Array[Byte], locale: String = "en-AU"): Unit = {
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("mask_name",
+      udf((category: String, deterministic: Boolean, value: String) =>
+        pick(codec, passphrase)(locale, category, deterministic, value)).asNondeterministic())
+    spark.udf.register("mask_email",
+      udf((deterministic: Boolean, value: String) =>
+        maskEmail(codec, passphrase)(deterministic, value)).asNondeterministic())
+  }
+}
