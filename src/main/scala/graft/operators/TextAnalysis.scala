@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text statistics for training-data curation: token counting, quality
+  * scoring, language identification, and content fingerprinting.
+  *
+  * Everything here is built from codegen'd Spark builtins (no UDFs) — these
+  * run per-document over the full corpus, so they must stay inside
+  * whole-stage codegen and preserve partitioning (narrow projections only).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count approximation: word-piece chunks of <=4 chars.
+    * ceil(len(word)/4) summed — deterministic, SQL-expressible. */
+  def subwordCount(text: Column): Column =
+    aggregate(transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")), lit(0L), (a, v) => a + v)
+
+  /** Ratios used by quality filters; all in [0,1], floored to 4 decimals as
+    * stable integers (x10000) so engines agree bit-for-bit. */
+  def punctRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^\\p{Punct}]", "")), length(text))
+
+  def digitRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^0-9]", "")), length(text))
+
+  def upperRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^A-Z]", "")), length(text))
+
+  def whitespaceRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "\\s", "")), length(text))
+
+  private def ratio(num: Column, den: Column): Column =
+    floor(num.cast("double") / greatest(den, lit(1)).cast("double") * 10000).cast("long")
+
+  /** Composite quality heuristic in [0,100]: long-enough, word-like,
+    * low-punct, low-digit text scores high. Deterministic integer output. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(length(text), lit(500)).cast("double") / 5.0 // 0..100
+    val avgTokLen = length(text).cast("double") / greatest(nTok, lit(1))
+    val tokScore = when(avgTokLen.between(3, 12), lit(100.0)).otherwise(lit(30.0))
+    val punctPenalty = punctRatio(text).cast("double") / 100.0 // 0..100
+    val digitPenalty = digitRatio(text).cast("double") / 100.0
+    floor((lenScore * 0.4 + tokScore * 0.4 - punctPenalty * 0.1 - digitPenalty * 0.1)
+      .cast("double")).cast("long")
+  }
+
+  /** Language markers: tiny per-language stopword sets + CJK script check.
+    * Returns the language code with the highest marker-token count;
+    * deterministic tie-break by fixed language order (en,de,fr,es,zh). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "une", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "en", "una", "por", "para"),
+    "zh" -> Seq.empty) // zh detected by script, below
+
+  def markerCount(text: Column, lang: String): Column = {
+    val set = markers.toMap.apply(lang)
+    if (lang == "zh") length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    else size(filter(tokens(text), t => set.map(lit(_) === t).reduce(_ || _)))
+  }
+
+  /** Argmax over per-language score COLUMNS with first-wins tie-break in the
+    * fixed order en,de,fr,es,zh. Take scores as resolved columns so each
+    * marker count is computed once in the plan, not once per comparison. */
+  def languageIdFromScores(en: Column, de: Column, fr: Column, es: Column, zh: Column): Column =
+    when(en >= greatest(de, fr, es, zh), "en")
+      .when(de >= greatest(fr, es, zh), "de")
+      .when(fr >= greatest(es, zh), "fr")
+      .when(es >= zh, "es")
+      .otherwise("zh")
+
+  /** Predicted language code (n-gram/stopword heuristic) as one expression.
+    * Prefer [[profile]]'s two-step form for big scans — this inlines each
+    * marker count into the argmax. */
+  def languageId(text: Column): Column =
+    languageIdFromScores(
+      markerCount(text, "en"), markerCount(text, "de"), markerCount(text, "fr"),
+      markerCount(text, "es"), markerCount(text, "zh"))
+
+  /** Canonical-content fingerprint: xxhash64 of the lowercased,
+    * whitespace-collapsed text. Stable across runs and executors; two
+    * documents with the same canonical content always collide. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Full per-document profile. Language scores are materialized as plan
+    * columns first so each marker count is evaluated once per row. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(s"`$textCol`")
+    df.select(
+      col(s"`$idCol`").cast("long").as("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      punctRatio(t).as("punct_ratio_x1e4"),
+      digitRatio(t).as("digit_ratio_x1e4"),
+      upperRatio(t).as("upper_ratio_x1e4"),
+      qualityScore(t).as("quality"),
+      markerCount(t, "en").as("s_en"),
+      markerCount(t, "de").as("s_de"),
+      markerCount(t, "fr").as("s_fr"),
+      markerCount(t, "es").as("s_es"),
+      markerCount(t, "zh").as("s_zh"),
+      fingerprint(t).as("fingerprint"))
+      .withColumn("lang_pred",
+        languageIdFromScores(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh")))
+      .drop("s_en", "s_de", "s_fr", "s_es", "s_zh")
+  }
+}

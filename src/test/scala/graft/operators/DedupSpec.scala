@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  test("exact dedup keeps one representative per identical text") {
+    val df = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "ccc", 5L -> "bbb")
+    val out = Dedup.exact(df, "doc_id", Seq("text"))
+    assert(out.count() === 3)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 4L))
+    val clusters = Dedup.exactClusters(df, "doc_id", Seq("text"))
+    assert(clusters.where("cluster_size = 2").count() === 2)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distant pairs") {
+    val nearDup = base.replace("quick", "quik") // tiny edit, high jaccard
+    val far = "completely different content about spark query engines and columnar execution at scale"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> far, 4L -> base) // 4 = exact dup of 1
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact duplicate must be found")
+    assert(pairs.contains((1L, 2L)), "near duplicate must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash agrees with exact char-5-gram jaccard on a small corpus") {
+    val variants = Seq(
+      base, base.replace("lazy", "hazy"), base + " extra tail words here",
+      "some wholly unrelated text that shares nothing with the others at all",
+      base.replace("the", "a"))
+    val df = docs(variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    def exactJaccard(a: String, b: String): Double = {
+      def sh(s: String) = s.sliding(5).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val expected = (for {
+      i <- variants.indices; j <- variants.indices if i < j
+      jac = exactJaccard(variants(i), variants(j)) if jac >= 0.5
+    } yield (i.toLong, j.toLong)).toSet
+    val got = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("ngram jaccard inverted-index pairs match brute force") {
+    val a = "spark makes distributed data processing simple and fast for everyone"
+    val b = "spark makes distributed data processing simple and fast for most people"
+    val c = "flink handles streaming state management with exactly once guarantees always"
+    val df = docs(1L -> a, 2L -> b, 3L -> c)
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("simhash pairs: exact dup at hamming 0; unrelated text filtered") {
+    val df = docs(1L -> base, 2L -> base, 3L -> "utterly different corpus content here about databases")
+    val out = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 0))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup plans contain no cartesian product") {
+    val df = docs(1L -> base, 2L -> (base + " x"))
+    for (plan <- Seq(
+      Dedup.minhashPairs(df, "doc_id", "text").queryExecution.executedPlan.toString,
+      Dedup.simhashPairs(df, "doc_id", "text").queryExecution.executedPlan.toString,
+      Dedup.ngramJaccardPairs(df, "doc_id", "text").queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("CartesianProduct"), "bucketed dedup must not cross-join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed dedup must not nested-loop-join")
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("token and subword counts") {
+    val r = TextAnalysis.profile(one("Hello world this is graft"), "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 5)
+    // hello(2)+world(2)+this(1)+is(1)+graft(2) = ceil(len/4) sums
+    assert(r.getAs[Long]("n_subwords") === 8L)
+    assert(r.getAs[Int]("n_chars") === 25)
+  }
+
+  test("ratios are stable integers x1e4") {
+    val r = TextAnalysis.profile(one("AB, cd! 12"), "doc_id", "text").collect()(0)
+    // 10 chars: 2 punct, 2 digits, 2 upper
+    assert(r.getAs[Long]("punct_ratio_x1e4") === 2000L)
+    assert(r.getAs[Long]("digit_ratio_x1e4") === 2000L)
+    assert(r.getAs[Long]("upper_ratio_x1e4") === 2000L)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val en = "the cat and the dog ran to the house of cards with joy"
+    val de = "der hund und die katze sind nicht in der stadt mit ein auto"
+    val fr = "le chat et la maison dans les champs pour une vie"
+    val es = "el perro y los gatos en una casa por la noche para siempre"
+    val zh = "你好世界这是一个测试"
+    import spark.implicits._
+    val df = Seq((1L, en), (2L, de), (3L, fr), (4L, es), (5L, zh)).toDF("doc_id", "text")
+    val got = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("fingerprint: canonicalization collapses case and whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "  HELLO\tWORLD "), (4L, "different"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(2L) === fps(3L))
+    assert(fps(4L) !== fps(1L))
+  }
+
+  test("quality score orders clean prose above garbage") {
+    import spark.implicits._
+    val clean = "A well formed paragraph of reasonable length that contains normal words and structure " * 3
+    val garbage = "@@@@ #### !!!! 1234 %%%% ^^^^ &&&& **** (((( )))) @@@@ ####"
+    val df = Seq((1L, clean), (2L, garbage)).toDF("doc_id", "text")
+    val q = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("profile stays in whole-stage codegen (no UDFs, narrow plan)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.profile(df, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // '*(n)' prefixes mark whole-stage-codegen stages in executedPlan.toString
+    assert(plan.contains("*("), "profile must run inside whole-stage codegen")
+    assert(!plan.contains("Exchange"), "profile must be a narrow projection")
+    // column pruning must reach the scan: only the two referenced columns read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+}
