@@ -159,6 +159,138 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // LLM-pipeline operators: dedup, similarity, text analysis, multimodal
+  // ---------------------------------------------------------------------
+
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactClusters(table(spark, dir, "documents"), "doc_id", Seq("text"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).cast("long").as("n_rows"))
+
+  private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashPairs(table(spark, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
+
+  private def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.3, n = 3)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
+
+  /** SimHash signature space isn't oracle-computable; rows-only check. */
+  private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simhashPairs(table(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .agg(count(lit(1)).as("n_pairs"))
+
+  private def qEmbedPairsExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosinePairsExact(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.48)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
+
+  /** LSH candidate variant — approximate by design; rows-only check. */
+  private def qEmbedPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosinePairsLsh(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.95)
+      .agg(count(lit(1)).as("n_pairs"))
+
+  private def queryVecOf(spark: SparkSession, dir: String): Array[Double] =
+    table(spark, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+
+  private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
+      excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("rank"))
+  }
+
+  /** Approximate ANN — candidates from LSH; rows-only check. */
+  private def qAnnLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.Similarity.lshTopK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def qTextProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.profile(table(spark, dir, "documents"), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_subwords"),
+        col("punct_ratio_x1e4"),
+        col("digit_ratio_x1e4"),
+        col("upper_ratio_x1e4"),
+        col("quality"),
+        col("lang_pred"))
+      .orderBy("doc_id")
+
+  private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"), col("text"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+  }
+
+  private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      lit("image").as("modality"),
+      lit("raw").as("format"),
+      encode(col("text"), "UTF-8").as("content"))
+    graft.operators.Multimodal.extractFeaturesDF(media)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(size(col("features")) === 8, 1)).as("n_feat8"),
+        count(when(col("n_bytes") > 0, 1)).as("n_nonempty"))
+  }
+
+  // ---------------------------------------------------------------------
+  // delegated Spark SQL capabilities (agg/join/window/event-time windows)
+  // ---------------------------------------------------------------------
+
+  private def qEventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS): unreadable as TimestampType in
+    // Spark 4 - read nanos as long, convert to micros explicitly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .select(col("event_type"), window(timestamp_micros((col("ts") / 1000).cast("long")), "1 hour").getField("start").as("ws"))
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("ws")).as("ws_epoch"), col("event_type"), col("n"))
+      .orderBy("ws_epoch", "event_type")
+  }
+
+  private def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_price"),
+        sum((col("l_extendedprice").cast("decimal(14,2)") * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  private def qWindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .agg(count(lit(1)).as("n_top"), sum(col("o_orderkey")).cast("long").as("top_orderkey_sum"))
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_string_props" -> qMaskStringProps,
@@ -169,7 +301,22 @@ object SparkEntry {
     "mask_transform" -> qMaskTransform,
     "mask_name_vocab" -> qMaskNameVocab,
     "mask_email_vocab" -> qMaskEmailVocab,
-    "mask_via_distinct" -> qMaskViaDistinct)
+    "mask_via_distinct" -> qMaskViaDistinct,
+    "dedup_exact" -> qDedupExact,
+    "dedup_minhash" -> qDedupMinhash,
+    "dedup_ngram" -> qDedupNgram,
+    "dedup_simhash" -> qDedupSimhash,
+    "embed_pairs_exact" -> qEmbedPairsExact,
+    "embed_pairs_lsh" -> qEmbedPairsLsh,
+    "ann_topk" -> qAnnTopk,
+    "ann_lsh_topk" -> qAnnLshTopk,
+    "text_profile" -> qTextProfile,
+    "text_fingerprint" -> qTextFingerprint,
+    "multimodal_features" -> qMultimodalFeatures,
+    "events_window" -> qEventsWindow,
+    "lineitem_agg" -> qLineitemAgg,
+    "join_agg" -> qJoinAgg,
+    "window_top_order" -> qWindowTopOrder)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -196,5 +343,75 @@ object SparkEntry {
       "SELECT count(*) AS n, count(c_name) AS n_valid FROM customer",
     "mask_via_distinct" ->
       ("SELECT count(*) AS n, count(c_name) AS n_nonnull, " +
-        "count(DISTINCT c_name) AS n_distinct_out FROM customer"))
+        "count(DISTINCT c_name) AS n_distinct_out FROM customer"),
+    "dedup_exact" ->
+      "SELECT count(DISTINCT text) AS n_clusters, count(*) AS n_rows FROM documents",
+    // exact char-5-gram jaccard pairs; the LSH output is compared against the
+    // true pair set (32x4 banding => ~1e-15 miss probability at j>=0.9)
+    "dedup_minhash" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM p WHERE j >= 0.8"),
+    "dedup_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS gr FROM toks), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.gr, b.gr))::DOUBLE / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS j " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
+        "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM p WHERE j >= 0.3"),
+    "embed_pairs_exact" ->
+      ("SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.embedding, b.embedding) AS c " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.48"),
+    "ann_topk" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rank " +
+        "FROM embeddings, q WHERE vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10"),
+    "text_profile" ->
+      ("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+        "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[0-9]', '', 'g')) AS nd FROM documents), " +
+        "s AS (SELECT doc_id, text, toks, " +
+        "floor((length(text) - np)::DOUBLE / greatest(length(text), 1) * 10000)::BIGINT AS punct_ratio_x1e4, " +
+        "floor((length(text) - nd)::DOUBLE / greatest(length(text), 1) * 10000)::BIGINT AS digit_ratio_x1e4, " +
+        "floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1) * 10000)::BIGINT AS upper_ratio_x1e4, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS s_en, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de, " +
+        "len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','une','pour'))) AS s_fr, " +
+        "len(list_filter(toks, x -> x IN ('el','los','las','es','en','una','por','para'))) AS s_es, " +
+        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh FROM t) " +
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens, " +
+        "list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)))::BIGINT AS n_subwords, " +
+        "punct_ratio_x1e4, digit_ratio_x1e4, upper_ratio_x1e4, " +
+        "floor(least(length(text), 500) / 5.0 * 0.4 " +
+        "  + (CASE WHEN length(text)::DOUBLE / greatest(len(toks), 1) BETWEEN 3 AND 12 THEN 100.0 ELSE 30.0 END) * 0.4 " +
+        "  - (punct_ratio_x1e4 / 100.0) * 0.1 - (digit_ratio_x1e4 / 100.0) * 0.1)::BIGINT AS quality, " +
+        "CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en' " +
+        "WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de' " +
+        "WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred " +
+        "FROM s ORDER BY doc_id"),
+    "text_fingerprint" ->
+      ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
+        "FROM documents"),
+    "multimodal_features" ->
+      "SELECT count(*) AS n, count(*) AS n_feat8, count(*) FILTER (WHERE length(text) > 0) AS n_nonempty FROM documents",
+    "events_window" ->
+      ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "lineitem_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(l_quantity::DECIMAL(12,2))::DECIMAL(18,2) AS sum_qty, " +
+        "sum(l_extendedprice::DECIMAL(14,2))::DECIMAL(18,2) AS sum_price, " +
+        "sum((l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(3,2)))::DECIMAL(18,4))::DECIMAL(18,4) AS sum_disc_price " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "join_agg" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "window_top_order" ->
+      ("WITH r AS (SELECT o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "SELECT count(*) AS n_top, sum(o_orderkey)::BIGINT AS top_orderkey_sum FROM r WHERE rn = 1"))
 }
