@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the reference passes streaming frames
+  * through the same masking projection (MaskDataTransform.scala:158 only
+  * skips instrumentation); we keep that property and add the event-time
+  * operators a streaming analytics pipeline needs — watermarked tumbling
+  * windows and stateful sessionization.
+  *
+  * Scale notes: windowed counts shuffle on (window, key) with partial
+  * aggregation; state store size is bounded by the watermark (late data
+  * beyond it is dropped and its state evicted). Sessionization keys state
+  * by user — the state store partitions on the grouping key, so skewed
+  * users land in one partition; the session gap bounds per-key state to
+  * one open session.
+  */
+object Streaming {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                     n_events: Int, total_value: Double)
+
+  case class SessionState(startMs: Long, endMs: Long, n: Int, total: Double)
+
+  /** Watermarked tumbling-window counts by event type.
+    * Late events beyond `watermark` are dropped; window state is evicted
+    * once the watermark passes the window end. */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with flatMapGroupsWithState and EVENT-TIME
+    * timeouts: a session closes when a same-user event arrives past the gap
+    * (emitted immediately) or when the watermark passes session end + gap
+    * (timeout emission). Event-time timeouts keep micro-batch processing
+    * deterministic — no wall-clock coupling — and bound state by watermark.
+    *
+    * `watermarkDelay` is how much event-time lateness to tolerate before
+    * state can be finalized. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60_000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evts, state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            Session(userId, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap horizon;
+              // must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-equivalent sessionization (same gap semantics) — lets the
+    * streaming operator be cross-checked against a deterministic batch
+    * computation in tests and backfills. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60_000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).cast("int").as("n_events"), sum(col("value")).as("total_value"))
+      .drop("session_id")
+  }
+}

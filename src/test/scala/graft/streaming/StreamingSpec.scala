@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts over a MemoryStream produces per-window per-type counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Streaming.Event(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+        Streaming.Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData(Streaming.Event(4, ts("2024-01-01 15:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc_out").collect()
+        .map(r => (r.getAs[Timestamp]("ws").toString, r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.windowedCounts(input.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wc_late").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Streaming.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(2, ts("2024-01-01 20:00:00"), 2, "click", 1.0)) // watermark -> 19:00
+      q.processAllAvailable()
+      input.addData(Streaming.Event(3, ts("2024-01-01 10:10:00"), 1, "click", 1.0)) // too late
+      q.processAllAvailable()
+      input.addData(Streaming.Event(4, ts("2024-01-02 10:00:00"), 3, "click", 1.0)) // close all
+      q.processAllAvailable()
+      val clicks10 = spark.table("wc_late").collect()
+        .filter(r => r.getAs[Timestamp]("ws").toString.startsWith("2024-01-01 10:"))
+        .map(_.getAs[Long]("n")).sum
+      assert(clicks10 === 1L, "the late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits gap-closed sessions; batch equivalent agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Streaming.Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Streaming.Event(2, ts("2024-01-01 10:10:00"), 1, "b", 2.0),
+      Streaming.Event(3, ts("2024-01-01 12:00:00"), 1, "c", 4.0), // new session (gap > 30m)
+      Streaming.Event(4, ts("2024-01-01 10:05:00"), 2, "d", 8.0))
+
+    // batch path
+    val batch = Streaming.sessionizeBatch(events.toDF(), 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(batch === Set((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
+
+    // streaming path: in-batch session close (user 1's first session closes
+    // when the 12:00 event arrives in a later batch)
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(input.toDS(), 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events(0), events(1), events(3))
+      q.processAllAvailable()
+      input.addData(events(2)) // forces user 1's open session to close
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(sessions.contains((1L, 2, 3.0)), s"closed session missing; got $sessions")
+      // watermark far past every gap horizon -> remaining sessions time out
+      input.addData(Streaming.Event(9, ts("2024-01-02 00:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(10, ts("2024-01-03 00:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(all.contains((2L, 1, 8.0)), s"timed-out session missing; got $all")
+      assert(all.contains((1L, 1, 4.0)), s"timed-out session missing; got $all")
+    } finally q.stop()
+  }
+
+  test("the masking projection passes streaming frames through (reference parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    graft.functions.MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)
+    val input = MemoryStream[String]
+    val meta = new MetadataBuilder().putMetadata("mask",
+      new MetadataBuilder().putStringArray("treatments", Array("mask_string(16, true, ${value})")).build()).build()
+    val tagged = input.toDF().select(col("value").as("name", meta))
+    val masked = graft.operators.MaskTransform(tagged)
+    assert(masked.isStreaming, "masking must not break streaming")
+    val q = masked.writeStream.format("memory").queryName("mask_stream").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData("alice", "bob")
+      q.processAllAvailable()
+      val out = spark.table("mask_stream").collect().map(_.getString(0))
+      assert(out.length === 2)
+      assert(out.forall(_.length === 16))
+    } finally q.stop()
+  }
+}
