@@ -45,7 +45,7 @@ object SparkEntry {
 
   private def qMaskStringProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "customer")
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
       .selectExpr(
         "c_name",
         "mask_string(16, true, c_name) AS m",
@@ -64,7 +64,7 @@ object SparkEntry {
 
   private def qMaskFormatProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "customer")
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
       .selectExpr("mask_string_alphabet_format(16, '0123456789', '4xxx-xxxx-xxxx-xxxx', true, c_name) AS m")
       .agg(
         count(lit(1)).as("n"),
@@ -74,7 +74,7 @@ object SparkEntry {
 
   private def qMaskDateProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "orders")
+    graft.operators.Partitioning.spread(table(spark, dir, "orders"))
       .selectExpr("CAST(o_orderdate AS DATE) AS orig", "mask_date(14, true, CAST(o_orderdate AS DATE)) AS m")
       .agg(
         count(lit(1)).as("n"),
@@ -84,7 +84,7 @@ object SparkEntry {
 
   private def qMaskTimestampProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "lineitem")
+    graft.operators.Partitioning.spread(table(spark, dir, "lineitem"))
       .selectExpr("CAST(l_shipdate AS TIMESTAMP) AS orig", "mask_timestamp(14, true, CAST(l_shipdate AS TIMESTAMP)) AS m")
       .agg(
         count(lit(1)).as("n"),
@@ -96,7 +96,7 @@ object SparkEntry {
 
   private def qMaskDecimalProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "customer")
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
       .selectExpr(
         "CAST(c_acctbal AS DECIMAL(12,2)) AS orig",
         "mask_decimal(CAST(5.00 AS DECIMAL(4,2)), true, CAST(c_acctbal AS DECIMAL(12,2))) AS m")
@@ -129,7 +129,7 @@ object SparkEntry {
     Defaults.registerAll(spark)
     val vocab = graft.functions.Vocab.list("en-AU", "last_name").toSet
     val member = udf((s: String) => s != null && vocab.contains(s))
-    table(spark, dir, "customer")
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
       .selectExpr("mask_name('last_name', true, c_name) AS m", "mask_name('last_name', true, c_name) AS m2")
       .agg(
         count(lit(1)).as("n"),
@@ -140,7 +140,7 @@ object SparkEntry {
 
   private def qMaskEmailVocab(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    table(spark, dir, "customer")
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
       .selectExpr("mask_email(true, c_name) AS m")
       .agg(
         count(lit(1)).as("n"),

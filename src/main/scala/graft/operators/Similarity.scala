@@ -86,8 +86,9 @@ object Similarity {
     }
     val qBands = (0 until bands).map(b => (b, (qSig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)))
 
-    val withSig = df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb"),
-      sigU(col(s"`$embCol`")).as("sig"))
+    val withSig = Partitioning.spread(
+      df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb")))
+      .withColumn("sig", sigU(col("emb")))
     val mask = (1L << bitsPerBand) - 1
     val banded = withSig.select(col("vec_id"), col("emb"),
       posexplode(expr(
@@ -109,8 +110,8 @@ object Similarity {
     * Quadratic — correctness oracle + small-scale tool; the scale path is
     * [[cosinePairsLsh]]. */
   def cosinePairsExact(df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
-    val e = df.select(col(s"`$idCol`").cast("long").as("vec_id"),
-      col(s"`$embCol`").cast("array<double>").as("emb"))
+    val e = Partitioning.spread(df.select(col(s"`$idCol`").cast("long").as("vec_id"),
+      col(s"`$embCol`").cast("array<double>").as("emb")))
       .withColumn("nrm", norm(col("emb")))
     val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
@@ -134,7 +135,9 @@ object Similarity {
     val dim = df.select(size(col(s"`$embCol`"))).head().getInt(0)
     val bands = nBits / bitsPerBand
 
-    val base = df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb"))
+    val base = Partitioning.spread(
+      df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     val bandedAll = seeds.zipWithIndex.map { case (seed, t) =>
       val sigU = signatureUdf(hyperplanes(nBits, dim, seed))
