@@ -18,14 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(embedding, literal query) as a codegen'd Column (no UDF). */
-  private def dotLit(emb: Column, q: Array[Double]): Column = {
-    val qCol = array(q.map(lit): _*)
-    aggregate(zip_with(emb, qCol, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  }
+  /** dot(embedding, literal query) via the native codegen'd expression
+    * (higher-order builtins evaluate lambdas interpreted per element —
+    * graft.plans.DotProduct keeps the loop in whole-stage codegen). */
+  private def dotLit(emb: Column, q: Array[Double]): Column =
+    graft.plans.VectorExpressions.dot(emb, array(q.map(lit): _*))
 
   private def norm(emb: Column): Column =
-    sqrt(aggregate(transform(emb, x => x * x), lit(0.0), (acc, v) => acc + v))
+    sqrt(graft.plans.VectorExpressions.dot(emb, emb))
 
   /** Exact cosine top-k against one query vector. */
   def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Double], k: Int,
@@ -117,8 +117,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-          / (col("nrm_a") * col("nrm_b")))
+        graft.plans.VectorExpressions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -166,8 +165,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("id_b"), col("embd").as("emb_b"), col("nrm").as("nrm_b"))
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("cosine",
-        aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-          / (col("nrm_a") * col("nrm_b")))
+        graft.plans.VectorExpressions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Declarative stage configuration for the masking dataflow — the O7 surface
+  * (reference `MaskDataTransform.instantiate`, MaskDataTransform.scala:47-85):
+  * fixed key set with unknown-key rejection, per-field validation with ERROR
+  * ACCUMULATION (all problems reported at once, not fail-fast), and a typed
+  * stage value on success.
+  *
+  * The reference reads HOCON through the host framework; the engine core
+  * takes JSON (parsed with Spark's bundled json4s) or an already-parsed map —
+  * the validation contract is what matters.
+  */
+object StageConfig {
+
+  case class MaskStage(
+      name: String,
+      description: Option[String],
+      inputView: String,
+      outputView: String,
+      persist: Boolean,
+      params: Map[String, String])
+
+  val ExpectedKeys: Set[String] =
+    Set("type", "name", "description", "environments", "inputView", "outputView", "persist", "params")
+
+  def parseJson(json: String): Either[List[String], MaskStage] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parseOpt(json) match {
+      case Some(JObject(fields)) =>
+        parse(fields.map { case (k, v) =>
+          k -> (v match {
+            case JString(s) => s
+            case JBool(b) => b
+            case JObject(o) => o.collect { case (pk, JString(pv)) => pk -> pv }.toMap
+            case JArray(a) => a.collect { case JString(s) => s }
+            case other => other.values
+          })
+        }.toMap)
+      case _ => Left(List("stage config must be a JSON object"))
+    }
+  }
+
+  /** Validate a parsed config map. Accumulates every error. */
+  def parse(config: Map[String, Any]): Either[List[String], MaskStage] = {
+    val unknown = config.keySet.diff(ExpectedKeys).toList.sorted
+      .map(k => s"Unknown option '$k'.")
+
+    def requiredString(key: String): Either[String, String] = config.get(key) match {
+      case Some(s: String) if s.nonEmpty => Right(s)
+      case Some(_) => Left(s"'$key' must be a non-empty string.")
+      case None => Left(s"Missing required attribute '$key'.")
+    }
+    def optionalString(key: String): Either[String, Option[String]] = config.get(key) match {
+      case Some(s: String) => Right(Some(s))
+      case Some(_) => Left(s"'$key' must be a string.")
+      case None => Right(None)
+    }
+    def optionalBool(key: String, default: Boolean): Either[String, Boolean] = config.get(key) match {
+      case Some(b: Boolean) => Right(b)
+      case Some(s: String) if s == "true" || s == "false" => Right(s.toBoolean)
+      case Some(_) => Left(s"'$key' must be a boolean.")
+      case None => Right(default)
+    }
+    def paramsMap: Either[String, Map[String, String]] = config.get("params") match {
+      case Some(m: Map[_, _]) => Right(m.map { case (k, v) => k.toString -> v.toString })
+      case Some(_) => Left("'params' must be an object of string values.")
+      case None => Right(Map.empty)
+    }
+
+    val name = requiredString("name")
+    val description = optionalString("description")
+    val inputView = requiredString("inputView")
+    val outputView = requiredString("outputView")
+    val persist = optionalBool("persist", default = false)
+    val params = paramsMap
+
+    val errors = unknown ++
+      List(name, description, inputView, outputView, persist, params).collect { case Left(e) => e }
+
+    if (errors.nonEmpty) Left(errors)
+    else Right(MaskStage(
+      name.toOption.get, description.toOption.get, inputView.toOption.get,
+      outputView.toOption.get, persist.toOption.get, params.toOption.get))
+  }
+
+  /** Parse, validate, and execute against a session in one step. */
+  def run(spark: SparkSession, json: String): Either[List[String], org.apache.spark.sql.DataFrame] =
+    parseJson(json).map { stage =>
+      MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)._1
+    }
+}

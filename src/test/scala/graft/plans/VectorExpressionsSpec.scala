@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("DotProduct matches the higher-order-function computation exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 2.0)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, v) => s + v).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(0).getDouble(0) === 32.0)
+    assert(rows(2).getDouble(0) === 0.0)
+  }
+
+  test("DotProduct is null-safe and type-checked") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), None: Option[Array[Double]])).toDF("a", "b")
+    val r = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+    val bad = Seq(("x", 1)).toDF("a", "b")
+    val e = intercept[Exception](bad.select(VectorExpressions.dot(col("a"), col("b"))).collect())
+    assert(e.getMessage.contains("graft_dot_product") || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val plan = df.select(VectorExpressions.dot(col("e"), col("e")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "native expression must stay inside codegen:\n" + plan)
+  }
+}
