@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native plugin packaging: inject the whole graft SQL function family
+  * at session build time via
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * (the Spark-idiomatic equivalent of the reference's ServiceLoader-discovered
+  * UDFPlugin). Codec and passphrase resolve from the same ETL_CONF_MASK_DATA_*
+  * environment the reference uses, falling back to the test profile.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.GraftBridge
+    lazy val codec = Defaults.codec
+    lazy val pp = Defaults.passphrase
+
+    def inject(name: String, usage: String)(udfObj: => org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
+      val builder: Seq[Expression] => Expression = children =>
+        GraftBridge.expression(udfObj(children.map(GraftBridge.column): _*))
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+    }
+
+    import org.apache.spark.sql.functions.udf
+    import graft.functions.{MaskFunctions, Vocab}
+
+    inject("mask_string", "mask_string(length, deterministic, value)") {
+      udf((l: Int, d: Boolean, v: String) =>
+        MaskFunctions.maskString(codec, pp)(l, MaskFunctions.DefaultAlphabet, None, d, v)).asNondeterministic()
+    }
+    inject("mask_string_alphabet", "mask_string_alphabet(length, alphabet, deterministic, value)") {
+      udf((l: Int, a: String, d: Boolean, v: String) =>
+        MaskFunctions.maskString(codec, pp)(l, a, None, d, v)).asNondeterministic()
+    }
+    inject("mask_string_alphabet_format", "mask_string_alphabet_format(length, alphabet, format, deterministic, value)") {
+      udf((l: Int, a: String, f: String, d: Boolean, v: String) =>
+        MaskFunctions.maskString(codec, pp)(l, a, Option(f), d, v)).asNondeterministic()
+    }
+    inject("mask_date", "mask_date(range, deterministic, value)") {
+      udf((r: Int, d: Boolean, v: java.time.LocalDate) =>
+        MaskFunctions.maskLocalDate(codec, pp)(r, d, v)).asNondeterministic()
+    }
+    inject("mask_timestamp", "mask_timestamp(range, deterministic, value)") {
+      udf((r: Int, d: Boolean, v: java.time.Instant) =>
+        MaskFunctions.maskInstant(codec, pp)(r, d, v)).asNondeterministic()
+    }
+    inject("mask_decimal", "mask_decimal(range, deterministic, value)") {
+      udf((r: java.math.BigDecimal, d: Boolean, v: java.math.BigDecimal) =>
+        MaskFunctions.maskDecimal(codec, pp)(r, d, v)).asNondeterministic()
+    }
+    inject("mask_name", "mask_name(category, deterministic, value)") {
+      udf((c: String, d: Boolean, v: String) => Vocab.pick(codec, pp)("en-AU", c, d, v)).asNondeterministic()
+    }
+    inject("mask_email", "mask_email(deterministic, value)") {
+      udf((d: Boolean, v: String) => Vocab.maskEmail(codec, pp)(d, v)).asNondeterministic()
+    }
+  }
+}

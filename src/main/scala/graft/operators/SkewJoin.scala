@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * AQE's skew-join handling splits oversized SORT-MERGE partitions at
+  * runtime, but it cannot help when a single join KEY is hot (all rows for
+  * the key hash to one partition regardless of splits on the other side).
+  * Salting fixes the key itself: the skewed (big) side scatters each key
+  * across `salts` sub-keys; the small side replicates each row `salts`
+  * times. The join then distributes the hot key over `salts` tasks.
+  *
+  * Use when one side is too large to broadcast AND key frequency is heavily
+  * skewed (e.g. a null-ish default key holding 10% of a 100 TB fact table).
+  * Cost: small side inflates x salts — keep salts modest (8-64).
+  */
+object SkewJoin {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts >= 1)
+    val saltCol = "__graft_salt"
+    // salt assignment needs no determinism — any spread works; rand() keeps
+    // it uniform regardless of key distribution
+    val saltedBig = big.withColumn(saltCol, floor(rand(42) * salts).cast("int"))
+    val saltedSmall = small
+      .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
+    val joined = saltedBig.join(saltedSmall,
+      saltedBig(s"`$key`") === saltedSmall(s"`$key`") && saltedBig(saltCol) === saltedSmall(saltCol),
+      joinType)
+    // drop the salt and the duplicate key column from the small side
+    val smallCols = small.columns.filter(_ != key).map(c => saltedSmall(s"`$c`"))
+    joined.select(big.columns.map(c => saltedBig(s"`$c`")).toIndexedSeq ++ smallCols: _*)
+  }
+}

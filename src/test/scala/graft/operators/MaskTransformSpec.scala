@@ -112,6 +112,19 @@ class MaskTransformSpec extends AnyFunSuite {
     assert(out(0).getString(0).length === 16)
   }
 
+  test("masked output round-trips through parquet with treatments metadata intact") {
+    val df = fixture()
+    val out = MaskTransform(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    out.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    val meta = back.schema("first_name").metadata
+    assert(meta.contains(MaskTransform.MaskKey),
+      "treatments metadata must survive a parquet round trip")
+    assert(back.schema.map(_.dataType) === out.schema.map(_.dataType))
+  }
+
   test("maskViaDistinct agrees with direct masking and preserves nulls") {
     import org.apache.spark.sql.functions.expr
     MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)

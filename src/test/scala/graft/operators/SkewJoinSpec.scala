@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SkewJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("salted join equals plain join on skewed data (inner and left)") {
+    import spark.implicits._
+    // heavily skewed: 90% of big rows share key 1
+    val big = ((1 to 900).map(i => (1L, s"row$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"tail$i")))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "warm"), (999L, "unmatched")).toDF("k", "dim")
+
+    val plain = big.join(small, "k").select("k", "payload", "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val salted = SkewJoin.saltedJoin(big, small, "k", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq === plain.toSeq)
+
+    val plainLeft = big.join(small, Seq("k"), "left")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sorted
+    val saltedLeft = SkewJoin.saltedJoin(big, small, "k", salts = 8, joinType = "left")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sorted
+    assert(saltedLeft.toSeq === plainLeft.toSeq)
+  }
+
+  test("hot key spreads across salt sub-keys") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+    val salted = big.withColumn("__graft_salt",
+      org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.rand(42) * 8).cast("int"))
+    val spread = salted.groupBy("__graft_salt").count().collect()
+    assert(spread.length === 8, "all 8 salt values used")
+    assert(spread.map(_.getLong(1)).max < 1000 * 0.3, "no salt holds a dominant share")
+  }
+}
