@@ -147,6 +147,24 @@ object SparkEntry {
         count(when(col("m").rlike("^[a-z]{12}@(gmail|yahoo|hotmail)\\.com$"), 1)).as("n_valid"))
   }
 
+  /** The BASELINE.md headline metric: masking throughput at the reference's
+    * CI/test Argon2id profile (16384 KB, 1 iteration — build.sbt:23-25 of the
+    * reference), on the scale path (distinct pre-hash + broadcast join-back).
+    * The bench-recorded seconds for this query ARE the KDF rate story. */
+  private def qMaskArgon2Rate(spark: SparkSession, dir: String): DataFrame = {
+    val codec = new graft.codec.Argon2Codec(2, 16384, 1)
+    val pp = Defaults.passphrase
+    val argonMask = udf((v: String) =>
+      graft.functions.MaskFunctions.maskString(codec, pp)(16, graft.functions.MaskFunctions.DefaultAlphabet, None, true, v))
+    val customer = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
+    MaskTransform.maskViaDistinct(customer, "c_name", c => argonMask(col(s"`$c`")))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("c_name")).as("n_nonnull"),
+        count(when(length(col("c_name")) === 16, 1)).as("n_len16"),
+        countDistinct(col("c_name")).as("n_distinct_out"))
+  }
+
   /** Distinct-value pre-hash + broadcast join-back — the 100 TB scale path. */
   private def qMaskViaDistinct(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
@@ -302,6 +320,7 @@ object SparkEntry {
     "mask_name_vocab" -> qMaskNameVocab,
     "mask_email_vocab" -> qMaskEmailVocab,
     "mask_via_distinct" -> qMaskViaDistinct,
+    "mask_argon2_rate" -> qMaskArgon2Rate,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
     "dedup_ngram" -> qDedupNgram,
@@ -343,6 +362,9 @@ object SparkEntry {
       "SELECT count(*) AS n, count(c_name) AS n_valid FROM customer",
     "mask_via_distinct" ->
       ("SELECT count(*) AS n, count(c_name) AS n_nonnull, " +
+        "count(DISTINCT c_name) AS n_distinct_out FROM customer"),
+    "mask_argon2_rate" ->
+      ("SELECT count(*) AS n, count(c_name) AS n_nonnull, count(c_name) AS n_len16, " +
         "count(DISTINCT c_name) AS n_distinct_out FROM customer"),
     "dedup_exact" ->
       "SELECT count(DISTINCT text) AS n_clusters, count(*) AS n_rows FROM documents",
