@@ -109,7 +109,7 @@ object SparkEntry {
   /** O1-O4 end-to-end: metadata-tagged projection with passthrough checks. */
   private def qMaskTransform(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    val customer = table(spark, dir, "customer")
+    val customer = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
     val tagged = customer.select(
       customer("c_custkey"),
       customer("c_name").as("c_name", maskMeta("mask_string(16, true, ${value})")),

@@ -25,14 +25,23 @@ final class Argon2Engine(parallelism: Int, memoryKB: Int, iterations: Int) {
   private val laneLength = blockCount / parallelism
   private val segmentLength = laneLength / SYNC_POINTS
 
+  // Per-thread reusable block matrix: a fresh allocation per hash is 16k+
+  // small arrays (16-64 MB) whose GC churn caps executor throughput at ~3
+  // effective cores out of 32. Every block is fully overwritten before it is
+  // read within a pass, so no zeroing is needed between calls. Cost: one
+  // matrix per executor thread (the same residency profile BouncyCastle's
+  // generator has per concurrent caller).
+  @transient private lazy val workspace: ThreadLocal[Array[Array[Long]]] =
+    ThreadLocal.withInitial(() => Array.ofDim[Long](blockCount, 128))
+
   /** Argon2id tag of `outLen` bytes for (password, salt). `secret` and
     * `additional` exist to exercise the RFC 9106 §5.3 test vector; the codec
     * path never passes them (BC builder defaults both to absent). */
   def hash(password: Array[Byte], salt: Array[Byte], outLen: Int,
            secret: Array[Byte] = Array.emptyByteArray,
            additional: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    // memory: blockCount blocks of 128 u64
-    val memory = Array.ofDim[Long](blockCount, 128)
+    // memory: blockCount blocks of 128 u64, reused across calls per thread
+    val memory = workspace.get()
 
     val h0 = initialHash(password, salt, outLen, secret, additional)
 

@@ -137,7 +137,14 @@ object MaskTransform {
     val outName = maskedColumn.getOrElse(column)
     val dictCol = "__graft_distinct_value"
     val maskedDictCol = "__graft_masked_value"
+    // The distinct output is BYTES-tiny but each row costs a full KDF call;
+    // AQE's size-based coalescing would funnel every hash into one task.
+    // An explicit repartition (exempt from coalescing) keeps the KDF stage
+    // on all cores — at production Argon2 cost this is the difference
+    // between minutes and hours per million distinct values.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val dict = df.select(col(s"`$column`").as(dictCol)).where(col(dictCol).isNotNull).distinct()
+      .repartition(parallelism)
       .select(col(dictCol), maskExpr(dictCol).as(maskedDictCol))
     val joined = df.join(broadcast(dict), df(s"`$column`") === dict(dictCol), "left")
     val projected: Array[Column] =
