@@ -133,7 +133,6 @@ object MaskTransform {
       column: String,
       maskExpr: String => Column,
       maskedColumn: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val outName = maskedColumn.getOrElse(column)
     val dictCol = "__graft_distinct_value"
     val maskedDictCol = "__graft_masked_value"
@@ -146,7 +145,10 @@ object MaskTransform {
     val dict = df.select(col(s"`$column`").as(dictCol)).where(col(dictCol).isNotNull).distinct()
       .repartition(parallelism)
       .select(col(dictCol), maskExpr(dictCol).as(maskedDictCol))
-    val joined = df.join(broadcast(dict), df(s"`$column`") === dict(dictCol), "left")
+    // no broadcast hint: AQE broadcasts the dictionary when it is small and
+    // falls back to a shuffled hash join (with skew handling) when the
+    // distinct set is large - a forced hint would OOM the driver there
+    val joined = df.join(dict, df(s"`$column`") === dict(dictCol), "left")
     val projected: Array[Column] =
       if (outName == column) df.columns.map {
         case `column` => col(maskedDictCol).as(column)

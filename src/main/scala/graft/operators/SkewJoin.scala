@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val SupportedJoinTypes = Set("inner", "left", "left_outer", "leftouter")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts >= 1)
+    // right/full outer would emit each unmatched small-side row `salts` times
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin preserves semantics only for $SupportedJoinTypes, got '$joinType'")
     val saltCol = "__graft_salt"
     // salt assignment needs no determinism — any spread works; rand() keeps
     // it uniform regardless of key distribution

@@ -47,20 +47,27 @@ object TypedSource {
       if (spec.nullableValues.isEmpty) trimmed
       else when(trimmed.isin(spec.nullableValues: _*), lit(null)).otherwise(trimmed)
 
+    // Spark 4 runs ANSI mode by default: a plain cast or to_date throws on
+    // the first malformed value instead of yielding null, which breaks both
+    // messy-source typing and the multi-formatter fallback (the first
+    // non-matching pattern would kill the job before the next one is tried).
+    // try_cast / try_to_timestamp give the lenient semantics typing needs.
+    def tryCast(c: Column, dt: DataType): Column = c.try_cast(dt)
     val typed: Column = spec.dataType.toLowerCase match {
       case "string" | "time" => nulled
-      case "integer" | "int" => nulled.cast(IntegerType)
-      case "long" => nulled.cast(LongType)
-      case "double" => nulled.cast(DoubleType)
-      case "boolean" => nulled.cast(BooleanType)
-      case DecimalRe(p, s) => nulled.cast(DecimalType(p.toInt, s.toInt))
+      case "integer" | "int" => tryCast(nulled, IntegerType)
+      case "long" => tryCast(nulled, LongType)
+      case "double" => tryCast(nulled, DoubleType)
+      case "boolean" => tryCast(nulled, BooleanType)
+      case DecimalRe(p, s) => tryCast(nulled, DecimalType(p.toInt, s.toInt))
       case "date" =>
-        if (spec.formatters.isEmpty) nulled.cast(DateType)
-        else coalesce(spec.formatters.map(f => to_date(nulled, normalizePattern(f))): _*)
+        if (spec.formatters.isEmpty) tryCast(nulled, DateType)
+        else coalesce(spec.formatters.map(f =>
+          try_to_timestamp(nulled, lit(normalizePattern(f))).cast(DateType)): _*)
       case "timestamp" =>
         val exprs =
-          if (spec.formatters.isEmpty) Seq(nulled.cast(TimestampType))
-          else spec.formatters.map(f => to_timestamp(nulled, normalizePattern(f)))
+          if (spec.formatters.isEmpty) Seq(tryCast(nulled, TimestampType))
+          else spec.formatters.map(f => try_to_timestamp(nulled, lit(normalizePattern(f))))
         val ts = coalesce(exprs: _*)
         // timezoneId shifts a source-local timestamp into session time
         spec.timezoneId.fold(ts)(tz => to_utc_timestamp(ts, tz))

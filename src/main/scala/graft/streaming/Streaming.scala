@@ -68,7 +68,8 @@ object Streaming {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.total + e.value))
+                  // late in-window events must not regress the session end
+                  cur = Some(SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= emit(s)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -77,6 +77,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("short and empty documents neither crash nor fake-pair (descending-sequence guard)") {
+    val df = docs(1L -> "", 2L -> "", 3L -> "ab", 4L -> "xy z", 5L -> base)
+    // minhash: empty/short docs have empty shingle sets -> no pairs, no crash
+    val mh = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.isEmpty, s"short docs must not pair: $mh")
+    // ngram: docs with < n tokens -> empty gram sets, no slice(t, 0, n) crash
+    val ng = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.isEmpty, s"short docs must not pair: $ng")
+  }
+
   test("dedup plans contain no cartesian product") {
     val df = docs(1L -> base, 2L -> (base + " x"))
     for (plan <- Seq(

@@ -73,6 +73,23 @@ class TypedSourceSpec extends AnyFunSuite {
     assert(out.schema("first_name").metadata.contains("mask"))
   }
 
+  test("multi-formatter fallback and malformed values survive ANSI mode") {
+    import spark.implicits._
+    val raw = Seq(
+      ("2016-12-18", "42"), // ISO date matches the FIRST pattern
+      ("18/12/2016", "oops"), // matches the SECOND; malformed int -> null
+      ("not a date", "7")).toDF("d", "n")
+    val out = TypedSource.typed(raw, Seq(
+      TypedSource.ColumnSpec("d", "date", formatters = Seq("yyyy-MM-dd", "dd/MM/uuuu")),
+      TypedSource.ColumnSpec("n", "integer")))
+    val rows = out.collect()
+    assert(rows(0).getAs[java.sql.Date](0).toString === "2016-12-18")
+    assert(rows(1).getAs[java.sql.Date](0).toString === "2016-12-18")
+    assert(rows(2).isNullAt(0), "unparseable date must be null, not an exception")
+    assert(rows(1).isNullAt(1), "malformed int must be null under ANSI mode")
+    assert(rows(2).getInt(1) === 7)
+  }
+
   test("unknown type errors with the field name") {
     val e = intercept[Exception](TypedSource.typed(rawDf(),
       Seq(TypedSource.ColumnSpec("first_name", "blob"))))

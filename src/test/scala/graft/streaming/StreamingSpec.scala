@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-window events do not regress a session's end (boundary stability)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(input.toDS(), 30)
+      .writeStream.format("memory").queryName("sess_late").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Streaming.Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0))
+      q.processAllAvailable()
+      // 5-min-late event, still within watermark; must merge, not regress end
+      input.addData(Streaming.Event(2, ts("2024-01-01 09:55:00"), 1, "b", 2.0))
+      q.processAllAvailable()
+      // 10:26 is 26 min after the true latest event (10:00) -> SAME session
+      input.addData(Streaming.Event(3, ts("2024-01-01 10:26:00"), 1, "c", 4.0))
+      q.processAllAvailable()
+      // close everything via watermark advance
+      input.addData(Streaming.Event(9, ts("2024-01-02 12:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(10, ts("2024-01-03 12:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Int]("n_events"), r.getAs[Double]("total_value")))
+      assert(sessions.toSeq === Seq((3, 7.0)), s"one merged session expected, got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("the masking projection passes streaming frames through (reference parity)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
