@@ -36,22 +36,26 @@ object MaskFunctions {
 
   // Cache-key prefix = codec config + SHA-256 fingerprint of the passphrase
   // BYTES (not just its length - two same-length passphrases in one JVM must
-  // never share entries). Interned per codec/passphrase OBJECT in per-thread
-  // WeakHashMaps: no cross-thread contention on the row hot path, and task
-  // closures' codec instances are weakly held, so nothing leaks across jobs.
-  private val tagCache = ThreadLocal.withInitial(() => new java.util.WeakHashMap[AnyRef, String]())
+  // never share entries). A task evaluates millions of rows against ONE
+  // (codec, passphrase) pair, so a per-thread last-pair memo reduces the
+  // per-row cost to two reference compares; on a pair switch the prefix is
+  // recomputed (a 64-byte SHA-256, sub-microsecond). Nothing is strongly
+  // retained beyond the most recent pair per thread.
+  private final class TagState {
+    var codec: Codec = _
+    var passphrase: Array[Byte] = _
+    var prefix: String = _
+  }
+  private val lastTag = ThreadLocal.withInitial(() => new TagState)
 
   private def keyPrefixOf(codec: Codec, passphrase: Array[Byte]): String = {
-    val m = tagCache.get()
-    var codecTag = m.get(codec)
-    if (codecTag == null) { codecTag = codec.describe; m.put(codec, codecTag) }
-    var ppTag = m.get(passphrase)
-    if (ppTag == null) {
-      val d = java.security.MessageDigest.getInstance("SHA-256").digest(passphrase)
-      ppTag = d.take(12).map(x => f"$x%02x").mkString
-      m.put(passphrase, ppTag)
-    }
-    codecTag + "\u0000" + ppTag + "\u0000"
+    val t = lastTag.get()
+    if ((t.codec eq codec) && (t.passphrase eq passphrase)) return t.prefix
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(passphrase)
+    t.codec = codec
+    t.passphrase = passphrase
+    t.prefix = codec.describe + "\u0000" + d.take(12).map(x => f"$x%02x").mkString + "\u0000"
+    t.prefix
   }
 
   private[graft] def cachedHash(codec: Codec, passphrase: Array[Byte], deterministic: Boolean, value: String): Array[Byte] = {
