@@ -22,6 +22,12 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     aggregate(transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")), lit(0L), (a, v) => a + v)
 
+  /** GPT-2-style pre-tokenizer count: contractions, letter runs, digit runs,
+    * punct runs, whitespace runs — the regex segmentation BPE vocabularies
+    * are trained over. Counted with regexp_count (codegen'd, no UDF). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+")).cast("long")
+
   /** Ratios used by quality filters; all in [0,1], floored to 4 decimals as
     * stable integers (x10000) so engines agree bit-for-bit. */
   def punctRatio(text: Column): Column =

@@ -22,6 +22,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_chars") === 25)
   }
 
+  test("bpe-ish pre-tokenizer counts contractions, word/number/punct runs") {
+    import org.apache.spark.sql.functions.col
+    import graft.SparkTestBase.spark.implicits._
+    val df = Seq((1L, "I'll pay 42 dollars, ok?")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).collect()(0).getLong(0)
+    // I | 'll | pay | 42 | dollars | , | ok | ?
+    assert(n === 8L)
+  }
+
   test("ratios are stable integers x1e4") {
     val r = TextAnalysis.profile(one("AB, cd! 12"), "doc_id", "text").collect()(0)
     // 10 chars: 2 punct, 2 digits, 2 upper
