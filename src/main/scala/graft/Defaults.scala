@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 import graft.codec.{Codec, Pbkdf2Codec}
 import graft.functions.{MaskUdfs, Vocab}
 
-/** Session wiring for driver-run entry points (Verify/Bench run with no env
-  * configured). Env vars win when present, so a real deployment keeps the
-  * reference's configuration surface; otherwise a fixed test profile is used:
-  * PBKDF2 at 1024 iterations — cheap enough to run per-round over sf0.1 while
-  * exercising the production code path. (The KDF strength is a config knob,
-  * not a code path: Argon2id at production cost is selected purely via env.)
+/** Session wiring for DRIVER-RUN entry points ONLY (Verify/Bench run with no
+  * env configured). Env vars win when present; otherwise a fixed test profile
+  * is used: PBKDF2 at 1024 iterations — cheap enough to run per-round over
+  * sf0.1 while exercising the production code path. (The KDF strength is a
+  * config knob, not a code path: Argon2id at production cost is selected
+  * purely via env.)
+  *
+  * The production packaging ([[GraftExtensions]]) does NOT use this fallback:
+  * it fails closed on missing ETL_CONF_MASK_DATA_* configuration like the
+  * reference, because a silent fallback to a repo-published passphrase would
+  * make deterministic masks dictionary-reversible.
   */
 object Defaults {
 

@@ -13,14 +13,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * (the Spark-idiomatic equivalent of the reference's ServiceLoader-discovered
   * UDFPlugin). Codec and passphrase resolve from the same ETL_CONF_MASK_DATA_*
-  * environment the reference uses, falling back to the test profile.
+  * environment the reference uses and FAIL CLOSED like the reference: a
+  * deployment with no ETL_CONF_MASK_DATA_PASSPHRASE throws at first use
+  * instead of silently masking with the repo-published test passphrase
+  * (which would be dictionary-reversible for enumerable values). The test
+  * profile needs an explicit opt-in: GRAFT_ALLOW_TEST_PROFILE=true in the
+  * environment, or -Dgraft.allowTestProfile=true (tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.GraftBridge
-    lazy val codec = Defaults.codec
-    lazy val pp = Defaults.passphrase
+    // plain local val: the udf closures must capture only this Boolean, not
+    // the (non-serializable) extension instance
+    val testProfileAllowed: Boolean =
+      sys.env.get("GRAFT_ALLOW_TEST_PROFILE").contains("true") ||
+        sys.props.get("graft.allowTestProfile").contains("true")
+    lazy val codec = if (testProfileAllowed) Defaults.codec else graft.codec.Codec.fromEnv
+    lazy val pp = if (testProfileAllowed) Defaults.passphrase else graft.codec.Codec.passphraseFromEnv
 
     def inject(name: String, usage: String)(udfObj: => org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
       val builder: Seq[Expression] => Expression = children =>

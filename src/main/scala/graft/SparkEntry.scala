@@ -282,14 +282,18 @@ object SparkEntry {
   }
 
   private def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    // sums computed in exact decimal, EMITTED as scaled BIGINTs: a DECIMAL
+    // output column hashes differently between the oracle's query result and
+    // a parquet round-trip (Decimal object vs float64) even when values are
+    // identical — integers are representation-stable on every path
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_price"),
-        sum((col("l_extendedprice").cast("decimal(14,2)") * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"))
+        (sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("sum_qty_x100"),
+        (sum(col("l_extendedprice").cast("decimal(14,2)")) * 100).cast("long").as("sum_price_x100"),
+        (sum((col("l_extendedprice").cast("decimal(14,2)") * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("sum_disc_price_x10000"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private def qJoinAgg(spark: SparkSession, dir: String): DataFrame =
@@ -426,9 +430,9 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "sum(l_quantity::DECIMAL(12,2))::DECIMAL(18,2) AS sum_qty, " +
-        "sum(l_extendedprice::DECIMAL(14,2))::DECIMAL(18,2) AS sum_price, " +
-        "sum((l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(3,2)))::DECIMAL(18,4))::DECIMAL(18,4) AS sum_disc_price " +
+        "(sum(l_quantity::DECIMAL(12,2)) * 100)::BIGINT AS sum_qty_x100, " +
+        "(sum(l_extendedprice::DECIMAL(14,2)) * 100)::BIGINT AS sum_price_x100, " +
+        "(sum((l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(3,2)))::DECIMAL(18,4)) * 10000)::BIGINT AS sum_disc_price_x10000 " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     "join_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +

@@ -27,12 +27,15 @@ object MaskFunctions {
   val DefaultAlphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
   // --- per-executor memo for the deterministic KDF path -------------------
-  // Key = codec identity + value. Bounded: beyond the cap, entries are no
-  // longer inserted (hot values arrive first under any skewed distribution,
-  // so first-come retention keeps the useful set). Tunable via
+  // Key = SHA-256(codec identity || passphrase digest || value) — the
+  // PLAINTEXT cell value is never retained (a long-lived executor heap, and
+  // any heap dump of it, holds only digests). Bounded: beyond the cap,
+  // entries are no longer inserted (hot values arrive first under any skewed
+  // distribution, so first-come retention keeps the useful set). Tunable via
   // GRAFT_MASK_CACHE_ENTRIES; 0 disables. 1M entries ~ 100-150 MB worst case.
   private val cacheCap: Int = Codec.envInt("GRAFT_MASK_CACHE_ENTRIES", 1 << 20)
   private val cache = new ConcurrentHashMap[String, Array[Byte]]()
+  private val digester = ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
 
   // Cache-key prefix = codec config + SHA-256 fingerprint of the passphrase
   // BYTES (not just its length - two same-length passphrases in one JVM must
@@ -60,7 +63,12 @@ object MaskFunctions {
 
   private[graft] def cachedHash(codec: Codec, passphrase: Array[Byte], deterministic: Boolean, value: String): Array[Byte] = {
     if (!deterministic || cacheCap <= 0) return codec.hash(value, deterministic, passphrase)
-    val key = keyPrefixOf(codec, passphrase) + value
+    val md = digester.get()
+    md.reset()
+    md.update(keyPrefixOf(codec, passphrase).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ISO-8859-1 round-trips every byte, so the String key IS the digest
+    val key = new String(md.digest(), java.nio.charset.StandardCharsets.ISO_8859_1)
     val hit = cache.get(key)
     if (hit != null) return hit
     val computed = codec.hash(value, deterministic = true, passphrase)

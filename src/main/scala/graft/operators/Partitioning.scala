@@ -17,4 +17,18 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Materialize `result` into its own (small) cache, then RELEASE the
+    * expensive `intermediates` caches. Operators whose plan reuses a heavy
+    * intermediate (shingle sets, gram arrays, signature bases) persist it for
+    * the duration of one call only — a long-lived session running many such
+    * operators must not accumulate storage blocks until eviction (advisor
+    * finding r2). The returned frame is cached; callers may `unpersist()` it
+    * when finished. */
+  def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
 }

@@ -27,9 +27,12 @@ object SkewJoin {
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
       s"saltedJoin preserves semantics only for $SupportedJoinTypes, got '$joinType'")
     val saltCol = "__graft_salt"
-    // salt assignment needs no determinism — any spread works; rand() keeps
-    // it uniform regardless of key distribution
-    val saltedBig = big.withColumn(saltCol, floor(rand(42) * salts).cast("int"))
+    // Salt derived from row CONTENT, not rand(): under task retry after a
+    // shuffle, a recomputed partition re-assigns identical salts, so already
+    // fetched shuffle blocks stay consistent (the rand-in-repartition hazard,
+    // SPARK-23207). xxhash64 over all columns spreads hot keys just as well.
+    val saltedBig = big.withColumn(saltCol,
+      pmod(xxhash64(big.columns.map(c => big(s"`$c`")).toIndexedSeq: _*), lit(salts)).cast("int"))
     val saltedSmall = small
       .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
     val joined = saltedBig.join(saltedSmall,

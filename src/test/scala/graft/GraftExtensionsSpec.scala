@@ -13,6 +13,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // capture what the extension injects (a fresh session per extension config
     // isn't possible inside one shared test JVM, so drive the injected
     // builders directly - they are exactly what a session would register)
+    sys.props("graft.allowTestProfile") = "true" // no ETL_CONF_* env in the test JVM
     val captured = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression]()
     val ext = new SparkSessionExtensions {
       override def injectFunction(fd: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
