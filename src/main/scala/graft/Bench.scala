@@ -23,7 +23,12 @@ object Bench {
       // expression columns out of aggregates, skipping the measured work.
       // Every query returns a small aggregate or a <=10k-row profile.
       try { fn(spark, sfDir).collect().length } catch { case _: Throwable => -1 }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Release any storage the query left behind so one query's retained
+      // blocks don't distort the next measurement (r3: accumulated caches
+      // inflated unrelated queries by up to 5x in one session).
+      try { spark.catalog.clearCache() } catch { case _: Throwable => }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -150,7 +150,7 @@ object Dedup {
       .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
       .distinct()
 
-    Partitioning.materializeAndRelease(
+    Partitioning.releaseAfterUse(
       verifyJaccard(candidatePairs, withShingles.select(col("doc_id"), col("sh")), threshold),
       withShingles)
   }
@@ -221,7 +221,7 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    Partitioning.materializeAndRelease(
+    Partitioning.releaseAfterUse(
       pairsCommon
         .join(counts.select(col("doc_id").as("id_a"), col("n_grams").as("na")), "id_a")
         .join(counts.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b")

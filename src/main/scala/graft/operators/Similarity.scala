@@ -163,7 +163,7 @@ object Similarity {
       .withColumn("nrm", norm(col("embd")))
     val a = e.select(col("vec_id").as("id_a"), col("embd").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embd").as("emb_b"), col("nrm").as("nrm_b"))
-    Partitioning.materializeAndRelease(
+    Partitioning.releaseAfterUse(
       candidates.join(a, "id_a").join(b, "id_b")
         .withColumn("cosine",
           graft.plans.VectorExpressions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
