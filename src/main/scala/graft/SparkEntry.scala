@@ -252,17 +252,27 @@ object SparkEntry {
         countDistinct(col("fp")).as("n_distinct_fp"))
   }
 
+  /** Synthesizes a real PNG header (signature + IHDR) per document with
+    * id-derived dimensions, then checks the header PARSER recovers them —
+    * the dims sums are DuckDB-recomputable from doc_id alone. The payload
+    * tail comes from the text so the (stub) feature vector varies. */
   private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long, text: String) =>
+      graft.operators.Multimodal.pngHeaderBytes(
+        1 + math.floorMod(id, 512).toInt, 1 + math.floorMod(id, 384).toInt) ++
+        (if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")))
     val media = table(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
       lit("image").as("modality"),
-      lit("raw").as("format"),
-      encode(col("text"), "UTF-8").as("content"))
+      lit("png").as("format"),
+      mkPng(col("doc_id").cast("long"), col("text")).as("content"))
     graft.operators.Multimodal.extractFeaturesDF(media)
       .agg(
         count(lit(1)).as("n"),
-        count(when(size(col("features")) === 8, 1)).as("n_feat8"),
-        count(when(col("n_bytes") > 0, 1)).as("n_nonempty"))
+        count(when(col("format_detected") === "png", 1)).as("n_png"),
+        sum(col("width")).cast("long").as("width_sum"),
+        sum(col("height")).cast("long").as("height_sum"),
+        count(when(size(col("features")) === 8, 1)).as("n_feat8"))
   }
 
   // ---------------------------------------------------------------------
@@ -424,7 +434,9 @@ object SparkEntry {
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
     "multimodal_features" ->
-      "SELECT count(*) AS n, count(*) AS n_feat8, count(*) FILTER (WHERE length(text) > 0) AS n_nonempty FROM documents",
+      ("SELECT count(*) AS n, count(*) AS n_png, " +
+        "sum(1 + doc_id % 512)::BIGINT AS width_sum, sum(1 + doc_id % 384)::BIGINT AS height_sum, " +
+        "count(*) AS n_feat8 FROM documents"),
     "events_window" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
