@@ -29,8 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val testProfileAllowed: Boolean =
       sys.env.get("GRAFT_ALLOW_TEST_PROFILE").contains("true") ||
         sys.props.get("graft.allowTestProfile").contains("true")
-    lazy val codec = if (testProfileAllowed) Defaults.codec else graft.codec.Codec.fromEnv
-    lazy val pp = if (testProfileAllowed) Defaults.passphrase else graft.codec.Codec.passphraseFromEnv
+    // STRICT vals, forced here on the DRIVER at registration time: a lazy
+    // capture would be first forced wherever a task runs, reading
+    // ETL_CONF_MASK_DATA_* from the EXECUTOR environment — a driver/executor
+    // env mismatch would silently produce inconsistently-keyed masks, and a
+    // missing executor env would fail mid-job instead of at session build
+    // (the reference fails at registration: MaskDataPlugin.scala:31-38).
+    val codec = if (testProfileAllowed) Defaults.codec else graft.codec.Codec.fromEnv
+    val pp = if (testProfileAllowed) Defaults.passphrase else graft.codec.Codec.passphraseFromEnv
 
     def inject(name: String, usage: String)(udfObj: => org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
       val builder: Seq[Expression] => Expression = children =>

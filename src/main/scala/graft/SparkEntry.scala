@@ -176,6 +176,57 @@ object SparkEntry {
         countDistinct(col("c_name")).as("n_distinct_out"))
   }
 
+  /** O5-O7 end-to-end: stage config (JSON parse + validation) -> masking
+    * projection -> output view publication -> persist + records/rate
+    * instrumentation -> re-read through the catalog. The oracle recomputes
+    * the row count, masked-length count, and column count from the base
+    * table — if the view wasn't published or the persist count diverged,
+    * the compare fails. */
+  private def qStageRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Defaults.registerAll(spark)
+    val customer = table(spark, dir, "customer")
+    customer.select(
+      customer("c_custkey"),
+      customer("c_name").as("c_name", maskMeta("mask_string(16, true, ${value})")),
+      customer("c_nationkey"),
+      customer("c_acctbal"),
+      customer("c_mktsegment"))
+      .createOrReplaceTempView("graft_stage_in")
+    val cfg =
+      """{"type": "MaskDataTransform", "name": "mask customer", "environments": ["test"],
+        |"inputView": "graft_stage_in", "outputView": "graft_stage_out", "persist": true}""".stripMargin
+    val stage = graft.operators.StageConfig.parseJson(cfg)
+      .fold(errs => throw new Exception(errs.mkString("; ")), identity)
+    val (_, detail) = MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)
+    // the stage published + persisted the view; prove the catalog round-trip
+    val reread = spark.table(stage.outputView)
+    val out = reread.agg(
+      count(lit(1)).as("n"),
+      count(when(length(col("c_name")) === 16, 1)).as("n_len16"))
+      .withColumn("records_detail", lit(detail("records").asInstanceOf[Long]))
+      .withColumn("out_cols", lit(detail("outputColumns").asInstanceOf[Int]).cast("long"))
+    out
+  }
+
+  /** O7 validation contract: error ACCUMULATION (all problems at once),
+    * unknown-key rejection, and a well-formed config parsing clean — counts
+    * are deterministic, so the oracle is exact. */
+  private def qStageConfigErrors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bad = """{"name": "", "inputView": "x", "bogus": 1}"""
+    val good =
+      """{"name": "s", "description": "d", "inputView": "in", "outputView": "out",
+        |"persist": true, "params": {"a": "b"}}""".stripMargin
+    val badErrs = graft.operators.StageConfig.parseJson(bad).left.getOrElse(Nil)
+    val goodStage = graft.operators.StageConfig.parseJson(good).toOption
+    Seq((
+      badErrs.length.toLong,
+      badErrs.count(_.startsWith("Unknown option")).toLong,
+      goodStage.map(_ => 0L).getOrElse(1L),
+      goodStage.map(s => if (s.persist) 1L else 0L).getOrElse(-1L)))
+      .toDF("n_errors_bad", "n_unknown_bad", "good_failed", "good_persist")
+  }
+
   // ---------------------------------------------------------------------
   // LLM-pipeline operators: dedup, similarity, text analysis, multimodal
   // ---------------------------------------------------------------------
@@ -335,6 +386,8 @@ object SparkEntry {
     "mask_email_vocab" -> qMaskEmailVocab,
     "mask_via_distinct" -> qMaskViaDistinct,
     "mask_argon2_rate" -> qMaskArgon2Rate,
+    "stage_roundtrip" -> qStageRoundtrip,
+    "stage_config_errors" -> qStageConfigErrors,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
     "dedup_ngram" -> qDedupNgram,
@@ -433,6 +486,12 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    "stage_roundtrip" ->
+      ("SELECT count(*) AS n, count(c_name) AS n_len16, count(*) AS records_detail, " +
+        "5::BIGINT AS out_cols FROM customer"),
+    "stage_config_errors" ->
+      ("SELECT 3::BIGINT AS n_errors_bad, 1::BIGINT AS n_unknown_bad, " +
+        "0::BIGINT AS good_failed, 1::BIGINT AS good_persist"),
     "multimodal_features" ->
       ("SELECT count(*) AS n, count(*) AS n_png, " +
         "sum(1 + doc_id % 512)::BIGINT AS width_sum, sum(1 + doc_id % 384)::BIGINT AS height_sum, " +

@@ -46,7 +46,21 @@ object Codec {
   def envInt(name: String, default: Int): Int =
     sys.env.get(name).map(_.toInt).getOrElse(default)
 
-  val all: List[Codec] = List(new Argon2Codec, new ScryptCodec, new Pbkdf2Codec)
+  /** Built-in codecs plus any third-party [[Codec]] registered via
+    * `META-INF/services/graft.codec.Codec` — the same drop-a-jar extension
+    * surface as the reference's ServiceLoader-discovered codec plugins
+    * (/root/reference/src/main/scala/ai/tripl/arc/udf/MaskDataPlugin.scala:41-45,
+    * resources/META-INF/services/). Built-ins win on a name collision so an
+    * external jar cannot silently replace the audited KDFs. */
+  def all: List[Codec] = {
+    val builtin = List(new Argon2Codec, new ScryptCodec, new Pbkdf2Codec)
+    import scala.jdk.CollectionConverters._
+    // context classloader first: that is where spark-submit --jars land
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[Codec].getClassLoader)
+    val discovered = java.util.ServiceLoader.load(classOf[Codec], cl).iterator().asScala.toList
+    builtin ++ discovered.filterNot(d => builtin.exists(_.name == d.name))
+  }
 
   /** Codec selected by ETL_CONF_MASK_DATA_CODEC (default Argon2). */
   def fromEnv: Codec = {

@@ -14,19 +14,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // isn't possible inside one shared test JVM, so drive the injected
     // builders directly - they are exactly what a session would register)
     sys.props("graft.allowTestProfile") = "true" // no ETL_CONF_* env in the test JVM
-    val captured = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression]()
-    val ext = new SparkSessionExtensions {
-      override def injectFunction(fd: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
-        captured(fd._1.funcName) = fd._3
-    }
-    new GraftExtensions().apply(ext)
-    assert(captured.keySet === Set(
-      "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
-      "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email"))
+    try {
+      val captured = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression]()
+      val ext = new SparkSessionExtensions {
+        override def injectFunction(fd: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
+          captured(fd._1.funcName) = fd._3
+      }
+      new GraftExtensions().apply(ext)
+      assert(captured.keySet === Set(
+        "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
+        "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email"))
 
-    val e = captured("mask_string")(Seq(
-      GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
-    val row = spark.range(1).select(GraftBridge.column(e).as("m")).collect()(0)
-    assert(row.getString(0).length === 16)
+      val e = captured("mask_string")(Seq(
+        GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
+      val row = spark.range(1).select(GraftBridge.column(e).as("m")).collect()(0)
+      assert(row.getString(0).length === 16)
+    } finally sys.props.remove("graft.allowTestProfile")
+  }
+
+  test("without test-profile opt-in and without env, registration fails at apply time") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // only meaningful when the real env really is absent (the driver's
+    // correctness runs export ETL_CONF_MASK_DATA_PASSPHRASE)
+    assume(sys.env.get("ETL_CONF_MASK_DATA_PASSPHRASE").isEmpty)
+    assume(sys.env.get("GRAFT_ALLOW_TEST_PROFILE").isEmpty)
+    sys.props.remove("graft.allowTestProfile")
+    val ext = new SparkSessionExtensions {
+      override def injectFunction(fd: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)): Unit = ()
+    }
+    // must throw HERE (driver, session build), not lazily inside a task on
+    // some executor with a possibly different environment
+    val e = intercept[Exception] { new GraftExtensions().apply(ext) }
+    assert(e.getMessage.contains("ETL_CONF_MASK_DATA_PASSPHRASE"))
   }
 }

@@ -125,4 +125,22 @@ class CodecSpec extends AnyFunSuite {
       assert(hex(h1) === hex(h2), c.name)
     }
   }
+
+  test("ServiceLoader discovers third-party codecs from META-INF/services") {
+    val names = Codec.all.map(_.name)
+    // built-ins always first and present
+    assert(names.take(3) === List("Argon2", "SCrypt", "PBKDF2WithHmacSHA512"))
+    // the test-classpath codec (src/test/resources/META-INF/services) appears
+    assert(names.contains("TestVector"))
+    val tv = Codec.all.find(_.name == "TestVector").get
+    val h1 = tv.hash("alice", deterministic = true, passphrase)
+    assert(h1.length === 64)
+    assert(hex(h1) === hex(tv.hash("alice", deterministic = true, passphrase)))
+  }
+
+  test("ServiceLoader discovery cannot shadow a built-in codec name") {
+    val names = Codec.all.map(_.name)
+    assert(names.count(_ == "Argon2") === 1)
+    assert(Codec.all.find(_.name == "Argon2").get.isInstanceOf[Argon2Codec])
+  }
 }
