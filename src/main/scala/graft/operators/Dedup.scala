@@ -23,12 +23,24 @@ object Dedup {
       s"CASE WHEN length(`$textCol`) < $n THEN array() " +
         s"ELSE transform(sequence(1, length(`$textCol`) - ${n - 1}), i -> substr(`$textCol`, i, $n)) END"))
 
+  /** Collision-free multi-column content key: each column is hashed
+    * INDEPENDENTLY (fixed-width image), null tagged distinctly from any
+    * value, then the fixed-width parts are hashed together — no sentinel
+    * character a cell value could collide with, no separator a value could
+    * shift content across column boundaries (advisor finding r3). */
+  private def exactKey(dedupCols: Seq[String]): Column = {
+    val parts = dedupCols.map { c =>
+      val v = col(s"`$c`").cast("string")
+      when(v.isNull, lit("N")).otherwise(concat(lit("V"), sha2(v, 256)))
+    }
+    sha2(concat_ws("", parts: _*), 256)
+  }
+
   /** Exact deduplication: group identical values of `dedupCols`, keep the
     * row with the smallest `idCol`. Hash-groupBy: one shuffle on the content
     * hash, map-side combine, no sort. */
   def exact(df: DataFrame, idCol: String, dedupCols: Seq[String]): DataFrame = {
-    val key = sha2(concat_ws("\u0000", dedupCols.map(c => coalesce(col(s"`$c`").cast("string"), lit("\u0001"))): _*), 256)
-    val w = df.withColumn("__graft_key", key)
+    val w = df.withColumn("__graft_key", exactKey(dedupCols))
     val keep = w.groupBy(col("__graft_key")).agg(min(col(s"`$idCol`")).as("__graft_keep"))
     w.join(keep, w("__graft_key") === keep("__graft_key") && col(s"`$idCol`") === col("__graft_keep"), "inner")
       .drop("__graft_key", "__graft_keep")
@@ -36,8 +48,7 @@ object Dedup {
 
   /** Exact-duplicate clusters: (representative id, cluster size). */
   def exactClusters(df: DataFrame, idCol: String, dedupCols: Seq[String]): DataFrame = {
-    val key = sha2(concat_ws("\u0000", dedupCols.map(c => coalesce(col(s"`$c`").cast("string"), lit("\u0001"))): _*), 256)
-    df.withColumn("__graft_key", key)
+    df.withColumn("__graft_key", exactKey(dedupCols))
       .groupBy(col("__graft_key"))
       .agg(min(col(s"`$idCol`")).as("representative"), count(lit(1)).as("cluster_size"))
       .drop("__graft_key")
@@ -189,7 +200,8 @@ object Dedup {
 
   /** Word n-gram Jaccard near-dup via inverted-index join (no minhash
     * approximation in candidate generation; exactness bounded only by the
-    * hot-shingle cutoff, reported via the returned plan's semantics).
+    * hot-shingle cutoff; the count of discarded hot grams is surfaced on
+    * the `graft.dedup_ngram.dropped_hot_grams` accumulator).
     *
     * Scale shape: explode n-grams -> drop n-grams occurring in more than
     * `maxDf` docs (they generate the quadratic buckets and carry no
@@ -213,7 +225,15 @@ object Dedup {
     val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = cached.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inv = cached.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val rare = inv.groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= maxDf && col("df") > 1)
+    // Surface how many hot grams the maxDf cutoff discards — recall lost on
+    // corpora whose near-dups share only common grams must not be invisible.
+    // Accumulator counts are retry-approximate (a resubmitted task re-adds):
+    // a monitoring signal, not a result. The nondeterministic wrapper keeps
+    // Catalyst from collapsing the side effect out of the plan.
+    val dropped = df.sparkSession.sparkContext.longAccumulator("graft.dedup_ngram.dropped_hot_grams")
+    val markDrop = udf((d: Long) => { if (d > maxDf) dropped.add(1); d }).asNondeterministic()
+    val rare = inv.groupBy("gram").agg(markDrop(count(lit(1))).as("df"))
+      .where(col("df") <= maxDf && col("df") > 1)
     // both self-join sides re-derive this from the cached gram arrays - an
     // explode over the cache is cheaper than persisting a second copy
     val filtered = inv.join(rare.select("gram"), "gram")

@@ -20,8 +20,22 @@ object SkewJoin {
 
   private val SupportedJoinTypes = Set("inner", "left", "left_outer", "leftouter")
 
+  /** Whether a type participates in xxhash64 (hashing Map types — even
+    * nested — is disallowed since Spark 3.0). */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /** @param saltCols columns the deterministic salt is derived from. Default
+    *        (empty) = every hashable column. IMPORTANT: byte-identical rows
+    *        get the SAME salt, so a hot key made of exact duplicate rows is
+    *        NOT spread — pass a surrogate/unique id column here (e.g. the
+    *        fact table's row id) whenever one exists. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner", saltCols: Seq[String] = Nil): DataFrame = {
     require(salts >= 1)
     // right/full outer would emit each unmatched small-side row `salts` times
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
@@ -30,9 +44,13 @@ object SkewJoin {
     // Salt derived from row CONTENT, not rand(): under task retry after a
     // shuffle, a recomputed partition re-assigns identical salts, so already
     // fetched shuffle blocks stay consistent (the rand-in-repartition hazard,
-    // SPARK-23207). xxhash64 over all columns spreads hot keys just as well.
+    // SPARK-23207). Map-typed columns are excluded (un-hashable).
+    val basis =
+      if (saltCols.nonEmpty) saltCols
+      else big.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(basis.nonEmpty, "no hashable columns to derive a deterministic salt from")
     val saltedBig = big.withColumn(saltCol,
-      pmod(xxhash64(big.columns.map(c => big(s"`$c`")).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(basis.map(c => big(s"`$c`")).toIndexedSeq: _*), lit(salts)).cast("int"))
     val saltedSmall = small
       .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
     val joined = saltedBig.join(saltedSmall,

@@ -39,9 +39,24 @@ object TypedSource {
 
   private def normalizePattern(p: String): String = p.replace("uuuu", "yyyy")
 
+  /** Spark's parser rejects day-of-week symbols during PARSING ('E' is
+    * format-only since the Proleptic Gregorian switch); the day name is
+    * redundant for reconstructing the instant, so a leading "EEE " is
+    * stripped from both the pattern and the value (reference fixture shape:
+    * "Wed Aug 17 1983 21:57:14 GMT+1000 (...)"). */
+  private def stripDayOfWeek(value: Column, pattern: String): (Column, String) =
+    if (pattern.startsWith("EEE "))
+      (regexp_replace(value, "^[A-Za-z]{3} ", ""), pattern.substring(4))
+    else (value, pattern)
+
   /** Typing expression for one column over its raw string form. */
-  def typingExpr(spec: ColumnSpec): Column = {
-    val raw = col(s"`${spec.name}`").cast("string")
+  def typingExpr(spec: ColumnSpec): Column = typingExpr(spec, spec.name)
+
+  /** Typing expression reading from `sourceColumn` (raw header) and emitting
+    * `spec.name` — the positional form used when source headers differ from
+    * schema names ("Date Of Birth" -> birth_date). */
+  def typingExpr(spec: ColumnSpec, sourceColumn: String): Column = {
+    val raw = col(s"`$sourceColumn`").cast("string")
     val trimmed = if (spec.trim) trim(raw) else raw
     val nulled =
       if (spec.nullableValues.isEmpty) trimmed
@@ -62,12 +77,17 @@ object TypedSource {
       case DecimalRe(p, s) => tryCast(nulled, DecimalType(p.toInt, s.toInt))
       case "date" =>
         if (spec.formatters.isEmpty) tryCast(nulled, DateType)
-        else coalesce(spec.formatters.map(f =>
-          try_to_timestamp(nulled, lit(normalizePattern(f))).cast(DateType)): _*)
+        else coalesce(spec.formatters.map { f =>
+          val (v, p) = stripDayOfWeek(nulled, normalizePattern(f))
+          try_to_timestamp(v, lit(p)).cast(DateType)
+        }: _*)
       case "timestamp" =>
         val exprs =
           if (spec.formatters.isEmpty) Seq(tryCast(nulled, TimestampType))
-          else spec.formatters.map(f => try_to_timestamp(nulled, lit(normalizePattern(f))))
+          else spec.formatters.map { f =>
+            val (v, p) = stripDayOfWeek(nulled, normalizePattern(f))
+            try_to_timestamp(v, lit(p))
+          }
         val ts = coalesce(exprs: _*)
         // timezoneId shifts a source-local timestamp into session time
         spec.timezoneId.fold(ts)(tz => to_utc_timestamp(ts, tz))
@@ -85,8 +105,22 @@ object TypedSource {
     raw.select(cols.toIndexedSeq: _*)
   }
 
+  /** Positional typing: spec i applies to raw column i and renames it — the
+    * reference's typing-stage contract where source headers differ from the
+    * schema's field names (userdata.csv "Date Of Birth" -> birth_date). */
+  def typedPositional(raw: DataFrame, specs: Seq[ColumnSpec]): DataFrame = {
+    require(raw.columns.length == specs.length,
+      s"positional typing needs exactly ${specs.length} source columns, got ${raw.columns.length}")
+    raw.select(raw.columns.toIndexedSeq.zip(specs).map { case (c, s) => typingExpr(s, c) }: _*)
+  }
+
   /** Delimited extract + typing in one step (header row expected). */
   def readCsv(spark: SparkSession, path: String, specs: Seq[ColumnSpec],
               delimiter: String = ","): DataFrame =
     typed(spark.read.option("header", "true").option("delimiter", delimiter).csv(path), specs)
+
+  /** Delimited extract + POSITIONAL typing (headers differ from schema). */
+  def readCsvPositional(spark: SparkSession, path: String, specs: Seq[ColumnSpec],
+                        delimiter: String = ","): DataFrame =
+    typedPositional(spark.read.option("header", "true").option("delimiter", delimiter).csv(path), specs)
 }

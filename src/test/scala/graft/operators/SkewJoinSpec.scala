@@ -28,6 +28,26 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(saltedLeft.toSeq === plainLeft.toSeq)
   }
 
+  test("map-typed columns are excluded from the salt basis; saltCols overrides") {
+    import spark.implicits._
+    // xxhash64 over a MapType column is an AnalysisException since Spark 3 -
+    // the salt basis must skip it automatically
+    val big = Seq((1L, Map("a" -> 1), "x1"), (1L, Map("b" -> 2), "x2"), (2L, Map("c" -> 3), "y"))
+      .toDF("k", "attrs", "payload")
+    val small = Seq((1L, "hot"), (2L, "warm")).toDF("k", "dim")
+    val plain = big.join(small, "k").select("k", "payload", "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val auto = SkewJoin.saltedJoin(big, small, "k", salts = 4)
+      .select("k", "payload", "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(auto.toSeq === plain.toSeq)
+    // explicit surrogate column (the duplicate-row escape hatch)
+    val explicit = SkewJoin.saltedJoin(big, small, "k", salts = 4, saltCols = Seq("payload"))
+      .select("k", "payload", "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(explicit.toSeq === plain.toSeq)
+  }
+
   test("hot key spreads across salt sub-keys") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
