@@ -184,7 +184,10 @@ object SparkEntry {
     * the compare fails. */
   private def qStageRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
-    val customer = table(spark, dir, "customer")
+    // spread BEFORE the view is published: a single-file extract arrives as
+    // one partition and the per-cell KDF in the masking stage would run on
+    // one core (no-op on a real multi-split input)
+    val customer = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
     customer.select(
       customer("c_custkey"),
       customer("c_name").as("c_name", maskMeta("mask_string(16, true, ${value})")),
