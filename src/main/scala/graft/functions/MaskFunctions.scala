@@ -34,7 +34,11 @@ object MaskFunctions {
   // distribution, so first-come retention keeps the useful set). Tunable via
   // GRAFT_MASK_CACHE_ENTRIES; 0 disables. 1M entries ~ 100-150 MB worst case.
   private val cacheCap: Int = Codec.envInt("GRAFT_MASK_CACHE_ENTRIES", 1 << 20)
-  private val cache = new ConcurrentHashMap[String, Array[Byte]]()
+  // Presized: computeIfAbsent holds the BIN lock for the duration of the
+  // mapping function (a millisecond-to-second KDF call here). A default
+  // 16-bin table serializes 32 executor threads computing DIFFERENT keys;
+  // 64k bins make bin collisions rare from the first call on.
+  private val cache = new ConcurrentHashMap[String, Array[Byte]](1 << 16)
   private val digester = ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
 
   // Cache-key prefix = codec config + SHA-256 fingerprint of the passphrase
@@ -71,9 +75,18 @@ object MaskFunctions {
     val key = new String(md.digest(), java.nio.charset.StandardCharsets.ISO_8859_1)
     val hit = cache.get(key)
     if (hit != null) return hit
-    val computed = codec.hash(value, deterministic = true, passphrase)
-    if (cache.size < cacheCap) cache.put(key, computed)
-    computed
+    // computeIfAbsent, not get/put: bounds total KDF work to ONE compute per
+    // distinct value JVM-wide. With get/put, 32 executor threads encountering
+    // keys in lock-step (round-robin partitioning preserves row order, so
+    // every task sees a near-identical key sequence) each compute the same
+    // value before the first insert lands — 32x the CPU and, for Argon2,
+    // 32 concurrent memory-hard workspaces. Wall-clock during cache FILL is
+    // comparable either way (blocked waiters vs duplicated work); for
+    // low-cardinality columns the fill cost itself is what
+    // MaskTransform.maskViaDistinct eliminates. Over the cap, compute
+    // without inserting.
+    if (cache.size >= cacheCap) return codec.hash(value, deterministic = true, passphrase)
+    cache.computeIfAbsent(key, _ => codec.hash(value, deterministic = true, passphrase))
   }
 
   private[graft] def cacheSize: Int = cache.size
