@@ -379,6 +379,48 @@ object SparkEntry {
       .orderBy("ws_epoch", "event_type")
   }
 
+  /** Streaming as a CORRECTNESS row, not just a unit test: the watermarked
+    * windowed aggregation runs as a REAL one-shot stream (AvailableNow
+    * trigger over the parquet source, complete mode into a memory sink) and
+    * must match the batch oracle exactly. Complete mode retains all window
+    * state, so the single micro-batch aggregates every row. */
+  private def qEventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(
+        timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("event_type"), col("value"))
+    val agg = graft.streaming.Streaming.windowedCounts(stream)
+    val sink = "graft_events_stream_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(unix_timestamp(col("ws")).as("ws_epoch"), col("event_type"), col("n"))
+      .orderBy("ws_epoch", "event_type")
+  }
+
+  /** Gap sessionization (30 min) over the events table via the batch
+    * twin of the streaming operator; the oracle recomputes the same
+    * sessions with window functions in DuckDB. */
+  private def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = table(spark, dir, "events").select(
+      col("user_id"),
+      timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      col("value"))
+    graft.streaming.Streaming.sessionizeBatch(events, gapMinutes = 30)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events_total"),
+        max(col("n_events")).cast("long").as("max_session_events"))
+  }
+
   private def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     // sums computed in exact decimal, EMITTED as scaled BIGINTs: a DECIMAL
     // output column hashes differently between the oracle's query result and
@@ -444,6 +486,8 @@ object SparkEntry {
     "text_fingerprint" -> qTextFingerprint,
     "multimodal_features" -> qMultimodalFeatures,
     "events_window" -> qEventsWindow,
+    "events_window_stream" -> qEventsWindowStream,
+    "events_sessions" -> qEventsSessions,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "window_top_order" -> qWindowTopOrder)
@@ -548,6 +592,15 @@ object SparkEntry {
     "events_window" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "events_window_stream" ->
+      ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "events_sessions" ->
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "g AS (SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events_total, max(cnt)::BIGINT AS max_session_events FROM g"),
     "lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "round(sum(l_quantity::DECIMAL(12,2)) * 100)::BIGINT AS sum_qty_x100, " +
