@@ -60,11 +60,16 @@ object FixtureData {
     val birth =
       if (i % 25 == 3) "99/99/9999"
       else f"${2 + i % 27}%02d/${1 + i % 12}%02d/${1960 + i % 40}%04d"
-    val zip = if (i % 10 == 0) f"${10000 + i}%05d-${1000 + i}%04d" else f"${10000 + i}%05d"
+    // leading zeros survive only because zip_code types as STRING
+    val zip =
+      if (i % 10 == 0) f"${10000 + i}%05d-${1000 + i}%04d"
+      else if (i % 9 == 4) f"00${i % 900}%03d"
+      else f"${10000 + i}%05d"
     val created = verboseTimestamp(i, localCreate(i))
     val firstName = s"Fn$i"
     val state = states(i % states.size)
-    val country = "Fixtureland"
+    // unicode exercises the UTF-8 path end-to-end (CSV read -> typing)
+    val country = if (i % 10 == 5) "S\u00e3o Fict\u00edcia" else "Fixtureland"
     val email = s"user_$i@example.test"
     val street = s"$i Fixture Way"
     s"$username,$city,$lastName,$birth,$zip,$created,$firstName,$state,$i,$country,$email,$street"

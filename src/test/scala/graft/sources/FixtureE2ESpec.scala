@@ -41,6 +41,10 @@ class FixtureE2ESpec extends AnyFunSuite {
     assert(rows(3).isNullAt(3))
     // both verbose formatter variants parse: every create_date is typed
     assert(rows.count(_.isNullAt(5)) === 0)
+    // unicode survives CSV read + typing byte-exact; leading zeros survive
+    // because zip_code types as STRING
+    assert(rows(5).getString(9) === "São Fictícia")
+    assert(rows(4).getString(4) === "00004")
   }
 
   test("typing: AEST (+10) and AEDT (+11) offsets produce the exact UTC instants") {
