@@ -307,6 +307,20 @@ object SparkEntry {
       .select(col("vec_id"), col("rank"))
   }
 
+  /** IVF ANN at full probe: with nProbe = nLists the probe covers every
+    * inverted list, so routing must lose/duplicate nothing and the result
+    * must equal the exact brute-force oracle rank-for-rank. Partial-probe
+    * recall is covered in SimilaritySpec on clustered data. */
+  private def qAnnIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.Similarity.ivfTopK(
+      table(spark, dir, "embeddings").where(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, 10, nLists = 16, nProbe = 16)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("rank"))
+  }
+
   /** Approximate ANN — candidates from LSH; rows-only check. */
   private def qAnnLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
@@ -481,6 +495,7 @@ object SparkEntry {
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "ann_topk" -> qAnnTopk,
+    "ann_ivf_topk" -> qAnnIvfTopk,
     "ann_lsh_topk" -> qAnnLshTopk,
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
@@ -543,6 +558,11 @@ object SparkEntry {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.embedding, b.embedding) AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.48"),
     "ann_topk" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rank " +
+        "FROM embeddings, q WHERE vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10"),
+    "ann_ivf_topk" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rank " +
         "FROM embeddings, q WHERE vec_id <> 0 " +

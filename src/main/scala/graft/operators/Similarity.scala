@@ -122,6 +122,77 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Assign every vector to its nearest-centroid inverted list. Narrow pass:
+    * the centroid table rides in the UDF closure (broadcast-sized by
+    * construction, `nLists` x dim doubles), no shuffle. */
+  def ivfAssign(df: DataFrame, idCol: String, embCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val nearest = udf((emb: Seq[Float]) => {
+      if (emb == null) -1
+      else {
+        var best = -1; var bestScore = Double.MinValue
+        var ci = 0
+        while (ci < centroids.length) {
+          val c = centroids(ci)
+          var acc = 0.0; var i = 0
+          val n = math.min(c.length, emb.size)
+          while (i < n) { acc += c(i) * emb(i); i += 1 }
+          val score = if (cNorms(ci) > 0) acc / cNorms(ci) else acc
+          if (score > bestScore) { bestScore = score; best = ci }
+          ci += 1
+        }
+        best
+      }
+    })
+    df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb"))
+      .withColumn("list_id", nearest(col("emb")))
+  }
+
+  /** Deterministic sampled coarse quantizer: the first `nLists` vectors in
+    * xxhash64(id) order. At web scale a sampled quantizer is the standard
+    * bootstrap (trained k-means only tightens the same routing), and
+    * determinism keeps executors coordination-free. */
+  def sampleCentroids(df: DataFrame, idCol: String, embCol: String, nLists: Int): Array[Array[Double]] =
+    df.select(col(s"`$embCol`").cast("array<double>").as("e"), col(s"`$idCol`").as("id"))
+      .orderBy(xxhash64(col("id")))
+      .limit(nLists)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** IVF (inverted-file) approximate top-k: route vectors to `nLists`
+    * coarse-quantizer lists, probe only the `nProbe` lists nearest the
+    * query, exact cosine re-rank within them.
+    *
+    * Scale shape: assignment is a narrow one-pass projection (at 100 TB it
+    * would be precomputed once and the table written partitioned/bucketed
+    * by `list_id`, making the probe a partition-pruned scan of
+    * nProbe/nLists of the data); the probe filter reaches the scan as an
+    * `IN` predicate, and the re-rank is the same
+    * TakeOrderedAndProject-over-codegen-dot-product as [[topK]].
+    * `nProbe = nLists` degrades gracefully to the exact scan (used by the
+    * correctness oracle); recall at partial probe is governed by how well
+    * the quantizer separates the space (spec-checked on clustered data). */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, query: Array[Double], k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
+    val cents = centroids.getOrElse(sampleCentroids(df, idCol, embCol, nLists))
+    // probe set: centroids nearest the query, computed driver-side
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      (if (cn > 0 && qNorm > 0) dot / (cn * qNorm) else dot, i)
+    }.sortBy(-_._1).take(nProbe).map(_._2)
+
+    val assigned = ivfAssign(df, idCol, embCol, cents)
+      .where(col("list_id").isin(probes.toIndexedSeq: _*))
+    val e = col("emb").cast("array<double>")
+    assigned.select(col("vec_id"), (dotLit(e, query) / (norm(e) * lit(qNorm))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for
     * candidates, exact cosine verification within buckets. Recall is
     * governed by (nBits, bitsPerBand); at the dedup-typical threshold 0.95

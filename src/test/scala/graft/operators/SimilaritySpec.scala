@@ -44,6 +44,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx(0).getLong(0) === 1L, "LSH must catch a 0.999-cosine neighbor")
   }
 
+  test("ivfTopK at full probe equals brute-force topK rank-for-rank") {
+    val df = vecs((0L until 100L).map(i => i -> randUnit(32)): _*)
+    val q = randUnit(32).map(_.toDouble)
+    val brute = Similarity.topK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10, nLists = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK partial probe finds the right cluster with given centroids") {
+    // 4 well-separated axis clusters; centroids = the axes themselves
+    val axes = (0 until 4).map { a =>
+      Array.tabulate(32)(i => if (i / 8 == a) 1.0 else 0.0)
+    }
+    val members = for (a <- 0 until 4; j <- 0 until 25) yield {
+      val base = axes(a).map(_.toFloat)
+      (a * 100L + j, jitter(base, 0.02f))
+    }
+    val df = vecs(members: _*)
+    // query near cluster 2, probe ONLY 1 of 4 lists
+    val q = jitter(axes(2).map(_.toFloat), 0.02f).map(_.toDouble)
+    val got = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nLists = 4, nProbe = 1, centroids = Some(axes.toArray))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size === 10)
+    assert(got.forall(id => id >= 200L && id < 300L), s"probe leaked outside cluster 2: $got")
+    // and it matches the brute-force ranking (cluster 2 dominates cosine)
+    val brute = Similarity.topK(df, "vec_id", "embedding", q, 10).collect().map(_.getLong(0)).toSeq
+    assert(got === brute)
+  }
+
+  test("ivfAssign routes every vector to its nearest centroid; sampleCentroids deterministic") {
+    val axes = (0 until 2).map(a => Array.tabulate(8)(i => if (i / 4 == a) 1.0 else 0.0))
+    val df = vecs(1L -> axes(0).map(_.toFloat), 2L -> axes(1).map(_.toFloat))
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", axes.toArray)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(assigned === Map(1L -> 0, 2L -> 1))
+    val df2 = vecs((0L until 50L).map(i => i -> randUnit(8)): _*)
+    val c1 = Similarity.sampleCentroids(df2, "vec_id", "embedding", 4).map(_.toSeq).toSeq
+    val c2 = Similarity.sampleCentroids(df2, "vec_id", "embedding", 4).map(_.toSeq).toSeq
+    assert(c1 === c2)
+    assert(c1.size === 4)
+  }
+
   test("cosinePairsExact finds exactly the planted near-dup pairs") {
     val a = randUnit(32)
     val df = vecs(1L -> a, 2L -> jitter(a, 0.01f), 3L -> randUnit(32), 4L -> randUnit(32))
