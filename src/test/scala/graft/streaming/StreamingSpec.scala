@@ -37,6 +37,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runStage on a streaming view publishes the output and skips instrumentation") {
+    // reference parity: streaming frames go through the SAME stage, but
+    // persist/records/rate instrumentation is skipped
+    // (MaskDataTransform.scala:156-169); complements the pure-projection
+    // streaming test below
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder().putMetadata("mask",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putStringArray("treatments", Array("mask_string(16, true, ${value})")).build()).build()
+    val input = MemoryStream[(Long, String)]
+    input.toDF().select(col("_1").as("id"), col("_2").as("name", meta))
+      .createOrReplaceTempView("mask_stream_in")
+    val (outDF, detail) = graft.operators.MaskTransform.runStage(
+      spark, "mask_stream_in", "mask_stream_out", persist = true)
+    assert(outDF.isStreaming)
+    // streaming skips persist/records/rate instrumentation entirely
+    assert(!detail.contains("records") && !detail.contains("outputColumns"))
+    val q = spark.table("mask_stream_out")
+      .writeStream.format("memory").queryName("mask_stream_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "alice"), (2L, "bob"), (3L, null))
+      q.processAllAvailable()
+      val rows = spark.table("mask_stream_sink").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).get.matches("[A-Za-z]{16}"))
+      assert(rows(2L).get.matches("[A-Za-z]{16}"))
+      assert(rows(1L).get != "alice" && rows(1L) != rows(2L))
+      assert(rows(3L).isEmpty, "null passes through the treatment")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
