@@ -463,6 +463,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy("c_mktsegment")
 
+  /** The recurring-join scale path: both sides written bucketed+sorted by
+    * the join key ONCE (managed tables), then joined with zero exchange.
+    * Values must equal the plain join_agg oracle; the shuffle-free plan
+    * property itself is asserted in BucketingSpec. */
+  private def qJoinAggBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      table(spark, dir, "orders").select(col("o_custkey")),
+      "graft_bkt_orders", "o_custkey", buckets = 16)
+    graft.operators.Bucketing.writeBucketed(
+      table(spark, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "o_custkey", buckets = 16)
+    graft.operators.Bucketing.bucketedJoin(spark, "graft_bkt_orders", "graft_bkt_customer", "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   private def qWindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -505,6 +522,7 @@ object SparkEntry {
     "events_sessions" -> qEventsSessions,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
+    "join_agg_bucketed" -> qJoinAggBucketed,
     "window_top_order" -> qWindowTopOrder)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
@@ -628,6 +646,9 @@ object SparkEntry {
         "round(sum((l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(3,2)))::DECIMAL(18,4)) * 10000)::BIGINT AS sum_disc_price_x10000 " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     "join_agg" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "join_agg_bucketed" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "window_top_order" ->

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins — the "never shuffle this join again" path.
+  *
+  * A fact-dimension (or fact-fact) join that recurs across many queries
+  * should not pay its shuffle every time. Writing both sides bucketed AND
+  * sorted by the join key lets Spark plan a SortMergeJoin with ZERO
+  * Exchange and ZERO per-query Sort: each bucket pair joins locally. At
+  * 100 TB this converts the dominant network cost of the pipeline's hot
+  * join into a one-time write-side cost that every later query amortizes.
+  *
+  * Both sides must use the SAME bucket count and key; Spark's bucketing
+  * rules then align bucket i with bucket i. (With different counts Spark
+  * falls back to shuffling the smaller-bucketed side.)
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table (parquet). One-time
+    * shuffle-by-bucket-hash at write time, then never again. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-bucket-count tables on their bucket key. The returned
+    * plan contains no Exchange for either side — verify with
+    * `assertNoShuffle` in tests or `.explain` in production. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** True when the executed plan contains no shuffle exchange — the
+    * property bucketing exists to buy. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

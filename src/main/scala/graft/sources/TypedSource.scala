@@ -123,4 +123,13 @@ object TypedSource {
   def readCsvPositional(spark: SparkSession, path: String, specs: Seq[ColumnSpec],
                         delimiter: String = ","): DataFrame =
     typedPositional(spark.read.option("header", "true").option("delimiter", delimiter).csv(path), specs)
+
+  /** JSON-lines extract + typing. Fields are read as STRINGS first (a
+    * schema of all-string columns in spec order) so the typing rules —
+    * nullableValues, formatters, try-casts — apply uniformly to JSON and
+    * delimited sources rather than trusting Spark's JSON inference. */
+  def readJson(spark: SparkSession, path: String, specs: Seq[ColumnSpec]): DataFrame = {
+    val asStrings = StructType(specs.map(s => StructField(s.name, StringType, nullable = true)))
+    typed(spark.read.schema(asStrings).json(path), specs)
+  }
 }
