@@ -18,12 +18,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table (parquet). One-time
-    * shuffle-by-bucket-hash at write time, then never again. */
+    * shuffle-by-bucket-hash at write time, then never again.
+    *
+    * A managed-table location left behind by a PREVIOUS session (catalog
+    * gone, directory still on disk) is invisible to DROP TABLE and makes
+    * overwrite fail with LOCATION_ALREADY_EXISTS — clear both first. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                    mode: String = "overwrite"): Unit =
+                    mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucket-count tables on their bucket key. The returned
     * plan contains no Exchange for either side — verify with
