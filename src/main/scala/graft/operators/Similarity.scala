@@ -159,6 +159,29 @@ object Similarity {
       .limit(nLists)
       .collect().map(_.getSeq[Double](0).toArray)
 
+  /** Lloyd-iteration refinement of the sampled quantizer, entirely in
+    * DataFrame ops: assign (narrow pass) -> per-list per-dimension mean via
+    * posexplode + groupBy (one shuffle whose output is k x dim cells) ->
+    * collect the means (driver-small: k x dim doubles). Deterministic:
+    * sampled init, fixed iteration count; a list that loses all members
+    * keeps its previous centroid. */
+  def kmeansCentroids(df: DataFrame, idCol: String, embCol: String, k: Int,
+                      iters: Int = 5): Array[Array[Double]] = {
+    var cents = sampleCentroids(df, idCol, embCol, k)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(df, idCol, embCol, cents)
+        .where(col("list_id") >= 0)
+        .select(col("list_id"), posexplode(col("emb").cast("array<double>")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: route vectors to `nLists`
     * coarse-quantizer lists, probe only the `nProbe` lists nearest the
     * query, exact cosine re-rank within them.

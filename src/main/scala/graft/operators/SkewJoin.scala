@@ -29,6 +29,20 @@ object SkewJoin {
     case _ => true
   }
 
+  /** The deterministic salt expression: xxhash64 over `saltCols` (or every
+    * hashable column) mod `salts`. Content-derived, not rand(): under task
+    * retry after a shuffle, a recomputed partition re-assigns identical
+    * salts, so already-fetched shuffle blocks stay consistent (the
+    * rand-in-repartition hazard, SPARK-23207). Map-typed columns are
+    * excluded (un-hashable since Spark 3.0). */
+  def saltColumn(df: DataFrame, salts: Int, saltCols: Seq[String] = Nil): Column = {
+    val basis =
+      if (saltCols.nonEmpty) saltCols
+      else df.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(basis.nonEmpty, "no hashable columns to derive a deterministic salt from")
+    pmod(xxhash64(basis.map(c => df(s"`$c`")).toIndexedSeq: _*), lit(salts)).cast("int")
+  }
+
   /** @param saltCols columns the deterministic salt is derived from. Default
     *        (empty) = every hashable column. IMPORTANT: byte-identical rows
     *        get the SAME salt, so a hot key made of exact duplicate rows is
@@ -41,16 +55,7 @@ object SkewJoin {
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
       s"saltedJoin preserves semantics only for $SupportedJoinTypes, got '$joinType'")
     val saltCol = "__graft_salt"
-    // Salt derived from row CONTENT, not rand(): under task retry after a
-    // shuffle, a recomputed partition re-assigns identical salts, so already
-    // fetched shuffle blocks stay consistent (the rand-in-repartition hazard,
-    // SPARK-23207). Map-typed columns are excluded (un-hashable).
-    val basis =
-      if (saltCols.nonEmpty) saltCols
-      else big.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
-    require(basis.nonEmpty, "no hashable columns to derive a deterministic salt from")
-    val saltedBig = big.withColumn(saltCol,
-      pmod(xxhash64(basis.map(c => big(s"`$c`")).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val saltedBig = big.withColumn(saltCol, saltColumn(big, salts, saltCols))
     val saltedSmall = small
       .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
     val joined = saltedBig.join(saltedSmall,

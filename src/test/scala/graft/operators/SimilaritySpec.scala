@@ -76,6 +76,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("kmeans-trained centroids drive partial-probe IVF to the exact answer") {
+    val axes = (0 until 4).map(a => Array.tabulate(32)(i => if (i / 8 == a) 1.0 else 0.0))
+    val members = for (a <- 0 until 4; j <- 0 until 25) yield
+      (a * 100L + j, jitter(axes(a).map(_.toFloat), 0.02f))
+    val df = vecs(members: _*)
+    // over-provision lists vs clusters; training tightens the sampled init
+    val trained = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 8, iters = 5)
+    assert(trained.length === 8)
+    // every true cluster direction is captured by some trained centroid
+    for (a <- 0 until 4) {
+      val best = trained.map { c =>
+        val dot = c.zip(axes(a)).map { case (x, y) => x * y }.sum
+        val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(axes(a).map(x => x * x).sum)
+        if (n > 0) dot / n else 0.0
+      }.max
+      assert(best > 0.9, s"cluster $a not represented (best cosine $best)")
+    }
+    val q = jitter(axes(1).map(_.toFloat), 0.02f).map(_.toDouble)
+    val brute = Similarity.topK(df, "vec_id", "embedding", q, 10).collect().map(_.getLong(0)).toSet
+    // partial probe: over-provisioned k may split one cluster across lists,
+    // so assert recall, not rank equality
+    val partial = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nLists = 8, nProbe = 2, centroids = Some(trained)).collect().map(_.getLong(0)).toSet
+    val recall = brute.count(partial.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall at nProbe=2")
+    assert(partial.forall(id => id >= 100L && id < 200L), "probe leaked outside the query's cluster")
+    // full probe with trained centroids stays exact
+    val full = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nLists = 8, nProbe = 8, centroids = Some(trained)).collect().map(_.getLong(0)).toSet
+    assert(full === brute)
+  }
+
   test("ivfAssign routes every vector to its nearest centroid; sampleCentroids deterministic") {
     val axes = (0 until 2).map(a => Array.tabulate(8)(i => if (i / 4 == a) 1.0 else 0.0))
     val df = vecs(1L -> axes(0).map(_.toFloat), 2L -> axes(1).map(_.toFloat))

@@ -48,13 +48,23 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(explicit.toSeq === plain.toSeq)
   }
 
-  test("hot key spreads across salt sub-keys") {
+  test("hot key spreads across salt sub-keys with the real content-derived salt") {
     import spark.implicits._
+    // hot key 1 with DISTINCT payloads — the case the content salt handles
     val big = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
-    val salted = big.withColumn("__graft_salt",
-      org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.rand(42) * 8).cast("int"))
-    val spread = salted.groupBy("__graft_salt").count().collect()
+    val spread = big.withColumn("__graft_salt", SkewJoin.saltColumn(big, 8))
+      .groupBy("__graft_salt").count().collect()
     assert(spread.length === 8, "all 8 salt values used")
     assert(spread.map(_.getLong(1)).max < 1000 * 0.3, "no salt holds a dominant share")
+    // documented degeneration: byte-identical duplicate rows share ONE salt
+    val dups = Seq.fill(100)((1L, 7)).toDF("k", "v")
+    val dupSpread = dups.withColumn("__graft_salt", SkewJoin.saltColumn(dups, 8))
+      .groupBy("__graft_salt").count().collect()
+    assert(dupSpread.length === 1)
+    // ...and the saltCols surrogate escape hatch restores the spread
+    val withId = dups.withColumn("row_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val fixed = withId.withColumn("__graft_salt", SkewJoin.saltColumn(withId, 8, Seq("row_id")))
+      .groupBy("__graft_salt").count().collect()
+    assert(fixed.length > 1, "surrogate id must spread duplicate rows")
   }
 }
