@@ -279,6 +279,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
 
+  /** Pairs -> clusters -> representatives: connected components over the
+    * minhash pair graph. The minhash pair set equals the exact-Jaccard
+    * pair set here (checked by dedup_minhash), so DuckDB recomputes the
+    * same components via exact pairs + a recursive closure. */
+  private def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minhashPairs(
+      table(spark, dir, "documents"), "doc_id", "text", threshold = 0.8)
+    graft.operators.Dedup.connectedComponents(pairs)
+      .agg(
+        countDistinct(col("component")).as("n_components"),
+        count(lit(1)).as("n_clustered_docs"),
+        sum_distinct(col("component")).cast("long").as("rep_id_sum"))
+  }
+
   /** SimHash signature space isn't oracle-computable; rows-only check. */
   private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.simhashPairs(table(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -507,6 +521,7 @@ object SparkEntry {
     "fixture_e2e" -> qFixtureE2e,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
+    "dedup_components" -> qDedupComponents,
     "dedup_ngram" -> qDedupNgram,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
@@ -564,6 +579,17 @@ object SparkEntry {
         "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
         "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM p WHERE j >= 0.8"),
+    "dedup_components" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p WHERE j >= 0.8 UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE r.a <> e.b) SELECT * FROM r), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
+        "SELECT count(DISTINCT component) AS n_components, count(*) AS n_clustered_docs, " +
+        "sum(DISTINCT component)::BIGINT AS rep_id_sum FROM comp"),
     "dedup_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
         "g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS gr FROM toks), " +

@@ -54,6 +54,55 @@ object Dedup {
       .drop("__graft_key")
   }
 
+  /** Connected components over an undirected pair set (id_a, id_b):
+    * iterative min-label propagation — label(v) <- min(label(v), labels of
+    * neighbors) to fixpoint. Near-dup graphs have tiny diameters (clusters
+    * of near-identical docs), so convergence is a handful of rounds, each
+    * one shuffle join; `maxIter` bounds pathological chains. Vertices come
+    * from the pair set (unpaired docs form no component). Returns
+    * (id, component) where component = min reachable id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round: an iterative self-join DOUBLES the logical
+    // plan each iteration (the step plan contains the previous labels plan
+    // twice) — without lineage truncation the tree grows 2^iters and the
+    // driver OOMs analyzing it. Eager local checkpoints cap the plan at one
+    // round; blocks are reclaimed by the context cleaner. (On a real
+    // cluster with executor loss in play, swap for reliable checkpoints.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("neighbor_min"))
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          labels("component").as("old_component"),
+          least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = stepped.where(col("component") =!= col("old_component")).count()
+      labels = stepped.select(col("id"), col("component"))
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Near-dup removal end-to-end: keep ONE representative (min id) per
+    * connected component of the pair graph, plus every unpaired doc. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonReps = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id"))
+    df.join(nonReps, df(s"`$idCol`") === nonReps("id"), "left_anti")
+  }
+
   /** MinHash signature UDF: k (a*x+b) mod p permutations over xxhash64'd
     * shingles. Deterministic across JVMs (fixed seed). */
   private def minhashSig(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {

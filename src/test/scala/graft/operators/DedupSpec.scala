@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert(ng.isEmpty, s"short docs must not pair: $ng")
   }
 
+  test("connectedComponents: transitive clusters, chain convergence, representatives") {
+    import spark.implicits._
+    // two components: {1,2,3} via transitivity, {10,11}; 99 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 10-node path needs diameter-many propagation rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(chainComp.toSeq === Seq(0L), "whole path collapses to one component")
+
+    // end-to-end: drop near-dups keeps one representative + unpaired docs
+    val df = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("dedup plans contain no cartesian product") {
     val df = docs(1L -> base, 2L -> (base + " x"))
     for (plan <- Seq(
