@@ -62,8 +62,12 @@ object Dedup {
     * from the pair set (unpaired docs form no component). Returns
     * (id, component) where component = min reachable id. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    // both directions from ONE scan: a union of two selects would compute
+    // the (potentially expensive) upstream pair pipeline twice
+    val edges = pairs.select(explode(array(
+      struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+      struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint per round: an iterative self-join DOUBLES the logical
