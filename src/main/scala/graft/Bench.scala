@@ -29,8 +29,11 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Release any storage the query left behind so one query's retained
       // blocks don't distort the next measurement (r3: accumulated caches
-      // inflated unrelated queries by up to 5x in one session).
+      // inflated unrelated queries by up to 5x in one session), and GC so
+      // soft-referenced KDF workspaces are reclaimed BETWEEN queries rather
+      // than by pressure in the middle of the next one.
       try { spark.catalog.clearCache() } catch { case _: Throwable => }
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
