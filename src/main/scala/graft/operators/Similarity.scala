@@ -46,24 +46,11 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-of-projection signature as a long (<=64 bits). */
-  private def signatureUdf(planes: Array[Array[Double]]) = udf((emb: Seq[Float]) => {
-    if (emb == null) 0L
-    else {
-      var sig = 0L
-      var b = 0
-      while (b < planes.length) {
-        val p = planes(b)
-        var acc = 0.0
-        var i = 0
-        val n = math.min(p.length, emb.size)
-        while (i < n) { acc += p(i) * emb(i); i += 1 }
-        if (acc >= 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
-  })
+  /** Sign-of-projection signature as a long (<=64 bits) — native codegen'd
+    * expression (no boxed Seq[Float] per row); null embedding keeps the
+    * historical all-zero signature. */
+  private def signatureCol(planes: Array[Array[Double]], emb: Column): Column =
+    coalesce(graft.plans.VectorExpressions.hyperplaneSig(emb, planes), lit(0L))
 
   /** LSH-bucketed approximate top-k: candidates = vectors sharing at least
     * one signature band with the query; exact cosine re-rank on candidates.
@@ -74,7 +61,6 @@ object Similarity {
     val dim = query.length
     val planes = hyperplanes(nBits, dim, seed)
     val bands = nBits / bitsPerBand
-    val sigU = signatureUdf(planes)
 
     val qSig = {
       var sig = 0L
@@ -88,7 +74,7 @@ object Similarity {
 
     val withSig = Partitioning.spread(
       df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb")))
-      .withColumn("sig", sigU(col("emb")))
+      .withColumn("sig", signatureCol(planes, col("emb")))
     val mask = (1L << bitsPerBand) - 1
     val banded = withSig.select(col("vec_id"), col("emb"),
       posexplode(expr(
@@ -233,9 +219,9 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     val bandedAll = seeds.zipWithIndex.map { case (seed, t) =>
-      val sigU = signatureUdf(hyperplanes(nBits, dim, seed))
+      val planes = hyperplanes(nBits, dim, seed)
       val mask = (1L << bitsPerBand) - 1
-      base.select(col("vec_id"), sigU(col("emb")).as("sig"))
+      base.select(col("vec_id"), signatureCol(planes, col("emb")).as("sig"))
         .select(col("vec_id"),
           posexplode(expr(
             s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bitsPerBand) & $mask)")))

@@ -59,10 +59,83 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-of-projection LSH signature over an `array<float>` embedding: bit b
+  * of the result is set iff dot(embedding, plane_b) >= 0. The plane matrix
+  * (nBits x dim, row-major) rides along as a codegen reference object, and
+  * the double loop runs primitively inside whole-stage codegen — the Scala
+  * UDF it replaces paid a boxed Seq[Float] conversion per row on the two
+  * LSH operators' hottest stage. */
+case class HyperplaneSignature(child: Expression, planes: Seq[Double], nBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 64 && planes.length % nBits == 0,
+    "planes must be nBits rows of equal dimension, nBits in [1, 64]")
+
+  private val dim = planes.length / nBits
+  @transient private lazy val flat: Array[Double] = planes.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = math.min(emb.numElements(), dim)
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      val base = b * dim
+      var i = 0
+      while (i < n) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
+      if (acc >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($emb.numElements(), $dim);
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $acc = 0.0;
+         |  int $base = $b * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $planesRef[$base + $i] * $emb.getFloat($i);
+         |  }
+         |  if ($acc >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
   /** dot(a, b) over array<double> columns as a codegen'd native expression. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Sign-of-projection signature of an array<float> column for the given
+    * plane matrix (rows = bits). */
+  def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(HyperplaneSignature(
+      GraftBridge.expression(emb), planes.flatten.toIndexedSeq, planes.length))
 }

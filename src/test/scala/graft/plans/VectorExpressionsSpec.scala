@@ -34,6 +34,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_dot_product") || e.getMessage.contains("DATATYPE"))
   }
 
+  test("HyperplaneSignature matches a plain Scala recomputation, null-safe, codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val planes = Array.fill(16)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = Seq.fill(50)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    def reference(emb: Array[Float]): Long = {
+      var sig = 0L
+      for (b <- planes.indices) {
+        val acc = planes(b).zip(emb).map { case (p, x) => p * x }.sum
+        if (acc >= 0) sig |= (1L << b)
+      }
+      sig
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    val got = df.select(col("id"), VectorExpressions.hyperplaneSig(col("emb"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) => assert(got(i.toLong) === reference(v), s"vec $i") }
+
+    // null-safe
+    val withNull = Seq((0L, Some(vecs.head)), (1L, None: Option[Array[Float]])).toDF("id", "emb")
+    val r = withNull.select(VectorExpressions.hyperplaneSig(col("emb"), planes)).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+
+    // stays inside whole-stage codegen (parquet-backed: a local relation
+    // would be constant-folded into a LocalTableScan at plan time)
+    val dim = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    val filePlanes = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val plan = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(VectorExpressions.hyperplaneSig(col("embedding"), filePlanes).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "native expression must stay inside codegen:\n" + plan)
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import spark.implicits._
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
