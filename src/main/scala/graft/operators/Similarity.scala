@@ -112,28 +112,11 @@ object Similarity {
     * the centroid table rides in the UDF closure (broadcast-sized by
     * construction, `nLists` x dim doubles), no shuffle. */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
-                centroids: Array[Array[Double]]): DataFrame = {
-    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    val nearest = udf((emb: Seq[Float]) => {
-      if (emb == null) -1
-      else {
-        var best = -1; var bestScore = Double.MinValue
-        var ci = 0
-        while (ci < centroids.length) {
-          val c = centroids(ci)
-          var acc = 0.0; var i = 0
-          val n = math.min(c.length, emb.size)
-          while (i < n) { acc += c(i) * emb(i); i += 1 }
-          val score = if (cNorms(ci) > 0) acc / cNorms(ci) else acc
-          if (score > bestScore) { bestScore = score; best = ci }
-          ci += 1
-        }
-        best
-      }
-    })
+                centroids: Array[Array[Double]]): DataFrame =
     df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb"))
-      .withColumn("list_id", nearest(col("emb")))
-  }
+      .withColumn("list_id",
+        // native codegen'd routing; null embedding keeps the historical -1
+        coalesce(graft.plans.VectorExpressions.nearestCentroid(col("emb"), centroids), lit(-1)))
 
   /** Deterministic sampled coarse quantizer: the first `nLists` vectors in
     * xxhash64(id) order. At web scale a sampled quantizer is the standard

@@ -126,6 +126,84 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Double], nBits: In
     copy(child = newChild)
 }
 
+/** Nearest-centroid id for an `array<float>` embedding against a k x dim
+  * centroid matrix (cosine scoring; centroid norms precomputed). The IVF
+  * routing pass runs this per row — generated primitive loops keep it in
+  * whole-stage codegen, matching [[HyperplaneSignature]]'s shape. */
+case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && centroids.length % k == 0, "centroids must be k rows of equal dimension")
+
+  private val dim = centroids.length / k
+  @transient private lazy val flat: Array[Double] = centroids.toArray
+  @transient private lazy val invNorms: Array[Double] = Array.tabulate(k) { c =>
+    var acc = 0.0
+    var i = 0
+    while (i < dim) { val v = flat(c * dim + i); acc += v * v; i += 1 }
+    val n = math.sqrt(acc)
+    if (n > 0) 1.0 / n else 1.0
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = math.min(emb.numElements(), dim)
+    var best = -1
+    var bestScore = Double.MinValue
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < n) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
+      val score = acc * invNorms(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", flat, "double[]")
+    val invRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val score = ctx.freshName("score")
+      s"""
+         |int $n = java.lang.Math.min($emb.numElements(), $dim);
+         |int $best = -1;
+         |double $bestScore = -java.lang.Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $acc = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $centsRef[$base + $i] * $emb.getFloat($i);
+         |  }
+         |  double $score = $acc * $invRef[$c];
+         |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -138,4 +216,10 @@ object VectorExpressions {
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneSignature(
       GraftBridge.expression(emb), planes.flatten.toIndexedSeq, planes.length))
+
+  /** Nearest-centroid id (cosine) of an array<float> column for the given
+    * centroid matrix (rows = lists). */
+  def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroid(
+      GraftBridge.expression(emb), centroids.flatten.toIndexedSeq, centroids.length))
 }
