@@ -107,46 +107,17 @@ object Dedup {
     df.join(nonReps, df(s"`$idCol`") === nonReps("id"), "left_anti")
   }
 
-  /** MinHash signature UDF: k (a*x+b) mod p permutations over xxhash64'd
-    * shingles. Deterministic across JVMs (fixed seed). */
-  private def minhashSig(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** MinHash signature: k (a*x+b) mod p permutations over xxhash64'd
+    * shingles (p = 2^61-1, exact 128-bit mulMod), deterministic across JVMs
+    * (fixed seed). Computed by the native codegen'd
+    * [[graft.plans.MinHashSignature]] expression — the k x shingles loop is
+    * the dominant CPU of candidate generation and ran boxed in a UDF. */
+  private def minhashSigCol(k: Int, hashes: Column): Column = {
     val p = (1L << 61) - 1 // Mersenne prime
     val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
     val as = Array.fill(k)(1 + (rnd.nextLong().abs % (p - 1)))
     val bs = Array.fill(k)(rnd.nextLong().abs % p)
-    udf((hashes: Seq[Long]) =>
-      if (hashes == null || hashes.isEmpty) Array.fill(k)(Long.MaxValue)
-      else {
-        val xs = hashes.toArray
-        var j = 0
-        while (j < xs.length) { xs(j) = java.lang.Math.floorMod(xs(j), p); j += 1 }
-        val out = Array.fill(k)(Long.MaxValue)
-        var i = 0
-        while (i < k) {
-          val a = as(i); val b = bs(i)
-          var mn = Long.MaxValue
-          j = 0
-          while (j < xs.length) {
-            val v = (mulMod(a, xs(j), p) + b) % p
-            if (v < mn) mn = v
-            j += 1
-          }
-          out(i) = mn
-          i += 1
-        }
-        out
-      })
-  }
-
-  private def mulMod(a: Long, b: Long, m: Long): Long = {
-    // (a*b) mod (2^61-1) via 128-bit split: 2^64 = 8 (mod m). The low half is
-    // UNSIGNED - when the signed long is negative the true value is lo+2^64,
-    // so add the 2^64 residue (8) back. hi < 2^58 for a,b < 2^61, so hi*8 +
-    // loMod < 2^62 cannot overflow.
-    val hi = java.lang.Math.multiplyHigh(a, b)
-    val lo = a * b
-    val loMod = java.lang.Math.floorMod(lo, m) + (if (lo < 0) 8L else 0L)
-    java.lang.Math.floorMod(hi * 8 + loMod, m)
+    graft.plans.VectorExpressions.minhashSignature(hashes, as, bs)
   }
 
   /** MinHash + banded LSH near-duplicate pairs with exact Jaccard
@@ -196,7 +167,7 @@ object Dedup {
     // empty shingle sets (short/empty docs) all share the degenerate
     // all-MaxValue signature - they must not become candidates of each other
     val sig = withShingles.where(size(col("shx")) > 0)
-      .withColumn("sig", minhashSig(numHashes)(col("shx")))
+      .withColumn("sig", minhashSigCol(numHashes, col("shx")))
 
     // band key: (band index, hash of that signature slice)
     val banded = sig.select(

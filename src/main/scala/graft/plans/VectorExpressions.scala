@@ -204,6 +204,109 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over an `array<bigint>` of shingle hashes: element i of
+  * the result is min over shingles x of (a_i * x + b_i) mod (2^61 - 1), with
+  * the exact 128-bit mulMod the Scala implementation used (2^64 = 8 mod p).
+  * The permutation coefficient arrays ride as codegen references; the k x n
+  * loop runs primitively — this is the dominant CPU of minhash candidate
+  * generation and the last dedup hot path that paid per-element boxing. */
+case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(as.nonEmpty && as.length == bs.length, "as/bs must be equal-length and non-empty")
+
+  private val k = as.length
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  private val P = (1L << 61) - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    if (n > 0) {
+      val xm = new Array[Long](n)
+      var j = 0
+      while (j < n) { xm(j) = java.lang.Math.floorMod(hs.getLong(j), P); j += 1 }
+      var i = 0
+      while (i < k) {
+        val a = aArr(i); val b = bArr(i)
+        var mn = Long.MaxValue
+        j = 0
+        while (j < n) {
+          val x = xm(j)
+          val hi = java.lang.Math.multiplyHigh(a, x)
+          val lo = a * x
+          val loMod = java.lang.Math.floorMod(lo, P) + (if (lo < 0) 8L else 0L)
+          val v = (java.lang.Math.floorMod(hi * 8 + loMod, P) + b) % P
+          if (v < mn) mn = v
+          j += 1
+        }
+        out(i) = mn
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val xm = ctx.freshName("xm")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val mn = ctx.freshName("mn")
+      val x = ctx.freshName("x")
+      val hi = ctx.freshName("hi")
+      val lo = ctx.freshName("lo")
+      val loMod = ctx.freshName("loMod")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |if ($n > 0) {
+         |  long[] $xm = new long[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $xm[$j] = java.lang.Math.floorMod($hs.getLong($j), ${P}L);
+         |  }
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $a = $aRef[$i]; long $b = $bRef[$i];
+         |    long $mn = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $x = $xm[$j];
+         |      long $hi = java.lang.Math.multiplyHigh($a, $x);
+         |      long $lo = $a * $x;
+         |      long $loMod = java.lang.Math.floorMod($lo, ${P}L) + (($lo < 0) ? 8L : 0L);
+         |      long $v = (java.lang.Math.floorMod($hi * 8 + $loMod, ${P}L) + $b) % ${P}L;
+         |      if ($v < $mn) $mn = $v;
+         |    }
+         |    $out[$i] = $mn;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -222,4 +325,10 @@ object VectorExpressions {
   def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(
       GraftBridge.expression(emb), centroids.flatten.toIndexedSeq, centroids.length))
+
+  /** MinHash signature of an array<bigint> column for the given (a, b)
+    * permutation coefficients over the 2^61-1 field. */
+  def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long]): Column =
+    GraftBridge.column(MinHashSignature(
+      GraftBridge.expression(hashes), as.toIndexedSeq, bs.toIndexedSeq))
 }
