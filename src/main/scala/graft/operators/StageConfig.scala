@@ -17,6 +17,7 @@ object StageConfig {
   case class MaskStage(
       name: String,
       description: Option[String],
+      environments: Seq[String],
       inputView: String,
       outputView: String,
       persist: Boolean,
@@ -69,26 +70,45 @@ object StageConfig {
       case Some(_) => Left("'params' must be an object of string values.")
       case None => Right(Map.empty)
     }
+    def environmentsList: Either[String, Seq[String]] = config.get("environments") match {
+      case Some(xs: Seq[_]) if xs.forall(_.isInstanceOf[String]) => Right(xs.map(_.toString))
+      case Some(_) => Left("'environments' must be an array of strings.")
+      case None => Right(Nil)
+    }
 
     val name = requiredString("name")
     val description = optionalString("description")
+    val environments = environmentsList
     val inputView = requiredString("inputView")
     val outputView = requiredString("outputView")
     val persist = optionalBool("persist", default = false)
     val params = paramsMap
 
     val errors = unknown ++
-      List(name, description, inputView, outputView, persist, params).collect { case Left(e) => e }
+      List(name, description, environments, inputView, outputView, persist, params)
+        .collect { case Left(e) => e }
 
     if (errors.nonEmpty) Left(errors)
     else Right(MaskStage(
-      name.toOption.get, description.toOption.get, inputView.toOption.get,
-      outputView.toOption.get, persist.toOption.get, params.toOption.get))
+      name.toOption.get, description.toOption.get, environments.toOption.get,
+      inputView.toOption.get, outputView.toOption.get, persist.toOption.get, params.toOption.get))
   }
 
   /** Parse, validate, and execute against a session in one step. */
   def run(spark: SparkSession, json: String): Either[List[String], org.apache.spark.sql.DataFrame] =
     parseJson(json).map { stage =>
       MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)._1
+    }
+
+  /** Environment-gated execution — the host-dataflow semantics the
+    * `environments` key exists for: a stage whose list does not contain the
+    * ACTIVE environment is validated but SKIPPED, not an error (e.g. a
+    * production-only masking stage under "test"). An empty list means run
+    * everywhere. Returns Right(None) when skipped. */
+  def runIfEnvironment(spark: SparkSession, json: String,
+                       activeEnvironment: String): Either[List[String], Option[org.apache.spark.sql.DataFrame]] =
+    parseJson(json).map { stage =>
+      if (stage.environments.nonEmpty && !stage.environments.contains(activeEnvironment)) None
+      else Some(MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)._1)
     }
 }

@@ -32,6 +32,35 @@ class StageConfigSpec extends AnyFunSuite {
     assert(StageConfig.parseJson("not json").isLeft)
   }
 
+  test("environments gate: stage skipped when active env not listed, run when it is") {
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    graft.functions.MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)
+    val meta = new MetadataBuilder().putMetadata("mask",
+      new MetadataBuilder().putStringArray("treatments", Array("mask_string(16, true, ${value})")).build()).build()
+    val schema = StructType(Seq(StructField("secret", StringType, nullable = true, meta)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("sensitive"))), schema)
+      .createOrReplaceTempView("env_in")
+    val cfg =
+      """{"name":"mask","environments":["production"],"inputView":"env_in","outputView":"env_out"}"""
+    // active env not in the list -> validated but skipped
+    assert(StageConfig.runIfEnvironment(spark, cfg, "test") === Right(None))
+    assert(!spark.catalog.tableExists("env_out"), "skipped stage must not publish")
+    // matching env -> runs
+    val Right(Some(df)) = StageConfig.runIfEnvironment(spark, cfg, "production"): @unchecked
+    assert(df.collect()(0).getString(0).length === 16)
+    // empty/absent list -> runs everywhere
+    val cfg2 = """{"name":"mask","inputView":"env_in","outputView":"env_out2"}"""
+    assert(StageConfig.runIfEnvironment(spark, cfg2, "anything").toOption.get.isDefined)
+    // malformed environments accumulates an error
+    val Left(errs) = StageConfig.parseJson(
+      """{"name":"m","environments":"prod","inputView":"a","outputView":"b"}"""): @unchecked
+    assert(errs.exists(_.contains("'environments' must be an array of strings")))
+    spark.catalog.dropTempView("env_out")
+    spark.catalog.dropTempView("env_out2")
+  }
+
   test("run executes the configured stage end to end") {
     val spark = SparkTestBase.spark
     import org.apache.spark.sql.types._
