@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A fact-dimension (or fact-fact) join that recurs across many queries
   * should not pay its shuffle every time. Writing both sides bucketed AND
   * sorted by the join key lets Spark plan a SortMergeJoin with ZERO
-  * Exchange and ZERO per-query Sort: each bucket pair joins locally. At
+  * Exchange and ZERO per-query Sort: each bucket pair joins locally. (Spark
+  * trusts the on-disk sort order only when a bucket holds a single file —
+  * write with one task per bucket, as the write-time bucket-hash shuffle
+  * does here, or expect a cheap local re-sort, never a shuffle.) At
   * 100 TB this converts the dominant network cost of the pipeline's hot
   * join into a one-time write-side cost that every later query amortizes.
   *

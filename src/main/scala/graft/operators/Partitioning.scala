@@ -40,7 +40,9 @@ object Partitioning {
     * Contract: if the caller re-executes the returned frame after the first
     * action, intermediates are recomputed from lineage (correct, slower).
     * If the caller never executes it, the lazy persists never materialize —
-    * nothing leaks. */
+    * no storage leaks (the registered listener itself lives until fired or
+    * session stop; a session constructing unbounded never-executed operator
+    * results would accumulate listeners, a few hundred bytes each). */
   def releaseAfterUse(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val spark = result.sparkSession
     val targets = intermediates.map(_.queryExecution.analyzed)
