@@ -132,4 +132,58 @@ object TypedSource {
     val asStrings = StructType(specs.map(s => StructField(s.name, StringType, nullable = true)))
     typed(spark.read.schema(asStrings).json(path), specs)
   }
+
+  /** Parse the reference's typing-schema JSON format (the `userdata.json`
+    * shape: an array of field objects with `name`/`type`/`trim`/
+    * `nullableValues`/`formatters`/`timezoneId`/`precision`/`scale` and a
+    * free-form `metadata` object that may carry `mask.treatments`) into
+    * [[ColumnSpec]]s — a reference deployment's existing schema files work
+    * unchanged. Errors accumulate across fields like the stage config. */
+  def specsFromJson(json: String): Either[List[String], Seq[ColumnSpec]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parseOpt(json) match {
+      case Some(JArray(fields)) =>
+        val parsed = fields.zipWithIndex.map {
+          case (JObject(kvs), idx) =>
+            val m = kvs.toMap
+            def str(k: String): Option[String] = m.get(k).collect { case JString(s) => s }
+            def bool(k: String): Boolean = m.get(k).collect { case JBool(b) => b }.getOrElse(false)
+            def strList(k: String): Seq[String] = m.get(k) match {
+              case Some(JArray(xs)) => xs.collect { case JString(s) => s }
+              case _ => Nil
+            }
+            def int(k: String): Option[Int] = m.get(k).collect { case JInt(i) => i.toInt }
+            str("name") match {
+              case None => Left(s"field $idx: missing required attribute 'name'.")
+              case Some(name) =>
+                val baseType = str("type").getOrElse("string")
+                val dataType = baseType.toLowerCase match {
+                  case "decimal" =>
+                    s"decimal(${int("precision").getOrElse(38)},${int("scale").getOrElse(18)})"
+                  case other => other
+                }
+                // free-form metadata rides through Spark's own JSON codec, so
+                // mask.treatments (and anything else) survives verbatim
+                val metadata = m.get("metadata") match {
+                  case Some(obj: JObject) =>
+                    Metadata.fromJson(JsonMethods.compact(JsonMethods.render(obj)))
+                  case _ => Metadata.empty
+                }
+                Right(ColumnSpec(
+                  name = name,
+                  dataType = dataType,
+                  trim = bool("trim"),
+                  nullableValues = strList("nullableValues"),
+                  formatters = strList("formatters"),
+                  timezoneId = str("timezoneId"),
+                  metadata = metadata))
+            }
+          case (_, idx) => Left(s"field $idx: must be a JSON object.")
+        }
+        val errors = parsed.collect { case Left(e) => e }
+        if (errors.nonEmpty) Left(errors) else Right(parsed.collect { case Right(s) => s })
+      case _ => Left(List("typing schema must be a JSON array of field objects"))
+    }
+  }
 }

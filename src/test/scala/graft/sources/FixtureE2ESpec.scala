@@ -56,6 +56,53 @@ class FixtureE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("specsFromJson: the reference schema-file format drives the same pipeline") {
+    // our fixture schema expressed in the reference's JSON shape (name/type/
+    // trim/nullableValues/formatters/timezoneId/metadata.mask.treatments)
+    def f(name: String, typ: String, extra: String = ""): String =
+      s"""{"name": "$name", "type": "$typ", "trim": true, "nullable": true,
+         |"nullableValues": ["", "null"]$extra}""".stripMargin
+    val maskStr = ""","metadata": {"pii": true, "mask": {"treatments": ["mask_string(16, true, ${value})"]}}"""
+    val birthExtra = ""","formatters": ["dd/MM/uuuu"],"metadata": {"mask": {"treatments": ["date_trunc('MONTH', ${value})"]}}"""
+    val createExtra =
+      ""","formatters": ["EEE MMM dd uuuu HH:mm:ss 'GMT'ZZZ '(Australian Eastern Daylight Time)'",
+        |"EEE MMM dd uuuu HH:mm:ss 'GMT'ZZZ '(Australian Eastern Standard Time)'"],
+        |"timezoneId": "UTC",
+        |"metadata": {"mask": {"treatments": ["date_trunc('HOUR', ${value})", "mask_timestamp(14, true, ${value})"]}}""".stripMargin
+    val json = Seq(
+      f("username", "string", maskStr), f("city", "string"), f("last_name", "string"),
+      f("birth_date", "date", birthExtra), f("zip_code", "string"),
+      f("create_date", "timestamp", createExtra), f("first_name", "string"),
+      f("state", "string"), f("user_id", "integer"), f("country", "string"),
+      f("email", "string"), f("street", "string")).mkString("[", ",", "]")
+
+    val specs = TypedSource.specsFromJson(json)
+      .fold(errs => fail(errs.mkString("; ")), identity)
+    assert(specs.map(_.name) === FixtureData.userdataSpecs.map(_.name))
+    assert(specs.map(_.dataType) === FixtureData.userdataSpecs.map(_.dataType))
+    assert(specs.map(_.formatters) === FixtureData.userdataSpecs.map(_.formatters))
+    assert(specs(0).metadata.getMetadata("mask").getStringArray("treatments").toSeq ===
+      Seq("mask_string(16, true, ${value})"))
+
+    // the parsed specs type + mask the fixture identically to the hand-built ones
+    graft.functions.MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)
+    val path = FixtureData.writeUserdataCsv(100)
+    val viaJson = graft.operators.MaskTransform(
+      TypedSource.readCsvPositional(spark, path, specs)).orderBy("user_id").collect()
+    val viaHand = graft.operators.MaskTransform(
+      TypedSource.readCsvPositional(spark, path, FixtureData.userdataSpecs)).orderBy("user_id").collect()
+    assert(viaJson.map(_.toString).toSeq === viaHand.map(_.toString).toSeq)
+
+    // error accumulation
+    val Left(errs) = TypedSource.specsFromJson("""[{"type": "string"}, 42]"""): @unchecked
+    assert(errs.size === 2)
+    assert(TypedSource.specsFromJson("""{"not": "an array"}""").isLeft)
+    // decimal precision/scale mapping
+    val Right(dec) = TypedSource.specsFromJson(
+      """[{"name": "amount", "type": "decimal", "precision": 12, "scale": 2}]"""): @unchecked
+    assert(dec.head.dataType === "decimal(12,2)")
+  }
+
   test("mask stage: config -> projection -> published view, reference treatments applied") {
     graft.functions.MaskUdfs.register(spark, SparkTestBase.fastCodec, SparkTestBase.passphrase)
     typedFixture().createOrReplaceTempView("fixture_typed")
