@@ -5,16 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two tiers, mirroring what a 100 TB pipeline needs:
+  * Tiers, mirroring what a 100 TB pipeline needs:
   *  - [[topK]] — brute-force cosine top-k for one query vector: a single
   *    narrow projection + TakeOrderedAndProject. Linear scan, no shuffle of
   *    the big side, exact. The right tool when queries are few.
   *  - [[lshTopK]] / [[cosinePairsLsh]] — random-hyperplane LSH bucketing for
   *    candidate generation with exact re-rank inside buckets. Signatures are
   *    deterministic (fixed seed), so executors agree without coordination.
+  *  - [[ivfTopK]] — inverted-file routing: a coarse quantizer (sampled or
+  *    [[kmeansCentroids]]-trained) assigns each vector to a list; a query
+  *    probes only the nearest lists. At scale the assignment is precomputed
+  *    and the table partitioned by list_id, making the probe a
+  *    partition-pruned scan.
   *  - [[cosinePairsExact]] — exact pair enumeration via a block-nested
   *    self-join; O(n^2), provided for oracle-checkable correctness at small
   *    scale and as the within-bucket verifier.
+  *
+  * The per-row kernels (dot product, LSH signature, centroid routing) are
+  * native codegen'd Catalyst expressions — see [[graft.plans.VectorExpressions]].
   */
 object Similarity {
 
