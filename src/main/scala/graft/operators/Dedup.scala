@@ -95,6 +95,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    // partial labels are WRONG labels: a component wider than maxIter hops
+    // would silently split. Near-dup graphs are tiny-diameter, so hitting
+    // this means the input is not the pair set this operator is for.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds - " +
+        "the pair graph has a longer path than expected; raise maxIter")
     labels
   }
 

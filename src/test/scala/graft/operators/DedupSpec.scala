@@ -103,6 +103,12 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).distinct
     assert(chainComp.toSeq === Seq(0L), "whole path collapses to one component")
 
+    // a path longer than maxIter hops fails loudly instead of returning
+    // silently split components
+    val longChain = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(longChain, maxIter = 3))
+    assert(e.getMessage.contains("did not converge"))
+
     // end-to-end: drop near-dups keeps one representative + unpaired docs
     val df = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val kept = Dedup.dropNearDuplicates(df, "doc_id", Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b"))
