@@ -106,4 +106,27 @@ class MaskFunctionsSpec extends AnyFunSuite {
     val h2 = codec.hash("memo-probe-1", deterministic = true, passphrase)
     assert(h1.toSeq === h2.toSeq)
   }
+
+  test("pinned golden vectors: deterministic masks are stable across releases") {
+    // Deterministic masking is only useful if the same (codec, passphrase,
+    // value) yields the same mask FOREVER - joins across datasets masked at
+    // different times depend on it. Any change to the KDF, passphrase split,
+    // encode, cut, format, vocab pick, or jitter math must fail here and be
+    // a deliberate, versioned decision.
+    val c = new graft.codec.Pbkdf2Codec(1024, 64)
+    val pp = graft.Defaults.testPassphrase
+    val mf = MaskFunctions
+    assert(mf.maskString(c, pp)(16, mf.DefaultAlphabet, None, true, "alice") === "VpNoiFtCClceKoSn")
+    assert(mf.maskString(c, pp)(12, "0123456789", None, true, "alice") === "999421300168")
+    assert(mf.maskString(c, pp)(16, "0123456789", Some("4xxx-xxxx-xxxx-xxxx"), true, "alice")
+      === "4999-4213-0016-8886")
+    assert(mf.maskLocalDate(c, pp)(14, true, java.time.LocalDate.parse("2020-06-15")).toString
+      === "2020-06-14")
+    assert(mf.maskInstant(c, pp)(14, true, java.time.Instant.parse("2020-06-15T10:30:45Z")).toString
+      === "2020-06-09T10:30:45Z")
+    assert(mf.maskDecimal(c, pp)(new java.math.BigDecimal("5.00"), true, new java.math.BigDecimal("123.45")).toString
+      === "120.54")
+    assert(graft.functions.Vocab.pick(c, pp)("en-AU", "last_name", true, "alice") === "Greeson")
+    assert(graft.functions.Vocab.maskEmail(c, pp)(true, "alice") === "vpnoiftcclce@hotmail.com")
+  }
 }
