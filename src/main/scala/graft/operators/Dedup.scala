@@ -57,44 +57,79 @@ object Dedup {
   /** Connected components over an undirected pair set (id_a, id_b):
     * iterative min-label propagation — label(v) <- min(label(v), labels of
     * neighbors) to fixpoint. Near-dup graphs have tiny diameters (clusters
-    * of near-identical docs), so convergence is a handful of rounds, each
-    * one shuffle join; `maxIter` bounds pathological chains. Vertices come
-    * from the pair set (unpaired docs form no component). Returns
-    * (id, component) where component = min reachable id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * of near-identical docs), so convergence is a handful of rounds;
+    * `maxIter` bounds pathological chains. Vertices come from the pair set
+    * (unpaired docs form no component). Returns (id, component) where
+    * component = min reachable id.
+    *
+    * Scale shape (delta iteration, the Flink/Pregel pattern):
+    *   - edges are exploded both directions ONCE, hash-partitioned on `dst`
+    *     and persisted — every round's message join reuses that partitioning
+    *     instead of re-shuffling the (large) edge set;
+    *   - rounds 2+ join edges against only the FRONTIER (labels that changed
+    *     last round), which shrinks geometrically — a label that stopped
+    *     changing can send no new minimum;
+    *   - each round is ONE job: the convergence count rides the eager
+    *     checkpoint via an accumulator instead of a second count() action.
+    *     Accumulator counts are retry-inflated at worst, which can only add
+    *     a (correct) extra round, never end one early: a task whose rows all
+    *     kept their labels adds 0 no matter how often it retries.
+    *
+    * @param reliableCheckpoint truncate lineage with `checkpoint(true)`
+    *        against `sparkContext.getCheckpointDir` instead of
+    *        `localCheckpoint`. Local checkpoint blocks die with their
+    *        executor — fine single-process, but on a real cluster one lost
+    *        executor aborts the whole iteration, so set a reliable dir. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    if (reliableCheckpoint) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint=true needs sparkContext.setCheckpointDir(...) first")
+    // checkpoint per round: an iterative self-join DOUBLES the logical plan
+    // each iteration (the step plan contains the previous labels plan twice)
+    // — without lineage truncation the tree grows 2^iters and the driver
+    // OOMs analyzing it. Eager checkpoints cap the plan at one round; local
+    // blocks are reclaimed by the context cleaner.
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     // both directions from ONE scan: a union of two selects would compute
-    // the (potentially expensive) upstream pair pipeline twice
+    // the (potentially expensive) upstream pair pipeline twice. Pairs arrive
+    // deduplicated (unordered, id_a < id_b) from every pair generator here,
+    // so no distinct() — that would shuffle the full edge set once more.
+    val n = spark.sparkContext.defaultParallelism
     val edges = pairs.select(explode(array(
       struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
       struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+      .repartition(n, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint per round: an iterative self-join DOUBLES the logical
-    // plan each iteration (the step plan contains the previous labels plan
-    // twice) — without lineage truncation the tree grows 2^iters and the
-    // driver OOMs analyzing it. Eager local checkpoints cap the plan at one
-    // round; blocks are reclaimed by the context cleaner. (On a real
-    // cluster with executor loss in play, swap for reliable checkpoints.)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"), lit(true).as("changed")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      val changedAcc = spark.sparkContext.longAccumulator(s"graft.cc.changed.r$iter")
+      // the bump wrapper makes the changed-count a side effect of the
+      // checkpoint materialization itself (nondeterministic so Catalyst
+      // cannot fold the call away, cheap enough to not matter per-row)
+      val bump = udf((next: Long, old: Long) => {
+        if (next != old) changedAcc.add(1L)
+        next
+      }).asNondeterministic()
+      val frontier = labels.where(col("changed")).select(col("id"), col("component"))
+      val msgs = edges.join(frontier, edges("dst") === frontier("id"))
         .groupBy(col("src")).agg(min(col("component")).as("neighbor_min"))
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
         .select(labels("id"),
-          labels("component").as("old_component"),
-          least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = stepped.where(col("component") =!= col("old_component")).count()
-      labels = stepped.select(col("id"), col("component"))
-      converged = changed == 0
+          bump(least(labels("component"), coalesce(col("neighbor_min"), labels("component"))),
+            labels("component")).as("component"),
+          (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed")))
+      labels = stepped
+      converged = changedAcc.value == 0
       iter += 1
     }
     edges.unpersist(false)
+    labels = labels.select(col("id"), col("component"))
     // partial labels are WRONG labels: a component wider than maxIter hops
     // would silently split. Near-dup graphs are tiny-diameter, so hitting
     // this means the input is not the pair set this operator is for.

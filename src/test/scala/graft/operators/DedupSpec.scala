@@ -116,6 +116,16 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("connectedComponents with reliable checkpoints matches the local path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedup plans contain no cartesian product") {
     val df = docs(1L -> base, 2L -> (base + " x"))
     for (plan <- Seq(
