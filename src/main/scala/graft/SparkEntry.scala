@@ -224,7 +224,11 @@ object SparkEntry {
     val path = graft.sources.FixtureData.writeUserdataCsv(100)
     val typed = graft.sources.TypedSource.readCsvPositional(
       spark, path, graft.sources.FixtureData.userdataSpecs)
-    val withOrig = typed.withColumn("create_date_orig", col("create_date"))
+    // strip the mask metadata on the copy (Alias propagates child metadata,
+    // so a bare withColumn would get the copy masked identically and the
+    // jitter-bound check below would compare the masked value to itself)
+    val withOrig = typed.withColumn("create_date_orig",
+      col("create_date").as("create_date_orig", Metadata.empty))
     val masked = MaskTransform(withOrig)
     val dayMs = 14L * 24 * 3600 * 1000
     masked.agg(
@@ -432,6 +436,39 @@ object SparkEntry {
       .orderBy("ws_epoch", "event_type")
   }
 
+  /** The stateful sessionization operator run as a REAL one-shot stream
+    * (AvailableNow over the parquet source, append mode into a memory sink).
+    * Append-mode emission is exactly predictable: a session is emitted when
+    * a later same-user event closes it, or when the final watermark
+    * (max event ts - delay) passes its gap horizon via an event-time
+    * timeout in the trailing no-data micro-batch — i.e. every session
+    * except each user's last, plus last sessions that went quiet at least
+    * gap+delay before the end of the timeline. The DuckDB oracle recomputes
+    * that exact emitted set, so BOTH emission paths (data-closure and
+    * watermark timeout) are verified. */
+  private def qEventsSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.Streaming.Event]
+    val sessions = graft.streaming.Streaming.sessionize(stream, gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+    val sink = "graft_sessions_stream_sink"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).cast("long").as("n_events_total"),
+      max(col("n_events")).cast("long").as("max_session_events"))
+  }
+
   /** Gap sessionization (30 min) over the events table via the batch
     * twin of the streaming operator; the oracle recomputes the same
     * sessions with window functions in DuckDB. */
@@ -535,6 +572,7 @@ object SparkEntry {
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
+    "events_sessions_stream" -> qEventsSessionsStream,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -665,6 +703,14 @@ object SparkEntry {
         "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
         "g AS (SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY 1, 2) " +
         "SELECT count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events_total, max(cnt)::BIGINT AS max_session_events FROM g"),
+    "events_sessions_stream" ->
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "g AS (SELECT user_id, sid, count(*) AS cnt, max(ts) AS send FROM s GROUP BY 1, 2), " +
+        "e AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM g), " +
+        "em AS (SELECT * FROM e WHERE sid < last_sid OR epoch_ms(send) + 1800000 <= (SELECT max(epoch_ms(ts)) - 600000 FROM events)) " +
+        "SELECT count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events_total, max(cnt)::BIGINT AS max_session_events FROM em"),
     "lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "round(sum(l_quantity::DECIMAL(12,2)) * 100)::BIGINT AS sum_qty_x100, " +
