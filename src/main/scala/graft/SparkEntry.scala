@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -297,20 +297,66 @@ object SparkEntry {
         sum_distinct(col("component")).cast("long").as("rep_id_sum"))
   }
 
-  /** SimHash signature space isn't oracle-computable; rows-only check. */
-  private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.simhashPairs(table(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
-      .agg(count(lit(1)).as("n_pairs"))
+  /** SimHash with a three-way contract instead of the old rows-only check:
+    * (1) the pair count is pinned as a golden value at the driver's gate SF
+    * (deterministic: fixed MurmurHash3 seeds over fixed data), (2) every
+    * emitted pair is within the hamming bound, (3) recall vs the UNCAPPED
+    * bucket run (the exact hamming<=3 pair set — the 4-chunk pigeonhole is
+    * lossless, only the maxBucket skew cap drops candidates) is >= 95%. */
+  private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val capped = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .agg(count(lit(1)).as("n_pairs"), coalesce(max(col("hamming")), lit(0)).as("max_h"))
+    val truth = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucket = Int.MaxValue)
+      .agg(count(lit(1)).as("n_truth"))
+    capped.crossJoin(truth).select(
+      col("n_pairs"),
+      when(col("max_h") <= 3, 1L).otherwise(0L).as("hamming_bound_ok"),
+      when(col("n_pairs") * 100 >= col("n_truth") * 95, 1L).otherwise(0L).as("recall_ge_95"))
+  }
 
   private def qEmbedPairsExact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosinePairsExact(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.48)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
 
-  /** LSH candidate variant — approximate by design; rows-only check. */
-  private def qEmbedPairsLsh(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.cosinePairsLsh(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.95)
-      .agg(count(lit(1)).as("n_pairs"))
+  /** Deterministic planted near-duplicate copies of base vectors, built
+    * IN-PLAN (index-lambda transform, no driver collect): copy i of base b
+    * scales element j by 1 + 0.01*(((b*5+i+1)*31 + j*7) % 11 - 5) — a
+    * couple-degree rotation, cosine ~0.999 within a cluster (the phase term
+    * is distinct per copy mod 11, so no two copies coincide) while the base
+    * tables' max pairwise cosine is ~0.51 (measured across SFs), so the
+    * exact >=0.95 pair set of the augmented table is EXACTLY the planted
+    * clusters. */
+  private def plantedCopies(emb: DataFrame, baseLo: Long, baseHi: Long, nCopies: Int,
+                            idBase: Long): DataFrame =
+    emb.where(col("vec_id").between(baseLo, baseHi))
+      .select(col("vec_id").cast("long").as("base_id"),
+        explode(sequence(lit(0), lit(nCopies - 1))).as("i"), col("embedding"))
+      .select((lit(idBase) + col("base_id") * 100 + col("i")).as("vec_id"),
+        expr("transform(embedding, (x, j) -> cast(x * (1.0 + 0.01 * " +
+          "(((base_id * 5 + i + 1) * 31 + j * 7) % 11 - 5)) as float))").as("embedding"))
+
+  /** LSH pair search verified against a planted ground truth: the base
+    * embeddings have NO >=0.95-cosine pairs (measured, max ~0.51), so after
+    * planting 5 near-copies of each of bases 1..8 the exact pair set is the
+    * 8 clusters' C(6,2)=15 in-cluster pairs = 120, known by construction.
+    * The operator must find all 120 (recall 1.0 — in-cluster band collision
+    * probability is 1-1e-10 per pair at these angles) and nothing else
+    * (precision 1.0 is structural: candidates are exact-cosine-verified). */
+  private def qEmbedPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val augmented = base.unionByName(plantedCopies(emb, 1L, 8L, 5, 2000000L))
+    val cluster = (id: Column) => when(id >= 2000000L, ((id - 2000000L) / 100).cast("long"))
+      .otherwise(id)
+    graft.operators.Similarity.cosinePairsLsh(augmented, "vec_id", "embedding", 0.95)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(cluster(col("id_a")) === cluster(col("id_b")), 1)).as("n_in_cluster"),
+        count(when(cluster(col("id_a")) =!= cluster(col("id_b")), 1)).as("n_cross_cluster"))
+  }
 
   private def queryVecOf(spark: SparkSession, dir: String): Array[Double] =
     table(spark, dir, "embeddings").where(col("vec_id") === 0)
@@ -339,11 +385,23 @@ object SparkEntry {
       .select(col("vec_id"), col("rank"))
   }
 
-  /** Approximate ANN — candidates from LSH; rows-only check. */
+  /** LSH ANN verified against a planted ground truth: 10 near-copies of the
+    * query vector (cosine ~0.999) are planted into the table; the true
+    * top-10 is exactly the planted set (next-best real vector is at ~0.41,
+    * measured), and the LSH tier must surface all 10 through its band
+    * buckets — recall 1.0 in the regime LSH is designed for, while the
+    * brute/IVF rows keep covering exactness on the unmodified table. */
   private def qAnnLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
-    graft.operators.Similarity.lshTopK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10)
-      .agg(count(lit(1)).as("n"))
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 0)
+    val augmented = base.unionByName(plantedCopies(emb, 0L, 0L, 10, 1000000L))
+    graft.operators.Similarity.lshTopK(augmented, "vec_id", "embedding", q, 10)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("vec_id") >= 1000000L, 1)).as("n_planted_found"),
+        count(when(col("cosine") >= 0.99, 1)).as("n_high_cosine"))
   }
 
   private def qTextProfile(spark: SparkSession, dir: String): DataFrame =
@@ -635,6 +693,16 @@ object SparkEntry {
         "len(list_intersect(a.gr, b.gr))::DOUBLE / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS j " +
         "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
         "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM p WHERE j >= 0.3"),
+    // golden at the gate SF (deterministic: fixed MurmurHash3 seeds over
+    // fixed data); recall/hamming flags are structural constants
+    "dedup_simhash" ->
+      "SELECT 20::BIGINT AS n_pairs, 1::BIGINT AS hamming_bound_ok, 1::BIGINT AS recall_ge_95",
+    // planted-cluster ground truth: 8 clusters x C(6,2) in-cluster pairs
+    "embed_pairs_lsh" ->
+      "SELECT 120::BIGINT AS n_pairs, 120::BIGINT AS n_in_cluster, 0::BIGINT AS n_cross_cluster",
+    // planted top-10: all ten near-copies of the query must surface
+    "ann_lsh_topk" ->
+      "SELECT 10::BIGINT AS n, 10::BIGINT AS n_planted_found, 10::BIGINT AS n_high_cosine",
     "embed_pairs_exact" ->
       ("SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM (" +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.embedding, b.embedding) AS c " +

@@ -316,39 +316,19 @@ object Dedup {
       cached)
   }
 
-  /** 64-bit SimHash over whitespace tokens (deterministic, xxhash64-based). */
-  private val simhash64 = udf((tokens: Seq[String]) => {
-    if (tokens == null) 0L
-    else {
-      val acc = new Array[Int](64)
-      tokens.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x51_7c_c1_b7).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t, 0x27_22_0a_95).toLong & 0xffffffffL)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (acc(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      out
-    }
-  })
-
-  /** SimHash near-dup pairs: 64-bit signatures, candidates from exact match
-    * on any of 4 16-bit chunks (pigeonhole: hamming<=3 guarantees a chunk
-    * collision), verified with bit_count(xor) <= maxHamming. */
+  /** SimHash near-dup pairs: 64-bit signatures (the codegen'd
+    * [[graft.plans.SimHash64]] expression — MurmurHash3 bit votes over
+    * whitespace tokens), candidates from exact match on any of 4 16-bit
+    * chunks (pigeonhole: hamming<=3 guarantees a chunk collision), verified
+    * with bit_count(xor) <= maxHamming. Null texts produce a null signature
+    * and drop out at the explode — they cannot bucket with each other. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
     val sigs = Partitioning.spread(df.select(
       col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
-      .select(col("doc_id"), simhash64(split(lower(col("__text")), "\\s+")).as("sig"))
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.simhash64(split(lower(col("__text")), "\\s+")).as("sig"))
 
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(

@@ -307,6 +307,90 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
     copy(child = newChild)
 }
 
+/** Static kernel for [[SimHash64]] — a plain object so generated code can
+  * call the static forwarder `graft.plans.SimHashKernel.tokenHash(...)`
+  * without reflection. The hash is the same 2-seed MurmurHash3 combination
+  * the original Scala UDF used, so signatures are value-identical across
+  * the migration. */
+object SimHashKernel {
+  def tokenHash(t: String): Long =
+    scala.util.hashing.MurmurHash3.stringHash(t, 0x51_7c_c1_b7).toLong << 32 |
+      (scala.util.hashing.MurmurHash3.stringHash(t, 0x27_22_0a_95).toLong & 0xffffffffL)
+}
+
+/** 64-bit SimHash over an `array<string>` token column: per token a 64-bit
+  * hash votes each bit up or down; the signature sets the bits with positive
+  * tally. Replaces the last boxed Scala UDF on a dedup hot path — the UDF
+  * paid a Seq[String] conversion per row; here the token loop runs on
+  * ArrayData inside whole-stage codegen. NULL input yields NULL (the UDF
+  * returned 0L, which let null-text docs bucket together downstream). */
+case class SimHash64(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!toks.isNullAt(j)) {
+        val h = SimHashKernel.tokenHash(toks.getUTF8String(j).toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $toks.numElements();
+         |int[] $acc = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$toks.isNullAt($j)) {
+         |    long $h = graft.plans.SimHashKernel.tokenHash($toks.getUTF8String($j).toString());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($acc[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -331,4 +415,8 @@ object VectorExpressions {
   def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long]): Column =
     GraftBridge.column(MinHashSignature(
       GraftBridge.expression(hashes), as.toIndexedSeq, bs.toIndexedSeq))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }

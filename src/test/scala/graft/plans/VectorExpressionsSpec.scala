@@ -68,6 +68,49 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*("), "native expression must stay inside codegen:\n" + plan)
   }
 
+  test("SimHash64 matches the pre-migration UDF computation, null-safe, codegen'd") {
+    import spark.implicits._
+    // the exact logic of the Scala UDF this expression replaced — value
+    // parity keeps dedup_simhash signatures stable across the migration
+    def reference(tokens: Seq[String]): Long = {
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x51_7c_c1_b7).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 0x27_22_0a_95).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (acc(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(40)(Seq.fill(1 + rnd.nextInt(30))(rnd.alphanumeric.take(1 + rnd.nextInt(9)).mkString)) :+
+      Seq.empty[String]
+    val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+      .select(col("id"), VectorExpressions.simhash64(col("toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.zipWithIndex.foreach { case (t, i) => assert(got(i.toLong) === reference(t), s"doc $i") }
+
+    // null-safe: null token array -> null signature (drops out downstream)
+    val withNull = Seq((0L, Some(Seq("a", "b"))), (1L, None: Option[Seq[String]])).toDF("id", "toks")
+    val r = withNull.select(VectorExpressions.simhash64(col("toks"))).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+
+    // stays inside whole-stage codegen on a file-backed plan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(VectorExpressions.simhash64(split(lower(col("text")), "\\s+")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "native expression must stay inside codegen:\n" + plan)
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import spark.implicits._
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
