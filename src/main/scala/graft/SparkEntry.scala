@@ -297,6 +297,16 @@ object SparkEntry {
         sum_distinct(col("component")).cast("long").as("rep_id_sum"))
   }
 
+  /** End-to-end near-dup removal: pairs -> components -> drop everything but
+    * each component's min-id representative. The oracle recomputes the kept
+    * set (count + id sum) from the exact pair closure in DuckDB. */
+  private def qDedupDrop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("kept_id_sum"))
+  }
+
   /** SimHash with a three-way contract instead of the old rows-only check:
     * (1) the pair count is pinned as a golden value at the driver's gate SF
     * (deterministic: fixed MurmurHash3 seeds over fixed data), (2) every
@@ -572,6 +582,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy("c_mktsegment")
 
+  /** The skewed-key scale path run against the plain-join truth: the salted
+    * join (big side scattered over content-derived salts, small side
+    * replicated) must produce exactly the rows a plain equi-join produces —
+    * the oracle is the same SQL as join_agg. */
+  private def qSkewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+    val small = table(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(big, small, "custkey", salts = 8,
+      saltCols = Seq("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   /** The recurring-join scale path: both sides written bucketed+sorted by
     * the join key ONCE (managed tables), then joined with zero exchange.
     * Values must equal the plain join_agg oracle; the shuffle-free plan
@@ -617,6 +643,7 @@ object SparkEntry {
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
     "dedup_components" -> qDedupComponents,
+    "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
@@ -634,6 +661,7 @@ object SparkEntry {
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
+    "skew_join_agg" -> qSkewJoinAgg,
     "window_top_order" -> qWindowTopOrder)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
@@ -686,6 +714,20 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT count(DISTINCT component) AS n_components, count(*) AS n_clustered_docs, " +
         "sum(DISTINCT component)::BIGINT AS rep_id_sum FROM comp"),
+    "dedup_drop" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p WHERE j >= 0.8 UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE r.a <> e.b) SELECT * FROM r), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
+        "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp WHERE doc_id <> component) AS n_kept, " +
+        "((SELECT sum(doc_id) FROM documents) - (SELECT coalesce(sum(doc_id), 0) FROM comp WHERE doc_id <> component))::BIGINT AS kept_id_sum"),
+    "skew_join_agg" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "dedup_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
         "g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS gr FROM toks), " +
