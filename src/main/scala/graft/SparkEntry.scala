@@ -195,10 +195,18 @@ object SparkEntry {
       customer("c_acctbal"),
       customer("c_mktsegment"))
       .createOrReplaceTempView("graft_stage_in")
+    // the stage document is HOCON, exactly as a reference deployment's
+    // .conf would ship it (comments, unquoted keys, substitution)
     val cfg =
-      """{"type": "MaskDataTransform", "name": "mask customer", "environments": ["test"],
-        |"inputView": "graft_stage_in", "outputView": "graft_stage_out", "persist": true}""".stripMargin
-    val stage = graft.operators.StageConfig.parseJson(cfg)
+      """// masking stage over the typed customer extract
+        |type = MaskDataTransform
+        |name = mask customer          # display name
+        |environments = [test]
+        |inputView = graft_stage_in
+        |outputView = graft_stage_out
+        |persist = true
+        |""".stripMargin
+    val stage = graft.operators.StageConfig.parseHocon(cfg)
       .fold(errs => throw new Exception(errs.mkString("; ")), identity)
     val (_, detail) = MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)
     // the stage published + persisted the view; prove the catalog round-trip
@@ -256,12 +264,31 @@ object SparkEntry {
         |"persist": true, "params": {"a": "b"}}""".stripMargin
     val badErrs = graft.operators.StageConfig.parseJson(bad).left.getOrElse(Nil)
     val goodStage = graft.operators.StageConfig.parseJson(good).toOption
+    // same contract through the HOCON path: a reference-style .conf parses
+    // clean; typed wrongness accumulates (mixed-type environments + unknown
+    // key = exactly 2 errors)
+    val hoconGood = graft.operators.StageConfig.parseHocon(
+      """name = s            # comment
+        |inputView = in
+        |outputView = out
+        |persist = true
+        |""".stripMargin).toOption
+    val hoconBadErrs = graft.operators.StageConfig.parseHocon(
+      """name = s
+        |environments = [1, 2]
+        |bogus = x
+        |inputView = a
+        |outputView = b
+        |""".stripMargin).left.getOrElse(Nil)
     Seq((
       badErrs.length.toLong,
       badErrs.count(_.startsWith("Unknown option")).toLong,
       goodStage.map(_ => 0L).getOrElse(1L),
-      goodStage.map(s => if (s.persist) 1L else 0L).getOrElse(-1L)))
-      .toDF("n_errors_bad", "n_unknown_bad", "good_failed", "good_persist")
+      goodStage.map(s => if (s.persist) 1L else 0L).getOrElse(-1L),
+      hoconGood.map(s => if (s.persist) 0L else 1L).getOrElse(1L),
+      hoconBadErrs.length.toLong))
+      .toDF("n_errors_bad", "n_unknown_bad", "good_failed", "good_persist",
+        "hocon_good_failed", "hocon_n_errors_bad")
   }
 
   // ---------------------------------------------------------------------
@@ -791,7 +818,8 @@ object SparkEntry {
         "5::BIGINT AS out_cols FROM customer"),
     "stage_config_errors" ->
       ("SELECT 3::BIGINT AS n_errors_bad, 1::BIGINT AS n_unknown_bad, " +
-        "0::BIGINT AS good_failed, 1::BIGINT AS good_persist"),
+        "0::BIGINT AS good_failed, 1::BIGINT AS good_persist, " +
+        "0::BIGINT AS hocon_good_failed, 2::BIGINT AS hocon_n_errors_bad"),
     "fixture_e2e" ->
       ("SELECT 100::BIGINT AS n, 95::BIGINT AS n_user_nonnull, 95::BIGINT AS n_user_len16, " +
         "96::BIGINT AS n_birth_nonnull, 96::BIGINT AS n_birth_day1, " +

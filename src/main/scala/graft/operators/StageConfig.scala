@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   * stage value on success.
   *
   * The reference reads HOCON through the host framework; the engine core
-  * takes JSON (parsed with Spark's bundled json4s) or an already-parsed map —
-  * the validation contract is what matters.
+  * accepts HOCON directly ([[Hocon]] — so a reference user's existing
+  * `.conf` files with comments, unquoted keys and substitutions migrate
+  * unchanged), strict JSON (parsed with Spark's bundled json4s), or an
+  * already-parsed map — the validation contract is the same on every path.
   */
 object StageConfig {
 
@@ -26,20 +28,30 @@ object StageConfig {
   val ExpectedKeys: Set[String] =
     Set("type", "name", "description", "environments", "inputView", "outputView", "persist", "params")
 
+  /** Parse a HOCON (or JSON — HOCON is a superset) stage document with the
+    * same accumulating validation as [[parse]]. */
+  def parseHocon(conf: String): Either[List[String], MaskStage] =
+    Hocon.parse(conf).flatMap(parse)
+
   def parseJson(json: String): Either[List[String], MaskStage] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+
+    // mixed-type arrays/objects must survive the conversion so the typed
+    // validators can REJECT them ('environments': [123] has to reach
+    // environmentsList as Seq(123L), not be silently filtered to Nil)
+    def toAny(v: JValue): Any = v match {
+      case JString(s) => s
+      case JBool(b) => b
+      case JObject(o) => o.map { case (k, pv) => k -> toAny(pv) }.toMap
+      case JArray(a) => a.map(toAny)
+      case JNull => null
+      case other => other.values
+    }
+
     JsonMethods.parseOpt(json) match {
       case Some(JObject(fields)) =>
-        parse(fields.map { case (k, v) =>
-          k -> (v match {
-            case JString(s) => s
-            case JBool(b) => b
-            case JObject(o) => o.collect { case (pk, JString(pv)) => pk -> pv }.toMap
-            case JArray(a) => a.collect { case JString(s) => s }
-            case other => other.values
-          })
-        }.toMap)
+        parse(fields.map { case (k, v) => k -> toAny(v) }.toMap)
       case _ => Left(List("stage config must be a JSON object"))
     }
   }
@@ -66,7 +78,8 @@ object StageConfig {
       case None => Right(default)
     }
     def paramsMap: Either[String, Map[String, String]] = config.get("params") match {
-      case Some(m: Map[_, _]) => Right(m.map { case (k, v) => k.toString -> v.toString })
+      case Some(m: Map[_, _]) if m.values.forall(_.isInstanceOf[String]) =>
+        Right(m.map { case (k, v) => k.toString -> v.toString })
       case Some(_) => Left("'params' must be an object of string values.")
       case None => Right(Map.empty)
     }
@@ -94,9 +107,10 @@ object StageConfig {
       inputView.toOption.get, outputView.toOption.get, persist.toOption.get, params.toOption.get))
   }
 
-  /** Parse, validate, and execute against a session in one step. */
-  def run(spark: SparkSession, json: String): Either[List[String], org.apache.spark.sql.DataFrame] =
-    parseJson(json).map { stage =>
+  /** Parse (HOCON or JSON), validate, and execute against a session in one
+    * step. */
+  def run(spark: SparkSession, conf: String): Either[List[String], org.apache.spark.sql.DataFrame] =
+    parseHocon(conf).map { stage =>
       MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)._1
     }
 
@@ -105,9 +119,9 @@ object StageConfig {
     * ACTIVE environment is validated but SKIPPED, not an error (e.g. a
     * production-only masking stage under "test"). An empty list means run
     * everywhere. Returns Right(None) when skipped. */
-  def runIfEnvironment(spark: SparkSession, json: String,
+  def runIfEnvironment(spark: SparkSession, conf: String,
                        activeEnvironment: String): Either[List[String], Option[org.apache.spark.sql.DataFrame]] =
-    parseJson(json).map { stage =>
+    parseHocon(conf).map { stage =>
       if (stage.environments.nonEmpty && !stage.environments.contains(activeEnvironment)) None
       else Some(MaskTransform.runStage(spark, stage.inputView, stage.outputView, stage.persist)._1)
     }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HoconSpec extends AnyFunSuite {
+
+  private def ok(text: String): Map[String, Any] =
+    Hocon.parse(text).fold(errs => fail(s"parse failed: $errs"), identity)
+
+  test("a reference-style .conf document parses: comments, unquoted keys, no commas") {
+    val doc =
+      """// masking stage for the userdata extract
+        |type = MaskDataTransform
+        |name = mask customer            # trailing comment
+        |environments = [production, test]
+        |inputView = customer_typed
+        |outputView = customer_masked
+        |persist = true
+        |params {
+        |  numPartitions = "32"
+        |}
+        |""".stripMargin
+    val m = ok(doc)
+    assert(m("type") === "MaskDataTransform")
+    assert(m("name") === "mask customer")
+    assert(m("environments") === List("production", "test"))
+    assert(m("persist") === true)
+    assert(m("params") === Map("numPartitions" -> "32"))
+  }
+
+  test("JSON is valid HOCON (superset)") {
+    val m = ok("""{"name": "s", "persist": false, "environments": ["a"], "params": {"k": "v"}}""")
+    assert(m === Map("name" -> "s", "persist" -> false,
+      "environments" -> List("a"), "params" -> Map("k" -> "v")))
+  }
+
+  test("dotted keys nest, duplicate object keys deep-merge, scalars last-win") {
+    val m = ok(
+      """a.b.c = 1
+        |a.b.d = 2
+        |a { b { e = 3 } }
+        |x = first
+        |x = second
+        |""".stripMargin)
+    assert(m("a") === Map("b" -> Map("c" -> 1L, "d" -> 2L, "e" -> 3L)))
+    assert(m("x") === "second")
+  }
+
+  test("quoted keys stay literal; escapes and types decode") {
+    val m = ok(
+      """"a.b" = "line\n\ttab A"
+        |n = -42
+        |f = 3.5e2
+        |z = null
+        |""".stripMargin)
+    assert(m("a.b") === "line\n\ttab A")
+    assert(m("n") === -42L)
+    assert(m("f") === 350.0)
+    assert(m("z") === null)
+  }
+
+  test("substitutions resolve from the document, env, and concatenations") {
+    val m = ok(
+      """base = customer
+        |inputView = ${base}_typed
+        |outputView = ${base}"_masked"
+        |home = ${?HOME}
+        |missing = ${?no_such_key_anywhere}
+        |""".stripMargin)
+    assert(m("inputView") === "customer_typed")
+    assert(m("outputView") === "customer_masked")
+    assert(m("home") === sys.env("HOME"))
+    assert(!m.contains("missing"), "unresolvable optional substitution drops its key")
+  }
+
+  test("unresolvable required substitution and cycles are errors, not silence") {
+    val Left(e1) = Hocon.parse("a = ${nowhere.at.all}"): @unchecked
+    assert(e1.exists(_.contains("Could not resolve substitution")))
+    val Left(e2) = Hocon.parse("a = ${b}\nb = ${a}"): @unchecked
+    assert(e2.exists(_.contains("cycle")))
+  }
+
+  test("arrays: newline separation, nested objects, mixed types preserved") {
+    val m = ok(
+      """xs = [
+        |  1
+        |  2, 3
+        |]
+        |stages = [{ name = a }, { name = b }]
+        |mixed = [x, 1, true]
+        |""".stripMargin)
+    assert(m("xs") === List(1L, 2L, 3L))
+    assert(m("stages") === List(Map("name" -> "a"), Map("name" -> "b")))
+    assert(m("mixed") === List("x", 1L, true))
+  }
+
+  test("structural errors fail loudly with a line number") {
+    for (bad <- Seq("a = {", "a = [1, 2", "a = \"unterminated",
+      "include \"other.conf\"", "a = \"\"\"triple\"\"\"")) {
+      val r = Hocon.parse(bad)
+      assert(r.isLeft, s"should reject: $bad")
+    }
+    val Left(errs) = Hocon.parse("a = 1\nb = {"): @unchecked
+    assert(errs.head.contains("line 2"))
+  }
+
+  test("parseHocon applies the same accumulating stage validation") {
+    val doc =
+      """name = mask stage
+        |inputView = in_v
+        |outputView = out_v
+        |persist = true
+        |environments = [production]
+        |""".stripMargin
+    val Right(stage) = StageConfig.parseHocon(doc): @unchecked
+    assert(stage.name === "mask stage" && stage.persist)
+
+    // HOCON-typed wrongness reaches the typed validators (advisor r4:
+    // mixed-type arrays must be rejectable, not silently filtered)
+    val Left(errs) = StageConfig.parseHocon(
+      """name = s
+        |environments = [1, 2]
+        |bogus = 1
+        |inputView = a
+        |outputView = b
+        |params { n = 32 }
+        |""".stripMargin): @unchecked
+    assert(errs.exists(_.contains("'environments' must be an array of strings")))
+    assert(errs.exists(_.contains("Unknown option 'bogus'")))
+    assert(errs.exists(_.contains("'params' must be an object of string values")))
+  }
+
+  test("json path also preserves mixed types for validation (advisor r4)") {
+    val Left(errs) = StageConfig.parseJson(
+      """{"name":"s","environments":[123],"inputView":"a","outputView":"b","params":{"n":32}}"""): @unchecked
+    assert(errs.exists(_.contains("'environments' must be an array of strings")))
+    assert(errs.exists(_.contains("'params' must be an object of string values")))
+  }
+}
