@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * Image DIMENSIONS are parsed for real from the public container formats
   * (PNG IHDR, JPEG SOFn, GIF logical-screen descriptor, BMP info header) —
   * pure byte-level parsing of published specs, no codec library needed.
-  * Full pixel decode / the embedding FEATURE vector remain a declared STUB
-  * (deterministic content-hash features), since the media codecs are not
-  * available in this environment; a real embedder drops in by replacing
-  * [[stubFeatures]] alone.
+  *
+  * PNG pixels are decoded FOR REAL: IDAT inflation via `java.util.zip
+  * .Inflater`, scanline unfiltering (all five PNG filter types), color
+  * types 0/2/3/4/6 at bit depth 8 — the feature vector for a PNG is the
+  * per-RGBA-channel pixel mean and standard deviation. Formats whose
+  * decode needs an actual codec library (JPEG entropy decode, GIF LZW)
+  * fall back to the declared [[stubFeatures]] content-hash kernel; a real
+  * embedder drops in by replacing the feature kernel alone.
   */
 object Multimodal {
 
@@ -78,10 +82,11 @@ object Multimodal {
     } else None
   }
 
-  /** STUB feature kernel (declared): a real implementation would decode the
-    * pixels/samples and run an embedding model; this derives a deterministic
-    * 8-dim vector from a content hash so the plumbing is exercised
-    * end-to-end with stable, assertable outputs. */
+  /** STUB feature kernel (declared): for formats needing a real codec
+    * library (JPEG/GIF/BMP payloads and unknown blobs) this derives a
+    * deterministic 8-dim vector from a content hash so the plumbing is
+    * exercised end-to-end with stable, assertable outputs. PNG does NOT go
+    * through this — see [[pngPixelFeatures]]. */
   private[operators] def stubFeatures(content: Array[Byte]): Array[Float] = {
     if (content == null || content.isEmpty) return Array.fill(8)(0f)
     var h = 1125899906842597L
@@ -89,12 +94,173 @@ object Multimodal {
     Array.tabulate(8)(i => math.floorMod(h >>> (i * 7), 1000).toFloat / 1000f)
   }
 
+  // --- real PNG pixel decode ----------------------------------------------
+
+  /** Decoded raster: `samples` is row-major with `channels` interleaved
+    * 8-bit samples per pixel (palette already expanded to RGB). */
+  private final case class Raster(width: Int, height: Int, channels: Int,
+                                  colorType: Int, samples: Array[Byte])
+
+  /** Full PNG pixel decode using only public JVM APIs: chunk walk (IHDR /
+    * PLTE / IDAT / IEND), zlib inflation of the concatenated IDAT stream,
+    * and per-scanline unfiltering of the five PNG filters (None/Sub/Up/
+    * Average/Paeth, spec §9). Supports bit depth 8, color types 0 (gray),
+    * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    * Returns None (caller falls back to the stub) for other profiles or
+    * malformed streams. */
+  private[operators] def pngDecode(content: Array[Byte]): Option[Raster] = {
+    if (content == null || content.length < 45) return None
+    @inline def u8(i: Int): Int = content(i) & 0xff
+    def beU32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!(0 until 8).forall(i => u8(i) == sig(i))) return None
+
+    var width, height, bitDepth, colorType, interlace = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= content.length) {
+      val len = beU32(i)
+      if (len < 0 || i + 12 + len > content.length) return None
+      val tag = new String(content, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = beU32(i + 8); height = beU32(i + 12)
+          bitDepth = u8(i + 16); colorType = u8(i + 17)
+          interlace = u8(i + 20)
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(content, i + 8, i + 8 + len)
+        case "IDAT" => idat.write(content, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk - skip
+      }
+      i += 12 + len
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => return None
+    }
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (colorType == 3 && palette == null) return None
+    // 1 filter byte + width*channels samples per scanline
+    val stride = width * channels
+    val expected = (stride + 1).toLong * height
+    if (expected > Int.MaxValue) return None
+
+    val raw = new Array[Byte](expected.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+
+    // unfilter in place into `out` (spec §9: predictors operate bytewise at
+    // the pixel stride `bpp`)
+    val bpp = channels // bit depth 8
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val f = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    if (colorType == 3) {
+      // expand palette indices to RGB
+      val rgb = new Array[Byte](width * height * 3)
+      var p = 0
+      while (p < width * height) {
+        val idx = (out(p) & 0xff) * 3
+        if (idx + 2 >= palette.length) return None
+        rgb(p * 3) = palette(idx); rgb(p * 3 + 1) = palette(idx + 1); rgb(p * 3 + 2) = palette(idx + 2)
+        p += 1
+      }
+      Some(Raster(width, height, 3, 2, rgb))
+    } else Some(Raster(width, height, channels, colorType, out))
+  }
+
+  /** Real PNG features: per-RGBA-channel pixel mean and standard deviation,
+    * each scaled to [0,1] — `[mR, mG, mB, mA, sR, sG, sB, sA]`. Gray
+    * expands to R=G=B; missing alpha is opaque 255. */
+  private[operators] def pngPixelFeatures(content: Array[Byte]): Option[Array[Float]] =
+    pngDecode(content).map { r =>
+      val n = r.width.toLong * r.height
+      val sum = new Array[Double](4)
+      val sumSq = new Array[Double](4)
+      val px = new Array[Int](4)
+      var p = 0
+      while (p < n) {
+        val base = p * r.channels
+        r.colorType match {
+          case 0 =>
+            val v = r.samples(base) & 0xff
+            px(0) = v; px(1) = v; px(2) = v; px(3) = 255
+          case 2 =>
+            px(0) = r.samples(base) & 0xff; px(1) = r.samples(base + 1) & 0xff
+            px(2) = r.samples(base + 2) & 0xff; px(3) = 255
+          case 4 =>
+            val v = r.samples(base) & 0xff
+            px(0) = v; px(1) = v; px(2) = v; px(3) = r.samples(base + 1) & 0xff
+          case _ =>
+            px(0) = r.samples(base) & 0xff; px(1) = r.samples(base + 1) & 0xff
+            px(2) = r.samples(base + 2) & 0xff; px(3) = r.samples(base + 3) & 0xff
+        }
+        var ch = 0
+        while (ch < 4) {
+          sum(ch) += px(ch); sumSq(ch) += px(ch).toDouble * px(ch); ch += 1
+        }
+        p += 1
+      }
+      Array.tabulate(8) { i =>
+        if (i < 4) (sum(i) / n / 255.0).toFloat
+        else {
+          val ch = i - 4
+          val mean = sum(ch) / n
+          (math.sqrt(math.max(0.0, sumSq(ch) / n - mean * mean)) / 255.0).toFloat
+        }
+      }
+    }
+
   /** Decode kernel: REAL header-parsed dimensions where a known container
-    * format is present, zero dims + "unknown" otherwise; stub features. */
+    * format is present, zero dims + "unknown" otherwise. PNG features are
+    * real pixel statistics ([[pngPixelFeatures]]); everything else takes
+    * the declared stub kernel. */
   private[operators] def decode(content: Array[Byte]): (String, Int, Int, Array[Float]) = {
     if (content == null || content.isEmpty) return ("unknown", 0, 0, Array.fill(8)(0f))
     val (fmt, w, h) = parseDimensions(content).getOrElse(("unknown", 0, 0))
-    (fmt, w, h, stubFeatures(content))
+    val feats =
+      if (fmt == "png") pngPixelFeatures(content).getOrElse(stubFeatures(content))
+      else stubFeatures(content)
+    (fmt, w, h, feats)
   }
 
   /** Minimal well-formed PNG prefix (8-byte signature + IHDR chunk) with the
