@@ -321,7 +321,9 @@ object Dedup {
     * whitespace tokens), candidates from exact match on any of 4 16-bit
     * chunks (pigeonhole: hamming<=3 guarantees a chunk collision), verified
     * with bit_count(xor) <= maxHamming. Null texts produce a null signature
-    * and drop out at the explode — they cannot bucket with each other. */
+    * and are filtered out before chunking — a null sig would still explode
+    * into 4 null-bucket rows (transform over a null arg yields an array of
+    * nulls, not null), and groupBy groups nulls together. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
@@ -329,6 +331,7 @@ object Dedup {
       col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
       .select(col("doc_id"),
         graft.plans.VectorExpressions.simhash64(split(lower(col("__text")), "\\s+")).as("sig"))
+      .where(col("sig").isNotNull)
 
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(

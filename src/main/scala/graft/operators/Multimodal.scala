@@ -98,8 +98,8 @@ object Multimodal {
 
   /** Decoded raster: `samples` is row-major with `channels` interleaved
     * 8-bit samples per pixel (palette already expanded to RGB). */
-  private final case class Raster(width: Int, height: Int, channels: Int,
-                                  colorType: Int, samples: Array[Byte])
+  private[operators] final case class Raster(width: Int, height: Int, channels: Int,
+                                             colorType: Int, samples: Array[Byte])
 
   /** Full PNG pixel decode using only public JVM APIs: chunk walk (IHDR /
     * PLTE / IDAT / IEND), zlib inflation of the concatenated IDAT stream,
@@ -142,10 +142,15 @@ object Multimodal {
     }
     if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0) return None
     if (colorType == 3 && palette == null) return None
-    // 1 filter byte + width*channels samples per scanline
-    val stride = width * channels
-    val expected = (stride + 1).toLong * height
-    if (expected > Int.MaxValue) return None
+    // 1 filter byte + width*channels samples per scanline; widths up to
+    // 2^31-1 pass the sign check, so size the buffers in Long before
+    // allocating (an Int overflow here would turn a crafted header into an
+    // uncaught NegativeArraySizeException instead of the stub fallback)
+    val strideL = width.toLong * channels
+    val expected = (strideL + 1) * height
+    if (expected > Int.MaxValue || strideL * height > Int.MaxValue ||
+      width.toLong * height * 3 > Int.MaxValue) return None
+    val stride = strideL.toInt
 
     val raw = new Array[Byte](expected.toInt)
     val inflater = new java.util.zip.Inflater()
@@ -154,7 +159,9 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n==0 without finishing means truncation OR a preset-dictionary
+        // (FDICT) stream we can't service — either way, bail to the stub
+        if (n == 0) return None
         off += n
       }
       if (off < raw.length) return None

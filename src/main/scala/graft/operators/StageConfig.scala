@@ -77,11 +77,21 @@ object StageConfig {
       case Some(_) => Left(s"'$key' must be a boolean.")
       case None => Right(default)
     }
-    def paramsMap: Either[String, Map[String, String]] = config.get("params") match {
-      case Some(m: Map[_, _]) if m.values.forall(_.isInstanceOf[String]) =>
-        Right(m.map { case (k, v) => k.toString -> v.toString })
-      case Some(_) => Left("'params' must be an object of string values.")
-      case None => Right(Map.empty)
+    def paramsMap: Either[String, Map[String, String]] = {
+      // HOCON types unquoted scalars (days = 14 -> Long); coerce scalars to
+      // strings like typesafe-config's getString so reference-style .conf
+      // files migrate unchanged — only nested objects/arrays/nulls reject
+      def scalar(v: Any): Boolean = v match {
+        case _: String | _: Boolean | _: Long | _: Int | _: Double => true
+        case _: BigInt | _: BigDecimal => true // json4s types JSON numbers this way
+        case _ => false
+      }
+      config.get("params") match {
+        case Some(m: Map[_, _]) if m.values.forall(scalar) =>
+          Right(m.map { case (k, v) => k.toString -> v.toString })
+        case Some(_) => Left("'params' must be an object of scalar values.")
+        case None => Right(Map.empty)
+      }
     }
     def environmentsList: Either[String, Seq[String]] = config.get("environments") match {
       case Some(xs: Seq[_]) if xs.forall(_.isInstanceOf[String]) => Right(xs.map(_.toString))

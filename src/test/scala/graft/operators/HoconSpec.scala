@@ -94,6 +94,15 @@ class HoconSpec extends AnyFunSuite {
     assert(m("mixed") === List("x", 1L, true))
   }
 
+  test("a literal '$' outside a substitution is value text, not a hang (advisor r5)") {
+    assert(ok("price = US$5")("price") === "US$5")
+    assert(ok("sigil = $")("sigil") === "$")
+    assert(ok("trail = abc$")("trail") === "abc$")
+    assert(ok("twin = $$")("twin") === "$$")
+    val m = ok("base = v\nc = $-${base}")
+    assert(m("c") === "$-v")
+  }
+
   test("structural errors fail loudly with a line number") {
     for (bad <- Seq("a = {", "a = [1, 2", "a = \"unterminated",
       "include \"other.conf\"", "a = \"\"\"triple\"\"\"")) {
@@ -115,25 +124,39 @@ class HoconSpec extends AnyFunSuite {
     val Right(stage) = StageConfig.parseHocon(doc): @unchecked
     assert(stage.name === "mask stage" && stage.persist)
 
+    // HOCON types unquoted scalars (n = 32 -> Long); like typesafe-config's
+    // getString they coerce, so reference .conf files migrate unchanged
+    val Right(typed) = StageConfig.parseHocon(
+      """name = s
+        |inputView = a
+        |outputView = b
+        |params { n = 32, ratio = 0.5, on = true, who = alice }
+        |""".stripMargin): @unchecked
+    assert(typed.params === Map("n" -> "32", "ratio" -> "0.5", "on" -> "true", "who" -> "alice"))
+
     // HOCON-typed wrongness reaches the typed validators (advisor r4:
-    // mixed-type arrays must be rejectable, not silently filtered)
+    // mixed-type arrays must be rejectable, not silently filtered); nested
+    // objects inside params stay rejected even under scalar coercion
     val Left(errs) = StageConfig.parseHocon(
       """name = s
         |environments = [1, 2]
         |bogus = 1
         |inputView = a
         |outputView = b
-        |params { n = 32 }
+        |params { n { deep = 1 } }
         |""".stripMargin): @unchecked
     assert(errs.exists(_.contains("'environments' must be an array of strings")))
     assert(errs.exists(_.contains("Unknown option 'bogus'")))
-    assert(errs.exists(_.contains("'params' must be an object of string values")))
+    assert(errs.exists(_.contains("'params' must be an object of scalar values")))
   }
 
-  test("json path also preserves mixed types for validation (advisor r4)") {
+  test("json path coerces scalar params and rejects nested ones (advisor r5)") {
+    val Right(s) = StageConfig.parseJson(
+      """{"name":"s","inputView":"a","outputView":"b","params":{"n":32}}"""): @unchecked
+    assert(s.params === Map("n" -> "32"))
     val Left(errs) = StageConfig.parseJson(
-      """{"name":"s","environments":[123],"inputView":"a","outputView":"b","params":{"n":32}}"""): @unchecked
+      """{"name":"s","environments":[123],"inputView":"a","outputView":"b","params":{"n":[1]}}"""): @unchecked
     assert(errs.exists(_.contains("'environments' must be an array of strings")))
-    assert(errs.exists(_.contains("'params' must be an object of string values")))
+    assert(errs.exists(_.contains("'params' must be an object of scalar values")))
   }
 }
