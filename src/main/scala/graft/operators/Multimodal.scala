@@ -270,6 +270,82 @@ object Multimodal {
     (fmt, w, h, feats)
   }
 
+  /** Full PNG encoder (the exact inverse of [[pngDecode]]): signature, IHDR,
+    * optional PLTE, one IDAT with the zlib-deflated filtered scanlines, IEND
+    * — all with real CRC32s, so the output is a spec-valid PNG any decoder
+    * accepts. `samples` is row-major interleaved (width*height*channels
+    * bytes; palette indices for color type 3). `filterType` 0-4 filters
+    * every scanline with that PNG filter; -1 cycles filters per row
+    * (y % 5) to exercise all five predictors in one image. */
+  def pngEncode(width: Int, height: Int, colorType: Int, samples: Array[Byte],
+                palette: Array[Byte] = null, filterType: Int = 0): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case other => throw new IllegalArgumentException(s"unsupported color type $other")
+    }
+    val stride = width * channels
+    require(samples.length == stride * height, s"need $stride*$height samples, got ${samples.length}")
+    require(colorType != 3 || palette != null, "palette required for color type 3")
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    def writeChunk(tag: String, payload: Array[Byte]): Unit = {
+      val len = payload.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte), 0, 4)
+      val tagBytes = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tagBytes, 0, 4)
+      out.write(payload, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagBytes); crc.update(payload)
+      val c = crc.getValue.toInt
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk("IHDR", ihdr.array())
+    if (colorType == 3) writeChunk("PLTE", palette)
+
+    // filter each scanline (spec §9: filt(x) = raw(x) - predictor, bytewise
+    // at pixel stride bpp) then deflate the whole filtered stream
+    val bpp = channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = if (filterType == -1) y % 5 else filterType
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = samples(y * stride + x) & 0xff
+        val a = if (x >= bpp) samples(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) samples((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) samples((y - 1) * stride + x - bpp) & 0xff else 0
+        val filt = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (filt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    writeChunk("IDAT", idat.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Minimal well-formed PNG prefix (8-byte signature + IHDR chunk) with the
     * given dimensions — used by tests and the synthetic-media query; the rest
     * of a real file (IDAT/IEND) is irrelevant to the header parse. */

@@ -83,6 +83,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseDimensions(Array.emptyByteArray) === None)
   }
 
+  // --- real PNG pixel decode (encoder is the spec-exact inverse) ---------
+
+  private def gradient(w: Int, h: Int, ch: Int): Array[Byte] =
+    Array.tabulate(w * h * ch)(i => ((i * 31 + (i / ch) * 7) % 256).toByte)
+
+  test("pngDecode round-trips the encoder for color types 0/2/4/6") {
+    for (ct <- Seq(0, 2, 4, 6)) {
+      val ch = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(ct)
+      val px = gradient(13, 9, ch)
+      val Some(r) = Multimodal.pngDecode(Multimodal.pngEncode(13, 9, ct, px)): @unchecked
+      assert(r.width === 13 && r.height === 9 && r.channels === ch, s"ct=$ct")
+      assert(r.samples.toSeq === px.toSeq, s"ct=$ct samples differ")
+    }
+  }
+
+  test("pngDecode round-trips every PNG filter type, including mixed per-row") {
+    val px = gradient(16, 10, 3)
+    for (f <- Seq(0, 1, 2, 3, 4, -1)) {
+      val Some(r) = Multimodal.pngDecode(Multimodal.pngEncode(16, 10, 2, px, filterType = f)): @unchecked
+      assert(r.samples.toSeq === px.toSeq, s"filter=$f")
+    }
+  }
+
+  test("pngDecode expands a palette image to RGB") {
+    val palette = Array.tabulate[Byte](12)(i => (i * 11).toByte) // 4 entries
+    val idx = Array.tabulate[Byte](6 * 4)(i => (i % 4).toByte)
+    val Some(r) = Multimodal.pngDecode(
+      Multimodal.pngEncode(6, 4, 3, idx, palette = palette, filterType = 1)): @unchecked
+    assert(r.channels === 3 && r.colorType === 2)
+    val expected = idx.flatMap(i => palette.slice((i & 0xff) * 3, (i & 0xff) * 3 + 3))
+    assert(r.samples.toSeq === expected.toSeq)
+  }
+
+  test("pngDecode falls back (None) on malformed streams instead of throwing") {
+    val good = Multimodal.pngEncode(8, 8, 2, gradient(8, 8, 3))
+    // truncated IDAT (drop the last 20 bytes incl IEND + tail of IDAT)
+    assert(Multimodal.pngDecode(good.dropRight(20) ++ good.takeRight(12)) === None)
+    // corrupt deflate payload
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x55).toByte
+    assert(Multimodal.pngDecode(corrupt) === None || Multimodal.pngDecode(corrupt).isDefined) // must not throw
+    // bad filter byte: hand-build raw stream with filter 9
+    val raw = Array[Byte](9, 1, 2, 3) // 1x1 RGB scanline, invalid filter
+    val deflater = new java.util.zip.Deflater(); deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](64); val n = deflater.deflate(buf); deflater.end()
+    val header = Multimodal.pngHeaderBytes(1, 1)
+    val idat = {
+      val b = java.nio.ByteBuffer.allocate(12 + n)
+      b.putInt(n).put("IDAT".getBytes("US-ASCII")).put(buf, 0, n).putInt(0)
+      b.array()
+    }
+    val iend = java.nio.ByteBuffer.allocate(12).putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0).array()
+    assert(Multimodal.pngDecode(header ++ idat ++ iend) === None)
+    // interlaced / 16-bit depth profiles decline to the stub
+    val interlaced = good.clone(); interlaced(28) = 1 // IHDR interlace byte
+    assert(Multimodal.pngDecode(interlaced) === None)
+    val deep = good.clone(); deep(24) = 16 // IHDR bit depth
+    assert(Multimodal.pngDecode(deep) === None)
+  }
+
+  test("pngDecode survives a crafted near-2^31 width header (Long sizing)") {
+    // width 0x7fffff00 x height 3: stride overflows Int if computed in Int
+    val bytes = Multimodal.pngHeaderBytes(0x7fffff00, 3)
+    assert(Multimodal.pngDecode(bytes) === None) // no NegativeArraySizeException
+    assert(Multimodal.decode(bytes)._4.length === 8) // stub fallback path
+  }
+
+  test("pngPixelFeatures: exact mean/std on solid and gradient images") {
+    // solid RGB (40, 80, 120): means are v/255, stds 0, alpha opaque
+    val solid = Array.tabulate[Byte](5 * 4 * 3)(i => Seq(40, 80, 120)(i % 3).toByte)
+    val Some(f) = Multimodal.pngPixelFeatures(Multimodal.pngEncode(5, 4, 2, solid)): @unchecked
+    assert(f(0) === 40f / 255f && f(1) === 80f / 255f && f(2) === 120f / 255f && f(3) === 1f)
+    assert(f(4) === 0f && f(5) === 0f && f(6) === 0f && f(7) === 0f)
+
+    // gray gradient 0..255 over a 16x16 image: mean 127.5/255, known std
+    val gray = Array.tabulate[Byte](256)(_.toByte)
+    val Some(g) = Multimodal.pngPixelFeatures(Multimodal.pngEncode(16, 16, 0, gray)): @unchecked
+    assert(math.abs(g(0) - 0.5f) < 1e-3 && g(0) === g(1) && g(1) === g(2))
+    val expectedStd = math.sqrt((0 until 256).map(v => math.pow(v - 127.5, 2)).sum / 256) / 255.0
+    assert(math.abs(g(4) - expectedStd) < 1e-3 && g(7) === 0f)
+  }
+
   test("extractFeatures: real dims for real headers, stub features, byte counts kept") {
     val out = Multimodal.extractFeatures(media()).collect().sortBy(_.media_id)
     assert(out.length === 4)
