@@ -502,6 +502,37 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Audio analog of [[qMultimodalFeatures]]: synthesizes real RIFF/PCM16
+    * WAVs (constant DC value, id-derived frames/channels) and checks the
+    * REAL decode ([[graft.operators.Multimodal.wavDecode]]) — for a
+    * constant signal the mean and RMS recover the DC value exactly and the
+    * zero-crossing rate is exactly 0, all DuckDB-recomputable from doc_id. */
+  private def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val v = (math.floorMod(id, 2000) - 1000).toShort
+      val frames = 64 + math.floorMod(id, 256).toInt
+      val channels = 1 + math.floorMod(id, 2).toInt
+      graft.operators.Multimodal.wavEncode(8000, channels, Array.fill[Short](frames * channels)(v))
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("media_id"),
+      mkWav(col("doc_id").cast("long")).as("content"))
+    val f = col("features")
+    val dc = pmod(col("media_id"), lit(2000)) - 1000
+    graft.operators.Multimodal.extractAudioFeaturesDF(media)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("format_detected") === "wav", 1)).as("n_wav"),
+        sum(col("n_frames")).cast("long").as("frames_sum"),
+        sum(col("channels")).cast("long").as("channels_sum"),
+        sum(col("duration_ms")).cast("long").as("duration_sum"),
+        count(when(
+          round(f.getItem(0) * 32768).cast("long") === dc && f.getItem(0) === f.getItem(1), 1))
+          .as("n_mean_exact"),
+        count(when(round(f.getItem(2) * 32768).cast("long") === abs(dc), 1)).as("n_rms_exact"),
+        count(when(f.getItem(7) === 0.0f, 1)).as("n_flat"))
+  }
+
   // ---------------------------------------------------------------------
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
@@ -697,6 +728,7 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
     "multimodal_features" -> qMultimodalFeatures,
+    "multimodal_audio" -> qMultimodalAudio,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -845,6 +877,11 @@ object SparkEntry {
       ("SELECT count(*) AS n, count(*) AS n_png, " +
         "sum(1 + doc_id % 64)::BIGINT AS width_sum, sum(1 + doc_id % 48)::BIGINT AS height_sum, " +
         "count(*) AS n_feat8, count(*) AS n_mean_exact, count(*) AS n_std_zero FROM documents"),
+    "multimodal_audio" ->
+      ("SELECT count(*) AS n, count(*) AS n_wav, " +
+        "sum(64 + doc_id % 256)::BIGINT AS frames_sum, sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +
+        "sum((64 + doc_id % 256) // 8)::BIGINT AS duration_sum, " +
+        "count(*) AS n_mean_exact, count(*) AS n_rms_exact, count(*) AS n_flat FROM documents"),
     "events_window" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -257,6 +257,139 @@ object Multimodal {
       }
     }
 
+  // --- real WAV (RIFF/PCM) audio decode -----------------------------------
+
+  /** Decoded PCM audio: interleaved 16-bit samples. */
+  private[operators] final case class PcmAudio(sampleRate: Int, channels: Int,
+                                               bitsPerSample: Int, samples: Array[Short])
+
+  case class AudioFeatures(media_id: Long, format_detected: String, sample_rate: Int,
+                           channels: Int, bits_per_sample: Int, n_frames: Long,
+                           duration_ms: Long, features: Array[Float])
+
+  /** Real WAV decode from the public RIFF spec: 'RIFF'+'WAVE' container
+    * walk, 'fmt ' chunk (PCM format 1, 16-bit only), 'data' chunk as
+    * little-endian interleaved samples. Unknown chunks are skipped like any
+    * compliant reader. Returns None for compressed/float/other-depth
+    * profiles or malformed containers — callers fall back to the stub. */
+  private[operators] def wavDecode(content: Array[Byte]): Option[PcmAudio] = {
+    if (content == null || content.length < 44) return None
+    @inline def u8(i: Int): Int = content(i) & 0xff
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leU32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(content, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+
+    var sampleRate, channels, bits, audioFormat = -1
+    var dataOff, dataLen = -1L
+    var i = 12L
+    while (i + 8 <= content.length) {
+      val chunkTag = tag(i.toInt)
+      val len = leU32(i.toInt + 4)
+      val body = i + 8
+      if (body + len > content.length) return None // truncated chunk
+      chunkTag match {
+        case "fmt " =>
+          if (len < 16) return None
+          audioFormat = leU16(body.toInt)
+          channels = leU16(body.toInt + 2)
+          sampleRate = leU32(body.toInt + 4).toInt
+          bits = leU16(body.toInt + 14)
+        case "data" => dataOff = body; dataLen = len
+        case _ => // ancillary (LIST, fact, cue, ...) - skip
+      }
+      i = body + len + (len & 1) // chunks are word-aligned (pad byte)
+    }
+    if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 8 ||
+      sampleRate <= 0 || dataOff < 0) return None
+    val n = (dataLen / 2).toInt
+    if (n.toLong * 2 != dataLen - (dataLen & 1)) return None
+    val samples = new Array[Short](n)
+    var s = 0
+    while (s < n) {
+      samples(s) = (u8(dataOff.toInt + s * 2) | (u8(dataOff.toInt + s * 2 + 1) << 8)).toShort
+      s += 1
+    }
+    Some(PcmAudio(sampleRate, channels, bits, samples))
+  }
+
+  /** Real WAV encoder (exact inverse of [[wavDecode]]): RIFF/WAVE header,
+    * canonical 16-byte PCM 'fmt ' chunk, little-endian 'data' chunk. */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Real audio features from decoded PCM: per-channel mean and RMS for the
+    * first two channels, then global min/max and peak/crest statistics —
+    * `[meanC0, meanC1, rmsC0, rmsC1, min, max, peak, zeroCrossRate]`, all
+    * normalized to [-1,1] by 1/32768 (rate in [0,1]). Mono mirrors C0 into
+    * C1. */
+  private[operators] def wavFeatures(a: PcmAudio): Array[Float] = {
+    val frames = a.samples.length / a.channels
+    if (frames == 0) return Array.fill(8)(0f)
+    val sum = new Array[Double](2)
+    val sumSq = new Array[Double](2)
+    var min = Int.MaxValue; var max = Int.MinValue; var peak = 0
+    var zeroCross = 0L; var prev0 = 0
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < a.channels) {
+        val v = a.samples(f * a.channels + c).toInt
+        if (c < 2) { sum(c) += v; sumSq(c) += v.toDouble * v }
+        if (v < min) min = v
+        if (v > max) max = v
+        val mag = math.abs(v); if (mag > peak) peak = mag
+        c += 1
+      }
+      val v0 = a.samples(f * a.channels).toInt
+      if (f > 0 && ((v0 >= 0) != (prev0 >= 0))) zeroCross += 1
+      prev0 = v0
+      f += 1
+    }
+    val c1 = if (a.channels > 1) 1 else 0
+    Array(
+      (sum(0) / frames / 32768.0).toFloat,
+      (sum(c1) / frames / 32768.0).toFloat,
+      (math.sqrt(sumSq(0) / frames) / 32768.0).toFloat,
+      (math.sqrt(sumSq(c1) / frames) / 32768.0).toFloat,
+      (min / 32768.0).toFloat,
+      (max / 32768.0).toFloat,
+      (peak / 32768.0).toFloat,
+      (if (frames > 1) zeroCross.toDouble / (frames - 1) else 0.0).toFloat)
+  }
+
+  /** Batch audio feature extraction over (media_id, content) — the audio
+    * analog of [[extractFeatures]]: narrow mapPartitions, real WAV decode,
+    * stub-shaped zero row (format "unknown") when decode declines. */
+  def extractAudioFeaturesDF(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          wavDecode(content) match {
+            case Some(a) =>
+              val frames = a.samples.length / a.channels
+              AudioFeatures(id, "wav", a.sampleRate, a.channels, a.bitsPerSample,
+                frames, frames * 1000L / a.sampleRate, wavFeatures(a))
+            case None =>
+              AudioFeatures(id, "unknown", 0, 0, 0, 0L, 0L,
+                stubFeatures(content))
+          }
+        }
+      }.toDF()
+  }
+
   /** Decode kernel: REAL header-parsed dimensions where a known container
     * format is present, zero dims + "unknown" otherwise. PNG features are
     * real pixel statistics ([[pngPixelFeatures]]); everything else takes

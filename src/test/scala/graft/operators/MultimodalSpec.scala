@@ -164,6 +164,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(g(4) - expectedStd) < 1e-3 && g(7) === 0f)
   }
 
+  // --- real WAV (RIFF/PCM) decode ----------------------------------------
+
+  test("wavDecode round-trips the encoder, mono and stereo") {
+    val mono = Array.tabulate[Short](480)(i => ((i * 37 - 7000) % 32768).toShort)
+    val Some(m) = Multimodal.wavDecode(Multimodal.wavEncode(8000, 1, mono)): @unchecked
+    assert(m.sampleRate === 8000 && m.channels === 1 && m.bitsPerSample === 16)
+    assert(m.samples.toSeq === mono.toSeq)
+
+    val stereo = Array.tabulate[Short](480)(i => (i * 13 - 3000).toShort)
+    val Some(s) = Multimodal.wavDecode(Multimodal.wavEncode(44100, 2, stereo)): @unchecked
+    assert(s.channels === 2 && s.samples.toSeq === stereo.toSeq)
+  }
+
+  test("wavDecode skips ancillary chunks and rejects non-PCM16 profiles") {
+    val bytes = Multimodal.wavEncode(16000, 1, Array.tabulate[Short](100)(_.toShort))
+    // splice a LIST chunk between fmt and data (offset 36 = start of 'data')
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = bytes.take(36) ++ list ++ bytes.drop(36)
+    val Some(a) = Multimodal.wavDecode(spliced): @unchecked
+    assert(a.samples.length === 100)
+
+    // IEEE-float format tag (3) declines
+    val floatFmt = bytes.clone(); floatFmt(20) = 3
+    assert(Multimodal.wavDecode(floatFmt) === None)
+    // 8-bit declines
+    val eightBit = bytes.clone(); eightBit(34) = 8
+    assert(Multimodal.wavDecode(eightBit) === None)
+    // truncated data chunk declines
+    assert(Multimodal.wavDecode(bytes.dropRight(10)) === None)
+    // not RIFF at all
+    assert(Multimodal.wavDecode("definitely not audio bytes + padding to 44".getBytes) === None)
+    assert(Multimodal.wavDecode(null) === None)
+  }
+
+  test("wavFeatures: exact statistics on constant and alternating signals") {
+    // constant DC +1200, mono: mean=rms=peak=1200/32768, zcr 0
+    val dc = Multimodal.wavDecode(Multimodal.wavEncode(8000, 1, Array.fill[Short](256)(1200))).get
+    val f = Multimodal.wavFeatures(dc)
+    assert(f(0) === 1200f / 32768f && f(1) === f(0))
+    assert(f(2) === 1200f / 32768f && f(3) === f(2))
+    assert(f(4) === 1200f / 32768f && f(5) === f(4) && f(6) === f(4))
+    assert(f(7) === 0f)
+
+    // alternating +/-v, mono: mean 0, rms v, zero-cross rate 1
+    val alt = Multimodal.wavDecode(Multimodal.wavEncode(8000, 1,
+      Array.tabulate[Short](200)(i => if (i % 2 == 0) 9000 else -9000))).get
+    val g = Multimodal.wavFeatures(alt)
+    assert(g(0) === 0f && g(2) === 9000f / 32768f && g(7) === 1f)
+    assert(g(4) === -9000f / 32768f && g(5) === 9000f / 32768f && g(6) === 9000f / 32768f)
+
+    // stereo with distinct channels: per-channel means separate
+    val st = Multimodal.wavDecode(Multimodal.wavEncode(8000, 2,
+      Array.tabulate[Short](64)(i => if (i % 2 == 0) 100 else -300))).get
+    val h = Multimodal.wavFeatures(st)
+    assert(h(0) === 100f / 32768f && h(1) === -300f / 32768f)
+  }
+
+  test("extractAudioFeaturesDF: wav rows decode for real, junk degrades to stub") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.wavEncode(8000, 1, Array.fill[Short](80)(500))),
+      (2L, "not audio".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.extractAudioFeaturesDF(df).collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) === "wav" && out(0).getInt(2) === 8000)
+    assert(out(0).getLong(5) === 80L && out(0).getLong(6) === 10L) // 80 frames @ 8kHz = 10ms
+    assert(out(1).getString(1) === "unknown" && out(1).getInt(2) === 0)
+  }
+
   test("extractFeatures: real dims for real headers, stub features, byte counts kept") {
     val out = Multimodal.extractFeatures(media()).collect().sortBy(_.media_id)
     assert(out.length === 4)
