@@ -611,6 +611,35 @@ object SparkEntry {
       max(col("n_events")).cast("long").as("max_session_events"))
   }
 
+  /** Streaming exact dedup as a REAL one-shot stream: the events source
+    * unioned with a second stream of every-10th event (planted duplicates,
+    * DuckDB-recomputable), deduplicated on event_id with
+    * `dropDuplicatesWithinWatermark`. The whole file arrives inside one
+    * AvailableNow micro-batch, so every planted duplicate is within the
+    * watermark horizon and the emitted set is exactly the distinct ids —
+    * which the oracle recomputes along with the planted-input row count. */
+  private def qEventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def source() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("user_id"), col("value"))
+    val withDups = source().unionAll(source().where(col("event_id") % 10 === 0))
+    val deduped = graft.streaming.Streaming.dedupWithinWatermark(
+      withDups, Seq("event_id"), "ts", "10 minutes")
+    val sink = "graft_events_dedup_sink"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n_out"),
+      countDistinct(col("event_id")).as("n_distinct"),
+      sum(col("event_id")).cast("long").as("id_sum"))
+  }
+
   /** Gap sessionization (30 min) over the events table via the batch
     * twin of the streaming operator; the oracle recomputes the same
     * sessions with window functions in DuckDB. */
@@ -733,6 +762,7 @@ object SparkEntry {
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
     "events_sessions_stream" -> qEventsSessionsStream,
+    "events_dedup_stream" -> qEventsDedupStream,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -877,6 +907,9 @@ object SparkEntry {
       ("SELECT count(*) AS n, count(*) AS n_png, " +
         "sum(1 + doc_id % 64)::BIGINT AS width_sum, sum(1 + doc_id % 48)::BIGINT AS height_sum, " +
         "count(*) AS n_feat8, count(*) AS n_mean_exact, count(*) AS n_std_zero FROM documents"),
+    "events_dedup_stream" ->
+      ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
+        "sum(event_id)::BIGINT AS id_sum FROM events"),
     "multimodal_audio" ->
       ("SELECT count(*) AS n, count(*) AS n_wav, " +
         "sum(64 + doc_id % 256)::BIGINT AS frames_sum, sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +

@@ -88,6 +88,24 @@ object Streaming {
       }
   }
 
+  /** Streaming exact deduplication with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + delay, so the state store does not
+    * grow with the full key history (plain `dropDuplicates` on a stream
+    * would). The trade-off is the public contract of that operator: a
+    * duplicate arriving after its first occurrence's state was evicted is
+    * emitted again — callers choose `delay` as the max duplicate lag they
+    * need to absorb (in a training-data ingest, the window between a
+    * producer retry and the original).
+    *
+    * This is the streaming twin of [[graft.operators.Dedup.exact]]; at
+    * 100 TB/day the state held at any moment is one entry per distinct key
+    * seen inside the watermark horizon, partitioned by key hash across the
+    * cluster's state stores. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Batch-equivalent sessionization (same gap semantics) — lets the
     * streaming operator be cross-checked against a deterministic batch
     * computation in tests and backfills. */
