@@ -502,6 +502,31 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Sequence packing over the documents table at capacity 2048: the
+    * distributed prefix sum ([[graft.operators.Packing.tokenSpans]] — range
+    * partition + partitioned window + broadcast offsets, no global-order
+    * window) drives both packing disciplines; the oracle recomputes spans,
+    * bins, chunk counts and fills with plain SQL window functions. Token
+    * counts reuse the whitespace tokenizer already proven DuckDB-equal by
+    * text_profile. */
+  private def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 2048L
+    val base = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    val spans = graft.operators.Packing.chunkSpans(base, "doc_id", "toks", capacity)
+      .withColumn("bin", floor(col("token_start") / capacity).cast("long"))
+    val docStats = spans.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).cast("long").as("total_tokens"),
+      (max(col("chunk_last")) + 1).cast("long").as("n_seqs"),
+      count(when(col("n_chunks") > 1, 1)).as("n_straddlers"))
+    val binStats = spans.groupBy(col("bin")).agg(sum(col("toks")).as("fill"))
+      .agg((max(col("bin")) + 1).cast("long").as("n_bins"),
+        max(col("fill")).cast("long").as("max_bin_fill"))
+    docStats.crossJoin(binStats) // 1x1 combine
+  }
+
   /** Audio analog of [[qMultimodalFeatures]]: synthesizes real RIFF/PCM16
     * WAVs (constant DC value, id-derived frames/channels) and checks the
     * REAL decode ([[graft.operators.Multimodal.wavDecode]]) — for a
@@ -758,6 +783,7 @@ object SparkEntry {
     "text_fingerprint" -> qTextFingerprint,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
+    "pack_sequences" -> qPackSequences,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -910,6 +936,18 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t), " +
+        "b AS (SELECT doc_id, toks, e, (e - toks) // 2048 AS bin, " +
+        "(e - 1) // 2048 - (e - toks) // 2048 + 1 AS n_chunks FROM s), " +
+        "f AS (SELECT bin, sum(toks) AS fill FROM b GROUP BY bin) " +
+        "SELECT (SELECT count(*) FROM b)::BIGINT AS n_docs, " +
+        "(SELECT sum(toks) FROM b)::BIGINT AS total_tokens, " +
+        "(SELECT (sum(toks) + 2047) // 2048 FROM b)::BIGINT AS n_seqs, " +
+        "(SELECT count(*) FROM b WHERE n_chunks > 1)::BIGINT AS n_straddlers, " +
+        "(SELECT max(bin) + 1 FROM b)::BIGINT AS n_bins, " +
+        "(SELECT max(fill) FROM f)::BIGINT AS max_bin_fill"),
     "multimodal_audio" ->
       ("SELECT count(*) AS n, count(*) AS n_wav, " +
         "sum(64 + doc_id % 256)::BIGINT AS frames_sum, sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data assembly: lay documents out along
+  * a global token axis (deterministic order), then bin them into fixed
+  * token-capacity training sequences.
+  *
+  * The global prefix sum is computed the SCALABLE way — NOT with a single
+  * `Window.orderBy(...)` over the whole frame (which funnels the entire
+  * dataset through one task): range-partition on the order key, cumsum
+  * per partition with an ordinary partitioned window, then add broadcast
+  * per-partition offsets (one row per partition). Wall-clock is one range
+  * shuffle + one narrow join; every stage is parallel. This is the classic
+  * two-pass distributed prefix sum, expressed in DataFrame ops so Catalyst
+  * still prunes/pushes around it.
+  *
+  * Two packing disciplines are offered, both deterministic and both
+  * recomputable in plain SQL window functions by an oracle engine:
+  *
+  *  - [[assignBins]] — contiguous greedy packing: a document's bin is
+  *    `floor(token_start / capacity)`; a document that straddles a capacity
+  *    boundary stays in its starting bin (bins may overflow by at most one
+  *    document — the bounded-overflow contract used when documents must not
+  *    be split).
+  *  - [[chunkSpans]] — GPT-style concat-and-chunk: the token stream is cut
+  *    at exact capacity multiples; a straddling document belongs to every
+  *    chunk its span crosses (`n_chunks` per doc), and the total number of
+  *    training sequences is `ceil(total_tokens / capacity)`.
+  */
+object Packing {
+
+  /** (token_start, token_end] span of every row along the global token axis
+    * ordered by `orderCol`. Adds `token_start`, `token_end`. */
+  def tokenSpans(df: DataFrame, orderCol: String, tokensCol: String): DataFrame = {
+    val pid = "__graft_pid"
+    // range partition => partition i holds an orderCol range entirely below
+    // partition i+1, so (pid, orderCol) sorts identically to orderCol alone
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parallelism, col(s"`$orderCol`"))
+      .withColumn(pid, spark_partition_id())
+    val localW = Window.partitionBy(pid).orderBy(col(s"`$orderCol`"))
+    val local = ranged.withColumn("__local_end", sum(col(s"`$tokensCol`")).over(localW))
+    // one row per partition; the offset window runs over <=parallelism rows
+    val offsetW = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(pid))
+      .agg(max(col("__local_end")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(offsetW), lit(0L)))
+      .select(col(pid), col("__offset"))
+    local.join(broadcast(offsets), pid)
+      .withColumn("token_end", col("__local_end") + col("__offset"))
+      .withColumn("token_start", col("token_end") - col(s"`$tokensCol`"))
+      .drop(pid, "__local_end")
+  }
+
+  /** Contiguous greedy packing: adds `bin` = floor(token_start / capacity).
+    * Every bin holds consecutive documents; fill is in
+    * (capacity - max_doc_tokens, capacity + max_doc_tokens). */
+  def assignBins(df: DataFrame, orderCol: String, tokensCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    tokenSpans(df, orderCol, tokensCol)
+      .withColumn("bin", floor(col("token_start") / capacity).cast("long"))
+  }
+
+  /** Concat-and-chunk spans: adds `chunk_first`, `chunk_last`, `n_chunks`
+    * (how many capacity-sized training sequences this document's tokens
+    * touch). Zero-token documents touch zero chunks. */
+  def chunkSpans(df: DataFrame, orderCol: String, tokensCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val first = floor(col("token_start") / capacity).cast("long")
+    val last = floor((col("token_end") - 1) / capacity).cast("long")
+    tokenSpans(df, orderCol, tokensCol)
+      .withColumn("chunk_first", when(col(s"`$tokensCol`") > 0, first))
+      .withColumn("chunk_last", when(col(s"`$tokensCol`") > 0, last))
+      .withColumn("n_chunks",
+        when(col(s"`$tokensCol`") > 0, last - first + 1).otherwise(lit(0L)))
+  }
+}
