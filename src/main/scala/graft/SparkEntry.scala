@@ -455,6 +455,14 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition metrics, full per-document value compare (the
+    * strongest oracle form): DuckDB recomputes lines, distinct lines, the
+    * bigram multiset and its mode with list/unnest SQL. */
+  private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionProfile(
+      table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     docs.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"), col("text"))
@@ -781,6 +789,7 @@ object SparkEntry {
     "ann_lsh_topk" -> qAnnLshTopk,
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
+    "text_repetition" -> qTextRepetition,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
     "pack_sequences" -> qPackSequences,
@@ -917,6 +926,18 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+        "string_split(text, chr(10)) AS lines FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b), " +
+        "bs AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_bg FROM bc GROUP BY doc_id) " +
+        "SELECT t.doc_id, len(lines)::BIGINT AS n_lines, " +
+        "floor((len(lines) - len(list_distinct(lines)))::DOUBLE / greatest(len(lines), 1) * 10000)::BIGINT AS dup_line_frac_x1e4, " +
+        "coalesce(n_bg, 0)::BIGINT AS n_bigrams, coalesce(top_n, 0)::BIGINT AS top_bigram_n, " +
+        "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4 " +
+        "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id ORDER BY t.doc_id"),
     "stage_roundtrip" ->
       ("SELECT count(*) AS n, count(c_name) AS n_len16, count(*) AS records_detail, " +
         "5::BIGINT AS out_cols FROM customer"),

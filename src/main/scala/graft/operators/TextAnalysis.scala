@@ -98,6 +98,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Gopher/C4-style repetition metrics per document (Rae et al. 2021 §A1.1
+    * quality filters; public heuristics): duplicate-line fraction and the
+    * fraction of word bigrams taken by the single most frequent bigram.
+    * High values mean boilerplate/spam-like repetition.
+    *
+    * Shape: the per-doc bigram mode is computed by EXPLODE + two keyed
+    * aggregations (doc,bigram -> count, then doc -> max/sum), i.e. the
+    * inverted-index shuffle shape that scales — NOT an O(tokens^2)
+    * higher-order-lambda scan per row (array lambdas evaluate interpreted
+    * per element). Output: doc_id, n_lines, dup_line_frac_x1e4, n_bigrams,
+    * top_bigram_n, top_bigram_frac_x1e4. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(s"`$textCol`")
+    val base = df.select(
+      col(s"`$idCol`").cast("long").as("doc_id"),
+      tokens(t).as("__toks"),
+      split(t, "\n").as("__lines"))
+    val lineStats = base.select(
+      col("doc_id"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      floor((size(col("__lines")) - size(array_distinct(col("__lines")))).cast("double") /
+        greatest(size(col("__lines")), lit(1)) * 10000).cast("long").as("dup_line_frac_x1e4"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("__toks")) >= 2,
+        expr("transform(sequence(0, size(__toks) - 2), " +
+          "i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val bigramStats = bigrams.groupBy(col("doc_id"), col("bg")).count()
+      .groupBy(col("doc_id"))
+      .agg(max(col("count")).as("top_bigram_n"), sum(col("count")).as("n_bigrams"))
+    lineStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"), col("dup_line_frac_x1e4"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"),
+        floor(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1)) * 10000)
+          .cast("long").as("top_bigram_frac_x1e4"))
+  }
+
   /** Full per-document profile. Language scores are materialized as plan
     * columns first so each marker count is evaluated once per row. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {

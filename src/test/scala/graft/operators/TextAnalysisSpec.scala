@@ -74,6 +74,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
   }
 
+  test("repetitionProfile: duplicate lines and dominant bigrams (Gopher-style)") {
+    import spark.implicits._
+    val df = Seq(
+      // 4 lines, 2 distinct -> dup frac 0.5; "buy now" bigram dominates
+      (1L, "buy now\nbuy now\nbuy now today\nbuy now today"),
+      // clean prose: no repeated lines, all bigrams unique
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      // single token: no bigrams at all
+      (3L, "word"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val spam = out(1L)
+    assert(spam.getAs[Long]("n_lines") === 4L)
+    assert(spam.getAs[Long]("dup_line_frac_x1e4") === 5000L)
+    // tokens: buy now buy now buy now today buy now today -> 9 bigrams,
+    // "buy now" x4, "now buy" x2, "now today" x2, "today buy" x1
+    assert(spam.getAs[Long]("n_bigrams") === 9L)
+    assert(spam.getAs[Long]("top_bigram_n") === 4L)
+    assert(spam.getAs[Long]("top_bigram_frac_x1e4") === 4444L)
+
+    val prose = out(2L)
+    assert(prose.getAs[Long]("dup_line_frac_x1e4") === 0L)
+    assert(prose.getAs[Long]("n_bigrams") === 8L)
+    assert(prose.getAs[Long]("top_bigram_n") === 1L)
+
+    val single = out(3L)
+    assert(single.getAs[Long]("n_bigrams") === 0L && single.getAs[Long]("top_bigram_n") === 0L)
+    assert(single.getAs[Long]("top_bigram_frac_x1e4") === 0L)
+    assert(out(4L).getAs[Long]("n_lines") === 1L)
+  }
+
   test("profile stays in whole-stage codegen (no UDFs, narrow plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = TextAnalysis.profile(df, "doc_id", "text").queryExecution.executedPlan.toString
