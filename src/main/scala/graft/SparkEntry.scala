@@ -510,6 +510,18 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Deterministic stratified hash sampling by source: engine-portable
+    * integer arithmetic ([[graft.operators.Sampling]]), so the oracle
+    * recomputes EXACT membership (counts + id checksums per stratum), not
+    * just approximate rates. Unlisted sources are dropped. */
+  private def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(
+      table(spark, dir, "documents"), "source", "doc_id",
+      Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2000, "src3" -> 500))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("source")
+
   /** Sequence packing over the documents table at capacity 2048: the
     * distributed prefix sum ([[graft.operators.Packing.tokenSpans]] — range
     * partition + partitioned window + broadcast offsets, no global-order
@@ -793,6 +805,7 @@ object SparkEntry {
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
     "pack_sequences" -> qPackSequences,
+    "hash_sample" -> qHashSample,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -957,6 +970,12 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "hash_sample" ->
+      ("SELECT source, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents " +
+        "WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < " +
+        "(CASE source WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 2147483648 " +
+        "WHEN 'src2' THEN 858993459 WHEN 'src3' THEN 214748364 ELSE 0 END) " +
+        "GROUP BY source ORDER BY source"),
     "pack_sequences" ->
       ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks FROM documents), " +
         "s AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t), " +

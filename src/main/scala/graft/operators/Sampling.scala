@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for dataset curation.
+  *
+  * Training-data pipelines need REPRODUCIBLE sampling: the same document
+  * must land in the same split on every run, on any engine, regardless of
+  * partitioning — which rules out `df.sample()` (RNG per partition, order-
+  * and partitioning-sensitive). The standard production answer is hash
+  * sampling: a document is selected iff a deterministic hash of its id
+  * lands under the rate cutoff. Selection is then a pure per-row predicate
+  * (narrow, codegen'd, pushes down like any filter) and any engine can
+  * recompute the exact same sample.
+  *
+  * The hash is Knuth's multiplicative scheme over the 32-bit ring:
+  * `h(id) = (id * 2654435761) mod 2^32`. All comparisons are pure integer
+  * arithmetic (no floats, no RNG), so plain SQL — the DuckDB oracle, a
+  * warehouse, a Python check script — reproduces membership bit-for-bit.
+  * Java's wrap-on-overflow multiply is exact here: (a*b mod 2^64) mod 2^32
+  * equals (a*b) mod 2^32, so ids of any size hash identically to an engine
+  * doing the multiply in wider integers.
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L
+  private val Ring = 4294967296L // 2^32
+
+  /** The 32-bit multiplicative hash of a non-negative integer id. */
+  def idHash(id: Column): Column = pmod(id.cast("long") * Knuth, lit(Ring))
+
+  /** Integer cutoff under which a hash is "in" an `fractionBp`-basis-point
+    * sample. Exposed so callers (and oracles) can inline the constant. */
+  def cutoff(fractionBp: Int): Long = {
+    require(fractionBp >= 0 && fractionBp <= 10000, "fraction is in basis points [0, 10000]")
+    fractionBp * Ring / 10000
+  }
+
+  /** Keep rows whose id hashes under `fractionBp` basis points (1% = 100).
+    * A row's membership is stable across runs, engines and partitionings;
+    * nested fractions are subsets (a 1% sample is inside the 5% sample). */
+  def hashSample(df: DataFrame, idCol: String, fractionBp: Int): DataFrame =
+    df.where(idHash(col(s"`$idCol`")) < cutoff(fractionBp))
+
+  /** Stratified hash sampling: per-stratum basis-point rates, default 0
+    * (strata absent from the map are dropped — curation semantics: an
+    * unlisted source does not leak into the mix). The rate lookup compiles
+    * to a CASE chain, so the whole operator stays one narrow codegen'd
+    * filter — no join, no shuffle, safe at any scale. For thousands of
+    * strata, broadcast-join a rates table instead. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, idCol: String,
+                           fractionsBp: Map[String, Int]): DataFrame = {
+    val cut = fractionsBp.foldLeft(lit(0L)) { case (acc, (stratum, bp)) =>
+      when(col(s"`$strataCol`") === stratum, cutoff(bp)).otherwise(acc)
+    }
+    df.where(idHash(col(s"`$idCol`")) < cut)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("hashSample is deterministic, rate-accurate and nested") {
+    val df = ids(20000)
+    val p5 = Sampling.hashSample(df, "id", 500).collect().map(_.getLong(0)).toSet
+    val p5again = Sampling.hashSample(df, "id", 500).collect().map(_.getLong(0)).toSet
+    assert(p5 === p5again, "same sample every run")
+    // 5% of 20000 = 1000 expected; multiplicative hash is equidistributed
+    assert(math.abs(p5.size - 1000) < 150, s"rate off: ${p5.size}")
+    // nesting: the 1% sample is a subset of the 5% sample
+    val p1 = Sampling.hashSample(df, "id", 100).collect().map(_.getLong(0)).toSet
+    assert(p1.subsetOf(p5))
+    assert(Sampling.hashSample(df, "id", 10000).count() === 20000L)
+    assert(Sampling.hashSample(df, "id", 0).count() === 0L)
+  }
+
+  test("membership matches the arithmetic spec exactly (portability contract)") {
+    val got = Sampling.hashSample(ids(5000), "id", 250).collect().map(_.getLong(0)).toSet
+    val cutoff = 250L * 4294967296L / 10000L
+    val want = (0L until 5000L).filter(id => java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L) < cutoff).toSet
+    assert(got === want)
+  }
+
+  test("stratifiedHashSample: per-stratum rates, unlisted strata dropped") {
+    import spark.implicits._
+    val df = (0L until 30000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val out = Sampling.stratifiedHashSample(df, "source", "id",
+      Map("src0" -> 10000, "src1" -> 1000)) // src2 unlisted -> dropped
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("src0") === 10000L, "100% stratum keeps everything")
+    assert(math.abs(out("src1") - 1000L) < 200, s"10% stratum: ${out("src1")}")
+    assert(!out.contains("src2"), "unlisted stratum must not leak")
+  }
+
+  test("sampling is a narrow codegen'd filter: no shuffle in the plan") {
+    import org.apache.spark.sql.functions._
+    val src = spark.range(100).toDF("id")
+      .withColumn("s", concat(lit("src"), (col("id") % 2).cast("string")))
+    val plan = Sampling.stratifiedHashSample(src, "s", "id", Map("src0" -> 500))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sampling must not shuffle")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
+      s"filter must stay in codegen:\n$plan")
+  }
+}
