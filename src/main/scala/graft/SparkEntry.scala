@@ -536,15 +536,21 @@ object SparkEntry {
       graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
     val spans = graft.operators.Packing.chunkSpans(base, "doc_id", "toks", capacity)
       .withColumn("bin", floor(col("token_start") / capacity).cast("long"))
-    val docStats = spans.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("toks")).cast("long").as("total_tokens"),
-      (max(col("chunk_last")) + 1).cast("long").as("n_seqs"),
-      count(when(col("n_chunks") > 1, 1)).as("n_straddlers"))
-    val binStats = spans.groupBy(col("bin")).agg(sum(col("toks")).as("fill"))
-      .agg((max(col("bin")) + 1).cast("long").as("n_bins"),
+    // ONE aggregation tree (per-bin partial, then global) so the spans
+    // subtree — and its range shuffle — is consumed exactly once
+    spans.groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("bin_docs"),
+        sum(col("toks")).as("fill"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("bin_straddlers"),
+        max(col("chunk_last")).as("bin_chunk_last"))
+      .agg(
+        sum(col("bin_docs")).cast("long").as("n_docs"),
+        sum(col("fill")).cast("long").as("total_tokens"),
+        (max(col("bin_chunk_last")) + 1).cast("long").as("n_seqs"),
+        sum(col("bin_straddlers")).cast("long").as("n_straddlers"),
+        (max(col("bin")) + 1).cast("long").as("n_bins"),
         max(col("fill")).cast("long").as("max_bin_fill"))
-    docStats.crossJoin(binStats) // 1x1 combine
   }
 
   /** Audio analog of [[qMultimodalFeatures]]: synthesizes real RIFF/PCM16

@@ -42,17 +42,24 @@ object Packing {
     val ranged = df.repartitionByRange(parallelism, col(s"`$orderCol`"))
       .withColumn(pid, spark_partition_id())
     val localW = Window.partitionBy(pid).orderBy(col(s"`$orderCol`"))
+    // persisted: both the offsets branch and the result consume this frame —
+    // without the persist each consumer re-runs the scan + range shuffle +
+    // window (the plan tree duplicates the whole subtree); released lazily
+    // after the caller's first action
     val local = ranged.withColumn("__local_end", sum(col(s"`$tokensCol`")).over(localW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per partition; the offset window runs over <=parallelism rows
     val offsetW = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col(pid))
       .agg(max(col("__local_end")).as("__ptotal"))
       .withColumn("__offset", coalesce(sum(col("__ptotal")).over(offsetW), lit(0L)))
       .select(col(pid), col("__offset"))
-    local.join(broadcast(offsets), pid)
-      .withColumn("token_end", col("__local_end") + col("__offset"))
-      .withColumn("token_start", col("token_end") - col(s"`$tokensCol`"))
-      .drop(pid, "__local_end")
+    Partitioning.releaseAfterUse(
+      local.join(broadcast(offsets), pid)
+        .withColumn("token_end", col("__local_end") + col("__offset"))
+        .withColumn("token_start", col("token_end") - col(s"`$tokensCol`"))
+        .drop(pid, "__local_end"),
+      local)
   }
 
   /** Contiguous greedy packing: adds `bin` = floor(token_start / capacity).
