@@ -510,6 +510,24 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Benchmark decontamination with a PLANTED eval set (every 50th doc):
+    * flags every document sharing a word 8-gram with the benchmark —
+    * including the benchmark members themselves (self-overlap) — via the
+    * broadcast-gram-set probe ([[graft.operators.Decontamination]]). The
+    * oracle regenerates both gram sets and the exact contaminated id set
+    * in DuckDB list SQL. */
+  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+    val cont = graft.operators.Decontamination.contaminatedIds(
+      docs, "doc_id", "text", bench, "text", n = 8)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(cont.agg( // 1x1 combine
+        count(lit(1)).as("n_contaminated"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("cont_id_sum")))
+      .withColumn("n_kept", col("n_docs") - col("n_contaminated"))
+  }
+
   /** Deterministic stratified hash sampling by source: engine-portable
     * integer arithmetic ([[graft.operators.Sampling]]), so the oracle
     * recomputes EXACT membership (counts + id checksums per stratum), not
@@ -812,6 +830,7 @@ object SparkEntry {
     "multimodal_audio" -> qMultimodalAudio,
     "pack_sequences" -> qPackSequences,
     "hash_sample" -> qHashSample,
+    "decontaminate" -> qDecontaminate,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -976,6 +995,16 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)) " +
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, " +
+        "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
+        "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
+        "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
     "hash_sample" ->
       ("SELECT source, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents " +
         "WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < " +

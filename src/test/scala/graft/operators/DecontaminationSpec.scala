@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DecontaminationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val eight = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+
+  test("flags exactly the documents sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"prefix words then $eight and a tail"), // contains the full 8-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta NOPE"), // only a 7-overlap
+      (3L, s"${eight.toUpperCase} cased differently"), // tokenization lowercases
+      (4L, "completely unrelated text with many many words here"),
+      (5L, "short")).toDF("doc_id", "text")
+    val bench = Seq(s"question: $eight?").toDF("text")
+    // note: the benchmark's trailing '?' sticks to 'theta' -> 'theta?' is a
+    // DIFFERENT token, so the benchmark's grams come from its first 8 tokens
+    // 'question: alpha ... eta' and the clean 'alpha ... theta' 8-gram is
+    // NOT in it. Use a benchmark without punctuation for the exact match:
+    val benchClean = Seq(s"intro $eight outro").toDF("text")
+    val ids = Decontamination.contaminatedIds(docs, "doc_id", "text", benchClean, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), s"got $ids")
+    val kept = Decontamination.dropContaminated(docs, "doc_id", "text", benchClean, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // the punctuation-fused benchmark only matches nothing (token mismatch)
+    assert(Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text").count() === 0L)
+  }
+
+  test("n controls strictness; short docs and empty benchmarks are safe") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three four"), (2L, "two three four five")).toDF("doc_id", "text")
+    val bench = Seq("zero one two three four five six").toDF("text")
+    assert(Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text", n = 4)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text", n = 5)
+      .count() === 0L, "neither doc has 5 tokens in a benchmark 5-gram")
+    val empty = Seq.empty[String].toDF("text")
+    assert(Decontamination.dropContaminated(docs, "doc_id", "text", empty, "text").count() === 2L)
+  }
+
+  test("corpus side never shuffles before the broadcast probe") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val bench = Seq("a b c d e f g h").toDF("text")
+    val plan = Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("BroadcastHashJoin"), s"expected broadcast probe, got: $joinLine")
+  }
+}
