@@ -571,6 +571,48 @@ object SparkEntry {
         max(col("fill")).cast("long").as("max_bin_fill"))
   }
 
+  /** Full image chain: synthesize solid-color PNGs (as in
+    * [[qMultimodalFeatures]]), REAL-resize each to id-derived target dims
+    * ([[graft.operators.Multimodal.resizePng]] — decode, nearest-neighbor
+    * resample, re-encode), then run feature extraction on the RESIZED
+    * bytes: dims must equal the resize targets and a solid color is
+    * invariant under resampling, so the whole decode->resize->re-encode->
+    * decode chain is checked by DuckDB-recomputable constants. */
+  private def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long) => {
+      val w = 1 + math.floorMod(id, 64).toInt
+      val h = 1 + math.floorMod(id, 48).toInt
+      val rgb = Array(math.floorMod(id, 256), math.floorMod(id * 7, 256), math.floorMod(id * 13, 256))
+      graft.operators.Multimodal.pngEncode(w, h, 2,
+        Array.tabulate[Byte](w * h * 3)(i => rgb(i % 3).toByte))
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("media_id"),
+      mkPng(col("doc_id").cast("long")).as("content"))
+    // per-id target dims, so resize per row (resizeImagesDF covers the
+    // uniform-dims batch path; same kernel underneath)
+    val resize = udf((content: Array[Byte], id: Long) =>
+      graft.operators.Multimodal.resizePng(
+        content, 1 + math.floorMod(id, 16).toInt, 1 + math.floorMod(id, 12).toInt).orNull)
+    val out = media.select(col("media_id"), lit("image").as("modality"),
+      lit("png").as("format"), resize(col("content"), col("media_id")).as("content"))
+    val f = col("features")
+    val meanByte = (i: Int) => round(f.getItem(i) * 255).cast("long")
+    graft.operators.Multimodal.extractFeaturesDF(out)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("format_detected") === "png", 1)).as("n_png"),
+        sum(col("width")).cast("long").as("width_sum"),
+        sum(col("height")).cast("long").as("height_sum"),
+        count(when(
+          meanByte(0) === pmod(col("media_id"), lit(256)) &&
+            meanByte(1) === pmod(col("media_id") * 7, lit(256)) &&
+            meanByte(2) === pmod(col("media_id") * 13, lit(256)), 1)).as("n_mean_exact"),
+        count(when(
+          f.getItem(4) === 0.0f && f.getItem(5) === 0.0f && f.getItem(6) === 0.0f, 1))
+          .as("n_std_zero"))
+  }
+
   /** Audio analog of [[qMultimodalFeatures]]: synthesizes real RIFF/PCM16
     * WAVs (constant DC value, id-derived frames/channels) and checks the
     * REAL decode ([[graft.operators.Multimodal.wavDecode]]) — for a
@@ -828,6 +870,7 @@ object SparkEntry {
     "text_repetition" -> qTextRepetition,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
+    "multimodal_resize" -> qMultimodalResize,
     "pack_sequences" -> qPackSequences,
     "hash_sample" -> qHashSample,
     "decontaminate" -> qDecontaminate,
@@ -1023,6 +1066,10 @@ object SparkEntry {
         "(SELECT count(*) FROM b WHERE n_chunks > 1)::BIGINT AS n_straddlers, " +
         "(SELECT max(bin) + 1 FROM b)::BIGINT AS n_bins, " +
         "(SELECT max(fill) FROM f)::BIGINT AS max_bin_fill"),
+    "multimodal_resize" ->
+      ("SELECT count(*) AS n, count(*) AS n_png, " +
+        "sum(1 + doc_id % 16)::BIGINT AS width_sum, sum(1 + doc_id % 12)::BIGINT AS height_sum, " +
+        "count(*) AS n_mean_exact, count(*) AS n_std_zero FROM documents"),
     "multimodal_audio" ->
       ("SELECT count(*) AS n, count(*) AS n_wav, " +
         "sum(64 + doc_id % 256)::BIGINT AS frames_sum, sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +

@@ -493,6 +493,53 @@ object Multimodal {
     b.array()
   }
 
+  /** REAL image resize (nearest-neighbor) for PNG payloads: decode →
+    * resample → re-encode (palette images come back truecolor since decode
+    * expands them). Returns None for undecodable payloads — callers keep
+    * the original bytes. Nearest-neighbor is the deterministic, exactly
+    * specifiable kernel (sample source pixel `floor(i * src / dst)`); a
+    * production embedder swaps in its own filter without touching the
+    * plumbing. */
+  def resizePng(content: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    pngDecode(content).map { r =>
+      val out = new Array[Byte](outW * outH * r.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * r.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * r.width / outW).toInt
+          var c = 0
+          while (c < r.channels) {
+            out((y * outW + x) * r.channels + c) = r.samples((sy * r.width + sx) * r.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      pngEncode(outW, outH, r.colorType, out)
+    }
+  }
+
+  /** Batch resize over (media_id, content): decoded PNGs are resized and
+    * re-encoded; undecodable payloads pass through unchanged with
+    * `resized=false`. Narrow mapPartitions — no shuffle. */
+  def resizeImagesDF(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          resizePng(content, outW, outH) match {
+            case Some(resized) => (id, resized, true)
+            case None => (id, content, false)
+          }
+        }
+      }.toDF("media_id", "content", "resized")
+  }
+
   /** Batch feature extraction: one kernel "initialization" per partition
     * (mirrors how a real decoder amortizes model/codec setup), rows streamed
     * through it. Narrow transform — preserves partitioning, no shuffle. */

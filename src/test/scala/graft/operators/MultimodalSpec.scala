@@ -164,6 +164,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(g(4) - expectedStd) < 1e-3 && g(7) === 0f)
   }
 
+  test("resizePng: nearest-neighbor downscale samples the exact source pixels") {
+    // 4x4 gray image with values 0,16,32,... row-major; 2x2 nearest-neighbor
+    // resize samples source pixels (0,0),(0,2),(2,0),(2,2) -> 0,32,128,160
+    val px = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val Some(resized) = Multimodal.resizePng(Multimodal.pngEncode(4, 4, 0, px), 2, 2): @unchecked
+    val Some(r) = Multimodal.pngDecode(resized): @unchecked
+    assert(r.width === 2 && r.height === 2 && r.channels === 1)
+    assert(r.samples.map(_ & 0xff).toSeq === Seq(0, 32, 128, 160))
+
+    // solid color survives any resize exactly
+    val solid = Array.fill[Byte](5 * 3 * 3)(77)
+    val Some(up) = Multimodal.resizePng(Multimodal.pngEncode(5, 3, 2, solid), 9, 7): @unchecked
+    val Some(u) = Multimodal.pngDecode(up): @unchecked
+    assert(u.width === 9 && u.height === 7 && u.samples.forall(_ === 77.toByte))
+
+    // undecodable bytes decline; zero target dims decline
+    assert(Multimodal.resizePng("junk".getBytes, 2, 2) === None)
+    assert(Multimodal.resizePng(Multimodal.pngEncode(4, 4, 0, px), 0, 2) === None)
+  }
+
+  test("resizeImagesDF: pass-through for non-PNG payloads, resized flag kept") {
+    import spark.implicits._
+    val png = Multimodal.pngEncode(8, 8, 2, Array.fill[Byte](8 * 8 * 3)(10))
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.resizeImagesDF(df, 4, 4).collect().sortBy(_.getLong(0))
+    assert(out(0).getBoolean(2) === true)
+    val Some(r) = Multimodal.pngDecode(out(0).getAs[Array[Byte]](1)): @unchecked
+    assert(r.width === 4 && r.height === 4)
+    assert(out(1).getBoolean(2) === false)
+    assert(out(1).getAs[Array[Byte]](1).toSeq === "not an image".getBytes.toSeq)
+  }
+
   // --- real WAV (RIFF/PCM) decode ----------------------------------------
 
   test("wavDecode round-trips the encoder, mono and stereo") {
