@@ -613,6 +613,35 @@ object SparkEntry {
           .as("n_std_zero"))
   }
 
+  /** Video analog: synthesizes REAL AVI containers (RIFF hdrl/avih + movi
+    * with 00db frame chunks) with id-derived frame counts and constant
+    * frame payloads, samples every 2nd frame through the REAL container
+    * parser ([[graft.operators.Multimodal.aviFrames]]), and checks the
+    * sampled set — count, frame indices and payload bytes — against
+    * DuckDB-recomputable constants. */
+  private def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    val mkAvi = udf((id: Long) => {
+      val nFrames = 3 + math.floorMod(id, 7).toInt
+      val frames = (0 until nFrames).map(k =>
+        Array.fill[Byte](64)(math.floorMod(id + k, 256).toByte))
+      graft.operators.Multimodal.aviEncode(
+        320, 240, frames, usPerFrame = 33333)
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("media_id"),
+      mkAvi(col("doc_id").cast("long")).as("content"))
+    val sampled = graft.operators.Multimodal.sampleFrames(media, everyNth = 2)
+    val firstByte = udf((f: Array[Byte]) => if (f == null || f.isEmpty) -1 else f(0) & 0xff)
+    sampled.agg(
+      count(lit(1)).as("n_frames_sampled"),
+      countDistinct(col("media_id")).as("n_videos"),
+      count(when(col("real_container"), 1)).as("n_real"),
+      sum(col("frame_index")).cast("long").as("frame_index_sum"),
+      count(when(
+        firstByte(col("frame")) === pmod(col("media_id") + col("frame_index"), lit(256)) &&
+          length(col("frame")) === 64, 1)).as("n_payload_exact"))
+  }
+
   /** Audio analog of [[qMultimodalFeatures]]: synthesizes real RIFF/PCM16
     * WAVs (constant DC value, id-derived frames/channels) and checks the
     * REAL decode ([[graft.operators.Multimodal.wavDecode]]) — for a
@@ -871,6 +900,7 @@ object SparkEntry {
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_resize" -> qMultimodalResize,
+    "multimodal_video" -> qMultimodalVideo,
     "pack_sequences" -> qPackSequences,
     "hash_sample" -> qHashSample,
     "decontaminate" -> qDecontaminate,
@@ -1066,6 +1096,11 @@ object SparkEntry {
         "(SELECT count(*) FROM b WHERE n_chunks > 1)::BIGINT AS n_straddlers, " +
         "(SELECT max(bin) + 1 FROM b)::BIGINT AS n_bins, " +
         "(SELECT max(fill) FROM f)::BIGINT AS max_bin_fill"),
+    "multimodal_video" ->
+      ("WITH t AS (SELECT doc_id, (3 + doc_id % 7 + 1) // 2 AS c FROM documents) " +
+        "SELECT sum(c)::BIGINT AS n_frames_sampled, count(*)::BIGINT AS n_videos, " +
+        "sum(c)::BIGINT AS n_real, sum(c * (c - 1))::BIGINT AS frame_index_sum, " +
+        "sum(c)::BIGINT AS n_payload_exact FROM t"),
     "multimodal_resize" ->
       ("SELECT count(*) AS n, count(*) AS n_png, " +
         "sum(1 + doc_id % 16)::BIGINT AS width_sum, sum(1 + doc_id % 12)::BIGINT AS height_sum, " +

@@ -563,18 +563,124 @@ object Multimodal {
       col("format").cast("string"), col("content").cast("binary")).as[MediaRecord]).toDF()
   }
 
-  /** Frame sampling stub for video payloads: emits every nth "frame" as a
-    * (media_id, frame_index, frame_bytes) row. The frame splitter is fake
-    * (fixed-size byte windows); the explode/plumbing shape is real. */
+  // --- real AVI (RIFF) video container -----------------------------------
+
+  case class AviMeta(width: Int, height: Int, totalFrames: Int, usPerFrame: Int)
+
+  /** Real AVI container parse from the public RIFF spec: 'RIFF'+'AVI '
+    * signature, 'hdrl' LIST with the 56-byte 'avih' main header (frame
+    * period, frame count, dimensions). Returns None for anything else. */
+  def aviParse(content: Array[Byte]): Option[AviMeta] = {
+    if (content == null || content.length < 12) return None
+    @inline def u8(i: Int): Int = content(i) & 0xff
+    def leU32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(content, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var i = 12L
+    while (i + 8 <= content.length) {
+      val len = leU32(i.toInt + 4)
+      if (i + 8 + len > content.length) return None
+      if (tag(i.toInt) == "LIST" && len >= 4 && tag(i.toInt + 8) == "hdrl") {
+        // walk the list body for the avih chunk
+        var j = i + 12
+        val end = i + 8 + len
+        while (j + 8 <= end) {
+          val clen = leU32(j.toInt + 4)
+          if (j + 8 + clen > end) return None
+          if (tag(j.toInt) == "avih" && clen >= 40) {
+            val b = j.toInt + 8
+            return Some(AviMeta(
+              width = leU32(b + 32).toInt, height = leU32(b + 36).toInt,
+              totalFrames = leU32(b + 16).toInt, usPerFrame = leU32(b).toInt))
+          }
+          j += 8 + clen + (clen & 1)
+        }
+        return None // hdrl without avih is malformed
+      }
+      i += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  /** Real frame extraction: the payloads of every '..db'/'..dc' chunk in
+    * the 'movi' LIST, in stream order. None if the container is not AVI or
+    * has no movi list. */
+  def aviFrames(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    if (aviParse(content).isEmpty) return None
+    @inline def u8(i: Int): Int = content(i) & 0xff
+    def leU32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(content, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 12L
+    while (i + 8 <= content.length) {
+      val len = leU32(i.toInt + 4)
+      if (i + 8 + len > content.length) return None
+      if (tag(i.toInt) == "LIST" && len >= 4 && tag(i.toInt + 8) == "movi") {
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var j = i + 12
+        val end = i + 8 + len
+        while (j + 8 <= end) {
+          val clen = leU32(j.toInt + 4)
+          if (j + 8 + clen > end) return None
+          val t = tag(j.toInt)
+          if (t.length == 4 && (t.endsWith("db") || t.endsWith("dc")))
+            frames += java.util.Arrays.copyOfRange(content, j.toInt + 8, (j + 8 + clen).toInt)
+          j += 8 + clen + (clen & 1)
+        }
+        return Some(frames.toIndexedSeq)
+      }
+      i += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  /** Real AVI encoder (inverse of [[aviParse]]/[[aviFrames]]): RIFF/AVI
+    * with an 'hdrl' LIST holding the 56-byte avih and a 'movi' LIST of
+    * '00db' uncompressed frame chunks. */
+  def aviEncode(width: Int, height: Int, frames: Seq[Array[Byte]],
+                usPerFrame: Int = 33333): Array[Byte] = {
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length).put(kind.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height) // + 16 reserved zero bytes
+    val hdrl = list("hdrl", chunk("avih", avih.array()))
+    val movi = list("movi", frames.flatMap(f => chunk("00db", f)).toArray)
+    val body = hdrl ++ movi
+    val b = java.nio.ByteBuffer.allocate(12 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length).put("AVI ".getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+
+  /** Frame sampling: REAL container-parsed frames for AVI payloads
+    * ('..db'/'..dc' chunks out of the movi list), byte-window fallback for
+    * opaque payloads (declared stub — splitting arbitrary codecs needs a
+    * demuxer library). Emits every `everyNth` frame as
+    * (media_id, frame_index, frame, real_container). Narrow — no shuffle. */
   def sampleFrames(df: DataFrame, everyNth: Int, frameBytes: Int = 256): DataFrame = {
     require(everyNth >= 1)
     val slicer = udf((content: Array[Byte]) =>
-      if (content == null) Seq.empty[(Int, Array[Byte])]
-      else content.grouped(frameBytes).zipWithIndex.collect {
-        case (frame, idx) if idx % everyNth == 0 => (idx, frame)
-      }.toSeq)
+      if (content == null) Seq.empty[(Int, Array[Byte], Boolean)]
+      else aviFrames(content) match {
+        case Some(frames) => frames.zipWithIndex.collect {
+          case (frame, idx) if idx % everyNth == 0 => (idx, frame, true)
+        }.toSeq
+        case None => content.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyNth == 0 => (idx, frame, false)
+        }.toSeq
+      })
     df.select(col("media_id"), explode(slicer(col("content"))).as("f"))
-      .select(col("media_id"), col("f._1").as("frame_index"), col("f._2").as("frame"))
+      .select(col("media_id"), col("f._1").as("frame_index"), col("f._2").as("frame"),
+        col("f._3").as("real_container"))
   }
 
   /** Embedding-style aggregate over extracted features: mean feature vector

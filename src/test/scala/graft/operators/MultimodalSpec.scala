@@ -285,12 +285,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.count() === 4)
   }
 
-  test("sampleFrames explodes fixed windows with stride") {
+  test("sampleFrames explodes fixed windows with stride (opaque fallback)") {
     import spark.implicits._
     val video = Seq((10L, Array.tabulate[Byte](1024)(_.toByte))).toDF("media_id", "content")
     val frames = Multimodal.sampleFrames(video, everyNth = 2, frameBytes = 256).collect()
     // 4 windows of 256 bytes, every 2nd -> indexes 0, 2
     assert(frames.map(_.getInt(1)).sorted.toSeq === Seq(0, 2))
+    assert(frames.forall(!_.getBoolean(3)), "opaque payloads are flagged as stub-split")
+  }
+
+  // --- real AVI (RIFF) container -----------------------------------------
+
+  test("aviParse/aviFrames round-trip the encoder; junk declines") {
+    val frames = (0 until 5).map(k => Array.fill[Byte](32)(k.toByte))
+    val avi = Multimodal.aviEncode(320, 240, frames, usPerFrame = 40000)
+    val Some(meta) = Multimodal.aviParse(avi): @unchecked
+    assert(meta === Multimodal.AviMeta(320, 240, 5, 40000))
+    val Some(out) = Multimodal.aviFrames(avi): @unchecked
+    assert(out.length === 5)
+    assert(out.zipWithIndex.forall { case (f, k) => f.toSeq === frames(k).toSeq })
+    // odd-length frames respect RIFF word alignment
+    val odd = Multimodal.aviEncode(8, 8, Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7, 8)))
+    val Some(oddOut) = Multimodal.aviFrames(odd): @unchecked
+    assert(oddOut.map(_.toSeq) === IndexedSeq(Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6, 7, 8)))
+    assert(Multimodal.aviParse("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.aviParse("garbage".getBytes) === None)
+    assert(Multimodal.aviParse(null) === None)
+    // truncated container declines instead of throwing
+    assert(Multimodal.aviFrames(avi.dropRight(10)) === None)
+  }
+
+  test("sampleFrames extracts REAL frames from AVI containers") {
+    import spark.implicits._
+    val frames = (0 until 6).map(k => Array.fill[Byte](16)((k * 10).toByte))
+    val avi = Multimodal.aviEncode(64, 48, frames)
+    val df = Seq((7L, avi)).toDF("media_id", "content")
+    val out = Multimodal.sampleFrames(df, everyNth = 2).collect().sortBy(_.getInt(1))
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    assert(out.forall(_.getBoolean(3)), "AVI frames are real-container frames")
+    assert(out.map(r => r.getAs[Array[Byte]]("frame")(0)).toSeq === Seq(0.toByte, 20.toByte, 40.toByte))
   }
 
   test("meanFeaturesByModality aggregates the feature column") {
