@@ -510,6 +510,24 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Partitioned-sink roundtrip: documents written hive-partitioned by
+    * lang through the bounded-fan-out sink ([[graft.sources.Sinks
+    * .writePartitioned]] — shuffle on partition cols + salt, dynamic
+    * overwrite), read back, and re-aggregated; the oracle recomputes the
+    * per-lang counts and id checksums from the base table, so a dropped or
+    * duplicated row anywhere in the write/read path fails the compare. */
+  private def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip").getAbsolutePath
+    graft.sources.Sinks.writePartitioned(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      out, Seq("lang"), filesPerPartition = 2)
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination with a PLANTED eval set (every 50th doc):
     * flags every document sharing a word 8-gram with the benchmark —
     * including the benchmark members themselves (self-overlap) — via the
@@ -904,6 +922,7 @@ object SparkEntry {
     "pack_sequences" -> qPackSequences,
     "hash_sample" -> qHashSample,
     "decontaminate" -> qDecontaminate,
+    "sink_roundtrip" -> qSinkRoundtrip,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -1068,6 +1087,8 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "sink_roundtrip" ->
+      "SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents GROUP BY lang ORDER BY lang",
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +
