@@ -695,6 +695,23 @@ object SparkEntry {
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
 
+  /** Semi-structured JSON handling (the events.props column): typed
+    * extraction with `from_json` (schema'd, codegen-friendly, NOT a
+    * per-row parser UDF) aggregated per event type; DuckDB recomputes
+    * with its native json functions. */
+  private def qEventsProps(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("k_sum"),
+        count(when(col("k").isNotNull, 1)).as("n_k_nonnull"))
+      .orderBy("event_type")
+  }
+
   private def qEventsWindow(spark: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS): unreadable as TimestampType in
     // Spark 4 - read nanos as long, convert to micros explicitly. The conf
@@ -928,6 +945,7 @@ object SparkEntry {
     "events_sessions" -> qEventsSessions,
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
+    "events_props" -> qEventsProps,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -1087,6 +1105,11 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "events_props" ->
+      ("SELECT event_type, count(*)::BIGINT AS n, " +
+        "sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum, " +
+        "count(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS n_k_nonnull " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "sink_roundtrip" ->
       "SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents GROUP BY lang ORDER BY lang",
     "decontaminate" ->
