@@ -80,5 +80,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("mask_email", "mask_email(deterministic, value)") {
       udf((d: Boolean, v: String) => Vocab.maskEmail(codec, pp)(d, v)).asNondeterministic()
     }
+
+    // --- analytics surface: native expressions / column builders, exposed
+    // to plain SQL (no UDF wrapper — these stay codegen'd in SQL too) ---
+    import org.apache.spark.sql.Column
+    def injectCol(name: String, usage: String, arity: Int)(build: Seq[Column] => Column): Unit = {
+      val builder: Seq[Expression] => Expression = { children =>
+        if (children.length != arity)
+          throw new IllegalArgumentException(s"$name expects $arity argument(s): $usage")
+        GraftBridge.expression(build(children.map(GraftBridge.column)))
+      }
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+    }
+
+    injectCol("graft_dot", "graft_dot(array<float>, array<float>) - embedding dot product", 2) {
+      case Seq(a, b) => graft.plans.VectorExpressions.dot(a, b)
+    }
+    injectCol("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash of a token array", 1) {
+      case Seq(t) => graft.plans.VectorExpressions.simhash64(t)
+    }
+    injectCol("graft_quality", "graft_quality(text) - [0,100] curation quality score", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.qualityScore(t)
+    }
+    injectCol("graft_lang", "graft_lang(text) - predicted language code (en/de/fr/es/zh)", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.languageId(t)
+    }
+    injectCol("graft_fingerprint", "graft_fingerprint(text) - canonical-content xxhash64", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.fingerprint(t)
+    }
+    injectCol("graft_hash_bucket",
+      "graft_hash_bucket(id) - deterministic 32-bit sample hash; WHERE graft_hash_bucket(id) < cutoff", 1) {
+      case Seq(id) => graft.operators.Sampling.idHash(id)
+    }
   }
 }

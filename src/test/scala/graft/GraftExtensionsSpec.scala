@@ -23,12 +23,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       new GraftExtensions().apply(ext)
       assert(captured.keySet === Set(
         "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
-        "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email"))
+        "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email",
+        "graft_dot", "graft_simhash64", "graft_quality", "graft_lang",
+        "graft_fingerprint", "graft_hash_bucket"))
 
       val e = captured("mask_string")(Seq(
         GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
       val row = spark.range(1).select(GraftBridge.column(e).as("m")).collect()(0)
       assert(row.getString(0).length === 16)
+
+      // analytics functions: native expressions, evaluable from SQL args
+      import org.apache.spark.sql.functions.{array, split}
+      val dot = captured("graft_dot")(Seq(
+        GraftBridge.expression(array(lit(1.0), lit(2.0))), GraftBridge.expression(array(lit(3.0), lit(4.0)))))
+      assert(spark.range(1).select(GraftBridge.column(dot)).collect()(0).getDouble(0) === 11.0)
+      val lang = captured("graft_lang")(Seq(GraftBridge.expression(lit("the cat and the dog in the house"))))
+      assert(spark.range(1).select(GraftBridge.column(lang)).collect()(0).getString(0) === "en")
+      val sh = captured("graft_simhash64")(Seq(GraftBridge.expression(split(lit("a b c"), " "))))
+      val shv = spark.range(1).select(GraftBridge.column(sh)).collect()(0).getLong(0)
+      val apiV = spark.range(1).select(
+        graft.plans.VectorExpressions.simhash64(split(lit("a b c"), " "))).collect()(0).getLong(0)
+      assert(shv === apiV, "SQL-injected simhash matches the Column API")
+      val bucket = captured("graft_hash_bucket")(Seq(GraftBridge.expression(lit(42L))))
+      assert(spark.range(1).select(GraftBridge.column(bucket)).collect()(0).getLong(0) ===
+        java.lang.Long.remainderUnsigned(42L * 2654435761L, 4294967296L))
+      // arity is validated with a clear message
+      val err = intercept[IllegalArgumentException](captured("graft_dot")(Seq.empty))
+      assert(err.getMessage.contains("graft_dot expects 2"))
     } finally sys.props.remove("graft.allowTestProfile")
   }
 
