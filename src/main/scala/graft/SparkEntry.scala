@@ -695,6 +695,43 @@ object SparkEntry {
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
 
+  /** Backward as-of join ([[graft.operators.AsOfJoin]] — union + keyed
+    * window, no join operator in the plan): every event picks up the
+    * latest at-or-before signup of its user; DuckDB's native ASOF JOIN
+    * recomputes the exact matched set. */
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def events = table(spark, dir, "events").select(
+      col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      col("user_id"), col("event_type"))
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    graft.operators.AsOfJoin.joinAsOf(
+      events.drop("event_type"), signups, "user_id", "ts", "sts", Seq("signup_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("signup_id")).as("n_matched"),
+        coalesce(sum(col("signup_id")), lit(0L)).cast("long").as("matched_id_sum"))
+  }
+
+  /** Binned range join ([[graft.operators.RangeJoin]] — interval bins +
+    * equi-join + exact decimal BETWEEN, never a nested-loop theta join):
+    * lineitem prices against +-5 bands around part retail prices; DuckDB
+    * recomputes with a native range-predicate join. */
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val intervals = table(spark, dir, "part").select(
+      col("p_partkey"),
+      (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"))
+    graft.operators.RangeJoin.joinPointInInterval(
+      points, "l_extendedprice", intervals, "lo", "hi", binWidth = 10.0)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("l_orderkey")), lit(0L)).cast("long").as("order_sum"),
+        coalesce(sum(col("p_partkey")), lit(0L)).cast("long").as("part_sum"))
+  }
+
   /** Semi-structured JSON handling (the events.props column): typed
     * extraction with `from_json` (schema'd, codegen-friendly, NOT a
     * per-row parser UDF) aggregated per event type; DuckDB recomputes
@@ -946,6 +983,8 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "events_props" -> qEventsProps,
+    "asof_join" -> qAsofJoin,
+    "range_join" -> qRangeJoin,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -1105,6 +1144,15 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "asof_join" ->
+      ("WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') " +
+        "SELECT count(*)::BIGINT AS n, count(s.event_id)::BIGINT AS n_matched, " +
+        "coalesce(sum(s.event_id), 0)::BIGINT AS matched_id_sum " +
+        "FROM events e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts"),
+    "range_join" ->
+      ("SELECT count(*)::BIGINT AS n_pairs, coalesce(sum(l.l_orderkey), 0)::BIGINT AS order_sum, " +
+        "coalesce(sum(p.p_partkey), 0)::BIGINT AS part_sum " +
+        "FROM lineitem l JOIN part p ON l.l_extendedprice BETWEEN p.p_retailprice - 5 AND p.p_retailprice + 5"),
     "events_props" ->
       ("SELECT event_type, count(*)::BIGINT AS n, " +
         "sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum, " +
