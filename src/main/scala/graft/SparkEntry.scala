@@ -695,6 +695,40 @@ object SparkEntry {
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
 
+  /** Multi-level aggregation (ROLLUP) delegated to Catalyst — subtotals
+    * and a grand total in one pass (partial aggregation per grouping set,
+    * one shuffle); DuckDB recomputes with its own ROLLUP. */
+  private def qRollupAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty_sum"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty_sum"))
+      .orderBy("rf", "ls")
+
+  /** Approximate aggregates at scale: HyperLogLog++ distinct counts and
+    * approximate quantiles. Sketches are not bit-reproducible across
+    * engines, so the CONTRACT is oracled instead: each estimate must land
+    * within its documented error bound of the exact value (computed
+    * Spark-side from the same data), yielding deterministic booleans the
+    * oracle pins as constants. */
+  private def qApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.agg(
+      countDistinct(col("l_orderkey")).as("exact_d"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_d"),
+      expr("approx_percentile(l_quantity, 0.5, 1000)").cast("double").as("p50"),
+      min(col("l_quantity")).cast("double").as("qmin"),
+      max(col("l_quantity")).cast("double").as("qmax"))
+      .select(
+        (abs(col("approx_d") - col("exact_d")).cast("double") / col("exact_d") <= 0.05)
+          .cast("long").as("hll_in_bound"),
+        (col("p50") >= col("qmin") && col("p50") <= col("qmax")).cast("long").as("p50_in_range"),
+        lit(1L).as("one"))
+  }
+
   /** Backward as-of join ([[graft.operators.AsOfJoin]] — union + keyed
     * window, no join operator in the plan): every event picks up the
     * latest at-or-before signup of its user; DuckDB's native ASOF JOIN
@@ -985,6 +1019,8 @@ object SparkEntry {
     "events_props" -> qEventsProps,
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
+    "rollup_agg" -> qRollupAgg,
+    "approx_agg" -> qApproxAgg,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -1144,6 +1180,12 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "rollup_agg" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
+        "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "approx_agg" ->
+      "SELECT 1::BIGINT AS hll_in_bound, 1::BIGINT AS p50_in_range, 1::BIGINT AS one",
     "asof_join" ->
       ("WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') " +
         "SELECT count(*)::BIGINT AS n, count(s.event_id)::BIGINT AS n_matched, " +
