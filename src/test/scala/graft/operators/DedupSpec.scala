@@ -77,6 +77,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash: multiple null-text docs neither NPE nor pair with each other (advisor r5)") {
+    import spark.implicits._
+    val df = Seq((1L, base), (2L, base), (3L, null: String), (4L, null: String), (5L, null: String))
+      .toDF("doc_id", "text")
+    // pre-fix: null sigs chunked into an array of 4 nulls, bucketed together,
+    // and pairUdf NPE'd on getLong of the null sig
+    val out = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)), s"null docs must drop out entirely: $out")
+  }
+
   test("short and empty documents neither crash nor fake-pair (descending-sequence guard)") {
     val df = docs(1L -> "", 2L -> "", 3L -> "ab", 4L -> "xy z", 5L -> base)
     // minhash: empty/short docs have empty shingle sets -> no pairs, no crash
