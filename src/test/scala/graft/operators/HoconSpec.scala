@@ -94,6 +94,20 @@ class HoconSpec extends AnyFunSuite {
     assert(m("mixed") === List("x", 1L, true))
   }
 
+  test("fuzz: the parser always terminates on arbitrary structural soup") {
+    // a scanner non-progress bug hangs the driver forever (advisor r5 found
+    // one on lone '$'); fuzz short random documents from the structural
+    // alphabet and require completion within a wall-clock budget
+    val alphabet = "ab=${}[]\"#,.\n :/\\$".toCharArray
+    val rnd = new scala.util.Random(0xF00DL)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    for (i <- 0 until 3000) {
+      val doc = Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      Hocon.parse(doc) // Left or Right both fine; the law is termination
+      assert(System.nanoTime() < deadline, s"parser too slow / hung near case $i: ${doc.take(60)}")
+    }
+  }
+
   test("a literal '$' outside a substitution is value text, not a hang (advisor r5)") {
     assert(ok("price = US$5")("price") === "US$5")
     assert(ok("sigil = $")("sigil") === "$")
