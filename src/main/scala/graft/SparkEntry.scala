@@ -695,6 +695,32 @@ object SparkEntry {
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
 
+  /** End-to-end curation pipeline — the composed shape a real training-data
+    * job runs, each stage an operator that is ALSO individually oracled:
+    * quality filter ([[graft.operators.TextAnalysis.qualityScore]]) →
+    * canonical-fingerprint dedup keeping the lowest doc_id per fingerprint
+    * (groupBy min, broadcast-joined back — not a window over the corpus) →
+    * deterministic 50% hash sample ([[graft.operators.Sampling]]). The
+    * oracle recomputes every stage exactly in SQL, so a drift in ANY stage
+    * breaks the compare. */
+  private def qCuratePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.operators.TextAnalysis
+    val docs = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      t.qualityScore(col("text")).as("quality"),
+      t.fingerprint(col("text")).as("fp"),
+      t.tokenCount(col("text")).cast("long").as("toks"))
+    val quality = docs.where(col("quality") >= 40)
+    val reps = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = quality.join(broadcast(reps), Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.hashSample(deduped, "doc_id", 5000)
+      .agg(
+        count(lit(1)).as("n_curated"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("toks")).cast("long").as("token_sum"))
+  }
+
   /** Multi-level aggregation (ROLLUP) delegated to Catalyst — subtotals
     * and a grand total in one pass (partial aggregation per grouping set,
     * one shuffle); DuckDB recomputes with its own ROLLUP. */
@@ -1028,6 +1054,7 @@ object SparkEntry {
     "range_join" -> qRangeJoin,
     "rollup_agg" -> qRollupAgg,
     "approx_agg" -> qApproxAgg,
+    "curate_pipeline" -> qCuratePipeline,
     "lineitem_agg" -> qLineitemAgg,
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
@@ -1187,6 +1214,21 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    "curate_pipeline" ->
+      ("WITH q AS (SELECT doc_id, text, " +
+        "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
+        "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[0-9]', '', 'g')) AS nd FROM documents), " +
+        "s AS (SELECT doc_id, ntok AS toks, " +
+        "floor(least(length(text), 500) / 5.0 * 0.4 " +
+        "  + (CASE WHEN length(text)::DOUBLE / greatest(ntok, 1) BETWEEN 3 AND 12 THEN 100.0 ELSE 30.0 END) * 0.4 " +
+        "  - (floor((length(text) - np)::DOUBLE / greatest(length(text), 1) * 10000) / 100.0) * 0.1 " +
+        "  - (floor((length(text) - nd)::DOUBLE / greatest(length(text), 1) * 10000) / 100.0) * 0.1)::BIGINT AS quality, " +
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS canon FROM q), " +
+        "f AS (SELECT * FROM s WHERE quality >= 40), " +
+        "d AS (SELECT f.* FROM f JOIN (SELECT canon, min(doc_id) AS m FROM f GROUP BY canon) r ON f.doc_id = r.m), " +
+        "h AS (SELECT * FROM d WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < 2147483648) " +
+        "SELECT count(*)::BIGINT AS n_curated, sum(doc_id)::BIGINT AS id_sum, sum(toks)::BIGINT AS token_sum FROM h"),
     "rollup_agg" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
