@@ -721,6 +721,18 @@ object SparkEntry {
         sum(col("toks")).cast("long").as("token_sum"))
   }
 
+  /** Pivot (wide aggregation) delegated to Catalyst — with an explicit
+    * pivot-value list so the plan is a single pass (no distinct-values
+    * pre-query); the oracle reshapes with FILTER clauses. */
+  private def qPivotAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag").as("rf"),
+        coalesce(col("F"), lit(0L)).as("n_f"), coalesce(col("O"), lit(0L)).as("n_o"))
+      .orderBy("rf")
+
   /** Multi-level aggregation (ROLLUP) delegated to Catalyst — subtotals
     * and a grand total in one pass (partial aggregation per grouping set,
     * one shuffle); DuckDB recomputes with its own ROLLUP. */
@@ -1053,6 +1065,7 @@ object SparkEntry {
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
     "rollup_agg" -> qRollupAgg,
+    "pivot_agg" -> qPivotAgg,
     "approx_agg" -> qApproxAgg,
     "curate_pipeline" -> qCuratePipeline,
     "lineitem_agg" -> qLineitemAgg,
@@ -1233,6 +1246,11 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "pivot_agg" ->
+      ("SELECT l_returnflag AS rf, " +
+        "count(*) FILTER (l_linestatus = 'F')::BIGINT AS n_f, " +
+        "count(*) FILTER (l_linestatus = 'O')::BIGINT AS n_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY rf"),
     "approx_agg" ->
       "SELECT 1::BIGINT AS hll_in_bound, 1::BIGINT AS p50_in_range, 1::BIGINT AS one",
     "asof_join" ->
