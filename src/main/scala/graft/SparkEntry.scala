@@ -721,6 +721,40 @@ object SparkEntry {
         sum(col("toks")).cast("long").as("token_sum"))
   }
 
+  /** Ordered-frame window aggregation (moving average over the previous 4
+    * events per user) delegated to Catalyst. The value is converted to
+    * exact centi-units FIRST (round(value*100) — the data is 2-decimal) so
+    * the sliding sum is integer arithmetic on both engines; a floating
+    * moving average would hit retraction rounding (sum+new-old) right at
+    * floor boundaries and mismatch rarely-but-surely. */
+  private def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v100"))
+      .withColumn("ma", floor(sum(col("v100")).over(w) / count(lit(1)).over(w)).cast("long"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ma")).cast("long").as("ma_sum"),
+        max(col("ma")).cast("long").as("ma_max"))
+  }
+
+  /** Set operations (INTERSECT / EXCEPT) delegated to Catalyst: users who
+    * clicked AND purchased, users who clicked but NEVER purchased. */
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = table(spark, dir, "events")
+      .where(col("event_type") === t).select(col("user_id")).distinct()
+    val both = users("click").intersect(users("purchase"))
+    val only = users("click").except(users("purchase"))
+    both.agg(count(lit(1)).as("n_both"), coalesce(sum(col("user_id")), lit(0L)).cast("long").as("both_sum"))
+      .crossJoin(only.agg( // 1x1 combine
+        count(lit(1)).as("n_only"), coalesce(sum(col("user_id")), lit(0L)).cast("long").as("only_sum")))
+  }
+
   /** Pivot (wide aggregation) delegated to Catalyst — with an explicit
     * pivot-value list so the plan is a single pass (no distinct-values
     * pre-query); the oracle reshapes with FILTER clauses. */
@@ -1066,6 +1100,8 @@ object SparkEntry {
     "range_join" -> qRangeJoin,
     "rollup_agg" -> qRollupAgg,
     "pivot_agg" -> qPivotAgg,
+    "moving_avg" -> qMovingAvg,
+    "set_ops" -> qSetOps,
     "approx_agg" -> qApproxAgg,
     "curate_pipeline" -> qCuratePipeline,
     "lineitem_agg" -> qLineitemAgg,
@@ -1246,6 +1282,20 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "moving_avg" ->
+      ("WITH v AS (SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS v100 FROM events), " +
+        "m AS (SELECT floor(sum(v100) OVER w::DOUBLE / count(*) OVER w)::BIGINT AS ma FROM v " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) " +
+        "SELECT count(*)::BIGINT AS n, sum(ma)::BIGINT AS ma_sum, max(ma)::BIGINT AS ma_max FROM m"),
+    "set_ops" ->
+      ("WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), " +
+        "b AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p), " +
+        "o AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p) " +
+        "SELECT (SELECT count(*) FROM b)::BIGINT AS n_both, " +
+        "(SELECT coalesce(sum(user_id), 0) FROM b)::BIGINT AS both_sum, " +
+        "(SELECT count(*) FROM o)::BIGINT AS n_only, " +
+        "(SELECT coalesce(sum(user_id), 0) FROM o)::BIGINT AS only_sum"),
     "pivot_agg" ->
       ("SELECT l_returnflag AS rf, " +
         "count(*) FILTER (l_linestatus = 'F')::BIGINT AS n_f, " +
