@@ -755,6 +755,25 @@ object SparkEntry {
         count(lit(1)).as("n_only"), coalesce(sum(col("user_id")), lit(0L)).cast("long").as("only_sum")))
   }
 
+  /** Top-k per group (best documents per source by quality) — rank inside
+    * a PARTITIONED window (shuffles on the group key, no global order), the
+    * curation pattern for per-source selection at corpus scale. */
+  private def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), q.as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .agg(
+        count(lit(1)).as("n_selected"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("quality")).cast("long").as("quality_sum"))
+  }
+
   /** Pivot (wide aggregation) delegated to Catalyst — with an explicit
     * pivot-value list so the plan is a single pass (no distinct-values
     * pre-query); the oracle reshapes with FILTER clauses. */
@@ -1102,6 +1121,7 @@ object SparkEntry {
     "pivot_agg" -> qPivotAgg,
     "moving_avg" -> qMovingAvg,
     "set_ops" -> qSetOps,
+    "topk_per_group" -> qTopkPerGroup,
     "approx_agg" -> qApproxAgg,
     "curate_pipeline" -> qCuratePipeline,
     "lineitem_agg" -> qLineitemAgg,
@@ -1282,6 +1302,19 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "topk_per_group" ->
+      ("WITH q AS (SELECT doc_id, source, " +
+        "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
+        "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[0-9]', '', 'g')) AS nd, length(text) AS lc FROM documents), " +
+        "s AS (SELECT doc_id, source, " +
+        "floor(least(lc, 500) / 5.0 * 0.4 " +
+        "  + (CASE WHEN lc::DOUBLE / greatest(ntok, 1) BETWEEN 3 AND 12 THEN 100.0 ELSE 30.0 END) * 0.4 " +
+        "  - (floor((lc - np)::DOUBLE / greatest(lc, 1) * 10000) / 100.0) * 0.1 " +
+        "  - (floor((lc - nd)::DOUBLE / greatest(lc, 1) * 10000) / 100.0) * 0.1)::BIGINT AS quality FROM q), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM s) " +
+        "SELECT count(*)::BIGINT AS n_selected, count(DISTINCT source)::BIGINT AS n_sources, " +
+        "sum(doc_id)::BIGINT AS id_sum, sum(quality)::BIGINT AS quality_sum FROM r WHERE rk <= 3"),
     "moving_avg" ->
       ("WITH v AS (SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS v100 FROM events), " +
         "m AS (SELECT floor(sum(v100) OVER w::DOUBLE / count(*) OVER w)::BIGINT AS ma FROM v " +
