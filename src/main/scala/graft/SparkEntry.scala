@@ -528,6 +528,26 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Second columnar format: the same bounded-fan-out partitioned sink
+    * writing ORC (Spark's built-in native ORC source), read back with a
+    * partition-pruning filter — only the `lang` directories in the IN-list
+    * are listed/scanned, the mechanism that turns a 100 TB corpus scan
+    * into a per-language slice. Aggregates survive the
+    * parquet -> ORC -> DataFrame roundtrip exactly. */
+  private def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").getAbsolutePath
+    graft.sources.Sinks.writePartitioned(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      out, Seq("lang"), filesPerPartition = 2, format = "orc")
+    spark.read.orc(out)
+      .where(col("lang").isin("en", "zh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination with a PLANTED eval set (every 50th doc):
     * flags every document sharing a word 8-gram with the benchmark —
     * including the benchmark members themselves (self-overlap) — via the
@@ -798,6 +818,28 @@ object SparkEntry {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("qty_sum"))
       .orderBy("rf", "ls")
+
+  /** Arbitrary GROUPING SETS — the grouping-set shape ROLLUP/CUBE cannot
+    * express (both single-column sets, no grand total), through Spark 4's
+    * `Dataset.groupingSets` API. One Expand + one hash aggregate; at scale
+    * the Expand multiplies input by the set count (3x here), which is the
+    * documented cost of multi-set aggregation everywhere — preferred over
+    * three separate scans+aggs when input dominates (one 100 TB scan, not
+    * three). `grouping_id()` disambiguates aggregate-marker nulls from data
+    * nulls (first grouping column = most significant bit, same convention
+    * as DuckDB's GROUPING). */
+  private def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val rf = col("l_returnflag"); val ls = col("l_linestatus")
+    li.groupingSets(Seq(Seq(rf, ls), Seq(rf), Seq(ls)), rf, ls)
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty_sum"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid").cast("long").as("gid"), col("n"), col("qty_sum"))
+      .orderBy("gid", "rf", "ls")
+  }
 
   /** Approximate aggregates at scale: HyperLogLog++ distinct counts and
     * approximate quantiles. Sketches are not bit-reproducible across
@@ -1109,6 +1151,7 @@ object SparkEntry {
     "hash_sample" -> qHashSample,
     "decontaminate" -> qDecontaminate,
     "sink_roundtrip" -> qSinkRoundtrip,
+    "orc_roundtrip" -> qOrcRoundtrip,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -1118,6 +1161,7 @@ object SparkEntry {
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
     "rollup_agg" -> qRollupAgg,
+    "grouping_sets_agg" -> qGroupingSets,
     "pivot_agg" -> qPivotAgg,
     "moving_avg" -> qMovingAvg,
     "set_ops" -> qSetOps,
@@ -1302,6 +1346,12 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "grouping_sets_agg" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
+        "GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, " +
+        "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS qty_sum " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)) " +
+        "ORDER BY gid, rf, ls"),
     "topk_per_group" ->
       ("WITH q AS (SELECT doc_id, source, " +
         "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
@@ -1352,6 +1402,10 @@ object SparkEntry {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "sink_roundtrip" ->
       "SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents GROUP BY lang ORDER BY lang",
+    "orc_roundtrip" ->
+      ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum, " +
+        "sum(doc_id)::BIGINT AS id_sum FROM documents WHERE lang IN ('en', 'zh') " +
+        "GROUP BY lang ORDER BY lang"),
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +

@@ -29,17 +29,19 @@ object Sinks {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        filesPerPartition: Int = 4,
-                       maxRecordsPerFile: Long = 5000000L): Unit = {
+                       maxRecordsPerFile: Long = 5000000L,
+                       format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition >= 1)
     val keys = partitionCols.map(c => col(s"`$c`"))
     val salt = pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition))
     df.repartition((keys :+ salt): _*)
       .write
+      .format(format)
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .save(path)
   }
 }

@@ -37,4 +37,28 @@ class SinksSpec extends AnyFunSuite {
     assert(after.where($"lang" === "fr").count() === 1, "fr replaced")
     assert(after.where($"lang" === "en").count() === 1000, "en untouched by dynamic overwrite")
   }
+
+  test("writePartitioned format=orc round-trips and prunes partitions on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_orc").toString
+    val df = (0 until 300).map { i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", i * 10)
+    }.toDF("doc_id", "lang", "n_chars")
+    Sinks.writePartitioned(df.repartition(4), dir, Seq("lang"), filesPerPartition = 2,
+      format = "orc")
+    for (lang <- Seq("en", "de", "fr")) {
+      val files = new java.io.File(s"$dir/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".orc"))
+      assert(files.length >= 1 && files.length <= 2, s"$lang: ${files.length} orc files")
+    }
+    val back = spark.read.orc(dir).where($"lang" === "en")
+    assert(back.count() === 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"doc_id")).head.getLong(0)
+      === (0 until 300 by 3).map(_.toLong).sum)
+    // the filter on the hive partition column must prune at scan time:
+    // only the lang=en directory's files appear in the physical scan
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("lang=en") || scan.toLowerCase.contains("partitionfilters"),
+      s"expected partition-pruned ORC scan, got: ${scan.take(400)}")
+  }
 }
