@@ -964,6 +964,42 @@ object SparkEntry {
       .orderBy("ws_epoch", "event_type")
   }
 
+  /** The reference's STREAMING masking contract (SURVEY §1.1/O6): the same
+    * metadata-driven masking stage runs unchanged over a Structured
+    * Streaming frame — `runStage` reads the registered stream view, applies
+    * the projection, and skips the batch-only persist/instrumentation
+    * branch (`isStreaming` guard). Verified end to end: the stream output
+    * is joined row-for-row against the BATCH mask of the same rows, and
+    * determinism makes them identical — `n_match == n`, which the oracle
+    * pins to the base-table count. */
+  private def qMaskStream(spark: SparkSession, dir: String): DataFrame = {
+    Defaults.registerAll(spark)
+    val schema = spark.read.parquet(s"$dir/customer.parquet").schema
+    val treatments = maskMeta("mask_string(16, true, upper(${value}))")
+    def tag(df: DataFrame): DataFrame = df
+      .where(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name").as("c_name", treatments))
+    val stream = tag(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(dir))
+    stream.createOrReplaceTempView("graft_mask_stream_in")
+    val (maskedStream, detail) = MaskTransform.runStage(
+      spark, "graft_mask_stream_in", "graft_mask_stream_out")
+    require(maskedStream.isStreaming && !detail.contains("records"),
+      "streaming stage must skip batch instrumentation")
+    val sink = "graft_mask_stream_sink"
+    val q = maskedStream.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = MaskTransform(tag(table(spark, dir, "customer")))
+      .withColumnRenamed("c_name", "m_batch")
+    spark.table(sink).join(batch, "c_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(length(col("c_name")) === 16, 1)).as("n_len16"),
+        count(when(col("c_name") === col("m_batch"), 1)).as("n_match"))
+  }
+
   /** The stateful sessionization operator run as a REAL one-shot stream
     * (AvailableNow over the parquet source, append mode into a memory sink).
     * Append-mode emission is exactly predictable: a session is emitted when
@@ -1125,6 +1161,7 @@ object SparkEntry {
     "mask_name_vocab" -> qMaskNameVocab,
     "mask_email_vocab" -> qMaskEmailVocab,
     "mask_via_distinct" -> qMaskViaDistinct,
+    "mask_stream" -> qMaskStream,
     "mask_argon2_rate" -> qMaskArgon2Rate,
     "stage_roundtrip" -> qStageRoundtrip,
     "stage_config_errors" -> qStageConfigErrors,
@@ -1203,6 +1240,9 @@ object SparkEntry {
     "mask_argon2_rate" ->
       ("SELECT count(*) AS n, count(c_name) AS n_nonnull, count(c_name) AS n_len16, " +
         "count(DISTINCT c_name) AS n_distinct_out FROM customer"),
+    "mask_stream" ->
+      ("SELECT count(*) AS n, count(*) AS n_len16, count(*) AS n_match " +
+        "FROM customer WHERE c_custkey % 10 = 0"),
     "dedup_exact" ->
       "SELECT count(DISTINCT text) AS n_clusters, count(*) AS n_rows FROM documents",
     // exact char-5-gram jaccard pairs; the LSH output is compared against the
