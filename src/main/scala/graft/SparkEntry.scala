@@ -1033,6 +1033,36 @@ object SparkEntry {
       max(col("n_events")).cast("long").as("max_session_events"))
   }
 
+  /** Stream-stream interval join run as a REAL one-shot stream: clicks and
+    * purchases are two independent streaming readers over the events file,
+    * joined per user with purchase time in [click, click + 30 min]
+    * ([[graft.streaming.Streaming.intervalJoin]] — watermarks both sides,
+    * two-sided time bound => finite state). AvailableNow delivers
+    * everything in one micro-batch and inner-join matches emit
+    * immediately, so the emitted pair set is exactly the batch join,
+    * which the oracle recomputes. */
+  private def qStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def sideStream(eventType: String): DataFrame = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(col("event_type") === eventType)
+      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("user_id"))
+    val joined = graft.streaming.Streaming.intervalJoin(
+      sideStream("click"), sideStream("purchase"), gapMinutes = 30)
+    val sink = "graft_stream_join_sink"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("left_id")).cast("long").as("click_id_sum"),
+      sum(col("right_id")).cast("long").as("purchase_id_sum"))
+  }
+
   /** Streaming exact dedup as a REAL one-shot stream: the events source
     * unioned with a second stream of every-10th event (planted duplicates,
     * DuckDB-recomputable), deduplicated on event_id with
@@ -1194,6 +1224,7 @@ object SparkEntry {
     "events_sessions" -> qEventsSessions,
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
+    "stream_stream_join" -> qStreamStreamJoin,
     "events_props" -> qEventsProps,
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
@@ -1491,6 +1522,12 @@ object SparkEntry {
     "events_window" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_stream_join" ->
+      ("SELECT count(*)::BIGINT AS n_pairs, coalesce(sum(c.event_id), 0)::BIGINT AS click_id_sum, " +
+        "coalesce(sum(p.event_id), 0)::BIGINT AS purchase_id_sum " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
     "events_window_stream" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -102,6 +102,31 @@ object Streaming {
     * 100 TB/day the state held at any moment is one entry per distinct key
     * seen inside the watermark horizon, partitioned by key hash across the
     * cluster's state stores. */
+  /** Stream-stream interval join (attribution): each right-side event joins
+    * left-side events of the same user that happened at most `gapMinutes`
+    * earlier. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so the state store can evict a buffered
+    * row once the other side's watermark passes its join horizon — the
+    * property that keeps an unbounded stream join's state finite. Inner
+    * join: matches emit as soon as both rows have arrived.
+    *
+    * Inputs must have columns (event_id, ts, user_id); output pairs are
+    * (left_id, left_ts, user_id, right_id, right_ts). */
+  def intervalJoin(left: DataFrame, right: DataFrame, gapMinutes: Int,
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("left_id"), col("ts").as("left_ts"),
+      col("user_id").as("user_id"))
+      .withWatermark("left_ts", watermarkDelay)
+    val r = right.select(col("event_id").as("right_id"), col("ts").as("right_ts"),
+      col("user_id").as("r_user_id"))
+      .withWatermark("right_ts", watermarkDelay)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .drop("r_user_id")
+  }
+
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
                            tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)

@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs right events with in-gap left events per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val left = MemoryStream[Streaming.Event]
+    val right = MemoryStream[Streaming.Event]
+    val joined = Streaming.intervalJoin(left.toDF(), right.toDF(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      left.addData(
+        Streaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        Streaming.Event(2, ts("2024-01-01 10:40:00"), 1, "click", 0),
+        Streaming.Event(3, ts("2024-01-01 10:00:00"), 2, "click", 0))
+      right.addData(
+        // matches left 1 (25 min after) but NOT left 2 (before it)
+        Streaming.Event(10, ts("2024-01-01 10:25:00"), 1, "purchase", 0),
+        // matches left 2 (5 min after); left 1 is 45 min earlier — out of gap
+        Streaming.Event(11, ts("2024-01-01 10:45:00"), 1, "purchase", 0),
+        // other user: no cross-user pairing with user 1's clicks
+        Streaming.Event(12, ts("2024-01-01 10:10:00"), 2, "purchase", 0))
+      q.processAllAvailable()
+      val pairs = spark.table("ij_out").collect()
+        .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+      assert(pairs === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates and re-emits after eviction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
