@@ -395,6 +395,22 @@ object SparkEntry {
         count(when(cluster(col("id_a")) =!= cluster(col("id_b")), 1)).as("n_cross_cluster"))
   }
 
+  /** Int8 embedding quantization ([[graft.operators.Quantization]]):
+    * narrow codegen'd pass adding (scale, q, max_err). The oracle
+    * recomputes the EXACT quantized values in DuckDB (identical
+    * widen/divide/floor double arithmetic), so `q_sum` pins every element
+    * of every vector, the error bound is checked per vector, and the
+    * saturation count pins the clamp behavior. */
+  private def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val quantized = graft.operators.Quantization.quantizeWithError(
+      table(spark, dir, "embeddings"), "embedding")
+    quantized.select(col("scale"), col("q"), col("max_err")).agg(
+      count(lit(1)).as("n"),
+      sum(expr("aggregate(q, 0L, (a, x) -> a + CAST(x AS BIGINT))")).cast("long").as("q_sum"),
+      count(when(col("max_err") <= col("scale") / 2.0, 1)).as("n_err_in_bound"),
+      sum(expr("size(filter(q, x -> abs(x) = 127))")).cast("long").as("n_saturated"))
+  }
+
   private def queryVecOf(spark: SparkSession, dir: String): Array[Double] =
     table(spark, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
@@ -1204,6 +1220,7 @@ object SparkEntry {
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
+    "embed_quantize" -> qEmbedQuantize,
     "ann_topk" -> qAnnTopk,
     "ann_ivf_topk" -> qAnnIvfTopk,
     "ann_lsh_topk" -> qAnnLshTopk,
@@ -1323,6 +1340,20 @@ object SparkEntry {
     // planted-cluster ground truth: 8 clusters x C(6,2) in-cluster pairs
     "embed_pairs_lsh" ->
       "SELECT 120::BIGINT AS n_pairs, 120::BIGINT AS n_in_cluster, 0::BIGINT AS n_cross_cluster",
+    // exact-arithmetic recompute of the int8 quantization (same double
+    // widen/divide/floor-half-up), so q_sum pins every quantized element
+    "embed_quantize" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), " +
+        "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v), " +
+        "q AS (SELECT vec_id, e, scale, " +
+        "CASE WHEN scale <= 0 THEN list_transform(e, x -> 0::BIGINT) " +
+        "ELSE list_transform(e, x -> greatest(least(floor(x / scale + 0.5)::BIGINT, 127), -127)) END AS qs FROM s), " +
+        "m AS (SELECT vec_id, scale, qs, list_sum(qs)::BIGINT AS qsum, " +
+        "list_max(list_transform(range(1, len(e) + 1), i -> abs(qs[i] * scale - e[i]))) AS maxerr, " +
+        "len(list_filter(qs, x -> abs(x) = 127)) AS nsat FROM q) " +
+        "SELECT count(*)::BIGINT AS n, sum(qsum)::BIGINT AS q_sum, " +
+        "count(CASE WHEN maxerr <= scale / 2.0 THEN 1 END)::BIGINT AS n_err_in_bound, " +
+        "sum(nsat)::BIGINT AS n_saturated FROM m"),
     // planted top-10: all ten near-copies of the query must surface
     "ann_lsh_topk" ->
       "SELECT 10::BIGINT AS n, 10::BIGINT AS n_planted_found, 10::BIGINT AS n_high_cosine",
