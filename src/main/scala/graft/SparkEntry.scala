@@ -727,6 +727,35 @@ object SparkEntry {
         count(when(f.getItem(7) === 0.0f, 1)).as("n_flat"))
   }
 
+  /** Audio resample through the full real chain (WAV decode -> linear
+    * interpolation at the new rate -> re-encode -> re-decode + features,
+    * [[graft.operators.Multimodal.wavResample]]): 8 kHz DC signals
+    * upsampled to 12 kHz. Constant signals interpolate bit-exactly, so the
+    * re-extracted mean recovers the DC value and the output frame count is
+    * `floor(in * 3/2)` — all recomputable from doc_id in DuckDB. */
+  private def qMultimodalAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val v = (math.floorMod(id, 2000) - 1000).toShort
+      val frames = 64 + math.floorMod(id, 256).toInt
+      val channels = 1 + math.floorMod(id, 2).toInt
+      graft.operators.Multimodal.wavEncode(8000, channels, Array.fill[Short](frames * channels)(v))
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("media_id"),
+      mkWav(col("doc_id").cast("long")).as("content"))
+    val resampled = graft.operators.Multimodal.resampleAudioDF(media, outRate = 12000)
+    val f = col("features")
+    val dc = pmod(col("media_id"), lit(2000)) - 1000
+    graft.operators.Multimodal.extractAudioFeaturesDF(resampled)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("format_detected") === "wav" && col("sample_rate") === 12000, 1)).as("n_wav"),
+        sum(col("n_frames")).cast("long").as("frames_sum"),
+        sum(col("channels")).cast("long").as("channels_sum"),
+        count(when(round(f.getItem(0) * 32768).cast("long") === dc, 1)).as("n_dc_exact"),
+        count(when(f.getItem(7) === 0.0f, 1)).as("n_flat"))
+  }
+
   // ---------------------------------------------------------------------
   // delegated Spark SQL capabilities (agg/join/window/event-time windows)
   // ---------------------------------------------------------------------
@@ -1229,6 +1258,7 @@ object SparkEntry {
     "text_repetition" -> qTextRepetition,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
+    "multimodal_audio_resample" -> qMultimodalAudioResample,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_video" -> qMultimodalVideo,
     "pack_sequences" -> qPackSequences,
@@ -1550,6 +1580,11 @@ object SparkEntry {
         "sum(64 + doc_id % 256)::BIGINT AS frames_sum, sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +
         "sum((64 + doc_id % 256) // 8)::BIGINT AS duration_sum, " +
         "count(*) AS n_mean_exact, count(*) AS n_rms_exact, count(*) AS n_flat FROM documents"),
+    "multimodal_audio_resample" ->
+      ("SELECT count(*) AS n, count(*) AS n_wav, " +
+        "sum(((64 + doc_id % 256) * 12000) // 8000)::BIGINT AS frames_sum, " +
+        "sum(1 + doc_id % 2)::BIGINT AS channels_sum, " +
+        "count(*) AS n_dc_exact, count(*) AS n_flat FROM documents"),
     "events_window" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

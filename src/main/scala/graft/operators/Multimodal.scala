@@ -333,6 +333,36 @@ object Multimodal {
     * `[meanC0, meanC1, rmsC0, rmsC1, min, max, peak, zeroCrossRate]`, all
     * normalized to [-1,1] by 1/32768 (rate in [0,1]). Mono mirrors C0 into
     * C1. */
+  /** Real linear-interpolation PCM resample: decode -> per-channel lerp at
+    * source position `j * inRate / outRate` (round-half-up back to int16)
+    * -> re-encode. `outFrames = floor(inFrames * outRate / inRate)`. A
+    * constant (DC) signal passes through bit-exactly — the oracle-checkable
+    * invariant — and a linear ramp reproduces its midpoints exactly at 2x. */
+  def wavResample(content: Array[Byte], outRate: Int): Option[Array[Byte]] = {
+    require(outRate > 0, "outRate must be positive")
+    wavDecode(content).map { a =>
+      val inFrames = a.samples.length / a.channels
+      val outFrames = if (inFrames == 0) 0 else (inFrames.toLong * outRate / a.sampleRate).toInt
+      val out = new Array[Short](outFrames * a.channels)
+      var j = 0
+      while (j < outFrames) {
+        val pos = j.toDouble * a.sampleRate / outRate
+        val i0 = pos.toInt
+        val i1 = math.min(i0 + 1, inFrames - 1)
+        val frac = pos - i0
+        var c = 0
+        while (c < a.channels) {
+          val v = a.samples(i0 * a.channels + c) * (1.0 - frac) +
+            a.samples(i1 * a.channels + c) * frac
+          out(j * a.channels + c) = math.floor(v + 0.5).toShort
+          c += 1
+        }
+        j += 1
+      }
+      wavEncode(outRate, a.channels, out)
+    }
+  }
+
   private[operators] def wavFeatures(a: PcmAudio): Array[Float] = {
     val frames = a.samples.length / a.channels
     if (frames == 0) return Array.fill(8)(0f)
@@ -538,6 +568,23 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "content", "resized")
+  }
+
+  /** Batch audio resample over (media_id, content): narrow mapPartitions,
+    * real decode -> lerp -> re-encode ([[wavResample]]); undecodable rows
+    * pass through with `resampled=false`. */
+  def resampleAudioDF(df: DataFrame, outRate: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          wavResample(content, outRate) match {
+            case Some(resampled) => (id, resampled, true)
+            case None => (id, content, false)
+          }
+        }
+      }.toDF("media_id", "content", "resampled")
   }
 
   /** Batch feature extraction: one kernel "initialization" per partition

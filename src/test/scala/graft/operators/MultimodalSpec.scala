@@ -326,6 +326,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(r => r.getAs[Array[Byte]]("frame")(0)).toSeq === Seq(0.toByte, 20.toByte, 40.toByte))
   }
 
+  test("wavResample: DC exact through up/down-sample; ramp midpoints exact at 2x; junk declines") {
+    // constant signal survives any rate change bit-exactly
+    val dc = Multimodal.wavEncode(8000, 1, Array.fill[Short](100)(-321))
+    val up = Multimodal.wavResample(dc, 12000).get
+    val upDecoded = Multimodal.wavDecode(up).get
+    assert(upDecoded.sampleRate === 12000)
+    assert(upDecoded.samples.length === 150) // floor(100 * 12000 / 8000)
+    assert(upDecoded.samples.forall(_ === -321.toShort))
+    val down = Multimodal.wavDecode(Multimodal.wavResample(dc, 4000).get).get
+    assert(down.samples.length === 50 && down.samples.forall(_ === -321.toShort))
+
+    // linear ramp at exactly 2x: even outputs hit sources, odd hit midpoints
+    val ramp = Multimodal.wavEncode(8000, 1, Array.tabulate[Short](10)(i => (i * 100).toShort))
+    val r2 = Multimodal.wavDecode(Multimodal.wavResample(ramp, 16000).get).get
+    assert(r2.samples.length === 20)
+    assert(r2.samples(4) === 200.toShort)  // source index 2
+    assert(r2.samples(5) === 250.toShort)  // midpoint of 200 and 300
+    // tail clamps to the last source frame
+    assert(r2.samples(19) === 900.toShort)
+
+    // stereo: channels resample independently
+    val st = Multimodal.wavEncode(8000, 2,
+      Array.tabulate[Short](20)(i => if (i % 2 == 0) 1000 else -1000))
+    val st2 = Multimodal.wavDecode(Multimodal.wavResample(st, 16000).get).get
+    assert(st2.channels === 2)
+    assert(st2.samples.grouped(2).forall(p => p(0) === 1000.toShort && p(1) === -1000.toShort))
+
+    assert(Multimodal.wavResample(Array[Byte](1, 2, 3), 16000).isEmpty)
+  }
+
   test("meanFeaturesByModality aggregates the feature column") {
     val out = Multimodal.meanFeaturesByModality(Multimodal.extractFeatures(media()).toDF())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
