@@ -842,6 +842,26 @@ object SparkEntry {
   /** Pivot (wide aggregation) delegated to Catalyst — with an explicit
     * pivot-value list so the plan is a single pass (no distinct-values
     * pre-query); the oracle reshapes with FILTER clauses. */
+  /** The same top-3-per-source selection as `topk_per_group`, computed by
+    * the native bounded-heap aggregate ([[graft.plans.TopKByScore]])
+    * instead of a window sort: partial heaps merge map-side, the shuffle
+    * carries <= k rows per (group, input partition), nothing is globally
+    * sorted. Identical tie-breaking (score DESC, id ASC) => identical
+    * result set, pinned by the same oracle. */
+  private def qTopkHeap(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val top = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), q.cast("double").as("quality"))
+      .groupBy(col("source"))
+      .agg(graft.plans.TopKAggregate.topKByScore(col("quality"), col("doc_id"), 3).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+    top.agg(
+      count(lit(1)).as("n_selected"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("e.id")).cast("long").as("id_sum"),
+      sum(col("e.score")).cast("long").as("quality_sum"))
+  }
+
   private def qPivotAgg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -1281,6 +1301,7 @@ object SparkEntry {
     "moving_avg" -> qMovingAvg,
     "set_ops" -> qSetOps,
     "topk_per_group" -> qTopkPerGroup,
+    "topk_heap" -> qTopkHeap,
     "approx_agg" -> qApproxAgg,
     "curate_pipeline" -> qCuratePipeline,
     "lineitem_agg" -> qLineitemAgg,
@@ -1485,6 +1506,19 @@ object SparkEntry {
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)) " +
         "ORDER BY gid, rf, ls"),
     "topk_per_group" ->
+      ("WITH q AS (SELECT doc_id, source, " +
+        "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
+        "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[0-9]', '', 'g')) AS nd, length(text) AS lc FROM documents), " +
+        "s AS (SELECT doc_id, source, " +
+        "floor(least(lc, 500) / 5.0 * 0.4 " +
+        "  + (CASE WHEN lc::DOUBLE / greatest(ntok, 1) BETWEEN 3 AND 12 THEN 100.0 ELSE 30.0 END) * 0.4 " +
+        "  - (floor((lc - np)::DOUBLE / greatest(lc, 1) * 10000) / 100.0) * 0.1 " +
+        "  - (floor((lc - nd)::DOUBLE / greatest(lc, 1) * 10000) / 100.0) * 0.1)::BIGINT AS quality FROM q), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM s) " +
+        "SELECT count(*)::BIGINT AS n_selected, count(DISTINCT source)::BIGINT AS n_sources, " +
+        "sum(doc_id)::BIGINT AS id_sum, sum(quality)::BIGINT AS quality_sum FROM r WHERE rk <= 3"),
+    "topk_heap" ->
       ("WITH q AS (SELECT doc_id, source, " +
         "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
         "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +
