@@ -479,6 +479,21 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus-wide vocabulary extraction (tokenizer-training shape): explode
+    * tokens, count per token (one hash-agg shuffle with map-side partial
+    * counts), take the global top 20 by (count DESC, token ASC). The
+    * final top-k is TakeOrderedAndProject — per-partition heaps + a k-row
+    * driver merge, NOT a global sort; at 100 TB the only full-corpus cost
+    * is the token count agg itself. Full-row compare against DuckDB. */
+  private def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
   private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     docs.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"), col("text"))
@@ -784,6 +799,25 @@ object SparkEntry {
         count(lit(1)).as("n_curated"),
         sum(col("doc_id")).cast("long").as("id_sum"),
         sum(col("toks")).cast("long").as("token_sum"))
+  }
+
+  /** Z-order clustering ([[graft.operators.Clustering.zorderBy]]): bucket
+    * (l_partkey, l_suppkey) into 1024 cells each, Morton-interleave to a
+    * 20-bit z key (codegen'd [[graft.plans.ZOrder2]]), range-partition +
+    * sort — the layout whose per-file min/max stats prune predicates on
+    * EITHER column. The oracle recomputes every z value bit-for-bit in
+    * DuckDB; the partition-bounds property is spec-asserted. */
+  private def qZorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = graft.operators.Clustering.zorderBy(
+      table(spark, dir, "lineitem"),
+      pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024)),
+      bits = 10, numPartitions = 8)
+    clustered.agg(
+      count(lit(1)).as("n"),
+      sum(col("z")).cast("long").as("z_sum"),
+      min(col("z")).cast("long").as("z_min"),
+      max(col("z")).cast("long").as("z_max"),
+      sum(col("l_orderkey")).cast("long").as("id_sum"))
   }
 
   /** Ordered-frame window aggregation (moving average over the previous 4
@@ -1276,6 +1310,7 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
+    "vocab_topk" -> qVocabTopk,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -1308,6 +1343,7 @@ object SparkEntry {
     "join_agg" -> qJoinAgg,
     "join_agg_bucketed" -> qJoinAggBucketed,
     "skew_join_agg" -> qSkewJoinAgg,
+    "zorder_cluster" -> qZorderCluster,
     "window_top_order" -> qWindowTopOrder)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
@@ -1461,6 +1497,17 @@ object SparkEntry {
         "coalesce(n_bg, 0)::BIGINT AS n_bigrams, coalesce(top_n, 0)::BIGINT AS top_bigram_n, " +
         "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4 " +
         "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id ORDER BY t.doc_id"),
+    "vocab_topk" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*)::BIGINT AS n FROM t WHERE tok <> '' GROUP BY tok) " +
+        "SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20"),
+    // bit-exact recompute of the 20-bit Morton interleave
+    "zorder_cluster" ->
+      ("WITH b AS (SELECT l_orderkey, l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem), " +
+        "z AS (SELECT l_orderkey, list_sum(list_transform(range(0, 10), " +
+        "i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS zv FROM b) " +
+        "SELECT count(*)::BIGINT AS n, sum(zv)::BIGINT AS z_sum, min(zv)::BIGINT AS z_min, " +
+        "max(zv)::BIGINT AS z_max, sum(l_orderkey)::BIGINT AS id_sum FROM z"),
     "stage_roundtrip" ->
       ("SELECT count(*) AS n, count(c_name) AS n_len16, count(*) AS records_detail, " +
         "5::BIGINT AS out_cols FROM customer"),
