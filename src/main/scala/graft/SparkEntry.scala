@@ -559,6 +559,24 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** JSON-lines interchange sink: the bounded-fan-out partitioned sink
+    * writing newline-delimited JSON (the corpus interchange format between
+    * pipeline systems), read back with an explicit schema (no inference
+    * scan) and aggregated — values survive the
+    * parquet -> JSON text -> DataFrame roundtrip exactly. */
+  private def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_json_roundtrip").getAbsolutePath
+    graft.sources.Sinks.writePartitioned(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      out, Seq("lang"), filesPerPartition = 2, format = "json")
+    spark.read.schema("doc_id BIGINT, n_chars BIGINT, lang STRING").json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars_sum"),
+        max(col("n_chars")).cast("long").as("chars_max"))
+      .orderBy("lang")
+  }
+
   /** Second columnar format: the same bounded-fan-out partitioned sink
     * writing ORC (Spark's built-in native ORC source), read back with a
     * partition-pruning filter — only the `lang` directories in the IN-list
@@ -895,6 +913,41 @@ object SparkEntry {
       sum(col("e.id")).cast("long").as("id_sum"),
       sum(col("e.score")).cast("long").as("quality_sum"))
   }
+
+  /** Row-navigation window functions (lag/lead/ntile) per user with a
+    * deterministic (ts, event_id) order — the per-key sequence analytics a
+    * sessionized event table needs. One shuffle on user_id, per-partition
+    * sort; no global ordering. */
+  private def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("prev_id")).as("n_prev"),
+        sum(col("prev_id")).cast("long").as("prev_sum"),
+        sum(col("next_id")).cast("long").as("next_sum"),
+        sum(col("quartile")).cast("long").as("quartile_sum"))
+  }
+
+  /** EXACT distributed percentiles (Spark's sort-based `percentile`, the
+    * complement of the approx_agg sketch contract): interpolated median and
+    * p90 of quantity per return flag, made integer-exact by scaling before
+    * the interpolation (quantity*100 is integral; x2 / x10 clear the
+    * interpolation fractions), so the DuckDB quantile_cont recompute
+    * hash-matches bit-for-bit. */
+  private def qExactPercentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(CAST(l_quantity * 100 AS DOUBLE), 0.5)") * 2).cast("long").as("med2"),
+        round(expr("percentile(CAST(l_quantity * 100 AS DOUBLE), 0.9)") * 10).cast("long").as("p90x10"))
+      .select(col("l_returnflag").as("rf"), col("med2"), col("p90x10"))
+      .orderBy("rf")
 
   private def qPivotAgg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -1344,7 +1397,10 @@ object SparkEntry {
     "join_agg_bucketed" -> qJoinAggBucketed,
     "skew_join_agg" -> qSkewJoinAgg,
     "zorder_cluster" -> qZorderCluster,
-    "window_top_order" -> qWindowTopOrder)
+    "window_top_order" -> qWindowTopOrder,
+    "window_lead_lag" -> qWindowLeadLag,
+    "exact_percentile" -> qExactPercentile,
+    "json_roundtrip" -> qJsonRoundtrip)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -1619,6 +1675,21 @@ object SparkEntry {
       ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum, " +
         "sum(doc_id)::BIGINT AS id_sum FROM documents WHERE lang IN ('en', 'zh') " +
         "GROUP BY lang ORDER BY lang"),
+    "json_roundtrip" ->
+      ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum, " +
+        "max(n_chars)::BIGINT AS chars_max FROM documents GROUP BY lang ORDER BY lang"),
+    "window_lead_lag" ->
+      ("WITH w AS (SELECT user_id, event_id, " +
+        "lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id, " +
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id, " +
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile FROM events) " +
+        "SELECT count(*)::BIGINT AS n, count(prev_id)::BIGINT AS n_prev, " +
+        "coalesce(sum(prev_id), 0)::BIGINT AS prev_sum, coalesce(sum(next_id), 0)::BIGINT AS next_sum, " +
+        "sum(quartile)::BIGINT AS quartile_sum FROM w"),
+    "exact_percentile" ->
+      ("SELECT l_returnflag AS rf, round(quantile_cont(l_quantity * 100, 0.5) * 2)::BIGINT AS med2, " +
+        "round(quantile_cont(l_quantity * 100, 0.9) * 10)::BIGINT AS p90x10 " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +
