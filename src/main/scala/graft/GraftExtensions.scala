@@ -115,5 +115,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_hash_bucket(id) - deterministic 32-bit sample hash; WHERE graft_hash_bucket(id) < cutoff", 1) {
       case Seq(id) => graft.operators.Sampling.idHash(id)
     }
+    injectCol("graft_max_abs", "graft_max_abs(array<float>) - max absolute element", 1) {
+      case Seq(v) => graft.plans.QuantExpressions.maxAbs(v)
+    }
+    injectCol("graft_quantize_int8",
+      "graft_quantize_int8(array<float>, scale) - symmetric int8 quantization", 2) {
+      case Seq(v, s) => graft.plans.QuantExpressions.quantizeInt8(v, s)
+    }
+    injectCol("graft_dequant_max_error",
+      "graft_dequant_max_error(array<float>, array<int>, scale) - max reconstruction error", 3) {
+      case Seq(v, q, s) => graft.plans.QuantExpressions.dequantMaxError(v, q, s)
+    }
+
+    // literal-int trailing argument: resolved at plan time, so the SQL form
+    // requires a constant (the expression itself is parameterized by it)
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other if other.resolved && other.foldable => other.eval(null) match {
+        case v: Int => v
+        case v => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got ${other.sql}")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo("graft", "graft_zorder2",
+        "graft_zorder2(x, y, bits) - Morton interleave of the low `bits` bits"),
+      { children: Seq[Expression] =>
+        if (children.length != 3)
+          throw new IllegalArgumentException("graft_zorder2 expects 3 arguments: x, y, bits")
+        graft.plans.ZOrder2(children(0), children(1), litInt(children(2), "bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo("graft", "graft_top_k",
+        "graft_top_k(score, id, k) - aggregate: top-k (id, score) pairs by (score DESC, id ASC)"),
+      { children: Seq[Expression] =>
+        if (children.length != 3)
+          throw new IllegalArgumentException("graft_top_k expects 3 arguments: score, id, k")
+        graft.plans.TopKByScore(children(0), children(1), litInt(children(2), "k"))
+      }))
   }
 }

@@ -914,6 +914,26 @@ object SparkEntry {
       sum(col("e.score")).cast("long").as("quality_sum"))
   }
 
+  /** Latest-record-per-key compaction (the CDC/SCD1 materialization shape):
+    * `max_by` over a unique ordering key — ONE hash aggregate with map-side
+    * partial argmax, no window sort and no self-join. At 100 TB this is how
+    * a mutable-table snapshot compacts: shuffle one row per key per input
+    * partition. Ordering key `millis * 2^20 + event_id` is unique, so the
+    * result is deterministic and DuckDB's arg_max recomputes it exactly. */
+  private def qLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"),
+      (unix_millis(timestamp_micros((col("ts") / 1000).cast("long"))) * lit(1048576L)
+        + col("event_id")).as("ord"))
+    ev.groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), col("ord")).as("last_id"),
+        max_by(col("value"), col("ord")).as("last_value"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("last_id")).cast("long").as("id_sum"),
+        sum(round(col("last_value") * 100)).cast("long").as("value_sum"))
+  }
+
   /** Row-navigation window functions (lag/lead/ntile) per user with a
     * deterministic (ts, event_id) order — the per-key sequence analytics a
     * sessionized event table needs. One shuffle on user_id, per-partition
@@ -1399,6 +1419,7 @@ object SparkEntry {
     "zorder_cluster" -> qZorderCluster,
     "window_top_order" -> qWindowTopOrder,
     "window_lead_lag" -> qWindowLeadLag,
+    "latest_per_key" -> qLatestPerKey,
     "exact_percentile" -> qExactPercentile,
     "json_roundtrip" -> qJsonRoundtrip)
 
@@ -1686,6 +1707,12 @@ object SparkEntry {
         "SELECT count(*)::BIGINT AS n, count(prev_id)::BIGINT AS n_prev, " +
         "coalesce(sum(prev_id), 0)::BIGINT AS prev_sum, coalesce(sum(next_id), 0)::BIGINT AS next_sum, " +
         "sum(quartile)::BIGINT AS quartile_sum FROM w"),
+    "latest_per_key" ->
+      ("WITH k AS (SELECT user_id, event_id, value, epoch_ms(ts) * 1048576 + event_id AS ord FROM events), " +
+        "l AS (SELECT user_id, arg_max(event_id, ord) AS last_id, arg_max(value, ord) AS last_value " +
+        "FROM k GROUP BY user_id) " +
+        "SELECT count(*)::BIGINT AS n_users, sum(last_id)::BIGINT AS id_sum, " +
+        "sum(round(last_value * 100))::BIGINT AS value_sum FROM l"),
     "exact_percentile" ->
       ("SELECT l_returnflag AS rf, round(quantile_cont(l_quantity * 100, 0.5) * 2)::BIGINT AS med2, " +
         "round(quantile_cont(l_quantity * 100, 0.9) * 10)::BIGINT AS p90x10 " +

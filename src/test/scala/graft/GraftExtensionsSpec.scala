@@ -25,7 +25,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
         "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email",
         "graft_dot", "graft_simhash64", "graft_quality", "graft_lang",
-        "graft_fingerprint", "graft_hash_bucket"))
+        "graft_fingerprint", "graft_hash_bucket",
+        "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",
+        "graft_zorder2", "graft_top_k"))
 
       val e = captured("mask_string")(Seq(
         GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
@@ -47,6 +49,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val bucket = captured("graft_hash_bucket")(Seq(GraftBridge.expression(lit(42L))))
       assert(spark.range(1).select(GraftBridge.column(bucket)).collect()(0).getLong(0) ===
         java.lang.Long.remainderUnsigned(42L * 2654435761L, 4294967296L))
+      // literal-parameterized expressions: z-order and the top-k aggregate
+      // the SQL parser hands builders raw Literals for constants
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val z = captured("graft_zorder2")(Seq(
+        GraftBridge.expression(lit(3L)), GraftBridge.expression(lit(5L)), Literal(10)))
+      assert(spark.range(1).select(GraftBridge.column(z)).collect()(0).getLong(0) === 39L)
+      val zErr = intercept[IllegalArgumentException](captured("graft_zorder2")(Seq(
+        GraftBridge.expression(lit(3L)), GraftBridge.expression(lit(5L)),
+        GraftBridge.expression(org.apache.spark.sql.functions.col("x")))))
+      assert(zErr.getMessage.contains("integer literal"))
+      val topk = captured("graft_top_k")(Seq(
+        GraftBridge.expression(lit(1.0)), GraftBridge.expression(lit(7L)), Literal(3)))
+      assert(topk.isInstanceOf[graft.plans.TopKByScore])
+      // int8 quantization surface
+      val q = captured("graft_quantize_int8")(Seq(
+        GraftBridge.expression(org.apache.spark.sql.functions.array(
+          lit(1.0f), lit(-0.5f))), GraftBridge.expression(lit(1.0 / 127.0))))
+      assert(spark.range(1).select(GraftBridge.column(q)).collect()(0)
+        .getAs[collection.Seq[Int]](0).toSeq === Seq(127, -63))
       // arity is validated with a clear message
       val err = intercept[IllegalArgumentException](captured("graft_dot")(Seq.empty))
       assert(err.getMessage.contains("graft_dot expects 2"))
