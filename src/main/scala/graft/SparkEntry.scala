@@ -1172,6 +1172,57 @@ object SparkEntry {
         count(when(col("c_name") === col("m_batch"), 1)).as("n_match"))
   }
 
+  /** Gap-sessionization via Spark's NATIVE `session_window` aggregation
+    * (the built-in complement of the custom stateful sessionizer): one
+    * aggregate over (session_window, user), sessions merge while event
+    * windows overlap. Boundary semantics differ from the custom operator —
+    * a gap of EXACTLY the duration starts a new session (half-open
+    * windows), which the oracle encodes with `>=`. */
+  private def qSessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .select(col("user_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events_total"),
+        max(col("n_events")).cast("long").as("max_session_events"))
+  }
+
+  /** Operational streaming sink: `foreachBatch` re-enters the BATCH writer
+    * API per micro-batch (the pattern for upserts/merges into external
+    * tables that have no streaming sink). The purchase slice lands in
+    * parquet via per-batch appends; the read-back aggregate equals the
+    * batch filter, which the oracle recomputes. */
+  private def qStreamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_febatch_sink")
+    if (out.exists()) {
+      java.nio.file.Files.walk(out.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out.getAbsolutePath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.getAbsolutePath).agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id")).cast("long").as("id_sum"),
+      sum(round(col("value") * 100)).cast("long").as("value_sum"))
+  }
+
   /** The stateful sessionization operator run as a REAL one-shot stream
     * (AvailableNow over the parquet source, append mode into a memory sink).
     * Append-mode emission is exactly predictable: a session is emitted when
@@ -1400,6 +1451,8 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_stream_join" -> qStreamStreamJoin,
+    "session_window_agg" -> qSessionWindowAgg,
+    "stream_foreach_batch" -> qStreamForeachBatch,
     "events_props" -> qEventsProps,
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
@@ -1782,6 +1835,17 @@ object SparkEntry {
         "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
         "g AS (SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY 1, 2) " +
         "SELECT count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events_total, max(cnt)::BIGINT AS max_session_events FROM g"),
+    // session_window's half-open windows: a gap of EXACTLY the duration
+    // starts a new session, hence >= (vs the custom operator's >)
+    "session_window_agg" ->
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "g AS (SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events_total, max(cnt)::BIGINT AS max_session_events FROM g"),
+    "stream_foreach_batch" ->
+      ("SELECT count(*)::BIGINT AS n, sum(event_id)::BIGINT AS id_sum, " +
+        "sum(round(value * 100))::BIGINT AS value_sum FROM events WHERE event_type = 'purchase'"),
     "events_sessions_stream" ->
       ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
         "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +
