@@ -494,6 +494,34 @@ object SparkEntry {
       .orderBy(col("n").desc, col("tok"))
       .limit(20)
 
+  /** Count-Min Sketch heavy hitters (the sketch complement of the exact
+    * `vocab_topk`): one distributed pass builds a fixed-size sketch
+    * (mergeable map-side, seed-deterministic), then the exact top-20
+    * tokens probe it. The CMS contract is provable and oracled: estimates
+    * NEVER underestimate, and overestimate by at most eps * N (eps=0.001,
+    * confidence 0.99) — at 100 TB the sketch replaces the full token
+    * aggregate when only heavy hitters are needed. */
+  private def qVocabCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val sketch = toks.stat.countMinSketch("tok", eps = 0.001, confidence = 0.99, seed = 42)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = toks.count()
+    val slack = math.ceil(0.001 * total).toLong
+    import spark.implicits._
+    top.toSeq.map { case (tok, n) =>
+      val est = sketch.estimateCount(tok)
+      (tok, n, est >= n, est <= n + slack)
+    }.toDF("tok", "n", "ge_true", "within_eps")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        count(when(col("ge_true"), 1)).as("n_ge_true"),
+        count(when(col("within_eps"), 1)).as("n_within_eps"))
+  }
+
   private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     docs.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"), col("text"))
@@ -1435,6 +1463,7 @@ object SparkEntry {
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
     "vocab_topk" -> qVocabTopk,
+    "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -1631,6 +1660,8 @@ object SparkEntry {
       ("WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
         "c AS (SELECT tok, count(*)::BIGINT AS n FROM t WHERE tok <> '' GROUP BY tok) " +
         "SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20"),
+    "vocab_cms" ->
+      "SELECT 20::BIGINT AS n_probes, 20::BIGINT AS n_ge_true, 20::BIGINT AS n_within_eps",
     // bit-exact recompute of the 20-bit Morton interleave
     "zorder_cluster" ->
       ("WITH b AS (SELECT l_orderkey, l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem), " +
