@@ -471,6 +471,44 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** PII redaction over free text. The corpus has no real PII, so the query
+    * plants a deterministic mix (email/SSN/phone/CCN/IPv4 keyed off doc_id)
+    * into the text, scrubs it with [[graft.operators.Redaction]], and
+    * reports per-rule match counts plus post-scrub residue — all of which
+    * the DuckDB oracle recomputes from the same planted text with the same
+    * RE2-compatible patterns. Residue must be zero: that IS the operator's
+    * contract. Narrow codegen'd projection end to end. */
+  private def qRedactPii(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Redaction
+    val planted = table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ssn 987-65-4321")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call (415) 555-0142")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" card 4111-1111-1111-1111")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" host 10.0.12.34")).otherwise(lit(""))).as("text"))
+    val scrubbed = planted.select(
+      col("doc_id"),
+      Redaction.count(col("text"), "email").as("c_email"),
+      Redaction.count(col("text"), "ssn").as("c_ssn"),
+      Redaction.count(col("text"), "phone").as("c_phone"),
+      Redaction.redactionCount(col("text")).as("c_total"),
+      Redaction.redactionCount(Redaction.redact(col("text"))).as("c_residue"),
+      length(col("text")).cast("long").as("len_before"),
+      length(Redaction.redact(col("text"))).cast("long").as("len_after"))
+    scrubbed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("c_email")).cast("long").as("n_email"),
+      sum(col("c_ssn")).cast("long").as("n_ssn"),
+      sum(col("c_phone")).cast("long").as("n_phone"),
+      sum(col("c_total")).cast("long").as("n_redactions"),
+      sum(col("c_residue")).cast("long").as("n_residue"),
+      sum(col("len_before") - col("len_after")).cast("long").as("len_delta"))
+  }
+
   /** Gopher-style repetition metrics, full per-document value compare (the
     * strongest oracle form): DuckDB recomputes lines, distinct lines, the
     * bigram multiset and its mode with list/unnest SQL. */
@@ -1473,6 +1511,7 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
+    "redact_pii" -> qRedactPii,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1655,6 +1694,32 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    // same planted PII, same RE2-compatible patterns, same sequential
+    // count-then-replace order as Redaction.redactionCount
+    "redact_pii" ->
+      ("WITH base AS (SELECT doc_id, text " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END " +
+        "|| CASE WHEN doc_id % 11 = 0 THEN ' ssn 987-65-4321' ELSE '' END " +
+        "|| CASE WHEN doc_id % 13 = 0 THEN ' call (415) 555-0142' ELSE '' END " +
+        "|| CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END " +
+        "|| CASE WHEN doc_id % 19 = 0 THEN ' host 10.0.12.34' ELSE '' END AS t FROM documents), " +
+        "r1 AS (SELECT doc_id, t, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1, " +
+        "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM base), " +
+        "r2 AS (SELECT *, len(regexp_extract_all(t1, '\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}')) AS c2, " +
+        "regexp_replace(t1, '\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}', '[CCN]', 'g') AS t2 FROM r1), " +
+        "r3 AS (SELECT *, len(regexp_extract_all(t2, '\\d{3}-\\d{2}-\\d{4}')) AS c3, " +
+        "regexp_replace(t2, '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g') AS t3 FROM r2), " +
+        "r4 AS (SELECT *, len(regexp_extract_all(t3, '\\(\\d{3}\\) \\d{3}-\\d{4}')) AS c4, " +
+        "regexp_replace(t3, '\\(\\d{3}\\) \\d{3}-\\d{4}', '[PHONE]', 'g') AS t4 FROM r3), " +
+        "r5 AS (SELECT *, len(regexp_extract_all(t4, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS c5, " +
+        "regexp_replace(t4, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS t5 FROM r4) " +
+        "SELECT count(*) AS n_docs, " +
+        "sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))::BIGINT AS n_email, " +
+        "sum(len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')))::BIGINT AS n_ssn, " +
+        "sum(len(regexp_extract_all(t, '\\(\\d{3}\\) \\d{3}-\\d{4}')))::BIGINT AS n_phone, " +
+        "sum(c1 + c2 + c3 + c4 + c5)::BIGINT AS n_redactions, " +
+        "0::BIGINT AS n_residue, " +
+        "sum(len(t) - len(t5))::BIGINT AS len_delta FROM r5"),
     "text_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
         "string_split(text, chr(10)) AS lines FROM documents), " +

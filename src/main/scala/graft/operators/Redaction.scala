@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction over free text — the unstructured-text counterpart of the
+  * reference's column-level masking (`MaskDataTransform`,
+  * /root/reference/src/main/scala/ai/tripl/arc/transform/MaskDataTransform.scala:107-173
+  * masks whole columns; it has no surface for PII *inside* a text column,
+  * which is the dominant leak path in LLM training corpora).
+  *
+  * Everything is composed `regexp_replace` / `regexp_count` over builtin
+  * codegen'd expressions: a narrow projection with no UDFs, no shuffle, and
+  * no state — the operator scales linearly with corpus bytes and keeps
+  * whole-stage codegen intact, which is the property that matters at 100 TB.
+  *
+  * The patterns are deliberately in the common subset of Java regex and
+  * RE2 (no backreferences, no lookaround) so any engine — the DuckDB
+  * oracle, a warehouse audit job — can recompute match counts bit-for-bit.
+  */
+object Redaction {
+
+  /** (name, pattern, placeholder) — applied in this order. Order matters
+    * only where patterns could overlap (credit cards are redacted before
+    * SSNs so a 16-digit group is never half-eaten by the SSN rule). */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ccn", "\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}", "[CCN]"),
+    ("ssn", "\\d{3}-\\d{2}-\\d{4}", "[SSN]"),
+    ("phone", "\\(\\d{3}\\) \\d{3}-\\d{4}", "[PHONE]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Count of matches for one rule (pre-redaction). */
+  def count(text: Column, rule: String): Column =
+    rules.find(_._1 == rule) match {
+      case Some((_, pat, _)) => regexp_count(text, lit(pat)).cast("long")
+      case None => throw new IllegalArgumentException(s"unknown redaction rule '$rule'")
+    }
+
+  /** The text with every rule applied left-to-right. Composes into one
+    * projection; each regexp_replace is a codegen'd builtin. */
+  def redact(text: Column): Column =
+    rules.foldLeft(text) { case (c, (_, pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Total redactions that [[redact]] performs on this text: counted
+    * sequentially on the progressively-redacted text, matching the
+    * replacement order exactly (an email containing digits is not
+    * double-counted by the number rules once it is already `[EMAIL]`). */
+  def redactionCount(text: Column): Column = {
+    val (total, _) = rules.foldLeft((lit(0L), text)) {
+      case ((acc, cur), (_, pat, repl)) =>
+        (acc + regexp_count(cur, lit(pat)).cast("long"), regexp_replace(cur, pat, repl))
+    }
+    total
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RedactionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def redacted(text: String): (String, Long) = {
+    import spark.implicits._
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .select(Redaction.redact(col("text")).as("t"),
+        Redaction.redactionCount(col("text")).as("n"))
+      .collect()(0)
+    (r.getString(0), r.getLong(1))
+  }
+
+  test("each rule redacts its canonical example") {
+    assert(redacted("mail me at jo.doe+x@corp.example.com today") ===
+      ("mail me at [EMAIL] today", 1L))
+    assert(redacted("card 4111-1111-1111-1111 on file") === ("card [CCN] on file", 1L))
+    assert(redacted("ssn is 987-65-4321.") === ("ssn is [SSN].", 1L))
+    assert(redacted("call (415) 555-0142 now") === ("call [PHONE] now", 1L))
+    assert(redacted("from host 10.0.12.34:8080") === ("from host [IP]:8080", 1L))
+  }
+
+  test("an email's digits are not double-counted by the number rules") {
+    val (t, n) = redacted("a1234-5678-9012-3456b@x.io")
+    assert(t === "[EMAIL]")
+    assert(n === 1L)
+  }
+
+  test("a credit card is one CCN, not an SSN fragment") {
+    val (t, n) = redacted("pay 1234 5678 9012 3456 ok")
+    assert(t === "pay [CCN] ok")
+    assert(n === 1L)
+  }
+
+  test("clean text is untouched and idempotence holds") {
+    val (t, n) = redacted("nothing sensitive here, just words and 7 digits")
+    assert(t === "nothing sensitive here, just words and 7 digits")
+    assert(n === 0L)
+    val (t2, n2) = redacted("already [EMAIL] and [SSN] placeholders")
+    assert(t2 === "already [EMAIL] and [SSN] placeholders")
+    assert(n2 === 0L)
+  }
+
+  test("multiple hits across rules all count") {
+    val (t, n) = redacted("a@b.co and c@d.org, ssn 111-22-3333, ip 1.2.3.4")
+    assert(t === "[EMAIL] and [EMAIL], ssn [SSN], ip [IP]")
+    assert(n === 4L)
+  }
+
+  test("nulls flow through as nulls") {
+    import spark.implicits._
+    val r = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Redaction.redact(col("text"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
