@@ -471,6 +471,15 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** BM25 retrieval: top-10 documents for a 4-term probe query. The DuckDB
+    * oracle recomputes the identical formula; scores are floor(x*1e4) so
+    * sub-ULP `ln`/summation-order noise cannot flip a value (analysis in
+    * [[graft.operators.Ranking]]). */
+  private def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.bm25TopK(
+      table(spark, dir, "documents"), "doc_id", "text",
+      Seq("hash", "join", "window", "stream"), k = 10)
+
   /** PII redaction over free text. The corpus has no real PII, so the query
     * plants a deterministic mix (email/SSN/phone/CCN/IPv4 keyed off doc_id)
     * into the text, scrubs it with [[graft.operators.Redaction]], and
@@ -1512,6 +1521,7 @@ object SparkEntry {
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
     "redact_pii" -> qRedactPii,
+    "bm25_topk" -> qBm25Topk,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1694,6 +1704,21 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    // identical BM25 arithmetic, term-filtered postings, floor(x*1e4) grid
+    "bm25_topk" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl), " +
+        "p AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS tok FROM toks) " +
+        "WHERE tok IN ('hash', 'join', 'window', 'stream') GROUP BY doc_id, tok), " +
+        "f AS (SELECT tok, count(*)::DOUBLE AS df FROM p GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, d.dl, floor(sum(" +
+        "ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf::DOUBLE * (1.2 + 1.0) / " +
+        "(p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE / st.avgdl))" +
+        ") * 10000)::BIGINT AS score_x1e4 " +
+        "FROM p JOIN f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN st GROUP BY p.doc_id, d.dl) " +
+        "SELECT doc_id, dl, score_x1e4 FROM sc ORDER BY score_x1e4 DESC, doc_id LIMIT 10"),
     // same planted PII, same RE2-compatible patterns, same sequential
     // count-then-replace order as Redaction.redactionCount
     "redact_pii" ->

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RankingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("bm25 ranks a tiny corpus like the textbook formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash"),
+      (2L, "join window"),
+      (3L, "scan scan scan")).toDF("doc_id", "text")
+    val out = Ranking.bm25TopK(docs, "doc_id", "text", Seq("hash", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // N=3, avgdl=8/3; tf: d1={hash:2, join:1}, d2={join:1}; df: hash=1, join=2
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 8.0 / 3.0)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def contrib(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val s1 = math.floor((contrib(2, 3, 1) + contrib(1, 3, 2)) * 10000).toLong
+    val s2 = math.floor(contrib(1, 2, 2) * 10000).toLong
+
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 has no query term
+    assert(out === Array((1L, 3L, s1), (2L, 2L, s2)))
+    assert(s1 > s2)
+  }
+
+  test("ties broken by doc_id and k truncates") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "alpha beta"),
+      (2L, "alpha beta"),
+      (9L, "alpha beta")).toDF("doc_id", "text")
+    val out = Ranking.bm25TopK(docs, "doc_id", "text", Seq("alpha"), k = 2)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(2L, 5L))
+  }
+}
