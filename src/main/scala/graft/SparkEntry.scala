@@ -471,6 +471,23 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** Daily gap-fill + forward fill over events per user. Bucketing is exact
+    * integer floor-division of the epoch; per-bucket values collapse by max
+    * (order-independent); the checksum is on the cent grid, so floats can't
+    * wobble the compare (see [[graft.operators.Resample]]). */
+  private def qGapfillResample(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val filled = graft.operators.Resample.gapFillForward(
+      table(spark, dir, "events"), "user_id", "ts", "value", bucketSeconds = 86400L)
+    filled.agg(
+      countDistinct(col("key")).as("n_keys"),
+      count(lit(1)).as("n_buckets"),
+      count(when(col("value").isNull, 1)).as("n_gaps"),
+      sum(graft.operators.Resample.centChecksum(col("filled"))).cast("long").as("filled_checksum"),
+      sum(graft.operators.Resample.centChecksum(col("value"))).cast("long").as("observed_checksum"))
+  }
+
   /** BM25 retrieval: top-10 documents for a 4-term probe query. The DuckDB
     * oracle recomputes the identical formula; scores are floor(x*1e4) so
     * sub-ULP `ln`/summation-order noise cannot flip a value (analysis in
@@ -1522,6 +1539,7 @@ object SparkEntry {
     "text_repetition" -> qTextRepetition,
     "redact_pii" -> qRedactPii,
     "bm25_topk" -> qBm25Topk,
+    "gapfill_resample" -> qGapfillResample,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1704,6 +1722,19 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT count(*) AS n, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    // same integer day-bucketing, max-per-bucket, forward fill, cent grid
+    "gapfill_resample" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b, value FROM events), " +
+        "agg AS (SELECT user_id, b, max(value) AS v FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM rng), " +
+        "j AS (SELECT s.user_id, s.b, a.v FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b), " +
+        "f AS (SELECT user_id, b, v, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv FROM j) " +
+        "SELECT count(DISTINCT user_id) AS n_keys, count(*) AS n_buckets, " +
+        "count(CASE WHEN v IS NULL THEN 1 END) AS n_gaps, " +
+        "sum(round(fv * 100, 0))::BIGINT AS filled_checksum, " +
+        "sum(round(v * 100, 0))::BIGINT AS observed_checksum FROM f"),
     // identical BM25 arithmetic, term-filtered postings, floor(x*1e4) grid
     "bm25_topk" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
