@@ -471,6 +471,27 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** Bloom-prefiltered decontamination must return EXACTLY the exact-path
+    * result (the filter only moves work, never changes it) — the query
+    * computes both and reports the symmetric difference, which the oracle
+    * pins to zero alongside the exact path's own numbers. */
+  private def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Decontamination
+    val docs = table(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+    val bloomIds = Decontamination.contaminatedIdsBloom(docs, "doc_id", "text", bench, "text", n = 8)
+    val exactIds = Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text", n = 8)
+    val diff = bloomIds.withColumnRenamed("doc_id", "b")
+      .join(exactIds.withColumnRenamed("doc_id", "e"), col("b") === col("e"), "full_outer")
+      .where(col("b").isNull || col("e").isNull)
+      .agg(count(lit(1)).as("n_mismatch"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(bloomIds.agg( // 1x1 combines
+        count(lit(1)).as("n_contaminated"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("cont_id_sum")))
+      .crossJoin(diff)
+  }
+
   /** Daily gap-fill + forward fill over events per user. Bucketing is exact
     * integer floor-division of the epoch; per-bucket values collapse by max
     * (order-independent); the checksum is on the cent grid, so floats can't
@@ -1540,6 +1561,7 @@ object SparkEntry {
     "redact_pii" -> qRedactPii,
     "bm25_topk" -> qBm25Topk,
     "gapfill_resample" -> qGapfillResample,
+    "decontaminate_bloom" -> qDecontaminateBloom,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1943,6 +1965,17 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // exact-path numbers; the bloom path must agree exactly (n_mismatch=0)
+    "decontaminate_bloom" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)) " +
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, " +
+        "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
+        "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum, " +
+        "0::BIGINT AS n_mismatch"),
     "hash_sample" ->
       ("SELECT source, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents " +
         "WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < " +

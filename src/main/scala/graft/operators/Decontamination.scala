@@ -42,6 +42,42 @@ object Decontamination {
       .select(col("doc_id")).distinct()
   }
 
+  /** Scale path: Bloom-prefiltered decontamination. When the benchmark gram
+    * set outgrows what a broadcast of raw strings tolerates (~100M grams is
+    * gigabytes of UTF-8 but only ~10 bits/key as a Bloom filter), probe a
+    * broadcast Bloom filter FIRST — a narrow per-row test that discards
+    * ~all of the corpus's grams — and send only the surviving candidates to
+    * the exact-equality confirm join. A Bloom filter can over-flag but
+    * never miss, and every candidate is re-checked exactly, so the result
+    * is IDENTICAL to [[contaminatedIds]] — the filter only moves work off
+    * the join. The Bloom bitset is an OR of per-item hashes, so its bits
+    * (and therefore the candidate set) are insertion-order-independent and
+    * deterministic. The probe is a Scala UDF: it sits behind the gram
+    * explode and in front of everything else, so the non-codegen cost is
+    * one virtual call per gram in exchange for not materializing the join
+    * input; the confirm join then touches ~fpp of the corpus grams. */
+  def contaminatedIdsBloom(docs: DataFrame, idCol: String, textCol: String,
+                           benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+                           fpp: Double = 0.01): DataFrame = {
+    require(n >= 2, "n-gram decontamination needs n >= 2")
+    val benchGrams = benchmark
+      .select(explode(grams(TextAnalysis.tokens(col(s"`$benchTextCol`")), n)).as("gram"))
+      .distinct()
+    val expected = benchGrams.count() // small side; one tiny job
+    if (expected == 0L) // bloom_filter_agg yields null on empty input (NPE in readFrom)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id")).where(lit(false))
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val candidates = docs.select(
+      col(s"`$idCol`").cast("long").as("doc_id"),
+      explode(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("gram"))
+      .where(probe(col("gram")))
+    candidates.join(broadcast(benchGrams), "gram")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Drop contaminated documents (left anti join against the flagged ids —
     * the id set is small, so the anti join broadcasts too). */
   def dropContaminated(docs: DataFrame, idCol: String, textCol: String,

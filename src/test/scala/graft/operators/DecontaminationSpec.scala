@@ -46,6 +46,27 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(Decontamination.dropContaminated(docs, "doc_id", "text", empty, "text").count() === 2L)
   }
 
+  test("bloom prefilter path returns exactly the exact-path ids") {
+    import spark.implicits._
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"prefix words then $eight and a tail"),
+      (2L, "alpha beta gamma delta epsilon zeta eta NOPE"),
+      (3L, s"$eight verbatim"),
+      (4L, "completely unrelated text with many many words here"),
+      (5L, "short")).toDF("doc_id", "text")
+    val bench = Seq(s"intro $eight outro").toDF("text")
+    val exact = Decontamination.contaminatedIds(docs, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontamination.contaminatedIdsBloom(docs, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom === exact)
+    assert(bloom === Set(1L, 3L))
+    // empty benchmark: no grams, nothing flagged, no crash building the filter
+    val empty = Seq.empty[String].toDF("text")
+    assert(Decontamination.contaminatedIdsBloom(docs, "doc_id", "text", empty, "text").count() === 0L)
+  }
+
   test("corpus side never shuffles before the broadcast probe") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
