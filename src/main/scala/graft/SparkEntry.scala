@@ -471,6 +471,43 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** K-means clustering as a first-class operator, certified on planted
+    * ground truth (the real embeddings' `label` column is NOT geometrically
+    * separated — nearest-centroid Bayes accuracy on it is ~41%, so no
+    * clustering can "recover" it): plant 8 tight clusters on orthogonal
+    * axes (centers 10·e_{2c}, deterministic ±0.1 jitter), seed with
+    * Gonzalez farthest-point init — which provably lands one seed per
+    * separated cluster, unlike sampled init — run 3 Lloyd iterations, and
+    * demand EXACT recovery: 8 non-empty lists, every point in a pure
+    * cluster. The oracle states the constants. */
+  private def qKmeansCluster(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val planted = spark.range(240).select(
+      col("id").as("vec_id"),
+      expr("id div 30").cast("int").as("label"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(15)), d =>
+          when(d === col("label") * 2, lit(10.0)).otherwise(lit(0.0))
+            + (pmod(col("vec_id") * 31 + d.cast("long") * 7, lit(19)) - lit(9)).cast("double") / lit(90.0))
+          .cast("array<float>"))
+    val init = Similarity.farthestPointCentroids(planted, "vec_id", "embedding", k = 8)
+    val cents = Similarity.kmeansCentroids(planted, "vec_id", "embedding", k = 8,
+      iters = 3, init = Some(init))
+    val assigned = Similarity.ivfAssign(planted, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("list_id"))
+    val withLabel = assigned.join(planted.select(col("vec_id"), col("label")), "vec_id")
+    val majority = withLabel.groupBy(col("list_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("list_id"))
+      .agg(max(col("n")).as("maj"), sum(col("n")).as("members"))
+    majority.agg(
+      sum(col("members")).cast("long").as("n_vectors"),
+      count(lit(1)).as("n_lists_used"),
+      sum(col("maj")).cast("long").as("n_majority"))
+      .withColumn("purity_x1e4",
+        floor(col("n_majority") * 10000 / col("n_vectors")).cast("long"))
+  }
+
   /** Bloom-prefiltered decontamination must return EXACTLY the exact-path
     * result (the filter only moves work, never changes it) — the query
     * computes both and reports the symmetric difference, which the oracle
@@ -1562,6 +1599,7 @@ object SparkEntry {
     "bm25_topk" -> qBm25Topk,
     "gapfill_resample" -> qGapfillResample,
     "decontaminate_bloom" -> qDecontaminateBloom,
+    "kmeans_cluster" -> qKmeansCluster,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1965,6 +2003,10 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // exact recovery of the 8 planted orthogonal clusters (240 vectors)
+    "kmeans_cluster" ->
+      ("SELECT 240::BIGINT AS n_vectors, 8::BIGINT AS n_lists_used, " +
+        "240::BIGINT AS n_majority, 10000::BIGINT AS purity_x1e4"),
     // exact-path numbers; the bloom path must agree exactly (n_mismatch=0)
     "decontaminate_bloom" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +

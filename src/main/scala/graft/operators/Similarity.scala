@@ -136,15 +136,47 @@ object Similarity {
       .limit(nLists)
       .collect().map(_.getSeq[Double](0).toArray)
 
+  /** Deterministic Gonzalez (1985) farthest-point seeding: start from the
+    * vector with the smallest xxhash64(id), then k-1 times take the vector
+    * maximizing the min squared-Euclidean distance to the seeds so far
+    * (ties by id). On data with k well-separated clusters this provably
+    * lands one seed per cluster — the property sampled init lacks (two
+    * same-cluster samples make Lloyd split one cluster and merge two).
+    * Cost is k narrow scans, each ending in a TakeOrdered(1); at corpus
+    * scale run it on a [[Sampling.hashSample]] of the vectors — seeding
+    * needs a representative sample, not the full table (k-means|| is the
+    * published alternative when even that is too slow). */
+  def farthestPointCentroids(df: DataFrame, idCol: String, embCol: String, k: Int): Array[Array[Double]] = {
+    require(k >= 1)
+    val base = df.select(col(s"`$idCol`").cast("long").as("id"),
+      col(s"`$embCol`").cast("array<double>").as("e"))
+      .where(col("e").isNotNull)
+    val first = base.orderBy(xxhash64(col("id")), col("id")).limit(1)
+      .collect()(0).getSeq[Double](1).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.size < k) {
+      val minDist = chosen.map { c =>
+        aggregate(zip_with(col("e"), lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+      }.reduce(least(_, _))
+      val next = base.select(col("id"), col("e"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id")).limit(1)
+        .collect()(0).getSeq[Double](1).toArray
+      chosen += next
+    }
+    chosen.toArray
+  }
+
   /** Lloyd-iteration refinement of the sampled quantizer, entirely in
     * DataFrame ops: assign (narrow pass) -> per-list per-dimension mean via
     * posexplode + groupBy (one shuffle whose output is k x dim cells) ->
     * collect the means (driver-small: k x dim doubles). Deterministic:
-    * sampled init, fixed iteration count; a list that loses all members
-    * keeps its previous centroid. */
+    * deterministic init, fixed iteration count; a list that loses all
+    * members keeps its previous centroid. */
   def kmeansCentroids(df: DataFrame, idCol: String, embCol: String, k: Int,
-                      iters: Int = 5): Array[Array[Double]] = {
-    var cents = sampleCentroids(df, idCol, embCol, k)
+                      iters: Int = 5,
+                      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    var cents = init.getOrElse(sampleCentroids(df, idCol, embCol, k))
     for (_ <- 0 until iters) {
       val means = ivfAssign(df, idCol, embCol, cents)
         .where(col("list_id") >= 0)

@@ -144,4 +144,28 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = expected.count(got.contains).toDouble / expected.size
     assert(recall >= 0.9, s"LSH recall $recall below 0.9; got ${got.size} pairs")
   }
+
+  test("farthest-point init lands one seed per separated cluster; kmeans recovers exactly") {
+    import graft.SparkTestBase.spark.implicits._
+    // 3 tight clusters on orthogonal axes; 5 points each
+    val pts = for (c <- 0 until 3; i <- 0 until 5) yield {
+      val v = Array.fill(6)(0f)
+      v(c * 2) = 10f
+      v(5) = v(5) + (c * 5 + i) * 0.01f // deterministic jitter off-axis
+      (c * 5L + i, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val init = Similarity.farthestPointCentroids(df, "vec_id", "embedding", k = 3)
+    // one seed per cluster: each seed's dominant axis is distinct
+    val axes = init.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes === Set(0, 2, 4))
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3,
+      iters = 2, init = Some(init))
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val byCluster = assigned.groupBy(_._1 / 5).mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1), s"split cluster: $byCluster")
+    assert(byCluster.values.flatten.toSet.size === 3, "clusters merged")
+  }
 }
