@@ -471,6 +471,19 @@ object SparkEntry {
         col("lang_pred"))
       .orderBy("doc_id")
 
+  /** Price histogram over lineitem: integer floor-division buckets, cent
+    * sums — every output exact. */
+  private def qHistogramStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogram(
+      table(spark, dir, "lineitem"), "l_extendedprice", bucketWidth = 10000L, maxBucket = 10)
+
+  /** Pearson correlation of quantity vs discount from exact integer
+    * sufficient statistics ([[graft.operators.Stats.pearsonExact]]):
+    * deterministic to the last bit, unlike the builtin co-moment corr. */
+  private def qCorrStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.pearsonExact(
+      table(spark, dir, "lineitem"), "l_quantity", "l_discount", xScale = 1, yScale = 100)
+
   /** K-means clustering as a first-class operator, certified on planted
     * ground truth (the real embeddings' `label` column is NOT geometrically
     * separated — nearest-centroid Bayes accuracy on it is ~41%, so no
@@ -1600,6 +1613,8 @@ object SparkEntry {
     "gapfill_resample" -> qGapfillResample,
     "decontaminate_bloom" -> qDecontaminateBloom,
     "kmeans_cluster" -> qKmeansCluster,
+    "histogram_stats" -> qHistogramStats,
+    "corr_stats" -> qCorrStats,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2003,6 +2018,19 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    "histogram_stats" ->
+      ("SELECT least(floor(l_extendedprice / 10000), 10)::BIGINT AS bucket, " +
+        "count(*) AS n, sum(round(l_extendedprice * 100, 0))::BIGINT AS cent_sum " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1 ORDER BY 1"),
+    // identical integer sufficient statistics + closed-form double combine
+    "corr_stats" ->
+      ("WITH g AS (SELECT round(l_quantity, 0)::BIGINT AS x, round(l_discount * 100, 0)::BIGINT AS y " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL), " +
+        "s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, " +
+        "sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy FROM g) " +
+        "SELECT n, sx, sy, sxx, syy, sxy, " +
+        "floor((n * sxy - sx * sy)::DOUBLE / " +
+        "(sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)) * 1e9)::BIGINT AS corr_x1e9 FROM s"),
     // exact recovery of the 8 planted orthogonal clusters (240 vectors)
     "kmeans_cluster" ->
       ("SELECT 240::BIGINT AS n_vectors, 8::BIGINT AS n_lists_used, " +

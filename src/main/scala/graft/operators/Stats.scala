@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for data profiling: fixed-grid histograms and
+  * exact-arithmetic Pearson correlation.
+  *
+  * Both are one-shuffle aggregations whose OUTPUTS are exact integers, so
+  * any engine reproduces them bit-for-bit:
+  *  - the histogram buckets by integer floor-division (no float bin
+  *    boundaries to disagree about) and sums values on the cent grid;
+  *  - the correlation accumulates integer sufficient statistics
+  *    (n, Σx, Σy, Σx², Σy², Σxy — exact in 64 bits when the inputs are
+  *    small-grid integers) and only at the very end runs the closed-form
+  *    double formula, every step of which is IEEE exactly-rounded — unlike
+  *    the streaming co-moment algorithms inside builtin `corr`, whose
+  *    result depends on partition merge order at the 1e-12 level. */
+object Stats {
+
+  /** Histogram of `value` with `bucketWidth`-wide bins, clamped to
+    * [0, maxBucket]: rows of (bucket, n, cent_sum), ordered by bucket. */
+  def histogram(df: DataFrame, valueCol: String, bucketWidth: Long, maxBucket: Int): DataFrame = {
+    val v = col(s"`$valueCol`")
+    df.where(v.isNotNull)
+      .groupBy(least(floor(v / bucketWidth), lit(maxBucket.toLong)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(v * 100, 0).cast("long")).as("cent_sum"))
+      .orderBy("bucket")
+  }
+
+  /** Pearson r between two columns after snapping each to an integer grid
+    * (`xScale`/`yScale` multipliers chosen so the products stay well inside
+    * Long range). Returns one row of the six exact sufficient statistics
+    * plus `corr_x1e9 = floor(r * 1e9)`. */
+  def pearsonExact(df: DataFrame, xCol: String, yCol: String,
+                   xScale: Int, yScale: Int): DataFrame = {
+    val x = round(col(s"`$xCol`") * xScale, 0).cast("long")
+    val y = round(col(s"`$yCol`") * yScale, 0).cast("long")
+    df.where(col(s"`$xCol`").isNotNull && col(s"`$yCol`").isNotNull)
+      .select(x.as("x"), y.as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_x1e9", {
+        // combine in decimal(38,0) so the cross-products stay exact far
+        // past the point where long math would wrap (n ~ 1e11 rows)
+        def d(c: Column): Column = c.cast("decimal(38,0)")
+        val num = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double")
+        val den = sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double")) *
+          sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double"))
+        // r is undefined when either variance is zero (n<2 or constant col)
+        when(den > 0.0, floor(num / den * 1e9).cast("long")).otherwise(lit(null).cast("long"))
+      })
+  }
+}
