@@ -722,6 +722,31 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Schema evolution on an append-only parquet store: batch 1 writes the
+    * narrow schema, batch 2 appends files carrying a new column, and the
+    * read reconciles them with `mergeSchema` — the lifecycle every
+    * long-lived corpus table goes through (new quality/metadata columns
+    * arrive mid-stream; old files stay untouched, so the new column must
+    * read as null for them). At scale mergeSchema's footer sampling is the
+    * read-side cost; production tables pin the merged schema in a
+    * catalog — here the merge itself is what's under test. */
+  private def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_schema_evolution").getAbsolutePath
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    docs.where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(out)
+    docs.where(col("doc_id") % 2 === 1)
+      .withColumn("quality", col("doc_id") * 7)
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("quality")).as("n_evolved"),
+        coalesce(sum(col("quality")), lit(0L)).cast("long").as("quality_sum"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** JSON-lines interchange sink: the bounded-fan-out partitioned sink
     * writing newline-delimited JSON (the corpus interchange format between
     * pipeline systems), read back with an explicit schema (no inference
@@ -1615,6 +1640,7 @@ object SparkEntry {
     "kmeans_cluster" -> qKmeansCluster,
     "histogram_stats" -> qHistogramStats,
     "corr_stats" -> qCorrStats,
+    "schema_evolution" -> qSchemaEvolution,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2018,6 +2044,12 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // old files read the evolved column as null; only odd doc_ids carry it
+    "schema_evolution" ->
+      ("SELECT count(*)::BIGINT AS n_rows, " +
+        "count(CASE WHEN doc_id % 2 = 1 THEN 1 END)::BIGINT AS n_evolved, " +
+        "coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id * 7 END), 0)::BIGINT AS quality_sum, " +
+        "count(DISTINCT lang)::BIGINT AS n_langs FROM documents"),
     "histogram_stats" ->
       ("SELECT least(floor(l_extendedprice / 10000), 10)::BIGINT AS bucket, " +
         "count(*) AS n, sum(round(l_extendedprice * 100, 0))::BIGINT AS cent_sum " +
