@@ -52,10 +52,10 @@ object Decontamination {
     * is IDENTICAL to [[contaminatedIds]] — the filter only moves work off
     * the join. The Bloom bitset is an OR of per-item hashes, so its bits
     * (and therefore the candidate set) are insertion-order-independent and
-    * deterministic. The probe is a Scala UDF: it sits behind the gram
-    * explode and in front of everything else, so the non-codegen cost is
-    * one virtual call per gram in exchange for not materializing the join
-    * input; the confirm join then touches ~fpp of the corpus grams. */
+    * deterministic. The probe is a codegen'd Catalyst expression
+    * ([[graft.plans.BloomMightContain]]) hashing the UTF-8 bytes in place —
+    * no UDF boxing on the corpus-sized path; the confirm join then touches
+    * ~fpp of the corpus grams. */
   def contaminatedIdsBloom(docs: DataFrame, idCol: String, textCol: String,
                            benchmark: DataFrame, benchTextCol: String, n: Int = 8,
                            fpp: Double = 0.01): DataFrame = {
@@ -68,12 +68,10 @@ object Decontamination {
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id")).where(lit(false))
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((g: String) => g != null && bc.value.mightContainString(g))
     val candidates = docs.select(
       col(s"`$idCol`").cast("long").as("doc_id"),
       explode(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("gram"))
-      .where(probe(col("gram")))
+      .where(graft.plans.BloomExpression.mightContain(col("gram"), bloom))
     candidates.join(broadcast(benchGrams), "gram")
       .select(col("doc_id")).distinct()
   }
