@@ -722,6 +722,21 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled source mixing (T=2 boosts small strata): strata are
+    * derived from doc_id with a 4:2:1 skew so the rebalancing is
+    * non-degenerate; the oracle recomputes the same pow/grid cutoffs and
+    * the same integer hash membership in SQL. */
+  private def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").withColumn("stratum",
+      when(col("doc_id") % 7 < 4, "big")
+        .when(col("doc_id") % 7 < 6, "mid").otherwise("small"))
+    graft.operators.Sampling.temperatureMixSample(docs, "stratum", "doc_id",
+      temperature = 2.0, targetFraction = 0.5)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("stratum")
+  }
+
   /** Schema evolution on an append-only parquet store: batch 1 writes the
     * narrow schema, batch 2 appends files carrying a new column, and the
     * read reconciles them with `mergeSchema` — the lifecycle every
@@ -1641,6 +1656,7 @@ object SparkEntry {
     "histogram_stats" -> qHistogramStats,
     "corr_stats" -> qCorrStats,
     "schema_evolution" -> qSchemaEvolution,
+    "temperature_mix" -> qTemperatureMix,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2044,6 +2060,19 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // same pow(n, 1/T) weights, same 1/4096 rate grid, same integer hash
+    "temperature_mix" ->
+      ("WITH s AS (SELECT doc_id, CASE WHEN doc_id % 7 < 4 THEN 'big' " +
+        "WHEN doc_id % 7 < 6 THEN 'mid' ELSE 'small' END AS stratum FROM documents), " +
+        "c AS (SELECT stratum, count(*)::DOUBLE AS n FROM s GROUP BY 1), " +
+        "w AS (SELECT stratum, n, pow(n, 0.5) AS w FROM c), " +
+        "t AS (SELECT sum(w) AS wsum, sum(n) AS total FROM w), " +
+        "r AS (SELECT stratum, least(4096, floor(least(1.0, floor(0.5 * t.total) * (w.w / t.wsum) / w.n) * 4096))::BIGINT * 1048576 AS cutoff " +
+        "FROM w CROSS JOIN t) " +
+        "SELECT s.stratum, count(*) AS n_sampled, sum(s.doc_id)::BIGINT AS id_sum " +
+        "FROM s JOIN r USING (stratum) " +
+        "WHERE (s.doc_id::HUGEINT * 2654435761) % 4294967296 < r.cutoff " +
+        "GROUP BY 1 ORDER BY 1"),
     // old files read the evolved column as null; only odd doc_ids carry it
     "schema_evolution" ->
       ("SELECT count(*)::BIGINT AS n_rows, " +

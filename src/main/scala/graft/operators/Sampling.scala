@@ -43,6 +43,46 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fractionBp: Int): DataFrame =
     df.where(idHash(col(s"`$idCol`")) < cutoff(fractionBp))
 
+  /** Temperature-scaled mixture cutoffs — the standard multi-source
+    * rebalancing for LLM corpora (sampling weight ∝ n^(1/T), so T>1 boosts
+    * small sources against dominant ones; T=1 is proportional, T=∞ uniform).
+    * Given per-stratum counts, returns the integer hash cutoff per stratum
+    * for an overall `targetFraction` of the corpus.
+    *
+    * Rates go through doubles (`pow`), so cross-engine equality is secured
+    * by snapping each rate to a 1/4096 grid BEFORE scaling to the 2^32
+    * ring: a 1-ULP `pow`/summation difference cannot move a cutoff, and
+    * membership stays a pure integer compare any engine reproduces. */
+  def temperatureMixCutoffs(counts: Map[String, Long], temperature: Double,
+                            targetFraction: Double): Map[String, Long] = {
+    require(temperature >= 1.0, "temperature >= 1 (1 = proportional sampling)")
+    require(targetFraction > 0.0 && targetFraction <= 1.0, "target fraction in (0, 1]")
+    val alpha = 1.0 / temperature
+    val sources = counts.keys.toSeq.sorted // fixed fold order
+    val w = sources.map(s => math.pow(counts(s).toDouble, alpha))
+    val wSum = w.sum
+    val total = counts.values.sum
+    val k = math.floor(targetFraction * total)
+    sources.zip(w).map { case (s, ws) =>
+      val rate = math.min(1.0, k * (ws / wSum) / counts(s))
+      s -> math.min(4096L, math.floor(rate * 4096).toLong) * (1L << 20)
+    }.toMap
+  }
+
+  /** Sample `df` with temperature-mixed per-stratum rates. Counts are one
+    * small aggregate (strata cardinality rows); membership is the same
+    * narrow codegen'd integer filter as [[hashSample]]. */
+  def temperatureMixSample(df: DataFrame, strataCol: String, idCol: String,
+                           temperature: Double, targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(s"`$strataCol`")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cutoffs = temperatureMixCutoffs(counts, temperature, targetFraction)
+    val cut = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
+      when(col(s"`$strataCol`") === stratum, c).otherwise(acc)
+    }
+    df.where(idHash(col(s"`$idCol`")) < cut)
+  }
+
   /** Stratified hash sampling: per-stratum basis-point rates, default 0
     * (strata absent from the map are dropped — curation semantics: an
     * unlisted source does not leak into the mix). The rate lookup compiles

@@ -56,4 +56,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
       s"filter must stay in codegen:\n$plan")
   }
+
+  test("temperature mixing boosts small sources and caps rates at 1") {
+    // skewed counts 800 / 150 / 50; T=2 flattens toward equal shares
+    val counts = Map("big" -> 800L, "mid" -> 150L, "small" -> 50L)
+    val cut = Sampling.temperatureMixCutoffs(counts, temperature = 2.0, targetFraction = 0.5)
+    val ring = 4294967296.0
+    val rate = cut.view.mapValues(_ / ring).toMap
+    // temperature ordering: the smaller the source, the higher its rate
+    assert(rate("small") > rate("mid") && rate("mid") > rate("big"), rate.toString)
+    // all rates in [0, 1]; grid-aligned to 2^20
+    assert(cut.values.forall(c => c >= 0L && c <= 4294967296L && c % (1L << 20) == 0L))
+    // T=1 with full target keeps everything
+    val all = Sampling.temperatureMixCutoffs(counts, 1.0, 1.0)
+    assert(all.values.forall(_ == 4294967296L))
+  }
+
+  test("temperatureMixSample filters by the derived cutoffs without a shuffle") {
+    import spark.implicits._
+    val df = (0L until 700L).map(i => (i, if (i % 7 < 4) "big" else if (i % 7 < 6) "mid" else "small"))
+      .toDF("id", "s")
+    val out = Sampling.temperatureMixSample(df, "s", "id", temperature = 2.0, targetFraction = 0.5)
+    val got = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // membership must equal the hash predicate applied manually
+    val cutoffs = Sampling.temperatureMixCutoffs(
+      Map("big" -> 400L, "mid" -> 200L, "small" -> 100L), 2.0, 0.5)
+    val expect = (0L until 700L).groupBy(i => if (i % 7 < 4) "big" else if (i % 7 < 6) "mid" else "small")
+      .map { case (s, is) => s -> is.count(i => java.lang.Long.remainderUnsigned(i * 2654435761L, 4294967296L) < cutoffs(s)).toLong }
+    assert(got === expect.filter(_._2 > 0L))
+  }
 }
