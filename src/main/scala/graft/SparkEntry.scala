@@ -722,6 +722,22 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Conversation assembly: every user's event log becomes one ordered
+    * document. Full 150-row value compare — DuckDB rebuilds the identical
+    * strings with ordered string_agg; order keys are exact integers
+    * (epoch micros + event_id tiebreak). */
+  private def qAssembleDocs(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val pieces = table(spark, dir, "events").select(
+      col("user_id"),
+      expr("ts div 1000").as("us"),
+      col("event_id"),
+      concat(col("event_type"), lit(":"), expr("ts div 1000").cast("string")).as("piece"))
+    graft.operators.Assembly.assemble(pieces, "user_id", Seq("us", "event_id"), "piece")
+      .orderBy("key")
+  }
+
   /** Temperature-scaled source mixing (T=2 boosts small strata): strata are
     * derived from doc_id with a 4:2:1 skew so the rebalancing is
     * non-degenerate; the oracle recomputes the same pow/grid cutoffs and
@@ -1657,6 +1673,7 @@ object SparkEntry {
     "corr_stats" -> qCorrStats,
     "schema_evolution" -> qSchemaEvolution,
     "temperature_mix" -> qTemperatureMix,
+    "assemble_docs" -> qAssembleDocs,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2060,6 +2077,11 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // identical piece strings, identical (us, event_id) ordering
+    "assemble_docs" ->
+      ("SELECT user_id AS key, count(*) AS n_pieces, " +
+        "string_agg(event_type || ':' || epoch_us(ts), ' ' ORDER BY epoch_us(ts), event_id) AS doc " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     // same pow(n, 1/T) weights, same 1/4096 rate grid, same integer hash
     "temperature_mix" ->
       ("WITH s AS (SELECT doc_id, CASE WHEN doc_id % 7 < 4 THEN 'big' " +
