@@ -722,6 +722,22 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** BPE merge-candidate statistics: corpus-wide adjacent token-pair counts,
+    * the inner loop of tokenizer training. One explode + one counting
+    * shuffle + TakeOrdered top-k (no global sort); ties broken by pair
+    * text so the cutoff is engine-stable. */
+  private def qBpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    table(spark, dir, "documents")
+      .select(explode(bigrams).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   /** Conversation assembly: every user's event log becomes one ordered
     * document. Full 150-row value compare — DuckDB rebuilds the identical
     * strings with ordered string_agg; order keys are exact integers
@@ -1674,6 +1690,7 @@ object SparkEntry {
     "schema_evolution" -> qSchemaEvolution,
     "temperature_mix" -> qTemperatureMix,
     "assemble_docs" -> qAssembleDocs,
+    "bpe_pair_counts" -> qBpePairCounts,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2077,6 +2094,12 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // same whitespace bigrams, same (count desc, pair) cutoff
+    "bpe_pair_counts" ->
+      ("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS pair " +
+        "FROM t WHERE len(toks) >= 2) " +
+        "SELECT pair, count(*)::BIGINT AS n FROM bg GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     // identical piece strings, identical (us, event_id) ordering
     "assemble_docs" ->
       ("SELECT user_id AS key, count(*) AS n_pieces, " +
