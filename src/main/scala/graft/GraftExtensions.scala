@@ -127,6 +127,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(v, q, s) => graft.plans.QuantExpressions.dequantMaxError(v, q, s)
     }
 
+    injectCol("graft_redact",
+      "graft_redact(text) - scrub email/CCN/SSN/phone/IPv4 PII from free text", 1) {
+      case Seq(t) => graft.operators.Redaction.redact(t)
+    }
+    injectCol("graft_redaction_count",
+      "graft_redaction_count(text) - how many redactions graft_redact(text) performs", 1) {
+      case Seq(t) => graft.operators.Redaction.redactionCount(t)
+    }
+
     // literal-int trailing argument: resolved at plan time, so the SQL form
     // requires a constant (the expression itself is parameterized by it)
     def litInt(e: Expression, what: String): Int = e match {

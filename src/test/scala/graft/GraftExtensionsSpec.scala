@@ -27,6 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_dot", "graft_simhash64", "graft_quality", "graft_lang",
         "graft_fingerprint", "graft_hash_bucket",
         "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",
+        "graft_redact", "graft_redaction_count",
         "graft_zorder2", "graft_top_k"))
 
       val e = captured("mask_string")(Seq(
@@ -46,6 +47,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val apiV = spark.range(1).select(
         graft.plans.VectorExpressions.simhash64(split(lit("a b c"), " "))).collect()(0).getLong(0)
       assert(shv === apiV, "SQL-injected simhash matches the Column API")
+      val red = captured("graft_redact")(Seq(GraftBridge.expression(lit("mail a@b.co now"))))
+      assert(spark.range(1).select(GraftBridge.column(red)).collect()(0).getString(0) ===
+        "mail [EMAIL] now")
+      val redN = captured("graft_redaction_count")(Seq(GraftBridge.expression(lit("a@b.co and 1.2.3.4"))))
+      assert(spark.range(1).select(GraftBridge.column(redN)).collect()(0).getLong(0) === 2L)
       val bucket = captured("graft_hash_bucket")(Seq(GraftBridge.expression(lit(42L))))
       assert(spark.range(1).select(GraftBridge.column(bucket)).collect()(0).getLong(0) ===
         java.lang.Long.remainderUnsigned(42L * 2654435761L, 4294967296L))
