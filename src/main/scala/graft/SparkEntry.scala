@@ -722,6 +722,26 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Incremental near-dedup: a planted "daily batch" (10 corpus docs,
+    * re-id'd +1e6, with an appended tail -> jaccard vs source ~0.89-0.97)
+    * against the full corpus. The oracle recomputes EXACT jaccard for every
+    * (new, corpus) pair; at the flagged pairs' minimum j=0.886 the
+    * 32x8-band LSH miss probability is ~2e-7, so the exact oracle is safe
+    * to pin. */
+  private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val batch = docs.where(col("doc_id") % 50 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" appended tail")).as("text"))
+    val flagged = graft.operators.Dedup.incrementalNearDuplicates(
+      docs.select(col("doc_id"), col("text")), batch, "doc_id", "text", threshold = 0.8)
+    batch.agg(count(lit(1)).as("n_new"))
+      .crossJoin(flagged.agg( // 1x1 combines
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("new_id")).as("n_flagged"),
+        coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
+  }
+
   /** BPE merge-candidate statistics: corpus-wide adjacent token-pair counts,
     * the inner loop of tokenizer training. One explode + one counting
     * shuffle + TakeOrdered top-k (no global sort); ties broken by pair
@@ -1691,6 +1711,7 @@ object SparkEntry {
     "temperature_mix" -> qTemperatureMix,
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
+    "dedup_incremental" -> qDedupIncremental,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2094,6 +2115,18 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // exact jaccard between the planted batch and the corpus
+    "dedup_incremental" ->
+      ("WITH newb AS (SELECT doc_id + 1000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +
+        "shc AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "shn AS (SELECT nid, list_distinct([t[i:i+4] FOR i IN range(1, greatest(len(t)-3, 1))]) AS s FROM newb), " +
+        "p AS (SELECT n.nid, c.doc_id, len(list_intersect(n.s, c.s))::DOUBLE / " +
+        "(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j FROM shn n CROSS JOIN shc c), " +
+        "f AS (SELECT * FROM p WHERE j >= 0.8) " +
+        "SELECT (SELECT count(*) FROM newb)::BIGINT AS n_new, " +
+        "(SELECT count(*) FROM f)::BIGINT AS n_pairs, " +
+        "(SELECT count(DISTINCT nid) FROM f)::BIGINT AS n_flagged, " +
+        "(SELECT coalesce(sum(nid + doc_id), 0) FROM f)::BIGINT AS pair_id_sum"),
     // same whitespace bigrams, same (count desc, pair) cutoff
     "bpe_pair_counts" ->
       ("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +

@@ -231,6 +231,62 @@ object Dedup {
       withShingles)
   }
 
+  /** Incremental near-dedup — the production shape for a 100 TB corpus
+    * growing by daily batches: flag NEW documents that near-duplicate any
+    * EXISTING corpus document, without ever pairing corpus docs with each
+    * other. Ids must be disjoint across the two frames.
+    *
+    * Scale shape: both sides go through the same deterministic
+    * shingle→signature→band pipeline as [[minhashPairs]]; the corpus's
+    * band keys collapse to capped buckets in ONE shuffle (the only
+    * corpus-wide movement), while the small batch's band keys join in by
+    * BROADCAST — so batch size, not corpus size, drives the join. Exact
+    * Jaccard verification then touches only candidate pairs. Recall
+    * follows the same S-curve as the batch operator (32 bands × 8 rows:
+    * a true pair at j=0.89 is missed with ~2e-7 probability). */
+  def incrementalNearDuplicates(corpus: DataFrame, newDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.8, shingleSize: Int = 5,
+                                numHashes: Int = 256, bands: Int = 0,
+                                maxBucket: Int = 64): DataFrame = {
+    val autoBands = Seq(2, 4, 8, 16).filter(numHashes % _ == 0)
+      .filter(r => math.pow(numHashes.toDouble / r, -1.0 / r) <= threshold - 0.1)
+      .lastOption.map(numHashes / _).getOrElse(numHashes / 2)
+    val effBands = if (bands > 0) bands else autoBands
+    require(numHashes % effBands == 0, "bands must divide numHashes")
+    val rows = numHashes / effBands
+
+    def shingled(df: DataFrame): DataFrame = Partitioning.spread(df.select(
+      col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
+      .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
+      .withColumn("shx", transform(col("sh"), s => xxhash64(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def bandKeys(sh: DataFrame): DataFrame = sh.where(size(col("shx")) > 0)
+      .withColumn("sig", minhashSigCol(numHashes, col("shx")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${effBands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+
+    val corpusSh = shingled(corpus)
+    val newSh = shingled(newDocs)
+    // one corpus shuffle; degenerate buckets capped exactly like the batch op
+    val corpusBuckets = bandKeys(corpusSh).groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("cids"))
+      .where(size(col("cids")) <= maxBucket)
+    val candidates = corpusBuckets
+      .join(broadcast(bandKeys(newSh).withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id").as("id_a"), explode(col("cids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+    val allSh = corpusSh.select(col("doc_id"), col("sh"))
+      .union(newSh.select(col("doc_id"), col("sh")))
+    Partitioning.releaseAfterUse(
+      verifyJaccard(candidates, allSh, threshold)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
+      corpusSh, newSh)
+  }
+
   /** Pair rows are ~16 bytes before the verify join but explode to two full
     * shingle arrays after it — AQE's size-based coalescing would funnel the
     * verification into a couple of tasks. Explicit REPARTITION_BY_NUM is

@@ -137,6 +137,27 @@ class DedupSpec extends AnyFunSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental near-dedup flags exactly the new docs duplicating the corpus") {
+    val corpus = docs(
+      1L -> base,
+      2L -> "a completely different document about other things entirely and nothing else",
+      3L -> (base + " slightly extended"))
+    val batch = docs(
+      100L -> (base + " x"), // near-dup of corpus 1 (and 3)
+      101L -> "fresh new content that matches nothing in the existing corpus at all today")
+    val out = Dedup.incrementalNearDuplicates(corpus, batch, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSet === Set(100L), s"got ${out.toSeq}")
+    assert(out.map(_._2).toSet.subsetOf(Set(1L, 3L)))
+    // never pairs corpus docs with each other, never pairs batch with itself
+    assert(out.forall { case (n, c) => n >= 100L && c < 100L })
+    // plan: the batch side broadcasts; no cartesian product
+    val plan = Dedup.incrementalNearDuplicates(corpus, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), "batch band keys must broadcast")
+  }
+
   test("dedup plans contain no cartesian product") {
     val df = docs(1L -> base, 2L -> (base + " x"))
     for (plan <- Seq(
