@@ -722,6 +722,27 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Intra-document duplicate-line removal, full 500-row value compare:
+    * every third doc gets its body duplicated as a second line plus a
+    * unique tail; the cleanup must drop exactly the duplicated line and
+    * keep first-occurrence order — DuckDB rebuilds the identical cleaned
+    * strings with an index-aware list_filter. */
+  private def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val planted = table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit("\n"), col("text"))).otherwise(lit("")),
+        lit("\ntail "), col("doc_id").cast("string")).as("text"))
+    planted.select(
+      col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines_before"),
+      size(split(TextAnalysis.dropDuplicateLines(col("text")), "\n")).cast("long").as("n_lines_after"),
+      TextAnalysis.dropDuplicateLines(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dedup: a planted "daily batch" (10 corpus docs,
     * re-id'd +1e6, with an appended tail -> jaccard vs source ~0.89-0.97)
     * against the full corpus. The oracle recomputes EXACT jaccard for every
@@ -1712,6 +1733,7 @@ object SparkEntry {
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
+    "dedup_lines" -> qDedupLines,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -2115,6 +2137,15 @@ object SparkEntry {
         "(SELECT count(*) FROM cont)::BIGINT AS n_contaminated, " +
         "((SELECT count(*) FROM documents) - (SELECT count(*) FROM cont))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(doc_id), 0) FROM cont)::BIGINT AS cont_id_sum"),
+    // same planted lines; first-occurrence keep order via index-aware filter
+    "dedup_lines" ->
+      ("WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END " +
+        "|| chr(10) || 'tail ' || doc_id AS text FROM documents), " +
+        "l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t) " +
+        "SELECT doc_id, len(lines)::BIGINT AS n_lines_before, " +
+        "len(list_filter(lines, (x, i) -> list_position(lines, x) = i))::BIGINT AS n_lines_after, " +
+        "array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10)) AS clean_text " +
+        "FROM l ORDER BY doc_id"),
     // exact jaccard between the planted batch and the corpus
     "dedup_incremental" ->
       ("WITH newb AS (SELECT doc_id + 1000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +

@@ -92,6 +92,13 @@ object TextAnalysis {
       markerCount(text, "en"), markerCount(text, "de"), markerCount(text, "fr"),
       markerCount(text, "es"), markerCount(text, "zh"))
 
+  /** C4-style intra-document cleanup: drop duplicate lines, keeping the
+    * FIRST occurrence in order (`array_distinct` preserves first-occurrence
+    * order). Pure narrow codegen'd builtins — the transform runs per
+    * document with no state and no shuffle. */
+  def dropDuplicateLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   /** Canonical-content fingerprint: xxhash64 of the lowercased,
     * whitespace-collapsed text. Stable across runs and executors; two
     * documents with the same canonical content always collide. */

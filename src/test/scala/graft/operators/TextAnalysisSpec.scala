@@ -22,6 +22,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_chars") === 25)
   }
 
+  test("dropDuplicateLines keeps first occurrences in order") {
+    import graft.SparkTestBase.spark.implicits._
+    val df = Seq(
+      "a\nb\na\nc\nb",
+      "solo",
+      "x\nx\nx").toDF("text")
+    val out = df.select(TextAnalysis.dropDuplicateLines(col("text")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("a\nb\nc", "solo", "x"))
+  }
+
   test("bpe-ish pre-tokenizer counts contractions, word/number/punct runs") {
     import org.apache.spark.sql.functions.col
     import graft.SparkTestBase.spark.implicits._
