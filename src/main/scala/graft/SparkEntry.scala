@@ -819,8 +819,11 @@ object SparkEntry {
     * read-side cost; production tables pin the merged schema in a
     * catalog — here the merge itself is what's under test. */
   private def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    // pid-scoped path: stable across this JVM's bench passes, distinct
+    // across concurrent processes (overwrite-then-append must not race)
     val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_schema_evolution").getAbsolutePath
+      System.getProperty("java.io.tmpdir"),
+      s"graft_schema_evolution_${ProcessHandle.current().pid()}").getAbsolutePath
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
     docs.where(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(out)

@@ -60,20 +60,30 @@ object Decontamination {
                            benchmark: DataFrame, benchTextCol: String, n: Int = 8,
                            fpp: Double = 0.01): DataFrame = {
     require(n >= 2, "n-gram decontamination needs n >= 2")
+    // persisted: three consumers (count, Bloom build, confirm join) must
+    // not each re-run the tokenize/explode/distinct over the benchmark
     val benchGrams = benchmark
       .select(explode(grams(TextAnalysis.tokens(col(s"`$benchTextCol`")), n)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val expected = benchGrams.count() // small side; one tiny job
-    if (expected == 0L) // bloom_filter_agg yields null on empty input (NPE in readFrom)
+    if (expected == 0L) { // bloom_filter_agg yields null on empty input (NPE in readFrom)
+      benchGrams.unpersist(blocking = false)
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id")).where(lit(false))
+    }
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
     val candidates = docs.select(
       col(s"`$idCol`").cast("long").as("doc_id"),
       explode(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("gram"))
       .where(graft.plans.BloomExpression.mightContain(col("gram"), bloom))
-    candidates.join(broadcast(benchGrams), "gram")
-      .select(col("doc_id")).distinct()
+    // NO broadcast hint on the confirm: the whole point of this path is a
+    // benchmark too big to ship as raw strings. Post-prefilter the
+    // candidate side is ~fpp of the corpus grams, so Spark's stats (AQE)
+    // pick the broadcast side — usually the candidates — on their own.
+    Partitioning.releaseAfterUse(
+      candidates.join(benchGrams, "gram").select(col("doc_id")).distinct(),
+      benchGrams)
   }
 
   /** Drop contaminated documents (left anti join against the flagged ids —

@@ -180,42 +180,54 @@ object Dedup {
     *        must not quadratic-bomb a task). Dropped buckets are counted in
     *        logs by the caller if needed.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.8, shingleSize: Int = 5,
-                   numHashes: Int = 256, bands: Int = 0, maxBucket: Int = 64): DataFrame = {
-    // bands=0 -> auto: pick the widest rows-per-band whose S-curve inflection
-    // (1/b)^(1/r) sits safely below the threshold. Wide bands are what keep
-    // the candidate set linear when background similarity is high; narrow
-    // bands are needed for low thresholds to retain recall.
+  /** bands=0 -> auto: pick the widest rows-per-band whose S-curve inflection
+    * (1/b)^(1/r) sits safely below the threshold. Wide bands are what keep
+    * the candidate set linear when background similarity is high; narrow
+    * bands are needed for low thresholds to retain recall. Shared by the
+    * batch and incremental operators so their recall S-curves stay the
+    * same by construction. */
+  private def effectiveBands(numHashes: Int, bands: Int, threshold: Double): Int = {
     val autoBands = Seq(2, 4, 8, 16).filter(numHashes % _ == 0)
       .filter(r => math.pow(numHashes.toDouble / r, -1.0 / r) <= threshold - 0.1)
       .lastOption.map(numHashes / _).getOrElse(numHashes / 2)
     val effBands = if (bands > 0) bands else autoBands
     require(numHashes % effBands == 0, "bands must divide numHashes")
-    val rows = numHashes / effBands
-    val spark = df.sparkSession
-    import spark.implicits._
+    effBands
+  }
 
-    // the shingle sets feed the signature stage AND both sides of the
-    // verification join - persist so the chain is computed once (serialized,
-    // spills to disk at scale; ~5x text bytes)
-    val withShingles = Partitioning.spread(df.select(
+  /** (doc_id, sh, shx): shingle sets + their hashes, PERSISTED — the chain
+    * feeds the signature stage and the verification join (serialized,
+    * spills to disk at scale; ~5x text bytes). Caller releases. */
+  private def shingledHashed(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int): DataFrame =
+    Partitioning.spread(df.select(
       col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
       .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
       .withColumn("shx", transform(col("sh"), s => xxhash64(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    // empty shingle sets (short/empty docs) all share the degenerate
-    // all-MaxValue signature - they must not become candidates of each other
-    val sig = withShingles.where(size(col("shx")) > 0)
+  /** (doc_id, band, bucket) LSH band keys of the shingle-hash frame. Empty
+    * shingle sets (short/empty docs) all share the degenerate all-MaxValue
+    * signature — they must not become candidates of each other, so they
+    * are filtered before signing. */
+  private def bandKeys(sh: DataFrame, numHashes: Int, effBands: Int): DataFrame = {
+    val rows = numHashes / effBands
+    sh.where(size(col("shx")) > 0)
       .withColumn("sig", minhashSigCol(numHashes, col("shx")))
-
-    // band key: (band index, hash of that signature slice)
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(expr(
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${effBands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, shingleSize: Int = 5,
+                   numHashes: Int = 256, bands: Int = 0, maxBucket: Int = 64): DataFrame = {
+    val effBands = effectiveBands(numHashes, bands, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val withShingles = shingledHashed(df, idCol, textCol, shingleSize)
+    val banded = bandKeys(withShingles, numHashes, effBands)
 
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list("doc_id").as("ids"))
@@ -249,32 +261,15 @@ object Dedup {
                                 threshold: Double = 0.8, shingleSize: Int = 5,
                                 numHashes: Int = 256, bands: Int = 0,
                                 maxBucket: Int = 64): DataFrame = {
-    val autoBands = Seq(2, 4, 8, 16).filter(numHashes % _ == 0)
-      .filter(r => math.pow(numHashes.toDouble / r, -1.0 / r) <= threshold - 0.1)
-      .lastOption.map(numHashes / _).getOrElse(numHashes / 2)
-    val effBands = if (bands > 0) bands else autoBands
-    require(numHashes % effBands == 0, "bands must divide numHashes")
-    val rows = numHashes / effBands
-
-    def shingled(df: DataFrame): DataFrame = Partitioning.spread(df.select(
-      col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
-      .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
-      .withColumn("shx", transform(col("sh"), s => xxhash64(s)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    def bandKeys(sh: DataFrame): DataFrame = sh.where(size(col("shx")) > 0)
-      .withColumn("sig", minhashSigCol(numHashes, col("shx")))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${effBands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-
-    val corpusSh = shingled(corpus)
-    val newSh = shingled(newDocs)
+    val effBands = effectiveBands(numHashes, bands, threshold)
+    val corpusSh = shingledHashed(corpus, idCol, textCol, shingleSize)
+    val newSh = shingledHashed(newDocs, idCol, textCol, shingleSize)
     // one corpus shuffle; degenerate buckets capped exactly like the batch op
-    val corpusBuckets = bandKeys(corpusSh).groupBy("band", "bucket")
+    val corpusBuckets = bandKeys(corpusSh, numHashes, effBands).groupBy("band", "bucket")
       .agg(collect_list("doc_id").as("cids"))
       .where(size(col("cids")) <= maxBucket)
     val candidates = corpusBuckets
-      .join(broadcast(bandKeys(newSh).withColumnRenamed("doc_id", "new_id")),
+      .join(broadcast(bandKeys(newSh, numHashes, effBands).withColumnRenamed("doc_id", "new_id")),
         Seq("band", "bucket"))
       .select(col("new_id").as("id_a"), explode(col("cids")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))

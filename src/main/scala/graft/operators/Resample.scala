@@ -29,7 +29,13 @@ object Resample {
   def gapFillForward(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
                      bucketSeconds: Long, maxBuckets: Long = 1000000L): DataFrame = {
     val key = col(s"`$keyCol`")
-    val bucket = expr(s"`$tsCol` div ${bucketSeconds * 1000000000L}")
+    // true FLOOR division: Spark's `div` truncates toward zero, which would
+    // put a pre-epoch timestamp (negative nanos) in the wrong bucket and
+    // diverge from the floor semantics the oracle's `//` uses
+    val step = bucketSeconds * 1000000000L
+    val ts = col(s"`$tsCol`")
+    val bucket = expr(s"`$tsCol` div $step") +
+      when(ts % step < 0, lit(-1L)).otherwise(lit(0L))
 
     val perBucket = df
       .select(key.as("key"), bucket.as("bucket"), col(s"`$valueCol`").as("v"))

@@ -74,7 +74,10 @@ object Sampling {
     * narrow codegen'd integer filter as [[hashSample]]. */
   def temperatureMixSample(df: DataFrame, strataCol: String, idCol: String,
                            temperature: Double, targetFraction: Double): DataFrame = {
-    val counts = df.groupBy(col(s"`$strataCol`")).count()
+    // null strata are dropped, mirroring stratifiedHashSample's unlisted-
+    // stratum semantics (a null key would otherwise NPE the sorted fold)
+    val counts = df.where(col(s"`$strataCol`").isNotNull)
+      .groupBy(col(s"`$strataCol`")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cutoffs = temperatureMixCutoffs(counts, temperature, targetFraction)
     val cut = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (stratum, c)) =>

@@ -145,24 +145,31 @@ object Similarity {
     * Cost is k narrow scans, each ending in a TakeOrdered(1); at corpus
     * scale run it on a [[Sampling.hashSample]] of the vectors — seeding
     * needs a representative sample, not the full table (k-means|| is the
-    * published alternative when even that is too slow). */
+    * published alternative when even that is too slow). Returns FEWER than
+    * k seeds when the data has fewer than k distinct vectors (never pads
+    * with duplicates); throws if there are no non-null embeddings. */
   def farthestPointCentroids(df: DataFrame, idCol: String, embCol: String, k: Int): Array[Array[Double]] = {
     require(k >= 1)
     val base = df.select(col(s"`$idCol`").cast("long").as("id"),
       col(s"`$embCol`").cast("array<double>").as("e"))
       .where(col("e").isNotNull)
-    val first = base.orderBy(xxhash64(col("id")), col("id")).limit(1)
-      .collect()(0).getSeq[Double](1).toArray
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
-    while (chosen.size < k) {
+    val firstRows = base.orderBy(xxhash64(col("id")), col("id")).limit(1).collect()
+    require(firstRows.nonEmpty,
+      "farthestPointCentroids: no non-null embeddings to seed from")
+    val chosen = scala.collection.mutable.ArrayBuffer(firstRows(0).getSeq[Double](1).toArray)
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
       val minDist = chosen.map { c =>
         aggregate(zip_with(col("e"), lit(c), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v)
       }.reduce(least(_, _))
       val next = base.select(col("id"), col("e"), minDist.as("d"))
-        .orderBy(col("d").desc, col("id")).limit(1)
-        .collect()(0).getSeq[Double](1).toArray
-      chosen += next
+        .orderBy(col("d").desc, col("id")).limit(1).collect()(0)
+      // every remaining vector coincides with a chosen seed: fewer than k
+      // distinct points exist — stop with the seeds found rather than
+      // padding with duplicate centroids (empty-list assignments)
+      if (next.getDouble(2) <= 0.0) exhausted = true
+      else chosen += next.getSeq[Double](1).toArray
     }
     chosen.toArray
   }

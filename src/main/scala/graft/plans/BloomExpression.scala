@@ -21,16 +21,18 @@ import org.apache.spark.util.sketch.BloomFilter
   * directly (`mightContainBinary`), allocating nothing per row but the
   * byte-array view Spark already materializes.
   *
-  * The filter travels as its serialized byte image (a plain
-  * `Array[Byte]` field, so the expression tree stays serializable no
-  * matter how the engine ships plans) and is decoded once per executor via
+  * The filter travels as its serialized byte image — as an immutable
+  * `Seq[Byte]` rather than a raw array, so the case class keeps
+  * STRUCTURAL equals/hashCode (array fields compare by reference, which
+  * would defeat Catalyst subexpression elimination and plan/exchange
+  * reuse between identical probes) — and is decoded once per executor via
   * a transient lazy val.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression, filterBytes: scala.collection.immutable.ArraySeq[Byte])
   extends UnaryExpression {
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.unsafeArray.asInstanceOf[Array[Byte]]))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -62,6 +64,7 @@ object BloomExpression {
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
     import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(BloomMightContain(GraftBridge.expression(c), bos.toByteArray))
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bos.toByteArray)))
   }
 }

@@ -47,6 +47,15 @@ class ResampleSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("pre-epoch timestamps bucket by floor, not truncation") {
+    import spark.implicits._
+    // -1ns is in bucket -1 (floor), not bucket 0 (truncate)
+    val df = Seq((1L, -1L, 5.0), (1L, 1L, 7.0)).toDF("k", "ts", "v")
+    val out = Resample.gapFillForward(df, "k", "ts", "v", bucketSeconds = 10L)
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((-1L, 5.0), (0L, 7.0)))
+  }
+
   test("cent checksum is integer-stable") {
     import spark.implicits._
     val df = Seq((1L, 6.55), (2L, 12.31)).toDF("k", "v")
