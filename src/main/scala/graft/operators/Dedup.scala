@@ -197,7 +197,16 @@ object Dedup {
 
   /** (doc_id, sh, shx): shingle sets + their hashes, PERSISTED — the chain
     * feeds the signature stage and the verification join (serialized,
-    * spills to disk at scale; ~5x text bytes). Caller releases. */
+    * spills to disk at scale; ~5x text bytes). Caller releases.
+    *
+    * Storage level, measured (r8): at sf0.1 MEMORY_AND_DISK_SER and
+    * MEMORY_AND_DISK are indistinguishable (dedup_minhash ~1.4 s min-of-4
+    * over 3 JVMs either way) — the r7 bench regression attributed to this
+    * persist was actually boxing in the UDF pair expansion (now the
+    * codegen'd [[Pairs]] comprehension) plus 2-pass min noise. SER is kept
+    * for the 100 TB shape: shingle arrays are the largest intermediate in
+    * the operator and the serialized form is several times smaller in the
+    * block store, which is what decides whether the cache spills. */
   private def shingledHashed(df: DataFrame, idCol: String, textCol: String,
                              shingleSize: Int): DataFrame =
     Partitioning.spread(df.select(
@@ -234,7 +243,8 @@ object Dedup {
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
 
     val candidatePairs = buckets
-      .select(explode(pairsOf(col("ids"))).as("pair"))
+      .select(array_sort(array_distinct(col("ids"))).as("s"))
+      .select(explode(Pairs.fromSortedLongs(col("s"))).as("pair"))
       .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
       .distinct()
 
@@ -289,16 +299,6 @@ object Dedup {
   private def spreadPairs(pairs: DataFrame): DataFrame = {
     val target = pairs.sparkSession.sparkContext.defaultParallelism
     pairs.repartition(target, col("id_b"))
-  }
-
-  /** All unordered pairs (a<b) from an id array — used only inside bounded
-    * buckets. */
-  private def pairsOf(ids: Column): Column = {
-    val mk = udf((xs: Seq[Long]) => {
-      val s = xs.distinct.sorted
-      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
-    })
-    mk(ids)
   }
 
   /** Exact Jaccard over shingle sets for candidate pairs (two id-joins). */
@@ -393,11 +393,11 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
 
-    val pairUdf = udf((ms: Seq[org.apache.spark.sql.Row]) => {
-      val s = ms.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
-      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i)._1, s(i)._2, s(j)._1, s(j)._2)
-    })
-    buckets.select(explode(pairUdf(col("members"))).as("p"))
+    // sort by (doc_id, sig) — doc_id is unique within a chunk-bucket, so
+    // this matches the former sortBy(_._1); pair expansion is the codegen'd
+    // Pairs comprehension, not a UDF
+    buckets.select(array_sort(array_distinct(col("members"))).as("ms"))
+      .select(explode(Pairs.fromSortedMembers(col("ms"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("sig_a"), col("p._3").as("id_b"), col("p._4").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))

@@ -22,7 +22,29 @@ object Redaction {
 
   /** (name, pattern, placeholder) — applied in this order. Order matters
     * only where patterns could overlap (credit cards are redacted before
-    * SSNs so a 16-digit group is never half-eaten by the SSN rule). */
+    * SSNs so a 16-digit group is never half-eaten by the SSN rule).
+    *
+    * Why a single pass suffices (i.e. why [[redact]] is idempotent and the
+    * oracle's zero-residue pin is by construction, not fixture luck):
+    * every placeholder is a bracketed letter-only token, and `[` / `]`
+    * appear in no rule's character classes, while every pattern requires
+    * digits or an `@` flanked by class characters. So no rule can match
+    * into, across, or out of a placeholder, and a match lying entirely
+    * within surviving original text is found by the same left-to-right
+    * scan that produced the replacement (Java's replaceAll finds all
+    * non-overlapping matches). A second pass is therefore a provable
+    * no-op — and at corpus scale it would double the regex CPU of the
+    * hottest projection for nothing. `RedactionSpec` pins this with
+    * adjacent-token adversarial cases (e.g. `x@y.co@z.co`).
+    *
+    * Known limitation, by the same argument: adjacent PII can leave a
+    * *non-matchable fragment* — `x@y.co@z.co` redacts to `[EMAIL]@z.co`
+    * and the trailing `@z.co` survives because a bare domain is not an
+    * email under the rule. The fragment contains no complete PII item;
+    * callers needing fragment-free output should add a domain-fragment
+    * rule rather than re-run the pipeline. Anyone editing [[rules]] must
+    * keep placeholders outside every pattern's alphabet or the idempotence
+    * argument (and the residue oracle) breaks. */
   val rules: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ccn", "\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}", "[CCN]"),

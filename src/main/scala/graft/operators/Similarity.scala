@@ -258,14 +258,11 @@ object Similarity {
         .select(col("vec_id"), (col("pos") + t * bands).as("band"), col("col").as("bucket"))
     }.reduce(_ union _)
 
-    val pairUdf = udf((xs: Seq[Long]) => {
-      val s = xs.distinct.sorted
-      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
-    })
     val candidates = bandedAll.groupBy("band", "bucket")
       .agg(collect_list("vec_id").as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(pairUdf(col("ids"))).as("p"))
+      .select(array_sort(array_distinct(col("ids"))).as("s"))
+      .select(explode(Pairs.fromSortedLongs(col("s"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 

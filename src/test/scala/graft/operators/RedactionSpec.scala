@@ -60,4 +60,39 @@ class RedactionSpec extends AnyFunSuite {
       .select(Redaction.redact(col("text"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("adjacent PII leaves zero matchable residue and redact is idempotent") {
+    import spark.implicits._
+    // adversarial adjacency: tokens joined with separators that could fuse
+    // into new matches or leave matchable fragments after one pass
+    val toks = Seq("x@y.co", "4111-1111-1111-1111", "987-65-4321",
+      "(415) 555-0142", "10.0.12.34")
+    val seps = Seq("", "-", ".", "@", "1", ".5", "-11")
+    val texts = (for {
+      a <- toks; b <- toks; sep <- seps
+    } yield s"$a$sep$b") ++ Seq(
+      "x@y.co@z.co",               // the ADVICE case: -> [EMAIL]@z.co
+      "a@b.co@c.co@d.co@e.co",     // longer mailto chain
+      "1.2.3.4.5.6.7.8",           // fused IPs
+      "123-45-6789-1234-5678-9012-3456") // SSN/CCN digit run
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = df.select(
+      Redaction.redact(col("text")).as("once"),
+      Redaction.redact(Redaction.redact(col("text"))).as("twice"),
+      Redaction.redactionCount(Redaction.redact(col("text"))).as("residue"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1), "redact must be idempotent")
+      assert(r.getLong(2) === 0L, s"matchable residue in '${r.getString(0)}'")
+    }
+  }
+
+  test("placeholders are outside every rule's alphabet (idempotence precondition)") {
+    // If a future rule edit lets any pattern match a placeholder (or span
+    // one), the single-pass zero-residue argument breaks. Pin it.
+    for ((_, _, placeholder) <- Redaction.rules; (name, pat, _) <- Redaction.rules)
+      assert(!pat.r.findFirstIn(placeholder).isDefined,
+        s"rule '$name' matches placeholder '$placeholder'")
+  }
 }
