@@ -18,6 +18,10 @@ import scala.collection.mutable
   *  - unquoted keys, dotted key paths (`a.b.c = v` nests), quoted keys
   *    (`"a.b"` stays literal)
   *  - quoted strings with the JSON escapes, unquoted strings to end of line
+  *  - triple-quoted (`"""..."""`) raw strings, Python-style: newlines kept,
+  *    no escape processing; in a run of four or more closing quotes the
+  *    delimiter is the LAST three and earlier quotes are content (spec's
+  *    multi-line string rule)
   *  - numbers (long/double), `true`/`false`/`null`
   *  - duplicate keys: last wins, except two objects which deep-merge
   *  - `${path}` / `${?path}` substitutions, resolved against the document
@@ -26,8 +30,12 @@ import scala.collection.mutable
   *    contributes an empty string inside a concatenation)
   *  - string value concatenation of literal and substitution parts
   *
-  * NOT supported (loudly, not silently): `include` directives and
-  * triple-quoted strings — both return a parse error naming the construct.
+  * NOT supported (loudly, not silently): `include` directives return the
+  * parse error "'include' directives are not supported" — a file-resolution
+  * policy (search paths, URLs, cycles) does not belong inside a config
+  * parser embedded in a query engine; inline the included file or key the
+  * environment-specific values off `${?ENV_VAR}` substitutions instead
+  * (migration note in README).
   *
   * Parse failures are fail-fast (one structural error); the accumulating
   * validation contract lives in [[StageConfig.parse]] on the resulting map.
@@ -163,8 +171,10 @@ object Hocon {
       var done = false
       while (!done) {
         skipWs(crossLines = false)
-        if (peek == '"') parts += parseQuotedString()
-        else {
+        if (peek == '"') {
+          if (s.regionMatches(i, "\"\"\"", 0, 3)) parts += parseTripleQuoted()
+          else parts += parseQuotedString()
+        } else {
           val sb = new StringBuilder
           while (!atEnd && !":=.{}\n,#\" \t\r".contains(peek)) sb += advance()
           if (sb.isEmpty) fail("expected a key")
@@ -221,8 +231,8 @@ object Hocon {
         if (atEnd || c == '\n' || c == ',' || c == '}' || c == ']' || c == '#') done = true
         else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') done = true
         else if (c == '"') {
-          if (s.regionMatches(i, "\"\"\"", 0, 3)) fail("triple-quoted strings are not supported")
-          parts += parseQuotedString()
+          if (s.regionMatches(i, "\"\"\"", 0, 3)) parts += parseTripleQuoted()
+          else parts += parseQuotedString()
         } else if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '{') {
           advance(); advance()
           val optional = peek == '?'
@@ -264,6 +274,22 @@ object Hocon {
         try java.lang.Long.parseLong(t) catch { case _: NumberFormatException => t }
       case _ if t.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") => t.toDouble
       case other => other
+    }
+
+    /** `"""..."""` raw string: no escapes, newlines preserved. Per the
+      * public HOCON spec's multi-line string rule, in a run of more than
+      * three closing quotes the string ends at the LAST three — earlier
+      * quotes belong to the content (`""""a""""` is the string `"a"`). */
+    private def parseTripleQuoted(): String = {
+      i += 3 // opening delimiter (never contains a newline)
+      val sb = new StringBuilder
+      while (!s.regionMatches(i, "\"\"\"", 0, 3) ||
+             (i + 3 < s.length && s.charAt(i + 3) == '"')) {
+        if (atEnd) fail("unterminated triple-quoted string")
+        sb += advance()
+      }
+      i += 3 // closing delimiter
+      sb.result()
     }
 
     private def parseQuotedString(): String = {

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *    back via broadcast (no second wide shuffle);
   *  - the final top-k is TakeOrderedAndProject, never a global sort.
   *
-  * Scores are emitted as `floor(score * 1e4)` integers: every input to the
-  * formula is an exact integer (tf, dl, df, N — and avgdl is an exact
-  * integer-sum divide), so cross-engine noise is confined to ~1-ULP `ln`
-  * differences (~1e-15 relative), far below the 1e-4 grid.
+  * Scores are emitted as `floor(score * 1e4 + 1e-6)` integers: every input
+  * to the formula is an exact integer (tf, dl, df, N — and avgdl is an
+  * exact integer-sum divide), so cross-engine noise is confined to ~1-ULP
+  * `ln` and summation-order differences (~1e-15 relative). The 1e-6 nudge
+  * (advisor r7) keeps a score sitting within that noise of a 1e-4 grid
+  * boundary from flooring differently across engines: 1e-6 is ~9 orders
+  * above the noise and 100x below the grid, so it can only move a value
+  * OFF a boundary, never across a genuine grid step.
   */
 object Ranking {
 
@@ -57,7 +61,7 @@ object Ranking {
         col("idf") * col("tf").cast("double") * (k1 + 1.0) /
           (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy(col("doc_id"), col("dl"))
-      .agg(floor(sum(col("contrib")) * 10000).cast("long").as("score_x1e4"))
+      .agg(floor(sum(col("contrib")) * 10000 + lit(1e-6)).cast("long").as("score_x1e4"))
 
     scored.orderBy(col("score_x1e4").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"), col("score_x1e4"))

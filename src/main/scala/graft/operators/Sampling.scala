@@ -75,13 +75,19 @@ object Sampling {
   def temperatureMixSample(df: DataFrame, strataCol: String, idCol: String,
                            temperature: Double, targetFraction: Double): DataFrame = {
     // null strata are dropped, mirroring stratifiedHashSample's unlisted-
-    // stratum semantics (a null key would otherwise NPE the sorted fold)
-    val counts = df.where(col(s"`$strataCol`").isNotNull)
-      .groupBy(col(s"`$strataCol`")).count()
+    // stratum semantics (a null key would otherwise NPE the sorted fold).
+    // The strata column is CAST to string up front so an int/long/date
+    // stratum works too (getString would ClassCastException otherwise,
+    // advisor r7) - and the CASE chain compares against the same cast,
+    // keeping Spark and any re-implementing engine keyed on identical
+    // string images.
+    val strata = col(s"`$strataCol`").cast("string")
+    val counts = df.where(strata.isNotNull)
+      .groupBy(strata.as("__stratum")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cutoffs = temperatureMixCutoffs(counts, temperature, targetFraction)
     val cut = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
-      when(col(s"`$strataCol`") === stratum, c).otherwise(acc)
+      when(strata === stratum, c).otherwise(acc)
     }
     df.where(idHash(col(s"`$idCol`")) < cut)
   }

@@ -21,18 +21,21 @@ import org.apache.spark.util.sketch.BloomFilter
   * directly (`mightContainBinary`), allocating nothing per row but the
   * byte-array view Spark already materializes.
   *
-  * The filter travels as its serialized byte image — as an immutable
-  * `Seq[Byte]` rather than a raw array, so the case class keeps
-  * STRUCTURAL equals/hashCode (array fields compare by reference, which
-  * would defeat Catalyst subexpression elimination and plan/exchange
-  * reuse between identical probes) — and is decoded once per executor via
-  * a transient lazy val.
+  * The filter travels as its serialized byte image wrapped in
+  * [[BloomImage]], which keeps STRUCTURAL equals/hashCode (a raw array
+  * field would compare by reference and defeat Catalyst subexpression
+  * elimination and plan/exchange reuse between identical probes) but backs
+  * them with a cached SHA-256 digest — Catalyst calls equals/hashCode
+  * repeatedly during canonicalization and exchange-reuse matching, and at
+  * the documented scale (~100M grams, a 100+ MB image) a per-call byte scan
+  * would dominate planning time (advisor r7). The filter is decoded once
+  * per executor via a transient lazy val.
   */
-case class BloomMightContain(child: Expression, filterBytes: scala.collection.immutable.ArraySeq[Byte])
+case class BloomMightContain(child: Expression, image: BloomImage)
   extends UnaryExpression {
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.unsafeArray.asInstanceOf[Array[Byte]]))
+    BloomFilter.readFrom(new ByteArrayInputStream(image.bytes))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -56,6 +59,27 @@ case class BloomMightContain(child: Expression, filterBytes: scala.collection.im
     copy(child = newChild)
 }
 
+/** Immutable Bloom byte image with digest-backed structural equality:
+  * `hashCode` is cached and `equals` compares (length, SHA-256 digest)
+  * instead of scanning the image — O(filter size) once per JVM, O(1) per
+  * plan-tree comparison. SHA-256 makes digest equality safe to treat as
+  * content equality. The caller hands over ownership of `bytes` (never
+  * mutated after construction). */
+final class BloomImage(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val digest: Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+  @transient override lazy val hashCode: Int =
+    java.util.Arrays.hashCode(Array(bytes.length)) * 31 + java.util.Arrays.hashCode(digest)
+  override def equals(o: Any): Boolean = o match {
+    case that: BloomImage => (this eq that) ||
+      (bytes.length == that.bytes.length && java.util.Arrays.equals(digest, that.digest))
+    case _ => false
+  }
+  // TreeNode renders expression arguments into plan strings - never the
+  // whole image
+  override def toString: String = s"bloom[${bytes.length}B]"
+}
+
 object BloomExpression {
 
   /** Column probe for a built [[BloomFilter]] (serialized once here,
@@ -64,7 +88,6 @@ object BloomExpression {
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
     import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(BloomMightContain(GraftBridge.expression(c),
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(bos.toByteArray)))
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(c), new BloomImage(bos.toByteArray)))
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -84,5 +85,19 @@ class SamplingSpec extends AnyFunSuite {
     val expect = (0L until 700L).groupBy(i => if (i % 7 < 4) "big" else if (i % 7 < 6) "mid" else "small")
       .map { case (s, is) => s -> is.count(i => java.lang.Long.remainderUnsigned(i * 2654435761L, 4294967296L) < cutoffs(s)).toLong }
     assert(got === expect.filter(_._2 > 0L))
+  }
+
+  test("temperatureMixSample accepts non-string strata columns (advisor r7)") {
+    import spark.implicits._
+    // integer strata: previously getString(0) threw ClassCastException
+    val df = (0L until 700L).map(i => (i, (i % 3).toInt)).toDF("id", "s")
+    val out = Sampling.temperatureMixSample(df, "s", "id", temperature = 2.0, targetFraction = 0.5)
+    val got = out.groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.keySet.subsetOf(Set(0, 1, 2)))
+    // same data with the stratum pre-cast to string must select the SAME rows
+    val viaString = Sampling.temperatureMixSample(
+      df.withColumn("s", col("s").cast("string")), "s", "id", 2.0, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === viaString)
   }
 }

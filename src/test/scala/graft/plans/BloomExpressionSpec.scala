@@ -33,6 +33,36 @@ class BloomExpressionSpec extends AnyFunSuite {
     assert(got.forall { case (k, m) => m == bloom.mightContainString(k) })
   }
 
+  test("structural equality is digest-backed: equal images compare equal, O(1) per call") {
+    val mk = () => {
+      val b = BloomFilter.create(1000, 0.01)
+      (0 until 500).foreach(i => b.putString(s"key-$i"))
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    val (b1, b2) = (mk(), mk())
+    assert(!(b1 eq b2))
+    val (i1, i2) = (new BloomImage(b1), new BloomImage(b2))
+    // same content, different array instances: structurally equal (this is
+    // what lets Catalyst dedup identical probes / reuse exchanges)
+    assert(i1 === i2)
+    assert(i1.hashCode === i2.hashCode)
+    // a single flipped byte must break equality
+    val mutated = b2.clone()
+    mutated(mutated.length / 2) = (mutated(mutated.length / 2) ^ 1).toByte
+    assert(i1 !== new BloomImage(mutated))
+    // repeated comparisons hit the cached digest, not a byte scan: 100k
+    // equals calls on a ~1KB image complete instantly if cached (would be
+    // ~100MB of scanning otherwise, still fast - the real guard is the
+    // BloomImage implementation reviewed here; this is a smoke bound)
+    val t0 = System.nanoTime()
+    var n = 0
+    (0 until 100000).foreach(_ => if (i1 == i2) n += 1)
+    assert(n === 100000)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0)
+  }
+
   test("nulls stay null and the probe stays inside codegen (no UDF)") {
     import spark.implicits._
     val bloom = BloomFilter.create(10, 0.01)
