@@ -26,15 +26,27 @@ object Vocab {
   private val maleCoda = Seq("n", "s", "d", "rk", "ll", "m", "x", "th", "ver", "ton")
   private val femaleCoda = Seq("la", "ra", "na", "sa", "lle", "tte", "lyn", "bel", "ce", "ve")
   private val surnameSuffix = Seq("son", "well", "ford", "worth", "field", "wood", "stone", "brook", "land", "more")
+  // a second locale with distinct syllable inventories and domain list:
+  // proves the locale dimension routes (same sizes, different content, so a
+  // value picks the same INDEX but a different word per locale)
+  private val usCoda = Seq("ley", "den", "ler", "ter", "man", "sen", "cott", "gan", "roy", "vis")
+  private val usFemaleCoda = Seq("leigh", "lynn", "row", "dy", "sie", "tta", "nne", "belle", "cy", "vey")
+  private val usSurnameSuffix = Seq("berg", "dale", "gate", "haven", "hurst", "mont", "port", "ridge", "vale", "view")
 
-  /** locale -> category -> list. One locale for now, mirroring the
-    * reference's `en-AU`; the shape admits more. */
+  /** locale -> category -> list. Two locales: `en-AU` mirrors the
+    * reference's sole locale; `en-US` exercises the routing dimension
+    * (same category shapes and list sizes, disjoint content). */
   lazy val localizedLists: Map[String, Map[String, Vector[String]]] = Map(
     "en-AU" -> Map(
       "first_name_male" -> product(onset, nucleus, maleCoda),
       "first_name_female" -> product(onset, nucleus, femaleCoda),
       "last_name" -> product(onset, nucleus, surnameSuffix),
-      "free_email" -> Vector("gmail.com", "yahoo.com", "hotmail.com")))
+      "free_email" -> Vector("gmail.com", "yahoo.com", "hotmail.com")),
+    "en-US" -> Map(
+      "first_name_male" -> product(onset, nucleus, usCoda),
+      "first_name_female" -> product(onset, nucleus, usFemaleCoda),
+      "last_name" -> product(onset, nucleus, usSurnameSuffix),
+      "free_email" -> Vector("aol.com", "outlook.com", "icloud.com")))
 
   def list(locale: String, category: String): Vector[String] =
     localizedLists.getOrElse(locale, throw new Exception(s"unknown vocabulary locale '$locale'"))
@@ -53,12 +65,14 @@ object Vocab {
     vocab(idx)
   }
 
-  /** Pseudonymous email: masked local part + hash-picked free-email domain. */
-  def maskEmail(codec: Codec, passphrase: Array[Byte])(deterministic: Boolean, value: String): String = {
+  /** Pseudonymous email: masked local part + hash-picked free-email domain
+    * from the session locale's list. */
+  def maskEmail(codec: Codec, passphrase: Array[Byte])(
+      deterministic: Boolean, value: String, locale: String = "en-AU"): String = {
     if (value == null) return null
     val local = MaskFunctions.maskString(codec, passphrase)(
       12, "abcdefghijklmnopqrstuvwxyz", None, deterministic, value)
-    val domain = pick(codec, passphrase)("en-AU", "free_email", deterministic, value)
+    val domain = pick(codec, passphrase)(locale, "free_email", deterministic, value)
     s"$local@$domain"
   }
 
@@ -73,6 +87,6 @@ object Vocab {
         pick(codec, passphrase)(locale, category, deterministic, value)).asNondeterministic())
     spark.udf.register("mask_email",
       udf((deterministic: Boolean, value: String) =>
-        maskEmail(codec, passphrase)(deterministic, value)).asNondeterministic())
+        maskEmail(codec, passphrase)(deterministic, value, locale)).asNondeterministic())
   }
 }
