@@ -764,6 +764,33 @@ object SparkEntry {
         coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
   }
 
+  /** Sliding-window chunking, full per-chunk value compare (the strongest
+    * oracle form): DuckDB rebuilds every chunk's token window — index,
+    * token count and the exact chunk text — from the same
+    * tokenize/stride/keep-if-new-tokens window math. One narrow codegen'd
+    * projection + posexplode; no UDF, no shuffle. */
+  private def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.tokenChunks(
+      table(spark, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Near-dup-aware train/val/test assignment: LSH pairs -> connected
+    * components -> split by integer hash of the component representative,
+    * so a cluster can never straddle splits. The oracle recomputes the
+    * exact-jaccard pair graph (recursive CTE, as dedup_components), the
+    * same coalesce(component, id) key and the same 2^32-ring hash compare
+    * with hardcoded cumulative cutoffs — every step integer-exact. */
+  private def qClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs,
+      Seq(("train", 9000), ("val", 500), ("test", 500)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"),
+        countDistinct(col("split_key")).as("n_keys"))
+      .orderBy("split")
+  }
+
   /** BPE merge-candidate statistics: corpus-wide adjacent token-pair counts,
     * the inner loop of tokenizer training. One explode + one counting
     * shuffle + TakeOrdered top-k (no global sort); ties broken by pair
@@ -1754,6 +1781,8 @@ object SparkEntry {
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_lines" -> qDedupLines,
+    "chunk_docs" -> qChunkDocs,
+    "cluster_split" -> qClusterSplit,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1861,6 +1890,32 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp WHERE doc_id <> component) AS n_kept, " +
         "((SELECT sum(doc_id) FROM documents) - (SELECT coalesce(sum(doc_id), 0) FROM comp WHERE doc_id <> component))::BIGINT AS kept_id_sum"),
+    // full per-chunk value compare: same tokenize, same stride-24 starts,
+    // same keep-if-new-tokens filter (s=1 or s<=n-8), same 32-token slices
+    "chunk_docs" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "st AS (SELECT doc_id, t, list_filter(range(1, len(t) + 1, 24), s -> s = 1 OR s <= len(t) - 8) AS starts FROM toks), " +
+        "c AS (SELECT doc_id, unnest(range(1, len(starts) + 1)) AS k, t, starts FROM st) " +
+        "SELECT doc_id, (k - 1)::BIGINT AS chunk_idx, len(t[starts[k]:starts[k] + 31])::BIGINT AS n_tokens, " +
+        "array_to_string(t[starts[k]:starts[k] + 31], ' ') AS chunk_text FROM c"),
+    // exact-jaccard pair graph (as dedup_components) -> component key ->
+    // the same 2^32-ring hash assignment; cutoffs are cutoff(9000)/
+    // cutoff(9500) as Long arithmetic (bp * 2^32 / 10000, floor)
+    "cluster_split" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p WHERE j >= 0.8 UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE r.a <> e.b) SELECT * FROM r), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a), " +
+        "k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS key FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id), " +
+        "asn AS (SELECT doc_id, key, CASE WHEN (key::HUGEINT * 2654435761) % 4294967296 < 3865470566 THEN 'train' " +
+        "WHEN (key::HUGEINT * 2654435761) % 4294967296 < 4080218931 THEN 'val' ELSE 'test' END AS split FROM k) " +
+        "SELECT split, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum, " +
+        "count(DISTINCT key)::BIGINT AS n_keys FROM asn GROUP BY split ORDER BY split"),
     "skew_join_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
