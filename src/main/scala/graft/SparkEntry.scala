@@ -764,6 +764,16 @@ object SparkEntry {
         coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
   }
 
+  /** Pre-dedup text normalization, full per-document value compare: DuckDB
+    * replays the exact regexp pipeline (shared Java-regex/RE2 subset) for
+    * both the whitespace/control form and the punctuation-stripped form. */
+  private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.operators.TextAnalysis.normalize(col("text")).as("norm"),
+      graft.operators.TextAnalysis.normalize(col("text"), stripPunct = true).as("norm_nopunct"))
+      .orderBy("doc_id")
+
   /** Sliding-window chunking, full per-chunk value compare (the strongest
     * oracle form): DuckDB rebuilds every chunk's token window — index,
     * token count and the exact chunk text — from the same
@@ -1514,6 +1524,32 @@ object SparkEntry {
         max(col("n_events")).cast("long").as("max_session_events"))
   }
 
+  /** Stream-static enrichment: the events stream joins the static customer
+    * dimension (broadcast per micro-batch — the stream side never
+    * shuffles for the join) and aggregates per segment. The oracle is the
+    * equivalent batch join; per-row floor(value*100) keeps the double sum
+    * integer-exact across engines. */
+  private def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("value"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = graft.streaming.Streaming.enrichStatic(stream, dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).cast("long").as("value_x100"))
+    val sink = "graft_stream_static_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("c_mktsegment")
+  }
+
   /** Operational streaming sink: `foreachBatch` re-enters the BATCH writer
     * API per micro-batch (the pattern for upserts/merges into external
     * tables that have no streaming sink). The purchase slice lands in
@@ -1783,6 +1819,7 @@ object SparkEntry {
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
+    "text_normalize" -> qTextNormalize,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1801,6 +1838,7 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_stream_join" -> qStreamStreamJoin,
+    "stream_static_join" -> qStreamStaticJoin,
     "session_window_agg" -> qSessionWindowAgg,
     "stream_foreach_batch" -> qStreamForeachBatch,
     "events_props" -> qEventsProps,
@@ -1890,6 +1928,19 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp WHERE doc_id <> component) AS n_kept, " +
         "((SELECT sum(doc_id) FROM documents) - (SELECT coalesce(sum(doc_id), 0) FROM comp WHERE doc_id <> component))::BIGINT AS kept_id_sum"),
+    // full per-doc value compare: same regexp pipeline in the shared
+    // Java-regex/RE2 subset
+    "text_normalize" ->
+      ("SELECT doc_id, " +
+        "trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), " +
+        "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_nopunct FROM documents"),
+    // batch equivalent of the stream-static broadcast join; per-row
+    // floor(value*100) makes the double sum integer-exact cross-engine
+    "stream_static_join" ->
+      ("SELECT c_mktsegment, count(*)::BIGINT AS n, " +
+        "sum(floor(value * 100)::BIGINT)::BIGINT AS value_x100 " +
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"),
     // full per-chunk value compare: same tokenize, same stride-24 starts,
     // same keep-if-new-tokens filter (s=1 or s<=n-8), same 32-token slices
     "chunk_docs" ->

@@ -17,6 +17,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Deterministic, engine-portable text normalization — the step that runs
+    * before fingerprinting/shingling so that byte-level noise (case, stray
+    * control characters, ragged whitespace, optionally punctuation) does
+    * not defeat dedup. Composed codegen'd regexp builtins in the common
+    * Java-regex/RE2 subset: lowercase -> control chars to space ->
+    * (optional) non-letter/digit/space to space -> collapse whitespace
+    * runs -> trim. Any engine replays it bit-for-bit. */
+  def normalize(text: Column, stripPunct: Boolean = false): Column = {
+    val noCtrl = regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " ")
+    val base = if (stripPunct) regexp_replace(noCtrl, "[^\\p{L}\\p{N}\\s]", " ") else noCtrl
+    trim(regexp_replace(base, "\\s+", " "))
+  }
+
   /** A BPE-ish subword count approximation: word-piece chunks of <=4 chars.
     * ceil(len(word)/4) summed — deterministic, SQL-expressible. */
   def subwordCount(text: Column): Column =

@@ -131,6 +131,17 @@ object Streaming {
                            tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join — the other join shape every streaming
+    * pipeline needs besides stream-stream: each micro-batch inner-joins a
+    * bounded dimension table (user -> segment, doc -> source, ...). The
+    * static side carries an explicit broadcast hint: it is re-planned per
+    * micro-batch, and a small dimension must never force the unbounded
+    * stream side through a shuffle. No watermark needed — the static side
+    * holds no state between batches. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(s"`$streamKey`") === col(s"`$dimKey`"), "inner")
+
   /** Batch-equivalent sessionization (same gap semantics) — lets the
     * streaming operator be cross-checked against a deterministic batch
     * computation in tests and backfills. */

@@ -63,6 +63,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("normalize: case, control chars, whitespace runs, optional punctuation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello\tWORLD!!  mixed,  Case. "),
+      (2L, "already clean"),
+      (3L, "tabs\t\tand\nnewlines\r\nhere")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("n"),
+      TextAnalysis.normalize(col("text"), stripPunct = true).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // the input embeds a literal BEL (\x07) between WORLD and !! - the
+    // control char becomes a space in the whitespace-normalized form
+    assert(got(1L) === ("hello world !! mixed, case.", "hello world mixed case"))
+    assert(got(2L) === ("already clean", "already clean"))
+    assert(got(3L) === ("tabs and newlines here", "tabs and newlines here"))
+    // idempotent
+    val twice = df.select(TextAnalysis.normalize(TextAnalysis.normalize(col("text")))
+      .as("t"), TextAnalysis.normalize(col("text")).as("o")).collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("fingerprint: canonicalization collapses case and whitespace") {
     import spark.implicits._
     val df = Seq(

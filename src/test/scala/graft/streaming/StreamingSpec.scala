@@ -37,6 +37,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStatic joins each micro-batch against the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "segment")
+    val input = MemoryStream[Streaming.Event]
+    val out = Streaming.enrichStatic(input.toDF(), dim, "user_id", "cust_id")
+      .groupBy(col("segment")).count()
+    val q = out.writeStream.format("memory").queryName("es_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Streaming.Event(2, ts("2024-01-01 10:01:00"), 2, "click", 1.0),
+        Streaming.Event(3, ts("2024-01-01 10:02:00"), 1, "view", 1.0),
+        Streaming.Event(4, ts("2024-01-01 10:03:00"), 9, "view", 1.0)) // no dim row -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("es_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("gold" -> 2L, "silver" -> 1L))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs right events with in-gap left events per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
