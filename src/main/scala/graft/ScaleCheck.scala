@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
 
   private val queriesUnderTest = Seq(
-    "dedup_minhash", "dedup_incremental", "decontaminate_bloom",
-    "bm25_topk", "pack_sequences")
+    "dedup_minhash", "dedup_incremental", "dedup_sig_reuse", "decontaminate_bloom",
+    "bm25_topk", "pack_sequences",
+    // embedding operators: the scaled table applies a per-copy diagonal
+    // +-1 sign flip (an orthogonal transform - within-copy cosines are
+    // preserved EXACTLY, cross-copy cosines decorrelate), so LSH bucket
+    // geometry sees 10x more of the same distribution
+    "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +61,19 @@ object ScaleCheck {
       copies.reduce(_ unionAll _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    }
+    if (!new java.io.File(s"$scaledDir/embeddings.parquet").exists()) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val copies = (0 until scale).map { k =>
+        val flipped =
+          if (k == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($k, j), 2) = 0 THEN x ELSE -x END)")
+        emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 100000000L))
+          .withColumn("embedding", flipped.cast(emb.schema("embedding").dataType))
+      }
+      copies.reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
     }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double =

@@ -801,6 +801,37 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Steady-state incremental dedup against a MATERIALIZED band-key index:
+    * the corpus's LSH index is written to parquet once (the table a real
+    * deployment maintains alongside the corpus), read back, and probed
+    * with the same planted batch as `dedup_incremental` — whose oracle
+    * this query shares verbatim, because precomputing the index must not
+    * change a single flagged pair. The corpus text is re-shingled only
+    * for candidate ids (semi-join), never corpus-wide. */
+  private def qDedupSigReuse(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_band_index_${ProcessHandle.current().pid()}_${schemaEvolutionNonce.incrementAndGet()}")
+    try {
+      val docs = table(spark, dir, "documents")
+      graft.operators.Dedup.bandIndex(docs, "doc_id", "text", threshold = 0.8)
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      val index = spark.read.parquet(out.getAbsolutePath)
+      val batch = docs.where(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended tail")).as("text"))
+      val flagged = graft.operators.Dedup.incrementalNearDuplicatesIndexed(
+        docs.select(col("doc_id"), col("text")), index, batch, "doc_id", "text", threshold = 0.8)
+      val result = batch.agg(count(lit(1)).as("n_new"))
+        .crossJoin(flagged.agg( // 1x1 combines
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("new_id")).as("n_flagged"),
+          coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
+      // materialize before deleting the index files under the lazy plan
+      spark.createDataFrame(java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally deleteRecursively(out)
+  }
+
   /** BPE merge-candidate statistics: corpus-wide adjacent token-pair counts,
     * the inner loop of tokenizer training. One explode + one counting
     * shuffle + TakeOrdered top-k (no global sort); ties broken by pair
@@ -1816,6 +1847,7 @@ object SparkEntry {
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
+    "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
@@ -1863,6 +1895,21 @@ object SparkEntry {
     "latest_per_key" -> qLatestPerKey,
     "exact_percentile" -> qExactPercentile,
     "json_roundtrip" -> qJsonRoundtrip)
+
+  /** Exact-jaccard recompute of the planted daily batch vs the corpus;
+    * shared by `dedup_incremental` and `dedup_sig_reuse` (precomputing the
+    * band index must not change a single flagged pair). */
+  private val incrementalOracleSql: String =
+    "WITH newb AS (SELECT doc_id + 1000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +
+      "shc AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+      "shn AS (SELECT nid, list_distinct([t[i:i+4] FOR i IN range(1, greatest(len(t)-3, 1))]) AS s FROM newb), " +
+      "p AS (SELECT n.nid, c.doc_id, len(list_intersect(n.s, c.s))::DOUBLE / " +
+      "(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j FROM shn n CROSS JOIN shc c), " +
+      "f AS (SELECT * FROM p WHERE j >= 0.8) " +
+      "SELECT (SELECT count(*) FROM newb)::BIGINT AS n_new, " +
+      "(SELECT count(*) FROM f)::BIGINT AS n_pairs, " +
+      "(SELECT count(DISTINCT nid) FROM f)::BIGINT AS n_flagged, " +
+      "(SELECT coalesce(sum(nid + doc_id), 0) FROM f)::BIGINT AS pair_id_sum"
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -2273,17 +2320,9 @@ object SparkEntry {
         "array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10)) AS clean_text " +
         "FROM l ORDER BY doc_id"),
     // exact jaccard between the planted batch and the corpus
-    "dedup_incremental" ->
-      ("WITH newb AS (SELECT doc_id + 1000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +
-        "shc AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
-        "shn AS (SELECT nid, list_distinct([t[i:i+4] FOR i IN range(1, greatest(len(t)-3, 1))]) AS s FROM newb), " +
-        "p AS (SELECT n.nid, c.doc_id, len(list_intersect(n.s, c.s))::DOUBLE / " +
-        "(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j FROM shn n CROSS JOIN shc c), " +
-        "f AS (SELECT * FROM p WHERE j >= 0.8) " +
-        "SELECT (SELECT count(*) FROM newb)::BIGINT AS n_new, " +
-        "(SELECT count(*) FROM f)::BIGINT AS n_pairs, " +
-        "(SELECT count(DISTINCT nid) FROM f)::BIGINT AS n_flagged, " +
-        "(SELECT coalesce(sum(nid + doc_id), 0) FROM f)::BIGINT AS pair_id_sum"),
+    "dedup_incremental" -> incrementalOracleSql,
+    // the indexed variant must flag EXACTLY the same pairs - shared oracle
+    "dedup_sig_reuse" -> incrementalOracleSql,
     // same whitespace bigrams, same (count desc, pair) cutoff
     "bpe_pair_counts" ->
       ("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +

@@ -292,6 +292,65 @@ object Dedup {
       corpusSh, newSh)
   }
 
+  /** The materializable LSH band-key index of a corpus: (doc_id, band,
+    * bucket), ~`bands` short rows per document — small enough to keep as a
+    * parquet table alongside a 100 TB corpus (this is what makes daily
+    * incremental dedup cheap: the corpus text is never re-shingled). The
+    * SAME (threshold, shingleSize, numHashes, bands) must be passed when
+    * probing, or the band boundaries (and so the recall S-curve) silently
+    * diverge — persist these parameters with the table. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.8, shingleSize: Int = 5,
+                numHashes: Int = 256, bands: Int = 0): DataFrame = {
+    val effBands = effectiveBands(numHashes, bands, threshold)
+    val sh = Partitioning.spread(df.select(
+      col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
+      .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
+      .withColumn("shx", transform(col("sh"), s => xxhash64(s)))
+    bandKeys(sh, numHashes, effBands)
+  }
+
+  /** Incremental near-dedup against a PRECOMPUTED [[bandIndex]] — the
+    * steady-state production loop: the index is maintained as a table
+    * (append the batch's band keys after each run), so a daily batch costs
+    *   - ONE shuffle of the (small) index to capped buckets,
+    *   - a BROADCAST of the batch's band keys,
+    *   - exact verification that re-shingles ONLY candidate corpus docs
+    *     (a semi-join by id — candidate count is O(batch), not O(corpus)).
+    * The corpus TEXT is touched only for candidates; nothing corpus-sized
+    * is shingled, signed or shuffled. Same parameters => same S-curve as
+    * [[minhashPairs]]/[[incrementalNearDuplicates]] by construction. */
+  def incrementalNearDuplicatesIndexed(corpus: DataFrame, corpusIndex: DataFrame,
+                                       newDocs: DataFrame,
+                                       idCol: String, textCol: String,
+                                       threshold: Double = 0.8, shingleSize: Int = 5,
+                                       numHashes: Int = 256, bands: Int = 0,
+                                       maxBucket: Int = 64): DataFrame = {
+    val effBands = effectiveBands(numHashes, bands, threshold)
+    val newSh = shingledHashed(newDocs, idCol, textCol, shingleSize)
+    val corpusBuckets = corpusIndex.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("cids"))
+      .where(size(col("cids")) <= maxBucket)
+    val candidates = corpusBuckets
+      .join(broadcast(bandKeys(newSh, numHashes, effBands).withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id").as("id_a"), explode(col("cids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+    // re-shingle only the candidate corpus docs: semi-join by id, then the
+    // same shingle builtin as the index build (no persist - the frame is
+    // candidate-sized and used once)
+    val candCorpusSh = corpus
+      .select(col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text"))
+      .join(candidates.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
+    val allSh = candCorpusSh.union(newSh.select(col("doc_id"), col("sh")))
+    Partitioning.releaseAfterUse(
+      verifyJaccard(candidates, allSh, threshold)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
+      newSh)
+  }
+
   /** Pair rows are ~16 bytes before the verify join but explode to two full
     * shingle arrays after it — AQE's size-based coalescing would funnel the
     * verification into a couple of tasks. Explicit REPARTITION_BY_NUM is

@@ -158,6 +158,30 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "batch band keys must broadcast")
   }
 
+  test("indexed incremental dedup agrees exactly with the direct operator") {
+    val corpus = docs(
+      1L -> base,
+      2L -> "a completely different document about other things entirely and nothing else",
+      3L -> (base + " slightly extended"))
+    val batch = docs(
+      100L -> (base + " x"),
+      101L -> "fresh new content that matches nothing in the existing corpus at all today")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text", threshold = 0.8)
+    // index schema is the compact materializable shape
+    assert(index.columns.toSeq === Seq("doc_id", "band", "bucket"))
+    val direct = Dedup.incrementalNearDuplicates(corpus, batch, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Dedup.incrementalNearDuplicatesIndexed(corpus, index, batch, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed === direct)
+    assert(indexed.map(_._1) === Set(100L))
+    // plan: batch band keys broadcast; candidate re-shingle is a semi-join
+    val plan = Dedup.incrementalNearDuplicatesIndexed(corpus, index, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("LeftSemi"), "candidate corpus docs must semi-join")
+  }
+
   test("dedup plans contain no cartesian product") {
     val df = docs(1L -> base, 2L -> (base + " x"))
     for (plan <- Seq(
