@@ -66,7 +66,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("normalize: case, control chars, whitespace runs, optional punctuation") {
     import spark.implicits._
     val df = Seq(
-      (1L, "  Hello\tWORLD!!  mixed,  Case. "),
+      (1L, "  Hello\tWORLD\u0007!!  mixed,  Case. "),
       (2L, "already clean"),
       (3L, "tabs\t\tand\nnewlines\r\nhere")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
