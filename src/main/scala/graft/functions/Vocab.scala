@@ -48,9 +48,28 @@ object Vocab {
       "last_name" -> product(onset, nucleus, usSurnameSuffix),
       "free_email" -> Vector("aol.com", "outlook.com", "icloud.com")))
 
+  /** Deployment override: a classpath resource
+    * `graft/vocab/<locale>/<category>.txt` (one entry per line, blank lines
+    * and `#` comments ignored) REPLACES the synthetic list — this is the
+    * documented "drop in the reference's real name lists without code
+    * changes" path (README). Loaded once per JVM per (locale, category). */
+  private val resourceLists =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[Vector[String]]]()
+
+  private def fromResource(locale: String, category: String): Option[Vector[String]] =
+    resourceLists.computeIfAbsent((locale, category), { case (l, c) =>
+      val in = Thread.currentThread().getContextClassLoader.getResourceAsStream(s"graft/vocab/$l/$c.txt")
+      Option(in).map { s =>
+        try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
+          .map(_.trim).filter(v => v.nonEmpty && !v.startsWith("#")).toVector
+        finally s.close()
+      }.filter(_.nonEmpty)
+    })
+
   def list(locale: String, category: String): Vector[String] =
-    localizedLists.getOrElse(locale, throw new Exception(s"unknown vocabulary locale '$locale'"))
-      .getOrElse(category, throw new Exception(s"unknown vocabulary category '$category' for locale '$locale'"))
+    fromResource(locale, category).getOrElse(
+      localizedLists.getOrElse(locale, throw new Exception(s"unknown vocabulary locale '$locale'"))
+        .getOrElse(category, throw new Exception(s"unknown vocabulary category '$category' for locale '$locale'")))
 
   /** Deterministic vocab pick: pmod of the signed KDF hashLong. */
   def pick(codec: Codec, passphrase: Array[Byte])(

@@ -60,6 +60,20 @@ class VocabSpec extends AnyFunSuite {
     Vocab.register(spark, codec, pp) // restore the default for later suites
   }
 
+  test("classpath resource vocab replaces the synthetic list (deployment override)") {
+    // src/test/resources/graft/vocab/en-TEST/last_name.txt: 4 names, a
+    // comment and a blank line - the documented drop-in path for a
+    // deployment shipping the reference's real name lists
+    val l = Vocab.list("en-TEST", "last_name")
+    assert(l === Vector("Smithers", "Jonesy", "Brownlow", "Taylorson"))
+    val picked = Vocab.pick(codec, pp)("en-TEST", "last_name", true, "john smith")
+    assert(l.contains(picked))
+    assert(picked === Vocab.pick(codec, pp)("en-TEST", "last_name", true, "john smith"))
+    // categories without a resource still fail loudly for the new locale
+    assert(intercept[Exception](Vocab.list("en-TEST", "free_email"))
+      .getMessage.contains("unknown vocabulary locale"))
+  }
+
   test("mask_name / mask_email over SQL") {
     val spark = SparkTestBase.spark
     Vocab.register(spark, codec, pp)
