@@ -50,10 +50,25 @@ object Bench {
         }
         name -> times.min
       }
+    // single-threaded CPU calibration: a fixed Argon2id workload (the same
+    // 16384KB/1-iter profile the headline query uses), median of 5. Box
+    // noise (shared-host contention) moves this constant and every
+    // KDF-bound query together, so cross-round comparisons can normalize:
+    // r8 observed a ~30% box-wide slowdown that looked like a regression.
+    val calib = {
+      val codec = new graft.codec.Argon2Codec(2, 16384, 1)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      val times = (1 to 5).map { i =>
+        val t0 = System.nanoTime()
+        codec.hash(s"calibration-value-$i", deterministic = true, pp)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      times(2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_argon2_ms":$calib}"""
     println(json)
     // also write the full line to a file: the round snapshot truncated the
     // stdout capture in r7 (BENCH_r07.json lost the total + ~15 timings), so
