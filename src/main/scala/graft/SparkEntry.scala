@@ -764,6 +764,15 @@ object SparkEntry {
         coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
   }
 
+  /** Epoch-shuffle order: first 20 documents of the seed-7 permutation via
+    * TakeOrdered (no global sort); the oracle recomputes the identical
+    * ring-arithmetic key. The full shard shape (range partition + local
+    * sort) is plan-asserted in ShufflingSpec. */
+  private def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), graft.operators.Shuffling.epochKey(col("doc_id"), 7L).as("epoch_key"))
+      .orderBy("epoch_key", "doc_id").limit(20)
+
   /** Pre-dedup text normalization, full per-document value compare: DuckDB
     * replays the exact regexp pipeline (shared Java-regex/RE2 subset) for
     * both the whitespace/control form and the punctuation-stripped form. */
@@ -1852,6 +1861,7 @@ object SparkEntry {
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
     "text_normalize" -> qTextNormalize,
+    "epoch_shuffle" -> qEpochShuffle,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1975,6 +1985,11 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp WHERE doc_id <> component) AS n_kept, " +
         "((SELECT sum(doc_id) FROM documents) - (SELECT coalesce(sum(doc_id), 0) FROM comp WHERE doc_id <> component))::BIGINT AS kept_id_sum"),
+    // same ring arithmetic: key = (id*2654435761 + mixedSeed) mod 2^32,
+    // mixedSeed = (7*2654435761) ^ (7 >>> 17) = 18581050327
+    "epoch_shuffle" ->
+      ("SELECT doc_id, ((doc_id::HUGEINT * 2654435761 + 18581050327) % 4294967296)::BIGINT AS epoch_key " +
+        "FROM documents ORDER BY epoch_key, doc_id LIMIT 20"),
     // full per-doc value compare: same regexp pipeline in the shared
     // Java-regex/RE2 subset
     "text_normalize" ->
