@@ -764,6 +764,18 @@ object SparkEntry {
         coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
   }
 
+  /** Bigram language-model quality scoring (CCNet-style): train add-k
+    * counts on the corpus, score every document's average bigram
+    * log-probability. Full per-doc value compare — DuckDB retrains the
+    * same counts and replays the same smoothing arithmetic; scores land
+    * on the 1e-4 grid with the shared epsilon nudge. */
+  private def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (bg, uni) = graft.operators.LanguageModel.trainBigramCounts(docs, "text")
+    graft.operators.LanguageModel.scoreBigrams(docs, "doc_id", "text", bg, uni)
+      .orderBy("doc_id")
+  }
+
   /** Epoch-shuffle order: first 20 documents of the seed-7 permutation via
     * TakeOrdered (no global sort); the oracle recomputes the identical
     * ring-arithmetic key. The full shard shape (range partition + local
@@ -1862,6 +1874,7 @@ object SparkEntry {
     "cluster_split" -> qClusterSplit,
     "text_normalize" -> qTextNormalize,
     "epoch_shuffle" -> qEpochShuffle,
+    "lm_score" -> qLmScore,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -1985,6 +1998,21 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp WHERE doc_id <> component) AS n_kept, " +
         "((SELECT sum(doc_id) FROM documents) - (SELECT coalesce(sum(doc_id), 0) FROM comp WHERE doc_id <> component))::BIGINT AS kept_id_sum"),
+    // same counts, same add-0.5 smoothing, same 1e-4 grid nudge
+    "lm_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), " +
+        "bg AS (SELECT bgk, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgk " +
+        "FROM toks WHERE len(t) >= 2) GROUP BY bgk), " +
+        "v AS (SELECT count(*)::DOUBLE AS v FROM uni), " +
+        "e AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)), " +
+        "s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "floor(avg(ln((coalesce(c2, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v))) * 10000 + 0.000001)::BIGINT AS avg_logp_x1e4 " +
+        "FROM e LEFT JOIN bg ON e.b = bg.bgk LEFT JOIN uni ON e.w1 = uni.w CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, " +
+        "coalesce(s.avg_logp_x1e4, 0)::BIGINT AS avg_logp_x1e4 " +
+        "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"),
     // same ring arithmetic: key = (id*2654435761 + mixedSeed) mod 2^32,
     // mixedSeed = (7*2654435761) ^ (7 >>> 17) = 18581050327
     "epoch_shuffle" ->
