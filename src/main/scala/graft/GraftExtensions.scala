@@ -135,6 +135,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_redaction_count(text) - how many redactions graft_redact(text) performs", 1) {
       case Seq(t) => graft.operators.Redaction.redactionCount(t)
     }
+    injectCol("graft_normalize",
+      "graft_normalize(text) - lowercase, control chars + whitespace runs to single spaces, trim", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.normalize(t)
+    }
+    injectCol("graft_normalize_nopunct",
+      "graft_normalize_nopunct(text) - graft_normalize plus punctuation stripped", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.normalize(t, stripPunct = true)
+    }
+    injectCol("graft_tokens",
+      "graft_tokens(text) - whitespace tokens of the lowercased text", 1) {
+      case Seq(t) => graft.operators.TextAnalysis.tokens(t)
+    }
 
     // literal-int trailing argument: resolved at plan time, so the SQL form
     // requires a constant (the expression itself is parameterized by it)
@@ -156,6 +168,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 3)
           throw new IllegalArgumentException("graft_zorder2 expects 3 arguments: x, y, bits")
         graft.plans.ZOrder2(children(0), children(1), litInt(children(2), "bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_epoch_key"),
+      new ExpressionInfo("graft", "graft_epoch_key",
+        "graft_epoch_key(id, seed) - deterministic epoch-shuffle order key; ORDER BY graft_epoch_key(id, 7)"),
+      { children: Seq[Expression] =>
+        if (children.length != 2)
+          throw new IllegalArgumentException("graft_epoch_key expects 2 arguments: id, seed")
+        val seed = children(1) match {
+          case e if e.resolved && e.foldable => e.eval(null) match {
+            case v: Long => v
+            case v: Int => v.toLong
+            case v => throw new IllegalArgumentException(
+              s"graft_epoch_key seed must be an integer literal, got $v")
+          }
+          case other => throw new IllegalArgumentException(
+            s"graft_epoch_key seed must be an integer literal, got ${other.sql}")
+        }
+        GraftBridge.expression(
+          graft.operators.Shuffling.epochKey(GraftBridge.column(children(0)), seed))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_top_k"),

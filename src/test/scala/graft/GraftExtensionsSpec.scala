@@ -28,7 +28,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_fingerprint", "graft_hash_bucket",
         "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",
         "graft_redact", "graft_redaction_count",
-        "graft_zorder2", "graft_top_k"))
+        "graft_normalize", "graft_normalize_nopunct", "graft_tokens",
+        "graft_zorder2", "graft_top_k", "graft_epoch_key"))
 
       val e = captured("mask_string")(Seq(
         GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
@@ -74,6 +75,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           lit(1.0f), lit(-0.5f))), GraftBridge.expression(lit(1.0 / 127.0))))
       assert(spark.range(1).select(GraftBridge.column(q)).collect()(0)
         .getAs[collection.Seq[Int]](0).toSeq === Seq(127, -63))
+      // text normalization surface
+      val nrm = captured("graft_normalize")(Seq(GraftBridge.expression(lit("  A\tB!  c "))))
+      assert(spark.range(1).select(GraftBridge.column(nrm)).collect()(0).getString(0) === "a b! c")
+      val nrmNp = captured("graft_normalize_nopunct")(Seq(GraftBridge.expression(lit("  A\tB!  c "))))
+      assert(spark.range(1).select(GraftBridge.column(nrmNp)).collect()(0).getString(0) === "a b c")
+      val toksF = captured("graft_tokens")(Seq(GraftBridge.expression(lit("X y  Z"))))
+      assert(spark.range(1).select(GraftBridge.column(toksF)).collect()(0)
+        .getAs[collection.Seq[String]](0).toSeq === Seq("x", "y", "z"))
+      // epoch key: literal seed (Int or Long), non-literal rejected
+      val ek = captured("graft_epoch_key")(Seq(GraftBridge.expression(lit(17L)), Literal(7)))
+      val ekApi = spark.range(1).select(
+        graft.operators.Shuffling.epochKey(lit(17L), 7L)).collect()(0).getLong(0)
+      assert(spark.range(1).select(GraftBridge.column(ek)).collect()(0).getLong(0) === ekApi)
+      val ekErr = intercept[IllegalArgumentException](captured("graft_epoch_key")(Seq(
+        GraftBridge.expression(lit(17L)),
+        GraftBridge.expression(org.apache.spark.sql.functions.col("s")))))
+      assert(ekErr.getMessage.contains("integer literal"))
       // arity is validated with a clear message
       val err = intercept[IllegalArgumentException](captured("graft_dot")(Seq.empty))
       assert(err.getMessage.contains("graft_dot expects 2"))
