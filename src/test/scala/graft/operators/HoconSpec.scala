@@ -152,6 +152,54 @@ class HoconSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("unterminated triple-quoted string")))
   }
 
+  test("fuzz: random byte soup never hangs, never escapes Left/Right") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokens = Gen.oneOf(
+      "a", "=", ":", "{", "}", "[", "]", ",", "\n", "\"", "\"\"\"", "$", "${", "${?",
+      "#", "//", "+=", ".", " ", "\t", "x.y", "1", "true", "null", "include", "\\", "}")
+    val docGen = Gen.listOfN(30, tokens).map(_.mkString)
+    val docs = (0 until 400).flatMap(i => docGen(Gen.Parameters.default, Seed(0xF070L + i)))
+    docs.foreach { d =>
+      // must terminate and return through the Either contract - any
+      // exception or hang here is a parser bug (r6 shipped a lone-'$' hang)
+      Hocon.parse(d) match {
+        case Left(errs) => assert(errs.nonEmpty)
+        case Right(m) => assert(m != null)
+      }
+    }
+  }
+
+  test("round-trip: generated valid documents parse back to their value tree") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val key = Gen.oneOf("a", "b", "key1", "k_2")
+    def render(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case l: List[_] => l.map(render).mkString("[", ", ", "]")
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => s"$k = ${render(x)}" }.mkString("{ ", "\n", " }")
+      case other => String.valueOf(other)
+    }
+    def value(depth: Int): Gen[Any] =
+      if (depth <= 0) Gen.oneOf(Gen.const(true), Gen.choose(-99L, 99L), Gen.oneOf("x", "hi there", ""))
+      else Gen.frequency(
+        3 -> value(0),
+        1 -> Gen.listOfN(2, value(depth - 1)).map(_.toList),
+        1 -> (for { k1 <- key; k2 <- key if k2 != k1; v1 <- value(depth - 1); v2 <- value(depth - 1) }
+          yield Map(k1 -> v1, k2 -> v2)))
+    val docGen = for { k1 <- key; k2 <- key if k2 != k1; v1 <- value(2); v2 <- value(2) }
+      yield Map(k1 -> v1, k2 -> v2)
+    val docs = (0 until 150).flatMap(i => docGen(Gen.Parameters.default, Seed(0xB00B1E5L + i)))
+    docs.foreach { doc =>
+      val text = doc.map { case (k, v) => s"$k = ${render(v)}" }.mkString("\n")
+      Hocon.parse(text) match {
+        case Right(m) => assert(m === doc, s"round-trip mismatch for:\n$text")
+        case Left(errs) => fail(s"valid doc rejected ($errs):\n$text")
+      }
+    }
+  }
+
   test("parseHocon applies the same accumulating stage validation") {
     val doc =
       """name = mask stage
