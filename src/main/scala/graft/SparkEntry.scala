@@ -822,6 +822,26 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Exact incremental dedup: a planted batch of exact copies (re-id'd,
+    * unchanged text) plus modified non-copies against the corpus; the
+    * oracle recomputes truth with a plain text-equality join. The operator
+    * must flag every copy with the minimum matching corpus id and none of
+    * the modified docs. */
+  private def qDedupExactIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val batch = docs.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 25 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" changed")).as("text")))
+    val flagged = graft.operators.Dedup.exactIncremental(
+      docs.select(col("doc_id"), col("text")), batch, "doc_id", Seq("text"))
+    batch.agg(count(lit(1)).as("n_new"))
+      .crossJoin(flagged.agg( // 1x1 combine
+        count(lit(1)).as("n_flagged"),
+        coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
+  }
+
   /** Steady-state incremental dedup against a MATERIALIZED band-key index:
     * the corpus's LSH index is written to parquet once (the table a real
     * deployment maintains alongside the corpus), read back, and probed
@@ -1869,6 +1889,7 @@ object SparkEntry {
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
+    "dedup_exact_incremental" -> qDedupExactIncremental,
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
@@ -2366,6 +2387,14 @@ object SparkEntry {
     "dedup_incremental" -> incrementalOracleSql,
     // the indexed variant must flag EXACTLY the same pairs - shared oracle
     "dedup_sig_reuse" -> incrementalOracleSql,
+    // truth by plain text-equality join; min matching corpus id per new doc
+    "dedup_exact_incremental" ->
+      ("WITH newb AS (SELECT doc_id + 2000000 AS new_id, text AS t FROM documents WHERE doc_id % 25 = 0 " +
+        "UNION ALL SELECT doc_id + 3000000 AS new_id, text || ' changed' AS t FROM documents WHERE doc_id % 25 = 1), " +
+        "m AS (SELECT n.new_id, min(d.doc_id) AS corpus_id FROM newb n JOIN documents d ON n.t = d.text GROUP BY n.new_id) " +
+        "SELECT (SELECT count(*) FROM newb)::BIGINT AS n_new, " +
+        "(SELECT count(*) FROM m)::BIGINT AS n_flagged, " +
+        "(SELECT coalesce(sum(new_id + corpus_id), 0) FROM m)::BIGINT AS pair_id_sum"),
     // same whitespace bigrams, same (count desc, pair) cutoff
     "bpe_pair_counts" ->
       ("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +

@@ -292,6 +292,27 @@ object Dedup {
       corpusSh, newSh)
   }
 
+  /** Exact incremental dedup — the cheap first pass of the daily-batch
+    * loop, run before the near-dup LSH probe: flag new docs whose content
+    * (over `dedupCols`) byte-for-byte equals an existing corpus doc.
+    * Returns (new_id, corpus_id) with corpus_id = min matching id.
+    *
+    * Scale shape: both sides reduce to the collision-free content key;
+    * the corpus side aggregates to one row per distinct content (map-side
+    * combine), then the join is batch-driven — AQE broadcasts the batch
+    * key set, so corpus content keys stream past it without a
+    * corpus-sized shuffle to a new partitioning. */
+  def exactIncremental(corpus: DataFrame, newDocs: DataFrame,
+                       idCol: String, dedupCols: Seq[String]): DataFrame = {
+    val corpusKeys = corpus
+      .select(col(s"`$idCol`").cast("long").as("corpus_id"), exactKey(dedupCols).as("__k"))
+      .groupBy(col("__k")).agg(min(col("corpus_id")).as("corpus_id"))
+    val batchKeys = newDocs
+      .select(col(s"`$idCol`").cast("long").as("new_id"), exactKey(dedupCols).as("__k"))
+    corpusKeys.join(broadcast(batchKeys), Seq("__k"))
+      .select(col("new_id"), col("corpus_id"))
+  }
+
   /** The materializable LSH band-key index of a corpus: (doc_id, band,
     * bucket), ~`bands` short rows per document — small enough to keep as a
     * parquet table alongside a 100 TB corpus (this is what makes daily

@@ -158,6 +158,21 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "batch band keys must broadcast")
   }
 
+  test("exact incremental dedup flags byte-identical new docs with min corpus id") {
+    val corpus = docs(1L -> "same text", 2L -> "same text", 3L -> "unique text")
+    val batch = docs(
+      100L -> "same text",      // matches 1 and 2 -> corpus_id 1
+      101L -> "unique text",    // matches 3
+      102L -> "no match here")
+    val got = Dedup.exactIncremental(corpus, batch, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(100L -> 1L, 101L -> 3L))
+    // the batch side broadcasts - the corpus never reshuffles for the join
+    val plan = Dedup.exactIncremental(corpus, batch, "doc_id", Seq("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("indexed incremental dedup agrees exactly with the direct operator") {
     val corpus = docs(
       1L -> base,
