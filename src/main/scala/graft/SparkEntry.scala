@@ -822,6 +822,35 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** The daily-batch near-dup probe as a STRUCTURED STREAM: the planted
+    * batch of dedup_incremental arrives via readStream and is flagged
+    * per micro-batch against the materialized corpus artifacts (band
+    * index + shingle table). Shares dedup_incremental's oracle verbatim —
+    * running the probe as a stream must not change one flagged pair. */
+  private def qStreamDedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended tail")).as("text"))
+    val corpus = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val index = graft.operators.Dedup.bandIndex(corpus, "doc_id", "text", threshold = 0.8)
+    val shingles = graft.operators.Dedup.shingleTable(corpus, "doc_id", "text")
+    val flagged = graft.operators.Dedup.incrementalNearDuplicatesStream(
+      stream, index, shingles, "doc_id", "text", threshold = 0.8)
+    val sink = "graft_stream_dedup_probe_sink"
+    val q = flagged.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    corpus.where(col("doc_id") % 50 === 0).agg(count(lit(1)).as("n_new"))
+      .crossJoin(spark.table(sink).agg( // 1x1 combine
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("new_id")).as("n_flagged"),
+        coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
+  }
+
   /** Exact incremental dedup: a planted batch of exact copies (re-id'd,
     * unchanged text) plus modified non-copies against the corpus; the
     * oracle recomputes truth with a plain text-equality join. The operator
@@ -1890,6 +1919,7 @@ object SparkEntry {
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_exact_incremental" -> qDedupExactIncremental,
+    "stream_dedup_probe" -> qStreamDedupProbe,
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
@@ -2387,6 +2417,8 @@ object SparkEntry {
     "dedup_incremental" -> incrementalOracleSql,
     // the indexed variant must flag EXACTLY the same pairs - shared oracle
     "dedup_sig_reuse" -> incrementalOracleSql,
+    // and so must the STREAMING probe of the same planted batch
+    "stream_dedup_probe" -> incrementalOracleSql,
     // truth by plain text-equality join; min matching corpus id per new doc
     "dedup_exact_incremental" ->
       ("WITH newb AS (SELECT doc_id + 2000000 AS new_id, text AS t FROM documents WHERE doc_id % 25 = 0 " +

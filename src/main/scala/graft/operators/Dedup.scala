@@ -372,6 +372,71 @@ object Dedup {
       newSh)
   }
 
+  /** Streaming near-dup probe — [[incrementalNearDuplicatesIndexed]] as a
+    * STRUCTURED STREAM: new documents arrive continuously and each
+    * micro-batch is flagged against the materialized corpus artifacts.
+    * Works on a batch frame too (same plan, no persist).
+    *
+    * Inputs are the two tables a deployment maintains alongside the
+    * corpus: `corpusIndex` = [[bandIndex]] output and `corpusShingles` =
+    * (doc_id, sh) — a stream cannot semi-join the corpus text by its own
+    * candidate ids (a static subquery can't be filtered by stream rows),
+    * so verification joins the materialized shingle table instead; the
+    * join is still an equi-join keyed on corpus_id.
+    *
+    * Plan shape per micro-batch: the stream side carries its shingle set
+    * through band explosion (batch-sized × bands rows, no stream-stream
+    * self-join anywhere), joins the static capped buckets, explodes
+    * candidate ids, joins the static shingle table, verifies exact
+    * Jaccard inline, and emits (new_id, corpus_id, jaccard) in APPEND
+    * mode — no watermark needed because nothing aggregates. The
+    * `dropDuplicates` collapses multi-band collisions of the same pair;
+    * its state grows with distinct flagged pairs, which is bounded by
+    * ingest volume per run (a long-lived deployment restarts the probe
+    * per day/window, or swaps in dropDuplicatesWithinWatermark keyed on
+    * an ingest-time column). Same parameters => same S-curve and the
+    * SAME flagged pairs as the batch operator, which is what the shared
+    * oracle pins. */
+  def incrementalNearDuplicatesStream(newDocs: DataFrame, corpusIndex: DataFrame,
+                                      corpusShingles: DataFrame,
+                                      idCol: String, textCol: String,
+                                      threshold: Double = 0.8, shingleSize: Int = 5,
+                                      numHashes: Int = 256, bands: Int = 0,
+                                      maxBucket: Int = 64): DataFrame = {
+    val effBands = effectiveBands(numHashes, bands, threshold)
+    val rows = numHashes / effBands
+    val newSh = newDocs
+      .select(col(s"`$idCol`").cast("long").as("new_id"), col(s"`$textCol`").as("__text"))
+      .select(col("new_id"), shingleArr("__text", shingleSize).as("sh_a"))
+      .withColumn("shx", transform(col("sh_a"), s => xxhash64(s)))
+    // band keys with the shingle set carried along (no self-join back)
+    val banded = newSh.where(size(col("shx")) > 0)
+      .withColumn("sig", minhashSigCol(numHashes, col("shx")))
+      .select(col("new_id"), col("sh_a"), posexplode(expr(
+        s"transform(sequence(0, ${effBands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")))
+      .select(col("new_id"), col("sh_a"), col("pos").as("band"), col("col").as("bucket"))
+    val corpusBuckets = corpusIndex.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("cids"))
+      .where(size(col("cids")) <= maxBucket)
+    val b = corpusShingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
+    banded.join(corpusBuckets, Seq("band", "bucket"))
+      .select(col("new_id"), col("sh_a"), explode(col("cids")).as("corpus_id"))
+      .where(col("new_id") =!= col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .join(b, Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", try_divide(col("inter"), size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** The (doc_id, sh) shingle-set table to materialize alongside
+    * [[bandIndex]] for the streaming probe's verification join. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 5): DataFrame =
+    df.select(col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text"))
+      .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
+
   /** Pair rows are ~16 bytes before the verify join but explode to two full
     * shingle arrays after it — AQE's size-based coalescing would funnel the
     * verification into a couple of tasks. Explicit REPARTITION_BY_NUM is

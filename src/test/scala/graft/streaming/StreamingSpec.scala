@@ -59,6 +59,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe flags exactly what the batch operator flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      1L -> base,
+      2L -> "a completely different document about other things entirely and nothing else",
+      3L -> (base + " slightly extended")).toDF("doc_id", "text")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text", threshold = 0.8)
+    val shingles = Dedup.shingleTable(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val probe = Dedup.incrementalNearDuplicatesStream(
+      input.toDF().toDF("doc_id", "text"), index, shingles, "doc_id", "text", threshold = 0.8)
+    val q = probe.writeStream.format("memory").queryName("ndp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((100L, base + " x"), (101L, "fresh new content matching nothing at all"))
+      q.processAllAvailable()
+      // a second micro-batch with another near-dup
+      input.addData((102L, base + " yz"))
+      q.processAllAvailable()
+      val got = spark.table("ndp_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchTruth = Dedup.incrementalNearDuplicates(corpus,
+        Seq(100L -> (base + " x"), 101L -> "fresh new content matching nothing at all",
+          102L -> (base + " yz")).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchTruth)
+      assert(got.map(_._1) === Set(100L, 102L))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs right events with in-gap left events per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
