@@ -822,6 +822,26 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Normalized exact dedup — [[graft.operators.TextAnalysis.normalize]]
+    * composed with [[graft.operators.Dedup.exact]]: case/whitespace
+    * variants (the most common near-exact duplicate class in scraped
+    * corpora) collapse to one representative. Planted: every 40th doc
+    * re-appears uppercased with trailing whitespace; the oracle replays
+    * the same normalization regex pipeline and min-id-per-group rule. */
+  private def qDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs.where(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val all = docs.unionAll(variants)
+      .withColumn("norm", graft.operators.TextAnalysis.normalize(col("text")))
+    val kept = graft.operators.Dedup.exact(all, "doc_id", Seq("norm"))
+    all.agg(count(lit(1)).as("n_total"))
+      .crossJoin(kept.agg( // 1x1 combine
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("kept_id_sum")))
+  }
+
   /** The daily-batch near-dup probe as a STRUCTURED STREAM: the planted
     * batch of dedup_incremental arrives via readStream and is flagged
     * per micro-batch against the materialized corpus artifacts (band
@@ -1920,6 +1940,7 @@ object SparkEntry {
     "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_exact_incremental" -> qDedupExactIncremental,
     "stream_dedup_probe" -> qStreamDedupProbe,
+    "dedup_normalized" -> qDedupNormalized,
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
@@ -2419,6 +2440,15 @@ object SparkEntry {
     "dedup_sig_reuse" -> incrementalOracleSql,
     // and so must the STREAMING probe of the same planted batch
     "stream_dedup_probe" -> incrementalOracleSql,
+    // same normalization regexes, min doc_id per normalized-content group
+    "dedup_normalized" ->
+      ("WITH allv AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 4000000, upper(text) || '  ' FROM documents WHERE doc_id % 40 = 0), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM allv), " +
+        "k AS (SELECT min(doc_id) AS keep FROM n GROUP BY norm) " +
+        "SELECT (SELECT count(*) FROM allv)::BIGINT AS n_total, " +
+        "(SELECT count(*) FROM k)::BIGINT AS n_kept, " +
+        "(SELECT sum(keep) FROM k)::BIGINT AS kept_id_sum"),
     // truth by plain text-equality join; min matching corpus id per new doc
     "dedup_exact_incremental" ->
       ("WITH newb AS (SELECT doc_id + 2000000 AS new_id, text AS t FROM documents WHERE doc_id % 25 = 0 " +
