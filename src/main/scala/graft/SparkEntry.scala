@@ -822,6 +822,15 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Near-dup cluster-size histogram over the LSH pair graph; the oracle
+    * recomputes components from exact jaccard with the recursive CTE and
+    * histograms the same sizes. */
+  private def qDedupClusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    graft.operators.Dedup.clusterSizeReport(pairs).orderBy("sz")
+  }
+
   /** Normalized exact dedup — [[graft.operators.TextAnalysis.normalize]]
     * composed with [[graft.operators.Dedup.exact]]: case/whitespace
     * variants (the most common near-exact duplicate class in scraped
@@ -1941,6 +1950,7 @@ object SparkEntry {
     "dedup_exact_incremental" -> qDedupExactIncremental,
     "stream_dedup_probe" -> qStreamDedupProbe,
     "dedup_normalized" -> qDedupNormalized,
+    "dedup_cluster_report" -> qDedupClusterReport,
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
@@ -2440,6 +2450,18 @@ object SparkEntry {
     "dedup_sig_reuse" -> incrementalOracleSql,
     // and so must the STREAMING probe of the same planted batch
     "stream_dedup_probe" -> incrementalOracleSql,
+    // exact-jaccard component graph, histogram of component sizes
+    "dedup_cluster_report" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p WHERE j >= 0.8 UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE r.a <> e.b) SELECT * FROM r), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a), " +
+        "sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component) " +
+        "SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     // same normalization regexes, min doc_id per normalized-content group
     "dedup_normalized" ->
       ("WITH allv AS (SELECT doc_id, text FROM documents " +

@@ -139,6 +139,17 @@ object Dedup {
     labels
   }
 
+  /** Operational dedup report: the cluster-size histogram of a near-dup
+    * pair graph — (cluster size, number of clusters of that size). This is
+    * the number every dedup run gets judged by (how much mass sits in
+    * mega-clusters vs pairs); two small aggregates over the component
+    * labels, nothing beyond [[connectedComponents]]'s own cost. */
+  def clusterSizeReport(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").cast("long").as("sz"), col("n_clusters"))
+
   /** Near-dup removal end-to-end: keep ONE representative (min id) per
     * connected component of the pair graph, plus every unpaired doc. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
