@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
-  private val queriesUnderTest = Seq(
+  val queriesUnderTest: Seq[String] = Seq(
     "dedup_minhash", "dedup_incremental", "dedup_sig_reuse", "decontaminate_bloom",
     "bm25_topk", "pack_sequences",
     // embedding operators: the scaled table applies a per-copy diagonal

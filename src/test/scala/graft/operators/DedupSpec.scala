@@ -158,6 +158,15 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "batch band keys must broadcast")
   }
 
+  test("cluster size report histograms component sizes") {
+    import graft.SparkTestBase.spark.implicits._
+    // components: {1,2,3} (size 3), {10,11} (size 2), {20,21} (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeReport(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 3L -> 1L))
+  }
+
   test("exact incremental dedup flags byte-identical new docs with min corpus id") {
     val corpus = docs(1L -> "same text", 2L -> "same text", 3L -> "unique text")
     val batch = docs(
