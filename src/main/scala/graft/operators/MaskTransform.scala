@@ -100,6 +100,11 @@ object MaskTransform {
     var detail = Map[String, Any]("inputView" -> inputView, "outputView" -> outputView)
     if (!outputDF.isStreaming) {
       detail += ("outputColumns" -> outputDF.schema.length)
+      // .rdd forces one physical planning of the output frame here. That is
+      // deliberate bug-compat with the reference's own instrumentation
+      // (MaskDataTransform.scala:160 does the same to report partitions);
+      // callers who cannot afford the planning pass use apply() directly,
+      // which attaches no instrumentation.
       detail += ("numPartitions" -> outputDF.rdd.getNumPartitions)
       if (persist) {
         val start = System.currentTimeMillis()
