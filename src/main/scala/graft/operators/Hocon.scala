@@ -30,12 +30,18 @@ import scala.collection.mutable
   *    contributes an empty string inside a concatenation)
   *  - string value concatenation of literal and substitution parts
   *
-  * NOT supported (loudly, not silently): `include` directives return the
-  * parse error "'include' directives are not supported" — a file-resolution
-  * policy (search paths, URLs, cycles) does not belong inside a config
-  * parser embedded in a query engine; inline the included file or key the
-  * environment-specific values off `${?ENV_VAR}` substitutions instead
-  * (migration note in README).
+  *  - `include` directives — `include "x"`, `include required(...)`,
+  *    `include file("x")`, `include classpath("x")` — via an explicit
+  *    [[IncludeResolver]] passed to [[parseWithIncludes]] or implied by
+  *    [[parseFile]] (file-relative, the Typesafe-Config behavior). The
+  *    plain-string [[parse]] entry point has no resolution context, so an
+  *    `include` there is a LOUD error naming the includes-capable entry
+  *    points — never a silent skip. `include url(...)` is always rejected
+  *    (a config parser embedded in a query engine does not do network I/O).
+  *    Included objects merge at the include point with the spec's
+  *    duplicate-key semantics (objects deep-merge, scalars last-wins), and
+  *    substitutions in included files resolve against the fully merged
+  *    document. A depth cap of 64 turns include cycles into a parse error.
   *
   * Parse failures are fail-fast (one structural error); the accumulating
   * validation contract lives in [[StageConfig.parse]] on the resulting map.
@@ -45,9 +51,84 @@ object Hocon {
   private case class Sub(path: String, optional: Boolean)
   private case class Concat(parts: List[Any])
 
+  /** Supplies the raw text of an include target plus the resolver to use
+    * for includes nested inside it (so file includes stay relative to the
+    * including file, not the process working directory). `kind` is
+    * `"file"`, `"classpath"` or `"heuristic"` (a bare `include "x"`).
+    * Returning None means "not found" — a parse error for
+    * `include required(...)`, a spec-mandated silent skip otherwise. */
+  trait IncludeResolver {
+    def resolve(kind: String, target: String): Option[(String, IncludeResolver)]
+  }
+
+  private val MaxIncludeDepth = 64
+
   def parse(text: String): Either[List[String], Map[String, Any]] =
+    parseInternal(text, None)
+
+  def parseWithIncludes(text: String, resolver: IncludeResolver): Either[List[String], Map[String, Any]] =
+    parseInternal(text, Some(resolver))
+
+  /** Parse a `.conf` file; includes resolve relative to the file's own
+    * directory first (then `<target>.conf`, then the classpath), matching
+    * the public Typesafe-Config heuristic users migrate from. */
+  def parseFile(path: String): Either[List[String], Map[String, Any]] = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
+    if (!java.nio.file.Files.isRegularFile(p)) Left(List(s"config file not found: $path"))
+    else parseWithIncludes(
+      new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8),
+      fileResolver(p.getParent))
+  }
+
+  /** File-relative resolver rooted at `baseDir`; nested includes re-root at
+    * each included file's parent directory. */
+  def fileResolver(baseDir: java.nio.file.Path): IncludeResolver = new IncludeResolver {
+    import java.nio.file.{Files, Path}
+    private def fromFile(p: Path): Option[(String, IncludeResolver)] =
+      if (Files.isRegularFile(p))
+        Some((new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8),
+              fileResolver(p.toAbsolutePath.getParent)))
+      else None
+    private def fromClasspath(name: String): Option[(String, IncludeResolver)] = {
+      val cl = Thread.currentThread.getContextClassLoader
+      Option(cl.getResourceAsStream(name)).map { in =>
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        // nested heuristic/classpath includes resolve within the resource's package path
+        val prefix = name.lastIndexOf('/') match { case -1 => ""; case k => name.substring(0, k + 1) }
+        (text, classpathResolver(prefix, baseDir))
+      }
+    }
+    def resolve(kind: String, target: String): Option[(String, IncludeResolver)] = kind match {
+      case "file" => fromFile(baseDir.resolve(target))
+      case "classpath" => fromClasspath(target)
+      case _ => // heuristic: file-relative, then `.conf` suffix, then classpath
+        fromFile(baseDir.resolve(target))
+          .orElse(if (!target.contains('.')) fromFile(baseDir.resolve(target + ".conf")) else None)
+          .orElse(fromClasspath(target))
+    }
+  }
+
+  private def classpathResolver(prefix: String, fileBase: java.nio.file.Path): IncludeResolver =
+    new IncludeResolver {
+      def resolve(kind: String, target: String): Option[(String, IncludeResolver)] = kind match {
+        case "file" => fileResolver(fileBase).resolve("file", target)
+        case _ =>
+          val cl = Thread.currentThread.getContextClassLoader
+          def load(name: String): Option[(String, IncludeResolver)] =
+            Option(cl.getResourceAsStream(name)).map { in =>
+              val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+              val p = name.lastIndexOf('/') match { case -1 => ""; case k => name.substring(0, k + 1) }
+              (text, classpathResolver(p, fileBase))
+            }
+          load(prefix + target)
+            .orElse(if (!target.contains('.')) load(prefix + target + ".conf") else None)
+            .orElse(load(target))
+      }
+    }
+
+  private def parseInternal(text: String, resolver: Option[IncludeResolver]): Either[List[String], Map[String, Any]] =
     try {
-      val p = new Parser(text)
+      val p = new Parser(text, resolver, 0)
       val raw = p.parseRoot()
       new Resolver(raw).resolve() match {
         case Left(errs) => Left(errs)
@@ -59,7 +140,7 @@ object Hocon {
 
   private final class HoconError(msg: String) extends RuntimeException(msg)
 
-  private final class Parser(s: String) {
+  private final class Parser(s: String, resolver: Option[IncludeResolver], depth: Int) {
     private var i = 0
     private var line = 1
 
@@ -123,8 +204,9 @@ object Hocon {
             else fail(s"expected ',' or newline between object entries, got '${peek}'")
           } else if (peek == ',') advance()
           if (!atEnd && peek != '}') {
+            if (tryParseInclude(acc)) { needSep = true }
+            else {
             val path = parseKeyPath()
-            if (path == List("include")) fail("'include' directives are not supported")
             skipWs(crossLines = false)
             val value = peek match {
               case ':' | '=' => advance(); skipWs(crossLines = false); parseValue()
@@ -135,11 +217,85 @@ object Hocon {
             }
             mergeAt(acc, path, value)
             needSep = true
+            }
           }
         }
       }
       acc.toMap
     }
+
+    /** If the cursor sits on an `include` DIRECTIVE (unquoted `include`,
+      * whitespace, then a target form), consume it, merge the included
+      * object into `acc`, and return true. `include` used as a plain key
+      * (`include = 5`, `"include" : x`) is left for the normal key path —
+      * the cursor is restored and false returned. */
+    private def tryParseInclude(acc: mutable.LinkedHashMap[String, Any]): Boolean = {
+      if (!s.regionMatches(i, "include", 0, 7)) return false
+      val save = i; val saveLine = line
+      i += 7
+      val hadWs = peek == ' ' || peek == '\t'
+      skipWs(crossLines = false)
+      // a directive target is a quoted string or any `word(` call form — the
+      // latter reaches parseIncludeSpec so unknown qualifiers error by NAME
+      val looksLikeTarget = hadWs && (peek == '"' || {
+        var j = i
+        while (j < s.length && s.charAt(j).isLetter) j += 1
+        var k = j
+        while (k < s.length && (s.charAt(k) == ' ' || s.charAt(k) == '\t')) k += 1
+        j > i && k < s.length && s.charAt(k) == '('
+      })
+      if (!looksLikeTarget) { i = save; line = saveLine; return false }
+      val (kind, target, required) = parseIncludeSpec()
+      resolver match {
+        case None =>
+          fail("'include' directives need a resolution context: use Hocon.parseFile " +
+            "or Hocon.parseWithIncludes (plain Hocon.parse cannot locate included files)")
+        case Some(r) =>
+          if (depth >= MaxIncludeDepth)
+            fail(s"include depth exceeds $MaxIncludeDepth — include cycle?")
+          r.resolve(kind, target) match {
+            case None if required => fail(s"required include '$target' not found")
+            case None => // optional include, missing target: spec says skip silently
+            case Some((text, childResolver)) =>
+              val m = new Parser(text, Some(childResolver), depth + 1).parseRoot()
+              m.foreach { case (k, v) => mergeAt(acc, List(k), v) }
+          }
+      }
+      true
+    }
+
+    /** Target forms: `"path"`, `required(<inner>)`, `file("path")`,
+      * `classpath("path")`. `url(...)` is rejected loudly. */
+    private def parseIncludeSpec(): (String, String, Boolean) =
+      if (peek == '"') {
+        val t = if (s.regionMatches(i, "\"\"\"", 0, 3)) parseTripleQuoted() else parseQuotedString()
+        ("heuristic", t, false)
+      } else {
+        val sb = new StringBuilder
+        while (!atEnd && peek.isLetter) sb += advance()
+        val word = sb.result()
+        skipWs(crossLines = false)
+        if (peek != '(') fail(s"expected '(' after include $word")
+        advance(); skipWs(crossLines = false)
+        word match {
+          case "required" =>
+            val (k, t, _) = parseIncludeSpec()
+            skipWs(crossLines = false)
+            if (peek != ')') fail("expected ')' closing include required(...)")
+            advance()
+            (k, t, true)
+          case "file" | "classpath" =>
+            if (peek != '"') fail(s"expected a quoted path inside include $word(...)")
+            val t = parseQuotedString()
+            skipWs(crossLines = false)
+            if (peek != ')') fail(s"expected ')' closing include $word(...)")
+            advance()
+            (word, t, false)
+          case "url" =>
+            fail("include url(...) is not supported: the config parser does no network I/O")
+          case other => fail(s"unknown include qualifier '$other'")
+        }
+      }
 
     /** Deep-merge `value` into `acc` at the dotted path: objects merge
       * key-by-key, anything else replaces (last wins). */

@@ -33,6 +33,12 @@ object StageConfig {
   def parseHocon(conf: String): Either[List[String], MaskStage] =
     Hocon.parse(conf).flatMap(parse)
 
+  /** Load a `.conf` FILE: `include` directives resolve relative to the
+    * file (then classpath), the Typesafe-Config behavior reference users
+    * migrate from. The string entry points stay include-free by design. */
+  def parseHoconFile(path: String): Either[List[String], MaskStage] =
+    Hocon.parseFile(path).flatMap(parse)
+
   def parseJson(json: String): Either[List[String], MaskStage] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
