@@ -65,10 +65,15 @@ object Bench {
       }.sorted
       times(2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms-rounded timings: the driver captures a bounded stdout TAIL, and at
+    // 95 queries full-precision doubles push the line past it (r7's artifact
+    // lost its head that way). 3 decimals keeps the whole line inside the
+    // window; sub-ms precision is noise at these scales anyway.
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_argon2_ms":$calib}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
     println(json)
     // also write the full line to a file: the round snapshot truncated the
     // stdout capture in r7 (BENCH_r07.json lost the total + ~15 timings), so
