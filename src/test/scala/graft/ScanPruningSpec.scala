@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guard #2: column pruning and filter pushdown must REACH the parquet
+  * scan. A plan whose scan reads every column for a narrow projection pays
+  * full I/O at 100 TB no matter how good the rest of the plan is, and the
+  * property silently breaks when someone threads a whole row through a
+  * transform. Asserted on the physical plan's FileSourceScanExec nodes
+  * (requiredSchema IS the scan's ReadSchema) for representative queries of
+  * each operator family that provably need only a column subset.
+  */
+class ScanPruningSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query -> (table file, columns the scan must NOT read). */
+  private val pruned: Seq[(String, String, Seq[String])] = Seq(
+    // 7 of lineitem's 11 columns feed the agg; the scan must drop the rest
+    ("lineitem_agg", "lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate")),
+    // exact dedup keys on (text) with doc_id carried: metadata cols pruned
+    ("dedup_exact", "documents", Seq("lang", "source", "n_chars")),
+    // minhash shingles only text; doc_id labels pairs
+    ("dedup_minhash", "documents", Seq("lang", "source", "n_chars")),
+    // ANN needs vec_id + embedding, never label
+    ("ann_topk", "embeddings", Seq("label")),
+    // tokens/quality/language profile never touches the props blob
+    ("text_profile", "documents", Seq("n_chars")))
+
+  private def scansOf(query: String, tableFile: String): Seq[FileSourceScanExec] = {
+    val df = SparkEntry.queries(query)(spark, sf)
+    collectScans(df.queryExecution.sparkPlan, tableFile)
+  }
+
+  /** All matching parquet scans, including those buried inside persisted
+    * subtrees (InMemoryRelation) — pruning BEFORE a cache decides what the
+    * cache materializes, so those scans are exactly the ones to guard. */
+  private def collectScans(plan: org.apache.spark.sql.execution.SparkPlan,
+                           tableFile: String): Seq[FileSourceScanExec] =
+    plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains(s"/$tableFile.parquet") => Seq(f)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        collectScans(c.relation.cachedPlan, tableFile)
+      // a cached subtree wraps its plan in AQE, which hides children from collect
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.inputPlan, tableFile)
+    }.flatten
+
+  test("column pruning reaches the parquet scan (ReadSchema is a strict subset)") {
+    val violations = pruned.flatMap { case (query, tableFile, forbidden) =>
+      val scans = scansOf(query, tableFile)
+      if (scans.isEmpty) Seq(s"$query: no FileSourceScanExec over $tableFile found")
+      else scans.flatMap { f =>
+        val read = f.requiredSchema.fieldNames.toSet
+        val leaked = forbidden.filter(read.contains)
+        if (leaked.isEmpty) Nil
+        else Seq(s"$query: scan of $tableFile reads unneeded column(s) ${leaked.mkString(",")} (ReadSchema=${read.mkString(",")})")
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("literal predicates push down to the scan (query-vector probe)") {
+    // ann_topk fetches its query vector with an id-equality filter; that
+    // predicate must appear in the scan's pushed filters, not a post-scan
+    // Filter over a full read
+    val scans = scansOf("ann_topk", "embeddings")
+    assert(scans.nonEmpty, "ann_topk has no embeddings scan")
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("vec_id"))),
+      s"no embeddings scan pushes the vec_id predicate; metadata: ${scans.map(_.metadata.get("PushedFilters")).mkString("; ")}")
+  }
+}
