@@ -615,6 +615,15 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Gopher/C4-style quality-filter DECISIONS, full 500-row value oracle:
+    * every per-doc keep bit and reasons bitmask is recomputed by DuckDB
+    * from the same integer-exact cross-multiplied rules — the decision,
+    * not just a count, is pinned. Narrow codegen projection, no shuffle. */
+  private def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.qualityDecision(
+      table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Corpus-wide vocabulary extraction (tokenizer-training shape): explode
     * tokens, count per token (one hash-agg shuffle with map-side partial
     * counts), take the global top 20 by (count DESC, token ASC). The
@@ -1934,6 +1943,7 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
+    "quality_filter" -> qQualityFilter,
     "redact_pii" -> qRedactPii,
     "bm25_topk" -> qBm25Topk,
     "gapfill_resample" -> qGapfillResample,
@@ -2280,6 +2290,23 @@ object SparkEntry {
         "coalesce(n_bg, 0)::BIGINT AS n_bigrams, coalesce(top_n, 0)::BIGINT AS top_bigram_n, " +
         "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4 " +
         "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id ORDER BY t.doc_id"),
+    // full per-doc decision recompute: same integer cross-multiplied rules
+    // (no division, no floats), so the keep/reasons bits match bit-for-bit
+    "quality_filter" ->
+      ("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+        "string_split(text, chr(10)) AS lines FROM documents), " +
+        "s AS (SELECT doc_id, len(toks)::BIGINT AS n, " +
+        "list_sum(list_transform(toks, x -> length(x)))::BIGINT AS chars, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS stop, " +
+        "len(lines)::BIGINT AS n_lines, " +
+        "(len(lines) - len(list_distinct(lines)))::BIGINT AS dup_lines FROM t), " +
+        "r AS (SELECT doc_id, n, " +
+        "(CASE WHEN n < 30 THEN 1 ELSE 0 END " +
+        " + CASE WHEN chars*10 < n*30 OR chars*10 > n*100 THEN 2 ELSE 0 END " +
+        " + CASE WHEN stop*1000 < n*20 THEN 4 ELSE 0 END " +
+        " + CASE WHEN dup_lines*1000 > n_lines*300 THEN 8 ELSE 0 END)::BIGINT AS reasons FROM s) " +
+        "SELECT doc_id, n AS n_tokens, reasons, " +
+        "(CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep FROM r ORDER BY doc_id"),
     "vocab_topk" ->
       ("WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
         "c AS (SELECT tok, count(*)::BIGINT AS n FROM t WHERE tok <> '' GROUP BY tok) " +

@@ -71,6 +71,49 @@ object TextAnalysis {
       .cast("double")).cast("long")
   }
 
+  /** Gopher/C4-style document quality FILTER decision (Rae et al. 2021
+    * §A1.1; Raffel et al. 2020 §2.2 — public heuristics): per document, a
+    * keep/drop bit plus a reasons BITMASK naming every failed rule, so a
+    * pipeline can audit exactly why data was dropped (and re-admit a rule's
+    * rejects without recomputing the corpus).
+    *
+    * Rules (bit set = rule FAILED), all integer-exact cross-multiplied
+    * comparisons — no division, no floats, so any engine replays the
+    * decision bit-for-bit:
+    *   bit 0: token count < minTokens
+    *   bit 1: mean word length outside [minMeanWordLen, maxMeanWordLen]
+    *          (chars*10 vs tokens*10*bound)
+    *   bit 2: stopword fraction < minStopFrac_x1e3 per mille
+    *   bit 3: duplicate-line fraction > maxDupLineFrac_x1e3 per mille
+    *
+    * Pure codegen'd builtins over a narrow projection: runs per-document
+    * with no shuffle at any corpus size. */
+  def qualityDecision(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 30,
+                      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
+                      minStopFrac_x1e3: Int = 20,
+                      maxDupLineFrac_x1e3: Int = 300): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+    val text = col(s"`$textCol`")
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val chars = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
+    val stop = size(filter(toks, t => stopwords.map(lit(_) === t).reduce(_ || _))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
+    val r1 = (n < minTokens).cast("long")
+    val r2 = (chars * 10 < n * (10L * minMeanWordLen) || chars * 10 > n * (10L * maxMeanWordLen)).cast("long")
+    val r3 = (stop * 1000 < n * minStopFrac_x1e3).cast("long")
+    val r4 = (dupLines * 1000 > nLines * maxDupLineFrac_x1e3).cast("long")
+    val reasons = r1 + r2 * 2 + r3 * 4 + r4 * 8
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      n.as("n_tokens"),
+      reasons.as("reasons"),
+      (reasons === 0).cast("long").as("keep"))
+  }
+
   /** Language markers: tiny per-language stopword sets + CJK script check.
     * Returns the language code with the highest marker-token count;
     * deterministic tie-break by fixed language order (en,de,fr,es,zh). */

@@ -14,6 +14,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     Seq((1L, text)).toDF("doc_id", "text")
   }
 
+  test("qualityDecision: each rule fires independently and sets its bit") {
+    import spark.implicits._
+    val longGood = ("the quick brown fox jumps over the lazy dog " * 8).trim // 72 tokens, mean len 3.9, stopwords present
+    val df = Seq(
+      (1L, longGood),                                    // keep
+      (2L, "the of to and in is a"),                     // too short: bit 0
+      (3L, ("the " + "supercalifragilistic " * 40).trim), // mean word len > 10: bit 1
+      (4L, ("alpha beta gamma delta epsilon " * 10).trim), // no stopwords: bit 2
+      (5L, Seq.fill(10)("the same line of it").mkString("\n") + "\n" + (1 to 30).map(i => s"the l$i of").mkString(" ")) // dup lines: bit 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityDecision(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("reasons") === 0L)
+    assert(out(0).getAs[Long]("keep") === 1L)
+    assert((out(1).getAs[Long]("reasons") & 1L) === 1L)
+    assert((out(2).getAs[Long]("reasons") & 2L) === 2L)
+    assert((out(3).getAs[Long]("reasons") & 4L) === 4L)
+    assert((out(4).getAs[Long]("reasons") & 8L) === 8L)
+    assert(out.drop(1).forall(_.getAs[Long]("keep") === 0L))
+  }
+
   test("token and subword counts") {
     val r = TextAnalysis.profile(one("Hello world this is graft"), "doc_id", "text").collect()(0)
     assert(r.getAs[Int]("n_tokens") === 5)
