@@ -109,4 +109,38 @@ class Round8PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("qualityDecision law: Spark plan agrees with an independent Scala reference") {
+    import spark.implicits._
+    // word soup over a mixed alphabet: stopwords, short fillers, long rares
+    val wordGen = Gen.frequency(
+      3 -> Gen.oneOf("the", "a", "of", "and", "to", "in", "is"),
+      4 -> Gen.oneOf("key", "row", "scan", "fast", "table", "value"),
+      2 -> Gen.oneOf("supercalifragilistic", "antidisestablishment"),
+      1 -> Gen.const("x"))
+    val docGen = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, wordGen)
+      dupLine <- Gen.choose(0, 5)
+    } yield (ws.mkString(" ") + ("\nrepeat line" * dupLine))
+    val docs = samples(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = TextAnalysis.qualityDecision(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("reasons"), r.getAs[Long]("keep"))).toMap
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    for ((id, text) <- docs) {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val n = toks.size.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val nStop = toks.count(stop).toLong
+      val lines = text.split("\n", -1).toSeq
+      val dup = (lines.size - lines.distinct.size).toLong
+      val reasons = (if (n < 30) 1L else 0L) +
+        (if (chars * 10 < n * 30 || chars * 10 > n * 100) 2L else 0L) +
+        (if (nStop * 1000 < n * 20) 4L else 0L) +
+        (if (dup * 1000 > lines.size * 300) 8L else 0L)
+      assert(got(id) === ((n, reasons, if (reasons == 0) 1L else 0L)),
+        s"doc $id: ${text.take(80)}")
+    }
+  }
 }
