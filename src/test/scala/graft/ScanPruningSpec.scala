@@ -26,8 +26,10 @@ class ScanPruningSpec extends AnyFunSuite {
     ("dedup_minhash", "documents", Seq("lang", "source", "n_chars")),
     // ANN needs vec_id + embedding, never label
     ("ann_topk", "embeddings", Seq("label")),
-    // tokens/quality/language profile never touches the props blob
-    ("text_profile", "documents", Seq("n_chars")))
+    // tokens/quality/language profile derives n_chars itself
+    ("text_profile", "documents", Seq("n_chars")),
+    // event-time window agg needs ts + value; the props blob must stay unread
+    ("events_window", "events", Seq("props", "user_id")))
 
   private def scansOf(query: String, tableFile: String): Seq[FileSourceScanExec] = {
     val df = SparkEntry.queries(query)(spark, sf)
