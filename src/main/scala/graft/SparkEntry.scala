@@ -615,6 +615,15 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Token-budget truncation, full-row value oracle: every truncated
+    * STRING (not just counts) is recomputed by DuckDB from the same
+    * split/slice/rejoin — whitespace-boundary fidelity is pinned
+    * byte-for-byte. */
+  private def qTruncateTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.truncateTokens(
+      table(spark, dir, "documents"), "doc_id", "text", maxTokens = 40)
+      .orderBy("doc_id")
+
   /** Gopher/C4-style quality-filter DECISIONS, full 500-row value oracle:
     * every per-doc keep bit and reasons bitmask is recomputed by DuckDB
     * from the same integer-exact cross-multiplied rules — the decision,
@@ -1944,6 +1953,7 @@ object SparkEntry {
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
     "quality_filter" -> qQualityFilter,
+    "truncate_tokens" -> qTruncateTokens,
     "redact_pii" -> qRedactPii,
     "bm25_topk" -> qBm25Topk,
     "gapfill_resample" -> qGapfillResample,
@@ -2290,6 +2300,12 @@ object SparkEntry {
         "coalesce(n_bg, 0)::BIGINT AS n_bigrams, coalesce(top_n, 0)::BIGINT AS top_bigram_n, " +
         "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4 " +
         "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id ORDER BY t.doc_id"),
+    // full-row recompute incl. the truncated string itself
+    "truncate_tokens" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "least(len(toks), 40)::BIGINT AS n_kept, " +
+        "array_to_string(toks[1:40], ' ') AS text_trunc FROM t ORDER BY doc_id"),
     // full per-doc decision recompute: same integer cross-multiplied rules
     // (no division, no floats), so the keep/reasons bits match bit-for-bit
     "quality_filter" ->

@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Truncate each document to a token budget on WORD boundaries — the
+    * pre-tokenizer cut that keeps sequence assembly from mid-word splits.
+    * Case and word bytes are preserved (whitespace runs normalize to one
+    * space on the rejoin, stated contract); emits the kept-token count so
+    * a pipeline can audit truncation loss. Narrow codegen'd builtins
+    * (split/slice/concat_ws), no shuffle at any corpus size. */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = split(trim(col(s"`$textCol`")), "\\s+")
+    val kept = slice(toks, 1, maxTokens)
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(
+        col(s"`$idCol`").cast("long").as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("text_trunc"))
+  }
+
   /** Explode documents into (doc_id, chunk_idx, n_tokens, chunk_text) —
     * whitespace-token windows, deterministic and SQL-reproducible. Null
     * texts produce no chunks. */

@@ -59,6 +59,31 @@ class ChunkingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunking.tokenChunks(df, "doc_id", "text", 0, 0))
   }
 
+  test("truncateTokens: word-boundary cut, case preserved, short docs intact, null dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Alpha BETA gamma Delta epsilon"),  // 5 tokens, budget 3
+      (2L, "one two"),                         // under budget
+      (3L, "  padded   with   runs  "),        // whitespace runs normalize on rejoin
+      (4L, null.asInstanceOf[String])          // dropped
+    ).toDF("doc_id", "text")
+    val out = Chunking.truncateTokens(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[String]("text_trunc") === "Alpha BETA gamma")
+    assert(out(0).getAs[Long]("n_tokens") === 5L)
+    assert(out(0).getAs[Long]("n_kept") === 3L)
+    assert(out(1).getAs[String]("text_trunc") === "one two")
+    assert(out(1).getAs[Long]("n_kept") === 2L)
+    assert(out(2).getAs[String]("text_trunc") === "padded with runs")
+    intercept[IllegalArgumentException](Chunking.truncateTokens(df, "doc_id", "text", 0))
+    // narrow plan: no shuffle, no UDF
+    val plan = Chunking.truncateTokens(df, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("chunking is a narrow plan: no shuffle, no UDF") {
     import spark.implicits._
     val df = spark.range(100).selectExpr("id AS doc_id", "repeat('tok ', 50) AS text")
