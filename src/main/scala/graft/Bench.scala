@@ -65,25 +65,37 @@ object Bench {
       }.sorted
       times(2)
     }
-    // ms-rounded timings: the driver captures a bounded stdout TAIL, and at
-    // 95 queries full-precision doubles push the line past it (r7's artifact
-    // lost its head that way). 3 decimals keeps the whole line inside the
-    // window; sub-ms precision is noise at these scales anyway.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // calib-normalized timings for the KDF-bound queries (time / single-hash
+    // ms): these move with shared-host CPU contention, and dividing by the
+    // calibration constant makes round-over-round comparison mechanical
+    // instead of forensic (r8 spent a verdict section attributing a ~30%
+    // box-wide shift by hand).
+    val kdfBound = results.keys.filter(k =>
+      k.startsWith("mask_") || k.startsWith("stage_") || k == "fixture_e2e")
+    val qsNorm = kdfBound.map(k => s"\"" + k + "\":" + r3(results(k) / calib))
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
-    println(json)
-    // also write the full line to a file: the round snapshot truncated the
-    // stdout capture in r7 (BENCH_r07.json lost the total + ~15 timings), so
-    // persist an untruncatable copy the driver/judge can pick up whole
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // stdout gets a SHORT summary only: the driver's stdout capture window
+    // truncated the full per-query line two rounds running (r7 lost the
+    // tail, r8 the head — "parsed": null both times). The complete artifact
+    // lives in `out`; the stdout line stays well under any capture bound.
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"n_queries":${results.size},"bench_file":"$out"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
+    println(summary)
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch {
+      // NonFatal only, and loudly: silently losing the one untruncatable
+      // copy would recreate exactly the failure this file guards against
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] failed to persist $out: $e")
+    }
     spark.stop()
   }
 }

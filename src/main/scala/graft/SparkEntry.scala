@@ -311,6 +311,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
 
+  /** The exact hot-gram report behind [[graft.operators.Dedup.ngramHotGrams]]
+    * — what `dedup_ngram`'s maxDf cutoff would discard at a low cutoff
+    * (maxDf=5 so the gate corpus actually has hot grams to count). */
+  private def qDedupNgramHot(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramHotGrams(table(spark, dir, "documents"), "doc_id", "text",
+      n = 3, maxDf = 5)
+
   /** Pairs -> clusters -> representatives: connected components over the
     * minhash pair graph. The minhash pair set equals the exact-Jaccard
     * pair set here (checked by dedup_minhash), so DuckDB recomputes the
@@ -1942,6 +1949,7 @@ object SparkEntry {
     "dedup_components" -> qDedupComponents,
     "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
+    "dedup_ngram_hot" -> qDedupNgramHot,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
@@ -2169,6 +2177,13 @@ object SparkEntry {
         "len(list_intersect(a.gr, b.gr))::DOUBLE / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS j " +
         "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
         "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum FROM p WHERE j >= 0.3"),
+    "dedup_ngram_hot" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS gr FROM toks), " +
+        "inv AS (SELECT doc_id, unnest(gr) AS gram FROM g), " +
+        "dfc AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram) " +
+        "SELECT count(*)::BIGINT AS n_hot, coalesce(max(df), 0)::BIGINT AS max_df, " +
+        "coalesce(sum(df), 0)::BIGINT AS hot_gram_docs FROM dfc WHERE df > 5"),
     // golden at the gate SF (deterministic: fixed MurmurHash3 seeds over
     // fixed data); recall/hamming flags are structural constants
     "dedup_simhash" ->
@@ -2309,18 +2324,19 @@ object SparkEntry {
     // full per-doc decision recompute: same integer cross-multiplied rules
     // (no division, no floats), so the keep/reasons bits match bit-for-bit
     "quality_filter" ->
-      ("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
+      ("WITH t AS (SELECT doc_id, text IS NULL AS is_null, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
         "string_split(text, chr(10)) AS lines FROM documents), " +
-        "s AS (SELECT doc_id, len(toks)::BIGINT AS n, " +
+        "s AS (SELECT doc_id, is_null, len(toks)::BIGINT AS n, " +
         "list_sum(list_transform(toks, x -> length(x)))::BIGINT AS chars, " +
         "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS stop, " +
         "len(lines)::BIGINT AS n_lines, " +
         "(len(lines) - len(list_distinct(lines)))::BIGINT AS dup_lines FROM t), " +
-        "r AS (SELECT doc_id, n, " +
+        "r AS (SELECT doc_id, CASE WHEN is_null THEN 0 ELSE n END AS n, " +
+        "CASE WHEN is_null THEN 1 ELSE " +
         "(CASE WHEN n < 30 THEN 1 ELSE 0 END " +
         " + CASE WHEN chars*10 < n*30 OR chars*10 > n*100 THEN 2 ELSE 0 END " +
         " + CASE WHEN stop*1000 < n*20 THEN 4 ELSE 0 END " +
-        " + CASE WHEN dup_lines*1000 > n_lines*300 THEN 8 ELSE 0 END)::BIGINT AS reasons FROM s) " +
+        " + CASE WHEN dup_lines*1000 > n_lines*300 THEN 8 ELSE 0 END) END::BIGINT AS reasons FROM s) " +
         "SELECT doc_id, n AS n_tokens, reasons, " +
         "(CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep FROM r ORDER BY doc_id"),
     "vocab_topk" ->

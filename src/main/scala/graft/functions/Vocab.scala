@@ -60,10 +60,18 @@ object Vocab {
     resourceLists.computeIfAbsent((locale, category), { case (l, c) =>
       val in = Thread.currentThread().getContextClassLoader.getResourceAsStream(s"graft/vocab/$l/$c.txt")
       Option(in).map { s =>
-        try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
-          .map(_.trim).filter(v => v.nonEmpty && !v.startsWith("#")).toVector
-        finally s.close()
-      }.filter(_.nonEmpty)
+        val vs =
+          try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
+            .map(_.trim).filter(v => v.nonEmpty && !v.startsWith("#")).toVector
+          finally s.close()
+        // a present-but-empty override is a broken deployment (a real-name
+        // list that shipped wrong), not a request for the synthetic list —
+        // silently falling back would mask it with plausible-looking output
+        if (vs.isEmpty) throw new IllegalStateException(
+          s"vocabulary override resource graft/vocab/$l/$c.txt exists but has zero entries " +
+            "(blank/comment-only file) - fix or remove the override")
+        vs
+      }
     })
 
   def list(locale: String, category: String): Vector[String] =

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Character n-gram shingle set (codegen'd builtins only). */
   private def shingleArr(textCol: String, n: Int): Column =
     // NB sequence(1, 0) DESCENDS in Spark - short texts must yield an empty
@@ -69,11 +71,16 @@ object Dedup {
     *   - rounds 2+ join edges against only the FRONTIER (labels that changed
     *     last round), which shrinks geometrically — a label that stopped
     *     changing can send no new minimum;
-    *   - each round is ONE job: the convergence count rides the eager
-    *     checkpoint via an accumulator instead of a second count() action.
-    *     Accumulator counts are retry-inflated at worst, which can only add
-    *     a (correct) extra round, never end one early: a task whose rows all
-    *     kept their labels adds 0 no matter how often it retries.
+    *   - each round is one checkpoint job (pure codegen — no UDF in the
+    *     per-row label combine) plus a convergence count that only scans the
+    *     cached checkpoint blocks of the (vertex-sized) label frame. The
+    *     count used to ride the checkpoint via an accumulator ticked from a
+    *     per-row nondeterministic UDF; that UDF sat on the hottest iterative
+    *     path and broke whole-stage codegen for the entire step projection,
+    *     which is a far worse trade than a cached-scan count job;
+    *   - per-round changed counts and rounds-to-convergence are logged
+    *     (`graft.cc round=N changed=M`) so a run that converges slowly is
+    *     diagnosable from the driver log.
     *
     * @param reliableCheckpoint truncate lineage with `checkpoint(true)`
     *        against `sparkContext.getCheckpointDir` instead of
@@ -108,26 +115,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val changedAcc = spark.sparkContext.longAccumulator(s"graft.cc.changed.r$iter")
-      // the bump wrapper makes the changed-count a side effect of the
-      // checkpoint materialization itself (nondeterministic so Catalyst
-      // cannot fold the call away, cheap enough to not matter per-row)
-      val bump = udf((next: Long, old: Long) => {
-        if (next != old) changedAcc.add(1L)
-        next
-      }).asNondeterministic()
       val frontier = labels.where(col("changed")).select(col("id"), col("component"))
       val msgs = edges.join(frontier, edges("dst") === frontier("id"))
         .groupBy(col("src")).agg(min(col("component")).as("neighbor_min"))
       val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
         .select(labels("id"),
-          bump(least(labels("component"), coalesce(col("neighbor_min"), labels("component"))),
-            labels("component")).as("component"),
+          least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
           (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed")))
       labels = stepped
-      converged = changedAcc.value == 0
+      // `stepped` is already materialized in the block store by the eager
+      // checkpoint — this count is a cached-scan job over vertex-count rows
+      val changed = stepped.where(col("changed")).count()
+      log.info(s"graft.cc round=$iter changed=$changed")
+      converged = changed == 0
       iter += 1
     }
+    log.info(s"graft.cc converged=$converged rounds=$iter")
     edges.unpersist(false)
     labels = labels.select(col("id"), col("component"))
     // partial labels are WRONG labels: a component wider than maxIter hops
@@ -267,7 +270,9 @@ object Dedup {
   /** Incremental near-dedup — the production shape for a 100 TB corpus
     * growing by daily batches: flag NEW documents that near-duplicate any
     * EXISTING corpus document, without ever pairing corpus docs with each
-    * other. Ids must be disjoint across the two frames.
+    * other. Id spaces need NOT be disjoint: verification resolves each pair
+    * side against its own frame (a shared id means "same doc" and is never
+    * flagged against itself).
     *
     * Scale shape: both sides go through the same deterministic
     * shingle→signature→band pipeline as [[minhashPairs]]; the corpus's
@@ -295,10 +300,11 @@ object Dedup {
       .select(col("new_id").as("id_a"), explode(col("cids")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .distinct()
-    val allSh = corpusSh.select(col("doc_id"), col("sh"))
-      .union(newSh.select(col("doc_id"), col("sh")))
+    // two-sided verify: new ids resolve only against batch shingles, corpus
+    // ids only against corpus shingles — correct even when id spaces overlap
     Partitioning.releaseAfterUse(
-      verifyJaccard(candidates, allSh, threshold)
+      verifyJaccardSides(candidates, newSh.select(col("doc_id"), col("sh")),
+        corpusSh.select(col("doc_id"), col("sh")), threshold)
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
       corpusSh, newSh)
   }
@@ -376,9 +382,9 @@ object Dedup {
       .select(col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text"))
       .join(candidates.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
-    val allSh = candCorpusSh.union(newSh.select(col("doc_id"), col("sh")))
     Partitioning.releaseAfterUse(
-      verifyJaccard(candidates, allSh, threshold)
+      verifyJaccardSides(candidates, newSh.select(col("doc_id"), col("sh")),
+        candCorpusSh, threshold)
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
       newSh)
   }
@@ -458,9 +464,19 @@ object Dedup {
   }
 
   /** Exact Jaccard over shingle sets for candidate pairs (two id-joins). */
-  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, threshold: Double): DataFrame = {
-    val a = shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardSides(pairs, shingleSets, shingleSets, threshold)
+
+  /** Two-sided variant for the incremental operators: id_a resolves ONLY
+    * against `shA` (batch side) and id_b ONLY against `shB` (corpus side).
+    * A union keyed on bare doc_id would silently emit duplicated/wrong
+    * pairs the moment a batch id collides with a corpus id — id spaces of
+    * independently-produced daily batches are NOT reliably disjoint from
+    * the corpus, so the operator must not assume they are. */
+  private def verifyJaccardSides(pairs: DataFrame, shA: DataFrame, shB: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val a = shA.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = shB.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     spreadPairs(pairs).join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       // try_divide: two empty sets would be 0/0 (ANSI mode throws); an empty
@@ -472,8 +488,8 @@ object Dedup {
 
   /** Word n-gram Jaccard near-dup via inverted-index join (no minhash
     * approximation in candidate generation; exactness bounded only by the
-    * hot-shingle cutoff; the count of discarded hot grams is surfaced on
-    * the `graft.dedup_ngram.dropped_hot_grams` accumulator).
+    * hot-shingle cutoff; what the cutoff discards is measurable exactly
+    * via [[ngramHotGrams]]).
     *
     * Scale shape: explode n-grams -> drop n-grams occurring in more than
     * `maxDf` docs (they generate the quadratic buckets and carry no
@@ -497,14 +513,13 @@ object Dedup {
     val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = cached.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inv = cached.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // Surface how many hot grams the maxDf cutoff discards — recall lost on
-    // corpora whose near-dups share only common grams must not be invisible.
-    // Accumulator counts are retry-approximate (a resubmitted task re-adds):
-    // a monitoring signal, not a result. The nondeterministic wrapper keeps
-    // Catalyst from collapsing the side effect out of the plan.
-    val dropped = df.sparkSession.sparkContext.longAccumulator("graft.dedup_ngram.dropped_hot_grams")
-    val markDrop = udf((d: Long) => { if (d > maxDf) dropped.add(1); d }).asNondeterministic()
-    val rare = inv.groupBy("gram").agg(markDrop(count(lit(1))).as("df"))
+    // Recall lost to the maxDf cutoff is surfaced by [[ngramHotGrams]] — an
+    // exact aggregate over the same inverted index — NOT by a side-effecting
+    // accumulator here: an accumulator ticked inside a transformation UDF
+    // over-counts on task retry (Spark guarantees exactly-once accumulator
+    // updates only inside actions) and the UDF blocked codegen of the
+    // document-frequency aggregate.
+    val rare = inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") > 1)
     // both self-join sides re-derive this from the cached gram arrays - an
     // explode over the cache is cheaper than persisting a second copy
@@ -521,6 +536,31 @@ object Dedup {
         .where(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard")),
       cached)
+  }
+
+  /** The hot grams [[ngramJaccardPairs]]'s `maxDf` cutoff discards, with
+    * their document frequencies — (n_hot, max_df, hot_gram_docs). Run this
+    * when tuning `maxDf`: near-dups that share ONLY grams hotter than the
+    * cutoff are invisible to the pair operator, and that recall loss must
+    * be measurable, not a side-channel. Exact (a plain aggregate over the
+    * same tokenize→gram→explode pipeline — retry-safe, unlike the
+    * accumulator this replaced). One shuffle on the gram key with map-side
+    * combine; the summary agg moves one row per hot gram. */
+  def ngramHotGrams(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val inv = Partitioning.spread(df.select(
+      col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
+      .select(col("doc_id"), split(lower(trim(col("__text"))), "\\s+").as("t"))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"CASE WHEN size(t) < $n THEN array() " +
+            s"ELSE transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n))) END")).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    inv.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_hot"),
+        coalesce(max(col("df")), lit(0L)).cast("long").as("max_df"),
+        coalesce(sum(col("df")), lit(0L)).cast("long").as("hot_gram_docs"))
   }
 
   /** SimHash near-dup pairs: 64-bit signatures (the codegen'd

@@ -86,6 +86,13 @@ object TextAnalysis {
     *   bit 2: stopword fraction < minStopFrac_x1e3 per mille
     *   bit 3: duplicate-line fraction > maxDupLineFrac_x1e3 per mille
     *
+    * NULL text is a DEFINED decision, not engine-dependent garbage: it
+    * fails bit 0 (n_tokens=0, reasons=1, keep=0). Without the explicit
+    * guard, size(null) is NULL (or -1 under legacy sizeOfNull) and every
+    * downstream comparison goes NULL — while a SQL oracle's CASE chain
+    * maps NULL conditions to 0, silently breaking the bit-for-bit
+    * cross-engine contract the moment a corpus contains null documents.
+    *
     * Pure codegen'd builtins over a narrow projection: runs per-document
     * with no shuffle at any corpus size. */
   def qualityDecision(df: DataFrame, idCol: String, textCol: String,
@@ -109,9 +116,9 @@ object TextAnalysis {
     val reasons = r1 + r2 * 2 + r3 * 4 + r4 * 8
     df.select(
       col(s"`$idCol`").as("doc_id"),
-      n.as("n_tokens"),
-      reasons.as("reasons"),
-      (reasons === 0).cast("long").as("keep"))
+      when(text.isNull, lit(0L)).otherwise(n).as("n_tokens"),
+      when(text.isNull, lit(1L)).otherwise(reasons).as("reasons"),
+      when(text.isNull, lit(0L)).otherwise((reasons === 0).cast("long")).as("keep"))
   }
 
   /** Language markers: tiny per-language stopword sets + CJK script check.

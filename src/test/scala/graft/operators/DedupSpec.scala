@@ -158,6 +158,40 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "batch band keys must broadcast")
   }
 
+  test("incremental near-dedup is correct when batch ids collide with corpus ids (advisor r8)") {
+    // id 1 exists on BOTH sides with DIFFERENT text: the batch's doc 1 is a
+    // near-dup of corpus doc 2, the corpus's doc 1 is unrelated. A union
+    // keyed on bare doc_id would hand the verify join both shingle rows and
+    // emit duplicated/garbage jaccard values for every pair touching id 1.
+    val corpus = docs(
+      1L -> "a completely different document about other things entirely and nothing else",
+      2L -> base)
+    val batch = docs(
+      1L -> (base + " x"), // same id as corpus 1, but near-dups corpus 2
+      3L -> "fresh new content that matches nothing in the existing corpus at all today")
+    val direct = Dedup.incrementalNearDuplicates(corpus, batch, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct === Set((1L, 2L)), s"got $direct")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text", threshold = 0.8)
+    val indexed = Dedup.incrementalNearDuplicatesIndexed(corpus, index, batch, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === direct)
+  }
+
+  test("ngramHotGrams reports exactly the grams above the df cutoff") {
+    val common = "the quick brown fox"          // 4 tokens -> 2 trigrams, in every doc
+    val df = docs(
+      1L -> (common + " alpha"), 2L -> (common + " beta"), 3L -> (common + " gamma"))
+    // trigrams "the quick brown" and "quick brown fox" have df=3 > 2
+    val r = Dedup.ngramHotGrams(df, "doc_id", "text", n = 3, maxDf = 2).collect()(0)
+    assert(r.getAs[Long]("n_hot") === 2L)
+    assert(r.getAs[Long]("max_df") === 3L)
+    assert(r.getAs[Long]("hot_gram_docs") === 6L)
+    // nothing hot at a high cutoff -> defined zeros, not nulls
+    val z = Dedup.ngramHotGrams(df, "doc_id", "text", n = 3, maxDf = 100).collect()(0)
+    assert((z.getAs[Long]("n_hot"), z.getAs[Long]("max_df"), z.getAs[Long]("hot_gram_docs")) === ((0L, 0L, 0L)))
+  }
+
   test("cluster size report histograms component sizes") {
     import graft.SparkTestBase.spark.implicits._
     // components: {1,2,3} (size 3), {10,11} (size 2), {20,21} (size 2)

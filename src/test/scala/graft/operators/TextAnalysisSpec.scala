@@ -35,6 +35,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.drop(1).forall(_.getAs[Long]("keep") === 0L))
   }
 
+  test("qualityDecision: NULL text is a defined decision (fails bit 0, keep=0)") {
+    import spark.implicits._
+    val longGood = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val out = TextAnalysis.qualityDecision(
+      Seq((1L, longGood), (2L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep") === 1L)
+    assert(out(1).getAs[Long]("n_tokens") === 0L)
+    assert(out(1).getAs[Long]("reasons") === 1L)
+    assert(out(1).getAs[Long]("keep") === 0L)
+  }
+
   test("token and subword counts") {
     val r = TextAnalysis.profile(one("Hello world this is graft"), "doc_id", "text").collect()(0)
     assert(r.getAs[Int]("n_tokens") === 5)
