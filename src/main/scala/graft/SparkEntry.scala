@@ -257,6 +257,43 @@ object SparkEntry {
   /** O7 validation contract: error ACCUMULATION (all problems at once),
     * unknown-key rejection, and a well-formed config parsing clean — counts
     * are deterministic, so the oracle is exact. */
+  /** The full host-runner shape end-to-end from ONE config document —
+    * reference entry point A (`{"stages": [...]}`, MaskDataTransformSuite
+    * .scala:64-110): parquet extract -> attach treatments -> masking
+    * transform -> SQL summary, with a production-gated stage proven
+    * skipped under the active "test" environment. All dataflow is
+    * session-catalog view names; nothing is passed in Scala. */
+  private def qStagePipeline(spark: SparkSession, dir: String): DataFrame = {
+    Defaults.registerAll(spark)
+    val n = spark.sparkContext.defaultParallelism
+    val conf =
+      s"""stages = [
+         |  { type = ParquetExtract, name = "extract customer", environments = [test],
+         |    inputURI = "$dir/customer.parquet", outputView = graft_pipe_raw,
+         |    numPartitions = $n }   // spread the one-split file for the KDF stage
+         |  { type = MetadataTransform, name = "attach treatments", environments = [test],
+         |    inputView = graft_pipe_raw, outputView = graft_pipe_typed,
+         |    treatments { c_name = "mask_string(16, true, $${value})" } }
+         |  { type = MaskDataTransform, name = "mask customer", environments = [test],
+         |    inputView = graft_pipe_typed, outputView = graft_pipe_masked, persist = true }
+         |  { type = SQLTransform, name = "production audit", environments = [production],
+         |    sql = "SELECT * FROM view_that_only_exists_in_production",
+         |    outputView = graft_pipe_prod }
+         |  { type = SQLTransform, name = summarize, environments = [test],
+         |    sql = "SELECT count(*) AS n, count(CASE WHEN length(c_name) = $${want} THEN 1 END) AS n_len16, sum(c_custkey) AS custkey_sum FROM graft_pipe_masked",
+         |    sqlParams { want = 16 }
+         |    outputView = graft_pipe_summary }
+         |]""".stripMargin
+    val out = graft.operators.StageConfig.runPipeline(spark, conf, "test")
+      .fold(errs => throw new Exception(errs.mkString("; ")), identity)
+      .getOrElse(throw new Exception("pipeline returned no frame"))
+    // the gated production stage must have been skipped, not run
+    val prodSkipped = if (spark.catalog.tableExists("graft_pipe_prod")) 0L else 1L
+    out.select(col("n").cast("long").as("n"), col("n_len16").cast("long").as("n_len16"),
+      col("custkey_sum").cast("long").as("custkey_sum"))
+      .withColumn("prod_stage_skipped", lit(prodSkipped))
+  }
+
   private def qStageConfigErrors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bad = """{"name": "", "inputView": "x", "bogus": 1}"""
@@ -1942,6 +1979,7 @@ object SparkEntry {
     "mask_stream" -> qMaskStream,
     "mask_argon2_rate" -> qMaskArgon2Rate,
     "stage_roundtrip" -> qStageRoundtrip,
+    "stage_pipeline" -> qStagePipeline,
     "stage_config_errors" -> qStageConfigErrors,
     "fixture_e2e" -> qFixtureE2e,
     "dedup_exact" -> qDedupExact,
@@ -2355,6 +2393,11 @@ object SparkEntry {
     "stage_roundtrip" ->
       ("SELECT count(*) AS n, count(c_name) AS n_len16, count(*) AS records_detail, " +
         "5::BIGINT AS out_cols FROM customer"),
+    // the masked name stays 16 chars and non-null for every input row, and
+    // the production-gated stage must be skipped under the test environment
+    "stage_pipeline" ->
+      ("SELECT count(*) AS n, count(c_name) AS n_len16, sum(c_custkey)::BIGINT AS custkey_sum, " +
+        "1::BIGINT AS prod_stage_skipped FROM customer"),
     "stage_config_errors" ->
       ("SELECT 3::BIGINT AS n_errors_bad, 1::BIGINT AS n_unknown_bad, " +
         "0::BIGINT AS good_failed, 1::BIGINT AS good_persist, " +
