@@ -35,6 +35,35 @@ object ScaleCheck {
     // geometry sees 10x more of the same distribution
     "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize")
 
+  /** Total shuffle bytes written across all tasks, collected off the
+    * listener bus. Wall-clock ratios conflate CPU with data movement; the
+    * bytes ratio isolates the term that decides cluster behavior — a
+    * super-linear shuffle-bytes growth is a scale-killer even when CPU
+    * noise hides it in the timings. */
+  private class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListener {
+    val written = new java.util.concurrent.atomic.AtomicLong()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { written.set(0); read.set(0) }
+    /** The listener bus is async: poll until the counters stop moving so a
+      * query's last tasks are not attributed to the next query. */
+    def settle(): (Long, Long) = {
+      var last = (-1L, -1L)
+      var cur = (written.get(), read.get())
+      var spins = 0
+      while (cur != last && spins < 40) { // max ~2s
+        last = cur; Thread.sleep(50); cur = (written.get(), read.get()); spins += 1
+      }
+      cur
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -76,22 +105,39 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
     }
 
-    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double =
-      (1 to 2).map { _ =>
+    val bytesListener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(bytesListener)
+
+    // (seconds, shuffle bytes written, shuffle bytes read) — time is min of
+    // two passes (GC-spike noise); bytes come from the second pass alone
+    // (they are plan-deterministic, and the first pass includes cache fills)
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long) = {
+      var bytes = (0L, 0L)
+      val secs = (1 to 2).map { _ =>
+        bytesListener.settle()
+        bytesListener.reset()
         val t0 = System.nanoTime()
         fn(spark, dir).collect().length
         val e = (System.nanoTime() - t0) / 1e9
+        bytes = bytesListener.settle()
         try { spark.catalog.clearCache() } catch { case _: Throwable => }
         System.gc()
         e
       }.min
+      (secs, bytes._1, bytes._2)
+    }
 
-    val rows = queriesUnderTest.map { name =>
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = queriesUnderTest.filter(q => only.forall(_.contains(q))).map { name =>
       val fn = SparkEntry.queries(name)
-      val base = time(fn, baseDir)
-      val scaled = time(fn, scaledDir)
-      println(f"$name%-22s base=$base%8.2fs scaled=$scaled%8.2fs ratio=${scaled / base}%6.2f")
-      s""""$name":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}}"""
+      val (base, bw, br) = time(fn, baseDir)
+      val (scaled, sw, sr) = time(fn, scaledDir)
+      val bytesRatio = if (bw + br > 0) (sw + sr).toDouble / (bw + br) else 0.0
+      println(f"$name%-22s base=$base%8.2fs scaled=$scaled%8.2fs ratio=${scaled / base}%6.2f " +
+        f"shuffleMB=${(bw + br) / 1e6}%8.1f -> ${(sw + sr) / 1e6}%8.1f bytesRatio=$bytesRatio%6.2f")
+      s""""$name":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base},""" +
+        s""""base_shuffle_bytes":${bw + br},"scaled_shuffle_bytes":${sw + sr},"bytes_ratio":$bytesRatio}"""
     }
     val json = s"""{"scale":$scale,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""
     println(json)

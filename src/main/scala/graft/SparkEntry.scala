@@ -620,6 +620,32 @@ object SparkEntry {
     * the DuckDB oracle recomputes from the same planted text with the same
     * RE2-compatible patterns. Residue must be zero: that IS the operator's
     * contract. Narrow codegen'd projection end to end. */
+  /** The opt-in fragment-free mode against planted ADJACENT PII: email
+    * chains (`user7@mail.example.com@leak.example.org`) leave a domain
+    * fragment under the default rules by design; redactExtended must
+    * remove every fragment while DuckDB replays both rule sets. */
+  private def qRedactPiiExtended(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Redaction
+    val fragPat = "\\[EMAIL\\]@[A-Za-z0-9.-]+"
+    val planted = table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com@leak.example.org"))).otherwise(lit(""))).as("text"))
+    planted.select(
+      regexp_count(Redaction.redact(col("text")), lit(fragPat)).cast("long").as("frag_default"),
+      regexp_count(Redaction.redactExtended(col("text")), lit(fragPat)).cast("long").as("frag_extended"),
+      (length(Redaction.redact(col("text"))) - length(Redaction.redactExtended(col("text"))))
+        .cast("long").as("len_delta"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("frag_default")).cast("long").as("n_frag_default"),
+        sum(col("frag_extended")).cast("long").as("n_frag_extended"),
+        sum(col("len_delta")).cast("long").as("len_delta"))
+  }
+
   private def qRedactPii(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Redaction
     val planted = table(spark, dir, "documents").select(
@@ -2001,6 +2027,7 @@ object SparkEntry {
     "quality_filter" -> qQualityFilter,
     "truncate_tokens" -> qTruncateTokens,
     "redact_pii" -> qRedactPii,
+    "redact_pii_extended" -> qRedactPiiExtended,
     "bm25_topk" -> qBm25Topk,
     "gapfill_resample" -> qGapfillResample,
     "decontaminate_bloom" -> qDecontaminateBloom,
@@ -2341,6 +2368,23 @@ object SparkEntry {
         "sum(c1 + c2 + c3 + c4 + c5)::BIGINT AS n_redactions, " +
         "0::BIGINT AS n_residue, " +
         "sum(len(t) - len(t5))::BIGINT AS len_delta FROM r5"),
+    // full default chain replayed, then the two opt-in fragment rules; the
+    // planted email chains leave one domain fragment per %7 doc under the
+    // default rules and ZERO under the extended pass
+    "redact_pii_extended" ->
+      ("WITH base AS (SELECT doc_id, text " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id || '@mail.example.com@leak.example.org' ELSE '' END AS t FROM documents), " +
+        "r1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM base), " +
+        "r2 AS (SELECT doc_id, regexp_replace(t1, '\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}', '[CCN]', 'g') AS t2 FROM r1), " +
+        "r3 AS (SELECT doc_id, regexp_replace(t2, '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g') AS t3 FROM r2), " +
+        "r4 AS (SELECT doc_id, regexp_replace(t3, '\\(\\d{3}\\) \\d{3}-\\d{4}', '[PHONE]', 'g') AS t4 FROM r3), " +
+        "r5 AS (SELECT doc_id, regexp_replace(t4, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS t5 FROM r4), " +
+        "r6 AS (SELECT doc_id, t5, regexp_replace(t5, '\\[EMAIL\\](@[A-Za-z0-9.-]+)+', '[EMAIL]', 'g') AS t6 FROM r5), " +
+        "r7 AS (SELECT doc_id, t5, regexp_replace(t6, '([A-Za-z0-9._%+-]+@)+\\[EMAIL\\]', '[EMAIL]', 'g') AS t7 FROM r6) " +
+        "SELECT count(*) AS n_docs, " +
+        "sum(len(regexp_extract_all(t5, '\\[EMAIL\\]@[A-Za-z0-9.-]+')))::BIGINT AS n_frag_default, " +
+        "sum(len(regexp_extract_all(t7, '\\[EMAIL\\]@[A-Za-z0-9.-]+')))::BIGINT AS n_frag_extended, " +
+        "sum(len(t5) - len(t7))::BIGINT AS len_delta FROM r7"),
     "text_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
         "string_split(text, chr(10)) AS lines FROM documents), " +

@@ -41,10 +41,11 @@ object Redaction {
     * *non-matchable fragment* — `x@y.co@z.co` redacts to `[EMAIL]@z.co`
     * and the trailing `@z.co` survives because a bare domain is not an
     * email under the rule. The fragment contains no complete PII item;
-    * callers needing fragment-free output should add a domain-fragment
-    * rule rather than re-run the pipeline. Anyone editing [[rules]] must
-    * keep placeholders outside every pattern's alphabet or the idempotence
-    * argument (and the residue oracle) breaks. */
+    * callers needing fragment-free output use [[redactExtended]] (the
+    * opt-in fragment rule set) rather than re-running the pipeline.
+    * Anyone editing [[rules]] must keep placeholders outside every
+    * pattern's alphabet or the idempotence argument (and the residue
+    * oracle) breaks. */
   val rules: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ccn", "\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}", "[CCN]"),
@@ -63,6 +64,32 @@ object Redaction {
     * projection; each regexp_replace is a codegen'd builtin. */
   def redact(text: Column): Column =
     rules.foldLeft(text) { case (c, (_, pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Opt-in fragment rules, applied AFTER [[rules]]: collapse the
+    * non-matchable email fragments adjacent PII can leave behind
+    * (`[EMAIL]@z.co`, `bob@[EMAIL]`) into the placeholder itself.
+    *
+    * These patterns deliberately match INTO placeholders — the opposite of
+    * the default set's idempotence precondition — which is exactly why
+    * they are a separate opt-in pass. They keep single-pass idempotence by
+    * a different argument: each pattern consumes a MAXIMAL `@`-joined
+    * chain in one match (the quantified group), so one application leaves
+    * no `@`-adjacent class character on either side of a placeholder, and
+    * a second application finds nothing. More aggressive by design: a
+    * legitimate token abutting a redacted email via `@` is folded into
+    * the placeholder (it could be part of the redacted address, and
+    * fragment-free means fragment-free). */
+  val fragmentRules: Seq[(String, String, String)] = Seq(
+    ("email_domain_fragment", "\\[EMAIL\\](@[A-Za-z0-9.-]+)+", "[EMAIL]"),
+    ("email_local_fragment", "([A-Za-z0-9._%+-]+@)+\\[EMAIL\\]", "[EMAIL]"))
+
+  /** [[redact]] plus the fragment pass — fragment-free output for callers
+    * who need no partial PII residue at all. Still one narrow codegen'd
+    * projection (two extra regexp_replace builtins), still idempotent. */
+  def redactExtended(text: Column): Column =
+    fragmentRules.foldLeft(redact(text)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
 
   /** Total redactions that [[redact]] performs on this text: counted
     * sequentially on the progressively-redacted text, matching the

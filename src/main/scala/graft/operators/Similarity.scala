@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** dot(embedding, literal query) via the native codegen'd expression
     * (higher-order builtins evaluate lambdas interpreted per element —
     * graft.plans.DotProduct keeps the loop in whole-stage codegen). */
@@ -233,45 +235,121 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for
-    * candidates, exact cosine verification within buckets. Recall is
-    * governed by (nBits, bitsPerBand); at the dedup-typical threshold 0.95
-    * with 64 bits in 8-bit bands the per-pair miss rate is ~1%%, and doubling
-    * tables via `seeds` drives it down geometrically. */
+    * candidates, exact cosine verification within buckets.
+    *
+    * THE SCALE LEVER IS BAND WIDTH, AND IT MUST GROW WITH THE CORPUS. A
+    * fixed `bitsPerBand` fixes the number of distinct buckets per band
+    * (2^bits), so unrelated-pair collisions — each bit agrees with prob
+    * 1/2 — produce ~n²/2^bits candidates per band: QUADRATIC in corpus
+    * size no matter the constant (measured: 10x data -> 48x shuffle bytes
+    * at the old fixed 8 bits; SCALING.md r9). `autoTune` (default) sizes
+    * the bands from the data instead:
+    *   - bits per band ~ log2(n / targetOccupancy): expected bucket
+    *     occupancy stays constant, so candidates grow ~linearly;
+    *   - wider bands admit fewer TRUE pairs too (a true pair at cosine t
+    *     agrees per bit with prob 1 - acos(t)/pi), so the band COUNT is
+    *     then chosen to push the per-pair miss rate under `missTarget`:
+    *     bands = ln(miss)/ln(1 - p_bit^bits), each band an independent
+    *     hyperplane set. Signature CPU grows as bands x bits ~ log² n —
+    *     the price of linear shuffle, and the right trade at 100 TB
+    *     (for billion-vector corpora prefer [[ivfTopK]]'s inverted-file
+    *     shape; hyperplane LSH pair mining is for the <=hundreds-of-
+    *     millions dedup sweep).
+    * `autoTune = false` keeps the explicit (nBits, bitsPerBand, seeds)
+    * banding for callers pinning a published index layout. */
   def cosinePairsLsh(df: DataFrame, idCol: String, embCol: String, threshold: Double,
                      nBits: Int = 64, bitsPerBand: Int = 8, seeds: Seq[Long] = Seq(42L, 1337L),
-                     maxBucket: Int = 1024): DataFrame = {
+                     maxBucket: Int = 1024, autoTune: Boolean = true,
+                     targetOccupancy: Int = 4, missTarget: Double = 1e-4): DataFrame = {
     val spark = df.sparkSession
-    val dim = df.select(size(col(s"`$embCol`"))).head().getInt(0)
-    val bands = nBits / bitsPerBand
 
     val base = Partitioning.spread(
       df.select(col(s"`$idCol`").cast("long").as("vec_id"), col(s"`$embCol`").as("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    val bandedAll = seeds.zipWithIndex.map { case (seed, t) =>
-      val planes = hyperplanes(nBits, dim, seed)
-      val mask = (1L << bitsPerBand) - 1
-      base.select(col("vec_id"), signatureCol(planes, col("emb")).as("sig"))
-        .select(col("vec_id"),
-          posexplode(expr(
-            s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bitsPerBand) & $mask)")))
-        .select(col("vec_id"), (col("pos") + t * bands).as("band"), col("col").as("bucket"))
-    }.reduce(_ union _)
+    // one bounded action for the tuning inputs (dim was always read here;
+    // the row count rides the same small aggregate)
+    val head = base.agg(count(lit(1)), first(size(col("emb")))).head()
+    val nRows = head.getLong(0)
+    val dim = head.getInt(1)
 
+    val bandedAll = if (autoTune) {
+      val bits = math.max(8, math.min(48,
+        math.ceil(math.log(math.max(nRows.toDouble / targetOccupancy, 2.0)) / math.log(2.0)).toInt))
+      val pBit = 1.0 - math.acos(math.min(threshold, 0.9999)) / math.Pi
+      val pBand = math.pow(pBit, bits)
+      val bands = math.max(4, math.min(64,
+        math.ceil(math.log(missTarget) / math.log(1.0 - pBand)).toInt))
+      log.info(s"graft.embed_lsh autoTune n=$nRows bits=$bits bands=$bands pBand=$pBand")
+      // independent hyperplane set per band, all signatures in ONE narrow
+      // projection (an array of codegen'd sign-projection expressions)
+      val sigCols = (0 until bands).map { b =>
+        signatureCol(hyperplanes(bits, dim, 0x9E3779B97F4A7C15L * (b + 1)), col("emb"))
+      }
+      base.select(col("vec_id"), posexplode(array(sigCols: _*)))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    } else {
+      val bands = nBits / bitsPerBand
+      seeds.zipWithIndex.map { case (seed, t) =>
+        val planes = hyperplanes(nBits, dim, seed)
+        val mask = (1L << bitsPerBand) - 1
+        base.select(col("vec_id"), signatureCol(planes, col("emb")).as("sig"))
+          .select(col("vec_id"),
+            posexplode(expr(
+              s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bitsPerBand) & $mask)")))
+          .select(col("vec_id"), (col("pos") + t * bands).as("band"), col("col").as("bucket"))
+      }.reduce(_ union _)
+    }
+
+    // Skew guard. Real embedding distributions concentrate in a few hub
+    // directions, so bucket sizes are heavy-tailed no matter how many
+    // hyperplane bits slice the space — and candidate pairs grow with the
+    // SQUARE of bucket size (measured before this cap was tightened: 30x
+    // data -> 500x verify bytes, all from a handful of near-cap buckets).
+    // In auto mode the cap follows the tuned occupancy: a bucket tens of
+    // times over the expected occupancy is a hub direction whose pairs are
+    // overwhelmingly below threshold; a true near-dup pair inside one
+    // still has every OTHER band to surface through, the standard
+    // multi-band recall argument (same shape as Dedup.minhashPairs).
+    val effMaxBucket = if (autoTune) math.min(maxBucket, 32 * targetOccupancy) else maxBucket
     val candidates = bandedAll.groupBy("band", "bucket")
       .agg(collect_list("vec_id").as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= effMaxBucket)
       .select(array_sort(array_distinct(col("ids"))).as("s"))
       .select(explode(Pairs.fromSortedLongs(col("s"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
-    val e = base.select(col("vec_id"), col("emb").cast("array<double>").as("embd"))
+    // TWO-STAGE VERIFY — the byte cut that makes hubby corpora survivable.
+    // On real embedding distributions most candidates are hub-bucket
+    // background that exact verification REJECTS; shipping two full
+    // vectors per candidate pays ~0.5 KB to discard a pair. Stage 1 joins
+    // an 8-BYTE 64-bit hyperplane sketch per side and filters on hamming
+    // distance: h/64 estimates angle/pi with sd ~ sqrt(p(1-p)/64), so the
+    // cut at +3 sd keeps a true pair at `threshold` with probability
+    // ~1-1e-4 (inside missTarget's envelope) while a background pair at
+    // cosine ~0 (h ~ 32) survives with probability ~1e-5. Stage 2 ships
+    // full embeddings ONLY for sketch survivors — in SOURCE float32
+    // precision (the dot accumulates in double; a pre-cast to
+    // array<double> would double the payload for zero information).
+    val hCut = {
+      val pB = math.acos(math.min(threshold, 0.9999)) / math.Pi
+      math.ceil(64 * pB + 3 * math.sqrt(64 * pB * (1 - pB))).toInt
+    }
+    val sketch = base.select(col("vec_id"),
+      signatureCol(hyperplanes(64, dim, 0x51D5EEDA110DEAL), col("emb")).as("s64"))
+    val survivors = candidates
+      .join(sketch.select(col("vec_id").as("id_a"), col("s64").as("s_a")), "id_a")
+      .join(sketch.select(col("vec_id").as("id_b"), col("s64").as("s_b")), "id_b")
+      .where(bit_count(col("s_a").bitwiseXOR(col("s_b"))) <= hCut)
+      .select("id_a", "id_b")
+
+    val e = base.select(col("vec_id"), col("emb").as("embd"))
       .withColumn("nrm", norm(col("embd")))
     val a = e.select(col("vec_id").as("id_a"), col("embd").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embd").as("emb_b"), col("nrm").as("nrm_b"))
     Partitioning.releaseAfterUse(
-      candidates.join(a, "id_a").join(b, "id_b")
+      survivors.join(a, "id_a").join(b, "id_b")
         .withColumn("cosine",
           graft.plans.VectorExpressions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
         .where(col("cosine") >= threshold)

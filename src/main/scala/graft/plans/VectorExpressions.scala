@@ -19,13 +19,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got ${l.catalogString} and ${r.catalogString}")
+  // float arrays are accepted alongside double: embeddings are float32 at
+  // the source, and forcing a cast to array<double> before a shuffle-side
+  // verify join DOUBLES the dominant byte payload for zero information —
+  // the accumulator is double either way, so the result is identical to
+  // casting first.
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      Some(org.apache.spark.sql.types.FloatType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (elemType(left.dataType), elemType(right.dataType)) match {
+    case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot_product"
+
+  @transient private lazy val leftIsFloat =
+    elemType(left.dataType).contains(org.apache.spark.sql.types.FloatType)
+  @transient private lazy val rightIsFloat =
+    elemType(right.dataType).contains(org.apache.spark.sql.types.FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -34,7 +52,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -45,11 +65,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val getX = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  $acc += $getX * $getY;
          |}
          |${ev.value} = $acc;
        """.stripMargin

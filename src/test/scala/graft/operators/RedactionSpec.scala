@@ -88,6 +88,40 @@ class RedactionSpec extends AnyFunSuite {
     }
   }
 
+  test("redactExtended: the same adversarial corpus comes out fragment-FREE") {
+    import spark.implicits._
+    val toks = Seq("x@y.co", "4111-1111-1111-1111", "987-65-4321",
+      "(415) 555-0142", "10.0.12.34")
+    val seps = Seq("", "-", ".", "@", "1", ".5", "-11")
+    val texts = (for {
+      a <- toks; b <- toks; sep <- seps
+    } yield s"$a$sep$b") ++ Seq(
+      "x@y.co@z.co", "a@b.co@c.co@d.co@e.co", "bob@x@y.co",
+      "x@y.co@z.co@w", // trailing tld-less fragment: the chain match must eat it
+      "1.2.3.4.5.6.7.8", "123-45-6789-1234-5678-9012-3456")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select(
+      col("text"),
+      Redaction.redactExtended(col("text")).as("once"),
+      Redaction.redactExtended(Redaction.redactExtended(col("text"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      val out = r.getString(1)
+      assert(out === r.getString(2), s"redactExtended must be idempotent on '${r.getString(0)}'")
+      // fragment-free: no @-adjacency with a placeholder survives in either direction
+      assert(!out.matches(".*\\[EMAIL\\]@[A-Za-z0-9.-].*"), s"domain fragment in '$out' from '${r.getString(0)}'")
+      assert(!out.matches(".*[A-Za-z0-9._%+-]@\\[EMAIL\\].*"), s"local fragment in '$out' from '${r.getString(0)}'")
+    }
+    // the ADVICE counter-example specifically
+    val adviceCase = spark.sql("SELECT 1").select(
+      Redaction.redactExtended(org.apache.spark.sql.functions.lit("x@y.co@z.co"))).collect()(0).getString(0)
+    assert(adviceCase === "[EMAIL]")
+    // default mode is untouched: the documented fragment still appears there
+    val defaultCase = spark.sql("SELECT 1").select(
+      Redaction.redact(org.apache.spark.sql.functions.lit("x@y.co@z.co"))).collect()(0).getString(0)
+    assert(defaultCase === "[EMAIL]@z.co")
+  }
+
   test("placeholders are outside every rule's alphabet (idempotence precondition)") {
     // If a future rule edit lets any pattern match a placeholder (or span
     // one), the single-pass zero-residue argument breaks. Pin it.
