@@ -355,6 +355,14 @@ object SparkEntry {
     graft.operators.Dedup.ngramHotGrams(table(spark, dir, "documents"), "doc_id", "text",
       n = 3, maxDf = 5)
 
+  /** Exact substring-span removal (Lee et al. ExactSubstr): every 8-token
+    * window occurring more than once corpus-wide is cut from ALL its
+    * occurrences. Full per-document oracle — DuckDB recomputes window
+    * occurrence counts, merged spans, and the reconstructed clean text. */
+  private def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.removeDuplicatedSpans(
+      table(spark, dir, "documents"), "doc_id", "text", spanTokens = 8)
+
   /** Pairs -> clusters -> representatives: connected components over the
     * minhash pair graph. The minhash pair set equals the exact-Jaccard
     * pair set here (checked by dedup_minhash), so DuckDB recomputes the
@@ -2014,6 +2022,7 @@ object SparkEntry {
     "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
     "dedup_ngram_hot" -> qDedupNgramHot,
+    "dedup_spans" -> qDedupSpans,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
@@ -2249,6 +2258,24 @@ object SparkEntry {
         "dfc AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram) " +
         "SELECT count(*)::BIGINT AS n_hot, coalesce(max(df), 0)::BIGINT AS max_df, " +
         "coalesce(sum(df), 0)::BIGINT AS hot_gram_docs FROM dfc WHERE df > 5"),
+    // full per-document recompute: window occurrence counts -> covered
+    // token indices -> gaps-and-islands span merge -> clean-text rebuild
+    "dedup_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents WHERE text IS NOT NULL), " +
+        "wl AS (SELECT doc_id, [{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')} FOR i IN range(1, greatest(len(t) - 6, 1))] AS ws FROM toks), " +
+        "w AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM wl, unnest(ws) AS s(u)), " +
+        "occ AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1), " +
+        "d AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (gram)), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + j AS idx FROM d, range(0, 8) r(j)), " +
+        "isl AS (SELECT doc_id, idx, idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM cov), " +
+        "stats AS (SELECT doc_id, count(DISTINCT grp)::BIGINT AS n_spans, count(*)::BIGINT AS tokens_removed FROM isl GROUP BY doc_id), " +
+        "tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (SELECT doc_id, [{'i': i - 1, 'tok': t[i]} FOR i IN range(1, len(t) + 1)] AS pairs FROM toks), unnest(pairs) AS s(u)), " +
+        "kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.i) AS clean_text " +
+        "FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.idx " +
+        "WHERE cov.idx IS NULL GROUP BY tp.doc_id) " +
+        "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, coalesce(s.n_spans, 0)::BIGINT AS n_spans, " +
+        "coalesce(s.tokens_removed, 0)::BIGINT AS tokens_removed, coalesce(k.clean_text, '') AS clean_text " +
+        "FROM toks t LEFT JOIN stats s USING (doc_id) LEFT JOIN kept k USING (doc_id)"),
     // golden at the gate SF (deterministic: fixed MurmurHash3 seeds over
     // fixed data); recall/hamming flags are structural constants
     "dedup_simhash" ->
