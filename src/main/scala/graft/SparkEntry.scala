@@ -363,6 +363,27 @@ object SparkEntry {
     graft.operators.SpanDedup.removeDuplicatedSpans(
       table(spark, dir, "documents"), "doc_id", "text", spanTokens = 8)
 
+  /** Corpus snapshot diff: two deterministic "versions" are derived from
+    * the documents table in-plan (v1 drops doc_id%11==3; v2 drops %13==5,
+    * appends " v2" to text for %17==2, nulls lang for %19==7), then
+    * classified added/removed/changed. The operator compares 128-bit
+    * fingerprints (so a 100 TB diff shuffles ~28 bytes/row); the oracle
+    * recomputes the same diff with direct null-safe value comparison —
+    * agreement checks the fingerprint shortcut against ground truth. */
+  private def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text", "lang")
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5).select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 2, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 19 === 7, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    graft.operators.Versioning.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+
   /** Pairs -> clusters -> representatives: connected components over the
     * minhash pair graph. The minhash pair set equals the exact-Jaccard
     * pair set here (checked by dedup_minhash), so DuckDB recomputes the
@@ -2023,6 +2044,7 @@ object SparkEntry {
     "dedup_ngram" -> qDedupNgram,
     "dedup_ngram_hot" -> qDedupNgramHot,
     "dedup_spans" -> qDedupSpans,
+    "snapshot_diff" -> qSnapshotDiff,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
@@ -2276,6 +2298,19 @@ object SparkEntry {
         "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, coalesce(s.n_spans, 0)::BIGINT AS n_spans, " +
         "coalesce(s.tokens_removed, 0)::BIGINT AS tokens_removed, coalesce(k.clean_text, '') AS clean_text " +
         "FROM toks t LEFT JOIN stats s USING (doc_id) LEFT JOIN kept k USING (doc_id)"),
+    // ground truth by direct null-safe value comparison (vs the operator's
+    // fingerprint-only comparison)
+    "snapshot_diff" ->
+      ("WITH v1 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 11 != 3), " +
+        "v2 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' v2' ELSE text END AS text, " +
+        "CASE WHEN doc_id % 19 = 7 THEN NULL ELSE lang END AS lang FROM documents WHERE doc_id % 13 != 5), " +
+        "d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN a.text IS NOT DISTINCT FROM b.text AND a.lang IS NOT DISTINCT FROM b.lang " +
+        "THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
+        "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
+        "FROM d WHERE status <> 'unchanged' GROUP BY status"),
     // golden at the gate SF (deterministic: fixed MurmurHash3 seeds over
     // fixed data); recall/hamming flags are structural constants
     "dedup_simhash" ->

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class VersioningSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def diffMap(v1: Seq[(Long, Option[String], Option[String])],
+      v2: Seq[(Long, Option[String], Option[String])],
+      emitUnchanged: Boolean = false): Map[Long, String] = {
+    import spark.implicits._
+    val a = v1.toDF("doc_id", "text", "lang")
+    val b = v2.toDF("doc_id", "text", "lang")
+    Versioning.snapshotDiff(a, b, "doc_id", Seq("text", "lang"), emitUnchanged)
+      .select(col("doc_id"), col("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("classifies added / removed / changed; drops unchanged by default") {
+    val v1 = Seq(
+      (1L, Some("same"), Some("en")),
+      (2L, Some("old"), Some("en")),
+      (3L, Some("gone"), Some("de")))
+    val v2 = Seq(
+      (1L, Some("same"), Some("en")),
+      (2L, Some("new"), Some("en")),
+      (4L, Some("fresh"), Some("fr")))
+    val out = diffMap(v1, v2)
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("emitUnchanged=true keeps the unchanged majority") {
+    val v1 = Seq((1L, Some("same"), Some("en")), (2L, Some("x"), Some("en")))
+    val v2 = Seq((1L, Some("same"), Some("en")), (2L, Some("y"), Some("en")))
+    val out = diffMap(v1, v2, emitUnchanged = true)
+    assert(out === Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("null semantics: null->value and value->null are changed; null==null is unchanged") {
+    val v1 = Seq(
+      (1L, None: Option[String], Some("en")),
+      (2L, Some("x"), Some("en")),
+      (3L, None: Option[String], None: Option[String]))
+    val v2 = Seq(
+      (1L, Some("x"), Some("en")),
+      (2L, None: Option[String], Some("en")),
+      (3L, None: Option[String], None: Option[String]))
+    val out = diffMap(v1, v2, emitUnchanged = true)
+    assert(out === Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
+
+  test("null value is distinct from the string image of the null tag") {
+    // fingerprint tags null as "N" and value v as "V"+v: a column holding
+    // the literal string "N" must NOT compare equal to a null column
+    val v1 = Seq((1L, Some("N"), Some("en")))
+    val v2 = Seq((1L, None: Option[String], Some("en")))
+    assert(diffMap(v1, v2) === Map(1L -> "changed"))
+  }
+
+  test("multi-column: change in any compared column flags the row") {
+    val v1 = Seq((1L, Some("t"), Some("en")), (2L, Some("t"), Some("en")))
+    val v2 = Seq((1L, Some("t"), Some("de")), (2L, Some("t"), Some("en")))
+    assert(diffMap(v1, v2) === Map(1L -> "changed"))
+  }
+
+  test("ignores columns outside compareCols") {
+    import spark.implicits._
+    val a = Seq((1L, "t", "meta1")).toDF("doc_id", "text", "extra")
+    val b = Seq((1L, "t", "meta2")).toDF("doc_id", "text", "extra")
+    val out = Versioning.snapshotDiff(a, b, "doc_id", Seq("text"), emitUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged"))
+  }
+
+  test("empty compareCols is rejected") {
+    import spark.implicits._
+    val a = Seq((1L, "t")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Versioning.snapshotDiff(a, a, "doc_id", Seq.empty)
+    }
+  }
+}
