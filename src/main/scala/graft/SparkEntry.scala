@@ -384,6 +384,56 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
   }
 
+  /** Incremental recompute across the same snapshot refresh as
+    * `snapshot_diff`: score (chars + whitespace tokens) runs only on the
+    * churn; unchanged docs carry the cached score(v1) rows. The oracle
+    * rebuilds the provenance split and the scores from a fresh score(v2) —
+    * agreement proves the carried cache path is indistinguishable from a
+    * full recompute. */
+  private def qIncrementalScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text", "lang")
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5).select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 2, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 19 === 7, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    def score(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_scored"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+    graft.operators.Versioning.incrementalRecompute(
+        score(v1), v1, v2, "doc_id", Seq("text", "lang"), score)
+      .groupBy(col("provenance"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars_scored")).cast("long").as("chars_sum"),
+        sum(col("n_tokens")).cast("long").as("tokens_sum"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+
+  /** Exact-k deterministic stratified sample: 7 docs per source, ranked
+    * inside each stratum by the portable Knuth hash. The oracle recomputes
+    * the identical rank in window SQL. */
+  private def qSampleFixedK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedKPerStratum(
+        table(spark, dir, "documents"), "source", "doc_id", k = 7)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+
+  /** Compaction planning manifest: bin-pack each source's docs into
+    * ~3000-char output buckets by integer cumsum in portable-hash order.
+    * `bucket_weight` (= Σ bucket·n_rows) pins every row's bucket
+    * assignment, so DuckDB must replan the identical layout. */
+  private def qCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Compaction.planSummary(table(spark, dir, "documents"),
+        "source", "doc_id", "n_chars", targetSize = 3000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("bucket_size")).cast("long").as("chars_sum"),
+        max(col("bucket")).cast("long").as("max_bucket"),
+        sum(col("bucket") * col("n_rows")).cast("long").as("bucket_weight"))
+
   /** Pairs -> clusters -> representatives: connected components over the
     * minhash pair graph. The minhash pair set equals the exact-Jaccard
     * pair set here (checked by dedup_minhash), so DuckDB recomputes the
@@ -1174,6 +1224,25 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars_sum"),
         sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Delimited (CSV) sink + re-read roundtrip — the interchange format the
+    * reference ecosystem loads/extracts. CSV carries no types, so the
+    * read casts explicitly; the partition column comes back from the
+    * directory layout. */
+  private def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+    graft.sources.Sinks.writePartitioned(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      out, Seq("lang"), filesPerPartition = 2, format = "csv",
+      options = Map("header" -> "true"))
+    spark.read.option("header", "true").csv(out)
+      .where(col("lang").isin("en", "zh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("chars_sum"),
+        sum(col("doc_id").cast("long")).as("id_sum"))
       .orderBy("lang")
   }
 
@@ -2045,6 +2114,9 @@ object SparkEntry {
     "dedup_ngram_hot" -> qDedupNgramHot,
     "dedup_spans" -> qDedupSpans,
     "snapshot_diff" -> qSnapshotDiff,
+    "incremental_score" -> qIncrementalScore,
+    "sample_fixed_k" -> qSampleFixedK,
+    "compaction_plan" -> qCompactionPlan,
     "dedup_simhash" -> qDedupSimhash,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
@@ -2093,6 +2165,7 @@ object SparkEntry {
     "decontaminate" -> qDecontaminate,
     "sink_roundtrip" -> qSinkRoundtrip,
     "orc_roundtrip" -> qOrcRoundtrip,
+    "csv_roundtrip" -> qCsvRoundtrip,
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
@@ -2311,6 +2384,39 @@ object SparkEntry {
         "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
         "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
         "FROM d WHERE status <> 'unchanged' GROUP BY status"),
+    // provenance split from the diff + scores from a fresh score(v2):
+    // the incremental result must be indistinguishable from full recompute
+    "incremental_score" ->
+      ("WITH v1 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 11 != 3), " +
+        "v2 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' v2' ELSE text END AS text, " +
+        "CASE WHEN doc_id % 19 = 7 THEN NULL ELSE lang END AS lang FROM documents WHERE doc_id % 13 != 5), " +
+        "d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN a.text IS NOT DISTINCT FROM b.text AND a.lang IS NOT DISTINCT FROM b.lang " +
+        "THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id), " +
+        "s AS (SELECT d.doc_id, CASE WHEN d.status = 'unchanged' THEN 'carried' ELSE 'recomputed' END AS provenance, " +
+        "b.text FROM d JOIN v2 b ON d.doc_id = b.doc_id WHERE d.status <> 'removed') " +
+        "SELECT provenance, count(*)::BIGINT AS n, sum(length(text))::BIGINT AS chars_sum, " +
+        "sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS tokens_sum, " +
+        "sum(doc_id)::BIGINT AS id_sum FROM s GROUP BY provenance"),
+    // identical rank recompute: Knuth hash order inside each stratum
+    "sample_fixed_k" ->
+      ("WITH h AS (SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h) " +
+        "SELECT source, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
+        "FROM r WHERE rn <= 7 GROUP BY source"),
+    // replan the identical bucket layout: integer exclusive-cumsum in
+    // hash order, integer division by the target size
+    "compaction_plan" ->
+      ("WITH h AS (SELECT source, doc_id, n_chars, (doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "c AS (SELECT source, doc_id, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS excl FROM h), " +
+        "b AS (SELECT source, doc_id, n_chars, excl // 3000 AS bucket FROM c), " +
+        "g AS (SELECT source, bucket, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS bucket_size FROM b GROUP BY source, bucket) " +
+        "SELECT source, count(*)::BIGINT AS n_buckets, sum(n_rows)::BIGINT AS n_rows, " +
+        "sum(bucket_size)::BIGINT AS chars_sum, max(bucket)::BIGINT AS max_bucket, " +
+        "sum(bucket * n_rows)::BIGINT AS bucket_weight FROM g GROUP BY source"),
     // golden at the gate SF (deterministic: fixed MurmurHash3 seeds over
     // fixed data); recall/hamming flags are structural constants
     "dedup_simhash" ->
@@ -2609,6 +2715,10 @@ object SparkEntry {
     "sink_roundtrip" ->
       "SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum FROM documents GROUP BY lang ORDER BY lang",
     "orc_roundtrip" ->
+      ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum, " +
+        "sum(doc_id)::BIGINT AS id_sum FROM documents WHERE lang IN ('en', 'zh') " +
+        "GROUP BY lang ORDER BY lang"),
+    "csv_roundtrip" ->
       ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum, " +
         "sum(doc_id)::BIGINT AS id_sum FROM documents WHERE lang IN ('en', 'zh') " +
         "GROUP BY lang ORDER BY lang"),

@@ -92,6 +92,30 @@ object Sampling {
     df.where(idHash(col(s"`$idCol`")) < cut)
   }
 
+  /** Exactly `min(k, |stratum|)` rows per stratum, deterministically:
+    * rows rank inside their stratum by the portable id hash (the Knuth
+    * multiply is a bijection below 2^32, and the id is the final tiebreak
+    * regardless), and the first k win. Unlike rate-based [[hashSample]],
+    * the output size is EXACT — the shape eval sets and per-source probes
+    * need ("give me 1000 docs from every source, same ones every run").
+    *
+    * Scale shape: the ranking runs over a narrow (stratum, id, hash)
+    * projection — one shuffle of ~20 bytes/row, never document bodies —
+    * and the winners re-attach by a broadcast semi-join (k × |strata| rows
+    * is driver-small by construction; callers with millions of strata
+    * should drop to a plain semi-join). No global sort anywhere. */
+  def fixedKPerStratum(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keys = df.select(col(s"`$strataCol`").as("__stratum"),
+      col(s"`$idCol`").as("__id"))
+      .withColumn("__h", idHash(col("__id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__stratum")).orderBy(col("__h"), col("__id"))
+    val picked = keys.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).select(col("__id"))
+    df.join(broadcast(picked), col(s"`$idCol`") === picked("__id"), "left_semi")
+  }
+
   /** Stratified hash sampling: per-stratum basis-point rates, default 0
     * (strata absent from the map are dropped — curation semantics: an
     * unlisted source does not leak into the mix). The rate lookup compiles

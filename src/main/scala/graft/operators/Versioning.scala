@@ -53,4 +53,32 @@ object Versioning {
       status.as("status"))
     if (emitUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
+
+  /** Incremental recompute over a snapshot refresh: re-run `score` ONLY on
+    * the churn (added + changed docs) of v1 -> v2, carry `prior` (= the
+    * cached `score(v1)` output, keyed by `idCol`) for unchanged docs, drop
+    * removed docs. Output rows are tagged `provenance` =
+    * `carried`/`recomputed` for observability; modulo that column the
+    * result equals `score(v2)` whenever `score` is deterministic and
+    * per-row in `compareCols` — recomputing 0.1% churn instead of 100 TB.
+    *
+    * Scale shape: the churn id sets are proportional to the refresh delta,
+    * so both the semi-join (pick recompute inputs from v2) and the
+    * anti-join (evict stale rows from the carried cache) broadcast the id
+    * list; the corpus sides never shuffle. A full-rebuild-sized churn
+    * would blow the broadcast — at that point run `score(v2)` directly. */
+  def incrementalRecompute(prior: DataFrame, v1: DataFrame, v2: DataFrame,
+      idCol: String, compareCols: Seq[String],
+      score: DataFrame => DataFrame): DataFrame = {
+    val diff = snapshotDiff(v1, v2, idCol, compareCols) // churn rows only
+    val churnNew = diff.where(col("status").isin("added", "changed"))
+      .select(col(s"`$idCol`"))
+    val churnOld = diff.where(col("status").isin("removed", "changed"))
+      .select(col(s"`$idCol`"))
+    val recomputed = score(v2.join(broadcast(churnNew), Seq(idCol), "left_semi"))
+      .withColumn("provenance", lit("recomputed"))
+    val carried = prior.join(broadcast(churnOld), Seq(idCol), "left_anti")
+      .withColumn("provenance", lit("carried"))
+    carried.unionByName(recomputed)
+  }
 }

@@ -30,7 +30,8 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        filesPerPartition: Int = 4,
                        maxRecordsPerFile: Long = 5000000L,
-                       format: String = "parquet"): Unit = {
+                       format: String = "parquet",
+                       options: Map[String, String] = Map.empty): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition >= 1)
     val keys = partitionCols.map(c => col(s"`$c`"))
@@ -38,6 +39,7 @@ object Sinks {
     df.repartition((keys :+ salt): _*)
       .write
       .format(format)
+      .options(options)
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)

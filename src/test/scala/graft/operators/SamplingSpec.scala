@@ -100,4 +100,27 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out.select("id").collect().map(_.getLong(0)).toSet === viaString)
   }
+
+  test("fixedKPerStratum: exactly min(k, n) per stratum, hash-rank order, full rows") {
+    import spark.implicits._
+    val df = (0L until 90L).map(i => (i, "s" + (i % 4), s"body $i")).toDF("id", "s", "body")
+    val out = Sampling.fixedKPerStratum(df, "s", "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exactly 5 per stratum (all strata have >= 5 members)
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5, "s3" -> 5))
+    // payload columns survive the semi-join
+    out.foreach { case (id, _, body) => assert(body === s"body $id") }
+    // winners are precisely the k smallest portable hashes per stratum
+    val knuth = 2654435761L
+    def h(id: Long) = java.lang.Long.remainderUnsigned(id * knuth, 4294967296L)
+    (0 until 4).foreach { s =>
+      val members = (0L until 90L).filter(_ % 4 == s)
+      val expect = members.sortBy(id => (h(id), id)).take(5).toSet
+      assert(out.filter(_._2 == "s" + s).map(_._1).toSet === expect, s"stratum s$s")
+    }
+    // a stratum smaller than k returns whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
+    assert(Sampling.fixedKPerStratum(tiny, "s", "id", 5).count() === 3L)
+  }
 }

@@ -83,4 +83,21 @@ class VersioningSpec extends AnyFunSuite {
       Versioning.snapshotDiff(a, a, "doc_id", Seq.empty)
     }
   }
+
+  test("incrementalRecompute equals full recompute; provenance marks the churn") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.length
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "newer"), (4L, "fresh")).toDF("doc_id", "text")
+    def score(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    val out = Versioning.incrementalRecompute(score(v1), v1, v2, "doc_id", Seq("text"), score)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // same values as score(v2), removed doc absent
+    assert(out.view.mapValues(_._1).toMap === Map(1L -> 4L, 2L -> 5L, 4L -> 5L))
+    // unchanged carried from the cache, churn recomputed
+    assert(out.view.mapValues(_._2).toMap ===
+      Map(1L -> "carried", 2L -> "recomputed", 4L -> "recomputed"))
+  }
 }
