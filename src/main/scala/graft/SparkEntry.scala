@@ -1108,8 +1108,11 @@ object SparkEntry {
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    table(spark, dir, "documents")
-      .select(explode(bigrams).as("pair"))
+    // evalBarrier between the bigram projection and the explode (fused,
+    // the generator re-evaluates the tokenize/zip lambda per element)
+    graft.operators.Partitioning.evalBarrier(
+        table(spark, dir, "documents").select(bigrams.as("__bg")))
+      .select(explode(col("__bg")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
@@ -2018,6 +2021,51 @@ object SparkEntry {
         max(col("n_events")).cast("long").as("max_session_events"))
   }
 
+  /** Conversion funnel view -> click -> purchase: one shuffle + per-user
+    * codegen'd fold ([[graft.operators.Funnel]]) vs the oracle's k-1
+    * self-join recompute. Timestamps truncate to MICROS on both sides
+    * (DuckDB reads the parquet NANOS column at micro precision). */
+  private def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = table(spark, dir, "events").select(
+      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    graft.operators.Funnel.report(events, "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"))
+  }
+
+  /** `percentile_approx` — the single-pass mergeable GK sketch, the 100 TB
+    * path where an exact percentile's global sort won't fly — with its
+    * rank-error contract checked in-plan via integer cross-multiplication:
+    * for quantile q and eps=1/accuracy, count(<v)*10^4 <= (q+eps)*10^4*N
+    * and count(<=v)*10^4 >= (q-eps)*10^4*N, plus v must be an actual
+    * element (GK returns members, not interpolations). Driver pulls 4
+    * doubles between the two jobs. */
+  private def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("n_chars").cast("double").as("x"))
+    val qs = Seq(0.25, 0.50, 0.75, 0.99)
+    val appr = docs.agg(percentile_approx(col("x"),
+        array(qs.map(lit): _*), lit(1000)).as("v"))
+      .head().getSeq[Double](0)
+    // (q±eps)*10^4 as exact integers: eps = 1/1000 -> ±10
+    val hi = Seq(2510L, 5010L, 7510L, 9910L)
+    val lo = Seq(2490L, 4990L, 7490L, 9890L)
+    val counts = qs.indices.flatMap { i =>
+      Seq(count(when(col("x") < appr(i), 1)).as(s"lt$i"),
+        count(when(col("x") <= appr(i), 1)).as(s"le$i"),
+        count(when(col("x") === appr(i), 1)).as(s"eq$i"))
+    }
+    val agg = docs.agg(count(lit(1)).as("n"), counts: _*)
+    val flags = qs.indices.map { i =>
+      when(col(s"lt$i") * 10000 <= lit(hi(i)) * col("n") &&
+        col(s"le$i") * 10000 >= lit(lo(i)) * col("n"), 1L).otherwise(0L)
+        .as(s"ok_q${(qs(i) * 100).toInt}")
+    }
+    val member = when(qs.indices.map(i => col(s"eq$i") > 0).reduce(_ && _), 1L)
+      .otherwise(0L).as("ok_member")
+    agg.select((col("n") +: flags :+ member): _*)
+  }
+
   private def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     // sums computed in exact decimal, EMITTED as scaled BIGINTs: a DECIMAL
     // output column hashes differently between the oracle's query result and
@@ -2169,6 +2217,8 @@ object SparkEntry {
     "events_window" -> qEventsWindow,
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
+    "events_funnel" -> qEventsFunnel,
+    "quantile_sketch" -> qQuantileSketch,
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_stream_join" -> qStreamStreamJoin,
@@ -2904,6 +2954,25 @@ object SparkEntry {
     "events_window_stream" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // k-1 self-join recompute of the funnel the operator does in one fold
+    "events_funnel" ->
+      ("WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "t2 AS (SELECT e.user_id AS user_id, min(epoch_us(e.ts)) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id " +
+        "WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1 GROUP BY e.user_id), " +
+        "t3 AS (SELECT e.user_id AS user_id, min(epoch_us(e.ts)) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2 GROUP BY e.user_id), " +
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+        "j AS (SELECT u.user_id, t1.t1, t2.t2, t3.t3 FROM u LEFT JOIN t1 ON u.user_id = t1.user_id " +
+        "LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id) " +
+        "SELECT count(*)::BIGINT AS n_users, count(t1)::BIGINT AS n_step1, count(t2)::BIGINT AS n_step2, " +
+        "count(t3)::BIGINT AS n_step3, coalesce(sum(t2 - t1), 0)::BIGINT AS lat12_sum, " +
+        "coalesce(sum(t3 - t1), 0)::BIGINT AS lat13_sum, " +
+        "coalesce(sum(CASE WHEN t3 IS NOT NULL THEN user_id END), 0)::BIGINT AS converted_user_sum FROM j"),
+    // the rank-error and membership contracts are structural (checked
+    // in-plan with integer arithmetic); N pins the sketch ran over all rows
+    "quantile_sketch" ->
+      ("SELECT count(*)::BIGINT AS n, 1::BIGINT AS ok_q25, 1::BIGINT AS ok_q50, " +
+        "1::BIGINT AS ok_q75, 1::BIGINT AS ok_q99, 1::BIGINT AS ok_member FROM documents"),
     "events_sessions" ->
       ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
         "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns FROM l), " +

@@ -25,18 +25,28 @@ object Decontamination {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Exploded (id?, gram) rows with an [[Partitioning.evalBarrier]] between
+    * the gram projection and the explode: fused into one stage, the
+    * generator re-evaluates the tokenize/gram lambda per output element
+    * (~15x slower at sf0.1). The barrier keeps the path streaming — no
+    * cache, no shuffle. */
+  private def explodedGrams(df: DataFrame, textCol: String, n: Int,
+                            idCol: Option[String]): DataFrame = {
+    val keyCols = idCol.toSeq.map(c => col(s"`$c`").cast("long").as("doc_id"))
+    val projected = df.select(
+      keyCols :+ grams(TextAnalysis.tokens(col(s"`$textCol`")), n).as("__grams"): _*)
+    Partitioning.evalBarrier(projected)
+      .select(keyCols.map(_ => col("doc_id")) :+ explode(col("__grams")).as("gram"): _*)
+  }
+
   /** Distinct ids of documents sharing at least one word `n`-gram with any
     * benchmark text. Tokenization: lowercased whitespace tokens (matches
     * [[TextAnalysis.tokens]]). */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
     require(n >= 2, "n-gram decontamination needs n >= 2")
-    val benchGrams = benchmark
-      .select(explode(grams(TextAnalysis.tokens(col(s"`$benchTextCol`")), n)).as("gram"))
-      .distinct()
-    val docGrams = docs.select(
-      col(s"`$idCol`").cast("long").as("doc_id"),
-      explode(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("gram"))
+    val benchGrams = explodedGrams(benchmark, benchTextCol, n, None).distinct()
+    val docGrams = explodedGrams(docs, textCol, n, Some(idCol))
     // exact string equality in the join condition; broadcast the small side
     docGrams.join(broadcast(benchGrams), "gram")
       .select(col("doc_id")).distinct()
@@ -62,9 +72,7 @@ object Decontamination {
     require(n >= 2, "n-gram decontamination needs n >= 2")
     // persisted: three consumers (count, Bloom build, confirm join) must
     // not each re-run the tokenize/explode/distinct over the benchmark
-    val benchGrams = benchmark
-      .select(explode(grams(TextAnalysis.tokens(col(s"`$benchTextCol`")), n)).as("gram"))
-      .distinct()
+    val benchGrams = explodedGrams(benchmark, benchTextCol, n, None).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val expected = benchGrams.count() // small side; one tiny job
     if (expected == 0L) { // bloom_filter_agg yields null on empty input (NPE in readFrom)
@@ -73,9 +81,7 @@ object Decontamination {
         .select(lit(0L).as("doc_id")).where(lit(false))
     }
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
-    val candidates = docs.select(
-      col(s"`$idCol`").cast("long").as("doc_id"),
-      explode(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("gram"))
+    val candidates = explodedGrams(docs, textCol, n, Some(idCol))
       .where(graft.plans.BloomExpression.mightContain(col("gram"), bloom))
     // NO broadcast hint on the confirm: the whole point of this path is a
     // benchmark too big to ship as raw strings. Post-prefilter the

@@ -548,13 +548,19 @@ object Dedup {
     * combine; the summary agg moves one row per hot gram. */
   def ngramHotGrams(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, maxDf: Int = 1000): DataFrame = {
-    val inv = Partitioning.spread(df.select(
-      col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
-      .select(col("doc_id"), split(lower(trim(col("__text"))), "\\s+").as("t"))
-      .select(col("doc_id"),
-        array_distinct(expr(
-          s"CASE WHEN size(t) < $n THEN array() " +
-            s"ELSE transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n))) END")).as("grams"))
+    // evalBarrier between the gram projection and the explode: fused, the
+    // generator re-evaluates the tokenize/gram lambda per output element
+    // (~15x at sf0.1). The sibling pair operator persists this projection
+    // (it has multiple consumers); this one-shot aggregate only needs the
+    // streaming barrier.
+    val inv = Partitioning.evalBarrier(
+      Partitioning.spread(df.select(
+        col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
+        .select(col("doc_id"), split(lower(trim(col("__text"))), "\\s+").as("t"))
+        .select(col("doc_id"),
+          array_distinct(expr(
+            s"CASE WHEN size(t) < $n THEN array() " +
+              s"ELSE transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n))) END")).as("grams")))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
