@@ -33,7 +33,10 @@ object ScaleCheck {
     // +-1 sign flip (an orthogonal transform - within-copy cosines are
     // preserved EXACTLY, cross-copy cosines decorrelate), so LSH bucket
     // geometry sees 10x more of the same distribution
-    "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize")
+    "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize",
+    // round-9 additions (documents-table operators)
+    "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
+    "dedup_spans", "dedup_ngram_hot")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -2034,6 +2034,18 @@ object SparkEntry {
       Seq("view", "click", "purchase"))
   }
 
+  /** Daily cohort retention triangle over the event stream: one
+    * groupBy-user shuffle derives cohort + active-period set together
+    * ([[graft.operators.Cohorts]]); the oracle recomputes via the naive
+    * min-join formulation. Micros precision, like `events_funnel`. */
+  private def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = table(spark, dir, "events").select(
+      col("user_id"), expr("ts div 1000").as("ts_us"))
+    graft.operators.Cohorts.retention(events, "user_id", "ts_us", 86400000000L)
+  }
+
   /** `percentile_approx` — the single-pass mergeable GK sketch, the 100 TB
     * path where an exact percentile's global sort won't fly — with its
     * rank-error contract checked in-plan via integer cross-multiplication:
@@ -2218,6 +2230,7 @@ object SparkEntry {
     "events_window_stream" -> qEventsWindowStream,
     "events_sessions" -> qEventsSessions,
     "events_funnel" -> qEventsFunnel,
+    "cohort_retention" -> qCohortRetention,
     "quantile_sketch" -> qQuantileSketch,
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
@@ -2968,6 +2981,14 @@ object SparkEntry {
         "count(t3)::BIGINT AS n_step3, coalesce(sum(t2 - t1), 0)::BIGINT AS lat12_sum, " +
         "coalesce(sum(t3 - t1), 0)::BIGINT AS lat13_sum, " +
         "coalesce(sum(CASE WHEN t3 IS NOT NULL THEN user_id END), 0)::BIGINT AS converted_user_sum FROM j"),
+    // naive min-join recompute of the retention triangle the operator
+    // derives from one groupBy-user pass
+    "cohort_retention" ->
+      ("WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events), " +
+        "f AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, p FROM p), " +
+        "j AS (SELECT f.cohort, a.p - f.cohort AS off, a.user_id FROM a JOIN f ON a.user_id = f.user_id) " +
+        "SELECT cohort, off AS \"offset\", count(*)::BIGINT AS n_users FROM j GROUP BY cohort, off"),
     // the rank-error and membership contracts are structural (checked
     // in-plan with integer arithmetic); N pins the sketch ran over all rows
     "quantile_sketch" ->
