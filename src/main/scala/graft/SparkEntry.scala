@@ -363,6 +363,24 @@ object SparkEntry {
     graft.operators.SpanDedup.removeDuplicatedSpans(
       table(spark, dir, "documents"), "doc_id", "text", spanTokens = 8)
 
+  /** Exact edit-distance similarity join over documents + planted 1-edit
+    * copies of every 10th doc (char 6 replaced by '#', absent from the
+    * corpus). The operator mines pairs via the lossless rarest-gram
+    * prefix filter ([[graft.operators.EditDistance]]); the oracle
+    * recomputes ground truth with an exhaustive length-windowed
+    * levenshtein sweep in DuckDB. */
+  private def qEditPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
+    graft.operators.EditDistance.editDistancePairs(
+        docs.unionByName(planted), "doc_id", "text", maxDistance = 2)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"),
+        coalesce(sum(col("dist")), lit(0L)).cast("long").as("dist_sum"))
+  }
+
   /** Corpus snapshot diff: two deterministic "versions" are derived from
     * the documents table in-plan (v1 drops doc_id%11==3; v2 drops %13==5,
     * appends " v2" to text for %17==2, nulls lang for %19==7), then
@@ -2174,6 +2192,7 @@ object SparkEntry {
     "dedup_ngram_hot" -> qDedupNgramHot,
     "dedup_spans" -> qDedupSpans,
     "snapshot_diff" -> qSnapshotDiff,
+    "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
     "compaction_plan" -> qCompactionPlan,
@@ -2434,6 +2453,17 @@ object SparkEntry {
         "SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens, coalesce(s.n_spans, 0)::BIGINT AS n_spans, " +
         "coalesce(s.tokens_removed, 0)::BIGINT AS tokens_removed, coalesce(k.clean_text, '') AS clean_text " +
         "FROM toks t LEFT JOIN stats s USING (doc_id) LEFT JOIN kept k USING (doc_id)"),
+    // exhaustive length-windowed levenshtein sweep as ground truth for the
+    // prefix-filtered similarity join
+    "edit_pairs" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, levenshtein(a.text, b.text) AS dist " +
+        "FROM u a JOIN u b ON a.doc_id < b.doc_id " +
+        "AND abs(length(a.text) - length(b.text)) <= 2) " +
+        "SELECT count(*)::BIGINT AS n_pairs, coalesce(sum(ia + ib), 0)::BIGINT AS pair_id_sum, " +
+        "coalesce(sum(dist), 0)::BIGINT AS dist_sum FROM p WHERE dist <= 2"),
     // ground truth by direct null-safe value comparison (vs the operator's
     // fingerprint-only comparison)
     "snapshot_diff" ->
