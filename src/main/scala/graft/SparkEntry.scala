@@ -1135,6 +1135,30 @@ object SparkEntry {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** Per-document OOV rate against the corpus top-20 token vocabulary —
+    * the tokenizer-coverage check run before committing to a vocab. Full
+    * per-doc value oracle. */
+  private def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val vocab = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+      .select("tok")
+    graft.operators.TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+  }
+
+  /** Three-epoch curriculum mix (T = 1 proportional -> 2 -> 4 flattening)
+    * in ONE corpus scan: per-row array of admitting epochs, exploded.
+    * Oracle replays the same pow/grid-snap/hash arithmetic per epoch. */
+  private def qCurriculumMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.curriculumMix(table(spark, dir, "documents"),
+        "source", "doc_id", Seq((1, 1.0, 0.3), (2, 2.0, 0.3), (3, 4.0, 0.3)))
+      .groupBy(col("epoch"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
+
   /** Conversation assembly: every user's event log becomes one ordered
     * document. Full 150-row value compare — DuckDB rebuilds the identical
     * strings with ordered string_agg; order keys are exact integers
@@ -2218,6 +2242,8 @@ object SparkEntry {
     "corr_stats" -> qCorrStats,
     "schema_evolution" -> qSchemaEvolution,
     "temperature_mix" -> qTemperatureMix,
+    "curriculum_mix" -> qCurriculumMix,
+    "vocab_coverage" -> qVocabCoverage,
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
@@ -2914,6 +2940,29 @@ object SparkEntry {
         "FROM s JOIN r USING (stratum) " +
         "WHERE (s.doc_id::HUGEINT * 2654435761) % 4294967296 < r.cutoff " +
         "GROUP BY 1 ORDER BY 1"),
+    // same pow/grid-snap/hash arithmetic replayed per epoch
+    "curriculum_mix" ->
+      ("WITH e(epoch, alpha) AS (VALUES (1, 1.0), (2, 0.5), (3, 0.25)), " +
+        "c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1), " +
+        "w AS (SELECT e.epoch, c.source, c.n, pow(c.n, e.alpha) AS w FROM c CROSS JOIN e), " +
+        "t AS (SELECT epoch, sum(w) AS wsum, sum(n) AS total FROM w GROUP BY epoch), " +
+        "r AS (SELECT w.epoch, w.source, least(4096, floor(least(1.0, floor(0.3 * t.total) * (w.w / t.wsum) / w.n) * 4096))::BIGINT * 1048576 AS cutoff " +
+        "FROM w JOIN t ON w.epoch = t.epoch) " +
+        "SELECT r.epoch, d.source, count(*)::BIGINT AS n_sampled, sum(d.doc_id)::BIGINT AS id_sum " +
+        "FROM documents d JOIN r ON d.source = r.source " +
+        "WHERE (d.doc_id::HUGEINT * 2654435761) % 4294967296 < r.cutoff GROUP BY 1, 2"),
+    // full per-doc recompute: same top-20 vocab (count DESC, token ASC),
+    // same integer-division OOV rate
+    "vocab_coverage" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "tf AS (SELECT tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY tok), " +
+        "v AS (SELECT tok FROM tf ORDER BY n DESC, tok LIMIT 20), " +
+        "pd AS (SELECT t.doc_id, count(*) AS n_tokens, count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov " +
+        "FROM toks t LEFT JOIN v ON t.tok = v.tok WHERE t.tok != '' GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens, " +
+        "coalesce(pd.n_oov, 0)::BIGINT AS n_oov, " +
+        "coalesce(pd.n_oov * 10000 // pd.n_tokens, 0)::BIGINT AS oov_x1e4 " +
+        "FROM documents d LEFT JOIN pd USING (doc_id)"),
     // old files read the evolved column as null; only odd doc_ids carry it
     "schema_evolution" ->
       ("SELECT count(*)::BIGINT AS n_rows, " +

@@ -116,6 +116,35 @@ object Sampling {
     df.join(broadcast(picked), col(s"`$idCol`") === picked("__id"), "left_semi")
   }
 
+  /** Multi-epoch curriculum mixing: one pass over the corpus emits
+    * `(row, epoch)` for every epoch whose temperature-scaled cutoffs admit
+    * the row — the training schedule where early epochs sample
+    * proportionally and later epochs flatten toward uniform (or any
+    * schedule of `(epoch, temperature, targetFraction)`).
+    *
+    * Scale shape: per-stratum counts are collected ONCE (strata-cardinality
+    * rows); each epoch's membership is the same pure integer hash compare
+    * as [[hashSample]], evaluated per row against a per-epoch CASE chain,
+    * and a row explodes only into the epochs that admit it — ONE corpus
+    * scan for the whole schedule, no unions, no joins, no re-scans. */
+  def curriculumMix(df: DataFrame, strataCol: String, idCol: String,
+      schedule: Seq[(Int, Double, Double)]): DataFrame = {
+    require(schedule.nonEmpty, "schedule must be non-empty")
+    require(schedule.map(_._1).distinct.size == schedule.size, "epochs must be distinct")
+    val strata = col(s"`$strataCol`").cast("string")
+    val counts = df.where(strata.isNotNull)
+      .groupBy(strata.as("__stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = array(schedule.map { case (epoch, temperature, frac) =>
+      val cutoffs = temperatureMixCutoffs(counts, temperature, frac)
+      val cut = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (st, c)) =>
+        when(strata === st, c).otherwise(acc)
+      }
+      when(idHash(col(s"`$idCol`")) < cut, lit(epoch)).otherwise(lit(null).cast("int"))
+    }: _*)
+    df.withColumn("epoch", explode(filter(admitted, x => x.isNotNull)))
+  }
+
   /** Stratified hash sampling: per-stratum basis-point rates, default 0
     * (strata absent from the map are dropped — curation semantics: an
     * unlisted source does not leak into the mix). The rate lookup compiles

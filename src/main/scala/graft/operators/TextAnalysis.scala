@@ -231,4 +231,30 @@ object TextAnalysis {
         languageIdFromScores(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh")))
       .drop("s_en", "s_de", "s_fr", "s_es", "s_zh")
   }
+
+  /** Per-document vocabulary coverage against a token vocabulary (a
+    * `tok`-column DataFrame, e.g. the top-k extraction the tokenizer will
+    * be trained on): token count, out-of-vocabulary count, and the OOV
+    * rate as an integer per-10k (integer division — engine-portable).
+    * The vocabulary broadcasts (it is top-k-sized by construction); the
+    * corpus side is one explode + one groupBy(doc) — per-document rollup,
+    * no corpus self-join. Documents whose text yields no tokens report
+    * (0, 0, 0). */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val ids = df.select(col(s"`$idCol`").cast("long").as("doc_id"))
+    val toks = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        explode(tokens(col(s"`$textCol`"))).as("tok"))
+      .where(col("tok") =!= "")
+    val flagged = toks.join(
+      broadcast(vocab.select(col("tok"), lit(1).as("__in"))), Seq("tok"), "left")
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+    ids.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(expr("n_oov * 10000 div n_tokens"), lit(0L)).as("oov_x1e4"))
+  }
 }

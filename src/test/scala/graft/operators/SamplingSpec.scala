@@ -123,4 +123,20 @@ class SamplingSpec extends AnyFunSuite {
     val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
     assert(Sampling.fixedKPerStratum(tiny, "s", "id", 5).count() === 3L)
   }
+
+  test("curriculumMix: one scan, per-epoch membership equals temperatureMixSample") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, "s" + (i % 3))).toDF("id", "s")
+    val sched = Seq((1, 1.0, 0.4), (2, 2.0, 0.4), (3, 4.0, 0.4))
+    val out = Sampling.curriculumMix(df, "s", "id", sched)
+      .select("epoch", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    sched.foreach { case (ep, t, f) =>
+      val expect = Sampling.temperatureMixSample(df, "s", "id", t, f)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(out.filter(_._1 == ep).map(_._2) === expect, s"epoch $ep")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumMix(df, "s", "id", Seq((1, 1.0, 0.4), (1, 2.0, 0.4)))
+    }
+  }
 }

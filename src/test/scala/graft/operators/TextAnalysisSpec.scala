@@ -182,4 +182,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     // column pruning must reach the scan: only the two referenced columns read
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("vocabCoverage: counts, OOV, integer rate; token-free docs report zeros") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "aa aa"), (3L, "zz yy"), (4L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("tok")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 2500L)),
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((2L, 2L, 10000L)),
+      4L -> ((0L, 0L, 0L))))
+  }
 }
