@@ -36,7 +36,7 @@ object ScaleCheck {
     "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize",
     // round-9 additions (documents-table operators)
     "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
-    "dedup_spans", "dedup_ngram_hot")
+    "dedup_spans", "dedup_ngram_hot", "edit_pairs")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
