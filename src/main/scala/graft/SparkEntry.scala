@@ -1159,6 +1159,29 @@ object SparkEntry {
       .groupBy(col("epoch"), col("source"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
 
+  /** Declarative data-quality expectations in ONE aggregate pass
+    * ([[graft.operators.Checks]]): six checks over documents, including a
+    * deliberately failing range check — the oracle recomputes every
+    * observed metric and pass bit. */
+  private def qQualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks._
+    graft.operators.Checks.run(table(spark, dir, "documents"), Seq(
+      NotNull("text"),
+      Unique("doc_id"),
+      InRange("n_chars", 0L, 1000L),
+      InRange("n_chars", 0L, 400L), // fails: long docs exist by design
+      AcceptedValues("lang", Seq("de", "en", "es", "fr", "zh")),
+      RowCount(1L, 10000000L)))
+  }
+
+  /** Key-skew diagnostic: top-10 heaviest user_ids with per-10k share —
+    * the report run before choosing salting/broadcast for a join key. */
+  private def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Stats.skewReport(table(spark, dir, "events"), "user_id", topN = 10)
+  }
+
   /** Conversation assembly: every user's event log becomes one ordered
     * document. Full 150-row value compare — DuckDB rebuilds the identical
     * strings with ordered string_agg; order keys are exact integers
@@ -2244,6 +2267,8 @@ object SparkEntry {
     "temperature_mix" -> qTemperatureMix,
     "curriculum_mix" -> qCurriculumMix,
     "vocab_coverage" -> qVocabCoverage,
+    "quality_checks" -> qQualityChecks,
+    "skew_report" -> qSkewReport,
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "dedup_incremental" -> qDedupIncremental,
@@ -2951,6 +2976,28 @@ object SparkEntry {
         "SELECT r.epoch, d.source, count(*)::BIGINT AS n_sampled, sum(d.doc_id)::BIGINT AS id_sum " +
         "FROM documents d JOIN r ON d.source = r.source " +
         "WHERE (d.doc_id::HUGEINT * 2654435761) % 4294967296 < r.cutoff GROUP BY 1, 2"),
+    // every observed metric and pass bit recomputed (one failing check
+    // included by design: n_chars in [0,400] with long docs present)
+    "quality_checks" ->
+      ("SELECT 'not_null' AS \"check\", 'text' AS \"column\", " +
+        "count(CASE WHEN text IS NULL THEN 1 END)::BIGINT AS observed, 0::BIGINT AS expected_lo, 0::BIGINT AS expected_hi, " +
+        "(count(CASE WHEN text IS NULL THEN 1 END) = 0)::BIGINT AS pass FROM documents " +
+        "UNION ALL SELECT 'unique', 'doc_id', (count(doc_id) - count(DISTINCT doc_id))::BIGINT, 0, 0, " +
+        "(count(doc_id) = count(DISTINCT doc_id))::BIGINT FROM documents " +
+        "UNION ALL SELECT 'in_range', 'n_chars', count(CASE WHEN n_chars < 0 OR n_chars > 1000 THEN 1 END)::BIGINT, 0, 0, " +
+        "(count(CASE WHEN n_chars < 0 OR n_chars > 1000 THEN 1 END) = 0)::BIGINT FROM documents " +
+        "UNION ALL SELECT 'in_range', 'n_chars', count(CASE WHEN n_chars < 0 OR n_chars > 400 THEN 1 END)::BIGINT, 0, 0, " +
+        "(count(CASE WHEN n_chars < 0 OR n_chars > 400 THEN 1 END) = 0)::BIGINT FROM documents " +
+        "UNION ALL SELECT 'accepted_values', 'lang', count(CASE WHEN lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END)::BIGINT, 0, 0, " +
+        "(count(CASE WHEN lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END) = 0)::BIGINT FROM documents " +
+        "UNION ALL SELECT 'row_count', '*', count(*)::BIGINT, 1, 10000000, " +
+        "(count(*) BETWEEN 1 AND 10000000)::BIGINT FROM documents"),
+    // same count/tie-break/integer-share arithmetic; keys compare as strings
+    "skew_report" ->
+      ("WITH c AS (SELECT user_id::VARCHAR AS key, count(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total FROM c) " +
+        "SELECT key, n::BIGINT AS n, (n * 10000 // t.total)::BIGINT AS share_x1e4 " +
+        "FROM c, t ORDER BY n DESC, key LIMIT 10"),
     // full per-doc recompute: same top-20 vocab (count DESC, token ASC),
     // same integer-division OOV rate
     "vocab_coverage" ->

@@ -56,4 +56,22 @@ object Stats {
         when(den > 0.0, floor(num / den * 1e9).cast("long")).otherwise(lit(null).cast("long"))
       })
   }
+
+  /** Per-key weight report for shuffle planning: the topN heaviest keys
+    * with counts and per-10k corpus share — the diagnostic run before
+    * choosing a salting / broadcast / AQE-skew strategy for a key. One
+    * counting shuffle with map-side partials; the top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * total attaches as a broadcast 1-row frame. Keys compare as strings
+    * (deterministic tie-break on any key type, engine-portable). */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(s"`$keyCol`").cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.orderBy(col("n").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        expr("n * 10000 div total").as("share_x1e4"))
+  }
 }
