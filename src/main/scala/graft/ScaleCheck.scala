@@ -36,7 +36,11 @@ object ScaleCheck {
     "embed_pairs_lsh", "ann_topk", "ann_ivf_topk", "embed_quantize",
     // round-9 additions (documents-table operators)
     "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
-    "dedup_spans", "dedup_ngram_hot", "edit_pairs")
+    "dedup_spans", "dedup_ngram_hot", "edit_pairs",
+    // events-table operators: the scaled table shifts user_id/event_id per
+    // copy (10x users, same time window) — exactly how a bigger product
+    // corpus grows
+    "events_funnel", "cohort_retention", "skew_report")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
@@ -106,6 +110,17 @@ object ScaleCheck {
       copies.reduce(_ unionAll _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    }
+
+    if (!new java.io.File(s"$scaledDir/events.parquet").exists()) {
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val copies = (0 until scale).map { k =>
+        ev.withColumn("user_id", col("user_id") + lit(k.toLong * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(k.toLong * 100000000L))
+      }
+      copies.reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
     }
 
     val bytesListener = new ShuffleBytesListener
