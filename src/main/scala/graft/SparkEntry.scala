@@ -429,6 +429,40 @@ object SparkEntry {
         sum(col("doc_id")).cast("long").as("id_sum"))
   }
 
+  /** SCD2 dimension merge over a deterministic fixture: the dimension has
+    * a closed+open row pair for doc_id%5==0 and a single open row
+    * otherwise; the change batch updates %7==0 keys (no-op image when
+    * %3==0, nulled lang when %11==0 — exercising the null-safe compare)
+    * and inserts brand-new %50==0 keys shifted to a disjoint id range.
+    * The oracle recomputes the merge with DuckDB's IS DISTINCT FROM; the
+    * grouped (valid_from, valid_to) buckets pin counts, id sums, text
+    * lengths, and null-lang counts of every row class: untouched history,
+    * rows closed by the batch, surviving opens, and inserts. */
+  private def qScd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text", "lang")
+    val hist = docs.filter(col("doc_id") % 5 === 0).select(
+      col("doc_id"), concat(lit("old "), col("text")).as("text"), col("lang"),
+      lit(0L).as("valid_from"), lit(100L).as("valid_to"))
+    val open = docs.select(col("doc_id"), col("text"), col("lang"),
+      when(col("doc_id") % 5 === 0, lit(100L)).otherwise(lit(0L)).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val upd = docs.filter(col("doc_id") % 7 === 0).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" r2"))).as("text"),
+      when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    val fresh = docs.filter(col("doc_id") % 50 === 0).select(
+      (col("doc_id") + 5000000L).as("doc_id"), col("text"), col("lang"))
+    graft.operators.Versioning.scd2Merge(
+        hist.unionByName(open), upd.unionByName(fresh), "doc_id",
+        Seq("text", "lang"), batchTs = 200L)
+      .groupBy(col("valid_from"), coalesce(col("valid_to"), lit(-1L)).as("valid_to_n"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(length(col("text"))).cast("long").as("len_sum"),
+        sum(when(col("lang").isNull, 1).otherwise(0)).cast("long").as("null_langs"))
+  }
+
   /** Exact-k deterministic stratified sample: 7 docs per source, ranked
     * inside each stratum by the portable Knuth hash. The oracle recomputes
     * the identical rank in window SQL. */
@@ -2239,6 +2273,7 @@ object SparkEntry {
     "dedup_ngram_hot" -> qDedupNgramHot,
     "dedup_spans" -> qDedupSpans,
     "snapshot_diff" -> qSnapshotDiff,
+    "scd2_merge" -> qScd2Merge,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2528,6 +2563,39 @@ object SparkEntry {
         "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
         "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
         "FROM d WHERE status <> 'unchanged' GROUP BY status"),
+    // SCD2 merge recomputed with direct IS DISTINCT FROM logic: close the
+    // open row of every key whose incoming image differs, insert the new
+    // image, pass history and no-ops through verbatim
+    "scd2_merge" ->
+      ("WITH dim AS (" +
+        "SELECT doc_id, 'old ' || text AS text, lang, 0::BIGINT AS valid_from, 100::BIGINT AS valid_to " +
+        "FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, text, lang, (CASE WHEN doc_id % 5 = 0 THEN 100 ELSE 0 END)::BIGINT, NULL::BIGINT " +
+        "FROM documents), " +
+        "ch AS (" +
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' r2' END AS text, " +
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang " +
+        "FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 5000000, text, lang FROM documents WHERE doc_id % 50 = 0), " +
+        "cur AS (SELECT * FROM dim WHERE valid_to IS NULL), " +
+        "amended AS (" +
+        "SELECT d.doc_id, d.text, d.lang, d.valid_from, " +
+        "CASE WHEN d.valid_to IS NULL AND c.doc_id IS NOT NULL " +
+        "AND (d.text IS DISTINCT FROM c.text OR d.lang IS DISTINCT FROM c.lang) " +
+        "THEN 200 ELSE d.valid_to END AS valid_to " +
+        "FROM dim d LEFT JOIN ch c ON d.doc_id = c.doc_id AND d.valid_to IS NULL), " +
+        "ins AS (" +
+        "SELECT c.doc_id, c.text, c.lang, 200::BIGINT AS valid_from, NULL::BIGINT AS valid_to " +
+        "FROM ch c LEFT JOIN cur ON c.doc_id = cur.doc_id " +
+        "WHERE cur.doc_id IS NULL OR c.text IS DISTINCT FROM cur.text OR c.lang IS DISTINCT FROM cur.lang), " +
+        "m AS (SELECT * FROM amended UNION ALL SELECT * FROM ins) " +
+        "SELECT valid_from, coalesce(valid_to, -1)::BIGINT AS valid_to_n, " +
+        "count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum, " +
+        "sum(length(text))::BIGINT AS len_sum, " +
+        "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_langs " +
+        "FROM m GROUP BY 1, 2"),
     // provenance split from the diff + scores from a fresh score(v2):
     // the incremental result must be indistinguishable from full recompute
     "incremental_score" ->

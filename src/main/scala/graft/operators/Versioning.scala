@@ -54,6 +54,75 @@ object Versioning {
     if (emitUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
 
+  /** SCD Type-2 merge: apply a change batch to a history-keeping dimension
+    * (the warehouse-side complement of [[snapshotDiff]] — the reference's
+    * pipeline masks dimensions like these before publication; this
+    * operator maintains them). `dim` carries full history — one open row
+    * per key (`validTo` null) plus closed rows — and `changes` carries the
+    * incoming attribute image per key, effective at `batchTs`:
+    *
+    *  - open row whose attributes differ from the incoming image
+    *    (null-safe, column-wise): closed at `batchTs`, and a new open row
+    *    with the incoming image is appended (`validFrom = batchTs`);
+    *  - open row with an identical image: untouched (idempotent no-op —
+    *    re-applying the same batch changes nothing);
+    *  - key present only in `changes`: new open row appended;
+    *  - closed rows and keys absent from `changes`: pass through verbatim.
+    *
+    * Scale shape: the dimension is the 100 TB side and it NEVER shuffles —
+    * `changes` (a CDC batch, orders of magnitude smaller) is broadcast,
+    * so the merge is two broadcast-probe streams over `dim`: one full-width
+    * pass amending `validTo` in place, and one key-column-only pass
+    * (column-pruned scan) collecting the batch-sized set of matched open
+    * rows that decides insert-vs-no-op. Contrast with a naive MERGE that
+    * shuffles the dimension on key. Output row count = |dim| + |inserts|.
+    *
+    * Preconditions (documented, not enforced — enforcement would cost an
+    * action over the batch): `changes` has unique keys, and `dim` has at
+    * most one open row per key; duplicate keys on either side duplicate
+    * the affected output rows, as in any SQL MERGE.
+    */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keyCol: String,
+      attrCols: Seq[String], batchTs: Long,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val validToType = dim.schema(validToCol).dataType
+    val ch = changes.select(
+      (keyCol +: attrCols).map(c => col(s"`$c`").as(s"__ch_$c")): _*)
+
+    // pass 1: dim streams against the broadcast batch; an open row whose
+    // image differs is closed in-projection (no shuffle, no explode)
+    val differs = attrCols
+      .map(c => !(col(s"`$c`") <=> col(s"__ch_$c"))).reduce(_ || _)
+    val amended = dim
+      .join(broadcast(ch),
+        col(s"`$keyCol`") === col(s"__ch_$keyCol") && col(s"`$validToCol`").isNull,
+        "left")
+      .withColumn(validToCol,
+        when(col(s"__ch_$keyCol").isNotNull && differs, lit(batchTs).cast(validToType))
+          .otherwise(col(s"`$validToCol`")))
+      .select(dim.columns.map(c => col(s"`$c`")): _*)
+
+    // pass 2: the open rows matching batch keys (batch-sized by the
+    // precondition) decide which incoming images become inserts
+    val curMatched = dim.filter(col(s"`$validToCol`").isNull)
+      .join(broadcast(ch.select(col(s"__ch_$keyCol"))),
+        col(s"`$keyCol`") === col(s"__ch_$keyCol"), "left_semi")
+      .select((keyCol +: attrCols).map(c => col(s"`$c`").as(s"__cur_$c")): _*)
+    val insertNeeded = col(s"__cur_$keyCol").isNull ||
+      attrCols.map(c => !(col(s"__ch_$c") <=> col(s"__cur_$c"))).reduce(_ || _)
+    val inserts = ch
+      .join(broadcast(curMatched),
+        col(s"__ch_$keyCol") === col(s"__cur_$keyCol"), "left")
+      .filter(insertNeeded)
+      .select((keyCol +: attrCols).map(c => col(s"__ch_$c").as(c)) ++ Seq(
+        lit(batchTs).cast(dim.schema(validFromCol).dataType).as(validFromCol),
+        lit(null).cast(validToType).as(validToCol)): _*)
+
+    amended.unionByName(inserts.select(dim.columns.map(c => col(s"`$c`")): _*))
+  }
+
   /** Incremental recompute over a snapshot refresh: re-run `score` ONLY on
     * the churn (added + changed docs) of v1 -> v2, carry `prior` (= the
     * cached `score(v1)` output, keyed by `idCol`) for unchanged docs, drop

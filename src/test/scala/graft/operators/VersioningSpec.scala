@@ -100,4 +100,81 @@ class VersioningSpec extends AnyFunSuite {
     assert(out.view.mapValues(_._2).toMap ===
       Map(1L -> "carried", 2L -> "recomputed", 4L -> "recomputed"))
   }
+
+  // ---- scd2Merge ----
+
+  private def dimDF(rows: Seq[(Long, Option[String], Long, Option[Long])]) = {
+    import spark.implicits._
+    rows.toDF("k", "attr", "valid_from", "valid_to")
+  }
+
+  private def merged(dim: Seq[(Long, Option[String], Long, Option[Long])],
+      changes: Seq[(Long, Option[String])], ts: Long) = {
+    import spark.implicits._
+    Versioning.scd2Merge(dimDF(dim), changes.toDF("k", "attr"),
+        "k", Seq("attr"), ts)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+  }
+
+  test("scd2: changed key closes the open row and appends a new one; history untouched") {
+    val dim = Seq(
+      (1L, Some("v1"), 0L, Some(100L)), // closed history
+      (1L, Some("v2"), 100L, None),     // open, will change
+      (2L, Some("w1"), 0L, None))       // open, not in batch
+    val out = merged(dim, Seq((1L, Some("v3"))), ts = 200L)
+    assert(out === Set(
+      (1L, Some("v1"), 0L, Some(100L)),
+      (1L, Some("v2"), 100L, Some(200L)),
+      (1L, Some("v3"), 200L, None),
+      (2L, Some("w1"), 0L, None)))
+  }
+
+  test("scd2: identical image is a no-op — re-applying the batch is idempotent") {
+    val dim = Seq((1L, Some("same"), 0L, None))
+    val out = merged(dim, Seq((1L, Some("same"))), ts = 200L)
+    assert(out === Set((1L, Some("same"), 0L, None)))
+  }
+
+  test("scd2: brand-new key inserts an open row") {
+    val dim = Seq((1L, Some("a"), 0L, None))
+    val out = merged(dim, Seq((9L, Some("fresh"))), ts = 200L)
+    assert(out === Set(
+      (1L, Some("a"), 0L, None),
+      (9L, Some("fresh"), 200L, None)))
+  }
+
+  test("scd2: null-safe attribute compare — null==null is a no-op, null vs value changes") {
+    val dim = Seq(
+      (1L, None: Option[String], 0L, None: Option[Long]),
+      (2L, Some("x"), 0L, None: Option[Long]))
+    val out = merged(dim, Seq((1L, None), (2L, None)), ts = 50L)
+    assert(out === Set(
+      (1L, None, 0L, None),            // null == null: untouched
+      (2L, Some("x"), 0L, Some(50L)),  // value -> null: closed
+      (2L, None, 50L, None)))          // ...and re-opened with null image
+  }
+
+  test("scd2: applying the same batch twice equals applying it once (second pass all no-ops)") {
+    val dim = Seq(
+      (1L, Some("v1"), 0L, None: Option[Long]),
+      (2L, Some("w1"), 0L, None: Option[Long]))
+    val batch = Seq((1L, Some("v2")), (3L, Some("new")))
+    import spark.implicits._
+    val once = Versioning.scd2Merge(dimDF(dim), batch.toDF("k", "attr"),
+      "k", Seq("attr"), 100L)
+    val twice = Versioning.scd2Merge(once, batch.toDF("k", "attr"),
+        "k", Seq("attr"), 999L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(twice === Set(
+      (1L, Some("v1"), 0L, Some(100L)),
+      (1L, Some("v2"), 100L, None),
+      (2L, Some("w1"), 0L, None),
+      (3L, Some("new"), 100L, None)))
+  }
 }
