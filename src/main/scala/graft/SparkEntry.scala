@@ -429,6 +429,15 @@ object SparkEntry {
         sum(col("doc_id")).cast("long").as("id_sum"))
   }
 
+  /** Per-document top-3 tf-idf keywords over the full corpus — full
+    * per-row value compare (doc x rank x token x counts x score); the
+    * oracle replays the identical integer idf and tie-break in DuckDB
+    * window SQL. */
+  private def qKeywordTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tfidfKeywords(
+        table(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("rank", "rnk")
+
   /** SCD2 dimension merge over a deterministic fixture: the dimension has
     * a closed+open row pair for doc_id%5==0 and a single open row
     * otherwise; the change batch updates %7==0 keys (no-op image when
@@ -2274,6 +2283,7 @@ object SparkEntry {
     "dedup_spans" -> qDedupSpans,
     "snapshot_diff" -> qSnapshotDiff,
     "scd2_merge" -> qScd2Merge,
+    "keyword_tfidf" -> qKeywordTfidf,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2563,6 +2573,19 @@ object SparkEntry {
         "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
         "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
         "FROM d WHERE status <> 'unchanged' GROUP BY status"),
+    // identical integer idf ((1000*N) // df), identical whitespace
+    // tokenization, identical (score desc, token asc) tie-break
+    "keyword_tfidf" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM d), " +
+        "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t WHERE tok <> '' GROUP BY doc_id, tok), " +
+        "dfr AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), " +
+        "n AS (SELECT count(*)::BIGINT AS n_docs FROM d), " +
+        "s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfr.df, " +
+        "tf.tf * ((1000 * n.n_docs) // dfr.df) AS score " +
+        "FROM tf JOIN dfr USING (tok) CROSS JOIN n), " +
+        "r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM s) " +
+        "SELECT doc_id, rnk::BIGINT AS rnk, tok, tf, df, score FROM r WHERE rnk <= 3"),
     // SCD2 merge recomputed with direct IS DISTINCT FROM logic: close the
     // open row of every key whose incoming image differs, insert the new
     // image, pass history and no-ops through verbatim

@@ -257,4 +257,45 @@ object TextAnalysis {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(expr("n_oov * 10000 div n_tokens"), lit(0L)).as("oov_x1e4"))
   }
+
+  /** Per-document top-k keyword extraction by tf-idf — the salient-term
+    * summary used for corpus browsing, topic bucketing, and
+    * diversity-aware sampling. The idf factor is the engine-portable
+    * integer `(1000 * n_docs) div df` (linear inverse document frequency
+    * at 3-digit fixed point) instead of the float `ln(N/df)`: the ranking
+    * it induces agrees with log-idf on what matters (ubiquitous terms
+    * sink, rare terms rise) while every score is an exact BIGINT any
+    * engine reproduces bit-for-bit — same policy as the integer
+    * cross-multiplied quality rules above. Ties break by token text, so
+    * the full per-row output is deterministic.
+    *
+    * Scale shape: tf is one (doc, token) shuffle with map-side combine;
+    * df re-aggregates the tf frame by token (vocab-sized, much smaller);
+    * the tf-df equi-join shuffles on token; the corpus-size scalar joins
+    * as a broadcast single row; top-k is a per-document window — bounded
+    * by per-doc vocabulary, never a global sort. Null/empty texts are
+    * filtered before tokenization (null text has no keywords).
+    *
+    * Precondition: `idCol` is unique (each row is one document). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val live = docs.filter(col(s"`$textCol`").isNotNull)
+    val toks = live.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        explode(tokens(col(s"`$textCol`"))).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = live.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(1000 * n_docs) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        col("tf"), col("df"), col("score"))
+  }
 }

@@ -196,4 +196,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       3L -> ((2L, 2L, 10000L)),
       4L -> ((0L, 0L, 0L))))
   }
+
+  test("tfidfKeywords: rare terms outrank common ones; ties break by token; nulls dropped") {
+    import spark.implicits._
+    // 'the' appears in all 3 live docs (idf=1000); 'rare' only in doc 1
+    // (idf=3000) — one occurrence of 'rare' (3000) must outrank two of
+    // 'the' (2000)
+    val docs = Seq(
+      (1L, "the the rare"),
+      (2L, "the bb aa"),     // aa/bb: same score — 'aa' must rank first
+      (3L, "the zz"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(5))))
+      .toMap
+    assert(out === Map(
+      (1L, 1L) -> (("rare", 3000L)),   // 1 * (1000*3 div 1)... df('rare')=1 -> 1*3000
+      (1L, 2L) -> (("the", 2000L)),    // 2 * (3000 div 3) = 2000
+      (2L, 1L) -> (("aa", 3000L)),
+      (2L, 2L) -> (("bb", 3000L)),
+      (3L, 1L) -> (("zz", 3000L)),
+      (3L, 2L) -> (("the", 1000L))))
+    assert(!out.keys.exists(_._1 == 4L), "null text must contribute no keywords")
+  }
 }
