@@ -37,6 +37,7 @@ object ScaleCheck {
     // round-9 additions (documents-table operators)
     "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
     "dedup_spans", "dedup_ngram_hot", "edit_pairs", "scd2_merge",
+    "keyword_tfidf",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
