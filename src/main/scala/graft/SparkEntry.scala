@@ -438,6 +438,40 @@ object SparkEntry {
         table(spark, dir, "documents"), "doc_id", "text", k = 3)
       .withColumnRenamed("rank", "rnk")
 
+  /** Majority-vote label reconciliation over a synthetic 3-annotator
+    * fixture: annotator 0 votes the document's lang; annotator 1 flips
+    * %7==0 docs to 'xx'; annotator 2 flips %21==0 to 'xx' and %13==0 to
+    * 'yy'. This plants clean majorities, 2-1 outvotes, a 2-vote 'xx'
+    * takeover (%21), and 3-way ties (%91) whose winner is decided by the
+    * lexicographic tie-break. Full per-doc value compare. */
+  private def qLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "lang")
+    val a0 = docs.select(col("doc_id"), col("lang").as("label"))
+    val a1 = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("label"))
+    val a2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 21 === 0, lit("xx"))
+        .when(col("doc_id") % 13 === 0, lit("yy"))
+        .otherwise(col("lang")).as("label"))
+    graft.operators.Labeling.majorityVote(
+      a0.unionByName(a1).unionByName(a2), "doc_id", "label")
+  }
+
+  /** First-order Markov transition matrix of the event stream (prev ->
+    * next event type with counts and integer per-origin shares); the
+    * oracle replays the identical lag window and integer share in
+    * DuckDB. Micros precision with event_id tie-break, like
+    * `events_funnel`. */
+  private def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = table(spark, dir, "events").select(
+      col("user_id"), expr("ts div 1000").as("ts_us"),
+      col("event_id"), col("event_type"))
+    graft.operators.Funnel.transitionCounts(
+      events, "user_id", "ts_us", "event_type", Seq("event_id"))
+  }
+
   /** SCD2 dimension merge over a deterministic fixture: the dimension has
     * a closed+open row pair for doc_id%5==0 and a single open row
     * otherwise; the change batch updates %7==0 keys (no-op image when
@@ -2284,6 +2318,8 @@ object SparkEntry {
     "snapshot_diff" -> qSnapshotDiff,
     "scd2_merge" -> qScd2Merge,
     "keyword_tfidf" -> qKeywordTfidf,
+    "label_vote" -> qLabelVote,
+    "event_transitions" -> qEventTransitions,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2573,6 +2609,32 @@ object SparkEntry {
         "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
         "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
         "FROM d WHERE status <> 'unchanged' GROUP BY status"),
+    // the same three synthetic annotators, reconciled with window SQL:
+    // same majority, same lexicographic tie-break, same integer agreement
+    "label_vote" ->
+      ("WITH v AS (" +
+        "SELECT doc_id, lang AS label FROM documents " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END FROM documents " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 21 = 0 THEN 'xx' " +
+        "WHEN doc_id % 13 = 0 THEN 'yy' ELSE lang END FROM documents), " +
+        "c AS (SELECT doc_id, label, count(*)::BIGINT AS n FROM v GROUP BY doc_id, label), " +
+        "t AS (SELECT *, max(n) OVER (PARTITION BY doc_id) AS top_n FROM c) " +
+        "SELECT doc_id, min(CASE WHEN n = top_n THEN label END) AS label, " +
+        "sum(n)::BIGINT AS n_votes, count(*)::BIGINT AS n_labels, " +
+        "max(top_n)::BIGINT AS top_n, " +
+        "sum(CASE WHEN n = top_n THEN 1 ELSE 0 END)::BIGINT AS n_top, " +
+        "(max(top_n) * 10000) // sum(n) AS agreement_x1e4 " +
+        "FROM t GROUP BY doc_id"),
+    // identical lag window (ts micros, event_id tie-break) and integer
+    // per-origin share
+    "event_transitions" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type " +
+        "FROM events), " +
+        "p AS (SELECT event_type AS prev_type, next_type, count(*)::BIGINT AS n " +
+        "FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "(n * 10000) // (sum(n) OVER (PARTITION BY prev_type)) AS share_x1e4 FROM p"),
     // identical integer idf ((1000*N) // df), identical whitespace
     // tokenization, identical (score desc, token asc) tie-break
     "keyword_tfidf" ->

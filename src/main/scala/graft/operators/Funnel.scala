@@ -61,4 +61,37 @@ object Funnel {
       .cast("long").as("converted_user_sum")
     perUser.agg(count(lit(1)).as("n_users"), (stepCounts ++ latencies :+ lastUsers): _*)
   }
+
+  /** Per-user event-transition counts — the first-order Markov matrix of
+    * the behavior stream (`prev_type -> next_type`), the data prep for
+    * next-event prediction and for spotting broken product flows. Each
+    * user's event sequence is ordered by `(tsCol, tieCols...)`; adjacent
+    * pairs are counted and each transition gets its integer per-origin
+    * share (`n * 10000 div total-from-prev`).
+    *
+    * Scale shape: ONE shuffle — the per-user sort window (lag over the
+    * user partition, the sessionization bound); transition pairs then
+    * aggregate map-side into at most |event types|² rows, and the
+    * per-origin share is a window over that type-pair frame — metadata-
+    * sized at any corpus. No self-join of the event table.
+    *
+    * `tsCol` must be an integer timestamp; add `tieCols` (e.g. the event
+    * id) to make equal-timestamp ordering — and thus the matrix —
+    * deterministic. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(s"`$tsCol`") +: tieCols.map(c => col(s"`$c`"))).map(_.asc)
+    val w = Window.partitionBy(col(s"`$userCol`")).orderBy(order: _*)
+    val pairs = events
+      .withColumn("__next", lead(col(s"`$typeCol`"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(s"`$typeCol`").as("prev_type"), col("__next").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("__tot", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 10000 div __tot").as("share_x1e4"))
+  }
 }

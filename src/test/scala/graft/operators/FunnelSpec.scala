@@ -72,4 +72,26 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.userFunnel(df, "user_id", "ts", "event_type", Seq("a", "a"))
     }
   }
+
+  test("transitionCounts: adjacent pairs per user, integer shares, tie-break order") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: a -> b -> a -> c   (pairs ab, ba, ac)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"), (1L, 40L, 4L, "c"),
+      // user 2: a -> b             (pair ab)
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"),
+      // user 3: equal timestamps — event_id tie-break fixes b -> a
+      (3L, 10L, 8L, "a"), (3L, 10L, 7L, "b"),
+      // user 4: single event, no pairs
+      (4L, 10L, 9L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitionCounts(df, "user_id", "ts", "event_type", Seq("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 6666L)), // from 'a': ab twice, ac once -> 2*10000 div 3
+      ("a", "c") -> ((1L, 3333L)),
+      ("b", "a") -> ((2L, 10000L)))) // user1 ba + user3 tie-broken ba
+  }
 }

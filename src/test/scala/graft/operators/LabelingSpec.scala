@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LabelingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def vote(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Labeling.majorityVote(rows.toDF("example_id", "label"), "example_id", "label")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+  }
+
+  test("clean majority, outvote, and unanimous cases") {
+    val out = vote(Seq(
+      1L -> "cat", 1L -> "cat", 1L -> "dog", // 2-1 majority
+      2L -> "cat", 2L -> "cat", 2L -> "cat", // unanimous
+      3L -> "dog"))                          // single vote
+    // (label, n_votes, n_labels, top_n, n_top, agreement_x1e4)
+    assert(out(1L) === (("cat", 3L, 2L, 2L, 1L, 6666L)))
+    assert(out(2L) === (("cat", 3L, 1L, 3L, 1L, 10000L)))
+    assert(out(3L) === (("dog", 1L, 1L, 1L, 1L, 10000L)))
+  }
+
+  test("ties break to the lexicographically smallest top label and are flagged") {
+    val out = vote(Seq(
+      1L -> "b", 1L -> "a",                  // 1-1 tie -> 'a', n_top=2
+      2L -> "c", 2L -> "b", 2L -> "a",       // 3-way tie -> 'a', n_top=3
+      3L -> "b", 3L -> "b", 3L -> "a"))      // no tie
+    assert(out(1L) === (("a", 2L, 2L, 1L, 2L, 5000L)))
+    assert(out(2L) === (("a", 3L, 3L, 1L, 3L, 3333L)))
+    assert(out(3L) === (("b", 3L, 2L, 2L, 1L, 6666L)))
+  }
+
+  test("two exchanges: pair-count shuffle, then example re-cluster; window+fold share the second") {
+    import spark.implicits._
+    val df = Seq(1L -> "a", 1L -> "b", 2L -> "a").toDF("example_id", "label")
+    val plan = Labeling.majorityVote(df, "example_id", "label")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected at most two shuffles, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "majorityVote must not join")
+  }
+}
