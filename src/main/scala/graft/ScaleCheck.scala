@@ -37,11 +37,11 @@ object ScaleCheck {
     // round-9 additions (documents-table operators)
     "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
     "dedup_spans", "dedup_ngram_hot", "edit_pairs", "scd2_merge",
-    "keyword_tfidf",
+    "keyword_tfidf", "label_vote",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
-    "events_funnel", "cohort_retention", "skew_report")
+    "events_funnel", "cohort_retention", "skew_report", "event_transitions")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
