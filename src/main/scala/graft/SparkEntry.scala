@@ -438,6 +438,26 @@ object SparkEntry {
         table(spark, dir, "documents"), "doc_id", "text", k = 3)
       .withColumnRenamed("rank", "rnk")
 
+  /** Markup stripping over a deterministic HTML shell wrapped around
+    * every document (style + script payloads with a literal `<` inside,
+    * a comment carrying the doc id, entities in headline and tail). Full
+    * per-doc value compare of the cleaned text — DuckDB replays the
+    * identical regex/replace chain. */
+  private def qTextStripHtml(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val html = concat(
+      lit("<html><head><style type=\"text/css\">p { color: red; }</style>"),
+      lit("<script>var x = 1 < 2;</script></head><body><!-- id: "),
+      col("doc_id").cast("string"),
+      lit(" --><h1>Doc &amp; &quot;friends&quot;</h1><p>"),
+      col("text"),
+      lit("</p><p>tail &lt;x&gt; &nbsp;end</p></body></html>"))
+    docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.stripMarkup(html).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("n_chars"))
+  }
+
   /** Majority-vote label reconciliation over a synthetic 3-annotator
     * fixture: annotator 0 votes the document's lang; annotator 1 flips
     * %7==0 docs to 'xx'; annotator 2 flips %21==0 to 'xx' and %13==0 to
@@ -2320,6 +2340,7 @@ object SparkEntry {
     "keyword_tfidf" -> qKeywordTfidf,
     "label_vote" -> qLabelVote,
     "event_transitions" -> qEventTransitions,
+    "text_strip_html" -> qTextStripHtml,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2609,6 +2630,25 @@ object SparkEntry {
         "FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id) " +
         "SELECT status, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum " +
         "FROM d WHERE status <> 'unchanged' GROUP BY status"),
+    // the identical strip chain (RE2-safe patterns, same entity order,
+    // &amp; last) replayed over the same synthetic HTML shell
+    "text_strip_html" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "'<html><head><style type=\"text/css\">p { color: red; }</style>" +
+        "<script>var x = 1 < 2;</script></head><body><!-- id: ' || doc_id::VARCHAR || " +
+        "' --><h1>Doc &amp; &quot;friends&quot;</h1><p>' || text || " +
+        "'</p><p>tail &lt;x&gt; &nbsp;end</p></body></html>' AS html FROM documents), " +
+        "s AS (SELECT doc_id, trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'<[^>]+>', ' ', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&nbsp;', ' '), '&amp;', '&'), " +
+        "'\\s+', ' ', 'g')) AS clean FROM h) " +
+        "SELECT doc_id, clean, length(clean)::BIGINT AS n_chars FROM s"),
     // the same three synthetic annotators, reconciled with window SQL:
     // same majority, same lexicographic tie-break, same integer agreement
     "label_vote" ->

@@ -258,6 +258,29 @@ object TextAnalysis {
         coalesce(expr("n_oov * 10000 div n_tokens"), lit(0L)).as("oov_x1e4"))
   }
 
+  /** HTML/markup boilerplate stripping — the first transform of any
+    * web-crawl curation pipeline (the C4 recipe): drop script/style
+    * payloads and comments, strip tags, decode the common entities,
+    * collapse whitespace. Composed codegen'd regexp builtins in the
+    * Java-regex/RE2 common subset (inline `(?is)` flags, lazy `.*?`, NO
+    * backreferences — RE2 has none, so script and style close-tags are
+    * spelled out instead of `</\1>`), plus exact `replace` chains for
+    * entities with `&amp;` decoded LAST (the standard single-pass
+    * approximation — `&amp;lt;` decodes to the literal `&lt;`, not `<`).
+    * A narrow projection: no shuffle, stays in whole-stage codegen. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-document top-k keyword extraction by tf-idf — the salient-term
     * summary used for corpus browsing, topic bucketing, and
     * diversity-aware sampling. The idf factor is the engine-portable

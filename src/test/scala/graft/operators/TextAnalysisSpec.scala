@@ -221,4 +221,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 2L) -> (("the", 1000L))))
     assert(!out.keys.exists(_._1 == 4L), "null text must contribute no keywords")
   }
+
+  test("stripMarkup: scripts/styles/comments dropped, tags stripped, entities decoded") {
+    import spark.implicits._
+    val html =
+      "<html><head><style>p{x:1}</style><script>if (1 < 2) alert('&amp;')</script></head>" +
+        "<body><!-- secret > comment --><h1>A &amp; B</h1>\n<p>x &lt;tag&gt;" +
+        " &quot;q&quot; &#39;s&#39; a&nbsp;b</p><p>c &amp;lt; d</p></body></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.stripMarkup(org.apache.spark.sql.functions.col("t")))
+      .head().getString(0)
+    // script payload (with its '<' and entity) gone, comment (with its '>')
+    // gone, entities decoded once: '&amp;lt;' -> '&lt;' literal, not '<'
+    assert(out === "A & B x <tag> \"q\" 's' a b c &lt; d")
+  }
 }
