@@ -492,6 +492,24 @@ object SparkEntry {
       events, "user_id", "ts_us", "event_type", Seq("event_id"))
   }
 
+  /** Per-annotator reliability over the `label_vote` fixture: annotator 0
+    * always votes the source lang (highest agreement), annotators 1 and 2
+    * flip planted subsets; contested (tied) examples are excluded on both
+    * sides. 3-row full value compare with integer agreement rates. */
+  private def qAnnotatorReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "lang")
+    val a0 = docs.select(col("doc_id"), lit(0L).as("annotator"),
+      col("lang").as("label"))
+    val a1 = docs.select(col("doc_id"), lit(1L).as("annotator"),
+      when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("label"))
+    val a2 = docs.select(col("doc_id"), lit(2L).as("annotator"),
+      when(col("doc_id") % 21 === 0, lit("xx"))
+        .when(col("doc_id") % 13 === 0, lit("yy"))
+        .otherwise(col("lang")).as("label"))
+    graft.operators.Labeling.annotatorReport(
+      a0.unionByName(a1).unionByName(a2), "doc_id", "annotator", "label")
+  }
+
   /** SCD2 dimension merge over a deterministic fixture: the dimension has
     * a closed+open row pair for doc_id%5==0 and a single open row
     * otherwise; the change batch updates %7==0 keys (no-op image when
@@ -2341,6 +2359,7 @@ object SparkEntry {
     "label_vote" -> qLabelVote,
     "event_transitions" -> qEventTransitions,
     "text_strip_html" -> qTextStripHtml,
+    "annotator_report" -> qAnnotatorReport,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2649,6 +2668,22 @@ object SparkEntry {
         "'&nbsp;', ' '), '&amp;', '&'), " +
         "'\\s+', ' ', 'g')) AS clean FROM h) " +
         "SELECT doc_id, clean, length(clean)::BIGINT AS n_chars FROM s"),
+    // same fixture, per-annotator view: agreement with the reconciled
+    // majority, ties excluded on both sides
+    "annotator_report" ->
+      ("WITH v AS (" +
+        "SELECT doc_id, 0::BIGINT AS annotator, lang AS label FROM documents " +
+        "UNION ALL SELECT doc_id, 1, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END FROM documents " +
+        "UNION ALL SELECT doc_id, 2, CASE WHEN doc_id % 21 = 0 THEN 'xx' " +
+        "WHEN doc_id % 13 = 0 THEN 'yy' ELSE lang END FROM documents), " +
+        "c AS (SELECT doc_id, label, count(*)::BIGINT AS n FROM v GROUP BY doc_id, label), " +
+        "t AS (SELECT *, max(n) OVER (PARTITION BY doc_id) AS top_n FROM c), " +
+        "m AS (SELECT doc_id, min(CASE WHEN n = top_n THEN label END) AS maj, " +
+        "sum(CASE WHEN n = top_n THEN 1 ELSE 0 END) AS n_top FROM t GROUP BY doc_id), " +
+        "j AS (SELECT v.annotator, CASE WHEN v.label IS NOT DISTINCT FROM m.maj THEN 1 ELSE 0 END AS hit " +
+        "FROM v JOIN m ON v.doc_id = m.doc_id WHERE m.n_top = 1) " +
+        "SELECT annotator, count(*)::BIGINT AS n_votes, sum(hit)::BIGINT AS n_majority, " +
+        "((sum(hit) * 10000) // count(*))::BIGINT AS majority_x1e4 FROM j GROUP BY annotator"),
     // the same three synthetic annotators, reconciled with window SQL:
     // same majority, same lexicographic tie-break, same integer agreement
     "label_vote" ->
@@ -2663,7 +2698,7 @@ object SparkEntry {
         "sum(n)::BIGINT AS n_votes, count(*)::BIGINT AS n_labels, " +
         "max(top_n)::BIGINT AS top_n, " +
         "sum(CASE WHEN n = top_n THEN 1 ELSE 0 END)::BIGINT AS n_top, " +
-        "(max(top_n) * 10000) // sum(n) AS agreement_x1e4 " +
+        "((max(top_n) * 10000) // sum(n))::BIGINT AS agreement_x1e4 " +
         "FROM t GROUP BY doc_id"),
     // identical lag window (ts micros, event_id tie-break) and integer
     // per-origin share
@@ -2674,7 +2709,7 @@ object SparkEntry {
         "p AS (SELECT event_type AS prev_type, next_type, count(*)::BIGINT AS n " +
         "FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
         "SELECT prev_type, next_type, n, " +
-        "(n * 10000) // (sum(n) OVER (PARTITION BY prev_type)) AS share_x1e4 FROM p"),
+        "((n * 10000) // (sum(n) OVER (PARTITION BY prev_type)))::BIGINT AS share_x1e4 FROM p"),
     // identical integer idf ((1000*N) // df), identical whitespace
     // tokenization, identical (score desc, token asc) tie-break
     "keyword_tfidf" ->

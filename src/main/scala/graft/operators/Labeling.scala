@@ -26,6 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Labeling {
 
+  /** Per-annotator reliability report: each annotator's agreement with
+    * the reconciled majority ([[majorityVote]]) — the quality monitor
+    * that catches a drifting or adversarial labeler before their votes
+    * poison the gold set. Per annotator: `n_votes`, `n_majority` (votes
+    * that matched the majority label, null-safe), and the integer rate
+    * `majority_x1e4`. Contested examples (`n_top > 1`) are excluded —
+    * agreement with a tie-broken winner is luck, not reliability.
+    *
+    * Scale shape: the majority frame is one row per example — the
+    * vote table's natural reduction — and joins back to votes on the
+    * example key (equi-join, co-partitioned with majorityVote's own
+    * shuffle); the final per-annotator fold is an aggregation to
+    * |annotators| rows. */
+  def annotatorReport(votes: DataFrame, exampleCol: String,
+      annotatorCol: String, labelCol: String): DataFrame = {
+    val majority = majorityVote(votes, exampleCol, labelCol)
+      .where(col("n_top") === 1)
+      .select(col(s"`$exampleCol`"), col("label").as("__maj"))
+    votes.join(majority, Seq(exampleCol))
+      .groupBy(col(s"`$annotatorCol`").as(annotatorCol))
+      .agg(
+        count(lit(1)).as("n_votes"),
+        sum(when(col(s"`$labelCol`") <=> col("__maj"), 1L).otherwise(0L))
+          .as("n_majority"))
+      .withColumn("majority_x1e4", expr("n_majority * 10000 div n_votes"))
+  }
+
   def majorityVote(votes: DataFrame, exampleCol: String, labelCol: String): DataFrame = {
     val counts = votes
       .groupBy(col(s"`$exampleCol`").as("example"), col(s"`$labelCol`").as("label"))

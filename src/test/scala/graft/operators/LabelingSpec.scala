@@ -38,6 +38,26 @@ class LabelingSpec extends AnyFunSuite {
     assert(out(3L) === (("b", 3L, 2L, 2L, 1L, 6666L)))
   }
 
+  test("annotatorReport: agreement vs majority, contested examples excluded") {
+    import spark.implicits._
+    val votes = Seq(
+      // example 1: majority 'cat' (2-1); ann 3 dissents
+      (1L, 1L, "cat"), (1L, 2L, "cat"), (1L, 3L, "dog"),
+      // example 2: unanimous
+      (2L, 1L, "cat"), (2L, 2L, "cat"), (2L, 3L, "cat"),
+      // example 3: 1-1 tie -> excluded from every annotator's stats
+      (3L, 1L, "a"), (3L, 2L, "b"))
+      .toDF("example_id", "annotator", "label")
+    val out = Labeling.annotatorReport(votes, "example_id", "annotator", "label")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 10000L)),
+      2L -> ((2L, 2L, 10000L)),
+      3L -> ((2L, 1L, 5000L)))) // example 3 dropped: 2 votes counted, 1 hit
+  }
+
   test("two exchanges: pair-count shuffle, then example re-cluster; window+fold share the second") {
     import spark.implicits._
     val df = Seq(1L -> "a", 1L -> "b", 2L -> "a").toDF("example_id", "label")
