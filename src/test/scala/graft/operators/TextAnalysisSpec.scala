@@ -235,4 +235,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     // gone, entities decoded once: '&amp;lt;' -> '&lt;' literal, not '<'
     assert(out === "A & B x <tag> \"q\" 's' a b c &lt; d")
   }
+
+  test("stripMarkup stays in whole-stage codegen (no UDFs, narrow plan)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = df.select(TextAnalysis.stripMarkup(
+        org.apache.spark.sql.functions.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(plan.contains("*("), "stripMarkup must run inside whole-stage codegen")
+    assert(!plan.contains("Exchange"), "stripMarkup must be a narrow projection")
+  }
 }
