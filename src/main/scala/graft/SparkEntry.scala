@@ -492,6 +492,38 @@ object SparkEntry {
       events, "user_id", "ts_us", "event_type", Seq("event_id"))
   }
 
+  /** Per-source approximate percentiles with the `quantile_sketch`
+    * rank-error contract checked PER GROUP in-plan (integer
+    * cross-multiplication; eps = 1/1000 -> ±10 on the x1e4 grid) plus the
+    * member-value requirement (GK returns actual elements). The driver
+    * pulls one row per source between the two jobs — the bounded
+    * equivalent of quantile_sketch's 4 doubles. The oracle pins the
+    * all-pass verdict and the exact per-group counts. */
+  private def qGroupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    val qs = Seq(0.25, 0.50, 0.95)
+    val lo = Seq(2490L, 4990L, 9490L)
+    val hi = Seq(2510L, 5010L, 9510L)
+    val sk = graft.operators.Stats.groupPercentiles(docs, "source", "x", qs).collect()
+    import spark.implicits._
+    val probes = sk.toSeq.flatMap { r =>
+      val vs = r.getSeq[Double](2)
+      qs.indices.map(i => (r.getString(0), (qs(i) * 100).toLong, vs(i), lo(i), hi(i)))
+    }.toDF("source", "q", "v", "lo", "hi")
+    docs.join(broadcast(probes), Seq("source"))
+      .groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("x") < col("v"), 1)).as("lt"),
+        count(when(col("x") <= col("v"), 1)).as("le"),
+        count(when(col("x") === col("v"), 1)).as("eq"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("source"), col("q"), col("n"),
+        when(col("lt") * 10000 <= col("hi") * col("n") &&
+          col("le") * 10000 >= col("lo") * col("n"), 1L).otherwise(0L).as("ok"),
+        when(col("eq") > 0, 1L).otherwise(0L).as("ok_member"))
+  }
+
   /** Per-annotator reliability over the `label_vote` fixture: annotator 0
     * always votes the source lang (highest agreement), annotators 1 and 2
     * flip planted subsets; contested (tied) examples are excluded on both
@@ -2360,6 +2392,7 @@ object SparkEntry {
     "event_transitions" -> qEventTransitions,
     "text_strip_html" -> qTextStripHtml,
     "annotator_report" -> qAnnotatorReport,
+    "group_percentiles" -> qGroupPercentiles,
     "edit_pairs" -> qEditPairs,
     "incremental_score" -> qIncrementalScore,
     "sample_fixed_k" -> qSampleFixedK,
@@ -2668,6 +2701,12 @@ object SparkEntry {
         "'&nbsp;', ' '), '&amp;', '&'), " +
         "'\\s+', ' ', 'g')) AS clean FROM h) " +
         "SELECT doc_id, clean, length(clean)::BIGINT AS n_chars FROM s"),
+    // exact per-group counts + the pinned all-pass contract verdict
+    // (values themselves are sketch-dependent; the contract is not)
+    "group_percentiles" ->
+      ("WITH g AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source) " +
+        "SELECT g.source, t.q::BIGINT AS q, g.n, 1::BIGINT AS ok, 1::BIGINT AS ok_member " +
+        "FROM g CROSS JOIN (SELECT unnest([25, 50, 95]) AS q) t"),
     // same fixture, per-annotator view: agreement with the reconciled
     // majority, ties excluded on both sides
     "annotator_report" ->

@@ -74,4 +74,21 @@ object Stats {
       .select(col("key"), col("n"),
         expr("n * 10000 div total").as("share_x1e4"))
   }
+
+  /** Per-group approximate percentiles — the per-source length/score
+    * distribution report a curation dashboard gates on. `percentile_approx`
+    * (the mergeable Greenwald-Khanna sketch) runs INSIDE the groupBy, so
+    * every group aggregates map-side with no per-group sort — the shape
+    * that survives a skewed group at 100 TB, where the exact alternative
+    * (a rank window per group) lands each group's full data on one task.
+    * Returns one row per group: the group, its exact row count, and the
+    * quantile values array (sketch members, not interpolations). */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles must be in (0,1)")
+    df.groupBy(col(s"`$groupCol`"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col(s"`$valueCol`").cast("double"),
+          array(qs.map(lit): _*), lit(accuracy)).as("v"))
+  }
 }

@@ -39,4 +39,23 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.pearsonExact(df, "x", "y", 1, 1).collect()(0).getAs[Long]("n") === 1L)
     assert(Stats.histogram(df, "x", 10L, 5).collect().map(_.getLong(1)).sum === 2L)
   }
+
+  test("groupPercentiles: per-group counts, member values, correct medians") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("a", i.toDouble)) ++ (1 to 10).map(i => ("b", i * 1000.0))
+    val out = Stats.groupPercentiles(df.toDF("g", "x"), "g", "x", Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(out("a")._1 === 100L && out("b")._1 === 10L)
+    // GK at accuracy 1000 on tiny groups is exact, and returns members
+    assert(out("a")._2.head === 50.0)
+    assert(out("b")._2.head === 5000.0)
+  }
+
+  test("groupPercentiles rejects quantiles outside (0,1)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Stats.groupPercentiles(df, "g", "x", Seq(0.5, 1.0))
+    }
+  }
 }
