@@ -85,7 +85,6 @@ object Bench {
     // lives in `out`; the stdout line stays well under any capture bound.
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"n_queries":${results.size},"bench_file":"$out"}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
-    println(summary)
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -96,6 +95,11 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] failed to persist $out: $e")
     }
+    // The summary must be the FINAL unprefixed stdout line (the driver's
+    // parser reads the last non-sbt line): stop Spark BEFORE printing so
+    // no shutdown chatter can land after the JSON, then flush explicitly.
     spark.stop()
+    println(summary)
+    System.out.flush()
   }
 }

@@ -93,6 +93,17 @@ object TextAnalysis {
     * maps NULL conditions to 0, silently breaking the bit-for-bit
     * cross-engine contract the moment a corpus contains null documents.
     *
+    * The guard is arithmetic (`coalesce` each base count to 0), NOT a
+    * `when(text.isNull, ...)` wrapper around the outputs: a CaseWhen
+    * branch is conditionally evaluated, which disqualifies its subtree
+    * from whole-stage-codegen subexpression elimination — the r9 wrapper
+    * re-tokenized every document ~3x (one per output column) and tripled
+    * the operator's cost. The first child of Coalesce IS unconditionally
+    * evaluated, so the shared tokenize/line-split subtrees stay CSE'd to
+    * one evaluation per row, and with all counts 0 the rules reduce to
+    * exactly the defined NULL decision (0<min fires bit 0; the other
+    * rules compare 0 against 0 and stay clear).
+    *
     * Pure codegen'd builtins over a narrow projection: runs per-document
     * with no shuffle at any corpus size. */
   def qualityDecision(df: DataFrame, idCol: String, textCol: String,
@@ -103,12 +114,16 @@ object TextAnalysis {
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
     val text = col(s"`$textCol`")
     val toks = tokens(text)
-    val n = size(toks).cast("long")
-    val chars = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
-    val stop = size(filter(toks, t => stopwords.map(lit(_) === t).reduce(_ || _))).cast("long")
+    val n = coalesce(size(toks).cast("long"), lit(0L))
+    val chars = coalesce(
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v),
+      lit(0L))
+    val stop = coalesce(
+      size(filter(toks, t => stopwords.map(lit(_) === t).reduce(_ || _))).cast("long"),
+      lit(0L))
     val lines = split(text, "\n")
-    val nLines = size(lines).cast("long")
-    val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
+    val nLines = coalesce(size(lines).cast("long"), lit(0L))
+    val dupLines = coalesce((size(lines) - size(array_distinct(lines))).cast("long"), lit(0L))
     val r1 = (n < minTokens).cast("long")
     val r2 = (chars * 10 < n * (10L * minMeanWordLen) || chars * 10 > n * (10L * maxMeanWordLen)).cast("long")
     val r3 = (stop * 1000 < n * minStopFrac_x1e3).cast("long")
@@ -116,9 +131,9 @@ object TextAnalysis {
     val reasons = r1 + r2 * 2 + r3 * 4 + r4 * 8
     df.select(
       col(s"`$idCol`").as("doc_id"),
-      when(text.isNull, lit(0L)).otherwise(n).as("n_tokens"),
-      when(text.isNull, lit(1L)).otherwise(reasons).as("reasons"),
-      when(text.isNull, lit(0L)).otherwise((reasons === 0).cast("long")).as("keep"))
+      n.as("n_tokens"),
+      reasons.as("reasons"),
+      (reasons === 0).cast("long").as("keep"))
   }
 
   /** Language markers: tiny per-language stopword sets + CJK script check.

@@ -236,6 +236,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === "A & B x <tag> \"q\" 's' a b c &lt; d")
   }
 
+  test("qualityDecision: NULL guard stays arithmetic (no conditional wrapper)") {
+    // r9 regression pin: wrapping the outputs in when(text.isNull, ...)
+    // made the shared tokenize subtree a CaseWhen BRANCH — conditionally
+    // evaluated expressions are excluded from whole-stage-codegen
+    // subexpression elimination, so every document was re-tokenized once
+    // per output column (~3x the operator's cost at sf0.1). The NULL
+    // decision must stay encoded via coalesce-to-zero on the base counts
+    // (Coalesce's FIRST child is unconditionally evaluated, so CSE holds).
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qe = TextAnalysis.qualityDecision(df, "doc_id", "text").queryExecution
+    val conditionals = qe.optimizedPlan.expressions.flatMap(_.collect {
+      case c: org.apache.spark.sql.catalyst.expressions.CaseWhen => c
+      case i: org.apache.spark.sql.catalyst.expressions.If => i
+    })
+    assert(conditionals.isEmpty,
+      s"qualityDecision must not wrap outputs in conditionals: $conditionals")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("*(") && !plan.contains("Exchange"))
+  }
+
+  test("qualityDecision: null text gets the defined decision (0, 1, 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityDecision(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((0L, 1L, 0L)), "null text: n_tokens=0, reasons=bit0, keep=0")
+    // empty text keeps whatever the rules say, but must not be NULL-garbage
+    assert(out(2L)._2 >= 1L && out(2L)._3 === 0L)
+  }
+
   test("stripMarkup stays in whole-stage codegen (no UDFs, narrow plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = df.select(TextAnalysis.stripMarkup(
