@@ -2361,8 +2361,80 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // privacy-risk analytics (the measurement side of the masking engine)
+  // ---------------------------------------------------------------------
+
+  /** Per-equivalence-class k-anonymity + l-diversity over the classic
+    * quasi-identifier pair (nation, market segment) with account balance as
+    * the sensitive attribute — the report that decides WHICH columns the
+    * masking stage must treat. */
+  private def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    graft.operators.Privacy.anonymityReport(c, Seq("nat", "seg"), "bal_cents", k = 10, l = 5)
+      .orderBy("nat", "seg")
+  }
+
+  /** Generalization-ladder search: coarsen balance buckets until every
+    * (segment, bucket) class reaches k=10; `chosen` marks the minimal
+    * information-loss level. */
+  private def qGeneralizeKAnon(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    graft.operators.Privacy.generalizationLadder(c, "cents",
+      Seq(10000L, 100000L, 1000000L, 100000000L), Seq("seg"), k = 10)
+      .orderBy("width")
+  }
+
+  /** CCNet-style cross-corpus boilerplate removal: planted footer lines
+    * ("subscribe...", "all rights...") recur across >=50 docs and are
+    * dropped everywhere; each doc's unique tail line survives. */
+  private def qDedupLinesGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val planted = table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+        concat(lit("\ntail "), col("doc_id"))).as("text"))
+    graft.operators.TextAnalysis.removeBoilerplateLines(planted, "doc_id", "text", minDocFreq = 50)
+      .orderBy("doc_id")
+  }
+
+  /** Data-mixture plan: per-language token budget/weights against a target
+    * mixture (the published-mixture shape) under a 1B-token budget. */
+  private def qMixturePlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixturePlan(
+      table(spark, dir, "documents"), "lang", "n_chars",
+      Map("en" -> 500000L, "zh" -> 200000L, "de" -> 150000L,
+        "fr" -> 100000L, "es" -> 50000L),
+      budgetTokens = 1000000000L)
+      .withColumnRenamed("group", "grp")
+      .orderBy("grp")
+
+  /** Per-user rolling z-score anomaly flags over event values — exact
+    * integer inequality, no float z-scores (see Stats.rollingAnomalies). */
+  private def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.operators.Stats.rollingAnomalies(ev, Seq("user_id"), Seq("ts", "event_id"),
+        "value", window = 20, minPeriods = 8, zThreshold = 3)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("cents"), col("n_baseline"), col("flagged"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity" -> qKAnonymity,
+    "generalize_k_anon" -> qGeneralizeKAnon,
+    "dedup_lines_global" -> qDedupLinesGlobal,
+    "mixture_plan" -> qMixturePlan,
+    "anomaly_zscore" -> qAnomalyZscore,
     "mask_string_props" -> qMaskStringProps,
     "mask_format_props" -> qMaskFormatProps,
     "mask_date_props" -> qMaskDateProps,
@@ -2503,6 +2575,69 @@ object SparkEntry {
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
   def oracleSql: Map[String, String] = Map(
+    // per-class k-anonymity/l-diversity over (nation, segment)
+    "k_anonymity" ->
+      ("WITH c AS (SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg, " +
+        "round(c_acctbal * 100)::BIGINT AS bal_cents FROM customer) " +
+        "SELECT nat, seg, count(*)::BIGINT AS class_size, " +
+        "count(DISTINCT bal_cents)::BIGINT AS l_diversity, " +
+        "(count(*) >= 10)::BIGINT AS k_ok, " +
+        "(count(DISTINCT bal_cents) >= 5)::BIGINT AS l_ok " +
+        "FROM c GROUP BY nat, seg ORDER BY nat, seg"),
+    // ladder of balance-bucket widths; chosen = minimal width meeting k=10
+    "generalize_k_anon" ->
+      ("WITH c AS (SELECT c_mktsegment AS seg, round(c_acctbal * 100)::BIGINT AS cents FROM customer), " +
+        "lv AS (SELECT w FROM (VALUES (10000), (100000), (1000000), (100000000)) t(w)), " +
+        "g AS (SELECT w, seg, cents - ((cents % w) + w) % w AS bucket, count(*) AS class_size " +
+        "FROM c CROSS JOIN lv GROUP BY 1, 2, 3), " +
+        "p AS (SELECT w, count(*) AS n_classes, min(class_size) AS min_class_size, " +
+        "coalesce(sum(CASE WHEN class_size < 10 THEN class_size END), 0) AS rows_below_k " +
+        "FROM g GROUP BY w) " +
+        "SELECT w::BIGINT AS width, n_classes::BIGINT AS n_classes, " +
+        "min_class_size::BIGINT AS min_class_size, rows_below_k::BIGINT AS rows_below_k, " +
+        "coalesce(w = min(CASE WHEN min_class_size >= 10 THEN w END) OVER (), false)::BIGINT AS chosen " +
+        "FROM p ORDER BY width"),
+    // same planted footer lines; doc-freq >= 50 lines drop everywhere
+    "dedup_lines_global" ->
+      ("WITH t AS (SELECT doc_id, text " +
+        "|| CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END " +
+        "|| chr(10) || 'tail ' || doc_id AS text FROM documents), " +
+        "l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t), " +
+        "e AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line FROM l), " +
+        "n AS (SELECT doc_id, pos, line, trim(lower(line)) AS norm FROM e), " +
+        "hot AS (SELECT norm FROM n GROUP BY norm HAVING count(DISTINCT doc_id) >= 50), " +
+        "kept AS (SELECT * FROM n WHERE norm NOT IN (SELECT norm FROM hot)), " +
+        "r AS (SELECT doc_id, count(*)::BIGINT AS n_lines_after, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) " +
+        "SELECT l.doc_id, len(l.lines)::BIGINT AS n_lines_before, " +
+        "coalesce(r.n_lines_after, 0)::BIGINT AS n_lines_after, " +
+        "coalesce(r.clean_text, '') AS clean_text " +
+        "FROM l LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
+    // per-language mixture plan vs explicit target ppm under a 1B budget
+    "mixture_plan" ->
+      ("WITH c AS (SELECT lang AS grp, sum(n_chars)::BIGINT AS tokens FROM documents " +
+        "WHERE lang IS NOT NULL GROUP BY lang), " +
+        "tot AS (SELECT sum(tokens)::BIGINT AS total FROM c), " +
+        "t AS (SELECT grp, tokens, (CASE grp WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 " +
+        "WHEN 'de' THEN 150000 WHEN 'fr' THEN 100000 WHEN 'es' THEN 50000 ELSE 0 END)::BIGINT AS target_ppm FROM c) " +
+        "SELECT grp, tokens, round(tokens::DOUBLE * 1000000 / total)::BIGINT AS actual_ppm, " +
+        "target_ppm, round(target_ppm::DOUBLE * total / greatest(tokens, 1))::BIGINT AS weight_x1e6, " +
+        "((target_ppm * 1000000000) // 1000000)::BIGINT AS planned_tokens, " +
+        "round(((target_ppm * 1000000000) // 1000000)::DOUBLE * 100 / greatest(tokens, 1))::BIGINT AS epochs_x100 " +
+        "FROM t, tot ORDER BY grp"),
+    // trailing-window integer z^2 inequality, per user, 20-row lookback
+    "anomaly_zscore" ->
+      ("WITH k AS (SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS cents FROM events), " +
+        "w AS (SELECT user_id, event_id, cents, " +
+        "count(cents) OVER win AS n_baseline, sum(cents) OVER win AS s, " +
+        "sum(cents * cents) OVER win AS q FROM k " +
+        "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, cents, " +
+        "n_baseline::BIGINT AS n_baseline, " +
+        "(n_baseline >= 8 AND (n_baseline * cents - s) * (n_baseline * cents - s) * (n_baseline - 1) " +
+        "> 9 * n_baseline * (n_baseline * q - s * s))::BIGINT AS flagged " +
+        "FROM w ORDER BY user_id, event_id"),
     "mask_string_props" ->
       ("SELECT count(*) AS n, count(c_name) AS n_nonnull, count(c_name) AS n_len16, " +
         "count(c_name) AS n_alpha, count(c_name) AS n_stable, count(c_name) AS n_numeric, " +

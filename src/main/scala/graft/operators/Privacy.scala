@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk analytics over quasi-identifiers — the measurement side of
+  * the masking engine (the reference masks columns; a real deployment first
+  * has to find out WHICH grouping of quasi-identifiers re-identifies people
+  * and how coarse the generalization must be to stop it).
+  *
+  * Two operators:
+  *   - [[anonymityReport]]: per-equivalence-class k-anonymity + l-diversity
+  *     (Sweeney 2002; Machanavajjhala et al. 2007 "l-diversity") — one
+  *     hash-aggregate over the quasi-identifier tuple.
+  *   - [[generalizationLadder]]: for a numeric quasi-identifier and a ladder
+  *     of bucket widths, compute every ladder level's anonymity profile in a
+  *     SINGLE pass (explode by level — L is tiny, ≤ ~6) and mark the
+  *     coarsest-necessary (minimal) level whose every class reaches k.
+  *
+  * Scale shape: both are one shuffle on the (generalized) quasi tuple with
+  * map-side partial aggregation; the ladder multiplies the scan by L before
+  * the shuffle, not after (partials absorb it). No windows over a global
+  * ordering, no driver collects. Integer observables only (group sizes,
+  * distinct counts, bucket floors), so any engine replays the report
+  * bit-for-bit.
+  */
+object Privacy {
+
+  /** Per-equivalence-class report: one row per distinct quasi-identifier
+    * tuple with its size (k of that class), the number of distinct
+    * sensitive values seen in it (its l-diversity), and pass flags against
+    * the required k and l. Rows where `k_ok = 0` are exactly the records a
+    * masking pipeline must treat before release.
+    */
+  def anonymityReport(df: DataFrame, quasi: Seq[String], sensitive: String,
+                      k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, "k and l must be positive")
+    df.groupBy(quasi.map(c => col(s"`$c`")): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        count_distinct(col(s"`$sensitive`")).as("l_diversity"))
+      .select(quasi.map(c => col(s"`$c`")) ++ Seq(
+        col("class_size"),
+        col("l_diversity"),
+        (col("class_size") >= k).cast("long").as("k_ok"),
+        (col("l_diversity") >= l).cast("long").as("l_ok")): _*)
+  }
+
+  /** Floor-to-bucket generalization of an integer column that is exact and
+    * engine-portable for NEGATIVE values too: `v - pmod(v, width)` (plain
+    * integer-division floors toward zero, which would merge the two buckets
+    * around 0). */
+  def bucketFloor(v: Column, width: Long): Column = v - pmod(v, lit(width))
+
+  /** Evaluate a generalization ladder over one integer quasi-identifier
+    * column (`numericQuasi`, e.g. account balance in cents) combined with
+    * categorical quasi columns that stay as-is. For each ladder width,
+    * report the number of equivalence classes, the minimum class size, and
+    * the count of records living in classes below k; `chosen = 1` marks the
+    * SMALLEST width whose minimum class size reaches k (the least
+    * information loss that satisfies k-anonymity). The ladder should end in
+    * a width wide enough to be a safe fallback (one bucket).
+    *
+    * One job: explode each row into L (row, width) pairs, aggregate on
+    * (width, bucket, categorical quasi) with map-side partials, then a
+    * second tiny aggregate to one row per width (L rows total).
+    */
+  def generalizationLadder(df: DataFrame, numericQuasi: String,
+                           widths: Seq[Long], categoricalQuasi: Seq[String],
+                           k: Int): DataFrame = {
+    require(widths.nonEmpty, "ladder must have at least one width")
+    require(widths.forall(_ >= 1), "widths must be positive")
+    val exploded = df.select(
+      (categoricalQuasi.map(c => col(s"`$c`")) :+
+        explode(array(widths.map(w => struct(
+          lit(w).as("width"),
+          bucketFloor(col(s"`$numericQuasi`").cast("long"), w).as("bucket"))): _*)).as("g")): _*)
+    val classes = exploded
+      .groupBy((Seq(col("g.width")) ++ categoricalQuasi.map(c => col(s"`$c`")) :+ col("g.bucket")): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val perLevel = classes.groupBy(col("width"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+          .as("rows_below_k"))
+    // L rows total: the single-partition window is over the ladder, not data.
+    val overAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    perLevel.select(
+      col("width"),
+      col("n_classes"),
+      col("min_class_size"),
+      col("rows_below_k"),
+      coalesce(
+        col("width") === min(when(col("min_class_size") >= k, col("width"))).over(overAll),
+        lit(false)) // no level satisfies k -> no row chosen (NULL min)
+        .cast("long").as("chosen"))
+  }
+}

@@ -145,6 +145,50 @@ object Sampling {
     df.withColumn("epoch", explode(filter(admitted, x => x.isNotNull)))
   }
 
+  /** Data-mixture plan: given a per-row token count and a TARGET share per
+    * group (parts-per-million, the published-mixture shape — e.g. The Pile /
+    * Dolma report per-source percentages), compute what it takes to hit the
+    * target from this corpus under a total token budget: per group the
+    * observed tokens, observed share, sampling weight (target ÷ observed
+    * share — >1e6 means up-sample/repeat, <1e6 means down-sample), the
+    * token allotment under the budget, and the epoch count over the group's
+    * data that allotment implies (x100). Groups absent from the target map
+    * get weight 0 (curation semantics: an unlisted source is excluded).
+    *
+    * Scale shape: ONE aggregate keyed on the group (map-side partials over
+    * the narrow (group, tokens) projection — document bodies never move),
+    * then a broadcast of the single-row grand total onto group-cardinality
+    * rows. No windows, no driver collect. Budget arithmetic is integer
+    * (`div`); shares/weights are double-computed but pinned by round() at
+    * fixed scale, which both engines replay identically.
+    */
+  def mixturePlan(df: DataFrame, groupCol: String, tokensCol: String,
+                  targetPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(targetPpm.values.forall(_ >= 0), "target shares must be >= 0")
+    val g = col(s"`$groupCol`").cast("string")
+    val counts = df.where(g.isNotNull)
+      .groupBy(g.as("group"))
+      .agg(sum(col(s"`$tokensCol`").cast("long")).as("tokens"))
+    val total = counts.agg(sum(col("tokens")).as("__total"))
+    val target = targetPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (grp, ppm)) => when(col("group") === grp, ppm).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("target_ppm", target)
+      .select(
+        col("group"),
+        col("tokens"),
+        round(col("tokens").cast("double") * 1000000d / col("__total"))
+          .cast("long").as("actual_ppm"),
+        col("target_ppm"),
+        round(col("target_ppm").cast("double") * col("__total") /
+          greatest(col("tokens"), lit(1L))).cast("long").as("weight_x1e6"),
+        expr(s"(target_ppm * ${budgetTokens}L) div 1000000L").as("planned_tokens"),
+        round(expr(s"(target_ppm * ${budgetTokens}L) div 1000000L").cast("double") *
+          100d / greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x100"))
+  }
+
   /** Stratified hash sampling: per-stratum basis-point rates, default 0
     * (strata absent from the map are dropped — curation semantics: an
     * unlisted source does not leak into the mix). The rate lookup compiles

@@ -75,6 +75,54 @@ object Stats {
         expr("n * 10000 div total").as("share_x1e4"))
   }
 
+  /** Rolling z-score anomaly detection with EXACT integer arithmetic: flag
+    * a value whose squared deviation from its trailing window's mean
+    * exceeds `zThreshold`² × the window's sample variance — evaluated as a
+    * cross-multiplied integer inequality, so there is no float z-score for
+    * engines to disagree about. The value snaps to the cent grid; with a
+    * window of W rows, the largest product is
+    * (W·maxCents)²·W ≲ 9·z²·W²·maxCents², well inside Long for
+    * W ≤ ~1000 at maxCents ~ 1e5.
+    *
+    * Derivation: z² > t²  ⟺  (c − s/n)² > t²·(n·q − s²)/(n(n−1))
+    *             ⟺  (n·c − s)²·(n−1) > t²·n·(n·q − s²)
+    * where c = cents, s = Σcents, q = Σcents², n = trailing window size.
+    *
+    * The window partitions by `partCols` (e.g. user) and looks back over
+    * the `minPeriods..window` PRECEDING rows only — the flagged row never
+    * contaminates its own baseline. Partition cardinality is the
+    * parallelism: per-user/per-entity windows spread across the cluster;
+    * do NOT call this with a constant partition key at scale.
+    *
+    * Output: input columns + n_baseline, cents, flagged (0/1). Rows with
+    * fewer than `minPeriods` preceding rows are never flagged (n_baseline
+    * reports what was available). */
+  def rollingAnomalies(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
+                       valueCol: String, window: Int, minPeriods: Int,
+                       zThreshold: Int): DataFrame = {
+    require(window >= 2 && minPeriods >= 2 && minPeriods <= window,
+      "need window >= minPeriods >= 2 (sample variance needs n >= 2)")
+    require(zThreshold >= 1, "zThreshold must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(c => col(s"`$c`")): _*)
+      .orderBy(orderCols.map(c => col(s"`$c`")): _*)
+      .rowsBetween(-window, -1)
+    val c = round(col(s"`$valueCol`") * 100, 0).cast("long")
+    val base = df
+      .withColumn("cents", c)
+      .withColumn("n_baseline", count(col("cents")).over(w))
+      .withColumn("__s", sum(col("cents")).over(w))
+      .withColumn("__q", sum(col("cents") * col("cents")).over(w))
+    val n = col("n_baseline"); val s = col("__s"); val q = col("__q")
+    val dev = n * col("cents") - s // n·c − s
+    val lhs = dev * dev * (n - 1L)
+    val rhs = lit(zThreshold.toLong * zThreshold) * n * (n * q - s * s)
+    base
+      .withColumn("flagged",
+        (n >= minPeriods && lhs > rhs).cast("long"))
+      .drop("__s", "__q")
+  }
+
   /** Per-group approximate percentiles — the per-source length/score
     * distribution report a curation dashboard gates on. `percentile_approx`
     * (the mergeable Greenwald-Khanna sketch) runs INSIDE the groupBy, so

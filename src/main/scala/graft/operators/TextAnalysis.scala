@@ -177,6 +177,54 @@ object TextAnalysis {
   def dropDuplicateLines(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
+  /** CCNet-style CROSS-corpus boilerplate removal (Wenzek et al. 2020 §4.1
+    * dedups paragraphs across shards; C4 drops lines seen ≥3 times): a line
+    * whose normalized form appears in at least `minDocFreq` DISTINCT
+    * documents is boilerplate ("subscribe now", cookie banners) and is
+    * removed from every document; all other lines keep their original
+    * order. Differs from [[dropDuplicateLines]], which is intra-document
+    * only.
+    *
+    * Scale shape: posexplode -> ONE aggregate keyed on the normalized line
+    * (map-side partials; `count_distinct(doc)` is exact) -> filter to the
+    * hot set — which a pigeonhole bound keeps small: at most
+    * total_lines / minDocFreq lines can clear the frequency bar, so the
+    * join back is against a heavily reduced build side (AQE broadcasts it
+    * when it fits; the join stays key-partitioned otherwise). Reassembly is
+    * one groupBy(doc) with an order-restoring sort_array over (pos, line) —
+    * per-document state only, no global sort. Docs whose every line was
+    * boilerplate survive with empty text (n_lines_after = 0).
+    *
+    * Output: doc_id, n_lines_before, n_lines_after, clean_text.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would delete every line")
+    val base = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+      split(col(s"`$textCol`"), "\n").as("__lines"))
+    val lines = base.select(col("doc_id"),
+      posexplode(col("__lines")).as(Seq("pos", "line")))
+      .withColumn("norm", trim(lower(col("line"))))
+    val hot = lines.groupBy(col("norm"))
+      .agg(count_distinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select(col("norm"))
+    val kept = lines.join(hot, Seq("norm"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_after"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(pos, line))), s -> s.line)"),
+          "\n").as("clean_text"))
+    base.select(col("doc_id"), size(col("__lines")).cast("long").as("n_lines_before"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines_before"),
+        coalesce(col("n_lines_after"), lit(0L)).as("n_lines_after"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Canonical-content fingerprint: xxhash64 of the lowercased,
     * whitespace-collapsed text. Stable across runs and executors; two
     * documents with the same canonical content always collide. */

@@ -124,6 +124,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.fixedKPerStratum(tiny, "s", "id", 5).count() === 3L)
   }
 
+  test("mixturePlan computes weights, allotments, and epochs per group") {
+    import spark.implicits._
+    // en: 600 tokens observed, es: 400 -> shares 600000/400000 ppm
+    val df = Seq(("en", 100L), ("en", 500L), ("es", 400L), (null, 999L)).toDF("lang", "toks")
+    val out = Sampling.mixturePlan(df, "lang", "toks",
+        Map("en" -> 250000L, "es" -> 750000L), budgetTokens = 1000000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // null group dropped entirely
+    assert(out.keySet === Set("en", "es"))
+    // en: weight = 0.25/0.6 x1e6 ~ 416667; planned = 250k; epochs = 250000/600*100
+    assert(out("en") === ((600L, 600000L, 250000L, 416667L, 250000L, 41667L)))
+    // es: up-sampled (weight > 1e6): 0.75/0.4 = 1.875
+    assert(out("es") === ((400L, 400000L, 750000L, 1875000L, 750000L, 187500L)))
+  }
+
+  test("mixturePlan: groups absent from the target get weight 0") {
+    import spark.implicits._
+    val df = Seq(("en", 100L), ("xx", 900L)).toDF("lang", "toks")
+    val out = Sampling.mixturePlan(df, "lang", "toks", Map("en" -> 1000000L), 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("xx") === ((0L, 0L, 0L)))
+    assert(out("en")._2 === 10000000L) // 1.0 target / 0.1 observed = 10x
+  }
+
   test("curriculumMix: one scan, per-epoch membership equals temperatureMixSample") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, "s" + (i % 3))).toDF("id", "s")

@@ -58,4 +58,60 @@ class StatsSpec extends AnyFunSuite {
       Stats.groupPercentiles(df, "g", "x", Seq(0.5, 1.0))
     }
   }
+
+  test("rollingAnomalies flags a spike against its trailing baseline only") {
+    import spark.implicits._
+    // user 1: ten 10.00s, then 50.00 (spike), then 10.00 again
+    val rows = (1 to 10).map(i => (1L, i.toLong, 10.0)) ++
+      Seq((1L, 11L, 50.0), (1L, 12L, 10.0))
+    val df = rows.toDF("u", "seq", "v")
+    val out = Stats.rollingAnomalies(df, Seq("u"), Seq("seq"), "v",
+        window = 20, minPeriods = 4, zThreshold = 3)
+      .collect().map(r => r.getAs[Long]("seq") ->
+        ((r.getAs[Long]("n_baseline"), r.getAs[Long]("flagged")))).toMap
+    // constant baseline: zero variance, so ANY deviation exceeds it
+    assert(out(11L) === ((10L, 1L)))
+    // the early rows never have minPeriods of history
+    (1 to 4).foreach(i => assert(out(i.toLong)._2 === 0L, s"row $i"))
+    // equal-to-baseline rows have lhs = 0, never flagged
+    assert(out(10L)._2 === 0L)
+    // the row AFTER the spike compares against a baseline containing the
+    // spike - higher variance, 10.00 is within 3 sigma of it
+    assert(out(12L)._2 === 0L)
+  }
+
+  test("rollingAnomalies matches the float z-score on a noisy series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Vector.fill(200)(50.0 + rnd.nextInt(2000) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("u", "seq", "v")
+    val w = 20; val mp = 8; val t = 3
+    val out = Stats.rollingAnomalies(df, Seq("u"), Seq("seq"), "v", w, mp, t)
+      .collect().map(r => r.getAs[Long]("seq") -> r.getAs[Long]("flagged")).toMap
+    // reference: naive float z-score over the same trailing window
+    val cents = vals.map(v => math.round(v * 100))
+    for (i <- vals.indices) {
+      val baseline = cents.slice(math.max(0, i - w), i)
+      val expect =
+        if (baseline.size < mp) 0L
+        else {
+          val n = baseline.size.toDouble
+          val mean = baseline.sum / n
+          val variance = baseline.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+          if ((cents(i) - mean) * (cents(i) - mean) > t * t * variance) 1L else 0L
+        }
+      assert(out(i.toLong) === expect, s"row $i")
+    }
+  }
+
+  test("rollingAnomalies validates window parameters") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1.0)).toDF("u", "seq", "v")
+    intercept[IllegalArgumentException] {
+      Stats.rollingAnomalies(df, Seq("u"), Seq("seq"), "v", 10, 1, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.rollingAnomalies(df, Seq("u"), Seq("seq"), "v", 4, 8, 3)
+    }
+  }
 }

@@ -266,6 +266,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L)._2 >= 1L && out(2L)._3 === 0L)
   }
 
+  test("removeBoilerplateLines drops cross-doc hot lines, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nSubscribe Now\nbody a"),
+      (2L, "body b\nsubscribe now"),
+      (3L, "subscribe  now trailing\n subscribe now \nbody c"),
+      (4L, "SUBSCRIBE NOW")).toDF("doc_id", "text")
+    // normalized "subscribe now" appears in docs 1,2,3,4 (doc 3 matches via
+    // trim+lower; its "subscribe  now trailing" line does NOT) -> hot at 3
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 2L, "unique one\nbody a")))
+    assert(out(2L) === ((2L, 1L, "body b")))
+    assert(out(3L) === ((3L, 2L, "subscribe  now trailing\nbody c")))
+    // a doc that was ALL boilerplate survives with empty text
+    assert(out(4L) === ((1L, 0L, "")))
+  }
+
+  test("removeBoilerplateLines: below-threshold duplicates are kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "shared\na" && out(2L) === "shared\nb")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 1)
+    }
+  }
+
   test("stripMarkup stays in whole-stage codegen (no UDFs, narrow plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = df.select(TextAnalysis.stripMarkup(
