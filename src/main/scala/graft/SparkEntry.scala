@@ -483,10 +483,8 @@ object SparkEntry {
     * DuckDB. Micros precision with event_id tie-break, like
     * `events_funnel`. */
   private def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = table(spark, dir, "events").select(
-      col("user_id"), expr("ts div 1000").as("ts_us"),
+      col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
       col("event_id"), col("event_type"))
     graft.operators.Funnel.transitionCounts(
       events, "user_id", "ts_us", "event_type", Seq("event_id"))
@@ -836,8 +834,6 @@ object SparkEntry {
     * (order-independent); the checksum is on the cent grid, so floats can't
     * wobble the compare (see [[graft.operators.Resample]]). */
   private def qGapfillResample(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val filled = graft.operators.Resample.gapFillForward(
       table(spark, dir, "events"), "user_id", "ts", "value", bucketSeconds = 86400L)
     filled.agg(
@@ -1324,8 +1320,6 @@ object SparkEntry {
   /** Key-skew diagnostic: top-10 heaviest user_ids with per-10k share —
     * the report run before choosing salting/broadcast for a join key. */
   private def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.operators.Stats.skewReport(table(spark, dir, "events"), "user_id", topN = 10)
   }
 
@@ -1334,13 +1328,11 @@ object SparkEntry {
     * strings with ordered string_agg; order keys are exact integers
     * (epoch micros + event_id tiebreak). */
   private def qAssembleDocs(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val pieces = table(spark, dir, "events").select(
       col("user_id"),
-      expr("ts div 1000").as("us"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
       col("event_id"),
-      concat(col("event_type"), lit(":"), expr("ts div 1000").cast("string")).as("piece"))
+      concat(col("event_type"), lit(":"), unix_micros(col("ts").cast("timestamp")).cast("string")).as("piece"))
     graft.operators.Assembly.assemble(pieces, "user_id", Seq("us", "event_id"), "piece")
       .orderBy("key")
   }
@@ -1709,8 +1701,6 @@ object SparkEntry {
     * moving average would hit retraction rounding (sum+new-old) right at
     * floor boundaries and mismatch rarely-but-surely. */
   private def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 0)
@@ -1787,7 +1777,7 @@ object SparkEntry {
   private def qLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events").select(
       col("user_id"), col("event_id"), col("value"),
-      (unix_millis(timestamp_micros((col("ts") / 1000).cast("long"))) * lit(1048576L)
+      (unix_millis(col("ts").cast("timestamp")) * lit(1048576L)
         + col("event_id")).as("ord"))
     ev.groupBy(col("user_id"))
       .agg(max_by(col("event_id"), col("ord")).as("last_id"),
@@ -1910,10 +1900,8 @@ object SparkEntry {
     * latest at-or-before signup of its user; DuckDB's native ASOF JOIN
     * recomputes the exact matched set. */
   private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def events = table(spark, dir, "events").select(
-      col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
       col("user_id"), col("event_type"))
     val signups = events.where(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
@@ -1960,15 +1948,12 @@ object SparkEntry {
   }
 
   private def qEventsWindow(spark: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS): unreadable as TimestampType in
-    // Spark 4 - read nanos as long, convert to micros explicitly. The conf
-    // is session-wide, so the entry-point builders (Verify/Bench/tests) own
-    // it; this fallback only fires on a session that never set it, instead
-    // of unconditionally mutating shared config mid-flight (judge r3).
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is parquet TIMESTAMP(MICROS, no tz) = TIMESTAMP_NTZ in
+    // Spark 4; the cast to (ltz) timestamp is exact under the UTC session
+    // timezone every entry-point builder pins, and gives window() the
+    // event-time type the rest of the pipeline (watermarks, unix_*) uses.
     table(spark, dir, "events")
-      .select(col("event_type"), window(timestamp_micros((col("ts") / 1000).cast("long")), "1 hour").getField("start").as("ws"))
+      .select(col("event_type"), window(col("ts").cast("timestamp"), "1 hour").getField("start").as("ws"))
       .groupBy(col("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("ws")).as("ws_epoch"), col("event_type"), col("n"))
@@ -1981,13 +1966,11 @@ object SparkEntry {
     * must match the batch oracle exactly. Complete mode retains all window
     * state, so the single micro-batch aggregates every row. */
   private def qEventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(
-        timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
     val agg = graft.streaming.Streaming.windowedCounts(stream)
     val sink = "graft_events_stream_sink"
@@ -2043,10 +2026,8 @@ object SparkEntry {
     * a gap of EXACTLY the duration starts a new session (half-open
     * windows), which the oracle encodes with `>=`. */
   private def qSessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .select(col("user_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .agg(
@@ -2061,8 +2042,6 @@ object SparkEntry {
     * equivalent batch join; per-row floor(value*100) keeps the double sum
     * integer-exact across engines. */
   private def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -2087,8 +2066,6 @@ object SparkEntry {
     * parquet via per-batch appends; the read-back aggregate equals the
     * batch filter, which the oracle recomputes. */
   private def qStreamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_febatch_sink")
     if (out.exists()) {
@@ -2124,13 +2101,11 @@ object SparkEntry {
     * that exact emitted set, so BOTH emission paths (data-closure and
     * watermark timeout) are verified. */
   private def qEventsSessionsStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.Streaming.Event]
     val sessions = graft.streaming.Streaming.sessionize(stream, gapMinutes = 30,
@@ -2155,13 +2130,11 @@ object SparkEntry {
     * immediately, so the emitted pair set is exactly the batch join,
     * which the oracle recomputes. */
   private def qStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def sideStream(eventType: String): DataFrame = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .where(col("event_type") === eventType)
-      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"))
     val joined = graft.streaming.Streaming.intervalJoin(
       sideStream("click"), sideStream("purchase"), gapMinutes = 30)
@@ -2195,12 +2168,10 @@ object SparkEntry {
     * watermark horizon and the emitted set is exactly the distinct ids —
     * which the oracle recomputes along with the planted-input row count. */
   private def qEventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def source() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("event_id"), timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
     val withDups = source().unionAll(source().where(col("event_id") % 10 === 0))
     val deduped = graft.streaming.Streaming.dedupWithinWatermark(
@@ -2220,11 +2191,9 @@ object SparkEntry {
     * twin of the streaming operator; the oracle recomputes the same
     * sessions with window functions in DuckDB. */
   private def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = table(spark, dir, "events").select(
       col("user_id"),
-      timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("value"))
     graft.streaming.Streaming.sessionizeBatch(events, gapMinutes = 30)
       .agg(
@@ -2235,13 +2204,11 @@ object SparkEntry {
 
   /** Conversion funnel view -> click -> purchase: one shuffle + per-user
     * codegen'd fold ([[graft.operators.Funnel]]) vs the oracle's k-1
-    * self-join recompute. Timestamps truncate to MICROS on both sides
-    * (DuckDB reads the parquet NANOS column at micro precision). */
+    * self-join recompute. Both engines read the parquet MICROS column at
+    * full precision (`unix_micros` here, `epoch_us` in the oracle). */
   private def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = table(spark, dir, "events").select(
-      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_type"))
     graft.operators.Funnel.report(events, "user_id", "ts_us", "event_type",
       Seq("view", "click", "purchase"))
   }
@@ -2251,10 +2218,8 @@ object SparkEntry {
     * ([[graft.operators.Cohorts]]); the oracle recomputes via the naive
     * min-join formulation. Micros precision, like `events_funnel`. */
   private def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = table(spark, dir, "events").select(
-      col("user_id"), expr("ts div 1000").as("ts_us"))
+      col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
     graft.operators.Cohorts.retention(events, "user_id", "ts_us", 86400000000L)
   }
 
