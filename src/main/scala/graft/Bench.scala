@@ -27,15 +27,24 @@ object Bench {
     // + min per query reports the real cost instead of whichever pass a GC
     // pause landed on
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // A failed query must surface as a FAILURE, never as a timing: round 9's
+    // broken gapfill_resample was recorded at 0.081s — the analysis-error
+    // path, timed as the fastest query in the suite — because the catch
+    // swallowed the exception and let the elapsed time land in `queries`.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to passes).map { _ =>
+      .flatMap { case (name, fn) =>
+        val times = (1 to passes).flatMap { _ =>
           val t0 = System.nanoTime()
           // collect, not count: count() lets Catalyst prune deterministic
           // expression columns out of aggregates, skipping the measured work.
           // Every query returns a small aggregate or a <=10k-row profile.
-          try { fn(spark, sfDir).collect().length } catch { case _: Throwable => -1 }
+          val ok = try { fn(spark, sfDir).collect(); true } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+              false
+          }
           val elapsed = (System.nanoTime() - t0) / 1e9
           // Release any storage the query left behind so one query's retained
           // blocks don't distort the next measurement (r3: accumulated caches
@@ -46,9 +55,9 @@ object Bench {
           try { spark.catalog.clearCache() } catch { case _: Throwable => }
           graft.functions.MaskFunctions.clearCache()
           System.gc()
-          elapsed
+          if (ok) Some(elapsed) else None
         }
-        name -> times.min
+        if (times.isEmpty) None else Some(name -> times.min)
       }
     // single-threaded CPU calibration: a fixed Argon2id workload (the same
     // 16384KB/1-iter profile the headline query uses), median of 5. Box
@@ -83,8 +92,16 @@ object Bench {
     // truncated the full per-query line two rounds running (r7 lost the
     // tail, r8 the head — "parsed": null both times). The complete artifact
     // lives in `out`; the stdout line stays well under any capture bound.
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"n_queries":${results.size},"bench_file":"$out"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"n_queries":${results.size},"n_failed":${errors.size},"bench_file":"$out"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)}}"""
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -23,14 +23,17 @@ object Cohorts {
   /** Retention matrix `(cohort, offset, n_users)`: users whose first-ever
     * event falls in period `cohort` and who have at least one event in
     * period `cohort + offset`. `offset` 0 row = cohort size (every user is
-    * active in their first period by definition). `tsCol` must be an
-    * integer timestamp; `periodLength` the period in the same unit. */
+    * active in their first period by definition). `tsCol` resolves
+    * through [[TimeCols]]: integral columns keep the caller's unit,
+    * timestamp columns become epoch micros; `periodLength` is the period
+    * in that resolved unit. */
   def retention(events: DataFrame, userCol: String, tsCol: String,
       periodLength: Long): DataFrame = {
     require(periodLength > 0, "periodLength must be positive")
-    val period = expr(s"`$tsCol` div ${periodLength}L")
     events
-      .select(col(s"`$userCol`").as("__user"), period.as("__p"))
+      .select(col(s"`$userCol`").as("__user"),
+        TimeCols.epochMicros(events, tsCol).as("__ts"))
+      .select(col("__user"), expr(s"__ts div ${periodLength}L").as("__p"))
       .groupBy(col("__user"))
       .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("ps"))
       .select(col("cohort"), explode(col("ps")).as("p"))

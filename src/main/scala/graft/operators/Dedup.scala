@@ -71,16 +71,16 @@ object Dedup {
     *   - rounds 2+ join edges against only the FRONTIER (labels that changed
     *     last round), which shrinks geometrically — a label that stopped
     *     changing can send no new minimum;
-    *   - each round is one checkpoint job (pure codegen — no UDF in the
-    *     per-row label combine) plus a convergence count that only scans the
-    *     cached checkpoint blocks of the (vertex-sized) label frame. The
-    *     count used to ride the checkpoint via an accumulator ticked from a
-    *     per-row nondeterministic UDF; that UDF sat on the hottest iterative
-    *     path and broke whole-stage codegen for the entire step projection,
-    *     which is a far worse trade than a cached-scan count job;
-    *   - per-round changed counts and rounds-to-convergence are logged
-    *     (`graft.cc round=N changed=M`) so a run that converges slowly is
-    *     diagnosable from the driver log.
+    *   - each round is EXACTLY one job: the eager checkpoint materializes
+    *     the stepped labels, and the convergence signal rides that same job
+    *     as a `Dataset.observe` / CollectMetrics observation
+    *     (`sum(when(changed,1))`) — no per-round count job (the r9 design,
+    *     whose per-job fixed cost dominated CC wall clock), no accumulator
+    *     UDF (the r8 design, which broke whole-stage codegen on the hottest
+    *     projection). Exactly-once per successful action by construction;
+    *   - per-round changed counts, rounds-to-convergence, and per-round
+    *     wall (`graft.cc round=N changed=M ms=T`) are logged so a run that
+    *     converges slowly is diagnosable from the driver log.
     *
     * @param reliableCheckpoint truncate lineage with `checkpoint(true)`
     *        against `sparkContext.getCheckpointDir` instead of
@@ -115,18 +115,41 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val frontier = labels.where(col("changed")).select(col("id"), col("component"))
       val msgs = edges.join(frontier, edges("dst") === frontier("id"))
         .groupBy(col("src")).agg(min(col("component")).as("neighbor_min"))
+      // the convergence signal RIDES the checkpoint materialization as a
+      // CollectMetrics observation — one job per round, no UDF, whole-stage
+      // codegen intact. Round 9 ran a separate cached-scan count() job per
+      // round; at 32 shuffle partitions the per-job fixed cost (scheduling +
+      // task launch) of doubling the round's job count dominated the CC
+      // queries' wall clock — exactly the per-iteration overhead a 1000-
+      // executor cluster cannot afford.
+      val obs = org.apache.spark.sql.Observation(s"graft.cc.$iter")
       val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
         .select(labels("id"),
           least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
-          (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed")))
+          (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed"))
+        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed")))
       labels = stepped
-      // `stepped` is already materialized in the block store by the eager
-      // checkpoint — this count is a cached-scan job over vertex-count rows
-      val changed = stepped.where(col("changed")).count()
-      log.info(s"graft.cc round=$iter changed=$changed")
+      // the checkpoint action posts the observation's QueryExecution event;
+      // getOrEmpty-with-patience guards against an event that never arrives
+      // (e.g. a future Spark moving checkpoint off withAction) by falling
+      // back to the old cached-scan count instead of hanging the driver
+      val changed: Long = {
+        def metrics = org.apache.spark.sql.GraftBridge.observedMetrics(obs)
+        var waitedMs = 0
+        var m = metrics
+        while (m.isEmpty && waitedMs < 10000) {
+          Thread.sleep(10); waitedMs += 10; m = metrics
+        }
+        m.get("n_changed") match {
+          case Some(v: Number) => v.longValue()
+          case _ => stepped.where(col("changed")).count()
+        }
+      }
+      log.info(s"graft.cc round=$iter changed=$changed ms=${(System.nanoTime() - t0) / 1000000}")
       converged = changed == 0
       iter += 1
     }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * equal-timestamp sort ties, because every event is examined and equal
   * candidates produce the same minimum.
   *
-  * `tsCol` must be an integer timestamp (epoch nanos/micros — any
-  * monotone unit); pass raw parquet NANOS longs straight through.
+  * `tsCol` resolves through [[TimeCols]]: integral columns pass through
+  * in the caller's unit (any monotone unit works — call sites here pass
+  * `unix_micros` longs), timestamp columns convert exactly to epoch
+  * microseconds. Latencies are reported in that resolved unit.
   */
 object Funnel {
 
@@ -32,7 +34,7 @@ object Funnel {
     val k = steps.size
     val zero = struct((1 to k).map(i => lit(null).cast("long").as(s"t$i")): _*)
     val seq = array_sort(collect_list(struct(
-      col(s"`$tsCol`").cast("long").as("ts"), col(s"`$typeCol`").as("tp"))))
+      TimeCols.epochMicros(events, tsCol).as("ts"), col(s"`$typeCol`").as("tp"))))
     def merge(acc: Column, e: Column): Column = {
       val fields = (1 to k).map { i =>
         val hit =
@@ -75,7 +77,8 @@ object Funnel {
     * per-origin share is a window over that type-pair frame — metadata-
     * sized at any corpus. No self-join of the event table.
     *
-    * `tsCol` must be an integer timestamp; add `tieCols` (e.g. the event
+    * `tsCol` may be integral or timestamp (ordering is on the raw column,
+    * which sorts identically either way); add `tieCols` (e.g. the event
     * id) to make equal-timestamp ordering — and thus the matrix —
     * deterministic. */
   def transitionCounts(events: DataFrame, userCol: String, tsCol: String,

@@ -25,20 +25,23 @@ import org.apache.spark.sql.functions._
 object Resample {
 
   /** `df` with columns key:long, bucket:long, value:(observed or null),
-    * filled:(forward-filled). `tsCol` is epoch nanoseconds (long). */
+    * filled:(forward-filled).
+    *
+    * `tsCol` may be `timestamp` / `timestamp_ntz` (converted exactly to
+    * epoch MICROSECONDS via [[TimeCols.epochMicros]] — the testdata's
+    * `events.ts` dtype since round 9) or an integral column, which is
+    * treated as the legacy epoch-NANOSECONDS contract every pre-r9 caller
+    * and spec used. Bucket identity is identical either way: floor
+    * division of the epoch by `bucketSeconds` in the column's unit. */
   def gapFillForward(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
                      bucketSeconds: Long, maxBuckets: Long = 1000000L): DataFrame = {
     val key = col(s"`$keyCol`")
-    // true FLOOR division: Spark's `div` truncates toward zero, which would
-    // put a pre-epoch timestamp (negative nanos) in the wrong bucket and
-    // diverge from the floor semantics the oracle's `//` uses
-    val step = bucketSeconds * 1000000000L
-    val ts = col(s"`$tsCol`")
-    val bucket = expr(s"`$tsCol` div $step") +
-      when(ts % step < 0, lit(-1L)).otherwise(lit(0L))
+    val (tsEpoch, scale) = TimeCols.epochMicrosWithScale(df, tsCol)
+    val step = bucketSeconds * scale.getOrElse(1000000000L)
 
     val perBucket = df
-      .select(key.as("key"), bucket.as("bucket"), col(s"`$valueCol`").as("v"))
+      .select(key.as("key"), tsEpoch.as("__ts"), col(s"`$valueCol`").as("v"))
+      .select(col("key"), TimeCols.floorBucketOf("__ts", step).as("bucket"), col("v"))
       .groupBy(col("key"), col("bucket"))
       // max: deterministic under any row order (unlike first/last/avg)
       .agg(max(col("v")).as("v"))
