@@ -38,6 +38,10 @@ object ScaleCheck {
     "snapshot_diff", "incremental_score", "sample_fixed_k", "compaction_plan",
     "dedup_spans", "dedup_ngram_hot", "edit_pairs", "scd2_merge",
     "keyword_tfidf", "label_vote",
+    // round-10: the iterative operator — per-round driver synchronization is
+    // exactly where super-linear cost would hide (rounds must stay flat,
+    // per-round cost linear); graft.cc round logs are enabled below
+    "dedup_components", "dedup_drop",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
@@ -84,6 +88,11 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface the per-round convergence log (`graft.cc round=N changed=M
+    // ms=T`) — rounds-to-convergence at 1x vs SCALEx is the evidence that
+    // the iteration count, not just per-round cost, stays flat
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.operators", org.apache.logging.log4j.Level.INFO)
     graft.Defaults.registerAll(spark)
 
     if (!new java.io.File(s"$scaledDir/documents.parquet").exists()) {

@@ -143,4 +143,18 @@ class CodecSpec extends AnyFunSuite {
     assert(names.count(_ == "Argon2") === 1)
     assert(Codec.all.find(_.name == "Argon2").get.isInstanceOf[Argon2Codec])
   }
+
+  test("published jar registers built-ins in META-INF/services (main classpath)") {
+    // the MAIN-classpath services file (src/main/resources) must list the
+    // built-ins so a third party loading the published jar discovers them
+    // exactly like the reference's ServiceLoader registration — not only
+    // via the compiled-in list
+    import scala.jdk.CollectionConverters._
+    val discovered = java.util.ServiceLoader.load(classOf[Codec])
+      .iterator().asScala.map(_.name).toSet
+    assert(Set("Argon2", "SCrypt", "PBKDF2WithHmacSHA512").subsetOf(discovered))
+    // and Codec.all stays duplicate-free even though built-ins are now ALSO
+    // ServiceLoader-visible (name-collision filter keeps the audited ones)
+    assert(Codec.all.map(_.name).groupBy(identity).values.forall(_.size == 1))
+  }
 }
