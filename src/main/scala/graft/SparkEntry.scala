@@ -1033,6 +1033,46 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Binary-corpus ingestion roundtrip over Spark's built-in `binaryFile`
+    * source — the one-object-per-asset layout image corpora arrive in:
+    * id-derived solid-color PNGs are written as individual `<doc_id>.png`
+    * objects by [[graft.sources.BinaryIngest.writeFiles]] (distributed,
+    * task-per-partition), scanned back with a listing-time glob, ids
+    * recovered from the object keys, and pixels REAL-decoded. Solid color
+    * makes every check DuckDB-recomputable from doc_id alone (same decode
+    * contract as [[qMultimodalFeatures]]); a dropped, duplicated, or
+    * misnamed object anywhere in the write/list/read path fails the
+    * compare. */
+  private def qBinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long) => {
+      val w = 1 + math.floorMod(id, 16).toInt
+      val h = 1 + math.floorMod(id, 12).toInt
+      val rgb = Array(math.floorMod(id * 3, 256), math.floorMod(id * 5, 256), math.floorMod(id * 11, 256))
+      val px = Array.tabulate[Byte](w * h * 3)(i => rgb(i % 3).toByte)
+      graft.operators.Multimodal.pngEncode(w, h, 2, px)
+    })
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_binary_ingest").getAbsolutePath
+    val assets = table(spark, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), mkPng(col("doc_id").cast("long")).as("content"))
+    graft.sources.BinaryIngest.writeFiles(assets, "doc_id", "content", out, ".png")
+    val media = graft.sources.BinaryIngest.readBinaryFiles(spark, out, "*.png")
+      .select(col("media_id"), lit("image").as("modality"),
+        lit("png").as("format"), col("content"))
+    val f = col("features")
+    val meanByte = (i: Int) => round(f.getItem(i) * 255).cast("long")
+    graft.operators.Multimodal.extractFeaturesDF(media)
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("media_id")).cast("long").as("id_sum"),
+        sum(col("width")).cast("long").as("width_sum"),
+        sum(col("height")).cast("long").as("height_sum"),
+        count(when(
+          meanByte(0) === pmod(col("media_id") * 3, lit(256)) &&
+            meanByte(1) === pmod(col("media_id") * 5, lit(256)) &&
+            meanByte(2) === pmod(col("media_id") * 11, lit(256)), 1)).as("n_pixel_exact"))
+  }
+
   /** Partitioned-sink roundtrip: documents written hive-partitioned by
     * lang through the bounded-fan-out sink ([[graft.sources.Sinks
     * .writePartitioned]] — shuffle on partition cols + salt, dynamic
@@ -2477,6 +2517,7 @@ object SparkEntry {
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
+    "binary_ingest" -> qBinaryIngest,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
     "multimodal_resize" -> qMultimodalResize,
@@ -3137,6 +3178,11 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // solid-color PNG roundtrip: every field recomputable from doc_id
+    "binary_ingest" ->
+      ("SELECT count(*) AS n_assets, sum(doc_id)::BIGINT AS id_sum, " +
+        "sum(1 + doc_id % 16)::BIGINT AS width_sum, sum(1 + doc_id % 12)::BIGINT AS height_sum, " +
+        "count(*) AS n_pixel_exact FROM documents WHERE doc_id % 50 = 0"),
     "curate_pipeline" ->
       ("WITH q AS (SELECT doc_id, text, " +
         "len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok, " +
