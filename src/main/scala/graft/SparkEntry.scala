@@ -1033,6 +1033,17 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Quality-weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): 5 docs per language, weight = n_chars. The draw is a pure
+    * function of (doc_id, n_chars) — engine-portable integer hash for `u`,
+    * key snapped to a 2^20 grid, ties by id — so the oracle replays the
+    * exact sample with window functions ([[graft.operators.Sampling
+    * .weightedSampleK]] runs it as a bounded-heap aggregate instead: map-
+    * side partial, ≤k rows per group per partition shuffle, no sort). */
+  private def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSampleK(
+      table(spark, dir, "documents"), "lang", "doc_id", "n_chars", k = 5)
+
   /** Binary-corpus ingestion roundtrip over Spark's built-in `binaryFile`
     * source — the one-object-per-asset layout image corpora arrive in:
     * id-derived solid-color PNGs are written as individual `<doc_id>.png`
@@ -2518,6 +2529,7 @@ object SparkEntry {
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
     "binary_ingest" -> qBinaryIngest,
+    "weighted_sample" -> qWeightedSample,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
     "multimodal_resize" -> qMultimodalResize,
@@ -3178,6 +3190,13 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // A-ES weighted sample: u from the Knuth ring hash (exact in doubles),
+    // key floor-snapped to 2^20 so a sub-ULP pow() difference can't reorder
+    "weighted_sample" ->
+      ("WITH k AS (SELECT lang, doc_id, floor(pow((doc_id * 2654435761 % 4294967296 + 0.5) / 4294967296, " +
+        "1.0 / n_chars) * 1048576) AS key FROM documents WHERE n_chars > 0), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank FROM k) " +
+        "SELECT lang, doc_id AS id, rank FROM r WHERE rank <= 5"),
     // solid-color PNG roundtrip: every field recomputable from doc_id
     "binary_ingest" ->
       ("SELECT count(*) AS n_assets, sum(doc_id)::BIGINT AS id_sum, " +

@@ -202,4 +202,41 @@ object Sampling {
     }
     df.where(idHash(col(s"`$idCol`")) < cut)
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group (Efraimidis–
+    * Spirakis A-ES): every row draws `u` in (0,1) from the engine-portable
+    * integer [[idHash]] of its id and competes with key `u^(1/w)`; the k
+    * largest keys per group are the sample. Inclusion probability tracks
+    * the weight, nothing is drawn twice, and the whole draw is a pure
+    * function of (id, weight) — rerunnable on any engine, any
+    * partitioning. Quality-weighted subsampling (weight = a quality score)
+    * is the canonical use.
+    *
+    * Scale shape: key is a narrow codegen'd projection; selection is the
+    * bounded-heap [[graft.plans.TopKAggregate]] — partial aggregation
+    * map-side, the shuffle carries at most k rows per group per input
+    * partition, nothing sorts. The window-rank formulation this replaces
+    * shuffles and sorts every row of the corpus.
+    *
+    * Cross-engine determinism: `u` is exact in both engines (integer hash
+    * + power-of-two divide); the only float op is `pow`, so the key is
+    * snapped to a 2^20 grid with ties broken by id ASC — a sub-ULP `pow`
+    * divergence cannot reorder the sample. Rows with non-positive or null
+    * weight never enter the draw.
+    *
+    * Returns `(groupCol, id, rank)`, rank 1..k by (key DESC, id ASC). */
+  def weightedSampleK(df: DataFrame, groupCol: String, idCol: String,
+                      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = col(s"`$weightCol`").cast("double")
+    val u = (idHash(col(s"`$idCol`")) + lit(0.5)) / lit(Ring.toDouble)
+    val key = floor(pow(u, lit(1.0) / w) * (1L << 20)).cast("double")
+    df.where(w > 0)
+      .groupBy(col(s"`$groupCol`"))
+      .agg(graft.plans.TopKAggregate.topKByScore(
+        key, col(s"`$idCol`").cast("long"), k).as("__sel"))
+      .select(col(s"`$groupCol`"), posexplode(col("__sel")).as(Seq("__r", "__s")))
+      .select(col(s"`$groupCol`"), col("__s.id").as("id"),
+        (col("__r") + 1).cast("long").as("rank"))
+  }
 }

@@ -164,4 +164,41 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.curriculumMix(df, "s", "id", Seq((1, 1.0, 0.4), (1, 2.0, 0.4)))
     }
   }
+
+  test("weightedSampleK matches the A-ES arithmetic spec exactly") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (if (i % 2 == 0) "a" else "b", i, 10.0 + i))
+    val df = rows.toDF("g", "id", "w")
+    val out = Sampling.weightedSampleK(df, "g", "id", "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // replay the draw: u from the Knuth ring hash, key floor-snapped to 2^20
+    def key(id: Long, w: Double): Long = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      math.floor(math.pow((h + 0.5) / 4294967296.0, 1.0 / w) * (1L << 20)).toLong
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, id, w) => (id, key(id, w)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), r) => (g, id, (r + 1).toLong) }
+    }.toSet
+    assert(out === expected)
+  }
+
+  test("weightedSampleK: non-positive weights never enter the draw; small groups keep all") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 0.0), ("a", 3L, -1.0), ("b", 9L, 2.0))
+      .toDF("g", "id", "w")
+    val out = Sampling.weightedSampleK(df, "g", "id", "w", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 1L), ("b", 9L)))
+  }
+
+  test("weightedSampleK is partitioning-invariant") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => ("g", i, 1.0 + (i % 7))).toDF("g", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleK(d, "g", "id", "w", k = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(run(df.repartition(1)) === run(df.repartition(13, col("id"))))
+  }
 }
