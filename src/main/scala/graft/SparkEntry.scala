@@ -1981,6 +1981,30 @@ object SparkEntry {
         coalesce(sum(col("p_partkey")), lit(0L)).cast("long").as("part_sum"))
   }
 
+  /** Interval × interval overlap join over lineitem shipping spans
+    * ([shipdate, shipdate + quantity days] in epoch days): two disjoint
+    * orderkey strata joined on span intersection via the duplicate-free
+    * binning reduction ([[graft.operators.RangeJoin.joinIntervalOverlap]]
+    * — one equi-join on the bin, a pair emitted only from its overlap-
+    * start bin, never a theta join). The oracle recomputes the same pairs
+    * with a brute-force overlap join, so a duplicated or dropped pair at
+    * any bin width fails the compare. */
+  private def qIntervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    def spans(rem: Int, p: String) =
+      table(spark, dir, "lineitem").where(pmod(col("l_orderkey"), lit(97)) === rem)
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${p}_id"),
+          expr("unix_micros(cast(l_shipdate AS timestamp)) div 86400000000").as(s"${p}_lo"),
+          (expr("unix_micros(cast(l_shipdate AS timestamp)) div 86400000000") +
+            col("l_quantity").cast("long")).as(s"${p}_hi"))
+    graft.operators.RangeJoin.joinIntervalOverlap(
+      spans(0, "a"), "a_lo", "a_hi", spans(1, "b"), "b_lo", "b_hi", binWidth = 32L)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("a_id") + col("b_id")), lit(0L)).cast("long").as("id_sum"),
+        coalesce(sum(greatest(col("a_lo"), col("b_lo"))), lit(0L)).cast("long").as("start_sum"))
+  }
+
   /** Semi-structured JSON handling (the events.props column): typed
     * extraction with `from_json` (schema'd, codegen-friendly, NOT a
     * per-row parser UDF) aggregated per event type; DuckDB recomputes
@@ -2555,6 +2579,7 @@ object SparkEntry {
     "events_props" -> qEventsProps,
     "asof_join" -> qAsofJoin,
     "range_join" -> qRangeJoin,
+    "interval_overlap_join" -> qIntervalOverlapJoin,
     "rollup_agg" -> qRollupAgg,
     "grouping_sets_agg" -> qGroupingSets,
     "pivot_agg" -> qPivotAgg,
@@ -3283,6 +3308,20 @@ object SparkEntry {
       ("SELECT count(*)::BIGINT AS n_pairs, coalesce(sum(l.l_orderkey), 0)::BIGINT AS order_sum, " +
         "coalesce(sum(p.p_partkey), 0)::BIGINT AS part_sum " +
         "FROM lineitem l JOIN part p ON l.l_extendedprice BETWEEN p.p_retailprice - 5 AND p.p_retailprice + 5"),
+    // brute-force overlap join the binned operator must reproduce exactly
+    "interval_overlap_join" ->
+      ("WITH a AS (SELECT l_orderkey * 10 + l_linenumber AS a_id, " +
+        "epoch_us(l_shipdate) // 86400000000 AS a_lo, " +
+        "epoch_us(l_shipdate) // 86400000000 + l_quantity::BIGINT AS a_hi " +
+        "FROM lineitem WHERE l_orderkey % 97 = 0), " +
+        "b AS (SELECT l_orderkey * 10 + l_linenumber AS b_id, " +
+        "epoch_us(l_shipdate) // 86400000000 AS b_lo, " +
+        "epoch_us(l_shipdate) // 86400000000 + l_quantity::BIGINT AS b_hi " +
+        "FROM lineitem WHERE l_orderkey % 97 = 1) " +
+        "SELECT count(*)::BIGINT AS n_pairs, " +
+        "coalesce(sum(a_id + b_id), 0)::BIGINT AS id_sum, " +
+        "coalesce(sum(greatest(a_lo, b_lo)), 0)::BIGINT AS start_sum " +
+        "FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi"),
     "events_props" ->
       ("SELECT event_type, count(*)::BIGINT AS n, " +
         "sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum, " +

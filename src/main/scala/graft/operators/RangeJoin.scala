@@ -40,4 +40,38 @@ object RangeJoin {
       .where(col(s"`$valueCol`").between(col(s"`$loCol`"), col(s"`$hiCol`")))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join: all pairs where
+    * `[lLo,lHi]` and `[rLo,rHi]` intersect (inclusive ends) — session
+    * overlap, concurrent-span analysis, temporal containment-with-slack.
+    * Same binning reduction as the point join, with the classic
+    * duplicate-free emission rule: two overlapping intervals co-occur in
+    * every bin their overlap spans, so a pair is emitted ONLY from the bin
+    * containing the overlap's start (`max(lLo, rLo)`) — exactly one bin
+    * qualifies, so no distinct/dedup shuffle is ever needed. The plan is
+    * one equi-join on the bin id plus exact predicates; skewed bins are an
+    * ordinary skewed equi-join (AQE / [[SkewJoin]] apply unchanged).
+    *
+    * Inputs must have disjoint column names; both frames' columns are
+    * returned. Bounds are integral (cast to long); `binWidth` near the
+    * typical interval span keeps replication at ~2 bins per interval. */
+  def joinIntervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                          right: DataFrame, rLoCol: String, rHiCol: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    def bins(lo: String, hi: String) = sequence(
+      expr(s"`$lo` div ${binWidth}L").cast("long"),
+      expr(s"`$hi` div ${binWidth}L").cast("long"))
+    val l = left.where(col(s"`$lLoCol`") <= col(s"`$lHiCol`"))
+      .withColumn("__bin", explode(bins(lLoCol, lHiCol)))
+    val r = right.where(col(s"`$rLoCol`") <= col(s"`$rHiCol`"))
+      .withColumn("__bin", explode(bins(rLoCol, rHiCol)))
+    l.join(r, "__bin")
+      .where(col(s"`$lLoCol`") <= col(s"`$rHiCol`") &&
+        col(s"`$rLoCol`") <= col(s"`$lHiCol`") &&
+        col("__bin") === expr(s"greatest(`$lLoCol`, `$rLoCol`) div ${binWidth}L").cast("long"))
+      .drop("__bin")
+  }
 }

@@ -56,4 +56,49 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"must not nested-loop:\n$plan")
   }
+
+  test("interval overlap join equals brute force, each pair exactly once (incl. negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val a = (0 until 60).map { i =>
+      val lo = rnd.nextInt(200) - 100L; (i.toLong, lo, lo + rnd.nextInt(25))
+    }
+    val b = (0 until 60).map { i =>
+      val lo = rnd.nextInt(200) - 100L; (1000L + i, lo, lo + rnd.nextInt(25))
+    }
+    val expected = (for {
+      (ai, alo, ahi) <- a; (bi, blo, bhi) <- b
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val out = RangeJoin.joinIntervalOverlap(
+        a.toDF("aid", "alo", "ahi"), "alo", "ahi",
+        b.toDF("bid", "blo", "bhi"), "blo", "bhi", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.length === out.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(out.toSet === expected, s"binWidth=$w")
+    }
+  }
+
+  test("interval overlap join: inverted intervals dropped, disjoint column names enforced") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 5L)).toDF("aid", "alo", "ahi") // inverted
+    val b = Seq((2L, 0L, 100L)).toDF("bid", "blo", "bhi")
+    assert(RangeJoin.joinIntervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 10L).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.joinIntervalOverlap(a, "alo", "ahi",
+        Seq((2L, 0L, 1L)).toDF("aid", "blo", "bhi"), "blo", "bhi", 10L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("interval overlap plan is an equi-join on the bin") {
+    import spark.implicits._
+    val a = (0 until 50).map(i => (i.toLong, i * 3L, i * 3L + 10)).toDF("aid", "alo", "ahi")
+    val b = (0 until 50).map(i => (500L + i, i * 2L, i * 2L + 8)).toDF("bid", "blo", "bhi")
+    val plan = RangeJoin.joinIntervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"must not nested-loop:\n$plan")
+  }
 }
