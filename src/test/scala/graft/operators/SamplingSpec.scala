@@ -193,6 +193,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(out === Set(("a", 1L), ("b", 9L)))
   }
 
+  test("weightedSampleK plans the bounded-heap aggregate, never a window sort") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => ("g", i, 1.0 + i)).toDF("g", "id", "w")
+    val plan = Sampling.weightedSampleK(df, "g", "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_top_k_by_score"), s"heap aggregate missing:\n$plan")
+    assert(!plan.contains("Window"), s"window-rank crept in:\n$plan")
+  }
+
   test("weightedSampleK is partitioning-invariant") {
     import spark.implicits._
     val df = (0L until 100L).map(i => ("g", i, 1.0 + (i % 7))).toDF("g", "id", "w")
