@@ -1033,6 +1033,40 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Per-group winsorization at exact [p5, p95]: heavy-tail clamping
+    * before scaling/training. Exact `percentile` bit-matches DuckDB
+    * `quantile_cont` (the long-standing `exact_percentile` parity);
+    * per-row observables floor to the cent grid so summation order can't
+    * wobble the compare. */
+  private def qWinsorizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.operators.Stats.winsorize(
+      table(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    val cents = floor(col("l_extendedprice_w") * 100).cast("long")
+    w.groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).cast("long").as("w_cents_sum"),
+        min(cents).as("w_cents_min"),
+        max(cents).as("w_cents_max"),
+        count(when(col("l_extendedprice_w") =!= col("l_extendedprice"), 1)).as("n_clamped"))
+      .orderBy("rf")
+  }
+
+  /** Global equi-depth bucketization of document lengths into 8 quantile
+    * buckets (length-balanced batching / curriculum tiers): cutpoints are
+    * one exact-percentile aggregate, assignment a codegen'd CASE chain —
+    * never an `ntile` global-sort window. Boundary rule (ties to the
+    * LOWER bucket) is replayed verbatim by the oracle. */
+  private def qLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.equiDepthBucketize(
+      table(spark, dir, "documents"), "n_chars", k = 8)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("n_chars")).cast("long").as("len_min"),
+        max(col("n_chars")).cast("long").as("len_max"))
+      .orderBy("bucket")
+
   /** Quality-weighted sampling without replacement (Efraimidis–Spirakis
     * A-ES): 5 docs per language, weight = n_chars. The draw is a pure
     * function of (doc_id, n_chars) — engine-portable integer hash for `u`,
@@ -2554,6 +2588,8 @@ object SparkEntry {
     "multimodal_features" -> qMultimodalFeatures,
     "binary_ingest" -> qBinaryIngest,
     "weighted_sample" -> qWeightedSample,
+    "winsorize_stats" -> qWinsorizeStats,
+    "length_buckets" -> qLengthBuckets,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
     "multimodal_resize" -> qMultimodalResize,
@@ -3215,6 +3251,30 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // per-group clamp at exact percentiles; cent-grid floor kills float noise
+    "winsorize_stats" ->
+      ("WITH c AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1), " +
+        "w AS (SELECT l_returnflag, l_extendedprice, " +
+        "least(greatest(l_extendedprice, lo), hi) AS vw FROM lineitem JOIN c ON l_returnflag = c.g) " +
+        "SELECT l_returnflag AS rf, count(*) AS n, " +
+        "sum(floor(vw * 100)::BIGINT)::BIGINT AS w_cents_sum, " +
+        "min(floor(vw * 100)::BIGINT) AS w_cents_min, " +
+        "max(floor(vw * 100)::BIGINT) AS w_cents_max, " +
+        "count(CASE WHEN vw <> l_extendedprice THEN 1 END) AS n_clamped " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
+    // same cutpoints + lower-bucket tie rule the operator compiles to
+    "length_buckets" ->
+      ("WITH c AS (SELECT quantile_cont(n_chars, 0.125) AS q1, quantile_cont(n_chars, 0.25) AS q2, " +
+        "quantile_cont(n_chars, 0.375) AS q3, quantile_cont(n_chars, 0.5) AS q4, " +
+        "quantile_cont(n_chars, 0.625) AS q5, quantile_cont(n_chars, 0.75) AS q6, " +
+        "quantile_cont(n_chars, 0.875) AS q7 FROM documents), " +
+        "b AS (SELECT CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1 " +
+        "WHEN n_chars <= q3 THEN 2 WHEN n_chars <= q4 THEN 3 WHEN n_chars <= q5 THEN 4 " +
+        "WHEN n_chars <= q6 THEN 5 WHEN n_chars <= q7 THEN 6 ELSE 7 END AS bucket, n_chars " +
+        "FROM documents, c) " +
+        "SELECT bucket::BIGINT AS bucket, count(*) AS n, min(n_chars)::BIGINT AS len_min, " +
+        "max(n_chars)::BIGINT AS len_max FROM b GROUP BY 1 ORDER BY 1"),
     // A-ES weighted sample: u from the Knuth ring hash (exact in doubles),
     // key floor-snapped to 2^20 so a sub-ULP pow() difference can't reorder
     "weighted_sample" ->

@@ -139,4 +139,69 @@ object Stats {
         percentile_approx(col(s"`$valueCol`").cast("double"),
           array(qs.map(lit): _*), lit(accuracy)).as("v"))
   }
+
+  /** The two-quantile aggregate both [[winsorize]] paths share: exact
+    * `percentile` (linear-interpolated, bit-matches DuckDB `quantile_cont`
+    * — proven by the `exact_percentile` oracle) buffers each group's
+    * values on its reducer, so it is for bounded groups / oracle-exact
+    * use; `exact = false` swaps in the mergeable GK sketch
+    * (`percentile_approx`, map-side partial, skew-safe) — the 100 TB
+    * path, where a clamp bound off by sketch error is immaterial. */
+  private def loHiPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double, exact: Boolean): DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val (lo, hi) =
+      if (exact) (expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $pLo)"),
+        expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $pHi)"))
+      else (percentile_approx(v, lit(pLo), lit(10000)).cast("double"),
+        percentile_approx(v, lit(pHi), lit(10000)).cast("double"))
+    df.groupBy(col(s"`$groupCol`").as("__g"))
+      .agg(lo.as("__lo"), hi.as("__hi"))
+  }
+
+  /** Winsorization: clamp `valueCol` into its per-group [pLo, pHi]
+    * percentile band — the standard outlier treatment before scaling /
+    * scoring / training on heavy-tailed features. One metadata-sized
+    * cutpoint aggregate per group, broadcast-joined back; the clamp itself
+    * is a narrow codegen'd projection, so the corpus never shuffles.
+    * Adds `<valueCol>_w` (clamped double); null values stay null. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double, exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val cuts = loHiPerGroup(df, groupCol, valueCol, pLo, pHi, exact)
+    val v = col(s"`$valueCol`").cast("double")
+    df.join(broadcast(cuts), col(s"`$groupCol`") === col("__g"), "left")
+      // explicit null guard: Spark's greatest/least IGNORE nulls, which
+      // would silently clamp a null observation to the lower cutpoint
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__g", "__lo", "__hi")
+  }
+
+  /** Equi-depth bucketization: assign each row the index (0..k-1) of its
+    * global quantile bucket — length-balanced batching, curriculum tiers,
+    * score deciles. Cutpoints are ONE k-1-row aggregate (exact
+    * `percentile` for oracle-grade reproducibility, GK sketch via
+    * `exact = false` for corpus scale); assignment compiles to a CASE
+    * chain — narrow, codegen'd, no shuffle, no global sort (`ntile` would
+    * funnel the corpus through one window partition). Rows equal to a
+    * cutpoint go to the LOWER bucket (`<= cut` ascending scan), nulls get
+    * bucket null. */
+  def equiDepthBucketize(df: DataFrame, valueCol: String, k: Int,
+      exact: Boolean = true): DataFrame = {
+    require(k >= 2, "need k >= 2 buckets")
+    val v = col(s"`$valueCol`").cast("double")
+    val qs = (1 until k).map(_.toDouble / k)
+    val cutsRow = (
+      if (exact) df.agg(expr(
+        s"percentile(CAST(`$valueCol` AS DOUBLE), array(${qs.mkString(",")}))").as("cuts"))
+      else df.agg(percentile_approx(v, array(qs.map(lit): _*), lit(10000)).as("cuts"))
+    ).head()
+    val cuts = cutsRow.getSeq[Double](0)
+    val bucket = cuts.zipWithIndex.foldRight(lit(k - 1): Column) {
+      case ((cut, i), acc) => when(v <= cut, lit(i)).otherwise(acc)
+    }
+    df.withColumn("bucket", when(v.isNull, lit(null)).otherwise(bucket).cast("long"))
+  }
 }

@@ -114,4 +114,47 @@ class StatsSpec extends AnyFunSuite {
       Stats.rollingAnomalies(df, Seq("u"), Seq("seq"), "v", 4, 8, 3)
     }
   }
+
+  test("winsorize clamps into the per-group percentile band, nulls pass through") {
+    import spark.implicits._
+    // group a: 1..100 -> p10 = 10.9, p90 = 90.1 (linear interpolation)
+    val df = ((1 to 100).map(i => ("a", Some(i.toDouble))) :+ (("a", None)))
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, "g", "v", 0.10, 0.90)
+      .collect().map(r => (Option(r.get(1)).map(_.toString.toDouble),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    for ((v, w) <- out) (v, w) match {
+      case (None, ww) => assert(ww.isEmpty)
+      case (Some(x), Some(ww)) =>
+        assert(math.abs(ww - math.min(math.max(x, 10.9), 90.1)) < 1e-9)
+      case bad => fail(s"unexpected $bad")
+    }
+  }
+
+  test("winsorize approx path stays within the band and agrees on interior values") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val out = Stats.winsorize(df, "g", "v", 0.05, 0.95, exact = false)
+      .select("v", "v_w").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // interior values untouched; tails clamped to a bound near the true one
+    for ((v, w) <- out) {
+      if (v > 100 && v < 900) assert(w === v)
+      assert(w >= 40 && w <= 960) // GK accuracy 10000 on 1000 rows ~ exact
+    }
+  }
+
+  test("equiDepthBucketize: k balanced buckets, boundary ties go low, nulls null") {
+    import spark.implicits._
+    val df = ((1 to 80).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val out = Stats.equiDepthBucketize(df, "v", k = 4)
+      .collect().map(r => (Option(r.get(0)).map(_.toString.toDouble),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.collect { case (None, b) => b }.head.isEmpty)
+    val byBucket = out.collect { case (Some(v), Some(b)) => (b, v) }.groupBy(_._1)
+    assert(byBucket.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byBucket.values.forall(_.length === 20)) // 1..80 splits evenly
+    // every value in bucket i is below every value in bucket i+1
+    val maxes = (0L to 3L).map(b => byBucket(b).map(_._2).max)
+    assert(maxes === maxes.sorted)
+  }
 }
