@@ -1033,6 +1033,15 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Deterministic FIM (fill-in-the-middle) rewrite of every document —
+    * PSM sentinel layout, cut points from the portable integer ring hash
+    * of doc_id (no RNG: same rewrite every run, composes with dedup).
+    * Full per-doc value oracle: DuckDB replays the hash arithmetic and
+    * substr algebra and must reproduce every rewritten string exactly. */
+  private def qFimTransform(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.fimTransform(
+      table(spark, dir, "documents"), "doc_id", "text")
+
   /** Per-group winsorization at exact [p5, p95]: heavy-tail clamping
     * before scaling/training. Exact `percentile` bit-matches DuckDB
     * `quantile_cont` (the long-standing `exact_percentile` parity);
@@ -2589,6 +2598,7 @@ object SparkEntry {
     "binary_ingest" -> qBinaryIngest,
     "weighted_sample" -> qWeightedSample,
     "winsorize_stats" -> qWinsorizeStats,
+    "fim_transform" -> qFimTransform,
     "length_buckets" -> qLengthBuckets,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -3251,6 +3261,15 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // FIM: same ring-hash draws + substr algebra, replayed per document
+    "fim_transform" ->
+      ("WITH c AS (SELECT doc_id, text, " +
+        "(doc_id * 2654435761) % 4294967296 % (length(text) + 1) AS c1 FROM documents), " +
+        "d AS (SELECT doc_id, text, c1, " +
+        "c1 + ((doc_id + 7919) * 2654435761) % 4294967296 % (length(text) - c1 + 1) AS c2 FROM c) " +
+        "SELECT doc_id, c1::BIGINT AS c1, c2::BIGINT AS c2, " +
+        "'<PRE>' || substr(text, 1, c1::INT) || '<SUF>' || substr(text, (c2 + 1)::INT) || " +
+        "'<MID>' || substr(text, (c1 + 1)::INT, (c2 - c1)::INT) AS fim_text FROM d"),
     // per-group clamp at exact percentiles; cent-grid floor kills float noise
     "winsorize_stats" ->
       ("WITH c AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS lo, " +

@@ -64,4 +64,33 @@ object Chunking {
         size(col("col")).cast("long").as("n_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
   }
+
+  /** Deterministic fill-in-the-middle (FIM) transform — the code/infilling
+    * pretraining rewrite: split each document at two cut points and emit
+    * the PSM (prefix-suffix-middle) rearrangement
+    * `<PRE>prefix<SUF>suffix<MID>middle`. Cut points come from the
+    * engine-portable integer ring hash of the id (two independent draws),
+    * NOT an RNG — the same document gets the same rewrite on every run,
+    * any engine, any partitioning, so the transform composes with
+    * dedup/decontamination instead of invalidating them. Character-based
+    * cuts (tokenizer-agnostic, the rewrite happens before tokenization).
+    * Null texts pass through as null rows; empty texts yield the bare
+    * sentinel skeleton. One narrow codegen'd projection — no shuffle. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): DataFrame = {
+    val len = length(col(s"`$textCol`"))
+    // c1 uniform in [0, len]; c2 uniform in [c1, len] — both pure integer
+    val h1 = Sampling.idHash(col(s"`$idCol`"))
+    val h2 = Sampling.idHash(col(s"`$idCol`") + lit(7919L))
+    df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        col(s"`$textCol`").as("__t"),
+        pmod(h1, len.cast("long") + 1).cast("int").as("c1"))
+      .withColumn("c2", (col("c1") + pmod(h2, length(col("__t")) - col("c1") + 1)).cast("int"))
+      .select(col("doc_id"), col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+        when(col("__t").isNull, lit(null).cast("string")).otherwise(concat(
+          lit(preTok), expr("substr(__t, 1, c1)"),
+          lit(sufTok), expr("substr(__t, c2 + 1)"),
+          lit(midTok), expr("substr(__t, c1 + 1, c2 - c1)"))).as("fim_text"))
+  }
 }

@@ -92,4 +92,35 @@ class ChunkingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("UDF"), plan)
   }
+
+  test("fimTransform: lossless PSM rearrangement, deterministic, edge docs handled") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("ab")), (3L, Some("")), (4L, None), (5L, Some("héllo wörld 中文"))
+    ).toDF("doc_id", "text")
+    def read(d: org.apache.spark.sql.DataFrame) = d.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      Option(r.getString(3)))).sortBy(_._1)
+    val out = read(Chunking.fimTransform(df, "doc_id", "text"))
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "ab", 3L -> "", 5L -> "héllo wörld 中文")
+    for ((id, c1, c2, fim) <- out) {
+      if (id == 4L) assert(fim.isEmpty)
+      else {
+        val t = texts(id)
+        assert(0 <= c1 && c1 <= c2 && c2 <= t.length, s"doc $id cuts ($c1,$c2)")
+        val expected = s"<PRE>${t.substring(0, c1.toInt)}<SUF>${t.substring(c2.toInt)}" +
+          s"<MID>${t.substring(c1.toInt, c2.toInt)}"
+        assert(fim.contains(expected), s"doc $id")
+        // rearrangement is lossless: pre + mid + suf rebuilds the original
+        val m = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+        val m(pre, suf, mid) = fim.get
+        assert(pre + mid + suf === t, s"doc $id not lossless")
+      }
+    }
+    // deterministic: a second run produces identical rows
+    assert(out.toSeq === read(Chunking.fimTransform(df, "doc_id", "text")).toSeq)
+  }
 }
