@@ -42,6 +42,8 @@ object ScaleCheck {
     // exactly where super-linear cost would hide (rounds must stay flat,
     // per-round cost linear); graft.cc round logs are enabled below
     "dedup_components", "dedup_drop",
+    // round-10 operators over the scaled documents table
+    "weighted_sample", "fim_transform", "length_buckets",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
