@@ -1033,6 +1033,14 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Top-20 PMI collocations within a 3-token window, min pair count 5.
+    * The DuckDB oracle regenerates the identical pair stream (1-based list
+    * indexing, same window bound), counts, and the identical
+    * divisions-first PMI formula on the 1e-4 floor grid. */
+  private def qPmiPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.pmiTopK(
+      table(spark, dir, "documents"), "text", window = 3, minCount = 5, k = 20)
+
   /** Deterministic FIM (fill-in-the-middle) rewrite of every document —
     * PSM sentinel layout, cut points from the portable integer ring hash
     * of doc_id (no RNG: same rewrite every run, composes with dedup).
@@ -2599,6 +2607,7 @@ object SparkEntry {
     "weighted_sample" -> qWeightedSample,
     "winsorize_stats" -> qWinsorizeStats,
     "fim_transform" -> qFimTransform,
+    "pmi_pairs" -> qPmiPairs,
     "length_buckets" -> qLengthBuckets,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -3261,6 +3270,24 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // identical pair stream (1-based lists, same window), divisions-first
+    // PMI on the 1e-4 floor grid with the bm25-style 1e-6 nudge
+    "pmi_pairs" ->
+      ("WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS toks " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tok AS (SELECT unnest(toks) AS w FROM t), " +
+        "uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1), " +
+        "n AS (SELECT sum(c)::BIGINT AS n_tok FROM uni), " +
+        "pos AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t WHERE len(toks) >= 2), " +
+        "pr AS (SELECT least(toks[i], toks[j]) AS x, greatest(toks[i], toks[j]) AS y " +
+        "FROM (SELECT toks, i, unnest(range(i + 1, least(i + 3, len(toks)) + 1)) AS j FROM pos) q), " +
+        "pcall AS (SELECT x, y, count(*) AS n_xy FROM pr GROUP BY 1, 2), " +
+        "p AS (SELECT sum(n_xy)::BIGINT AS n_pairs FROM pcall), " +
+        "s AS (SELECT x, y, n_xy, " +
+        "floor(ln((n_xy::DOUBLE / n_pairs) * (n_tok::DOUBLE / cx.c) * (n_tok::DOUBLE / cy.c)) * 10000 + 1e-6)::BIGINT AS pmi_x1e4 " +
+        "FROM pcall CROSS JOIN p CROSS JOIN n JOIN uni cx ON pcall.x = cx.w JOIN uni cy ON pcall.y = cy.w " +
+        "WHERE n_xy >= 5) " +
+        "SELECT x, y, n_xy, pmi_x1e4 FROM s ORDER BY pmi_x1e4 DESC, x, y LIMIT 20"),
     // FIM: same ring-hash draws + substr algebra, replayed per document
     "fim_transform" ->
       ("WITH c AS (SELECT doc_id, text, " +

@@ -66,4 +66,57 @@ object Ranking {
     scored.orderBy(col("score_x1e4").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"), col("score_x1e4"))
   }
+
+  /** Windowed PMI co-occurrence mining — the corpus-statistics view of
+    * word association (collocation discovery, tokenizer-merge evaluation,
+    * topic drift monitoring): for every unordered token pair co-occurring
+    * within `window` positions, `PMI = ln(p(x,y) / (p(x)·p(y)))`, top-k
+    * by score.
+    *
+    * Scale shape: pair generation is a PER-DOCUMENT nested `transform`
+    * over positions (narrow codegen, ≤ window·len pairs per doc) — never
+    * a positions self-join of the corpus; pair counts aggregate with
+    * map-side combine into a frame bounded by distinct co-occurring
+    * pairs; corpus totals are 1-row broadcast constants; unigram counts
+    * join back on the token hash; the final top-k is
+    * TakeOrderedAndProject. Nothing globally sorts, the corpus text never
+    * shuffles.
+    *
+    * Scores are `floor(pmi * 1e4 + 1e-6)` integers on exact-integer
+    * inputs, the same cross-engine grid argument as [[bm25TopK]]; the
+    * ratio is computed as `(c_xy/P)·(N/c_x)·(N/c_y)` — divisions first,
+    * so no product leaves double's exact-integer range. Ties break by
+    * (x, y) ascending. */
+  def pmiTopK(df: DataFrame, textCol: String, window: Int,
+              minCount: Long, k: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = filter(TextAnalysis.tokens(col(s"`$textCol`")), w => length(w) > 0)
+    val base = df.where(col(s"`$textCol`").isNotNull).select(toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_tok"))
+    // sequence(1, size-1) would DESCEND for size 0 — guard with the filter
+    val pairs = base.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, size(t) - 1), i -> " +
+          s"transform(sequence(i + 1, least(i + $window, size(t))), j -> " +
+          "struct(least(element_at(t, i), element_at(t, j)) AS x, " +
+          "greatest(element_at(t, i), element_at(t, j)) AS y))))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val pcAll = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    // P re-aggregates the pair-count frame (distinct-pairs-sized), not the
+    // raw pair stream — the exploded pairs are scanned exactly once
+    val ptotal = pcAll.agg(sum(col("n_xy")).cast("long").as("n_pairs"))
+    val pc = pcAll.where(col("n_xy") >= minCount)
+    val cx = uni.select(col("w").as("x"), col("c").as("cx"))
+    val cy = uni.select(col("w").as("y"), col("c").as("cy"))
+    pc.join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(ptotal)).crossJoin(broadcast(total))
+      .withColumn("pmi_x1e4", floor(log(
+        (col("n_xy").cast("double") / col("n_pairs")) *
+          (col("n_tok").cast("double") / col("cx")) *
+          (col("n_tok").cast("double") / col("cy"))) * 10000 + lit(1e-6)).cast("long"))
+      .orderBy(col("pmi_x1e4").desc, col("x"), col("y")).limit(k)
+      .select(col("x"), col("y"), col("n_xy"), col("pmi_x1e4"))
+  }
 }

@@ -40,4 +40,27 @@ class RankingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.toSeq === Seq(2L, 5L))
   }
+
+  test("pmiTopK: hand-computed PMI on a tiny corpus, window honored") {
+    import spark.implicits._
+    // "a b" x3 and "c d" x3, plus "a x c" where a..c is within window 2
+    val docs = Seq("a b", "a b", "a b", "c d", "c d", "c d", "a x c")
+      .toDF("text")
+    val out = Ranking.pmiTopK(docs, "text", window = 2, minCount = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pairs: (a,b)x3 (c,d)x3 (a,x) (a,c) (c,x) -> minCount 3 keeps (a,b),(c,d)
+    assert(out.map(t => (t._1, t._2, t._3)).toSet === Set(("a", "b", 3L), ("c", "d", 3L)))
+    // N=15 tokens: a:4 b:3 c:4 d:3 x:1; P=9 pairs
+    // pmi(a,b) = ln((3/9)*(15/4)*(15/3)); same for (c,d) by symmetry
+    val expected = math.floor(math.log((3.0 / 9) * (15.0 / 4) * (15.0 / 3)) * 10000 + 1e-6).toLong
+    assert(out.forall(_._4 === expected))
+  }
+
+  test("pmiTopK: window 1 sees only adjacent pairs; empty/null texts ignored") {
+    import spark.implicits._
+    val docs = Seq(Some("p q r"), Some(""), None).toDF("text")
+    val out = Ranking.pmiTopK(docs, "text", window = 1, minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("p", "q"), ("q", "r"))) // (p,r) is distance 2
+  }
 }
