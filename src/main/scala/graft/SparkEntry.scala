@@ -1033,6 +1033,13 @@ object SparkEntry {
             f.getItem(6) === 0.0f && f.getItem(7) === 0.0f, 1)).as("n_std_zero"))
   }
 
+  /** Per-document token Shannon entropy, full 500-row value oracle:
+    * DuckDB recomputes H = ln(n) − (Σ c·ln c)/n from identical integer
+    * counts on the same 1e-4 floor grid. */
+  private def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tokenEntropy(
+      table(spark, dir, "documents"), "doc_id", "text")
+
   /** Top-20 PMI collocations within a 3-token window, min pair count 5.
     * The DuckDB oracle regenerates the identical pair stream (1-based list
     * indexing, same window bound), counts, and the identical
@@ -2608,6 +2615,7 @@ object SparkEntry {
     "winsorize_stats" -> qWinsorizeStats,
     "fim_transform" -> qFimTransform,
     "pmi_pairs" -> qPmiPairs,
+    "token_entropy" -> qTokenEntropy,
     "length_buckets" -> qLengthBuckets,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -3270,6 +3278,16 @@ object SparkEntry {
     "events_dedup_stream" ->
       ("SELECT count(*)::BIGINT AS n_out, count(*)::BIGINT AS n_distinct, " +
         "sum(event_id)::BIGINT AS id_sum FROM events"),
+    // same integer counts -> H = ln(n) - (sum c ln c)/n on the 1e-4 grid
+    "token_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "pc AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2), " +
+        "pd AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, " +
+        "floor((ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)) * 10000 + 1e-6)::BIGINT AS entropy_x1e4 " +
+        "FROM pc GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens, " +
+        "coalesce(entropy_x1e4, 0)::BIGINT AS entropy_x1e4 " +
+        "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"),
     // identical pair stream (1-based lists, same window), divisions-first
     // PMI on the 1e-4 floor grid with the bm25-style 1e-6 nudge
     "pmi_pairs" ->

@@ -384,4 +384,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"),
         col("tf"), col("df"), col("score"))
   }
+
+  /** Per-document token Shannon entropy — the information-density quality
+    * signal that complements [[repetitionProfile]]: boilerplate, keyword
+    * stuffing, and template spam collapse to low entropy even when no
+    * single line or bigram dominates. Computed as
+    * `H = ln(n) − (Σ c·ln c)/n` over per-doc token counts, so the heavy
+    * aggregate (`Σ c·ln c`) combines map-side; two keyed shuffles
+    * ((doc,token) then doc), corpus text never moves. Emitted on the
+    * 1e-4 floor grid with the bm25-style 1e-6 nudge (inputs are exact
+    * integers, noise is ~1-ULP ln + summation order). Docs with no
+    * tokens report n_tokens 0 and entropy 0. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = df.select(col(s"`$idCol`").cast("long").as("doc_id"))
+    val perTok = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        explode(tokens(col(s"`$textCol`"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__s"))
+      .withColumn("entropy_x1e4",
+        floor((log(col("n_tokens").cast("double")) - col("__s") / col("n_tokens")) * 10000
+          + lit(1e-6)).cast("long"))
+    ids.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("entropy_x1e4"), lit(0L)).as("entropy_x1e4"))
+  }
 }

@@ -305,4 +305,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("*("), "stripMarkup must run inside whole-stage codegen")
     assert(!plan.contains("Exchange"), "stripMarkup must be a narrow projection")
   }
+
+  test("tokenEntropy: hand-computed values, uniform > repetitive, empty doc zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a b c d")),      // uniform: H = ln(4)
+      (2L, Some("a a a a")),      // degenerate: H = 0
+      (3L, Some("a a b b")),      // H = ln(2)
+      (4L, Some("")), (5L, None)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def grid(h: Double) = math.floor(h * 10000 + 1e-6).toLong
+    assert(out(1L) === ((4L, grid(math.log(4)))))
+    assert(out(2L) === ((4L, 0L)))
+    assert(out(3L) === ((4L, grid(math.log(2)))))
+    assert(out(4L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
 }
