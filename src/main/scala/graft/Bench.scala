@@ -35,6 +35,7 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
+        var lastErr: Option[String] = None
         val times = (1 to passes).flatMap { _ =>
           val t0 = System.nanoTime()
           // collect, not count: count() lets Catalyst prune deterministic
@@ -42,7 +43,7 @@ object Bench {
           // Every query returns a small aggregate or a <=10k-row profile.
           val ok = try { fn(spark, sfDir).collect(); true } catch {
             case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+              lastErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
               false
           }
           val elapsed = (System.nanoTime() - t0) / 1e9
@@ -57,7 +58,18 @@ object Bench {
           System.gc()
           if (ok) Some(elapsed) else None
         }
-        if (times.isEmpty) None else Some(name -> times.min)
+        // a query is a FAILURE only when every pass failed — it then has no
+        // timing; a pass-level flake (some passes succeeded) keeps its min
+        // timing and is reported to stderr, NOT in errors, so the timing
+        // and failure sets stay disjoint (a reader can always reconcile
+        // n_queries + n_failed)
+        if (times.isEmpty) {
+          errors(name) = lastErr.getOrElse("failed with no message")
+          None
+        } else {
+          lastErr.foreach(e => System.err.println(s"[bench] $name flaky (kept min of ${times.size}/$passes passes): $e"))
+          Some(name -> times.min)
+        }
       }
     // single-threaded CPU calibration: a fixed Argon2id workload (the same
     // 16384KB/1-iter profile the headline query uses), median of 5. Box
@@ -114,13 +126,7 @@ object Bench {
     // truncated the full per-query line two rounds running (r7 lost the
     // tail, r8 the head — "parsed": null both times). The complete artifact
     // lives in `out`; the stdout line stays well under any capture bound.
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+    val errs = errors.map { case (k, v) => s"${JsonText.esc(k)}:${JsonText.esc(v)}" }
       .mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"bench_file":"$out"}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)}}"""

@@ -1120,8 +1120,11 @@ object SparkEntry {
       val px = Array.tabulate[Byte](w * h * 3)(i => rgb(i % 3).toByte)
       graft.operators.Multimodal.pngEncode(w, h, 2, px)
     })
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_binary_ingest").getAbsolutePath
+    // PID-suffixed: a fixed shared path would let two concurrent driver
+    // JVMs (e.g. Bench and Verify on one host) overwrite each other's
+    // files mid-scan and produce flaky compares unrelated to the operator
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_binary_ingest_${ProcessHandle.current().pid()}").getAbsolutePath
     val assets = table(spark, dir, "documents").where(col("doc_id") % 50 === 0)
       .select(col("doc_id"), mkPng(col("doc_id").cast("long")).as("content"))
     graft.sources.BinaryIngest.writeFiles(assets, "doc_id", "content", out, ".png")

@@ -83,10 +83,13 @@ object Chunking {
     // c1 uniform in [0, len]; c2 uniform in [c1, len] — both pure integer
     val h1 = Sampling.idHash(col(s"`$idCol`"))
     val h2 = Sampling.idHash(col(s"`$idCol`") + lit(7919L))
+    // both hashes projected BEFORE the rename: referencing idCol after the
+    // doc_id alias would fail analysis for any idCol not literally "doc_id"
     df.select(col(s"`$idCol`").cast("long").as("doc_id"),
         col(s"`$textCol`").as("__t"),
-        pmod(h1, len.cast("long") + 1).cast("int").as("c1"))
-      .withColumn("c2", (col("c1") + pmod(h2, length(col("__t")) - col("c1") + 1)).cast("int"))
+        pmod(h1, len.cast("long") + 1).cast("int").as("c1"),
+        h2.as("__h2"))
+      .withColumn("c2", (col("c1") + pmod(col("__h2"), length(col("__t")) - col("c1") + 1)).cast("int"))
       .select(col("doc_id"), col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
         when(col("__t").isNull, lit(null).cast("string")).otherwise(concat(
           lit(preTok), expr("substr(__t, 1, c1)"),

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * cells — a second shuffle whose input is (user x active-period) rows,
   * already far smaller than the event table. The naive formulation is a
   * self-join of events against per-user minima; this never joins the
-  * event table at all. Integer period arithmetic (`ts div periodLength`)
-  * keeps every boundary engine-portable.
+  * event table at all. Integer FLOOR-division period arithmetic
+  * ([[TimeCols.floorBucketOf]]) keeps every boundary engine-portable,
+  * including pre-epoch timestamps.
   */
 object Cohorts {
 
@@ -33,7 +34,10 @@ object Cohorts {
     events
       .select(col(s"`$userCol`").as("__user"),
         TimeCols.epochMicros(events, tsCol).as("__ts"))
-      .select(col("__user"), expr(s"__ts div ${periodLength}L").as("__p"))
+      // FLOOR division (TimeCols.floorBucketOf), not truncating `div`: a
+      // pre-epoch event would land in the wrong period and diverge from
+      // the oracle's `//` — the exact bug class Resample already fixed
+      .select(col("__user"), TimeCols.floorBucketOf("__ts", periodLength).as("__p"))
       .groupBy(col("__user"))
       .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("ps"))
       .select(col("cohort"), explode(col("ps")).as("p"))

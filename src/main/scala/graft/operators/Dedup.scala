@@ -17,6 +17,10 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Set on the first missed CollectMetrics event; later CC rounds go
+    * straight to the count fallback instead of re-waiting 10 s each. */
+  @volatile private var observeUnsupported = false
+
   /** Character n-gram shingle set (codegen'd builtins only). */
   private def shingleArr(textCol: String, n: Int): Column =
     // NB sequence(1, 0) DESCENDS in Spark - short texts must yield an empty
@@ -139,14 +143,23 @@ object Dedup {
       // back to the old cached-scan count instead of hanging the driver
       val changed: Long = {
         def metrics = org.apache.spark.sql.GraftBridge.observedMetrics(obs)
+        // if one round's event never arrived, none will (the checkpoint
+        // action isn't posting QueryExecution events in this runtime) —
+        // remember it and skip straight to the fallback count on later
+        // rounds instead of paying the full wait per round
         var waitedMs = 0
         var m = metrics
-        while (m.isEmpty && waitedMs < 10000) {
+        while (m.isEmpty && !observeUnsupported && waitedMs < 10000) {
           Thread.sleep(10); waitedMs += 10; m = metrics
         }
         m.get("n_changed") match {
           case Some(v: Number) => v.longValue()
-          case _ => stepped.where(col("changed")).count()
+          case _ =>
+            if (!observeUnsupported) {
+              observeUnsupported = true
+              log.warn("graft.cc observation event missing - falling back to cached-scan counts for this JVM")
+            }
+            stepped.where(col("changed")).count()
         }
       }
       log.info(s"graft.cc round=$iter changed=$changed ms=${(System.nanoTime() - t0) / 1000000}")

@@ -170,7 +170,9 @@ object Stats {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val cuts = loHiPerGroup(df, groupCol, valueCol, pLo, pHi, exact)
     val v = col(s"`$valueCol`").cast("double")
-    df.join(broadcast(cuts), col(s"`$groupCol`") === col("__g"), "left")
+    // null-SAFE group equality: a plain === never matches a null group key,
+    // which would silently pass that group's outliers through unclamped
+    df.join(broadcast(cuts), col(s"`$groupCol`") <=> col("__g"), "left")
       // explicit null guard: Spark's greatest/least IGNORE nulls, which
       // would silently clamp a null observation to the lower cutpoint
       .withColumn(s"${valueCol}_w",
@@ -198,6 +200,11 @@ object Stats {
         s"percentile(CAST(`$valueCol` AS DOUBLE), array(${qs.mkString(",")}))").as("cuts"))
       else df.agg(percentile_approx(v, array(qs.map(lit): _*), lit(10000)).as("cuts"))
     ).head()
+    // empty input (or all-null values): the aggregate returns NULL, there
+    // is nothing to bucket — emit the schema with a null bucket column
+    // instead of NPE-ing on the driver
+    if (cutsRow.isNullAt(0))
+      return df.withColumn("bucket", lit(null).cast("long"))
     val cuts = cutsRow.getSeq[Double](0)
     val bucket = cuts.zipWithIndex.foldRight(lit(k - 1): Column) {
       case ((cut, i), acc) => when(v <= cut, lit(i)).otherwise(acc)

@@ -31,13 +31,20 @@ object BinaryIngest {
     val root = new java.io.File(dir)
     if (overwrite && root.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() is null on an I/O error, not empty — guard the NPE
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
       rm(root)
     }
     root.mkdirs()
+    // rows with a null id or null payload are dropped BEFORE the write (a
+    // null would otherwise NPE inside an executor task and fail the job
+    // through a retry storm); an ingest that must account for nulls should
+    // validate upstream — this writer's contract is one object per
+    // non-null (id, content) row
     df.select(col(s"`$idCol`").cast("long"), col(s"`$contentCol`"))
+      .where(col(s"`$idCol`").isNotNull && col(s"`$contentCol`").isNotNull)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val p = java.nio.file.Paths.get(dir, s"${r.getLong(0)}$suffix")

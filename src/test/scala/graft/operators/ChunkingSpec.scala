@@ -122,5 +122,10 @@ class ChunkingSpec extends AnyFunSuite {
     }
     // deterministic: a second run produces identical rows
     assert(out.toSeq === read(Chunking.fimTransform(df, "doc_id", "text")).toSeq)
+    // id column named anything (regression: h2 once referenced the
+    // pre-rename name and only "doc_id" inputs analyzed)
+    val renamed = read(Chunking.fimTransform(
+      df.withColumnRenamed("doc_id", "asset_key"), "asset_key", "text"))
+    assert(renamed.toSeq === out.toSeq)
   }
 }

@@ -35,6 +35,15 @@ class CohortsSpec extends AnyFunSuite {
     assert(out === Map((0L, 0L) -> 2L))
   }
 
+  test("pre-epoch events land in the FLOOR period (matches the oracle's //)") {
+    import spark.implicits._
+    // ts -1 with period 10: floor -> period -1 (truncating div would say 0)
+    val df = Seq((1L, -1L), (1L, 11L)).toDF("u", "ts")
+    val out = Cohorts.retention(df, "u", "ts", periodLength = 10L)
+      .orderBy("offset").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((-1L, 0L), (-1L, 2L))) // cohort -1, offsets 0 and 2
+  }
+
   test("periodLength must be positive") {
     import spark.implicits._
     val events = Seq((1L, 0L)).toDF("user_id", "ts")

@@ -131,6 +131,25 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize clamps the NULL group too (null-safe join)") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => (Option("a"), (i + 1).toDouble)) ++
+      Seq.tabulate(10)(i => (Option.empty[String], (i + 1) * 100.0))).toDF("g", "v")
+    val out = Stats.winsorize(df, "g", "v", 0.10, 0.90)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2)))
+    // the null group's own band is [190, 910]; 1000 must be clamped
+    val nullRows = out.filter(_._1.isEmpty)
+    assert(nullRows.nonEmpty)
+    assert(nullRows.forall { case (_, _, w) => w >= 190.0 && w <= 910.0 })
+    assert(nullRows.exists { case (_, v, w) => v === 1000.0 && w === 910.0 })
+  }
+
+  test("equiDepthBucketize on an empty frame returns empty, not NPE") {
+    import spark.implicits._
+    val df = Seq.empty[Double].toDF("v")
+    assert(Stats.equiDepthBucketize(df, "v", 4).count() === 0)
+  }
+
   test("winsorize approx path stays within the band and agrees on interior values") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")

@@ -45,6 +45,18 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(ids === Seq(5L))
   }
 
+  test("null id or null content rows are dropped, not executor NPEs") {
+    import spark.implicits._
+    val dir = tmpDir("graft_bi_nulls")
+    val rows = Seq((Option(1L), Option(Array[Byte](1))),
+      (Option.empty[Long], Option(Array[Byte](2))),
+      (Option(3L), Option.empty[Array[Byte]]))
+    BinaryIngest.writeFiles(rows.toDF("id", "content"), "id", "content", dir, ".bin")
+    val ids = BinaryIngest.readBinaryFiles(spark, dir, "*.bin").select("media_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L))
+  }
+
   test("overwrite clears stale objects from a previous larger run") {
     import spark.implicits._
     val dir = tmpDir("graft_bi_overwrite")
