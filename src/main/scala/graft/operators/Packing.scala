@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** (token_start, token_end] span of every row along the global token axis
-    * ordered by `orderCol`. Adds `token_start`, `token_end`. */
+    * ordered by `orderCol`, which MUST be unique — duplicates would make
+    * span assignment order-dependent, so they raise an error mid-job
+    * rather than emit overlapping spans. Adds `token_start`, `token_end`. */
   def tokenSpans(df: DataFrame, orderCol: String, tokensCol: String): DataFrame = {
     val pid = "__graft_pid"
     // range partition => partition i holds an orderCol range entirely below
@@ -42,11 +44,23 @@ object Packing {
     val ranged = df.repartitionByRange(parallelism, col(s"`$orderCol`"))
       .withColumn(pid, spark_partition_id())
     val localW = Window.partitionBy(pid).orderBy(col(s"`$orderCol`"))
+    // ROWS frame, not the default RANGE: RANGE includes orderCol PEERS, so
+    // two rows tied on orderCol would both receive the combined end and
+    // their spans would OVERLAP. With a ROWS frame ties would instead be
+    // silently order-dependent — so duplicates fail loudly via the lag
+    // guard below (range partitioning co-locates equal keys, so the
+    // within-partition lag sees every duplicate pair).
+    val cum = sum(col(s"`$tokensCol`"))
+      .over(localW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val dupGuard = when(
+      lag(col(s"`$orderCol`"), 1).over(localW) === col(s"`$orderCol`"),
+      raise_error(concat(lit("tokenSpans requires a UNIQUE orderCol; duplicate value: "),
+        col(s"`$orderCol`").cast("string"))).cast("long")).otherwise(lit(0L))
     // persisted: both the offsets branch and the result consume this frame —
     // without the persist each consumer re-runs the scan + range shuffle +
     // window (the plan tree duplicates the whole subtree); released lazily
     // after the caller's first action
-    val local = ranged.withColumn("__local_end", sum(col(s"`$tokensCol`")).over(localW))
+    val local = ranged.withColumn("__local_end", cum + dupGuard)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per partition; the offset window runs over <=parallelism rows
     val offsetW = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
@@ -58,7 +72,7 @@ object Packing {
       local.join(broadcast(offsets), pid)
         .withColumn("token_end", col("__local_end") + col("__offset"))
         .withColumn("token_start", col("token_end") - col(s"`$tokensCol`"))
-        .drop(pid, "__local_end"),
+        .drop(pid, "__local_end", "__offset"),
       local)
   }
 

@@ -134,6 +134,9 @@ object Similarity {
     * determinism keeps executors coordination-free. */
   def sampleCentroids(df: DataFrame, idCol: String, embCol: String, nLists: Int): Array[Array[Double]] =
     df.select(col(s"`$embCol`").cast("array<double>").as("e"), col(s"`$idCol`").as("id"))
+      // nulls are routed to list -1 by ivfAssign; a null landing in the
+      // hash-ordered head here would NPE the driver's toArray instead
+      .where(col("e").isNotNull)
       .orderBy(xxhash64(col("id")))
       .limit(nLists)
       .collect().map(_.getSeq[Double](0).toArray)
@@ -268,9 +271,17 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // one bounded action for the tuning inputs (dim was always read here;
-    // the row count rides the same small aggregate)
-    val head = base.agg(count(lit(1)), first(size(col("emb")))).head()
+    // the row count rides the same small aggregate). ignoreNulls: a null
+    // first-seen embedding (nulls are supported — signatures coalesce them
+    // away) or an empty frame would otherwise NPE the driver on getInt
+    val head = base.agg(count(lit(1)),
+      first(size(col("emb")), ignoreNulls = true)).head()
     val nRows = head.getLong(0)
+    if (nRows == 0 || head.isNullAt(1)) {
+      base.unpersist(false)
+      return spark.emptyDataFrame.select(
+        lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cosine")).limit(0)
+    }
     val dim = head.getInt(1)
 
     val bandedAll = if (autoTune) {

@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions._
   * Output: `(doc_id, n_tokens, n_spans, tokens_removed, clean_text)` —
   * one row per non-null-text input document, untouched documents included
   * with `n_spans = 0` and `clean_text` = normalized text.
+  *
+  * Doc ids must be NON-NULL: a null id has no identity to cut against (the
+  * span join is keyed on it), so null-id rows are dropped up front — loud
+  * contract rather than the silent pass-through-uncut they previously got.
   */
 object SpanDedup {
 
@@ -52,11 +56,18 @@ object SpanDedup {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     val L = spanTokens
 
+    // persisted: three consumers (dup-key counts, the semi-join probe, and
+    // the final toks join) would each recompute the tokenize + per-window
+    // slice/concat + double-hash projection — the dominant CPU of the
+    // operator — because the probe side's exchange (raw wins rows) differs
+    // from the aggregate side's (partial-agg rows) and ReuseExchange never
+    // fires. Released after the caller's first action.
     val toks = df
-      .filter(col(s"`$textCol`").isNotNull)
+      .filter(col(s"`$textCol`").isNotNull && col(s"`$idCol`").isNotNull)
       .select(
         col(s"`$idCol`").as("doc_id"),
         split(lower(trim(col(s"`$textCol`"))), "\\s+").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (doc_id, pos, 128-bit window fingerprint); docs shorter than L emit
     // no windows. sequence(0, size-L) is ascending only when size >= L —
@@ -70,6 +81,7 @@ object SpanDedup {
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         xxhash64(col("gram")).as("k1"), xxhash64(lit(1), col("gram")).as("k2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dupKeys = wins.groupBy("k1", "k2").count().filter(col("count") > 1)
       .select("k1", "k2")
@@ -92,7 +104,7 @@ object SpanDedup {
              |    ELSE concat(acc, array(named_struct('s', p, 'e', p + ${L - 1})))
              |  END)""".stripMargin).as("spans"))
 
-    toks.join(spansDf, Seq("doc_id"), "left")
+    val out = toks.join(spansDf, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -104,5 +116,6 @@ object SpanDedup {
           .otherwise(concat_ws(" ",
             expr("filter(t, (tok, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))")))
           .as("clean_text"))
+    Partitioning.releaseAfterUse(out, toks, wins)
   }
 }

@@ -43,6 +43,19 @@ object Streaming {
     * (timeout emission). Event-time timeouts keep micro-batch processing
     * deterministic — no wall-clock coupling — and bound state by watermark.
     *
+    * EMIT-ON-CLOSE semantics (the standard append-mode trade, stated
+    * plainly): a session is emitted the moment a later event closes it.
+    * Append mode cannot retract, so an out-of-order event that arrives in
+    * a LATER micro-batch and would have bridged an already-emitted gap
+    * starts or extends a new session instead of rewriting the emitted one
+    * — across-batch disorder can split one batch-semantics session into
+    * two. Within a single micro-batch events are sorted before folding, so
+    * single-batch input (the AvailableNow gate) reproduces
+    * [[sessionizeBatch]] exactly. The alternative — holding every closed
+    * session until the watermark passes end + gap — never emits tail
+    * sessions under a terminating one-shot stream, which is the worse
+    * contract for a bounded replay.
+    *
     * `watermarkDelay` is how much event-time lateness to tolerate before
     * state can be finalized. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
@@ -67,9 +80,19 @@ object Streaming {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
+                // merge needs BOTH bounds: `t - endMs <= gap` alone is
+                // vacuously true for every t before the session and would
+                // absorb an event arbitrarily far BEFORE the start
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
                   // late in-window events must not regress the session end
                   cur = Some(SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.total + e.value))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // an in-watermark straggler from before the current
+                  // session: it can never merge with anything still open
+                  // (the current session sits > gap after it), so it is a
+                  // complete single-event session — emit, keep `cur`
+                  closed ::= Session(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= emit(s)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -140,7 +163,10 @@ object Streaming {
     * holds no state between batches. */
   def enrichStatic(stream: DataFrame, dim: DataFrame,
                    streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(s"`$streamKey`") === col(s"`$dimKey`"), "inner")
+    // frame-qualified key resolution: bare col() against the joined schema
+    // is AMBIGUOUS whenever the key name exists on both sides — including
+    // the common same-name enrichment key
+    stream.join(broadcast(dim), stream.col(s"`$streamKey`") === dim.col(s"`$dimKey`"), "inner")
 
   /** Batch-equivalent sessionization (same gap semantics) — lets the
     * streaming operator be cross-checked against a deterministic batch

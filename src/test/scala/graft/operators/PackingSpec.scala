@@ -14,6 +14,20 @@ class PackingSpec extends AnyFunSuite {
     (0 until n).map(i => (i.toLong, 1L + math.floorMod(i * 7919L + 13, 97L))).toDF("doc_id", "toks")
   }
 
+  test("tokenSpans rejects duplicate order keys loudly (spans would overlap)") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("doc_id", "toks")
+    val e = intercept[Exception] {
+      Packing.tokenSpans(df, "doc_id", "toks").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("tokenSpans output carries no internal working columns") {
+    val cols = Packing.tokenSpans(docs(50), "doc_id", "toks").columns.toSet
+    assert(cols === Set("doc_id", "toks", "token_start", "token_end"))
+  }
+
   test("tokenSpans computes the exact global prefix sum in doc_id order") {
     val df = docs(500)
     val spans = Packing.tokenSpans(df, "doc_id", "toks")

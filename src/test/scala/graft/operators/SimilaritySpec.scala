@@ -168,4 +168,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byCluster.values.forall(_.size == 1), s"split cluster: $byCluster")
     assert(byCluster.values.flatten.toSet.size === 3, "clusters merged")
   }
+
+  test("cosinePairsLsh: empty frame and null-first embedding return empty, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsLsh(empty, "vec_id", "embedding", 0.9).count() === 0)
+    val allNull = Seq((1L, Option.empty[Array[Float]]), (2L, None)).toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsLsh(allNull, "vec_id", "embedding", 0.9).count() === 0)
+  }
+
+  test("sampleCentroids skips null embeddings instead of NPE-ing the driver") {
+    import spark.implicits._
+    val df = Seq((1L, Option(Array(1.0f, 0.0f))), (2L, Option.empty[Array[Float]]),
+      (3L, Option(Array(0.0f, 1.0f)))).toDF("vec_id", "embedding")
+    val cs = Similarity.sampleCentroids(df, "vec_id", "embedding", 3)
+    assert(cs.length === 2 && cs.forall(_ != null))
+  }
 }

@@ -79,4 +79,14 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1L) === ((5L, 1L, 5L, "")))
     assert(out(2L) === ((5L, 1L, 5L, "")))
   }
+
+  test("null doc ids are dropped up front (no identity to cut against)") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta"
+    val df = Seq((Option(1L), Option(s"$t x")), (Option.empty[Long], Option(s"$t y")))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicatedSpans(df, "doc_id", "text", 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L)) // null-id row absent, not passed through uncut
+  }
 }

@@ -244,6 +244,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an in-watermark straggler far BEFORE the open session is its own session, never merged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Event]
+    // 5-minute gap, 2-hour lateness tolerance: the straggler is admissible
+    // but sits 50 minutes before the open session's start
+    val q = Streaming.sessionize(input.toDS(), gapMinutes = 5, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_straggler").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Streaming.Event(1, ts("2024-01-01 12:00:00"), 1, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(2, ts("2024-01-01 11:10:00"), 1, "b", 2.0))
+      q.processAllAvailable()
+      // flush everything with a far-future watermark advance
+      input.addData(Streaming.Event(9, ts("2024-01-05 00:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(10, ts("2024-01-09 00:00:00"), 9, "z", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_straggler").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSet
+      // the old `t - endMs <= gap` predicate merged them into one n=2 session
+      assert(sessions === Set((1, 1.0), (1, 2.0)), s"straggler merged: $sessions")
+    } finally q.stop()
+  }
+
+  test("enrichStatic resolves a same-name join key without ambiguity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = Streaming.enrichStatic(
+      input.toDS().toDF("user_id", "ev"), dim, "user_id", "user_id")
+    val q = out.writeStream.format("memory").queryName("enrich_same_key")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_same_key").collect()
+      assert(rows.length === 1 && rows(0).getAs[String]("tier") === "gold")
+    } finally q.stop()
+  }
+
   test("late in-window events do not regress a session's end (boundary stability)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
