@@ -96,6 +96,18 @@ object Decontamination {
     * the id set is small, so the anti join broadcasts too). */
   def dropContaminated(docs: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    // enforce the repo-wide long-id convention LOUDLY: on a non-integral id
+    // (string UUIDs) the cast below would yield null ids, the anti-join
+    // condition would be null for every row, and ALL contaminated docs
+    // would silently pass through — a no-op on a safety-critical operator
+    val idType = docs.schema(idCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      idType == ByteType || idType == ShortType || idType == IntegerType || idType == LongType
+    }
+    require(integral,
+      s"dropContaminated requires an integral id column, got `$idCol`: $idType " +
+        "(map non-integral ids to a long surrogate first)")
     val bad = contaminatedIds(docs, idCol, textCol, benchmark, benchTextCol, n)
     docs.join(broadcast(bad),
       docs(s"`$idCol`").cast("long") === bad("doc_id"), "left_anti")

@@ -44,12 +44,19 @@ object Dedup {
 
   /** Exact deduplication: group identical values of `dedupCols`, keep the
     * row with the smallest `idCol`. Hash-groupBy: one shuffle on the content
-    * hash, map-side combine, no sort. */
+    * hash, map-side combine, no sort.
+    *
+    * Rows with a NULL id pass through UNTOUCHED: a null id has no identity
+    * to win or lose the keep-min race with, and the previous behavior —
+    * the null-condition join silently DELETING them, duplicates or not —
+    * is the one thing an exact-dedup operator must never do. */
   def exact(df: DataFrame, idCol: String, dedupCols: Seq[String]): DataFrame = {
-    val w = df.withColumn("__graft_key", exactKey(dedupCols))
+    val nullIds = df.where(col(s"`$idCol`").isNull)
+    val w = df.where(col(s"`$idCol`").isNotNull).withColumn("__graft_key", exactKey(dedupCols))
     val keep = w.groupBy(col("__graft_key")).agg(min(col(s"`$idCol`")).as("__graft_keep"))
     w.join(keep, w("__graft_key") === keep("__graft_key") && col(s"`$idCol`") === col("__graft_keep"), "inner")
       .drop("__graft_key", "__graft_keep")
+      .unionByName(nullIds)
   }
 
   /** Exact-duplicate clusters: (representative id, cluster size). */
@@ -135,7 +142,10 @@ object Dedup {
         .select(labels("id"),
           least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
           (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed"))
-        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed")))
+        // count, not sum: sum over an EMPTY label frame is NULL, which the
+        // reader below would misdiagnose as "observation unsupported" and
+        // permanently poison the JVM-wide fallback flag
+        .observe(obs, count(when(col("changed"), 1)).as("n_changed")))
       labels = stepped
       // the checkpoint action posts the observation's QueryExecution event;
       // getOrEmpty-with-patience guards against an event that never arrives
@@ -154,6 +164,7 @@ object Dedup {
         }
         m.get("n_changed") match {
           case Some(v: Number) => v.longValue()
+          case Some(null) => 0L // defensive: a null metric is "no rows", not "no event"
           case _ =>
             if (!observeUnsupported) {
               observeUnsupported = true

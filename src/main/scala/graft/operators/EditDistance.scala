@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * builtin (banded DP: O(d·n) with early exit, not O(n²)). The gram path
   * needs every true pair to share a gram, guaranteed above
   * `q*(maxDistance+1)` characters; shorter strings route to a separate
-  * exact-length-bucket arm over the (by definition bounded) short set,
-  * with an overlap band so cross-boundary pairs are seen exactly once.
+  * exact-length-bucket arm with an overlap band so cross-boundary pairs
+  * are seen exactly once. Short-text corpora can make those buckets
+  * arbitrarily large, so a `maxShortBucket` skew cap (same pattern as the
+  * LSH operators' maxBucket) drops over-cap length buckets loudly — a
+  * documented recall cap instead of a silent quadratic task.
   *
   * Scale shape: gram df counts are one map-side-combined shuffle; the
   * prefix index is `(q*d+1)` rows per document (corpus-linear, hot-gram
@@ -39,10 +42,13 @@ import org.apache.spark.sql.functions._
   */
 object EditDistance {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int, q: Int = 3): DataFrame = {
+      maxDistance: Int, q: Int = 3, maxShortBucket: Long = 100000L): DataFrame = {
     require(maxDistance >= 1, "maxDistance must be >= 1")
     require(q >= 2, "q must be >= 2")
+    require(maxShortBucket >= 1, "maxShortBucket must be >= 1")
     val d = maxDistance
     val prefixLen = q * d + 1
     val minLongLen = q * (d + 1) // above this, >= 1 shared gram is guaranteed
@@ -75,7 +81,11 @@ object EditDistance {
     // candidate pair, and every candidate is levenshtein-verified, so the
     // result stays exact. (For large q over wide alphabets swap the
     // broadcast for a shuffle join.)
+    // persisted: the df-count aggregate and the prefix join both consume
+    // this frame; without the persist the CPU-heavy gram pipeline above
+    // (tokenize + per-window substr + hash) evaluates twice per call
     val hashedInv = inv.select(col("doc_id"), col("len"), xxhash64(col("gram")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = hashedInv.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
     val prefixInv = hashedInv.join(broadcast(dfCounts), "gh")
       .groupBy(col("doc_id"))
@@ -99,17 +109,29 @@ object EditDistance {
 
     // short strings: too few grams for the bound — pair by exact length
     // bucket (a true pair's lengths differ by <= d, so each bucket joins
-    // its 2d+1 neighbors), then verify identically
+    // its 2d+1 neighbors), then verify identically. The short set is NOT
+    // inherently bounded (a names/queries corpus can be ALL short), so a
+    // skew cap bounds the per-bucket quadratic exactly like the LSH
+    // operators' maxBucket: a length bucket over `maxShortBucket` rows is
+    // dropped from the probe side with a warning — a documented recall
+    // cap, never a silent quadratic task
+    val lenCounts = shorts.groupBy(length(col("text")).as("lb")).agg(count(lit(1)).as("n"))
+    val hot = lenCounts.where(col("n") > maxShortBucket).collect()
+    if (hot.nonEmpty) log.warn(
+      s"graft.edit short-length buckets over cap $maxShortBucket dropped: " +
+        hot.map(r => s"len=${r.getInt(0)} n=${r.getLong(1)}").mkString(", "))
+    val okLens = lenCounts.where(col("n") <= maxShortBucket).select(col("lb"))
     val shortPairs = shorts.select(col("doc_id").as("id_a"), col("text").as("ta"),
         col("core").as("core_a"),
         explode(sequence(length(col("text")) - d, length(col("text")) + d)).as("lb"))
       .join(shorts.select(col("doc_id").as("id_b"), col("text").as("tb"),
-        col("core").as("core_b"), length(col("text")).as("lb")), "lb")
+        col("core").as("core_b"), length(col("text")).as("lb"))
+        .join(broadcast(okLens), "lb"), "lb")
       .where(col("id_a") < col("id_b") && (col("core_a") || col("core_b")))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb"), d).as("dist"))
       .where(col("dist") >= 0)
 
-    verified.unionByName(shortPairs)
+    Partitioning.releaseAfterUse(verified.unionByName(shortPairs), hashedInv)
   }
 }

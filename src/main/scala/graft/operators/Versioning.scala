@@ -32,13 +32,20 @@ object Versioning {
     xxhash64((lit(seed) +: parts): _*)
   }
 
+  /** Rows with a NULL id are EXCLUDED from the diff (documented contract):
+    * a null never equi-joins, so they would classify as simultaneously
+    * `added` and `removed` — and with several null-id rows per side a
+    * null-safe join would cross-product them instead. No identity, no
+    * diff; [[incrementalRecompute]] handles them explicitly. */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
       compareCols: Seq[String], emitUnchanged: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
-    def side(df: DataFrame, tag: String) = df.select(
-      col(s"`$idCol`").as(s"id_$tag"),
-      fingerprint(compareCols, 0).as(s"f1_$tag"),
-      fingerprint(compareCols, 1).as(s"f2_$tag"))
+    def side(df: DataFrame, tag: String) = df
+      .where(col(s"`$idCol`").isNotNull)
+      .select(
+        col(s"`$idCol`").as(s"id_$tag"),
+        fingerprint(compareCols, 0).as(s"f1_$tag"),
+        fingerprint(compareCols, 1).as(s"f2_$tag"))
 
     val joined = side(v1, "a").join(side(v2, "b"),
       col("id_a") === col("id_b"), "full_outer")
@@ -87,8 +94,19 @@ object Versioning {
       validFromCol: String = "valid_from",
       validToCol: String = "valid_to"): DataFrame = {
     require(attrCols.nonEmpty, "attrCols must be non-empty")
+    // the insert projection below reconstructs dim's exact schema; any
+    // extra dimension column (surrogate key, load date) would fail deep in
+    // analysis with an opaque unresolved-column error — state the schema
+    // contract up front instead
+    val expected = (keyCol +: attrCols) ++ Seq(validFromCol, validToCol)
+    require(dim.columns.toSet == expected.toSet,
+      s"scd2Merge requires dim's schema to be exactly key + attrs + validity " +
+        s"(got ${dim.columns.mkString(", ")}; expected ${expected.mkString(", ")})")
     val validToType = dim.schema(validToCol).dataType
-    val ch = changes.select(
+    // a null business key can neither match an open row nor insert
+    // idempotently (it would re-append on every application) — drop such
+    // change rows rather than corrupt the dimension
+    val ch = changes.where(col(s"`$keyCol`").isNotNull).select(
       (keyCol +: attrCols).map(c => col(s"`$c`").as(s"__ch_$c")): _*)
 
     // pass 1: dim streams against the broadcast batch; an open row whose
@@ -139,15 +157,25 @@ object Versioning {
   def incrementalRecompute(prior: DataFrame, v1: DataFrame, v2: DataFrame,
       idCol: String, compareCols: Seq[String],
       score: DataFrame => DataFrame): DataFrame = {
+    // persisted: churnNew and churnOld both read this frame, and without
+    // the persist the full-outer fingerprint join over BOTH corpus-sized
+    // snapshots — the dominant cost — executes twice per call
     val diff = snapshotDiff(v1, v2, idCol, compareCols) // churn rows only
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val churnNew = diff.where(col("status").isin("added", "changed"))
       .select(col(s"`$idCol`"))
     val churnOld = diff.where(col("status").isin("removed", "changed"))
       .select(col(s"`$idCol`"))
-    val recomputed = score(v2.join(broadcast(churnNew), Seq(idCol), "left_semi"))
+    // null-id rows have no identity for snapshotDiff to see: v2's are
+    // always RECOMPUTED (they cannot match a prior row) and prior's are
+    // always evicted — keeping the score(v2) equivalence exactly
+    val recomputed = score(
+      v2.where(col(s"`$idCol`").isNotNull).join(broadcast(churnNew), Seq(idCol), "left_semi")
+        .unionByName(v2.where(col(s"`$idCol`").isNull)))
       .withColumn("provenance", lit("recomputed"))
-    val carried = prior.join(broadcast(churnOld), Seq(idCol), "left_anti")
+    val carried = prior.where(col(s"`$idCol`").isNotNull)
+      .join(broadcast(churnOld), Seq(idCol), "left_anti")
       .withColumn("provenance", lit("carried"))
-    carried.unionByName(recomputed)
+    Partitioning.releaseAfterUse(carried.unionByName(recomputed), diff)
   }
 }

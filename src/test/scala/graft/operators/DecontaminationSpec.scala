@@ -76,4 +76,14 @@ class DecontaminationSpec extends AnyFunSuite {
     val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
     assert(joinLine.contains("BroadcastHashJoin"), s"expected broadcast probe, got: $joinLine")
   }
+
+  test("dropContaminated rejects non-integral ids loudly (a cast-to-null would no-op silently)") {
+    import spark.implicits._
+    val docs = Seq(("uuid-1", "text here")).toDF("id", "text")
+    val bench = Seq(Tuple1("text here")).toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.dropContaminated(docs, "id", "text", bench, "text")
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
 }

@@ -250,4 +250,27 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed dedup must not nested-loop-join")
     }
   }
+
+  test("exact() passes null-id rows through untouched (never deletes them)") {
+    import spark.implicits._
+    val df = Seq((Option(1L), "a"), (Option(2L), "a"), (Option.empty[Long], "unique"),
+      (Option.empty[Long], "a")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    // min-id keeps (1,"a"); BOTH null-id rows survive regardless of content
+    assert(out === Set((Some(1L), "a"), (None, "unique"), (None, "a")))
+  }
+
+  test("connectedComponents on an empty pair set returns empty without poisoning the observe path") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+    // a subsequent non-empty run must still converge normally (the flag
+    // would force per-round count jobs forever if the null metric were
+    // misread as "observation unsupported")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -80,4 +80,15 @@ class EditDistanceSpec extends AnyFunSuite {
       EditDistance.editDistancePairs(df, "doc_id", "text", 0)
     }
   }
+
+  test("maxShortBucket caps a hot short-length bucket instead of going quadratic") {
+    import spark.implicits._
+    // 50 identical-length short strings -> one hot bucket of 50
+    val hot = (0 until 50).map(i => (i.toLong, f"aa$i%03d")) // length 5, all distinct
+    val df = hot.toDF("doc_id", "text")
+    val capped = EditDistance.editDistancePairs(df, "doc_id", "text", 1, maxShortBucket = 10)
+    assert(capped.count() === 0) // bucket over cap -> dropped, documented recall cap
+    val uncapped = EditDistance.editDistancePairs(df, "doc_id", "text", 1)
+    assert(uncapped.count() > 0) // default cap keeps the bucket
+  }
 }

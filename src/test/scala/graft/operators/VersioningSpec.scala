@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -176,5 +176,48 @@ class VersioningSpec extends AnyFunSuite {
       (1L, Some("v2"), 100L, None),
       (2L, Some("w1"), 0L, None),
       (3L, Some("new"), 100L, None)))
+  }
+
+  test("snapshotDiff excludes null-id rows instead of double-classifying them") {
+    import spark.implicits._
+    val v1 = Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("id", "t")
+    val v2 = Seq((Option(1L), "a"), (Option.empty[Long], "y")).toDF("id", "t")
+    val out = Versioning.snapshotDiff(v1, v2, "id", Seq("t"), emitUnchanged = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "unchanged"))) // no phantom added+removed pair
+  }
+
+  test("scd2Merge drops null-key change rows (idempotency preserved)") {
+    import spark.implicits._
+    val dim = Seq((1L, Option("v"), 0L, Option.empty[Long])).toDF("k", "attr", "valid_from", "valid_to")
+    val batch = Seq((Option(1L), Option("v")), (Option.empty[Long], Option("ghost")))
+      .toDF("k", "attr")
+    val once = Versioning.scd2Merge(dim, batch, "k", Seq("attr"), 100L)
+    assert(once.count() === 1) // no null-key insert
+    val twice = Versioning.scd2Merge(once, batch, "k", Seq("attr"), 200L)
+    assert(twice.count() === 1) // and re-application still changes nothing
+  }
+
+  test("scd2Merge states its schema contract loudly for extra dim columns") {
+    import spark.implicits._
+    val dim = Seq((1L, "v", 0L, Option.empty[Long], "extra"))
+      .toDF("k", "attr", "valid_from", "valid_to", "load_date")
+    val e = intercept[IllegalArgumentException] {
+      Versioning.scd2Merge(dim, Seq((1L, "v")).toDF("k", "attr"), "k", Seq("attr"), 100L)
+    }
+    assert(e.getMessage.contains("exactly key + attrs + validity"))
+  }
+
+  test("incrementalRecompute always rescans null-id rows and evicts null-id priors") {
+    import spark.implicits._
+    val v1 = Seq((Option(1L), "a"), (Option.empty[Long], "old")).toDF("id", "t")
+    val v2 = Seq((Option(1L), "a"), (Option.empty[Long], "new")).toDF("id", "t")
+    val prior = Seq((Option(1L), "a", 1L), (Option.empty[Long], "old", 3L)).toDF("id", "t", "score")
+    def score(df: org.apache.spark.sql.DataFrame) = df.withColumn("score", length(col("t")).cast("long"))
+    val out = Versioning.incrementalRecompute(prior, v1, v2, "id", Seq("t"), score)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getLong(2), r.getString(3))).toSet
+    // equals score(v2): the null-id row is recomputed from v2, never carried stale
+    assert(out === Set((Some(1L), "a", 1L, "carried"), (None, "new", 3L, "recomputed")))
   }
 }
