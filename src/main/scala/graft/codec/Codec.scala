@@ -75,7 +75,10 @@ object Codec {
     val signature = "MaskDataTransform environment variable 'ETL_CONF_MASK_DATA_PASSPHRASE' must be a string of between 64 and 256 characters."
     sys.env.get("ETL_CONF_MASK_DATA_PASSPHRASE") match {
       case Some(value) if value.length < 64 || value.length > 256 => throw new Exception(signature)
-      case Some(value) => value.getBytes
+      // pinned UTF-8: the platform-default overload would give two JVMs
+      // with different file.encoding different key bytes for the same
+      // passphrase — silently breaking cross-system deterministic masks
+      case Some(value) => value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case None => throw new Exception(signature)
     }
   }

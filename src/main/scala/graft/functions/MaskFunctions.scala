@@ -145,6 +145,7 @@ object MaskFunctions {
 
   def maskDate(codec: Codec, passphrase: Array[Byte])(range: Int, deterministic: Boolean, value: Date): Date = {
     if (value == null) return null
+    require(range > 0, s"mask_date range must be positive, got $range")
     val offsetDays = (hashLongOf(codec, passphrase, deterministic, value.toString) % range).toInt
     Date.valueOf(value.toLocalDate.plusDays(offsetDays))
   }
@@ -152,6 +153,7 @@ object MaskFunctions {
   def maskLocalDate(codec: Codec, passphrase: Array[Byte])(
       range: Int, deterministic: Boolean, value: java.time.LocalDate): java.time.LocalDate = {
     if (value == null) return null
+    require(range > 0, s"mask_date range must be positive, got $range")
     // LocalDate.toString == java.sql.Date.toString (ISO yyyy-MM-dd), so the
     // hash input — and therefore the jitter — matches the java.sql.Date path.
     val offsetDays = (hashLongOf(codec, passphrase, deterministic, value.toString) % range).toInt
@@ -160,20 +162,33 @@ object MaskFunctions {
 
   // --- F5: timestamp masking — shifts whole days, preserves time-of-day ---
 
+  /** The hash input for timestamp masking: the UTC wall-clock rendered in
+    * java.sql.Timestamp's format. A bare `value.toString` renders in the
+    * JVM DEFAULT timezone, so two deployments with different default TZs
+    * would hash different strings for the same instant and produce
+    * different "deterministic" masks — breaking cross-system join-key
+    * stability. Routing the UTC LocalDateTime through Timestamp.valueOf
+    * reproduces toString's exact format while pinning the zone: on a
+    * UTC-default JVM (the reference deployment norm and this harness) the
+    * bytes are identical to the old behavior. */
+  private def utcTimestampString(i: java.time.Instant): String =
+    Timestamp.valueOf(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)).toString
+
   def maskTimestamp(codec: Codec, passphrase: Array[Byte])(
       range: Int, deterministic: Boolean, value: Timestamp): Timestamp = {
     if (value == null) return null
-    val offsetDays = (hashLongOf(codec, passphrase, deterministic, value.toString) % range).toInt
+    require(range > 0, s"mask_timestamp range must be positive, got $range")
+    val offsetDays = (hashLongOf(codec, passphrase, deterministic, utcTimestampString(value.toInstant)) % range).toInt
     Timestamp.from(value.toInstant.plus(offsetDays.toLong, ChronoUnit.DAYS))
   }
 
   def maskInstant(codec: Codec, passphrase: Array[Byte])(
       range: Int, deterministic: Boolean, value: java.time.Instant): java.time.Instant = {
     if (value == null) return null
-    // hash the java.sql.Timestamp rendering so outputs agree with the
-    // reference's Timestamp-typed UDF regardless of the session's java8API flag
-    val asTs = Timestamp.from(value).toString
-    val offsetDays = (hashLongOf(codec, passphrase, deterministic, asTs) % range).toInt
+    require(range > 0, s"mask_timestamp range must be positive, got $range")
+    // same UTC Timestamp rendering as maskTimestamp so outputs agree with
+    // the Timestamp-typed UDF regardless of the session's java8API flag
+    val offsetDays = (hashLongOf(codec, passphrase, deterministic, utcTimestampString(value)) % range).toInt
     value.plus(offsetDays.toLong, ChronoUnit.DAYS)
   }
 
@@ -182,6 +197,8 @@ object MaskFunctions {
   def maskDecimal(codec: Codec, passphrase: Array[Byte])(
       range: java.math.BigDecimal, deterministic: Boolean, value: java.math.BigDecimal): java.math.BigDecimal = {
     if (value == null) return null
+    require(range != null && range.signum > 0,
+      s"mask_decimal range must be positive, got $range")
     val firstEight = ByteBuffer.wrap(cachedHash(codec, passphrase, deterministic, value.toString)).getLong
     val jitter = BigDecimal(firstEight) / BigDecimal(10).pow(value.scale)
     (BigDecimal(value) + (jitter % BigDecimal(range))).bigDecimal

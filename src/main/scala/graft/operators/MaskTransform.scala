@@ -44,11 +44,23 @@ object MaskTransform {
   val TreatmentsKey = "treatments"
   private val Placeholder = "${value}"
 
+  /** Backtick-quoted identifier with embedded backticks ESCAPED (doubled,
+    * Spark's convention) — a bare s"`$name`" interpolation turns a column
+    * named a`b into malformed or mis-resolving SQL. */
+  private def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Compose the treatment templates for one column into a single SQL
-    * expression string (textual fold, `${value}` substitution). */
+    * expression string (textual fold, `${value}` substitution).
+    *
+    * The accumulated state substitutes PARENTHESIZED: a bare textual
+    * substitution lets the next template's operator precedence rebind the
+    * previous expression (["${value} + 1", "${value} * 2"] would compose
+    * to `c + 1 * 2` = c + 2 instead of (c+1)*2) — a silent wrong-mask, so
+    * this is a deliberate fix-divergence in the Q1-Q5 spirit. Function-
+    * call templates (the reference's actual usage) are unaffected. */
   def composeTreatments(columnName: String, treatments: Seq[String]): String =
     treatments.foldLeft("") { (state, treatment) =>
-      val current = if (state.isEmpty) s"`$columnName`" else state
+      val current = if (state.isEmpty) quoted(columnName) else s"($state)"
       treatment.replace(Placeholder, current)
     }
 
@@ -63,13 +75,18 @@ object MaskTransform {
             Try(mask.getStringArray(TreatmentsKey)) match {
               case Failure(_) =>
                 throw new Exception(s"field '${field.name}' is missing treatments key '$TreatmentsKey'")
+              case Success(treatments) if treatments.isEmpty =>
+                // expr("") would throw a ParseException naming neither the
+                // field nor the problem — fail with the field name like the
+                // adjacent guards do
+                throw new Exception(s"field '${field.name}' has an empty '$TreatmentsKey' array")
               case Success(treatments) =>
                 val composed = expr(composeTreatments(field.name, treatments.toSeq))
                 castBack(composed, field.dataType)
                   .as(field.name, field.metadata)
             }
         }
-      } else col(s"`${field.name}`")
+      } else col(quoted(field.name))
     }
     df.select(columns.toIndexedSeq: _*)
   }
@@ -112,7 +129,12 @@ object MaskTransform {
         val records = outputDF.count()
         val elapsed = System.currentTimeMillis() - start
         detail += ("records" -> records)
+        // "rate" keeps the reference's exact formula — integer ms-per-record
+        // (MaskDataTransform.scala:168 computes (endTime-startTime)/count),
+        // which floors to 0 for any stage faster than 1 ms/record; kept for
+        // dashboard parity, with the metric a human actually wants alongside
         detail += ("rate" -> (if (records > 0) elapsed / records else 0L))
+        detail += ("recordsPerSecond" -> (records * 1000L / math.max(elapsed, 1L)))
       }
     }
     (outputDF, detail)
@@ -138,7 +160,21 @@ object MaskTransform {
       column: String,
       maskExpr: String => Column,
       maskedColumn: Option[String] = None): DataFrame = {
-    val outName = maskedColumn.getOrElse(column)
+    // resolve the SCHEMA name first, honoring the session's case
+    // sensitivity: with case-insensitive resolution the dict/join below
+    // would succeed for a case-mismatched name while the exact-string
+    // projection match silently KEPT THE PLAINTEXT column — the worst
+    // failure mode a masking operator can have
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val matches =
+      if (caseSensitive) df.columns.filter(_ == column)
+      else df.columns.filter(_.equalsIgnoreCase(column))
+    require(matches.length == 1,
+      if (matches.isEmpty) s"maskViaDistinct: column `$column` not found in [${df.columns.mkString(", ")}]"
+      else s"maskViaDistinct: column `$column` is ambiguous under case-insensitive resolution: ${matches.mkString(", ")}")
+    val schemaName = matches.head
+    val outName = maskedColumn.getOrElse(schemaName)
     val dictCol = "__graft_distinct_value"
     val maskedDictCol = "__graft_masked_value"
     // The distinct output is BYTES-tiny but each row costs a full KDF call;
@@ -147,19 +183,19 @@ object MaskTransform {
     // on all cores — at production Argon2 cost this is the difference
     // between minutes and hours per million distinct values.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val dict = df.select(col(s"`$column`").as(dictCol)).where(col(dictCol).isNotNull).distinct()
+    val dict = df.select(col(quoted(schemaName)).as(dictCol)).where(col(dictCol).isNotNull).distinct()
       .repartition(parallelism)
       .select(col(dictCol), maskExpr(dictCol).as(maskedDictCol))
     // no broadcast hint: AQE broadcasts the dictionary when it is small and
     // falls back to a shuffled hash join (with skew handling) when the
     // distinct set is large - a forced hint would OOM the driver there
-    val joined = df.join(dict, df(s"`$column`") === dict(dictCol), "left")
+    val joined = df.join(dict, df(quoted(schemaName)) === dict(dictCol), "left")
     val projected: Array[Column] =
-      if (outName == column) df.columns.map {
-        case `column` => col(maskedDictCol).as(column)
-        case c => col(s"`$c`")
+      if (outName == schemaName) df.columns.map {
+        case `schemaName` => col(maskedDictCol).as(schemaName)
+        case c => col(quoted(c))
       }
-      else df.columns.map(c => col(s"`$c`")) :+ col(maskedDictCol).as(outName)
+      else df.columns.map(c => col(quoted(c))) :+ col(maskedDictCol).as(outName)
     joined.select(projected.toIndexedSeq: _*)
   }
 }

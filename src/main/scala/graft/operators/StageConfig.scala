@@ -142,13 +142,26 @@ object StageConfig {
     }
 
   private def optionalInt(config: Map[String, Any], key: String): Either[String, Option[Int]] =
-    config.get(key) match {
+    (config.get(key) match {
       case Some(i: Int) => Right(Some(i))
       case Some(l: Long) if l.isValidInt => Right(Some(l.toInt))
       case Some(b: BigInt) if b.isValidInt => Right(Some(b.toInt))
-      case Some(s: String) if s.forall(_.isDigit) && s.nonEmpty => Right(Some(s.toInt))
+      // all-digit strings can still overflow Int (the Long/BigInt cases
+      // guard with isValidInt; an unguarded toInt would escape as a raw
+      // NumberFormatException, breaking the accumulated-errors contract)
+      case Some(s: String) if s.forall(_.isDigit) && s.nonEmpty =>
+        scala.util.Try(s.toInt).toOption match {
+          case Some(i) => Right(Some(i))
+          case None => Left(s"'$key' must be an integer.")
+        }
       case Some(_) => Left(s"'$key' must be an integer.")
       case None => Right(None)
+    }).flatMap {
+      // validate-everything-up-front: a non-positive partition count would
+      // otherwise fail MID-pipeline at repartition() after earlier stages
+      // already ran and published views
+      case Some(i) if i <= 0 => Left(s"'$key' must be a positive integer.")
+      case ok => Right(ok)
     }
 
   /** HOCON types unquoted scalars (days = 14 -> Long); coerce scalars to

@@ -129,4 +129,26 @@ class MaskFunctionsSpec extends AnyFunSuite {
     assert(graft.functions.Vocab.pick(c, pp)("en-AU", "last_name", true, "alice") === "Greeson")
     assert(graft.functions.Vocab.maskEmail(c, pp)(true, "alice") === "vpnoiftcclce@hotmail.com")
   }
+
+  test("timestamp masks are identical under different JVM default timezones") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T22:30:00Z"))
+    val saved = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+      val utc = MaskFunctions.maskTimestamp(codec, passphrase)(30, true, ts)
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val ny = MaskFunctions.maskTimestamp(codec, passphrase)(30, true, ts)
+      assert(utc === ny, "same instant must mask identically regardless of JVM default TZ")
+    } finally java.util.TimeZone.setDefault(saved)
+  }
+
+  test("non-positive mask ranges fail with a named error, not ArithmeticException") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T22:30:00Z"))
+    val d = java.sql.Date.valueOf("2024-03-05")
+    intercept[IllegalArgumentException] { MaskFunctions.maskTimestamp(codec, passphrase)(0, true, ts) }
+    intercept[IllegalArgumentException] { MaskFunctions.maskDate(codec, passphrase)(0, true, d) }
+    intercept[IllegalArgumentException] {
+      MaskFunctions.maskDecimal(codec, passphrase)(java.math.BigDecimal.ZERO, true, new java.math.BigDecimal("1.0"))
+    }
+  }
 }

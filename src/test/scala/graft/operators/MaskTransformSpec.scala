@@ -137,4 +137,35 @@ class MaskTransformSpec extends AnyFunSuite {
     assert(direct.sortBy(_.getOrElse("")).toSeq === viaDistinct.sortBy(_.getOrElse("")).toSeq)
     assert(viaDistinct.count(_.isEmpty) === 3)
   }
+
+  test("maskViaDistinct: a case-mismatched column name masks (never silently leaks plaintext)") {
+    import spark.implicits._
+    val df = Seq("alice", "bob").toDF("Email")
+    // case-insensitive session default: "email" must resolve to "Email"
+    val out = MaskTransform.maskViaDistinct(df, "email",
+      name => org.apache.spark.sql.functions.upper(org.apache.spark.sql.functions.col(name)))
+    val vals = out.collect().map(_.getString(0)).toSet
+    assert(vals === Set("ALICE", "BOB"), "plaintext leaked through a case mismatch")
+    // a name that matches nothing fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MaskTransform.maskViaDistinct(df, "nope",
+        name => org.apache.spark.sql.functions.col(name))
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("treatment composition parenthesizes the accumulated state (precedence-safe)") {
+    assert(MaskTransform.composeTreatments("c", Seq("${value} + 1", "${value} * 2"))
+      === "(`c` + 1) * 2")
+  }
+
+  test("empty treatments array fails naming the field, not with a bare ParseException") {
+    import spark.implicits._
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putMetadata("mask", new org.apache.spark.sql.types.MetadataBuilder()
+        .putStringArray("treatments", Array.empty).build()).build()
+    val df = Seq("x").toDF("c").select(org.apache.spark.sql.functions.col("c").as("c", meta))
+    val e = intercept[Exception] { MaskTransform(df) }
+    assert(e.getMessage.contains("'c'") && e.getMessage.contains("empty"))
+  }
 }
