@@ -2715,7 +2715,7 @@ object SparkEntry {
         "l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t), " +
         "e AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line FROM l), " +
         "n AS (SELECT doc_id, pos, line, trim(lower(line)) AS norm FROM e), " +
-        "hot AS (SELECT norm FROM n GROUP BY norm HAVING count(DISTINCT doc_id) >= 50), " +
+        "hot AS (SELECT norm FROM n WHERE norm <> '' GROUP BY norm HAVING count(DISTINCT doc_id) >= 50), " +
         "kept AS (SELECT * FROM n WHERE norm NOT IN (SELECT norm FROM hot)), " +
         "r AS (SELECT doc_id, count(*)::BIGINT AS n_lines_after, " +
         "string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) " +

@@ -53,7 +53,15 @@ object Multimodal {
       (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
       Some(("gif", leU16(6), leU16(8)))
     } else if (content.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
-      Some(("bmp", leI32(18), math.abs(leI32(22))))
+      // dims at 18/22 exist only for the BITMAPINFOHEADER family (header
+      // size 40/108/124 at offset 14); an OS/2 BITMAPCOREHEADER (size 12,
+      // 16-bit dims) would fuse its fields into a bogus width — reject
+      // unknown header sizes and non-positive widths instead
+      val hdr = leI32(14)
+      val w = leI32(18)
+      if ((hdr == 40 || hdr == 108 || hdr == 124) && w > 0)
+        Some(("bmp", w, math.abs(leI32(22))))
+      else None
     } else if (content.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk FF xx segments until a frame header (SOF0..15 minus the
       // non-frame C4/C8/CC); its payload is precision(1) height(2) width(2)
@@ -122,7 +130,11 @@ object Multimodal {
     var sawEnd = false
     while (!sawEnd && i + 8 <= content.length) {
       val len = beU32(i)
-      if (len < 0 || i + 12 + len > content.length) return None
+      // LONG bounds arithmetic: a crafted/corrupt len near Int.MaxValue
+      // overflows `i + 12 + len` in Int, bypasses the guard, and the
+      // chunk copy throws an uncaught IndexOutOfBoundsException — the
+      // WAV/AVI walkers already do this in Long; PNG was the Int one out
+      if (len < 0 || i.toLong + 12L + len > content.length) return None
       val tag = new String(content, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       tag match {
         case "IHDR" =>
@@ -340,7 +352,14 @@ object Multimodal {
     * invariant — and a linear ramp reproduces its midpoints exactly at 2x. */
   def wavResample(content: Array[Byte], outRate: Int): Option[Array[Byte]] = {
     require(outRate > 0, "outRate must be positive")
-    wavDecode(content).map { a =>
+    // an upsample whose output exceeds array addressability must decline
+    // (resampled=false downstream), not wrap negative and throw
+    // NegativeArraySizeException inside the task
+    wavDecode(content).filter { a =>
+      val inFrames = a.samples.length / a.channels
+      val outFramesL = if (inFrames == 0) 0L else inFrames.toLong * outRate / a.sampleRate
+      outFramesL * a.channels <= Int.MaxValue.toLong
+    }.map { a =>
       val inFrames = a.samples.length / a.channels
       val outFrames = if (inFrames == 0) 0 else (inFrames.toLong * outRate / a.sampleRate).toInt
       val out = new Array[Short](outFrames * a.channels)

@@ -34,7 +34,11 @@ object Ranking {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val id = col(s"`$idCol`")
     val toks = TextAnalysis.tokens(col(s"`$textCol`"))
-    val base = docs.select(id.as("doc_id"), toks.as("toks"))
+    // null texts are excluded from the CORPUS STATS too: size(null) is
+    // NULL, so sum(dl) would skip them while count(*) included them —
+    // silently deflating avgdl and inflating n_docs in the idf
+    val base = docs.where(col(s"`$textCol`").isNotNull)
+      .select(id.as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
 
     // postings restricted to query terms before the shuffle

@@ -112,8 +112,13 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__stratum")).orderBy(col("__h"), col("__id"))
     val picked = keys.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k).select(col("__id"))
-    df.join(broadcast(picked), col(s"`$idCol`") === picked("__id"), "left_semi")
+      .where(col("__rn") <= k).select(col("__stratum"), col("__id"))
+    // re-attach on (stratum, id), not id alone: ids unique only per source
+    // (per-source sequence numbers) would otherwise admit a SAME-ID loser
+    // row from a different stratum and break the exactly-min(k,n) contract
+    df.join(broadcast(picked),
+      col(s"`$idCol`") === picked("__id") &&
+        col(s"`$strataCol`") <=> picked("__stratum"), "left_semi")
   }
 
   /** Multi-epoch curriculum mixing: one pass over the corpus emits
@@ -184,9 +189,14 @@ object Sampling {
         col("target_ppm"),
         round(col("target_ppm").cast("double") * col("__total") /
           greatest(col("tokens"), lit(1L))).cast("long").as("weight_x1e6"),
-        expr(s"(target_ppm * ${budgetTokens}L) div 1000000L").as("planned_tokens"),
-        round(expr(s"(target_ppm * ${budgetTokens}L) div 1000000L").cast("double") *
-          100d / greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x100"))
+        // decimal(38,0) intermediate: ppm × a realistic LLM budget (15e12
+        // tokens at 70% share = 1.05e19) overflows Long and would plan a
+        // NEGATIVE token count; DuckDB computes this in 128-bit hugeint,
+        // so the decimal path also keeps oracle arithmetic identical
+        expr(s"cast((cast(target_ppm AS DECIMAL(38,0)) * ${budgetTokens}L) div 1000000 AS BIGINT)")
+          .as("planned_tokens"),
+        round(expr(s"cast((cast(target_ppm AS DECIMAL(38,0)) * ${budgetTokens}L) div 1000000 AS BIGINT)")
+          .cast("double") * 100d / greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x100"))
   }
 
   /** Stratified hash sampling: per-stratum basis-point rates, default 0

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens of the lowercased text. */
+  /** NB empty / whitespace-only text tokenizes to `[""]` (size 1), exactly
+    * like `string_split_regex` in every DuckDB oracle — the parity contract
+    * every oracle-backed query is built on, so this is deliberately NOT
+    * filtered here; callers that need true emptiness filter `tok != ""`
+    * explicitly (as the explode-based operators do). */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -156,7 +161,11 @@ object TextAnalysis {
     * fixed order en,de,fr,es,zh. Take scores as resolved columns so each
     * marker count is computed once in the plan, not once per comparison. */
   def languageIdFromScores(en: Column, de: Column, fr: Column, es: Column, zh: Column): Column =
-    when(en >= greatest(de, fr, es, zh), "en")
+    // null scores (null text) must yield a null prediction: every >= below
+    // evaluates to NULL for null inputs, so without this guard the chain
+    // would fall through all branches and label null documents "zh"
+    when(en.isNull, lit(null).cast("string"))
+      .when(en >= greatest(de, fr, es, zh), "en")
       .when(de >= greatest(fr, es, zh), "de")
       .when(fr >= greatest(es, zh), "fr")
       .when(es >= zh, "es")
@@ -207,7 +216,10 @@ object TextAnalysis {
       .withColumn("norm", trim(lower(col("line"))))
     val hot = lines.groupBy(col("norm"))
       .agg(count_distinct(col("doc_id")).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocFreq)
+      // blank/whitespace-only lines all normalize to "" — without this
+      // exclusion any real corpus clears the frequency bar for "" and the
+      // operator strips every paragraph boundary from every document
+      .filter(col("doc_freq") >= minDocFreq && col("norm") =!= "")
       .select(col("norm"))
     val kept = lines.join(hot, Seq("norm"), "left_anti")
     val reassembled = kept.groupBy(col("doc_id"))
@@ -309,8 +321,12 @@ object TextAnalysis {
     val toks = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
         explode(tokens(col(s"`$textCol`"))).as("tok"))
       .where(col("tok") =!= "")
+    // distinct BEFORE the join: a vocab with repeated tok rows (e.g. the
+    // per-doc tfidfKeywords output) would fan every matching corpus token
+    // out m-fold, overcounting n_tokens and silently deflating the OOV rate
     val flagged = toks.join(
-      broadcast(vocab.select(col("tok"), lit(1).as("__in"))), Seq("tok"), "left")
+      broadcast(vocab.select(col("tok")).distinct().withColumn("__in", lit(1))),
+      Seq("tok"), "left")
     val perDoc = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("__in").isNull, 1)).as("n_oov"))

@@ -361,4 +361,24 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("image" -> 3L, "audio" -> 1L))
   }
+
+  test("pngDecode declines a crafted huge chunk length instead of throwing") {
+    // valid signature + a chunk whose declared length would overflow the
+    // Int bounds check (0x7FFFFFF0)
+    val bytes = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte, 'I', 'H', 'D', 'R', 0, 0, 0, 0)
+    assert(Multimodal.parseDimensions(bytes).isEmpty ||
+      Multimodal.parseDimensions(bytes).exists(_._1 == "png")) // header may still parse
+    // the pixel decode path must return None, never throw
+    assert(Multimodal.resizePng(bytes, 2, 2).isEmpty)
+  }
+
+  test("parseDimensions rejects an OS/2 BITMAPCOREHEADER BMP instead of fusing fields") {
+    // 'BM' + 12 zero bytes, header size 12 at offset 14 (BITMAPCOREHEADER),
+    // 16-bit dims — the INFOHEADER offsets would misread these
+    val b = new Array[Byte](26)
+    b(0) = 'B'; b(1) = 'M'; b(14) = 12
+    b(18) = 64; b(20) = 48 // core-header 16-bit w/h
+    assert(Multimodal.parseDimensions(b).isEmpty)
+  }
 }

@@ -165,6 +165,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("fixedKPerStratum: ids repeated across strata never leak losers through the re-attach") {
+    import spark.implicits._
+    // both strata use ids 0..9 (per-source sequence numbers)
+    val df = (0L until 10L).flatMap(i => Seq(("a", i), ("b", i))).toDF("s", "id")
+    val out = Sampling.fixedKPerStratum(df, "s", "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 6, s"expected exactly 3 per stratum, got ${out.toSeq}")
+    assert(out.groupBy(_._1).values.forall(_.length === 3))
+  }
+
+  test("mixturePlan survives a realistic LLM token budget without Long overflow") {
+    import spark.implicits._
+    val df = Seq(("web", 100L), ("code", 50L)).toDF("g", "toks")
+    val out = Sampling.mixturePlan(df, "g", "toks",
+      Map("web" -> 700000L, "code" -> 300000L), budgetTokens = 15_000_000_000_000L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out("web") === 10_500_000_000_000L) // 70% of 15T, was negative under Long math
+    assert(out("code") === 4_500_000_000_000L)
+  }
+
   test("weightedSampleK matches the A-ES arithmetic spec exactly") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => (if (i % 2 == 0) "a" else "b", i, 10.0 + i))

@@ -306,6 +306,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "stripMarkup must be a narrow projection")
   }
 
+  test("removeBoilerplateLines never strips blank lines (paragraph structure survives)") {
+    import spark.implicits._
+    // every doc has a blank line; only the real footer recurs
+    val docs = (1L to 10L).map(i => (i, s"body $i\n\nfooter line")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "body 1\n", "blank line was stripped or footer kept")
+  }
+
+  test("languageId is null for null text, not 'zh'") {
+    import spark.implicits._
+    val df = Seq((1L, Option("the and is of to a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("en"))
+    assert(out(2L) === None, "null document must not be labeled a language")
+  }
+
+  test("vocabCoverage is immune to duplicate vocab rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val cleanVocab = Seq("alpha", "beta").toDF("tok")
+    val dupVocab = Seq("alpha", "alpha", "alpha", "beta").toDF("tok")
+    def run(v: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", v)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(run(cleanVocab) === run(dupVocab))
+    assert(run(dupVocab) === ((3L, 1L, 3333L))) // 3 tokens, 1 oov, no fanout
+  }
+
   test("tokenEntropy: hand-computed values, uniform > repetitive, empty doc zero") {
     import spark.implicits._
     val df = Seq(
