@@ -45,13 +45,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   @transient private lazy val rightIsFloat =
     elemType(right.dataType).contains(org.apache.spark.sql.types.FloatType)
 
+  // NULL contract, matching the aggregate(zip_with(...)) equivalent this
+  // expression replaces: a length mismatch or a null ELEMENT yields null —
+  // never a silently-truncated or zero-padded "confident" score. The
+  // element check is compiled in only when the schema admits null elements.
+  override def nullable: Boolean = true
+  @transient private lazy val mayHaveNullElems =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -65,15 +76,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       val getX = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      val nullElemCheck =
+        if (mayHaveNullElems) s"if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; continue; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |boolean $bad = $n != $y.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  $nullElemCheck
          |  $acc += $getX * $getY;
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -103,16 +120,27 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Double], nBits: In
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_hyperplane_sig"
 
+  // dimension mismatch or a null element => null signature (the row drops
+  // out of banding) — zero-padding a truncated vector would bucket corrupt
+  // data with confidence instead of surfacing it
+  override def nullable: Boolean = true
+  @transient private lazy val mayHaveNullElems =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
-    val n = math.min(emb.numElements(), dim)
+    if (emb.numElements() != dim) return null
+    if (mayHaveNullElems) {
+      var i = 0
+      while (i < dim) { if (emb.isNullAt(i)) return null; i += 1 }
+    }
     var sig = 0L
     var b = 0
     while (b < nBits) {
       var acc = 0.0
       val base = b * dim
       var i = 0
-      while (i < n) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
+      while (i < dim) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
       if (acc >= 0) sig |= (1L << b)
       b += 1
     }
@@ -122,24 +150,32 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Double], nBits: In
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
     nullSafeCodeGen(ctx, ev, emb => {
-      val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
       val b = ctx.freshName("b")
       val acc = ctx.freshName("acc")
       val base = ctx.freshName("base")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val nullScan =
+        if (mayHaveNullElems)
+          s"for (int $j = 0; $j < $dim && !$bad; $j++) { if ($emb.isNullAt($j)) $bad = true; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($emb.numElements(), $dim);
-         |long $sig = 0L;
-         |for (int $b = 0; $b < $nBits; $b++) {
-         |  double $acc = 0.0;
-         |  int $base = $b * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $planesRef[$base + $i] * $emb.getFloat($i);
+         |boolean $bad = $emb.numElements() != $dim;
+         |$nullScan
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    double $acc = 0.0;
+         |    int $base = $b * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += $planesRef[$base + $i] * $emb.getFloat($i);
+         |    }
+         |    if ($acc >= 0) $sig |= (1L << $b);
          |  }
-         |  if ($acc >= 0) $sig |= (1L << $b);
+         |  ${ev.value} = $sig;
          |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
   }
@@ -174,9 +210,19 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_nearest_centroid"
 
+  // same null contract as HyperplaneSignature: a corrupt (wrong-dim or
+  // null-element) vector must not be confidently routed to a cell
+  override def nullable: Boolean = true
+  @transient private lazy val mayHaveNullElems =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
-    val n = math.min(emb.numElements(), dim)
+    if (emb.numElements() != dim) return null
+    if (mayHaveNullElems) {
+      var i = 0
+      while (i < dim) { if (emb.isNullAt(i)) return null; i += 1 }
+    }
     var best = -1
     var bestScore = Double.MinValue
     var c = 0
@@ -184,7 +230,7 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
       var acc = 0.0
       val base = c * dim
       var i = 0
-      while (i < n) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
+      while (i < dim) { acc += flat(base + i) * emb.getFloat(i); i += 1 }
       val score = acc * invNorms(c)
       if (score > bestScore) { bestScore = score; best = c }
       c += 1
@@ -196,7 +242,6 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
     val centsRef = ctx.addReferenceObj("centroids", flat, "double[]")
     val invRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
     nullSafeCodeGen(ctx, ev, emb => {
-      val n = ctx.freshName("n")
       val best = ctx.freshName("best")
       val bestScore = ctx.freshName("bestScore")
       val c = ctx.freshName("c")
@@ -204,20 +249,29 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double], k: Int)
       val base = ctx.freshName("base")
       val i = ctx.freshName("i")
       val score = ctx.freshName("score")
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val nullScan =
+        if (mayHaveNullElems)
+          s"for (int $j = 0; $j < $dim && !$bad; $j++) { if ($emb.isNullAt($j)) $bad = true; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($emb.numElements(), $dim);
-         |int $best = -1;
-         |double $bestScore = -java.lang.Double.MAX_VALUE;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  double $acc = 0.0;
-         |  int $base = $c * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $centsRef[$base + $i] * $emb.getFloat($i);
+         |boolean $bad = $emb.numElements() != $dim;
+         |$nullScan
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  int $best = -1;
+         |  double $bestScore = -java.lang.Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $acc = 0.0;
+         |    int $base = $c * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += $centsRef[$base + $i] * $emb.getFloat($i);
+         |    }
+         |    double $score = $acc * $invRef[$c];
+         |    if ($score > $bestScore) { $bestScore = $score; $best = $c; }
          |  }
-         |  double $score = $acc * $invRef[$c];
-         |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |  ${ev.value} = $best;
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
   }
@@ -251,9 +305,19 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
 
   private val P = (1L << 61) - 1
 
+  // a null shingle hash would otherwise read as x=0 and inject a phantom
+  // candidate (v = b mod p) into every permutation's min — null in, null out
+  override def nullable: Boolean = true
+  @transient private lazy val mayHaveNullElems =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (mayHaveNullElems) {
+      var j = 0
+      while (j < n) { if (hs.isNullAt(j)) return null; j += 1 }
+    }
     val out = Array.fill(k)(Long.MaxValue)
     if (n > 0) {
       val xm = new Array[Long](n)
@@ -297,8 +361,17 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
       val lo = ctx.freshName("lo")
       val loMod = ctx.freshName("loMod")
       val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
+      val jj = ctx.freshName("jj")
+      val nullScan =
+        if (mayHaveNullElems)
+          s"for (int $jj = 0; $jj < $n && !$bad; $jj++) { if ($hs.isNullAt($jj)) $bad = true; }"
+        else ""
       s"""
          |int $n = $hs.numElements();
+         |boolean $bad = false;
+         |$nullScan
+         |if ($bad) { ${ev.isNull} = true; } else {
          |long[] $out = new long[$k];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
          |if ($n > 0) {
@@ -321,6 +394,7 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
   }

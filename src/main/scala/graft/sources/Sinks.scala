@@ -20,9 +20,10 @@ object Sinks {
     * size backstop):
     *
     *  - one repartition on (partitionCols, salt) — salt =
-    *    `pmod(xxhash64(all partition cols, monotonic row id), files)` —
-    *    so rows of one partition value land on exactly `files` tasks,
-    *    regardless of value skew;
+    *    `pmod(xxhash64(all row columns), files)` (deterministic, so a
+    *    stage retry re-routes every row identically) — rows of one
+    *    partition value land on up to `files` tasks regardless of value
+    *    skew;
     *  - dynamic overwrite only replaces partitions present in `df`
     *    (idempotent incremental reloads, the behavior a recurring
     *    curation job needs).
@@ -35,7 +36,21 @@ object Sinks {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition >= 1)
     val keys = partitionCols.map(c => col(s"`$c`"))
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition))
+    // DETERMINISTIC content salt: monotonically_increasing_id depends on
+    // row order within a task, so a fetch-failure retry could recompute a
+    // map partition in a different order, route rows to different reducers
+    // than the surviving fetches saw, and silently write rows twice or not
+    // at all (the SPARK-23207 class of bug) — at exactly the 100 TB scale
+    // where retries are routine. Hashing the full row is retry-stable;
+    // identical rows co-locating in one file is bounded by the duplicate
+    // count and backstopped by maxRecordsPerFile.
+    // MapType is not hashable by xxhash64 — exclude such columns from the
+    // salt basis (their rows still spread by every other column)
+    val hashableCols = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(s"`${f.name}`"))
+    val saltBasis = if (hashableCols.nonEmpty) hashableCols.toSeq else keys
+    val salt = pmod(xxhash64(saltBasis: _*), lit(filesPerPartition))
     df.repartition((keys :+ salt): _*)
       .write
       .format(format)

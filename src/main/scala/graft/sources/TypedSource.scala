@@ -89,15 +89,29 @@ object TypedSource {
             try_to_timestamp(v, lit(p))
           }
         val ts = coalesce(exprs: _*)
-        // timezoneId shifts a source-local timestamp into session time
+        // timezoneId reinterprets the parsed NAIVE wall time as being in
+        // the source zone. to_utc_timestamp treats the SESSION-LOCAL
+        // rendering as tz-local, so the instant is only correct when the
+        // session timezone is UTC — the convention every entry point in
+        // this repo pins (Bench/Verify/ScaleCheck/SparkTestBase) — and an
+        // offset-BEARING value must not also set timezoneId (it would
+        // shift twice). Both stated here rather than silently wrong.
         spec.timezoneId.fold(ts)(tz => to_utc_timestamp(ts, tz))
       case other => throw new Exception(s"field '${spec.name}' has unknown type '$other'")
     }
     typed.as(spec.name, spec.metadata)
   }
 
-  /** Apply typing rules; unspecified columns pass through untouched. */
+  /** Apply typing rules; unspecified columns pass through untouched.
+    * Every spec must MATCH a raw column: a typo'd schema field previously
+    * just vanished — leaving the column untyped and, worse, its
+    * mask.treatments metadata unattached, so the downstream masking stage
+    * would ship that column as plaintext with no error anywhere. */
   def typed(raw: DataFrame, specs: Seq[ColumnSpec]): DataFrame = {
+    val missing = specs.map(_.name).filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"typing specs match no source column: ${missing.mkString(", ")} " +
+        s"(source columns: ${raw.columns.mkString(", ")}; use typedPositional for renames)")
     val bySpec = specs.map(s => s.name -> s).toMap
     val cols = raw.columns.map { c =>
       bySpec.get(c).map(typingExpr).getOrElse(col(s"`$c`"))

@@ -119,4 +119,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*("), "native expression must stay inside codegen:\n" + plan)
   }
+
+  test("dot: length mismatch and null elements yield NULL, never a truncated score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))), // ok: 11
+      (2L, Seq(Option(1.0)), Seq(Option(3.0), Option(4.0))),              // length mismatch
+      (3L, Seq(Option(1.0), Option.empty[Double]), Seq(Option(3.0), Option(4.0))) // null elem
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorExpressions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(1L -> Some(11.0), 2L -> None, 3L -> None))
+  }
+
+  test("hyperplane/centroid/minhash: corrupt vectors yield NULL, not confident routing") {
+    import spark.implicits._
+    val planes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cents = Array(Array(1.0, 0.0))
+    val good = Seq(Option(1.0f), Option(2.0f))
+    val shortV = Seq(Option(1.0f))
+    val nullV = Seq(Option(1.0f), Option.empty[Float])
+    val df = Seq((1L, good), (2L, shortV), (3L, nullV)).toDF("id", "e")
+    val out = df.select(col("id"),
+        VectorExpressions.hyperplaneSig(col("e"), planes).as("h"),
+        VectorExpressions.nearestCentroid(col("e"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) === ((false, false)))
+    assert(out(2L) === ((true, true)))
+    assert(out(3L) === ((true, true)))
+    val mh = Seq((1L, Seq(Option(5L), Option(9L))), (2L, Seq(Option(5L), Option.empty[Long])))
+      .toDF("id", "hs")
+      .select(col("id"), VectorExpressions.minhashSignature(col("hs"), Array(3L), Array(7L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(mh === Map(1L -> false, 2L -> true))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+// (typo'd-spec guard test appended at the bottom of this suite)
 
 class TypedSourceSpec extends AnyFunSuite {
 
@@ -113,5 +114,12 @@ class TypedSourceSpec extends AnyFunSuite {
     val e = intercept[Exception](TypedSource.typed(rawDf(),
       Seq(TypedSource.ColumnSpec("first_name", "blob"))))
     assert(e.getMessage === "field 'first_name' has unknown type 'blob'")
+  }
+
+  test("a spec matching no source column fails loudly (typos cannot drop masking metadata)") {
+    val e = intercept[IllegalArgumentException](TypedSource.typed(rawDf(),
+      Seq(TypedSource.ColumnSpec("frist_name", "string"))))
+    assert(e.getMessage.contains("frist_name"))
+    assert(e.getMessage.contains("typedPositional"))
   }
 }
