@@ -2528,6 +2528,63 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** SemDeDup over the embeddings table, clusters = the planted `label`
+    * column (at scale: k-means list ids). tau=0.30 sits >=1.9e-4 from every
+    * within-label cosine at the driver's SF (measured across sf0.001/0.01/
+    * 0.1), so double-arithmetic noise cannot flip membership; the oracle
+    * recomputes the drop set with double-cast cosines in SQL. */
+  private def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SemDedup
+    val emb = table(spark, dir, "embeddings")
+    val dropped = SemDedup.withinClusterPairs(emb, "vec_id", "embedding", "label", tau = 0.30)
+      .select(col("id_b")).distinct()
+      .agg(count(lit(1)).as("n_dropped"),
+        coalesce(sum(col("id_b")), lit(0L)).cast("long").as("dropped_id_sum"))
+    val kept = SemDedup.prune(emb, "vec_id", "embedding", "label", tau = 0.30)
+      .agg(count(lit(1)).as("n_kept"),
+        coalesce(sum(col("vec_id")), lit(0L)).cast("long").as("kept_id_sum"))
+    emb.agg(count(lit(1)).as("n_vectors")).crossJoin(dropped).crossJoin(kept)
+  }
+
+  /** Integer-exact PageRank over a deterministic 3-out-regular graph on the
+    * doc ids (generators 31i+7, 17i+3, 13i+11 mod N) — SF-agnostic planted
+    * topology, every rank reproduced bit-for-bit by the oracle's chained
+    * fixed-point CTEs. */
+  private def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"), explode(array(
+      pmod(col("node") * 31 + 7, lit(n)),
+      pmod(col("node") * 17 + 3, lit(n)),
+      pmod(col("node") * 13 + 11, lit(n)))).as("dst"))
+    graft.operators.PageRank.ranks(edges, nodes, iters = 10)
+      .orderBy(col("rank").desc, col("node").asc).limit(10)
+      .select(col("node"), col("rank").as("rank_x1e12"))
+  }
+
+  /** DSIR-style importance selection: target = English docs, features =
+    * engine-portable hashed unigram buckets, top-20 by integer ratio
+    * score. */
+  private def qDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.selectTopK(
+      table(spark, dir, "documents"), "doc_id", "text",
+      targetPred = col("lang") === "en", nBuckets = 64, k = 20)
+
+  /** Keep-best-copy dedup: fuzzy key = first 3 normalized tokens (collides
+    * across docs sharing an opening phrase), winner = longest text
+    * (n_chars), ties to the lowest id — via the bounded-heap k=1 aggregate,
+    * never a per-group window sort. */
+  private def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val keyed = docs.withColumn("__k",
+      concat_ws(" ", slice(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""), 1, 3)))
+    graft.operators.Dedup.keepBest(keyed, "doc_id", Seq("__k"), "n_chars")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("kept_id_sum"),
+        sum(col("n_chars")).cast("long").as("kept_chars_sum"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2619,6 +2676,10 @@ object SparkEntry {
     "fim_transform" -> qFimTransform,
     "pmi_pairs" -> qPmiPairs,
     "token_entropy" -> qTokenEntropy,
+    "semantic_dedup" -> qSemanticDedup,
+    "pagerank" -> qPagerank,
+    "dsir_select" -> qDsirSelect,
+    "dedup_keep_best" -> qDedupKeepBest,
     "length_buckets" -> qLengthBuckets,
     "multimodal_audio" -> qMultimodalAudio,
     "multimodal_audio_resample" -> qMultimodalAudioResample,
@@ -2683,7 +2744,61 @@ object SparkEntry {
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
+  /** Fixed-point PageRank recomputed as 10 chained CTEs — identical
+    * integer grid (1e12), teleport floor, and per-edge floored share as
+    * [[graft.operators.PageRank.ranks]], so every rank matches
+    * bit-for-bit. Generated by a loop so iterations can't drift apart. */
+  private val pagerankOracleSql: String = {
+    val head = "WITH nodes AS (SELECT doc_id AS node FROM documents), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+      "edges AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes " +
+      "UNION ALL SELECT node, (node * 17 + 3) % (SELECT n FROM nn) FROM nodes " +
+      "UNION ALL SELECT node, (node * 13 + 11) % (SELECT n FROM nn) FROM nodes), " +
+      "od AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src), " +
+      "r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes)"
+    val iters = (1 to 10).map { i =>
+      s"r$i AS (SELECT nodes.node AS node, (SELECT 150000000000 // n FROM nn) + coalesce(m.c, 0) AS rank " +
+        s"FROM nodes LEFT JOIN (SELECT e.dst AS node, sum((85 * r.rank) // (100 * od.outdeg))::BIGINT AS c " +
+        s"FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN od ON od.src = e.src GROUP BY e.dst) m " +
+        "ON nodes.node = m.node)"
+    }.mkString(", ", ", ", " ")
+    head + iters +
+      "SELECT node::BIGINT AS node, rank::BIGINT AS rank_x1e12 FROM r10 ORDER BY rank DESC, node LIMIT 10"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // SemDeDup drop set recomputed with double-cast cosines in SQL
+    "semantic_dedup" ->
+      ("WITH d AS (SELECT DISTINCT b.vec_id AS vid FROM embeddings a JOIN embeddings b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "AND list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), " +
+        "list_transform(b.embedding, x -> x::DOUBLE)) >= 0.30) " +
+        "SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors, " +
+        "(SELECT count(*) FROM d)::BIGINT AS n_dropped, " +
+        "(SELECT coalesce(sum(vid), 0) FROM d)::BIGINT AS dropped_id_sum, " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS n_kept, " +
+        "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
+    "pagerank" -> pagerankOracleSql,
+    // hashed-feature importance ratio, full integer recompute
+    "dsir_select" ->
+      ("WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "tb AS (SELECT doc_id, lang, (length(tok) * 31 + ascii(tok)) % 64 AS b FROM toks WHERE tok != ''), " +
+        "hist AS (SELECT b, count(*)::BIGINT AS n_raw, " +
+        "count(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS n_target FROM tb GROUP BY b), " +
+        "ratio AS (SELECT b, (n_target * 1000000 // n_raw)::BIGINT AS r FROM hist) " +
+        "SELECT doc_id, sum(r)::BIGINT AS score_x1e6, count(*)::BIGINT AS n_tokens " +
+        "FROM tb JOIN ratio USING (b) GROUP BY doc_id " +
+        "ORDER BY score_x1e6 DESC, doc_id LIMIT 20"),
+    // keep-best recomputed as a (quality desc, id asc) window over the
+    // same first-3-token fuzzy key
+    "dedup_keep_best" ->
+      ("WITH k AS (SELECT doc_id, n_chars, " +
+        "array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')[1:3], ' ') AS key " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY key ORDER BY n_chars DESC, doc_id ASC) AS rn FROM k) " +
+        "SELECT count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS kept_id_sum, " +
+        "sum(n_chars)::BIGINT AS kept_chars_sum, " +
+        "(SELECT count(*) FROM documents)::BIGINT AS n_docs FROM w WHERE rn = 1"),
     // per-class k-anonymity/l-diversity over (nation, segment)
     "k_anonymity" ->
       ("WITH c AS (SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg, " +

@@ -53,10 +53,49 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, dedupCols: Seq[String]): DataFrame = {
     val nullIds = df.where(col(s"`$idCol`").isNull)
     val w = df.where(col(s"`$idCol`").isNotNull).withColumn("__graft_key", exactKey(dedupCols))
+    // the keep-side key is RENAMED: lineage-shared column names degrade the
+    // self-join key equality to a trivially-true key==key predicate, leaving
+    // the id equality alone to carry the join — which silently keeps a
+    // non-representative row whenever the same id value recurs under a
+    // DIFFERENT content key (ids are not required to be globally unique)
     val keep = w.groupBy(col("__graft_key")).agg(min(col(s"`$idCol`")).as("__graft_keep"))
-    w.join(keep, w("__graft_key") === keep("__graft_key") && col(s"`$idCol`") === col("__graft_keep"), "inner")
-      .drop("__graft_key", "__graft_keep")
+      .withColumnRenamed("__graft_key", "__graft_kkey")
+    w.join(keep, col("__graft_key") === col("__graft_kkey") && col(s"`$idCol`") === col("__graft_keep"), "inner")
+      .drop("__graft_key", "__graft_kkey", "__graft_keep")
       .unionByName(nullIds)
+  }
+
+  /** Quality-aware representative selection: within each group of
+    * identical `keyCols` values, keep the row with the HIGHEST
+    * `qualityCol` (ties → lowest id) rather than [[exact]]'s lowest-id
+    * rule — the "keep the best copy" policy web pipelines apply when
+    * duplicates differ in extraction quality (longest text, highest
+    * classifier score).
+    *
+    * One shuffle on the content key, and the winner is picked by the
+    * bounded-heap [[graft.plans.TopKAggregate.topKByScore]] with k=1 —
+    * constant state per group, map-side combined, never a per-group window
+    * sort (the plan-shape rule `weightedSampleK` pinned). Rows with a NULL
+    * id or NULL quality pass through untouched, same contract as [[exact]]:
+    * a row that cannot compete must not be silently deleted. */
+  def keepBest(df: DataFrame, idCol: String, keyCols: Seq[String], qualityCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val q = col(s"`$qualityCol`")
+    val unranked = df.where(id.isNull || q.isNull)
+    val ranked = df.where(id.isNotNull && q.isNotNull).withColumn("__graft_key", exactKey(keyCols))
+    val winners = ranked.groupBy(col("__graft_key"))
+      .agg(graft.plans.TopKAggregate.topKByScore(q.cast("double"), id.cast("long"), 1).as("__top"))
+      // the winner key is RENAMED so the self-join below resolves to the two
+      // distinct attributes (lineage-shared names degrade to a trivially
+      // true key==key predicate, leaving the id equality to carry a join it
+      // only survives when ids happen to be globally unique)
+      .select(col("__graft_key").as("__graft_wkey"),
+        element_at(col("__top"), 1).getField("id").as("__graft_keep"))
+    ranked.join(winners,
+        col("__graft_key") === col("__graft_wkey") && id.cast("long") === col("__graft_keep"),
+        "inner")
+      .drop("__graft_key", "__graft_wkey", "__graft_keep")
+      .unionByName(unranked)
   }
 
   /** Exact-duplicate clusters: (representative id, cluster size). */

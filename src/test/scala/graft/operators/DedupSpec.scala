@@ -28,6 +28,44 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.where("cluster_size = 2").count() === 2)
   }
 
+  test("keepBest keeps the highest-quality copy; ties break to lowest id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa", 10L), (2L, "aaa", 30L), (3L, "aaa", 30L), // winner: 2 (max q, tie -> min id)
+      (4L, "bbb", 5L),                                      // singleton
+      (5L, "ccc", 7L), (6L, "ccc", 2L))                     // winner: 5
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.keepBest(df, "doc_id", Seq("text"), "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+  }
+
+  test("keepBest: recurring id values across DIFFERENT keys cannot cross-keep (join-degeneracy regression)") {
+    import spark.implicits._
+    // id 7 wins group 'aaa' but LOSES group 'bbb'; a degenerate key==key
+    // join would keep the 'bbb' copy of id 7 too
+    val df = Seq(
+      (7L, "aaa", 10L), (8L, "aaa", 1L),
+      (7L, "bbb", 1L), (9L, "bbb", 10L))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.keepBest(df, "doc_id", Seq("text"), "quality")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((7L, "aaa"), (9L, "bbb")))
+  }
+
+  test("keepBest passes null-id and null-quality rows through untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "aaa", Some(1L)), (Some(2L), "aaa", Some(9L)),
+      (None, "aaa", Some(99L)),      // null id: kept, never competes
+      (Some(3L), "aaa", None))       // null quality: kept, never competes
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.keepBest(df, "doc_id", Seq("text"), "quality")
+    assert(kept.count() === 3L)
+    assert(kept.where("doc_id = 1").count() === 0L)
+    assert(kept.where("doc_id IS NULL OR quality IS NULL").count() === 2L)
+  }
+
   test("minhash LSH finds planted near-duplicates and skips distant pairs") {
     val nearDup = base.replace("quick", "quik") // tiny edit, high jaccard
     val far = "completely different content about spark query engines and columnar execution at scale"
