@@ -44,6 +44,16 @@ object ScaleCheck {
     "dedup_components", "dedup_drop",
     // round-10 operators over the scaled documents table
     "weighted_sample", "fim_transform", "length_buckets",
+    // round-10 batch 2: the second iterative operator (pagerank — fixed 10
+    // rounds, per-round cost must be linear), the within-cluster pair join
+    // (semantic_dedup — labels shift per copy, the SemDeDup regime where
+    // cluster COUNT grows with the corpus and cluster SIZE stays put), the
+    // broadcast-histogram scorer (dsir_select), the bounded-heap group ops
+    // (dedup_keep_best, cap_per_group), and the grouped exact-percentile
+    // path (anomaly_mad — 5 constant groups, so the per-group reducer
+    // buffer is the term under test)
+    "pagerank", "semantic_dedup", "dsir_select", "dedup_keep_best",
+    "cap_per_group", "anomaly_mad",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
@@ -118,6 +128,11 @@ object ScaleCheck {
           else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($k, j), 2) = 0 THEN x ELSE -x END)")
         emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 100000000L))
           .withColumn("embedding", flipped.cast(emb.schema("embedding").dataType))
+          // disjoint cluster ids per copy: a bigger corpus gets MORE
+          // semantic clusters of the same size (the SemDeDup k-means
+          // regime), not 10x-fatter ones — within-copy pair structure is
+          // preserved exactly, so semantic_dedup's cost must grow ~SCALEx
+          .withColumn("label", col("label") + lit(k * 100000))
       }
       copies.reduce(_ unionAll _)
         .repartition(cpus.toInt)

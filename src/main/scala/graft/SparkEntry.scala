@@ -2585,6 +2585,74 @@ object SparkEntry {
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
   }
 
+  /** Per-domain document cap (RefinedWeb-style): at most 25 docs per
+    * source, winners = smallest (Knuth hash, id) via the bounded-heap
+    * aggregate — one O(groups×k) shuffle, no per-group window sort. */
+  private def qCapPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Caps.capPerGroup(
+      table(spark, dir, "documents"), Seq("source"), "doc_id", k = 25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy("source")
+
+  /** MAD outliers on events.value per event_type at 3×MAD — the doubled-
+    * integer-grid rule is recomputed verbatim by the oracle. */
+  private def qAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.madOutliers(
+      table(spark, dir, "events"), "event_type", "value", threshold = 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2"), // constant per group; max is order-free
+        max(col("mad4")).as("mad4"),
+        sum(col("flagged")).as("n_flagged"),
+        coalesce(sum(when(col("flagged") === 1L, col("cents"))), lit(0L))
+          .cast("long").as("flagged_cent_sum"))
+      .orderBy("event_type")
+
+  /** C4-style blocklist gate over whole (punctuation-stripped) words;
+    * per-source hit counts and flagged-doc rollup. */
+  private def qBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val words = Seq("dup", "spark", "vector")
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.blocklistHits(col("text"), words).as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("hits") > 0L).cast("long")).as("n_flagged"),
+        sum(col("hits")).as("hit_sum"),
+        coalesce(sum(when(col("hits") > 0L, col("doc_id"))), lit(0L))
+          .cast("long").as("flagged_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Fleiss' κ over the same synthesized 3-annotator panel `label_vote`
+    * reconciles — integer sufficient statistics + exact κ ratio. */
+  private def qAnnotatorKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "lang")
+    val a0 = docs.select(col("doc_id"), col("lang").as("label"))
+    val a1 = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("label"))
+    val a2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 21 === 0, lit("xx"))
+        .when(col("doc_id") % 13 === 0, lit("yy"))
+        .otherwise(col("lang")).as("label"))
+    graft.operators.Labeling.fleissStats(
+      a0.unionByName(a1).unionByName(a2), "doc_id", "label", nRaters = 3)
+  }
+
+  /** Graded per-doc contamination: share of distinct 8-grams present in
+    * the planted benchmark (verbatim members score 10000). Full per-doc
+    * value oracle. */
+  private def qContaminationRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+    graft.operators.Decontamination.contaminationRatio(
+      docs, "doc_id", "text", bench, "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2677,6 +2745,11 @@ object SparkEntry {
     "pmi_pairs" -> qPmiPairs,
     "token_entropy" -> qTokenEntropy,
     "semantic_dedup" -> qSemanticDedup,
+    "cap_per_group" -> qCapPerGroup,
+    "anomaly_mad" -> qAnomalyMad,
+    "blocklist_filter" -> qBlocklistFilter,
+    "annotator_kappa" -> qAnnotatorKappa,
+    "contamination_ratio" -> qContaminationRatio,
     "pagerank" -> qPagerank,
     "dsir_select" -> qDsirSelect,
     "dedup_keep_best" -> qDedupKeepBest,
@@ -2779,6 +2852,69 @@ object SparkEntry {
         "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
+    // per-source cap winners recomputed as a (hash, id) window rank
+    "cap_per_group" ->
+      ("WITH h AS (SELECT source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id) AS rn FROM documents) " +
+        "SELECT source, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_sum, " +
+        "sum(n_chars)::BIGINT AS chars_sum FROM h WHERE rn <= 25 " +
+        "GROUP BY source ORDER BY source"),
+    // doubled-integer-grid MAD rule, full recompute
+    "anomaly_mad" ->
+      ("WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events), " +
+        "m AS (SELECT event_type, round(quantile_cont(cents, 0.5) * 2)::BIGINT AS med2 " +
+        "FROM c WHERE cents IS NOT NULL GROUP BY event_type), " +
+        "d AS (SELECT c.event_type, cents, med2, abs(2 * cents - med2) AS dev2 " +
+        "FROM c LEFT JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, round(quantile_cont(dev2, 0.5) * 2)::BIGINT AS mad4 " +
+        "FROM d WHERE dev2 IS NOT NULL GROUP BY event_type), " +
+        "f AS (SELECT d.event_type, cents, med2, mad4, " +
+        "CASE WHEN cents IS NULL OR mad4 IS NULL THEN 0 " +
+        "WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS flagged " +
+        "FROM d LEFT JOIN md USING (event_type)) " +
+        "SELECT event_type, count(*)::BIGINT AS n, max(med2)::BIGINT AS med2, " +
+        "max(mad4)::BIGINT AS mad4, sum(flagged)::BIGINT AS n_flagged, " +
+        "coalesce(sum(CASE WHEN flagged = 1 THEN cents END), 0)::BIGINT AS flagged_cent_sum " +
+        "FROM f GROUP BY event_type ORDER BY event_type"),
+    // whole-word blocklist hits after the same punctuation strip
+    "blocklist_filter" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+        "len(list_filter(list_transform(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "t -> regexp_replace(regexp_replace(t, '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')), " +
+        "t -> list_contains(['dup', 'spark', 'vector'], t)))::BIGINT AS hits FROM documents) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum((hits > 0)::BIGINT)::BIGINT AS n_flagged, sum(hits)::BIGINT AS hit_sum, " +
+        "coalesce(sum(CASE WHEN hits > 0 THEN doc_id END), 0)::BIGINT AS flagged_id_sum " +
+        "FROM t GROUP BY source ORDER BY source"),
+    // per-doc distinct-8-gram overlap share vs the planted benchmark
+    "contamination_ratio" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2), i -> array_to_string(toks[i:i+7], ' '))) AS gram " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM g0), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "j AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(b.gram)::BIGINT AS n_hit " +
+        "FROM g LEFT JOIN bench b ON g.gram = b.gram GROUP BY g.doc_id) " +
+        "SELECT doc_id, n_grams, n_hit, (n_hit * 10000 // n_grams)::BIGINT AS ratio_x1e4 " +
+        "FROM j ORDER BY doc_id"),
+    // Fleiss' kappa integer sufficient statistics, full recompute
+    "annotator_kappa" ->
+      ("WITH v AS (SELECT doc_id, lang AS label FROM documents " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END FROM documents " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 21 = 0 THEN 'xx' " +
+        "WHEN doc_id % 13 = 0 THEN 'yy' ELSE lang END FROM documents), " +
+        "counts AS (SELECT doc_id, label, count(*)::BIGINT AS nij FROM v GROUP BY doc_id, label), " +
+        "pi AS (SELECT doc_id, sum(nij) AS ni, sum(nij * nij) AS s2i FROM counts GROUP BY doc_id), " +
+        "el AS (SELECT doc_id FROM pi WHERE ni = 3), " +
+        "it AS (SELECT count(*)::BIGINT AS n_items, coalesce(sum(s2i), 0)::BIGINT AS s2_sum FROM pi WHERE ni = 3), " +
+        "dr AS (SELECT count(*)::BIGINT AS n_dropped FROM pi WHERE ni != 3), " +
+        "cj AS (SELECT label, sum(nij) AS cjn FROM counts JOIN el USING (doc_id) GROUP BY label), " +
+        "c2 AS (SELECT coalesce(sum(cjn * cjn), 0)::BIGINT AS cj2_sum FROM cj) " +
+        "SELECT n_items, 3::BIGINT AS n_raters, n_dropped, s2_sum, cj2_sum, " +
+        "((s2_sum - n_items * 3) * (n_items * 3) - 2 * cj2_sum)::BIGINT AS kappa_num, " +
+        "(2 * ((n_items * 3) * (n_items * 3) - cj2_sum))::BIGINT AS kappa_den " +
+        "FROM it, dr, c2"),
     // hashed-feature importance ratio, full integer recompute
     "dsir_select" ->
       ("WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +

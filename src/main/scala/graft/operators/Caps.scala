@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group row caps — the "at most K documents per domain" rule every
+  * web-scale curation pipeline applies before mixing (a handful of hub
+  * domains otherwise contribute an unbounded share of the corpus).
+  *
+  * Selection must be DETERMINISTIC and order-free: the kept set for a
+  * domain may not depend on partitioning, arrival order, or engine — so
+  * the selector is the engine-portable Knuth hash of the row id
+  * ([[Sampling.idHash]]): a group keeps its K rows with the smallest
+  * (hash, id). That is a uniform random-looking K-subset, reproducible
+  * bit-for-bit by any engine that can multiply integers, and nested caps
+  * agree (the K=10 winners are a subset of the K=50 winners — useful when
+  * re-capping an already-capped corpus tighter).
+  *
+  * Scale shape: ONE hash shuffle on the group key into the bounded-heap
+  * aggregate [[graft.plans.TopKAggregate]] — each map task reduces its
+  * slice of a group to ≤K candidates before the exchange, so the shuffle
+  * carries O(groups × K) rows no matter how hot the hottest domain is.
+  * Never a per-group window sort: `row_number()` over a billion-row domain
+  * sorts that domain's entire partition on one task; the heap holds K
+  * entries and streams. The kept-id set (≤ groups × K) then broadcast
+  * semi-joins back onto the table to recover full rows.
+  */
+object Caps {
+
+  /** Ids kept by a cap of `k` rows per group: (groupCols..., id). The id
+    * column must be integral and non-negative; NULL ids or group keys are
+    * dropped (a row with no identity cannot be deterministically capped). */
+  def cappedIds(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "cap must be >= 1")
+    val id = col(s"`$idCol`").cast("long")
+    val groups = groupCols.map(c => col(s"`$c`"))
+    // score: heap keeps highest score, ties to LOWEST id — so feed the
+    // negated hash; 32-bit hashes are exactly representable as doubles
+    val keep = df
+      .where(id.isNotNull && groups.map(_.isNotNull).reduce(_ && _))
+      .groupBy(groups: _*)
+      .agg(graft.plans.TopKAggregate.topKByScore(
+        -Sampling.idHash(id).cast("double"), id, k).as("__top"))
+      .select(groups :+ explode(col("__top.id")).as(idCol): _*)
+    keep
+  }
+
+  /** `df` with each group capped at `k` rows (deterministic hash-order
+    * winners). The winner set is O(groups × k) — broadcast it. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    val keep = cappedIds(df, groupCols, idCol, k)
+      .select(col(s"`$idCol`").as("__graft_keep"))
+    df.join(broadcast(keep), col(s"`$idCol`") === col("__graft_keep"), "left_semi")
+  }
+}

@@ -92,6 +92,36 @@ object Decontamination {
       benchGrams)
   }
 
+  /** Graded contamination: per document, the share of its DISTINCT word
+    * `n`-grams that appear in the benchmark — the score behind "remove at
+    * >X% overlap" policies (a verbatim benchmark copy scores 10000, one
+    * shared idiom in a long document rounds to 0), where the binary
+    * [[contaminatedIds]] flag would treat both the same.
+    *
+    * Scale shape: benchmark gram set broadcast exactly as in
+    * [[contaminatedIds]]; the corpus side explodes (narrow), dedups
+    * per-document grams and folds to per-doc counts — both on the SAME
+    * (doc_id, gram) hash partitioning, so the distinct and the count are
+    * one shuffle, sized by corpus gram volume (the unavoidable term).
+    * The ratio is integer per-10k (`n_hit * 10000 div n_grams`) — no
+    * float division for engines to disagree about.
+    *
+    * Output: (doc_id, n_grams, n_hit, ratio_x1e4) for every document with
+    * at least one `n`-gram; shorter documents have no grams to score and
+    * are absent (score them as 0-risk upstream if needed). */
+  def contaminationRatio(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "n-gram contamination scoring needs n >= 2")
+    val benchGrams = explodedGrams(benchmark, benchTextCol, n, None).distinct()
+      .withColumn("__hit", lit(1L))
+    explodedGrams(docs, textCol, n, Some(idCol)).distinct()
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("ratio_x1e4", expr("n_hit * 10000 div n_grams"))
+  }
+
   /** Drop contaminated documents (left anti join against the flagged ids —
     * the id set is small, so the anti join broadcasts too). */
   def dropContaminated(docs: DataFrame, idCol: String, textCol: String,

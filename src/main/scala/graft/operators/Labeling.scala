@@ -53,6 +53,61 @@ object Labeling {
       .withColumn("majority_x1e4", expr("n_majority * 10000 div n_votes"))
   }
 
+  /** Fleiss' κ sufficient statistics — the chance-corrected MULTI-rater
+    * agreement coefficient ([[annotatorReport]] scores each rater against
+    * the majority; κ scores the panel as a whole, the number an eval-set
+    * audit quotes). Only items with exactly `nRaters` votes participate
+    * (Fleiss' model requires a constant panel size; partially-labeled
+    * items are reported in `n_dropped`, not silently mixed in).
+    *
+    * With N items, n raters, n_ij votes for label j on item i and
+    * c_j = Σ_i n_ij:  P̄ = (Σ n_ij² − Nn) / (Nn(n−1)) and
+    * P̄e = Σ c_j² / (Nn)², so  κ = (P̄ − P̄e)/(1 − P̄e) reduces — after
+    * multiplying through by (Nn)²·Nn(n−1) and cancelling the common Nn —
+    * to the INTEGER ratio `kappa_num / kappa_den` with
+    * kappa_num = (S2 − Nn)·Nn − (n−1)·C2 and
+    * kappa_den = (n−1)·((Nn)² − C2), S2 = Σ n_ij², C2 = Σ c_j².
+    * The output is those exact longs (never a float division for engines
+    * to disagree about); the magnitudes stay inside Long up to N ~ 1e8
+    * items at n ≤ 5 — divide the vote table first beyond that.
+    *
+    * Scale shape: one map-side-combined (item, label) count shuffle, a
+    * one-row reduction for (N, S2), and a |labels|-row reduction for C2 —
+    * the vote volume moves once, items never pairwise-join.
+    *
+    * Output (one row): n_items, n_raters, n_dropped, s2_sum, cj2_sum,
+    * kappa_num, kappa_den (κ = num/den; den = 0 ⟺ every vote ever cast
+    * is the same label, where κ is undefined). */
+  def fleissStats(votes: DataFrame, exampleCol: String, labelCol: String,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "Fleiss' kappa needs at least 2 raters")
+    val counts = votes
+      .where(col(s"`$exampleCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .groupBy(col(s"`$exampleCol`").as("example"), col(s"`$labelCol`").as("label"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = counts.groupBy(col("example"))
+      .agg(sum(col("nij")).as("ni"), sum(col("nij") * col("nij")).as("s2i"))
+    val eligible = perItem.where(col("ni") === nRaters)
+    val itemStats = eligible.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("s2i")), lit(0L)).as("s2_sum"))
+    val dropped = perItem.where(col("ni") =!= nRaters)
+      .agg(count(lit(1)).as("n_dropped"))
+    // c_j over ELIGIBLE items only (left_semi keeps the count shuffle's
+    // partitioning; eligible is item-count sized, not vote sized)
+    val cj = counts.join(eligible.select(col("example")), Seq("example"), "left_semi")
+      .groupBy(col("label")).agg(sum(col("nij")).as("cj"))
+    val cjStats = cj.agg(coalesce(sum(col("cj") * col("cj")), lit(0L)).as("cj2_sum"))
+    itemStats.crossJoin(dropped).crossJoin(cjStats)
+      .select(
+        col("n_items"), lit(nRaters.toLong).as("n_raters"), col("n_dropped"),
+        col("s2_sum"), col("cj2_sum"),
+        ((col("s2_sum") - col("n_items") * nRaters) * (col("n_items") * nRaters)
+          - lit(nRaters - 1L) * col("cj2_sum")).as("kappa_num"),
+        (lit(nRaters - 1L) * ((col("n_items") * nRaters) * (col("n_items") * nRaters)
+          - col("cj2_sum"))).as("kappa_den"))
+  }
+
   def majorityVote(votes: DataFrame, exampleCol: String, labelCol: String): DataFrame = {
     val counts = votes
       .groupBy(col(s"`$exampleCol`").as("example"), col(s"`$labelCol`").as("label"))

@@ -123,6 +123,55 @@ object Stats {
       .drop("__s", "__q")
   }
 
+  /** Per-group MAD (median-absolute-deviation) outlier flags — the robust
+    * complement to [[rollingAnomalies]]'s z-score: a median baseline is
+    * immune to the very outliers it hunts (one 1e9 spike moves a mean/sigma
+    * band far enough to hide every other spike; it moves the median by at
+    * most one rank).
+    *
+    * Exactness: values snap to the cent grid (long). Both medians ride an
+    * INTEGER-DOUBLED grid — `med2 = 2·median(cents)` and
+    * `mad4 = 2·median(|2c − med2|)` are integer-valued exactly (the linear
+    * interpolation of two longs is a half-integer; twice that is an
+    * integer, and `round` snaps float noise), so the flag rule
+    * `2·|2c − med2| > threshold · mad4`  ⟺  |c − med| > threshold·MAD
+    * is a pure integer comparison any engine reproduces bit-for-bit.
+    *
+    * Scale shape: two grouped median aggregates (exact `percentile` for
+    * oracle-grade runs; `exact = false` swaps the mergeable GK sketch for
+    * corpus scale, where a sketch-width error on the clamp is immaterial),
+    * each broadcast-joined back; the flag itself is a narrow codegen'd
+    * projection — the corpus never shuffles.
+    *
+    * Output: input columns + cents, med2, mad4, flagged (0/1; null-value
+    * rows have null cents and are never flagged). A constant group has
+    * mad4 = 0 and flags everything off-median — the conventional MAD
+    * degeneracy; gate on mad4 > 0 downstream if that is not wanted. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Int = 3, exact: Boolean = true): DataFrame = {
+    require(threshold >= 1, "threshold must be >= 1")
+    val v = col(s"`$valueCol`").cast("double")
+    def med2Of(in: DataFrame, c: String, out: String): DataFrame = {
+      val m =
+        if (exact) expr(s"percentile(`$c`, 0.5D)")
+        else percentile_approx(col(s"`$c`"), lit(0.5), lit(10000)).cast("double")
+      in.groupBy(col(s"`$groupCol`").as("__g"))
+        .agg(round(m * 2, 0).cast("long").as(out))
+    }
+    val base = df.withColumn("cents", round(v * 100, 0).cast("long"))
+    val meds = med2Of(base.where(col("cents").isNotNull), "cents", "med2")
+    val withMed = base
+      .join(broadcast(meds), col(s"`$groupCol`") <=> col("__g"), "left").drop("__g")
+      .withColumn("__dev2", abs(col("cents") * 2 - col("med2")))
+    val mads = med2Of(withMed.where(col("__dev2").isNotNull), "__dev2", "mad4")
+    withMed
+      .join(broadcast(mads), col(s"`$groupCol`") <=> col("__g"), "left").drop("__g")
+      .withColumn("flagged",
+        when(col("cents").isNull || col("mad4").isNull, lit(0L))
+          .otherwise((col("__dev2") * 2 > lit(threshold.toLong) * col("mad4")).cast("long")))
+      .drop("__dev2")
+  }
+
   /** Per-group approximate percentiles — the per-source length/score
     * distribution report a curation dashboard gates on. `percentile_approx`
     * (the mergeable Greenwald-Khanna sketch) runs INSIDE the groupBy, so

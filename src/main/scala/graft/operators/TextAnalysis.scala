@@ -35,6 +35,28 @@ object TextAnalysis {
     trim(regexp_replace(base, "\\s+", " "))
   }
 
+  /** Blocklist word matching — the C4-style "bad words" gate every public
+    * web corpus applies. Matching is on WHOLE words after stripping
+    * leading/trailing non-alphanumerics from each whitespace token
+    * ("Bad," matches "bad"; "badge" never does — substring matching is
+    * the classic over-blocking bug this avoids). Both the tokenizer and
+    * the punctuation strip are the oracle-parity regex subset, so any
+    * engine reproduces the flag bit-for-bit. NULL text → 0 hits.
+    *
+    * The list compiles INTO the plan as a literal array (narrow codegen'd
+    * projection — no join, no shuffle); that is the right shape for the
+    * few-hundred-word curated lists these filters actually use, not for
+    * megaword lexicons (broadcast-join a lexicon table instead). */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist matches nothing; pass the real list")
+    val cleaned = transform(tokens(text),
+      t => regexp_replace(regexp_replace(t, "^[^a-z0-9]+", ""), "[^a-z0-9]+$", ""))
+    // explicit null branch: size(null) is -1 under legacy non-ANSI configs,
+    // so a coalesce alone is not a portable 0
+    when(text.isNull, lit(0L)).otherwise(size(filter(cleaned,
+      t => array_contains(lit(words.toArray), t))).cast("long"))
+  }
+
   /** A BPE-ish subword count approximation: word-piece chunks of <=4 chars.
     * ceil(len(word)/4) summed — deterministic, SQL-expressible. */
   def subwordCount(text: Column): Column =

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CapsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("grp", "id")
+  }
+
+  test("groups under the cap keep every row; over-cap groups keep exactly k") {
+    val rows = (1L to 10L).map(i => "big" -> i) ++ Seq("small" -> 100L, "small" -> 101L)
+    val out = Caps.capPerGroup(df(rows), Seq("grp"), "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.count(_._1 == "big") === 3)
+    assert(out.filter(_._1 == "small").map(_._2) === Set(100L, 101L))
+  }
+
+  test("winners are the k smallest (knuth hash, id) — deterministic and nested") {
+    val rows = (1L to 20L).map(i => "g" -> i)
+    def winners(k: Int): Set[Long] =
+      Caps.cappedIds(df(rows), Seq("grp"), "id", k).collect().map(_.getLong(1)).toSet
+    val expectedOrder = (1L to 20L).sortBy(i => ((i * 2654435761L) & 0xffffffffL, i))
+    assert(winners(5) === expectedOrder.take(5).toSet)
+    // nested-cap property: the k=2 winners are inside the k=5 winners
+    assert(winners(2).subsetOf(winners(5)))
+    // repartitioning must not change the winner set
+    val shuffled = Caps.cappedIds(df(rows).repartition(7), Seq("grp"), "id", 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(shuffled === winners(5))
+  }
+
+  test("null ids and null group keys never win a slot") {
+    import spark.implicits._
+    val rows = Seq((Some("g"), Some(1L)), (Some("g"), None), (None, Some(2L)), (Some("g"), Some(3L)))
+      .toDF("grp", "id")
+    val out = Caps.cappedIds(rows, Seq("grp"), "id", 10).collect()
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 3L))
+  }
+}

@@ -86,4 +86,36 @@ class DecontaminationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral id column"))
   }
+
+  test("contaminationRatio: verbatim copy scores 10000, partial overlap is graded") {
+    import spark.implicits._
+    // bench doc = 9 tokens -> grams(8) = 2 distinct grams
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (1L, benchText),                         // verbatim: 2/2 -> 10000
+      (2L, s"$benchText extra trailing words"), // 5 grams, first 2 hit -> 4000
+      (3L, "totally unrelated words one two three four five six"), // 0 hits
+      (4L, "short doc")).toDF("doc_id", "text") // no grams -> absent
+    val bench = Seq(benchText).toDF("text")
+    val out = Decontamination.contaminationRatio(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 2L, 10000L)))
+    assert(out(2L) === ((5L, 2L, 4000L)))
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+    assert(!out.contains(4L))
+  }
+
+  test("contaminationRatio counts DISTINCT grams (repetition cannot inflate the score)") {
+    import spark.implicits._
+    val g = "a b c d e f g h"
+    val docs = Seq((1L, s"$g $g $g")).toDF("doc_id", "text") // 24 tokens, many dup windows
+    val bench = Seq(g).toDF("text")
+    val Array(r) = Decontamination.contaminationRatio(docs, "doc_id", "text", bench, "text")
+      .collect()
+    // 24-token doc: 17 windows but only 8 DISTINCT grams (the cycle of 8
+    // rotations); exactly one of them ('a..h') is the benchmark gram
+    assert(r.getLong(1) === 8L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 10000L / 8)
+  }
 }

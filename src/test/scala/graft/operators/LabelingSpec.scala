@@ -68,4 +68,34 @@ class LabelingSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       "majorityVote must not join")
   }
+
+  test("fleissStats matches the textbook kappa on a hand-computed panel") {
+    import spark.implicits._
+    // items 1-3 have the full 3-rater panel; item 4 is partial -> dropped
+    val votes = Seq(
+      1L -> "a", 1L -> "a", 1L -> "a",
+      2L -> "a", 2L -> "a", 2L -> "b",
+      3L -> "a", 3L -> "b", 3L -> "c",
+      4L -> "a", 4L -> "a").toDF("example_id", "label")
+    val r = Labeling.fleissStats(votes, "example_id", "label", nRaters = 3).head()
+    // N=3, Nn=9, S2 = 9+5+3 = 17, c = (a:6, b:2, c:1) -> C2 = 41
+    assert(r.getLong(r.fieldIndex("n_items")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_raters")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_dropped")) === 1L)
+    assert(r.getLong(r.fieldIndex("s2_sum")) === 17L)
+    assert(r.getLong(r.fieldIndex("cj2_sum")) === 41L)
+    // kappa = (Pbar - Pe)/(1 - Pe) = (4/9 - 41/81)/(40/81) = -1/8
+    assert(r.getLong(r.fieldIndex("kappa_num")) === -10L)
+    assert(r.getLong(r.fieldIndex("kappa_den")) === 80L)
+  }
+
+  test("fleissStats: unanimous single-label panel has kappa_den = 0 (undefined)") {
+    import spark.implicits._
+    val votes = Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "a")
+      .toDF("example_id", "label")
+    val r = Labeling.fleissStats(votes, "example_id", "label", nRaters = 2).head()
+    // Pe = 1: agreement is guaranteed by the marginal, kappa undefined
+    assert(r.getLong(r.fieldIndex("kappa_den")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_items")) === 2L)
+  }
 }

@@ -176,4 +176,39 @@ class StatsSpec extends AnyFunSuite {
     val maxes = (0L to 3L).map(b => byBucket(b).map(_._2).max)
     assert(maxes === maxes.sorted)
   }
+
+  test("madOutliers flags only the far spike; a mean-based band would drown") {
+    import spark.implicits._
+    // baseline 10.00 +- 0.02, one 1e6 spike: median/MAD ignore the spike,
+    // so exactly the spike (and nothing near the baseline) flags
+    val rows = (1 to 99).map(i => ("g", 10.0 + (i % 5 - 2) * 0.01)) :+ ("g" -> 1000000.0)
+    val out = Stats.madOutliers(rows.toDF("g", "v"), "g", "v")
+      .select("v", "flagged").collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.filter(_._2 == 1L).map(_._1).toSet === Set(1000000.0))
+  }
+
+  test("madOutliers doubled-grid rule matches a direct float MAD on odd data") {
+    import spark.implicits._
+    val vals = Seq(1.0, 3.0, 3.0, 4.0, 7.0, 7.5, 50.0)
+    val out = Stats.madOutliers(vals.map("g" -> _).toDF("g", "v"), "g", "v", threshold = 3)
+      .select("v", "med2", "mad4", "flagged").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val med = 4.0 // median of the 7 values
+    // deviations |v - 4| = {3,1,1,0,3,3.5,46} -> MAD = 3.0 (= 300 cents)
+    assert(out.head._2 === (2 * med * 100).toLong) // med2 = 800
+    assert(out.head._3 === 2 * 2 * 300L)           // mad4 = 1200
+    out.foreach { case (v, _, _, f) =>
+      assert(f === (if (math.abs(v - med) > 3 * 3.0) 1L else 0L))
+    }
+    assert(out.count(_._4 == 1L) === 1) // only 50.0
+  }
+
+  test("madOutliers: null values never flag, constant group flags nothing") {
+    import spark.implicits._
+    val rows = Seq(("g", Some(5.0)), ("g", Some(5.0)), ("g", None),
+      ("c", Some(2.0)), ("c", Some(2.0)))
+    val out = Stats.madOutliers(rows.toDF("g", "v"), "g", "v")
+      .select("g", "flagged").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.forall(_._2 == 0L))
+  }
 }

@@ -356,4 +356,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L)))
     assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
   }
+
+  test("blocklistHits: whole words after punctuation strip, never substrings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a Bad, day"),        // case + trailing punct still matches
+      (2L, "the badge parade"),  // substring must NOT match
+      (3L, "bad bad (bad)"),     // every occurrence counts
+      (4L, ""),                  // empty text
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.blocklistHits(col("text"), Seq("bad", "worse")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("blocklistHits rejects an empty list") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(col("text"), Seq.empty)
+    }
+  }
 }
