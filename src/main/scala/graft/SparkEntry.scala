@@ -2653,6 +2653,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source percent-rank calibration of n_chars on the integer per-10k
+    * grid — full per-doc value oracle (DuckDB rank window). */
+  private def qScoreCalibrate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.percentRankCalibrate(
+      table(spark, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
+      "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Cross-source near-duplicate matrix: minhash pairs at J>=0.8 rolled up
+    * by unordered source pair — where contamination BETWEEN scrapes lives
+    * (within-source dups are expected; cross-source dups mean two feeds
+    * overlap). The pair set is duplicate-mass-sized, so it broadcasts onto
+    * the (id, source) projection; the corpus itself never joins. */
+  private def qDedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val src = docs.select(col("doc_id").cast("long"), col("source"))
+    // the PAIR side broadcasts (duplicate-mass-sized); the corpus-sized
+    // (id, source) projection is scanned, never shuffled or broadcast
+    val withA = src.toDF("__ida", "src_a")
+      .join(broadcast(pairs), col("id_a") === col("__ida"))
+    src.toDF("__idb", "src_b")
+      .join(broadcast(withA), col("id_b") === col("__idb"))
+      .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).cast("long").as("pair_id_sum"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2750,6 +2782,8 @@ object SparkEntry {
     "blocklist_filter" -> qBlocklistFilter,
     "annotator_kappa" -> qAnnotatorKappa,
     "contamination_ratio" -> qContaminationRatio,
+    "score_calibrate" -> qScoreCalibrate,
+    "dedup_cross_source" -> qDedupCrossSource,
     "pagerank" -> qPagerank,
     "dsir_select" -> qDsirSelect,
     "dedup_keep_best" -> qDedupKeepBest,
@@ -2898,6 +2932,26 @@ object SparkEntry {
         "FROM g LEFT JOIN bench b ON g.gram = b.gram GROUP BY g.doc_id) " +
         "SELECT doc_id, n_grams, n_hit, (n_hit * 10000 // n_grams)::BIGINT AS ratio_x1e4 " +
         "FROM j ORDER BY doc_id"),
+    // percent_rank (min-rank ties) replayed as a window; same per-10k grid
+    "score_calibrate" ->
+      ("WITH r AS (SELECT doc_id, source, n_chars::BIGINT AS n_chars, " +
+        "rank() OVER (PARTITION BY source ORDER BY n_chars) AS rnk, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+        "SELECT doc_id, source, n_chars, " +
+        "(CASE WHEN n > 1 THEN ((rnk - 1) * 10000) // (n - 1) ELSE 0 END)::BIGINT AS pr_x1e4 " +
+        "FROM r ORDER BY doc_id"),
+    // exact-Jaccard pair set (as dedup_minhash) rolled up by source pair
+    "dedup_cross_source" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.8), " +
+        "s AS (SELECT pr.id_a, pr.id_b, da.source AS sa, db.source AS sb FROM pr " +
+        "JOIN documents da ON pr.id_a = da.doc_id JOIN documents db ON pr.id_b = db.doc_id) " +
+        "SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi, " +
+        "count(*)::BIGINT AS n_pairs, sum(id_a + id_b)::BIGINT AS pair_id_sum " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
     // Fleiss' kappa integer sufficient statistics, full recompute
     "annotator_kappa" ->
       ("WITH v AS (SELECT doc_id, lang AS label FROM documents " +

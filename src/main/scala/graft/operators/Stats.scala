@@ -189,6 +189,45 @@ object Stats {
           array(qs.map(lit): _*), lit(accuracy)).as("v"))
   }
 
+  /** Per-group percent-rank calibration — rank-normalize a score within
+    * its source so heterogeneous sources mix on a common [0,1] scale (the
+    * quantile-normalization step before temperature mixing, when raw
+    * quality scores are not comparable across scrapes).
+    *
+    * `pr_x1e4 = cum_before * 10000 div (n - 1)` — the standard
+    * `percent_rank` ((rank−1)/(n−1), ties share the MIN rank) on an
+    * integer per-10k grid, no float division. Single-row groups get 0.
+    *
+    * Scale shape — the corpus is NEVER window-sorted: ranking runs on the
+    * per-(group, value) COUNT HISTOGRAM (one map-side-combined shuffle,
+    * |distinct values| rows per group), the running sum is a window over
+    * that histogram (tiny), and ranks come back via an equi-join on
+    * (group, value) that AQE broadcasts at histogram sizes. The naive
+    * `percent_rank().over(partitionBy(group))` sorts each group's full
+    * data on one task — a hot source at 100 TB lands one executor.
+    * High-cardinality continuous scores should snap to a grid first
+    * (e.g. cents) to keep the histogram bounded.
+    *
+    * Output: input columns + `pr_x1e4` (null for null values — a row
+    * with no score has no rank, and never joins a histogram row). */
+  def percentRankCalibrate(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`"); val v = col(s"`$valueCol`")
+    val hist = df.where(v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val ranked = hist
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(perGroup))
+      .withColumn("pr_x1e4",
+        when(col("__n") > 1L, expr("__before * 10000 div (__n - 1)")).otherwise(lit(0L)))
+      .select(col("__g"), col("__v"), col("pr_x1e4"))
+    df.join(ranked, g <=> col("__g") && v === col("__v"), "left")
+      .drop("__g", "__v")
+  }
+
   /** The two-quantile aggregate both [[winsorize]] paths share: exact
     * `percentile` (linear-interpolated, bit-matches DuckDB `quantile_cont`
     * — proven by the `exact_percentile` oracle) buffers each group's

@@ -203,6 +203,39 @@ class StatsSpec extends AnyFunSuite {
     assert(out.count(_._4 == 1L) === 1) // only 50.0
   }
 
+  test("percentRankCalibrate matches percent_rank with min-rank ties, never sorts the corpus") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L), // ties share min rank
+      ("b", 5L),                                      // singleton -> 0
+      ("c", 1L), ("c", 2L)).toDF("src", "score")
+    val out = Stats.percentRankCalibrate(df, "src", "score")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // group a (n=4): before = {10:0, 20:1, 30:3} -> 0, 3333, 10000
+    assert(got(("a", 10L)) === 0L)
+    assert(got(("a", 20L)) === 3333L)
+    assert(got(("a", 30L)) === 10000L)
+    assert(got(("b", 5L)) === 0L)
+    assert(got(("c", 1L)) === 0L && got(("c", 2L)) === 10000L)
+    // the plan must window over the HISTOGRAM, not the input: the only
+    // sort feeding a window is downstream of the (group, value) aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a histogram window, plan:\n$plan")
+  }
+
+  test("percentRankCalibrate: null scores get null rank, null groups calibrate too") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1L)), (Some("a"), None), (None, Some(2L)), (None, Some(4L)))
+      .toDF("src", "score")
+    val out = Stats.percentRankCalibrate(df, "src", "score").collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out((Some("a"), None)) === None)
+    assert(out((None, Some(2L))) === Some(0L))
+    assert(out((None, Some(4L))) === Some(10000L))
+  }
+
   test("madOutliers: null values never flag, constant group flags nothing") {
     import spark.implicits._
     val rows = Seq(("g", Some(5.0)), ("g", Some(5.0)), ("g", None),
