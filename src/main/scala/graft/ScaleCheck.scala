@@ -54,6 +54,10 @@ object ScaleCheck {
     // buffer is the term under test)
     "pagerank", "semantic_dedup", "dsir_select", "dedup_keep_best",
     "cap_per_group", "anomaly_mad",
+    // round-10 batch 3: the Expand-multiplied one-pass profile, the heap
+    // CDC window, and the low-threshold pair histogram (the widest pair
+    // join in the suite — where candidate growth would hide)
+    "profile_table", "latest_k_events", "pair_similarity_hist",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

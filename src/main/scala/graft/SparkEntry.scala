@@ -2685,6 +2685,40 @@ object SparkEntry {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** One-pass column profile of the documents table (row/null/distinct
+    * counts + string-rendered min/max per column) — the per-ingest
+    * schema-drift report. */
+  private def qProfileTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profileColumns(
+      table(spark, dir, "documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("column_name")
+
+  /** Latest-3-events-per-user compaction via the bounded-heap aggregate
+    * (never a per-user history sort); integer rollup oracle. */
+  private def qLatestKEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val kept = graft.operators.Versioning.latestKPerKey(
+      ev.withColumn("__ord", graft.operators.TimeCols.epochMicros(ev, "ts")),
+      "user_id", "__ord", "event_id", k = 3)
+    kept.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("event_id")).cast("long").as("id_sum"),
+      sum(round(col("value") * 100, 0).cast("long")).as("value_cent_sum"))
+  }
+
+  /** Similarity histogram over token-3-gram Jaccard pairs at J>=0.2 in
+    * 0.05 buckets — the threshold-calibration report run before committing
+    * a dedup cutoff (where does the pair mass sit?). */
+  private def qPairSimilarityHist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(
+      table(spark, dir, "documents"), "doc_id", "text", threshold = 0.2, n = 3)
+      .groupBy(least(floor(col("jaccard") * 20).cast("long"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).cast("long").as("pair_id_sum"))
+      .orderBy("bucket")
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2784,6 +2818,9 @@ object SparkEntry {
     "contamination_ratio" -> qContaminationRatio,
     "score_calibrate" -> qScoreCalibrate,
     "dedup_cross_source" -> qDedupCrossSource,
+    "profile_table" -> qProfileTable,
+    "latest_k_events" -> qLatestKEvents,
+    "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
     "dsir_select" -> qDsirSelect,
     "dedup_keep_best" -> qDedupKeepBest,
@@ -2952,6 +2989,32 @@ object SparkEntry {
         "SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi, " +
         "count(*)::BIGINT AS n_pairs, sum(id_a + id_b)::BIGINT AS pair_id_sum " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+    // per-column profile as a UNION ALL of single-column aggregates
+    "profile_table" ->
+      (Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+        s"SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows, " +
+          s"count(CASE WHEN $c IS NULL THEN 1 END)::BIGINT AS n_null, " +
+          s"count(DISTINCT $c)::BIGINT AS n_distinct, " +
+          s"min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str FROM documents"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")),
+    // latest-3 window recomputed as a (ts DESC, event_id ASC) rank
+    "latest_k_events" ->
+      ("WITH r AS (SELECT user_id, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id ASC) AS rn " +
+        "FROM events) " +
+        "SELECT count(*)::BIGINT AS n_rows, count(DISTINCT user_id)::BIGINT AS n_users, " +
+        "sum(event_id)::BIGINT AS id_sum, sum(round(value * 100))::BIGINT AS value_cent_sum " +
+        "FROM r WHERE rn <= 3"),
+    // exact-jaccard pair set (as dedup_ngram) bucketed on the 0.05 grid
+    "pair_similarity_hist" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS gr FROM toks), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.gr, b.gr))::DOUBLE / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS j " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
+        "SELECT least(floor(j * 20)::BIGINT, 19) AS bucket, count(*)::BIGINT AS n_pairs, " +
+        "sum(id_a + id_b)::BIGINT AS pair_id_sum " +
+        "FROM p WHERE j >= 0.2 GROUP BY 1 ORDER BY 1"),
     // Fleiss' kappa integer sufficient statistics, full recompute
     "annotator_kappa" ->
       ("WITH v AS (SELECT doc_id, lang AS label FROM documents " +

@@ -178,4 +178,34 @@ object Versioning {
       .withColumn("provenance", lit("carried"))
     Partitioning.releaseAfterUse(carried.unionByName(recomputed), diff)
   }
+
+  /** Latest K records per key — the generalization of latest-per-key
+    * compaction for CDC streams that must retain a short history window
+    * (rollback candidates, change auditing, n-version feature snapshots).
+    *
+    * Winners per key are the K highest `(orderCol, id ASC on ties)` rows,
+    * selected by the bounded-heap aggregate
+    * [[graft.plans.TopKAggregate]] — ONE hash shuffle carrying ≤K
+    * candidates per key per map task, regardless of how hot the hottest
+    * key is; a `row_number` window would sort every key's full history on
+    * one task. Full rows come back via a broadcast-semi join on the
+    * (keys×K)-sized winner-id set.
+    *
+    * Contracts: `idCol` must be integral and UNIQUE (it is the join-back
+    * identity and the deterministic tie-break); `orderCol` is cast to
+    * double inside the heap — exact for integral orders up to 2^53
+    * (epoch micros are exact until the year ~2255); rows with a NULL key,
+    * id, or order are dropped (no identity / no position ⇒ no slot). */
+  def latestKPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                    idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = col(s"`$keyCol`"); val id = col(s"`$idCol`").cast("long")
+    val ord = col(s"`$orderCol`").cast("double")
+    val keep = df
+      .where(key.isNotNull && id.isNotNull && ord.isNotNull)
+      .groupBy(key)
+      .agg(graft.plans.TopKAggregate.topKByScore(ord, id, k).as("__top"))
+      .select(explode(col("__top.id")).as("__graft_keep"))
+    df.join(broadcast(keep), id === col("__graft_keep"), "left_semi")
+  }
 }

@@ -220,4 +220,27 @@ class VersioningSpec extends AnyFunSuite {
     // equals score(v2): the null-id row is recomputed from v2, never carried stale
     assert(out === Set((Some(1L), "a", 1L, "carried"), (None, "new", 3L, "recomputed")))
   }
+
+  test("latestKPerKey keeps the k highest orders per key, ties to the lowest id") {
+    import spark.implicits._
+    val df = Seq(
+      // key "u": orders 10,20,20,30 — k=2 keeps 30 and the LOWER-id 20
+      ("u", 10L, 100L), ("u", 20L, 102L), ("u", 20L, 101L), ("u", 30L, 103L),
+      // key "v": fewer than k rows — all kept
+      ("v", 5L, 200L)).toDF("key", "ord", "id")
+    val kept = Versioning.latestKPerKey(df, "key", "ord", "id", k = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept === Set(103L, 101L, 200L))
+  }
+
+  test("latestKPerKey: null key/order/id rows never occupy a slot") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("u"), Some(1L), Some(10L)), (Some("u"), None, Some(11L)),
+      (None, Some(3L), Some(12L)), (Some("u"), Some(4L), None))
+      .toDF("key", "ord", "id")
+    val kept = Versioning.latestKPerKey(df, "key", "ord", "id", k = 1)
+      .collect().map(_.get(2))
+    assert(kept.toSeq === Seq(10L))
+  }
 }
