@@ -96,7 +96,13 @@ object ScaleCheck {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scaledDir = s"target/scale$scale"
+    // the generation suffix versions the cached scaled tables: bump it
+    // whenever the generation logic changes (g2 = per-copy embedding label
+    // shift; g3 = reversal-composed rotation past 26 copies), or a
+    // pre-existing target/scaleN dir would silently keep the OLD
+    // generation's data and the measurement would contradict the
+    // documented methodology
+    val scaledDir = s"target/scale$scale-g3"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -114,11 +120,22 @@ object ScaleCheck {
     if (!new java.io.File(s"$scaledDir/documents.parquet").exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      // the rotation wraps at 26 — copy 26 under plain rotation is BYTE-
+      // IDENTICAL to copy 0 (verified on a generated 30x table: all 5000
+      // copy-26 texts equal copy-0's), which injects real duplicate mass
+      // and made 30x pair-operator bytes read ~1.3x over linear. Copies
+      // 26..51 therefore compose the rotation with a full-text reversal:
+      // token lengths, token counts and shingle-set sizes are preserved
+      // (reversal is a bijection on characters), but no reversed copy
+      // collides with any rotated one. Beyond 52 the scheme would wrap
+      // again — fail loudly rather than silently re-duplicate.
+      require(scale <= 52, s"documents scaling supports at most 52 mutually-dissimilar copies, got $scale")
       val copies = (0 until scale).map { k =>
-        val rotated = alphabet.drop(k) + alphabet.take(k)
+        val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
+        val base = if (k < 26) col("text") else reverse(col("text"))
         docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
           .withColumn("text",
-            if (k == 0) col("text") else translate(col("text"), alphabet, rotated))
+            if (k == 0) col("text") else translate(base, alphabet, rotated))
       }
       copies.reduce(_ unionAll _)
         .repartition(cpus.toInt)

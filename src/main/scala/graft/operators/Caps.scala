@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
 object Caps {
 
   /** Ids kept by a cap of `k` rows per group: (groupCols..., id). The id
-    * column must be integral and non-negative; NULL ids or group keys are
-    * dropped (a row with no identity cannot be deterministically capped). */
+    * column must be integral, non-negative, and UNIQUE WITHIN its group —
+    * it is the selection identity, and a group with duplicate id rows can
+    * exceed its cap through the join-back (same contract as
+    * [[Versioning.latestKPerKey]]). NULL ids or group keys are dropped
+    * (a row with no identity cannot be deterministically capped). */
   def cappedIds(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     require(k >= 1, "cap must be >= 1")
     val id = col(s"`$idCol`").cast("long")
@@ -46,10 +49,16 @@ object Caps {
   }
 
   /** `df` with each group capped at `k` rows (deterministic hash-order
-    * winners). The winner set is O(groups × k) — broadcast it. */
+    * winners). The winner set is O(groups × k) — broadcast it. The
+    * join-back matches on (group key, id) — NOT the id alone — so ids
+    * only scoped unique within their group (a per-domain sequence) still
+    * cap correctly, and an id duplicated across groups cannot smuggle
+    * extra rows past another group's cap. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
-    val keep = cappedIds(df, groupCols, idCol, k)
-      .select(col(s"`$idCol`").as("__graft_keep"))
-    df.join(broadcast(keep), col(s"`$idCol`") === col("__graft_keep"), "left_semi")
+    val winners = cappedIds(df, groupCols, idCol, k)
+    val renamed = winners.columns.foldLeft(winners)((d, c) => d.withColumnRenamed(c, s"__w_$c"))
+    val cond = (groupCols :+ idCol).map(c =>
+      col(s"`$c`") === col(s"`__w_$c`")).reduce(_ && _)
+    df.join(broadcast(renamed), cond, "left_semi")
   }
 }

@@ -28,7 +28,15 @@ object Profile {
   def profileColumns(df: DataFrame, cols: Seq[String], exact: Boolean = true,
                      includeFloatMinMax: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      // the unpivot goes through a generated stack() SQL string; a quote
+      // or backtick in the name would break (or mis-resolve) the parse —
+      // fail loudly instead of surfacing an opaque ParseException
+      require(!c.contains("`") && !c.contains("'"),
+        s"column name contains a quote/backtick and cannot be profiled: $c " +
+          "(alias it first)")
+    }
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     def isFloat(c: String) = {
       val t = df.schema(c).dataType; t == DoubleType || t == FloatType

@@ -49,12 +49,21 @@ object TextAnalysis {
     * megaword lexicons (broadcast-join a lexicon table instead). */
   def blocklistHits(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "empty blocklist matches nothing; pass the real list")
+    // the LIST goes through the same normalization as the tokens — real
+    // curated lists carry mixed case and stray punctuation, and an entry
+    // like "NSFW" would otherwise silently never match a lowered token
+    val normalized = words.map(w =>
+      w.toLowerCase(java.util.Locale.ROOT).trim // ROOT: no tr-TR dotless-i surprises
+        .replaceAll("^[^a-z0-9]+", "").replaceAll("[^a-z0-9]+$", ""))
+      .filter(_.nonEmpty).distinct
+    require(normalized.nonEmpty,
+      s"blocklist normalized to nothing: $words (entries were all punctuation/whitespace)")
     val cleaned = transform(tokens(text),
       t => regexp_replace(regexp_replace(t, "^[^a-z0-9]+", ""), "[^a-z0-9]+$", ""))
     // explicit null branch: size(null) is -1 under legacy non-ANSI configs,
     // so a coalesce alone is not a portable 0
     when(text.isNull, lit(0L)).otherwise(size(filter(cleaned,
-      t => array_contains(lit(words.toArray), t))).cast("long"))
+      t => array_contains(lit(normalized.toArray), t))).cast("long"))
   }
 
   /** A BPE-ish subword count approximation: word-piece chunks of <=4 chars.

@@ -35,6 +35,31 @@ class CapsSpec extends AnyFunSuite {
     assert(shuffled === winners(5))
   }
 
+  test("ids scoped unique only within their group still cap correctly") {
+    // id 1..10 exists in BOTH groups; a join-back on the id alone would
+    // let one group's winners leak the other group past its cap
+    val rows = (1L to 10L).flatMap(i => Seq("a" -> i, "b" -> i))
+    val out = Caps.capPerGroup(df(rows), Seq("grp"), "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "a") === 3)
+    assert(out.count(_._1 == "b") === 3)
+    // same hash order in both groups -> identical winner id sets
+    assert(out.filter(_._1 == "a").map(_._2).toSet ===
+      out.filter(_._1 == "b").map(_._2).toSet)
+  }
+
+  test("plan shape: bounded-heap aggregate, never a per-group window sort") {
+    val rows = (1L to 50L).map(i => "g" -> i)
+    val plan = Caps.capPerGroup(df(rows), Seq("grp"), "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_top_k_by_score"),
+      s"expected the TopKByScore aggregate, plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"capPerGroup must not window-sort the corpus, plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"winner join-back must broadcast the O(groups x k) set, plan:\n$plan")
+  }
+
   test("null ids and null group keys never win a slot") {
     import spark.implicits._
     val rows = Seq((Some("g"), Some(1L)), (Some("g"), None), (None, Some(2L)), (Some("g"), Some(3L)))

@@ -42,4 +42,11 @@ class ProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq("nope")))
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
   }
+
+  test("quote/backtick column names are rejected loudly, not a ParseException") {
+    import spark.implicits._
+    val df = Seq(Tuple1(1L)).toDF("a`b")
+    val e = intercept[IllegalArgumentException](Profile.profileColumns(df, Seq("a`b")))
+    assert(e.getMessage.contains("alias it first"))
+  }
 }

@@ -376,4 +376,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.blocklistHits(col("text"), Seq.empty)
     }
   }
+
+  test("blocklistHits normalizes the LIST like the tokens (mixed case, stray punct)") {
+    import spark.implicits._
+    val df = Seq((1L, "nsfw content here"), (2L, "clean text")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      // raw curated-list entries: uppercase + trailing punctuation
+      TextAnalysis.blocklistHits(col("text"), Seq("NSFW", "Worse!")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L))
+    // a list that normalizes to nothing must fail loudly, not match nothing
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(col("text"), Seq("!!!", "  "))
+    }
+  }
 }
