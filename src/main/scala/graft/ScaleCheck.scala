@@ -58,6 +58,9 @@ object ScaleCheck {
     // CDC window, and the low-threshold pair histogram (the widest pair
     // join in the suite — where candidate growth would hide)
     "profile_table", "latest_k_events", "pair_similarity_hist",
+    // batch-3b: graded decontamination (in-row distinct + broadcast probe),
+    // the histogram-window percent-rank, and the pair-broadcast source matrix
+    "contamination_ratio", "score_calibrate", "dedup_cross_source",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -99,10 +99,10 @@ object Decontamination {
     * [[contaminatedIds]] flag would treat both the same.
     *
     * Scale shape: benchmark gram set broadcast exactly as in
-    * [[contaminatedIds]]; the corpus side explodes (narrow), dedups
-    * per-document grams and folds to per-doc counts — both on the SAME
-    * (doc_id, gram) hash partitioning, so the distinct and the count are
-    * one shuffle, sized by corpus gram volume (the unavoidable term).
+    * [[contaminatedIds]]; the corpus side dedups each document's grams
+    * IN-ROW (`array_distinct` before the explode — per-doc distinctness
+    * needs no corpus-wide shuffle), probes the broadcast, and folds to
+    * per-doc counts in ONE map-side-combined shuffle keyed by doc_id.
     * The ratio is integer per-10k (`n_hit * 10000 div n_grams`) — no
     * float division for engines to disagree about.
     *
@@ -114,7 +114,13 @@ object Decontamination {
     require(n >= 2, "n-gram contamination scoring needs n >= 2")
     val benchGrams = explodedGrams(benchmark, benchTextCol, n, None).distinct()
       .withColumn("__hit", lit(1L))
-    explodedGrams(docs, textCol, n, Some(idCol)).distinct()
+    // per-doc distinct happens IN-ROW (array_distinct) — a corpus-wide
+    // .distinct() shuffle for a per-document property would be pure waste
+    val projected = docs.select(
+      col(s"`$idCol`").cast("long").as("doc_id"),
+      array_distinct(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("__grams"))
+    Partitioning.evalBarrier(Partitioning.spread(projected))
+      .select(col("doc_id"), explode(col("__grams")).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
