@@ -2719,6 +2719,18 @@ object SparkEntry {
         sum(col("id_a") + col("id_b")).cast("long").as("pair_id_sum"))
       .orderBy("bucket")
 
+  /** Triangle count over the same planted 3-out-regular doc graph as
+    * `pagerank` — oriented wedge join, each triangle constructed once. */
+  private def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"), explode(array(
+      pmod(col("node") * 31 + 7, lit(n)),
+      pmod(col("node") * 17 + 3, lit(n)),
+      pmod(col("node") * 13 + 11, lit(n)))).as("dst"))
+    graft.operators.Triangles.report(edges)
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2819,6 +2831,7 @@ object SparkEntry {
     "score_calibrate" -> qScoreCalibrate,
     "dedup_cross_source" -> qDedupCrossSource,
     "profile_table" -> qProfileTable,
+    "triangle_count" -> qTriangleCount,
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
@@ -2989,6 +3002,20 @@ object SparkEntry {
         "SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi, " +
         "count(*)::BIGINT AS n_pairs, sum(id_a + id_b)::BIGINT AS pair_id_sum " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+    // oriented-wedge triangle recompute over the same planted graph
+    "triangle_count" ->
+      ("WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+        // UNION ALL instead of unnest-over-CTE: DuckDB 1.0.0's binder
+        // asserts on DISTINCT over an unnest column routed through CTEs
+        "e0 AS (SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*13+11) % (SELECT n FROM nn) FROM documents), " +
+        "e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM e0 WHERE src != dst), " +
+        "w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e e1 JOIN e e2 ON e1.hi = e2.lo), " +
+        "t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)) " +
+        "SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges, " +
+        "(SELECT count(*) FROM w)::BIGINT AS n_wedges, " +
+        "(SELECT count(*) FROM t)::BIGINT AS n_triangles"),
     // per-column profile as a UNION ALL of single-column aggregates
     "profile_table" ->
       (Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
