@@ -2731,6 +2731,15 @@ object SparkEntry {
     graft.operators.Triangles.report(edges)
   }
 
+  /** Per-label elementwise centroid on the exact 1e6 integer grid — 640
+    * rows (10 labels × 64 dims), every value recomputed bit-for-bit. */
+  private def qEmbedCentroid(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.integerCentroids(
+      table(spark, dir, "embeddings"), "label", "embedding")
+      .select(col("grp").cast("long").as("label"), col("pos").cast("long").as("pos"),
+        col("n"), col("s"), col("mean_scaled").as("mean_x1e6"))
+      .orderBy("label", "pos")
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2832,6 +2841,7 @@ object SparkEntry {
     "dedup_cross_source" -> qDedupCrossSource,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
+    "embed_centroid" -> qEmbedCentroid,
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
@@ -3016,6 +3026,13 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges, " +
         "(SELECT count(*) FROM w)::BIGINT AS n_wedges, " +
         "(SELECT count(*) FROM t)::BIGINT AS n_triangles"),
+    // elementwise integer-grid centroid, parallel-unnest recompute
+    "embed_centroid" ->
+      ("WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS pos, " +
+        "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS c FROM embeddings) " +
+        "SELECT label::BIGINT AS label, pos::BIGINT AS pos, count(*)::BIGINT AS n, " +
+        "sum(c)::BIGINT AS s, floor(sum(c) / count(*))::BIGINT AS mean_x1e6 " +
+        "FROM x GROUP BY label, pos ORDER BY label, pos"),
     // per-column profile as a UNION ALL of single-column aggregates
     "profile_table" ->
       (Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>

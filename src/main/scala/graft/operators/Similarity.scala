@@ -367,4 +367,35 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("cosine")),
       base)
   }
+
+  /** Per-group elementwise embedding centroid on an EXACT integer grid —
+    * class prototypes for SemDeDup cluster summaries, label-centroid
+    * drift monitoring, nearest-class-mean reports. Unlike a float `avg`
+    * (whose partition-merge order perturbs the low bits, so two runs — or
+    * two engines — disagree at 1e-16 and any downstream floor/compare can
+    * flip), every element snaps to the `scale` grid as a long FIRST; the
+    * sum is then exact integer addition (commutative), and the mean is
+    * `floor(s / n)` — bit-identical on any engine, any partitioning.
+    *
+    * Scale shape: posexplode (narrow) then ONE map-side-combined shuffle
+    * keyed by (group, position) — |groups| × dim result rows. Grid
+    * overflow headroom: |v| ≤ 1e3 at scale 1e6 sums 9e9 rows before
+    * nearing Long range.
+    *
+    * Output: (group, pos 1-based, n, s, mean_x1e6-style scaled floor
+    * mean); NULL groups aggregate as their own group (report shape),
+    * NULL embeddings/elements are skipped. */
+  def integerCentroids(df: DataFrame, groupCol: String, embCol: String,
+                       scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "grid scale must be positive")
+    df.where(col(s"`$embCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("grp"),
+        posexplode(col(s"`$embCol`").cast("array<double>")).as(Seq("pos", "v")))
+      .where(col("v").isNotNull)
+      .select(col("grp"), (col("pos") + 1).as("pos"), // 1-based like SQL lists
+        round(col("v") * scale, 0).cast("long").as("c"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("mean_scaled", floor(col("s") / col("n")).cast("long"))
+  }
 }

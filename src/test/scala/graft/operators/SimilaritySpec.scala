@@ -184,4 +184,33 @@ class SimilaritySpec extends AnyFunSuite {
     val cs = Similarity.sampleCentroids(df, "vec_id", "embedding", 3)
     assert(cs.length === 2 && cs.forall(_ != null))
   }
+
+  test("integerCentroids: exact grid means, floor (not truncate) on negatives") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 5.0f)),
+      ("b", Array(-1.0f, 0.5f)), ("b", Array(0.0f, 0.5f)), ("b", Array(0.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val out = Similarity.integerCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 1)) === ((2L, 4000000L, 2000000L)))
+    assert(out(("a", 2)) === ((2L, 7000000L, 3500000L)))
+    // -1e6 / 3 floors to -333334, never truncates to -333333 — the
+    // engine-parity trap this operator exists to avoid
+    assert(out(("b", 1)) === ((3L, -1000000L, -333334L)))
+    assert(out(("b", 2)) === ((3L, 1500000L, 500000L)))
+  }
+
+  test("integerCentroids: null embeddings skipped, partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq(("a", Option(Array(1.0f))), ("a", Option.empty[Array[Float]]))
+      .toDF("label", "embedding")
+    val out = Similarity.integerCentroids(df, "label", "embedding").collect()
+    assert(out.length === 1 && out.head.getLong(2) === 1L)
+    val big = (1 to 500).map(i => ("g", Array(i.toFloat))).toDF("label", "embedding")
+    val a = Similarity.integerCentroids(big, "label", "embedding").head().getLong(4)
+    val b = Similarity.integerCentroids(big.repartition(13), "label", "embedding").head().getLong(4)
+    assert(a === b && a === 250500000L) // mean of 1..500 = 250.5 exactly on the grid
+  }
 }
