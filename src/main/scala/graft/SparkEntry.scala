@@ -3030,8 +3030,12 @@ object SparkEntry {
     "embed_centroid" ->
       ("WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS pos, " +
         "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS c FROM embeddings) " +
+        // exact FLOOR division in pure integers: subtract the pmod first
+        // (DuckDB's // truncates toward zero on negatives, and floor()
+        // over a double quotient loses exactness past 2^53)
         "SELECT label::BIGINT AS label, pos::BIGINT AS pos, count(*)::BIGINT AS n, " +
-        "sum(c)::BIGINT AS s, floor(sum(c) / count(*))::BIGINT AS mean_x1e6 " +
+        "sum(c)::BIGINT AS s, " +
+        "((sum(c) - ((sum(c) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS mean_x1e6 " +
         "FROM x GROUP BY label, pos ORDER BY label, pos"),
     // per-column profile as a UNION ALL of single-column aggregates
     "profile_table" ->

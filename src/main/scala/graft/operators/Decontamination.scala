@@ -115,7 +115,12 @@ object Decontamination {
     val benchGrams = explodedGrams(benchmark, benchTextCol, n, None).distinct()
       .withColumn("__hit", lit(1L))
     // per-doc distinct happens IN-ROW (array_distinct) — a corpus-wide
-    // .distinct() shuffle for a per-document property would be pure waste
+    // .distinct() shuffle for a per-document property would be pure waste.
+    // The fold still counts DISTINCT grams (not rows): with duplicate
+    // doc_id rows the in-row dedup alone would double-count shared grams
+    // and silently diverge from the "document's distinct n-grams"
+    // contract; count_distinct keeps it exact in the SAME single shuffle
+    // (the two distinct aggregates plan through one Expand).
     val projected = docs.select(
       col(s"`$idCol`").cast("long").as("doc_id"),
       array_distinct(grams(TextAnalysis.tokens(col(s"`$textCol`")), n)).as("__grams"))
@@ -123,8 +128,8 @@ object Decontamination {
       .select(col("doc_id"), explode(col("__grams")).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        coalesce(countDistinct(when(col("__hit") === 1L, col("gram"))), lit(0L)).as("n_hit"))
       .withColumn("ratio_x1e4", expr("n_hit * 10000 div n_grams"))
   }
 

@@ -30,11 +30,12 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach { c =>
       require(df.columns.contains(c), s"no such column: $c")
-      // the unpivot goes through a generated stack() SQL string; a quote
-      // or backtick in the name would break (or mis-resolve) the parse —
-      // fail loudly instead of surfacing an opaque ParseException
-      require(!c.contains("`") && !c.contains("'"),
-        s"column name contains a quote/backtick and cannot be profiled: $c " +
+      // the unpivot goes through a generated stack() SQL string; a quote,
+      // backtick, or backslash in the name would break (or mis-resolve)
+      // the parse — fail loudly instead of surfacing an opaque
+      // ParseException (a trailing backslash escapes the closing quote)
+      require(!c.contains("`") && !c.contains("'") && !c.contains("\\"),
+        s"column name contains a quote/backtick/backslash and cannot be profiled: $c " +
           "(alias it first)")
     }
     import org.apache.spark.sql.types.{DoubleType, FloatType}

@@ -396,6 +396,10 @@ object Similarity {
         round(col("v") * scale, 0).cast("long").as("c"))
       .groupBy(col("grp"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
-      .withColumn("mean_scaled", floor(col("s") / col("n")).cast("long"))
+      // floor division in PURE Long arithmetic: (s - pmod(s, n)) is
+      // exactly divisible by n. floor(s / n) through a double would
+      // quietly lose exactness past |s| ~ 2^53 — a silent break of this
+      // operator's whole contract at the top of its headroom
+      .withColumn("mean_scaled", expr("(s - pmod(s, n)) div n"))
   }
 }

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: wedge building self-joins the oriented edge list on the
   * middle vertex (one hash shuffle each side); the closing check is a
   * second equi-join back to the same list on (a, c). Wedge volume is
-  * Σ_v out(v)², the standard triangle-counting cost — bounded for the
-  * id-ordered orientation by the corpus's degree skew. `maxWedgeDegree`
-  * is the loud guard: a hub whose oriented out-degree exceeds it fails
-  * the job before the wedge explosion schedules (same contract as the
-  * SemDeDup/gap-fill guards — data-quality failure, not a tuning knob);
-  * raise it deliberately for genuinely dense graphs.
+  * Σ_v in(v)·out(v) over the orientation — bounded by degree skew.
+  * `maxWedgeDegree` is the loud guard on TOTAL degree (in + out: the
+  * product term is what explodes, and either factor can carry it): any
+  * node past the cap fails the job before the wedge join schedules
+  * (same contract as the SemDeDup/gap-fill guards — a data-quality
+  * failure, not a tuning knob); raise it deliberately for genuinely
+  * dense graphs.
   *
   * Output (one row): n_edges (oriented, deduped), n_wedges (ORDERED
   * wedges a<b<c with both edges present — each triangle closes exactly
@@ -42,14 +43,24 @@ object Triangles {
         greatest(col("src"), col("dst")).as("hi"))
       .distinct()
 
-    // oriented out-degree guard rides a broadcast-sized aggregate as a
-    // FILTER (cannot be pruned away); a hub past the cap raises loudly
-    val deg = e.groupBy(col("lo")).agg(count(lit(1)).as("__deg"))
-    val guarded = e.join(broadcast(deg), Seq("lo"))
-      .where(when(col("__deg") > maxWedgeDegree,
-        raise_error(concat(lit(s"triangle wedge degree over $maxWedgeDegree at node "),
-          col("lo").cast("string"))).cast("boolean")).otherwise(lit(true)))
-      .drop("__deg")
+    // degree guard as a FILTER (cannot be pruned away): wedge volume
+    // through a middle node b is in(b)·out(b) ≤ deg(b)², so the cap must
+    // bound TOTAL degree on BOTH endpoints — an out-degree-only check
+    // would wave through a high-IN-degree hub and schedule the very
+    // explosion it promises to prevent. The degree table is O(V) rows —
+    // never broadcast it (a hint would drag a billion-node table through
+    // the driver); both probes are plain equi-joins, co-partitioned with
+    // the degree aggregate on the first and one extra edge shuffle on the
+    // second — the price of a guard that cannot be skipped.
+    val deg = e.select(col("lo").as("node")).unionAll(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    def guardSide(in: DataFrame, side: String): DataFrame =
+      in.join(deg, in(s"`$side`") === deg("node"))
+        .where(when(col("__deg") > maxWedgeDegree,
+          raise_error(concat(lit(s"triangle wedge degree over $maxWedgeDegree at node "),
+            col("node").cast("string"))).cast("boolean")).otherwise(lit(true)))
+        .drop("node", "__deg")
+    val guarded = guardSide(guardSide(e, "lo"), "hi")
       .localCheckpoint(eager = false) // three consumers; don't re-derive
 
     val wedges = guarded.select(col("lo").as("a"), col("hi").as("b"))

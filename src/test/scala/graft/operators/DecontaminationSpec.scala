@@ -105,6 +105,18 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("contaminationRatio: duplicate doc_id rows still count the doc's DISTINCT grams") {
+    import spark.implicits._
+    val g = "alpha beta gamma delta epsilon zeta eta theta"
+    // the same doc id appears twice with identical text: its distinct
+    // gram set is ONE gram, hit once — not two
+    val docs = Seq((1L, g), (1L, g)).toDF("doc_id", "text")
+    val bench = Seq(g).toDF("text")
+    val Array(r) = Decontamination.contaminationRatio(docs, "doc_id", "text", bench, "text")
+      .collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 10000L)))
+  }
+
   test("contaminationRatio counts DISTINCT grams (repetition cannot inflate the score)") {
     import spark.implicits._
     val g = "a b c d e f g h"

@@ -48,5 +48,8 @@ class ProfileSpec extends AnyFunSuite {
     val df = Seq(Tuple1(1L)).toDF("a`b")
     val e = intercept[IllegalArgumentException](Profile.profileColumns(df, Seq("a`b")))
     assert(e.getMessage.contains("alias it first"))
+    // trailing backslash would escape the generated literal's closing quote
+    val df2 = Seq(Tuple1(1L)).toDF("a\\")
+    intercept[IllegalArgumentException](Profile.profileColumns(df2, Seq("a\\")))
   }
 }

@@ -43,4 +43,13 @@ class TrianglesSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("wedge degree"),
       s"got: ${e.getMessage}")
   }
+
+  test("guard also catches a high-IN-degree hub (wedge volume is in*out)") {
+    // node 100 is the HI side of every oriented edge: out-degree 0,
+    // in-degree 29 — an out-degree-only guard would wave this through
+    val inStar = (2L to 30L).map(i => i -> 100L)
+    val e = intercept[Exception](count(inStar, maxDeg = 10))
+    assert(e.getMessage != null && e.getMessage.contains("wedge degree"),
+      s"got: ${e.getMessage}")
+  }
 }
