@@ -26,6 +26,16 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("x") === ((4L, 1L, 3L, None, None)))
   }
 
+  test("approx distinct path stays within HLL tolerance of exact") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong % 500, s"s${i % 37}")).toDF("id", "s")
+    val approx = Profile.profileColumns(df, Seq("id", "s"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL++ default rsd 5%: 500 and 37 distincts must land well inside 10%
+    assert(math.abs(approx("id") - 500L) <= 50, s"got ${approx("id")}")
+    assert(math.abs(approx("s") - 37L) <= 4, s"got ${approx("s")}")
+  }
+
   test("single aggregation pass: exactly one scan of the input") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")

@@ -236,6 +236,18 @@ class StatsSpec extends AnyFunSuite {
     assert(out((None, Some(4L))) === Some(10000L))
   }
 
+  test("madOutliers approx path agrees with exact on a clean spike case") {
+    import spark.implicits._
+    val rows = (1 to 199).map(i => ("g", 50.0 + (i % 3) * 0.01)) :+ ("g" -> 9999.0)
+    def flagged(exact: Boolean) =
+      Stats.madOutliers(rows.toDF("g", "v"), "g", "v", exact = exact)
+        .where(col("flagged") === 1L).select("v").collect().map(_.getDouble(0)).toSet
+    // GK at accuracy 10000 on 200 rows is effectively exact; both paths
+    // must isolate the one spike
+    assert(flagged(exact = true) === Set(9999.0))
+    assert(flagged(exact = false) === Set(9999.0))
+  }
+
   test("madOutliers: null values never flag, constant group flags nothing") {
     import spark.implicits._
     val rows = Seq(("g", Some(5.0)), ("g", Some(5.0)), ("g", None),
