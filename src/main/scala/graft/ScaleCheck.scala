@@ -61,9 +61,12 @@ object ScaleCheck {
     // batch-3b: graded decontamination (in-row distinct + broadcast probe),
     // the histogram-window percent-rank, and the pair-broadcast source matrix
     "contamination_ratio", "score_calibrate", "dedup_cross_source",
-    // the oriented wedge join: wedge volume is sum(out_deg^2) — bounded
+    // the oriented wedge join: wedge volume is sum(in*out) — bounded
     // on the planted 3-out-regular graph, so bytes must stay linear
     "triangle_count",
+    // df-join novelty: gram-keyed aggregate + join back — the inverted
+    // index is the linear term
+    "ngram_novelty",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

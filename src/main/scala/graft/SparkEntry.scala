@@ -2740,6 +2740,13 @@ object SparkEntry {
         col("n"), col("s"), col("mean_scaled").as("mean_x1e6"))
       .orderBy("label", "pos")
 
+  /** Corpus-relative 3-gram novelty per doc — template/boilerplate
+    * detector; full per-doc value oracle. */
+  private def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ngramNovelty(
+      table(spark, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2842,6 +2849,7 @@ object SparkEntry {
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
+    "ngram_novelty" -> qNgramNovelty,
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
@@ -3026,6 +3034,18 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges, " +
         "(SELECT count(*) FROM w)::BIGINT AS n_wedges, " +
         "(SELECT count(*) FROM t)::BIGINT AS n_triangles"),
+    // corpus-relative novelty: df over distinct (doc, gram), df=1 share
+    "ngram_novelty" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 " +
+        "THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] ELSE [] END) AS gram FROM toks), " +
+        "g AS (SELECT DISTINCT doc_id, gram FROM g0), " +
+        "dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram), " +
+        "j AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams, " +
+        "count(CASE WHEN df = 1 THEN 1 END)::BIGINT AS n_unique " +
+        "FROM g JOIN dfreq USING (gram) GROUP BY g.doc_id) " +
+        "SELECT doc_id, n_grams, n_unique, (n_unique * 10000 // n_grams)::BIGINT AS novelty_x1e4 " +
+        "FROM j ORDER BY doc_id"),
     // elementwise integer-grid centroid, parallel-unnest recompute
     "embed_centroid" ->
       ("WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS pos, " +

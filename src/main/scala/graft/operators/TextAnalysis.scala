@@ -459,4 +459,42 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("entropy_x1e4"), lit(0L)).as("entropy_x1e4"))
   }
+
+  /** Corpus-relative n-gram NOVELTY — the share of a document's distinct
+    * word n-grams that appear in NO other document (per-10k integer).
+    * Low novelty flags template families and boilerplate mills that
+    * per-document signals (entropy, repetition) miss: each instance looks
+    * fine alone, the corpus-wide df exposes the mould. The complement of
+    * [[Decontamination.contaminationRatio]] — overlap vs a benchmark
+    * there, vs the rest of the corpus itself here.
+    *
+    * Scale shape: per-doc distinct grams in-row (array_distinct — no
+    * corpus-wide distinct shuffle), one gram-keyed document-frequency
+    * aggregate with map-side combine, a gram-keyed join back (both sides
+    * share the df aggregate's partitioning), and a doc-keyed fold.
+    * `count_distinct` in the fold keeps duplicate doc_id rows exact,
+    * same contract as contaminationRatio.
+    *
+    * Output: (doc_id, n_grams, n_unique, novelty_x1e4) for every document
+    * with at least one n-gram; shorter documents are absent. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, "n-gram novelty needs n >= 2")
+    val gramsCol = when(size(col("__t")) >= n,
+      transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val projected = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        tokens(col(s"`$textCol`")).as("__t"))
+      .select(col("doc_id"), array_distinct(gramsCol).as("__grams"))
+    val exploded = Partitioning.evalBarrier(Partitioning.spread(projected))
+      .select(col("doc_id"), explode(col("__grams")).as("gram"))
+    // document frequency over distinct (doc, gram) — in-row distinct
+    // guarantees one row per (doc, gram) for unique-id inputs
+    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    exploded.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        countDistinct(when(col("__df") === 1L, col("gram"))).as("n_unique"))
+      .withColumn("novelty_x1e4", expr("n_unique * 10000 div n_grams"))
+  }
 }

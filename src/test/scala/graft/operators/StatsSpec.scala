@@ -241,7 +241,8 @@ class StatsSpec extends AnyFunSuite {
     val rows = (1 to 199).map(i => ("g", 50.0 + (i % 3) * 0.01)) :+ ("g" -> 9999.0)
     def flagged(exact: Boolean) =
       Stats.madOutliers(rows.toDF("g", "v"), "g", "v", exact = exact)
-        .where(col("flagged") === 1L).select("v").collect().map(_.getDouble(0)).toSet
+        .where(org.apache.spark.sql.functions.col("flagged") === 1L)
+        .select("v").collect().map(_.getDouble(0)).toSet
     // GK at accuracy 10000 on 200 rows is effectively exact; both paths
     // must isolate the one spike
     assert(flagged(exact = true) === Set(9999.0))

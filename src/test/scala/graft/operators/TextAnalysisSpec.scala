@@ -377,6 +377,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty: shared grams lower novelty, fully-unique docs score 10000") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // grams {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "a b c x"),  // grams {a b c, b c x}
+      (3L, "p q r s"),  // both grams unique corpus-wide
+      (4L, "x y")       // too short: no grams, absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 5000L)))
+    assert(out(2L) === ((2L, 1L, 5000L)))
+    assert(out(3L) === ((2L, 2L, 10000L)))
+    assert(!out.contains(4L))
+  }
+
+  test("ngramNovelty: in-doc repetition does not inflate df (a self-repeat stays novel)") {
+    import spark.implicits._
+    // "m n o" occurs twice in doc 1 and nowhere else: df must be 1
+    val docs = Seq((1L, "m n o z m n o"), (2L, "j k l w")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 10000L)
+    assert(out(2L) === 10000L)
+  }
+
   test("blocklistHits normalizes the LIST like the tokens (mixed case, stray punct)") {
     import spark.implicits._
     val df = Seq((1L, "nsfw content here"), (2L, "clean text")).toDF("doc_id", "text")
