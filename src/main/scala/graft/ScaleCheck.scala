@@ -67,6 +67,13 @@ object ScaleCheck {
     // df-join novelty: gram-keyed aggregate + join back — the inverted
     // index is the linear term
     "ngram_novelty",
+    // NOTE dedup_containment is deliberately NOT measured here beyond the
+    // recorded 10x point: its planted rot13 tails commute with the scaled
+    // corpus's alphabet rotation (rot13 ∘ rot_k = rot_{k+13}), so at
+    // SCALE >= 13 copy k's tails equal copy k+13's vocabulary — real
+    // cross-copy duplicate mass that no dedup operator should be expected
+    // to scale linearly through (SCALING.md documents the 10x/30x numbers
+    // and this attribution)
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -2747,6 +2747,29 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text", n = 3)
       .orderBy("doc_id")
 
+  /** Containment dedup on planted embedded docs: every 20th doc is
+    * re-planted as itself + a rot13-translated tail (its own grams are a
+    * strict prefix subset, the tail's grams are corpus-novel), so
+    * containment from the short side is exactly 1.0 while Jaccard
+    * dilutes to ~0.5 — the oracle counts both at threshold 0.9 and the
+    * Jaccard arm MUST find zero of the planted pairs. */
+  private def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rot13 = "nopqrstuvwxyzabcdefghijklm"
+    val docs = table(spark, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") % 20 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" "), translate(col("text"), alpha, rot13)).as("text"))
+    val all = docs.unionByName(planted)
+    val cPairs = graft.operators.Dedup.ngramContainmentPairs(
+      all, "doc_id", "text", threshold = 0.9, n = 3)
+    val jPairs = graft.operators.Dedup.ngramJaccardPairs(
+      all, "doc_id", "text", threshold = 0.9, n = 3)
+    cPairs.agg(count(lit(1)).as("n_containment"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
+      .crossJoin(jPairs.agg(count(lit(1)).as("n_jaccard")))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2850,6 +2873,7 @@ object SparkEntry {
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
     "ngram_novelty" -> qNgramNovelty,
+    "dedup_containment" -> qDedupContainment,
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
@@ -3034,6 +3058,21 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges, " +
         "(SELECT count(*) FROM w)::BIGINT AS n_wedges, " +
         "(SELECT count(*) FROM t)::BIGINT AS n_triangles"),
+    // planted-containment recompute: exact distinct-3-gram sets, both the
+    // asymmetric containment and the symmetric jaccard at 0.9
+    "dedup_containment" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, text || ' ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') " +
+        "FROM documents WHERE doc_id % 20 = 0), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM base), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 " +
+        "THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] ELSE [] END) AS gr FROM toks), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.gr, b.gr)) AS i, len(a.gr) AS la, len(b.gr) AS lb " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE len(a.gr) > 0 AND len(b.gr) > 0) " +
+        "SELECT (SELECT count(*) FROM p WHERE greatest(i::DOUBLE / la, i::DOUBLE / lb) >= 0.9)::BIGINT AS n_containment, " +
+        "(SELECT coalesce(sum(id_a + id_b), 0) FROM p WHERE greatest(i::DOUBLE / la, i::DOUBLE / lb) >= 0.9)::BIGINT AS pair_id_sum, " +
+        "(SELECT count(*) FROM p WHERE i::DOUBLE / (la + lb - i) >= 0.9)::BIGINT AS n_jaccard"),
     // corpus-relative novelty: df over distinct (doc, gram), df=1 share
     "ngram_novelty" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +

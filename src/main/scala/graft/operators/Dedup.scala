@@ -572,19 +572,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`
+    * over distinct word n-gram sets — the ASYMMETRIC complement of
+    * [[ngramJaccardPairs]]. Symmetric Jaccard misses a short document
+    * embedded verbatim in a much longer one (a wire story inside a long
+    * article dilutes |A∪B|); containment scores that pair ~1.0 from the
+    * short side. Same inverted-index pipeline, same rare-gram shuffle —
+    * only the final integer-count comparison differs. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, n: Int = 3, maxDf: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, maxDf)
+      .withColumn("containment",
+        greatest(col("common").cast("double") / col("na"),
+          col("common").cast("double") / col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
   /** Word n-gram Jaccard near-dup via inverted-index join (no minhash
     * approximation in candidate generation; exactness bounded only by the
     * hot-shingle cutoff; what the cutoff discards is measurable exactly
-    * via [[ngramHotGrams]]).
+    * via [[ngramHotGrams]]). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, n: Int = 3, maxDf: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, maxDf)
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Shared inverted-index pair pipeline: (id_a, id_b, common, na, nb)
+    * for every pair sharing at least one rare gram.
     *
     * Scale shape: explode n-grams -> drop n-grams occurring in more than
     * `maxDf` docs (they generate the quadratic buckets and carry no
     * discriminative signal — standard practice) -> self-join the inverted
     * index on the n-gram (shuffle on short string keys) -> count common
-    * n-grams per pair -> Jaccard from per-doc counts.
-    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.5, n: Int = 3, maxDf: Int = 1000): DataFrame = {
+    * n-grams per pair -> attach per-doc distinct gram counts. */
+  private def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, maxDf: Int): DataFrame = {
     // Tokenize ONCE per row, spread partitions for the CPU-bound gramming,
     // and persist the gram arrays. Writing split() inline in the gram lambda
     // re-evaluates the regex split per gram index (O(tokens^2) splits per
@@ -617,10 +641,7 @@ object Dedup {
     Partitioning.releaseAfterUse(
       pairsCommon
         .join(counts.select(col("doc_id").as("id_a"), col("n_grams").as("na")), "id_a")
-        .join(counts.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b")
-        .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-        .where(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
+        .join(counts.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b"),
       cached)
   }
 

@@ -311,4 +311,20 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("ngramContainmentPairs catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"$short one two three four five six seven eight nine ten"
+    val other = "completely different words with no shared trigram content here"
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    // short: 4 grams, all inside long (prefix) -> containment 1.0
+    val c = Dedup.ngramContainmentPairs(docs, "doc_id", "text", threshold = 0.9, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.toSeq.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    assert(c.head._3 === 1.0)
+    // symmetric jaccard on the same pair: 4 / (4 + 14 - 4) ~ 0.29 -> missed
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9, n = 3)
+    assert(j.count() === 0L)
+  }
 }
