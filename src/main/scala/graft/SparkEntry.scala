@@ -2761,13 +2761,17 @@ object SparkEntry {
       (col("doc_id") + 2000000L).as("doc_id"),
       concat(col("text"), lit(" "), translate(col("text"), alpha, rot13)).as("text"))
     val all = docs.unionByName(planted)
-    val cPairs = graft.operators.Dedup.ngramContainmentPairs(
-      all, "doc_id", "text", threshold = 0.9, n = 3)
-    val jPairs = graft.operators.Dedup.ngramJaccardPairs(
-      all, "doc_id", "text", threshold = 0.9, n = 3)
-    cPairs.agg(count(lit(1)).as("n_containment"),
-        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"))
-      .crossJoin(jPairs.agg(count(lit(1)).as("n_jaccard")))
+    // BOTH measures from ONE pair-counts pass (same tokenize/persist/
+    // self-join; only the final comparisons differ)
+    val pc = graft.operators.Dedup.ngramPairCounts(all, "doc_id", "text", n = 3)
+    val cont = greatest(col("common").cast("double") / col("na"),
+      col("common").cast("double") / col("nb"))
+    val jac = col("common").cast("double") / (col("na") + col("nb") - col("common"))
+    pc.agg(
+      coalesce(sum(when(cont >= 0.9, 1L).otherwise(0L)), lit(0L)).as("n_containment"),
+      coalesce(sum(when(cont >= 0.9, col("id_a") + col("id_b"))), lit(0L))
+        .cast("long").as("pair_id_sum"),
+      coalesce(sum(when(jac >= 0.9, 1L).otherwise(0L)), lit(0L)).as("n_jaccard"))
   }
 
   // ---------------------------------------------------------------------
@@ -3092,10 +3096,12 @@ object SparkEntry {
         // exact FLOOR division in pure integers: subtract the pmod first
         // (DuckDB's // truncates toward zero on negatives, and floor()
         // over a double quotient loses exactness past 2^53)
-        "SELECT label::BIGINT AS label, pos::BIGINT AS pos, count(*)::BIGINT AS n, " +
+        "SELECT label::BIGINT AS label, pos::BIGINT AS pos, count(c)::BIGINT AS n, " +
         "sum(c)::BIGINT AS s, " +
-        "((sum(c) - ((sum(c) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS mean_x1e6 " +
-        "FROM x GROUP BY label, pos ORDER BY label, pos"),
+        "((sum(c) - ((sum(c) % count(c)) + count(c)) % count(c)) // count(c))::BIGINT AS mean_x1e6 " +
+        // HAVING mirrors the operator: an all-null (label, pos) group has
+        // no countable elements and is absent, never a divide-by-zero
+        "FROM x GROUP BY label, pos HAVING count(c) > 0 ORDER BY label, pos"),
     // per-column profile as a UNION ALL of single-column aggregates
     "profile_table" ->
       (Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>

@@ -19,11 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  private def grams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  // the ONE shared gram definition — byte-identical across the gram-based
+  // operators so their outputs stay mutually comparable
+  private def grams(toks: Column, n: Int): Column = TextAnalysis.wordGrams(toks, n)
 
   /** Exploded (id?, gram) rows with an [[Partitioning.evalBarrier]] between
     * the gram projection and the explode: fused into one stage, the

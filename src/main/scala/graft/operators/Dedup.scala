@@ -600,15 +600,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Shared inverted-index pair pipeline: (id_a, id_b, common, na, nb)
-    * for every pair sharing at least one rare gram.
+    * for every pair sharing at least one rare gram — public so a caller
+    * needing SEVERAL similarity measures (jaccard AND containment, or a
+    * custom overlap rule) derives them all from ONE pass instead of
+    * re-running the tokenize/persist/self-join per measure.
     *
     * Scale shape: explode n-grams -> drop n-grams occurring in more than
     * `maxDf` docs (they generate the quadratic buckets and carry no
     * discriminative signal — standard practice) -> self-join the inverted
     * index on the n-gram (shuffle on short string keys) -> count common
     * n-grams per pair -> attach per-doc distinct gram counts. */
-  private def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
-                              n: Int, maxDf: Int): DataFrame = {
+  def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, maxDf: Int = 1000): DataFrame = {
     // Tokenize ONCE per row, spread partitions for the CPU-bound gramming,
     // and persist the gram arrays. Writing split() inline in the gram lambda
     // re-evaluates the regex split per gram index (O(tokens^2) splits per
@@ -616,10 +619,10 @@ object Dedup {
     val toks = Partitioning.spread(df.select(
       col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
       .select(col("doc_id"), split(lower(trim(col("__text"))), "\\s+").as("t"))
+      // gram identity MUST stay byte-identical across the gram operators
+      // (novelty/decontamination cross-checks) — one shared builder
       .select(col("doc_id"),
-        array_distinct(expr(
-          s"CASE WHEN size(t) < $n THEN array() " +
-            s"ELSE transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n))) END")).as("grams"))
+        array_distinct(TextAnalysis.wordGrams(col("t"), n)).as("grams"))
     val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = cached.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inv = cached.select(col("doc_id"), explode(col("grams")).as("gram"))

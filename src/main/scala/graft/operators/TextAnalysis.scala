@@ -479,22 +479,39 @@ object TextAnalysis {
     * with at least one n-gram; shorter documents are absent. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 2, "n-gram novelty needs n >= 2")
-    val gramsCol = when(size(col("__t")) >= n,
-      transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-        i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // the gram-array projection is CPU-bound (regex split + window
+    // transform) and feeds TWO consumers (the df aggregate and the join
+    // probe) — persist it like the sibling Dedup pair pipeline does, or
+    // the whole gramming stage executes twice
     val projected = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
         tokens(col(s"`$textCol`")).as("__t"))
-      .select(col("doc_id"), array_distinct(gramsCol).as("__grams"))
-    val exploded = Partitioning.evalBarrier(Partitioning.spread(projected))
-      .select(col("doc_id"), explode(col("__grams")).as("gram"))
-    // document frequency over distinct (doc, gram) — in-row distinct
-    // guarantees one row per (doc, gram) for unique-id inputs
-    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
-    exploded.join(dfreq, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_grams"),
-        countDistinct(when(col("__df") === 1L, col("gram"))).as("n_unique"))
-      .withColumn("novelty_x1e4", expr("n_unique * 10000 div n_grams"))
+      .select(col("doc_id"), array_distinct(wordGrams(col("__t"), n)).as("__grams"))
+    val cached = Partitioning.spread(projected)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def exploded = cached.select(col("doc_id"), explode(col("__grams")).as("gram"))
+    // document frequency = DISTINCT DOCUMENTS per gram: duplicate doc_id
+    // rows must not inflate a gram's df (a self-duplicate is not "another
+    // document"), so the aggregate is count_distinct over the doc id
+    val dfreq = exploded.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    Partitioning.releaseAfterUse(
+      exploded.join(dfreq, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_grams"),
+          countDistinct(when(col("__df") === 1L, col("gram"))).as("n_unique"))
+        .withColumn("novelty_x1e4", expr("n_unique * 10000 div n_grams")),
+      cached)
   }
+
+  /** The shared word n-gram window builder every gram-based operator uses
+    * (novelty here, [[Decontamination]]'s benchmark probe, [[Dedup]]'s
+    * pair pipeline): space-joined `n`-token windows of a token array,
+    * empty (never null) below `n` tokens. ONE definition — these
+    * operators' outputs are documented as mutually comparable, which
+    * holds only while their gram identity stays byte-identical. */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 }

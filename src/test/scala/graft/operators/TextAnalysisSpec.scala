@@ -393,6 +393,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("ngramNovelty: duplicate doc_id rows do not inflate df (df counts DOCUMENTS)") {
+    import spark.implicits._
+    // the same doc id twice with the same text: df of its gram must stay
+    // 1 (a self-duplicate is not "another document"), novelty 10000
+    val docs = Seq((1L, "a b c"), (1L, "a b c"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 10000L)))
+    assert(out(2L) === ((2L, 2L, 10000L)))
+  }
+
   test("ngramNovelty: in-doc repetition does not inflate df (a self-repeat stays novel)") {
     import spark.implicits._
     // "m n o" occurs twice in doc 1 and nowhere else: df must be 1
