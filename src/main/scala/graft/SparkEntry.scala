@@ -2764,8 +2764,12 @@ object SparkEntry {
     // BOTH measures from ONE pair-counts pass (same tokenize/persist/
     // self-join; only the final comparisons differ)
     val pc = graft.operators.Dedup.ngramPairCounts(all, "doc_id", "text", n = 3)
-    val cont = greatest(col("common").cast("double") / col("na"),
-      col("common").cast("double") / col("nb"))
+    // containment over the POST-CUTOFF denominators, mirroring
+    // ngramContainmentPairs; the DuckDB oracle computes full-set la/lb,
+    // which coincide here because no 3-gram's df approaches maxDf=1000 at
+    // the gate scale (<= ~525 documents)
+    val cont = greatest(col("common").cast("double") / col("na_cut"),
+      col("common").cast("double") / col("nb_cut"))
     val jac = col("common").cast("double") / (col("na") + col("nb") - col("common"))
     pc.agg(
       coalesce(sum(when(cont >= 0.9, 1L).otherwise(0L)), lit(0L)).as("n_containment"),

@@ -52,7 +52,17 @@ object Vocab {
     * `graft/vocab/<locale>/<category>.txt` (one entry per line, blank lines
     * and `#` comments ignored) REPLACES the synthetic list — this is the
     * documented "drop in the reference's real name lists without code
-    * changes" path (README). Loaded once per JVM per (locale, category). */
+    * changes" path (README). Loaded once per JVM per (locale, category).
+    *
+    * OUTPUT-STABILITY CAVEAT: the picked word is `list[pmod(hash, size)]`,
+    * so the list's SIZE (and entry order) is part of the function's
+    * observable behavior — swapping in an override whose length differs
+    * from the synthetic list (the reference's real en-AU lists are
+    * 3271/3932/473 entries vs the synthetic 2760 per name list) REINDEXES every
+    * masked value. That is expected for a one-time deployment switch, but
+    * a mixed fleet (some executors with the override on the classpath,
+    * some without) would produce inconsistent pseudonyms for the same
+    * input — ship the override in the application jar, never per-node. */
   private val resourceLists =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Option[Vector[String]]]()
 

@@ -30,8 +30,11 @@ object Caps {
   /** Ids kept by a cap of `k` rows per group: (groupCols..., id). The id
     * column must be integral, non-negative, and UNIQUE WITHIN its group —
     * it is the selection identity, and a group with duplicate id rows can
-    * exceed its cap through the join-back (same contract as
-    * [[Versioning.latestKPerKey]]). NULL ids or group keys are dropped
+    * exceed its cap through the join-back. This is a WEAKER contract than
+    * [[Versioning.latestKPerKey]]: that operator joins back on the bare id
+    * and therefore needs GLOBALLY unique ids, while [[capPerGroup]] joins
+    * on (group key, id), so per-group id sequences duplicated across
+    * groups are fine here. NULL ids or group keys are dropped
     * (a row with no identity cannot be deterministically capped). */
   def cappedIds(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     require(k >= 1, "cap must be >= 1")

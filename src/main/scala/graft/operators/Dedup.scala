@@ -17,9 +17,10 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Set on the first missed CollectMetrics event; later CC rounds go
-    * straight to the count fallback instead of re-waiting 10 s each. */
-  @volatile private var observeUnsupported = false
+  /** Distinguishes concurrent [[connectedComponents]] calls' observation
+    * names: a listener registered by call A must never capture call B's
+    * same-numbered round metric. */
+  private val ccCallIds = new java.util.concurrent.atomic.AtomicLong()
 
   /** Character n-gram shingle set (codegen'd builtins only). */
   private def shingleArr(textCol: String, n: Int): Column =
@@ -164,6 +165,14 @@ object Dedup {
       .select(col("id"), col("id").as("component"), lit(true).as("changed")))
     var iter = 0
     var converged = false
+    val ccCall = ccCallIds.incrementAndGet()
+    // set on the first missed CollectMetrics event: if one round's event
+    // never arrived, none will (this runtime's checkpoint action isn't
+    // posting QueryExecution events) — later rounds of THIS call go
+    // straight to the count fallback instead of re-waiting 10 s each.
+    // Per-call, not JVM-global: one anomalous run must not degrade every
+    // future CC in the process.
+    var eventsMissing = false
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       val frontier = labels.where(col("changed")).select(col("id"), col("component"))
@@ -175,42 +184,51 @@ object Dedup {
       // round; at 32 shuffle partitions the per-job fixed cost (scheduling +
       // task launch) of doubling the round's job count dominated the CC
       // queries' wall clock — exactly the per-iteration overhead a 1000-
-      // executor cluster cannot afford.
-      val obs = org.apache.spark.sql.Observation(s"graft.cc.$iter")
-      val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
-        .select(labels("id"),
-          least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
-          (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed"))
-        // count, not sum: sum over an EMPTY label frame is NULL, which the
-        // reader below would misdiagnose as "observation unsupported" and
-        // permanently poison the JVM-wide fallback flag
-        .observe(obs, count(when(col("changed"), 1)).as("n_changed")))
-      labels = stepped
-      // the checkpoint action posts the observation's QueryExecution event;
-      // getOrEmpty-with-patience guards against an event that never arrives
-      // (e.g. a future Spark moving checkpoint off withAction) by falling
-      // back to the old cached-scan count instead of hanging the driver
-      val changed: Long = {
-        def metrics = org.apache.spark.sql.GraftBridge.observedMetrics(obs)
-        // if one round's event never arrived, none will (the checkpoint
-        // action isn't posting QueryExecution events in this runtime) —
-        // remember it and skip straight to the fallback count on later
-        // rounds instead of paying the full wait per round
-        var waitedMs = 0
-        var m = metrics
-        while (m.isEmpty && !observeUnsupported && waitedMs < 10000) {
-          Thread.sleep(10); waitedMs += 10; m = metrics
+      // executor cluster cannot afford. The metric is read through a
+      // QueryExecutionListener latch registered BEFORE the action — the
+      // listener bus is async, so the event is awaited, never polled, and
+      // no private[sql] surface is touched.
+      val obsName = s"graft.cc.$ccCall.$iter"
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      @volatile var observedChanged: Long = -1L
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.get(obsName).foreach { row =>
+            // defensive: a null metric is "no rows", not "no event"
+            observedChanged = if (row.isNullAt(0)) 0L else row.getLong(0)
+            latch.countDown()
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      val registered = !eventsMissing
+      if (registered) spark.listenerManager.register(listener)
+      val changed: Long = try {
+        val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
+          .select(labels("id"),
+            least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
+            (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed"))
+          // count, not sum: sum over an EMPTY label frame is NULL, which
+          // the null-metric guard above would otherwise have to special-case
+          .observe(obsName, count(when(col("changed"), 1)).as("n_changed")))
+        labels = stepped
+        // a latch timeout guards against an event that never arrives (e.g.
+        // a future Spark moving checkpoint off withAction) by falling back
+        // to a cached-scan count instead of hanging the driver
+        if (registered &&
+            latch.await(10, java.util.concurrent.TimeUnit.SECONDS)) observedChanged
+        else {
+          if (registered) {
+            eventsMissing = true
+            log.warn("graft.cc observation event missing - falling back to cached-scan counts for this call")
+          }
+          stepped.where(col("changed")).count()
         }
-        m.get("n_changed") match {
-          case Some(v: Number) => v.longValue()
-          case Some(null) => 0L // defensive: a null metric is "no rows", not "no event"
-          case _ =>
-            if (!observeUnsupported) {
-              observeUnsupported = true
-              log.warn("graft.cc observation event missing - falling back to cached-scan counts for this JVM")
-            }
-            stepped.where(col("changed")).count()
-        }
+      } finally {
+        if (registered) spark.listenerManager.unregister(listener)
       }
       log.info(s"graft.cc round=$iter changed=$changed ms=${(System.nanoTime() - t0) / 1000000}")
       converged = changed == 0
@@ -578,13 +596,23 @@ object Dedup {
     * embedded verbatim in a much longer one (a wire story inside a long
     * article dilutes |A∪B|); containment scores that pair ~1.0 from the
     * short side. Same inverted-index pipeline, same rare-gram shuffle —
-    * only the final integer-count comparison differs. */
+    * only the final integer-count comparison differs.
+    *
+    * Both numerator and denominators are computed over the POST-CUTOFF
+    * gram sets (`na_cut`/`nb_cut`, df <= maxDf): `common` can only count
+    * rare grams, so dividing it by full-set sizes would systematically
+    * underestimate containment for exactly the short template-family docs
+    * this operator targets (a fully embedded doc whose grams are hot
+    * would score < 1.0 and slip the threshold). With cut denominators the
+    * ratio stays internally consistent — it IS exact containment over the
+    * rare-gram subsets, and equals full-set containment whenever no gram
+    * exceeds `maxDf`. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, n: Int = 3, maxDf: Int = 1000): DataFrame =
     ngramPairCounts(df, idCol, textCol, n, maxDf)
       .withColumn("containment",
-        greatest(col("common").cast("double") / col("na"),
-          col("common").cast("double") / col("nb")))
+        greatest(col("common").cast("double") / col("na_cut"),
+          col("common").cast("double") / col("nb_cut")))
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
 
@@ -594,16 +622,30 @@ object Dedup {
     * via [[ngramHotGrams]]). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, n: Int = 3, maxDf: Int = 1000): DataFrame =
-    ngramPairCounts(df, idCol, textCol, n, maxDf)
+    // full-set denominators only — skip the cut-count pass entirely (an
+    // unused inner join is NOT pruned by Catalyst; it must not be planned)
+    ngramPairCounts(df, idCol, textCol, n, maxDf, withCutCounts = false)
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Shared inverted-index pair pipeline: (id_a, id_b, common, na, nb)
+  /** Shared inverted-index pair pipeline:
+    * (id_a, id_b, common, na, nb[, na_cut, nb_cut when `withCutCounts`])
     * for every pair sharing at least one rare gram — public so a caller
     * needing SEVERAL similarity measures (jaccard AND containment, or a
     * custom overlap rule) derives them all from ONE pass instead of
-    * re-running the tokenize/persist/self-join per measure.
+    * re-running the tokenize/persist/self-join per measure. `na`/`nb` are
+    * the FULL distinct-gram-set sizes; `na_cut`/`nb_cut` count only grams
+    * surviving the df <= maxDf cutoff — the consistent denominator when
+    * the numerator (`common`) is itself cutoff-bounded (see
+    * [[ngramContainmentPairs]]; Jaccard keeps the full denominators, where
+    * the cutoff bias is symmetric and mild). The cut counts cost one extra
+    * pass over the inverted index (gram-keyed semi-join + doc-keyed
+    * aggregate) plus two pair-frame joins — callers that only need the
+    * full-set denominators pass `withCutCounts = false` and the columns
+    * (and their plan cost) are omitted entirely: Catalyst cannot prune an
+    * unused INNER join (it may change cardinality), so the pruning has to
+    * happen here.
     *
     * Scale shape: explode n-grams -> drop n-grams occurring in more than
     * `maxDf` docs (they generate the quadratic buckets and carry no
@@ -611,7 +653,8 @@ object Dedup {
     * index on the n-gram (shuffle on short string keys) -> count common
     * n-grams per pair -> attach per-doc distinct gram counts. */
   def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, maxDf: Int = 1000): DataFrame = {
+                      n: Int = 3, maxDf: Int = 1000,
+                      withCutCounts: Boolean = true): DataFrame = {
     // Tokenize ONCE per row, spread partitions for the CPU-bound gramming,
     // and persist the gram arrays. Writing split() inline in the gram lambda
     // re-evaluates the regex split per gram index (O(tokens^2) splits per
@@ -632,20 +675,36 @@ object Dedup {
     // over-counts on task retry (Spark guarantees exactly-once accumulator
     // updates only inside actions) and the UDF blocked codegen of the
     // document-frequency aggregate.
-    val rare = inv.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") > 1)
+    val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    // the cutoff set: every gram a containment denominator may count.
+    // df=1 grams stay IN this set (a gram unique to one doc is part of
+    // that doc's identity, it just cannot produce a pair) — only the
+    // pair-generating self-join below additionally drops them.
+    val kept = dfs.where(col("df") <= maxDf)
     // both self-join sides re-derive this from the cached gram arrays - an
     // explode over the cache is cheaper than persisting a second copy
-    val filtered = inv.join(rare.select("gram"), "gram")
+    val filtered = inv.join(kept.where(col("df") > 1).select("gram"), "gram")
     val pairsCommon = filtered.as("x").join(filtered.as("y"), "gram")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    Partitioning.releaseAfterUse(
-      pairsCommon
-        .join(counts.select(col("doc_id").as("id_a"), col("n_grams").as("na")), "id_a")
-        .join(counts.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b"),
-      cached)
+    val withFull = pairsCommon
+      .join(counts.select(col("doc_id").as("id_a"), col("n_grams").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b")
+    val out =
+      if (!withCutCounts) withFull
+      else {
+        // per-doc size of the post-cutoff gram set — one extra
+        // vocabulary-keyed join + doc-keyed aggregate over the already-
+        // built inverted index. Every doc in a pair shares >= 1 rare gram,
+        // so it is guaranteed present here (inner join loses nothing).
+        val cutCounts = inv.join(kept.select("gram"), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
+        withFull
+          .join(cutCounts.select(col("doc_id").as("id_a"), col("n_cut").as("na_cut")), "id_a")
+          .join(cutCounts.select(col("doc_id").as("id_b"), col("n_cut").as("nb_cut")), "id_b")
+      }
+    Partitioning.releaseAfterUse(out, cached)
   }
 
   /** The hot grams [[ngramJaccardPairs]]'s `maxDf` cutoff discards, with

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * min/max are reported as STRINGS so one report schema covers every
   * column type. Integral and string columns render identically on any
-  * engine; floating-point columns are excluded by default (float→string
-  * formatting is engine-specific — pass `includeFloatMinMax = true` only
-  * for human eyes, not for cross-engine comparison).
+  * engine; floating-point, timestamp, date, and decimal columns are
+  * excluded by default — ALL of them have engine-specific string
+  * rendering (float formatting, timestamp fraction-trimming and zone
+  * suffixes, decimal trailing-zero policy), and suppressing only floats
+  * would quietly reintroduce the divergence for the others. Pass
+  * `includeFloatMinMax = true` only for human eyes, not for cross-engine
+  * comparison.
   */
 object Profile {
 
@@ -38,18 +42,23 @@ object Profile {
         s"column name contains a quote/backtick/backslash and cannot be profiled: $c " +
           "(alias it first)")
     }
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    def isFloat(c: String) = {
-      val t = df.schema(c).dataType; t == DoubleType || t == FloatType
+    import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, FloatType, TimestampType}
+    // any type whose canonical string form differs across engines: floats
+    // (formatting), timestamps/dates (fraction trimming, zone suffixes),
+    // decimals (trailing-zero policy)
+    def nonPortableRendering(c: String) = df.schema(c).dataType match {
+      case DoubleType | FloatType | TimestampType | DateType => true
+      case _: DecimalType => true
+      case _ => false
     }
     val aggs = cols.flatMap { c =>
       val v = col(s"`$c`")
       Seq(
         count(when(v.isNull, 1)).as(s"__null_$c"),
         (if (exact) countDistinct(v) else approx_count_distinct(v)).as(s"__dist_$c"),
-        (if (isFloat(c) && !includeFloatMinMax) lit(null).cast("string")
+        (if (nonPortableRendering(c) && !includeFloatMinMax) lit(null).cast("string")
          else min(v).cast("string")).as(s"__min_$c"),
-        (if (isFloat(c) && !includeFloatMinMax) lit(null).cast("string")
+        (if (nonPortableRendering(c) && !includeFloatMinMax) lit(null).cast("string")
          else max(v).cast("string")).as(s"__max_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)

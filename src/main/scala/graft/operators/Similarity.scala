@@ -147,17 +147,33 @@ object Similarity {
     * (ties by id). On data with k well-separated clusters this provably
     * lands one seed per cluster — the property sampled init lacks (two
     * same-cluster samples make Lloyd split one cluster and merge two).
-    * Cost is k narrow scans, each ending in a TakeOrdered(1); at corpus
-    * scale run it on a [[Sampling.hashSample]] of the vectors — seeding
-    * needs a representative sample, not the full table (k-means|| is the
-    * published alternative when even that is too slow). Returns FEWER than
+    * Cost is k narrow scans, each ending in a TakeOrdered(1) — and the
+    * sampled-seeding contract is enforced BY CONSTRUCTION, not by caller
+    * discipline: when the input exceeds `maxSeedRows` (one cheap count),
+    * the scans run over an internal [[Sampling.idHash]]-cut sample of
+    * ~`maxSeedRows` rows, so pointing this at the raw corpus costs k
+    * bounded scans, never k full ones. Seeding needs a representative
+    * sample, not the full table (k-means|| is the published alternative
+    * when even that is too slow); the hash cut is id-based, so the same
+    * input yields the same seeds on any partitioning. Returns FEWER than
     * k seeds when the data has fewer than k distinct vectors (never pads
     * with duplicates); throws if there are no non-null embeddings. */
-  def farthestPointCentroids(df: DataFrame, idCol: String, embCol: String, k: Int): Array[Array[Double]] = {
+  def farthestPointCentroids(df: DataFrame, idCol: String, embCol: String, k: Int,
+                             maxSeedRows: Long = 100000L): Array[Array[Double]] = {
     require(k >= 1)
-    val base = df.select(col(s"`$idCol`").cast("long").as("id"),
+    require(maxSeedRows >= k, s"maxSeedRows ($maxSeedRows) must be >= k ($k)")
+    val full = df.select(col(s"`$idCol`").cast("long").as("id"),
       col(s"`$embCol`").cast("array<double>").as("e"))
       .where(col("e").isNotNull)
+    val n = full.count()
+    // basis-point rate rounded UP so truncation can never starve the
+    // sample below its target; a small input passes through untouched
+    val base =
+      if (n <= maxSeedRows) full
+      else {
+        val bp = math.min(10000L, (maxSeedRows * 10000L + n - 1) / n).toInt
+        full.where(Sampling.idHash(col("id")) < lit(Sampling.cutoff(bp)))
+      }
     val firstRows = base.orderBy(xxhash64(col("id")), col("id")).limit(1).collect()
     require(firstRows.nonEmpty,
       "farthestPointCentroids: no non-null embeddings to seed from")

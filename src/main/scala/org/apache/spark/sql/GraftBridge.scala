@@ -10,10 +10,4 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
-    * `private[sql]`; the public `get` blocks forever if the observed
-    * action's QueryExecution event never arrives — a driver hang is the
-    * wrong failure mode for a convergence check that has a cheap fallback). */
-  def observedMetrics(obs: Observation): Map[String, Any] = obs.getOrEmpty
 }

@@ -303,9 +303,9 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
-    // a subsequent non-empty run must still converge normally (the flag
-    // would force per-round count jobs forever if the null metric were
-    // misread as "observation unsupported")
+    // a subsequent non-empty run must still converge normally (a null
+    // metric misread as "observation unsupported" would force the count
+    // fallback — the 0-row round must read as changed=0, not as no-event)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -326,5 +326,64 @@ class DedupSpec extends AnyFunSuite {
     // symmetric jaccard on the same pair: 4 / (4 + 14 - 4) ~ 0.29 -> missed
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9, n = 3)
     assert(j.count() === 0L)
+  }
+
+  test("ngramContainmentPairs denominators use the post-cutoff gram sets") {
+    import spark.implicits._
+    // short is fully embedded in long, but HALF of short's grams are hot
+    // (planted in 3 filler docs -> df=5 > maxDf=2, cut). `common` can only
+    // count rare grams, so full-set denominators would score the pair
+    // 2/4 = 0.5 and miss the 0.9 threshold; the consistent cut denominators
+    // score it 2/2 = 1.0.
+    val short = "a b c d e f"                 // grams: [a b c][b c d][c d e][d e f]
+    val long = "a b c d e f g h i j"          // 8 grams, 2 hot -> nb_cut = 6
+    val docs = (Seq(1L -> short, 2L -> long) ++
+      (10L to 12L).map(_ -> "a b c d"))       // fillers make [a b c],[b c d] hot
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, n = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // the raw pipeline exposes both denominator families
+    val pc = Dedup.ngramPairCounts(docs, "doc_id", "text", n = 3, maxDf = 2)
+      .where("id_a = 1 and id_b = 2").collect().head
+    assert(pc.getAs[Long]("na") === 4L && pc.getAs[Long]("na_cut") === 2L)
+    assert(pc.getAs[Long]("nb") === 8L && pc.getAs[Long]("nb_cut") === 6L)
+    assert(pc.getAs[Long]("common") === 2L)
+  }
+
+  test("connectedComponents reliableCheckpoint path writes checkpoints and matches local") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // without a configured dir the cluster path must fail loudly up front
+    // (must run before this test sets one — the shared context keeps it)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException](
+        Dedup.connectedComponents(pairs, reliableCheckpoint = true))
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    val prev = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val labels = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === expected)
+      assert(expected === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+      // reliable checkpoints materialize under the configured dir
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).nonEmpty, "no checkpoint files were written")
+    } finally {
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
   }
 }

@@ -169,6 +169,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byCluster.values.flatten.toSet.size === 3, "clusters merged")
   }
 
+  test("farthestPointCentroids auto-samples above maxSeedRows (bounded by construction)") {
+    val df = vecs((0L until 500L).map(i => i -> randUnit(8)): _*)
+    // auto path: n=500 > maxSeedRows=100 -> internal hash cut at
+    // ceil(100/500 * 10000) = 2000 bp; manual path pre-samples with the
+    // same cut and disables the internal one -> seeds must be identical
+    val auto = Similarity.farthestPointCentroids(df, "vec_id", "embedding", 5, maxSeedRows = 100)
+    val manual = Similarity.farthestPointCentroids(
+      Sampling.hashSample(df, "vec_id", 2000), "vec_id", "embedding", 5, maxSeedRows = Long.MaxValue)
+    assert(auto.map(_.toSeq).toSeq === manual.map(_.toSeq).toSeq)
+    assert(auto.length === 5)
+    // an input under the bound passes through unsampled (default = 100k)
+    val small = Similarity.farthestPointCentroids(df, "vec_id", "embedding", 3)
+    val unlimited = Similarity.farthestPointCentroids(
+      df, "vec_id", "embedding", 3, maxSeedRows = Long.MaxValue)
+    assert(small.map(_.toSeq).toSeq === unlimited.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.farthestPointCentroids(df, "vec_id", "embedding", 5, maxSeedRows = 4))
+  }
+
   test("cosinePairsLsh: empty frame and null-first embedding return empty, not NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
