@@ -1390,6 +1390,27 @@ object SparkEntry {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** Full BPE tokenizer TRAINING (k=20 greedy merges over the lowercase
+    * `[a-z]+` word histogram) — the merge list itself is the result, and
+    * the oracle replays the entire iterative algorithm in one DuckDB
+    * recursive CTE (per-round pair counts via a window over the exploded
+    * symbol pairs, argmax via a global min over a (neg-count, pair) sort
+    * key, greedy merge application via delimiter-wrapped string replace). */
+  private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(table(spark, dir, "documents"), "text", k = 20)
+
+  /** BPE ENCODE of every document with the merges trained on the same
+    * corpus: one row per (doc, position) with the token text and its
+    * vocab id — the full-value per-token oracle (~90k rows at the gate
+    * scale). Token ids resolve against sorted corpus characters followed
+    * by merge products in rank order, first occurrence winning. */
+  private def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+  }
+
   /** Per-document OOV rate against the corpus top-20 token vocabulary —
     * the tokenizer-coverage check run before committing to a vocab. Full
     * per-doc value oracle. */
@@ -2848,6 +2869,8 @@ object SparkEntry {
     "skew_report" -> qSkewReport,
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
+    "bpe_train" -> qBpeTrain,
+    "bpe_encode" -> qBpeEncode,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_exact_incremental" -> qDedupExactIncremental,
@@ -2948,6 +2971,44 @@ object SparkEntry {
       "(SELECT count(*) FROM f)::BIGINT AS n_pairs, " +
       "(SELECT count(DISTINCT nid) FROM f)::BIGINT AS n_flagged, " +
       "(SELECT coalesce(sum(nid + doc_id), 0) FROM f)::BIGINT AS pair_id_sum"
+
+  /** Full BPE training replay as one DuckDB recursive CTE, shared by the
+    * `bpe_train` and `bpe_encode` oracles. State = one row per word per
+    * round carrying the delimiter-wrapped symbol string ("|c||a||t|");
+    * each recursive step explodes adjacent symbol pairs, totals them with
+    * a window (sum OVER pair), picks the global argmax via min OVER () on
+    * a (zero-padded negated count, lhs, rhs) sort key (tab separators, so
+    * string order == tuple order), and applies the merge with a plain
+    * `replace` — greedy left-to-right non-overlap is exactly `replace`'s
+    * semantics, and the doubled delimiter ("|a||b|" -> "|ab|") prevents
+    * adjacent matches from sharing a boundary character. Mirrors
+    * [[graft.operators.Bpe.train]] decision-for-decision. */
+  private val bpeTrainCte: String =
+    "words AS (SELECT tok AS word, count(*)::BIGINT AS cnt " +
+      "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents) " +
+      "WHERE regexp_full_match(tok, '[a-z]+') GROUP BY tok), " +
+      "st AS (" +
+      "SELECT 0 AS round, word, cnt, " +
+      "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s, " +
+      "NULL::VARCHAR AS a, NULL::VARCHAR AS b, NULL::BIGINT AS n FROM words " +
+      "UNION ALL " +
+      "SELECT round + 1, word, cnt, " +
+      "replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s, a, b, n " +
+      "FROM (" +
+      "SELECT DISTINCT round, word, cnt, s, " +
+      "split_part(min(key) OVER (), chr(9), 2) AS a, " +
+      "split_part(min(key) OVER (), chr(9), 3) AS b, " +
+      "1000000000000000000 - try_cast(split_part(min(key) OVER (), chr(9), 1) AS BIGINT) AS n " +
+      "FROM (" +
+      "SELECT round, word, cnt, s, CASE WHEN pr IS NULL THEN NULL " +
+      "ELSE printf('%019d', (1000000000000000000 - sum(cnt) OVER (PARTITION BY pr))::BIGINT) || chr(9) || pr END AS key " +
+      "FROM (SELECT round, word, cnt, s, unnest(CASE WHEN len(p) = 0 THEN [NULL] ELSE p END) AS pr " +
+      "FROM (SELECT round, word, cnt, s, list_transform(range(1, len(sy)), i -> sy[i] || chr(9) || sy[i+1]) AS p " +
+      "FROM (SELECT round, word, cnt, s, list_filter(string_split(s, '|'), x -> x <> '') AS sy " +
+      "FROM st WHERE round < 20)))))" +
+      " WHERE a IS NOT NULL), " +
+      "merges AS (SELECT round::BIGINT AS rank, any_value(a) AS a, any_value(b) AS b, any_value(n) AS n " +
+      "FROM st WHERE round >= 1 GROUP BY round)"
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -4030,6 +4091,34 @@ object SparkEntry {
         "bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS pair " +
         "FROM t WHERE len(toks) >= 2) " +
         "SELECT pair, count(*)::BIGINT AS n FROM bg GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
+    // the full 20-round greedy trainer replayed in one recursive CTE
+    "bpe_train" ->
+      (s"WITH RECURSIVE $bpeTrainCte " +
+        "SELECT rank, a AS lhs, b AS rhs, n FROM merges ORDER BY rank"),
+    // trained merges re-applied to every document word by a second
+    // recursion over rank; ids = sorted chars then merge products
+    // (first occurrence wins); full per-token value compare
+    "bpe_encode" ->
+      (s"WITH RECURSIVE $bpeTrainCte, " +
+        "enc AS (" +
+        "SELECT 0::BIGINT AS rank, word, " +
+        "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s FROM words " +
+        "UNION ALL " +
+        "SELECT e.rank + 1, e.word, replace(e.s, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') " +
+        "FROM enc e JOIN merges m ON m.rank = e.rank + 1), " +
+        "final AS (SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS toks " +
+        "FROM enc WHERE rank = (SELECT max(rank) FROM enc)), " +
+        "chars AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM words), " +
+        "vocab0 AS (SELECT c AS token, (row_number() OVER (ORDER BY c)) - 1 AS ord FROM chars " +
+        "UNION ALL SELECT a || b, (SELECT count(*) FROM chars) + rank - 1 FROM merges), " +
+        "vocab AS (SELECT token, min(ord)::BIGINT AS token_id FROM vocab0 GROUP BY token), " +
+        "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
+        "dw AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS wpos, unnest(t) AS word FROM dt), " +
+        "ex AS (SELECT doc_id, wpos, unnest(range(1, len(f.toks)+1)) AS tpos, unnest(f.toks) AS token " +
+        "FROM dw JOIN final f USING (word)) " +
+        "SELECT e.doc_id, (row_number() OVER (PARTITION BY e.doc_id ORDER BY e.wpos, e.tpos))::BIGINT AS pos, " +
+        "e.token, v.token_id FROM ex e JOIN vocab v USING (token) ORDER BY doc_id, pos"),
     // identical piece strings, identical (us, event_id) ordering
     "assemble_docs" ->
       ("SELECT user_id AS key, count(*) AS n_pieces, " +

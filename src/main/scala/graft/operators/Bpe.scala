@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed greedy merge TRAINING and a
+  * corpus ENCODE that applies a trained merge list — the token-count
+  * signal every budget/packing/chunking operator otherwise approximates
+  * with whitespace tokens (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the public algorithm).
+  *
+  * Scale shape (training): the corpus is scanned EXACTLY ONCE, into the
+  * word-frequency histogram — the classic reduction; by Heaps' law the
+  * vocabulary is sublinear in corpus size (a 100 TB web corpus has ~10⁸
+  * distinct filtered words, thousands of times smaller than its token
+  * stream), so every one of the k merge rounds runs over the vocab-sized
+  * frame: one map-side-combined pair-count aggregate + a TakeOrdered(1)
+  * argmax (a single row to the driver — the merge decision is inherently
+  * sequential, and one row per round is the minimum possible driver
+  * synchronization) + a narrow per-word merge projection, lineage-
+  * truncated per round exactly like [[Dedup.connectedComponents]] (the
+  * fold otherwise nests k lambdas deep and the analyzer pays O(k²)).
+  *
+  * Scale shape (encode): merges apply to DISTINCT WORDS, not to the
+  * corpus — the word→subtokens map is vocab-sized and joins back onto
+  * the document word stream (AQE broadcasts it when it fits); per-doc
+  * token positions come from a window partitioned by doc_id (per-doc
+  * state only, never a global sort).
+  *
+  * Determinism: token alphabet restricted to `^[a-z]+$` words (the same
+  * lowercase/whitespace normalization as every gram operator here), ties
+  * in pair counts broken by (left, right) string order — bit-stable
+  * across engines, partitionings and retries.
+  */
+object Bpe {
+
+  /** Lowercased whitespace tokens filtered to pure `[a-z]+` — the BPE
+    * training alphabet. Kept as one shared builder so train and encode
+    * can never disagree on what a "word" is. */
+  private def words(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t.rlike("^[a-z]+$"))
+
+  /** Initial symbol sequence: one single-character symbol per letter. */
+  private def charSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** One greedy left-to-right non-overlapping merge pass of the pair
+    * (a, b) over a symbol array, as a pure fold (stack semantics: append
+    * the incoming symbol; if the top two are exactly (a, b), collapse
+    * them). Equivalent to the scan-with-skip in the published algorithm:
+    * the collapsed token's text is a+b, which can never equal `a` (b is
+    * non-empty), so a freshly merged top-of-stack can re-merge only when
+    * its TEXT legitimately matches `a` again — exactly the greedy rule.
+    * First branch guards the empty accumulator: CaseWhen evaluates
+    * branches in order, so `element_at(acc, -1)` is never touched on an
+    * empty array (which ANSI mode would reject). */
+  private[operators] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** The word-frequency histogram (word, cnt, syms) — the single corpus
+    * scan of training. */
+  private def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(words(col(s"`$textCol`"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), charSymbols(col("word")).as("syms"))
+
+  /** Train `k` greedy merges over the corpus. Returns the merge list
+    * (rank, lhs, rhs, n) with rank 1..k in training order — FEWER than k
+    * rows when the vocabulary runs out of adjacent pairs first (every
+    * word fully merged). `n` is the pair's corpus frequency at the time
+    * it was chosen (counting every adjacent occurrence, overlaps
+    * included, weighted by word frequency — the published statistic). */
+  def train(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    var wordsDf = wordHistogram(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      // adjacent pairs over the CURRENT symbol sequences, weighted by word
+      // frequency; map-side partial aggregation shrinks the explode before
+      // the (left, right)-keyed exchange
+      val best = wordsDf.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((merges.size + 1, a, b, n))
+        // apply the merge and truncate lineage — each round's plan must be
+        // one fold deep, not (round) folds deep
+        wordsDf = wordsDf.select(col("word"), col("cnt"),
+          applyMerge(col("syms"), a, b).as("syms")).localCheckpoint(true)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map { case (r, a, b, n) => org.apache.spark.sql.Row(r.toLong, a, b, n) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Token vocabulary implied by a merge list: single characters first
+    * (sorted), then merge products in rank order. A string minted by two
+    * different merge paths keeps its FIRST id (ids are keyed on token
+    * text — standard BPE vocab semantics). */
+  def vocab(chars: Seq[String], merges: Seq[(String, String)]): Map[String, Long] = {
+    val ordered = chars.sorted ++ merges.map { case (a, b) => a + b }
+    ordered.zipWithIndex.foldLeft(Map.empty[String, Long]) { case (m, (tok, i)) =>
+      if (m.contains(tok)) m else m + (tok -> i.toLong)
+    }
+  }
+
+  /** Encode the corpus with a trained merge list: one row per token,
+    * (doc_id, pos, token, token_id) with pos 1-based over the document's
+    * filtered word stream. Words are encoded ONCE each (distinct-word
+    * frame, vocab-sized) and joined back; `token_id` resolves against
+    * [[vocab]] built from the corpus' own character set + the merges. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val docWords = df.select(col(s"`$idCol`").cast("long").as("doc_id"),
+        posexplode(words(col(s"`$textCol`"))).as(Seq("wpos", "word")))
+    val distinctWords = docWords.select("word").distinct()
+      .select(col("word"), charSymbols(col("word")).as("syms"))
+    // the merge chain folds left-to-right in rank order; lineage-truncate
+    // every few merges so the lambda nesting stays shallow for the
+    // analyzer (the frame is vocab-sized — checkpoints are cheap)
+    var encoded = distinctWords
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      encoded = encoded.select(col("word"), applyMerge(col("syms"), a, b).as("syms"))
+      if ((i + 1) % 8 == 0) encoded = encoded.localCheckpoint(true)
+    }
+    val chars = distinctWords
+      .select(explode(col("syms")).as("c")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val vocabDf = spark.createDataFrame(
+      vocab(chars, merges).toSeq.map { case (t, i) => (t, i) }).toDF("token", "token_id")
+    import org.apache.spark.sql.expressions.Window
+    docWords.join(encoded, "word")
+      .select(col("doc_id"), col("wpos"), posexplode(col("syms")).as(Seq("tpos", "token")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("wpos"), col("tpos"))).cast("long"))
+      .join(broadcast(vocabDf), "token")
+      .select(col("doc_id"), col("pos"), col("token"), col("token_id"))
+  }
+}
