@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectCol("graft_lang", "graft_lang(text) - predicted language code (en/de/fr/es/zh)", 1) {
       case Seq(t) => graft.operators.TextAnalysis.languageId(t)
     }
+    injectCol("graft_langid",
+      "graft_langid(text) - Cavnar-Trenkle n-gram-profile language code (11 languages)", 1) {
+      case Seq(t) => graft.operators.LangId.langid(t)
+    }
     injectCol("graft_fingerprint", "graft_fingerprint(text) - canonical-content xxhash64", 1) {
       case Seq(t) => graft.operators.TextAnalysis.fingerprint(t)
     }

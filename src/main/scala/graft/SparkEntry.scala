@@ -1390,6 +1390,43 @@ object SparkEntry {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** Cavnar–Trenkle language id over planted multilingual docs — held-out
+    * sentences (disjoint from the committed profile snippets), two per
+    * language, INCLUDING the same-script neighbor pairs es/pt and sv/da
+    * that the old stopword heuristic cannot separate. The oracle is the
+    * ground-truth label list: the classifier must match it exactly. The
+    * classification itself runs through the codegen'd [[graft.plans
+    * .LangIdExpr]] over a DataFrame, not driver-side. */
+  private def qLangidProfile(spark: SparkSession, dir: String): DataFrame = {
+    val planted: Seq[(Long, String)] = Seq(
+      1L -> "we walked along the narrow road while the rain kept falling on the fields",
+      2L -> "nobody knew why the old clock had stopped working that night",
+      3L -> "wir gingen die schmale straße entlang, während der regen weiter auf die felder fiel",
+      4L -> "niemand wusste, warum die alte uhr in jener nacht stehen geblieben war",
+      5L -> "nous marchions le long de la route étroite pendant que la pluie tombait sur les champs",
+      6L -> "personne ne savait pourquoi la vieille horloge s'était arrêtée cette nuit-là",
+      7L -> "caminábamos por el camino estrecho mientras la lluvia seguía cayendo sobre los campos",
+      8L -> "nadie sabía por qué el viejo reloj se había detenido aquella noche",
+      9L -> "caminhávamos pela estrada estreita enquanto a chuva continuava caindo sobre os campos",
+      10L -> "ninguém sabia por que o velho relógio tinha parado naquela noite",
+      11L -> "camminavamo lungo la strada stretta mentre la pioggia continuava a cadere sui campi",
+      12L -> "nessuno sapeva perché il vecchio orologio si fosse fermato quella notte",
+      13L -> "we liepen langs de smalle weg terwijl de regen op de velden bleef vallen",
+      14L -> "niemand wist waarom de oude klok die nacht was gestopt",
+      15L -> "vi gick längs den smala vägen medan regnet fortsatte att falla över fälten",
+      16L -> "ingen visste varför den gamla klockan hade stannat den natten",
+      17L -> "vi gik langs den smalle vej mens regnen blev ved med at falde over markerne",
+      18L -> "ingen vidste hvorfor det gamle ur var gået i stå den nat",
+      19L -> "szliśmy wąską drogą, podczas gdy deszcz wciąż padał na pola",
+      20L -> "nikt nie wiedział, dlaczego stary zegar zatrzymał się tamtej nocy",
+      21L -> "dar yol boyunca yürürken yağmur tarlaların üzerine yağmaya devam ediyordu",
+      22L -> "kimse eski saatin o gece neden durduğunu bilmiyordu")
+    import spark.implicits._
+    planted.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.LangId.langid(col("text")).as("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Full BPE tokenizer TRAINING (k=20 greedy merges over the lowercase
     * `[a-z]+` word histogram) — the merge list itself is the result, and
     * the oracle replays the entire iterative algorithm in one DuckDB
@@ -2871,6 +2908,7 @@ object SparkEntry {
     "bpe_pair_counts" -> qBpePairCounts,
     "bpe_train" -> qBpeTrain,
     "bpe_encode" -> qBpeEncode,
+    "langid_profile" -> qLangidProfile,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_exact_incremental" -> qDedupExactIncremental,
@@ -4091,6 +4129,15 @@ object SparkEntry {
         "bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS pair " +
         "FROM t WHERE len(toks) >= 2) " +
         "SELECT pair, count(*)::BIGINT AS n FROM bg GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
+    // ground-truth language labels for the planted held-out sentences —
+    // the classifier must reproduce them exactly (incl. es/pt and sv/da)
+    "langid_profile" ->
+      ("SELECT doc_id::BIGINT AS doc_id, lang FROM (VALUES " +
+        "(1, 'en'), (2, 'en'), (3, 'de'), (4, 'de'), (5, 'fr'), (6, 'fr'), " +
+        "(7, 'es'), (8, 'es'), (9, 'pt'), (10, 'pt'), (11, 'it'), (12, 'it'), " +
+        "(13, 'nl'), (14, 'nl'), (15, 'sv'), (16, 'sv'), (17, 'da'), (18, 'da'), " +
+        "(19, 'pl'), (20, 'pl'), (21, 'tr'), (22, 'tr')) AS t(doc_id, lang) " +
+        "ORDER BY doc_id"),
     // the full 20-round greedy trainer replayed in one recursive CTE
     "bpe_train" ->
       (s"WITH RECURSIVE $bpeTrainCte " +

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-n-gram language identification by profile ranking — the
+  * Cavnar–Trenkle (1994, "N-Gram-Based Text Categorization") out-of-place
+  * measure, the public method behind most classic langid tools.
+  *
+  * Each language carries a PROFILE: its `profileSize` most frequent
+  * character 1..5-grams (tokens lowercased and padded with `_`), ranked.
+  * A document is classified by building its own top-`profileSize` gram
+  * ranking the same way and summing, over the document's grams, the rank
+  * displacement against each language profile (a gram absent from the
+  * profile costs the maximum, `profileSize`); the language with the
+  * smallest total distance wins, ties broken by language code.
+  *
+  * Profiles are built ONCE per JVM from snippet resources committed at
+  * `graft/langid/<code>.txt` (original sample text written for this
+  * repository — the method needs only a few hundred words per language)
+  * and live as plain maps: per-row classification is a bounded local
+  * kernel (input capped at [[maxChars]], so cost per row is O(1) at any
+  * corpus scale) invoked from a codegen'd Catalyst expression
+  * ([[graft.plans.LangIdExpr]]) — one static call inside whole-stage
+  * codegen, no UDF, no serialization of the profiles into task closures.
+  *
+  * This replaces the 5-language stopword-marker heuristic
+  * ([[TextAnalysis.languageId]], kept for back-compat in `text_profile`)
+  * with a method that separates same-script neighbors (es/pt, sv/da)
+  * because it ranks the whole subword distribution rather than counting
+  * a handful of marker words.
+  */
+object LangId {
+
+  /** Classic Cavnar–Trenkle profile length. */
+  val profileSize = 300
+
+  /** Per-row input cap: C–T saturates after a few hundred grams, so
+    * classifying a 10 MB document must not cost 10 MB of gramming. */
+  val maxChars = 4000
+
+  val languages: Seq[String] =
+    Seq("da", "de", "en", "es", "fr", "it", "nl", "pl", "pt", "sv", "tr")
+
+  /** Top-`profileSize` grams of `text`, ranked 0..k-1 by (count desc,
+    * gram asc) — the deterministic tie-break matters: profile order is
+    * part of observable behavior. */
+  private[operators] def profile(text: String): java.util.HashMap[String, Integer] = {
+    val counts = new java.util.HashMap[String, Integer]()
+    val s = if (text.length > maxChars) text.substring(0, maxChars) else text
+    val token = new java.lang.StringBuilder("_")
+    def flush(): Unit = {
+      if (token.length() > 1) {
+        token.append('_')
+        val t = token.toString
+        var n = 1
+        while (n <= 5) {
+          var i = 0
+          while (i + n <= t.length) {
+            counts.merge(t.substring(i, i + n), 1, (a, b) => a + b)
+            i += 1
+          }
+          n += 1
+        }
+      }
+      token.setLength(1)
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) token.append(Character.toLowerCase(c)) else flush()
+      i += 1
+    }
+    flush()
+    val ranked = new java.util.ArrayList[java.util.Map.Entry[String, Integer]](counts.entrySet())
+    ranked.sort { (a, b) =>
+      val byCount = Integer.compare(b.getValue, a.getValue)
+      if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+    }
+    val top = new java.util.HashMap[String, Integer]()
+    var r = 0
+    while (r < ranked.size() && r < profileSize) {
+      top.put(ranked.get(r).getKey, r)
+      r += 1
+    }
+    top
+  }
+
+  /** language code -> ranked gram profile, loaded once per JVM. */
+  private lazy val profiles: Array[(String, java.util.HashMap[String, Integer])] =
+    languages.map { code =>
+      val in = Thread.currentThread().getContextClassLoader
+        .getResourceAsStream(s"graft/langid/$code.txt")
+      require(in != null, s"missing language profile resource graft/langid/$code.txt")
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      code -> profile(text)
+    }.toArray
+
+  /** Out-of-place distance of a doc profile against a language profile. */
+  private def distance(doc: java.util.HashMap[String, Integer],
+                       lang: java.util.HashMap[String, Integer]): Long = {
+    var d = 0L
+    val it = doc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val lr = lang.get(e.getKey)
+      d += (if (lr == null) profileSize.toLong else math.abs(e.getValue - lr.intValue()).toLong)
+    }
+    d
+  }
+
+  /** Predicted language code, or null when the text holds no letters.
+    * Deterministic argmin; `languages` is sorted, so "first smallest
+    * distance wins" IS the code-order tie-break. */
+  def classify(text: String): String = {
+    if (text == null) return null
+    val doc = profile(text)
+    if (doc.isEmpty) return null
+    var bestCode: String = null
+    var bestDist = Long.MaxValue
+    var i = 0
+    while (i < profiles.length) {
+      val (code, p) = profiles(i)
+      val d = distance(doc, p)
+      if (d < bestDist) { bestDist = d; bestCode = code }
+      i += 1
+    }
+    bestCode
+  }
+
+  /** Static entry point for generated code (UTF8String in/out). */
+  def classifyUTF8(text: UTF8String): UTF8String = {
+    val r = classify(if (text == null) null else text.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** Column API: `langid(col("text"))`. */
+  def langid(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.LangIdExpr(org.apache.spark.sql.GraftBridge.expression(text)))
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LangIdSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  /** Held-out sentences (NOT in the profile snippets), two per language,
+    * including the same-script neighbor pairs es/pt and sv/da. */
+  val heldOut: Seq[(String, String)] = Seq(
+    "en" -> "we walked along the narrow road while the rain kept falling on the fields",
+    "en" -> "nobody knew why the old clock had stopped working that night",
+    "de" -> "wir gingen die schmale straße entlang, während der regen weiter auf die felder fiel",
+    "de" -> "niemand wusste, warum die alte uhr in jener nacht stehen geblieben war",
+    "fr" -> "nous marchions le long de la route étroite pendant que la pluie tombait sur les champs",
+    "fr" -> "personne ne savait pourquoi la vieille horloge s'était arrêtée cette nuit-là",
+    "es" -> "caminábamos por el camino estrecho mientras la lluvia seguía cayendo sobre los campos",
+    "es" -> "nadie sabía por qué el viejo reloj se había detenido aquella noche",
+    "pt" -> "caminhávamos pela estrada estreita enquanto a chuva continuava caindo sobre os campos",
+    "pt" -> "ninguém sabia por que o velho relógio tinha parado naquela noite",
+    "it" -> "camminavamo lungo la strada stretta mentre la pioggia continuava a cadere sui campi",
+    "it" -> "nessuno sapeva perché il vecchio orologio si fosse fermato quella notte",
+    "nl" -> "we liepen langs de smalle weg terwijl de regen op de velden bleef vallen",
+    "nl" -> "niemand wist waarom de oude klok die nacht was gestopt",
+    "sv" -> "vi gick längs den smala vägen medan regnet fortsatte att falla över fälten",
+    "sv" -> "ingen visste varför den gamla klockan hade stannat den natten",
+    "da" -> "vi gik langs den smalle vej mens regnen blev ved med at falde over markerne",
+    "da" -> "ingen vidste hvorfor det gamle ur var gået i stå den nat",
+    "pl" -> "szliśmy wąską drogą, podczas gdy deszcz wciąż padał na pola",
+    "pl" -> "nikt nie wiedział, dlaczego stary zegar zatrzymał się tamtej nocy",
+    "tr" -> "dar yol boyunca yürürken yağmur tarlaların üzerine yağmaya devam ediyordu",
+    "tr" -> "kimse eski saatin o gece neden durduğunu bilmiyordu")
+
+  test("held-out sentences classify correctly, incl. es/pt and sv/da pairs") {
+    val wrong = heldOut.flatMap { case (expected, text) =>
+      val got = LangId.classify(text)
+      if (got != expected) Some(s"'$text' -> $got (expected $expected)") else None
+    }
+    assert(wrong.isEmpty, wrong.mkString("\n"))
+  }
+
+  test("kernel edge cases: null, empty, no letters, huge input bounded") {
+    assert(LangId.classify(null) === null)
+    assert(LangId.classify("") === null)
+    assert(LangId.classify("12345 !!! 678") === null)
+    // input far beyond maxChars classifies from the capped prefix only
+    val big = ("the rain kept falling on the fields " * 2000) + "zzz"
+    assert(LangId.classify(big) === "en")
+  }
+
+  test("expression path: codegen column + SQL function agree with the kernel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = heldOut.zipWithIndex
+      .map { case ((exp, text), i) => (i.toLong, exp, text) }
+      .toDF("id", "expected", "text")
+    val viaCol = df.select(col("id"), LangId.langid(col("text")).as("lang"),
+        col("expected"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(viaCol.forall { case (got, exp) => got == exp })
+    // null text flows through as null
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(LangId.langid(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("determinism: same text classifies identically across invocations") {
+    val t = heldOut(4)._2
+    assert((1 to 5).map(_ => LangId.classify(t)).distinct.size === 1)
+  }
+}
