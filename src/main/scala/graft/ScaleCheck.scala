@@ -108,17 +108,48 @@ object ScaleCheck {
     }
   }
 
+  /** The SCALEx measurement corpus: copy k of each document shifts doc_id
+    * into a disjoint range and rewrites text through a per-copy character
+    * bijection. A plain rotation wraps at 26 — copy 26 is BYTE-IDENTICAL
+    * to copy 0 (verified on a generated 30x table: all 5000 copy-26 texts
+    * equal copy-0's), which injects real duplicate mass and made 30x
+    * pair-operator bytes read ~1.3x over linear. Copies 26..51 therefore
+    * compose the rotation with a full-text reversal; copies 52..103 (g4,
+    * for the 100x point) compose an alphabet REFLECTION (a<->z) with the
+    * rotation — the full dihedral group of the alphabet, 52 distinct
+    * letter permutations, times {identity, reversed} text. Any two copies
+    * differ by a nontrivial letter permutation and/or a reversal, so
+    * vocabularies stay disjoint (a vocabulary closed under a nontrivial
+    * permutation would be a pathological corpus) while every per-copy cost
+    * statistic — token lengths, counts, shingle-set sizes — is preserved
+    * exactly (bijections on characters). Beyond 104 the scheme would wrap
+    * again — fail loudly rather than silently re-duplicate. */
+  def documentCopies(docs: DataFrame, scale: Int): DataFrame = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    require(scale <= 104, s"documents scaling supports at most 104 mutually-dissimilar copies, got $scale")
+    (0 until scale).map { k =>
+      val fam = k / 26 // 0 rot | 1 rot.reverse | 2 refl.rot | 3 refl.rot.reverse
+      val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
+      val target = if (fam >= 2) rotated.map(c => ('a' + 'z' - c).toChar) else rotated
+      val base = if (fam % 2 == 1) reverse(col("text")) else col("text")
+      docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
+        .withColumn("text",
+          if (k == 0) col("text") else translate(base, alphabet, target))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the generation suffix versions the cached scaled tables: bump it
     // whenever the generation logic changes (g2 = per-copy embedding label
-    // shift; g3 = reversal-composed rotation past 26 copies), or a
-    // pre-existing target/scaleN dir would silently keep the OLD
-    // generation's data and the measurement would contradict the
-    // documented methodology
-    val scaledDir = s"target/scale$scale-g3"
+    // shift; g3 = reversal-composed rotation past 26 copies; g4 =
+    // reflection-composed families past 52, raising the cap to 104 for the
+    // 100x point — identical to g3 for k < 52), or a pre-existing
+    // target/scaleN dir would silently keep the OLD generation's data and
+    // the measurement would contradict the documented methodology
+    val scaledDir = s"target/scale$scale-g4"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,26 +165,7 @@ object ScaleCheck {
     graft.Defaults.registerAll(spark)
 
     if (!new java.io.File(s"$scaledDir/documents.parquet").exists()) {
-      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-      val alphabet = "abcdefghijklmnopqrstuvwxyz"
-      // the rotation wraps at 26 — copy 26 under plain rotation is BYTE-
-      // IDENTICAL to copy 0 (verified on a generated 30x table: all 5000
-      // copy-26 texts equal copy-0's), which injects real duplicate mass
-      // and made 30x pair-operator bytes read ~1.3x over linear. Copies
-      // 26..51 therefore compose the rotation with a full-text reversal:
-      // token lengths, token counts and shingle-set sizes are preserved
-      // (reversal is a bijection on characters), but no reversed copy
-      // collides with any rotated one. Beyond 52 the scheme would wrap
-      // again — fail loudly rather than silently re-duplicate.
-      require(scale <= 52, s"documents scaling supports at most 52 mutually-dissimilar copies, got $scale")
-      val copies = (0 until scale).map { k =>
-        val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
-        val base = if (k < 26) col("text") else reverse(col("text"))
-        docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
-          .withColumn("text",
-            if (k == 0) col("text") else translate(base, alphabet, rotated))
-      }
-      copies.reduce(_ unionAll _)
+      documentCopies(spark.read.parquet(s"$baseDir/documents.parquet"), scale)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
     }
