@@ -558,16 +558,7 @@ object Dedup {
     df.select(col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text"))
       .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
 
-  /** Pair rows are ~16 bytes before the verify join but explode to two full
-    * shingle arrays after it — AQE's size-based coalescing would funnel the
-    * verification into a couple of tasks. Explicit REPARTITION_BY_NUM is
-    * exempt from AQE coalescing, so the CPU-heavy intersect stays parallel. */
-  private def spreadPairs(pairs: DataFrame): DataFrame = {
-    val target = pairs.sparkSession.sparkContext.defaultParallelism
-    pairs.repartition(target, col("id_b"))
-  }
-
-  /** Exact Jaccard over shingle sets for candidate pairs (two id-joins). */
+  /** Exact Jaccard over shingle sets for candidate pairs. */
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, threshold: Double): DataFrame =
     verifyJaccardSides(pairs, shingleSets, shingleSets, threshold)
 
@@ -576,12 +567,40 @@ object Dedup {
     * A union keyed on bare doc_id would silently emit duplicated/wrong
     * pairs the moment a batch id collides with a corpus id — id spaces of
     * independently-produced daily batches are NOT reliably disjoint from
-    * the corpus, so the operator must not assume they are. */
+    * the corpus, so the operator must not assume they are.
+    *
+    * Verify shape (round 11, driven by the 100x ScaleCheck point): each
+    * pair explodes into TWO side-tagged probe rows (side, doc_id, id_a,
+    * id_b — 2 rows/pair, no payload), and ONE join against the side-tagged
+    * union of the shingle tables attaches each doc's shingles; a
+    * (id_a, id_b)-keyed aggregate then reassembles the two arrays and the
+    * intersect runs per pair. Why not the obvious two id-joins: below the
+    * broadcast threshold they plan as BHJ (shingles stream, zero shuffle),
+    * but the moment the static size estimate of the shingle side crosses
+    * it they flip to sort-merge and shuffle the FULL corpus-sized shingle
+    * table — measured at 100x data: a 734 MB exchange that is pure
+    * overhead when the pair set is 25k rows. With the probe shape the
+    * candidate pipeline has exactly ONE consumer, the probe side is tiny
+    * (AQE converts the join to broadcast at any realistic duplicate mass,
+    * so the corpus STREAMS), and the only exchange is the candidate-mass-
+    * sized reassembly — bytes proportional to duplicate mass, not corpus
+    * size. The side tag keeps the two-sided id-resolution contract: a
+    * probe row only ever matches its own frame. */
   private def verifyJaccardSides(pairs: DataFrame, shA: DataFrame, shB: DataFrame,
                                  threshold: Double): DataFrame = {
-    val a = shA.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = shB.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    spreadPairs(pairs).join(a, "id_a").join(b, "id_b")
+    val probes = pairs.select(col("id_a"), col("id_b"),
+      posexplode(array(col("id_a"), col("id_b"))).as(Seq("side", "doc_id")))
+    // the union is narrow: neither shingle table moves for it
+    val shBoth = shA.select(lit(0).as("side"), col("doc_id"), col("sh"))
+      .unionByName(shB.select(lit(1).as("side"), col("doc_id"), col("sh")))
+    val matched = probes.join(shBoth, Seq("side", "doc_id"))
+    matched.groupBy(col("id_a"), col("id_b"))
+      // exactly one row per side per pair (pair ids are distinct within a
+      // pair and each resolves against one frame), so first-non-null IS
+      // that side's array; a doc missing from its shingle frame leaves a
+      // null -> null jaccard -> filtered, same as the old inner joins
+      .agg(first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       // try_divide: two empty sets would be 0/0 (ANSI mode throws); an empty
       // set is similar to nothing
