@@ -408,7 +408,7 @@ object Dedup {
     // ids only against corpus shingles — correct even when id spaces overlap
     Partitioning.releaseAfterUse(
       verifyJaccardSides(candidates, newSh.select(col("doc_id"), col("sh")),
-        corpusSh.select(col("doc_id"), col("sh")), threshold)
+        corpusSh.select(col("doc_id"), col("sh")), threshold, broadcastProbes = true)
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
       corpusSh, newSh)
   }
@@ -488,7 +488,7 @@ object Dedup {
       .select(col("doc_id"), shingleArr("__text", shingleSize).as("sh"))
     Partitioning.releaseAfterUse(
       verifyJaccardSides(candidates, newSh.select(col("doc_id"), col("sh")),
-        candCorpusSh, threshold)
+        candCorpusSh, threshold, broadcastProbes = true)
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard")),
       newSh)
   }
@@ -585,11 +585,26 @@ object Dedup {
     * so the corpus STREAMS), and the only exchange is the candidate-mass-
     * sized reassembly — bytes proportional to duplicate mass, not corpus
     * size. The side tag keeps the two-sided id-resolution contract: a
-    * probe row only ever matches its own frame. */
+    * probe row only ever matches its own frame.
+    *
+    * `broadcastProbes` forces the probe side's broadcast instead of
+    * leaving the conversion to AQE. AQE's conversion is a RACE: the join's
+    * child stages are submitted concurrently, and if the shingle-union
+    * exchange materializes before the (tiny) probe stage reports its size,
+    * the sort-merge plan sticks and the corpus shuffles anyway — measured
+    * on the 100x incremental probe: a 751 MB exchange serving 11k pairs,
+    * while the structurally identical batch operator won the same race.
+    * The incremental/streaming callers pass true: their candidate set is
+    * BATCH-bounded by construction (candidates <= batch bands x maxBucket),
+    * so the broadcast can never be corpus-sized. The full batch operator
+    * leaves it false — its pair set is duplicate-mass-sized, which a
+    * pathological corpus can make too big to force into executor memory. */
   private def verifyJaccardSides(pairs: DataFrame, shA: DataFrame, shB: DataFrame,
-                                 threshold: Double): DataFrame = {
-    val probes = pairs.select(col("id_a"), col("id_b"),
+                                 threshold: Double,
+                                 broadcastProbes: Boolean = false): DataFrame = {
+    val probes0 = pairs.select(col("id_a"), col("id_b"),
       posexplode(array(col("id_a"), col("id_b"))).as(Seq("side", "doc_id")))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
     // the union is narrow: neither shingle table moves for it
     val shBoth = shA.select(lit(0).as("side"), col("doc_id"), col("sh"))
       .unionByName(shB.select(lit(1).as("side"), col("doc_id"), col("sh")))
