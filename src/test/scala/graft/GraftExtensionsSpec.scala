@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
         "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email",
         "graft_dot", "graft_simhash64", "graft_quality", "graft_lang",
-        "graft_fingerprint", "graft_hash_bucket",
+        "graft_langid", "graft_fingerprint", "graft_hash_bucket",
         "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",
         "graft_redact", "graft_redaction_count",
         "graft_normalize", "graft_normalize_nopunct", "graft_tokens",
