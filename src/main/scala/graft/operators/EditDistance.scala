@@ -87,12 +87,20 @@ object EditDistance {
     val hashedInv = inv.select(col("doc_id"), col("len"), xxhash64(col("gram")).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = hashedInv.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    // rarest-prefix selection through the bounded-heap aggregate: the
+    // previous collect_list + array_sort + slice shuffled EVERY gram row
+    // into the doc group (measured: the 8.8 GB exchange dominating
+    // edit_pairs at 100x) just to keep q*d+1 of them; the heap keeps
+    // (q*d+1) candidates per doc per map partition, so the exchange
+    // carries ~prefixLen rows per doc. Selection and order are identical:
+    // top-k by (-gdf DESC, gh ASC) == ascending (gdf, gh) prefix, with
+    // duplicate-hash rows surviving in both formulations.
     val prefixInv = hashedInv.join(broadcast(dfCounts), "gh")
       .groupBy(col("doc_id"))
       .agg(first(col("len")).as("len"),
-        slice(array_sort(collect_list(struct(col("gdf"), col("gh")))), 1, prefixLen)
-          .as("pref"))
-      .select(col("doc_id"), col("len"), explode(col("pref.gh")).as("gh"))
+        graft.plans.TopKAggregate.topKByScore(
+          -col("gdf").cast("double"), col("gh"), prefixLen).as("pref"))
+      .select(col("doc_id"), col("len"), explode(col("pref.id")).as("gh"))
 
     val cand = prefixInv.as("a").join(prefixInv.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
