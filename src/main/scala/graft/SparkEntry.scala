@@ -1448,6 +1448,30 @@ object SparkEntry {
     graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
   }
 
+  /** Sequence packing driven by REAL BPE token counts — the integration
+    * the budget/packing operators otherwise approximate with whitespace
+    * tokens: train merges on the corpus, encode it, count tokens per doc,
+    * then pack into capacity-512 sequences with the two-pass prefix-sum
+    * operator. Docs with zero `[a-z]+` words have no tokens and are
+    * excluded on both sides. */
+  private def qBpePack(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 512L
+    val docs = table(spark, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      .groupBy("doc_id").agg(count(lit(1)).as("toks"))
+    val spans = graft.operators.Packing.chunkSpans(counts, "doc_id", "toks", capacity)
+      .withColumn("bin", floor(col("token_start") / capacity).cast("long"))
+    spans.groupBy(col("bin"))
+      .agg(count(lit(1)).as("bin_docs"), sum(col("toks")).as("fill"))
+      .agg(
+        sum(col("bin_docs")).cast("long").as("n_docs"),
+        sum(col("fill")).cast("long").as("total_tokens"),
+        (max(col("bin")) + 1).cast("long").as("n_bins"),
+        max(col("fill")).cast("long").as("max_bin_fill"))
+  }
+
   /** Per-document OOV rate against the corpus top-20 token vocabulary —
     * the tokenizer-coverage check run before committing to a vocab. Full
     * per-doc value oracle. */
@@ -2908,6 +2932,7 @@ object SparkEntry {
     "bpe_pair_counts" -> qBpePairCounts,
     "bpe_train" -> qBpeTrain,
     "bpe_encode" -> qBpeEncode,
+    "bpe_pack" -> qBpePack,
     "langid_profile" -> qLangidProfile,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
@@ -3047,6 +3072,23 @@ object SparkEntry {
       " WHERE a IS NOT NULL), " +
       "merges AS (SELECT round::BIGINT AS rank, any_value(a) AS a, any_value(b) AS b, any_value(n) AS n " +
       "FROM st WHERE round >= 1 GROUP BY round)"
+
+  /** Extends [[bpeTrainCte]] with the encode replay: merges re-applied to
+    * every distinct word rank-by-rank (second recursion), exploded back
+    * onto the document word stream. Shared by `bpe_encode` and `bpe_pack`. */
+  private val bpeEncodeCte: String =
+    s"$bpeTrainCte, " +
+      "enc AS (" +
+      "SELECT 0::BIGINT AS rank, word, " +
+      "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s FROM words " +
+      "UNION ALL " +
+      "SELECT e.rank + 1, e.word, replace(e.s, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') " +
+      "FROM enc e JOIN merges m ON m.rank = e.rank + 1), " +
+      "final AS (SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS toks " +
+      "FROM enc WHERE rank = (SELECT max(rank) FROM enc)), " +
+      "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
+      "dw AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS wpos, unnest(t) AS word FROM dt)"
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -4146,26 +4188,26 @@ object SparkEntry {
     // recursion over rank; ids = sorted chars then merge products
     // (first occurrence wins); full per-token value compare
     "bpe_encode" ->
-      (s"WITH RECURSIVE $bpeTrainCte, " +
-        "enc AS (" +
-        "SELECT 0::BIGINT AS rank, word, " +
-        "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s FROM words " +
-        "UNION ALL " +
-        "SELECT e.rank + 1, e.word, replace(e.s, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') " +
-        "FROM enc e JOIN merges m ON m.rank = e.rank + 1), " +
-        "final AS (SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS toks " +
-        "FROM enc WHERE rank = (SELECT max(rank) FROM enc)), " +
+      (s"WITH RECURSIVE $bpeEncodeCte, " +
         "chars AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM words), " +
         "vocab0 AS (SELECT c AS token, (row_number() OVER (ORDER BY c)) - 1 AS ord FROM chars " +
         "UNION ALL SELECT a || b, (SELECT count(*) FROM chars) + rank - 1 FROM merges), " +
         "vocab AS (SELECT token, min(ord)::BIGINT AS token_id FROM vocab0 GROUP BY token), " +
-        "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
-        "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
-        "dw AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS wpos, unnest(t) AS word FROM dt), " +
         "ex AS (SELECT doc_id, wpos, unnest(range(1, len(f.toks)+1)) AS tpos, unnest(f.toks) AS token " +
         "FROM dw JOIN final f USING (word)) " +
         "SELECT e.doc_id, (row_number() OVER (PARTITION BY e.doc_id ORDER BY e.wpos, e.tpos))::BIGINT AS pos, " +
         "e.token, v.token_id FROM ex e JOIN vocab v USING (token) ORDER BY doc_id, pos"),
+    // BPE-count-driven packing: per-doc token counts from the encode
+    // replay, then the pack_sequences prefix-sum arithmetic at capacity 512
+    "bpe_pack" ->
+      (s"WITH RECURSIVE $bpeEncodeCte, " +
+        "tc AS (SELECT doc_id, sum(len(f.toks))::BIGINT AS toks " +
+        "FROM dw JOIN final f USING (word) GROUP BY doc_id), " +
+        "s AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM tc), " +
+        "b AS (SELECT doc_id, toks, (e - toks) // 512 AS bin FROM s), " +
+        "f2 AS (SELECT bin, count(*) AS bin_docs, sum(toks) AS fill FROM b GROUP BY bin) " +
+        "SELECT sum(bin_docs)::BIGINT AS n_docs, sum(fill)::BIGINT AS total_tokens, " +
+        "(max(bin) + 1)::BIGINT AS n_bins, max(fill)::BIGINT AS max_bin_fill FROM f2"),
     // identical piece strings, identical (us, event_id) ordering
     "assemble_docs" ->
       ("SELECT user_id AS key, count(*) AS n_pieces, " +
