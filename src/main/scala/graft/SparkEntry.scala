@@ -2644,6 +2644,33 @@ object SparkEntry {
       .select(col("node"), col("rank").as("rank_x1e12"))
   }
 
+  /** Label-propagation communities over the same hash-generated link graph
+    * as `pagerank`, 5 synchronous rounds; full per-node label oracle
+    * (every round replayed as a chained CTE). */
+  private def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"), explode(array(
+      pmod(col("node") * 31 + 7, lit(n)),
+      pmod(col("node") * 17 + 3, lit(n)),
+      pmod(col("node") * 13 + 11, lit(n)))).as("dst"))
+    graft.operators.LabelProp.communities(edges, nodes, iters = 5)
+  }
+
+  /** Gopher-style structural quality rules, full per-doc flag oracle. */
+  private def qQualityRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.gopherRules(
+      table(spark, dir, "documents"), "doc_id", "text")
+
+  /** Length-bucketed padding-waste report over whitespace token counts —
+    * the pad-vs-pack efficiency audit. */
+  private def qPaddingReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val counted = docs.select(
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    graft.operators.Packing.paddingReport(counted, "toks")
+  }
+
   /** DSIR-style importance selection: target = English docs, features =
     * engine-portable hashed unigram buckets, top-20 by integer ratio
     * score. */
@@ -2971,6 +2998,9 @@ object SparkEntry {
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
+    "label_prop" -> qLabelProp,
+    "quality_rules" -> qQualityRules,
+    "padding_report" -> qPaddingReport,
     "dsir_select" -> qDsirSelect,
     "dedup_keep_best" -> qDedupKeepBest,
     "length_buckets" -> qLengthBuckets,
@@ -3114,6 +3144,31 @@ object SparkEntry {
       "SELECT node::BIGINT AS node, rank::BIGINT AS rank_x1e12 FROM r10 ORDER BY rank DESC, node LIMIT 10"
   }
 
+  /** Label propagation replayed exactly: same hash-generated edges as
+    * `pagerank`, symmetrized/dedup'd, then 5 synchronous rounds as chained
+    * CTEs with the (count desc, label asc) argmax as a window rank. */
+  private val labelPropOracleSql: String = {
+    val head = "WITH nodes AS (SELECT doc_id AS node FROM documents), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+      "e0 AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes " +
+      "UNION ALL SELECT node, (node * 17 + 3) % (SELECT n FROM nn) FROM nodes " +
+      "UNION ALL SELECT node, (node * 13 + 11) % (SELECT n FROM nn) FROM nodes), " +
+      "sym AS (SELECT DISTINCT node, nbr FROM (" +
+      "SELECT src AS node, dst AS nbr FROM e0 WHERE src <> dst " +
+      "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), " +
+      "l0 AS (SELECT node, node AS label FROM nodes)"
+    val rounds = (1 to 5).map { i =>
+      s"l$i AS (SELECT nodes.node AS node, coalesce(w.label, nodes.node) AS label " +
+        "FROM nodes LEFT JOIN (SELECT node, label FROM (" +
+        s"SELECT s.node, l.label, row_number() OVER (PARTITION BY s.node " +
+        "ORDER BY count(*) DESC, l.label ASC) AS rn " +
+        s"FROM sym s JOIN l${i - 1} l ON l.node = s.nbr GROUP BY s.node, l.label) " +
+        "WHERE rn = 1) w ON w.node = nodes.node)"
+    }.mkString(", ", ", ", " ")
+    head + rounds +
+      "SELECT node::BIGINT AS node, label::BIGINT AS label FROM l5 ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
     // SemDeDup drop set recomputed with double-cast cosines in SQL
     "semantic_dedup" ->
@@ -3127,6 +3182,49 @@ object SparkEntry {
         "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
+    "label_prop" -> labelPropOracleSql,
+    // every structural rule recomputed in integer cross-multiplication
+    "quality_rules" ->
+      ("WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+        "w AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words, " +
+        "string_split(text, chr(10)) AS lines FROM d), " +
+        "m AS (SELECT doc_id, " +
+        "len(words)::BIGINT AS n_words, len(lines)::BIGINT AS n_lines, " +
+        "coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS word_chars, " +
+        "((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))))::BIGINT AS symbols, " +
+        "len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))::BIGINT AS bullet_lines, " +
+        "len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines, " +
+        "len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_words, " +
+        "((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END))::BIGINT AS stop_ct FROM w), " +
+        "f AS (SELECT doc_id, n_words, n_lines, " +
+        "(n_words >= 3 AND n_words <= 100000) AS word_count_ok, " +
+        "(n_words > 0 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS mean_word_len_ok, " +
+        "(10 * symbols <= n_words) AS symbol_ok, " +
+        "(10 * bullet_lines <= 9 * n_lines) AS bullet_ok, " +
+        "(10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ok, " +
+        "(5 * alpha_words >= 4 * n_words) AS alpha_ok, " +
+        "(stop_ct >= 2) AS stopword_ok FROM m) " +
+        "SELECT doc_id, n_words, n_lines, word_count_ok, mean_word_len_ok, symbol_ok, " +
+        "bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, " +
+        "(word_count_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok AND ellipsis_ok " +
+        "AND alpha_ok AND stopword_ok) AS pass FROM f ORDER BY doc_id"),
+    // smallest-capacity bucket assignment + integral padding arithmetic
+    "padding_report" ->
+      ("WITH t AS (SELECT len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks FROM documents), " +
+        "b AS (SELECT toks, coalesce(list_filter([16,32,64,128,256,512,1024,2048,4096], c -> c >= toks)[1], -1)::BIGINT AS bucket_capacity " +
+        "FROM t WHERE toks IS NOT NULL AND toks > 0), " +
+        "g AS (SELECT bucket_capacity, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS token_sum FROM b GROUP BY bucket_capacity) " +
+        "SELECT bucket_capacity, n_docs, token_sum, " +
+        "(CASE WHEN bucket_capacity > 0 THEN bucket_capacity * n_docs - token_sum ELSE 0 END)::BIGINT AS padded_tokens, " +
+        "(CASE WHEN bucket_capacity > 0 THEN ((bucket_capacity * n_docs - token_sum) * 1000000) // (bucket_capacity * n_docs) ELSE 0 END)::BIGINT AS waste_ppm " +
+        "FROM g ORDER BY bucket_capacity"),
     // per-source cap winners recomputed as a (hash, id) window rank
     "cap_per_group" ->
       ("WITH h AS (SELECT source, doc_id, n_chars, " +

@@ -98,4 +98,46 @@ object Packing {
       .withColumn("n_chunks",
         when(col(s"`$tokensCol`") > 0, last - first + 1).otherwise(lit(0L)))
   }
+
+  /** Length-bucketed padding report — the batching-efficiency audit run
+    * before choosing between padded per-bucket batching and
+    * [[chunkSpans]]-style packing: each document lands in the SMALLEST
+    * capacity from `capacities` that holds it, and the report gives, per
+    * bucket, the document count, the real token sum, the padding a
+    * pad-to-capacity batcher would emit (`capacity * n_docs - token_sum`)
+    * and the waste as integer parts-per-million. Documents longer than
+    * the largest capacity aggregate under the sentinel capacity -1
+    * (overflow rows — they need chunking, not padding, so no padding or
+    * waste is attributed; a NULL capacity would be the prettier marker
+    * but NULL grouping keys render engine-specifically).
+    *
+    * Scale shape: one narrow projection (the bucket lookup is a literal
+    * array probe, codegen'd) and one map-side-combined groupBy over at
+    * most `capacities.size + 1` keys — scan-bound at any corpus size.
+    * All arithmetic is integral, so the report is engine-exact. */
+  def paddingReport(df: DataFrame, tokensCol: String,
+                    capacities: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)): DataFrame = {
+    require(capacities.nonEmpty && capacities == capacities.sorted && capacities.head > 0,
+      "capacities must be sorted positive")
+    val toks = col(s"`$tokensCol`").cast("long")
+    val caps = array(capacities.map(lit): _*)
+    // try_element_at: the filtered list is EMPTY for overflow docs, and
+    // ANSI element_at throws on out-of-bounds instead of returning null
+    val bucket = coalesce(try_element_at(filter(caps, c => c >= toks), lit(1)), lit(-1L))
+    val padded = when(col("bucket_capacity") > 0L,
+      col("bucket_capacity") * col("n_docs") - col("token_sum")).otherwise(lit(0L))
+    df.where(toks.isNotNull && toks > 0L)
+      .select(toks.as("__toks"), bucket.as("bucket_capacity"))
+      .groupBy(col("bucket_capacity"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("token_sum"))
+      .select(
+        col("bucket_capacity"),
+        col("n_docs"),
+        col("token_sum"),
+        padded.as("padded_tokens"),
+        // integral div (not `/`, which widens to double and drifts past 2^53)
+        expr("CASE WHEN bucket_capacity > 0 THEN " +
+          "((bucket_capacity * n_docs - token_sum) * 1000000) div (bucket_capacity * n_docs) " +
+          "ELSE 0 END").cast("long").as("waste_ppm"))
+  }
 }

@@ -99,4 +99,28 @@ class PackingSpec extends AnyFunSuite {
       .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("paddingReport: smallest-bucket assignment, exact waste, overflow sentinel") {
+    import spark.implicits._
+    // caps 16/32/64: toks 16 fits 16 exactly (zero waste), 17 pads to 32,
+    // 65 and 1000 overflow to the -1 sentinel; 0/null dropped
+    val df = Seq(Some(16L), Some(17L), Some(30L), Some(65L), Some(1000L), Some(0L), None)
+      .toDF("toks")
+    val got = Packing.paddingReport(df, "toks", capacities = Seq(16L, 32L, 64L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(16L) === ((1L, 16L, 0L, 0L)))
+    // bucket 32: docs 17+30=47 tokens, cap 64 total, padding 17, ppm 17e6/64
+    assert(got(32L) === ((2L, 47L, 17L, 17L * 1000000L / 64L)))
+    assert(got(-1L) === ((2L, 1065L, 0L, 0L)))
+    assert(got.keySet === Set(16L, 32L, -1L))
+  }
+
+  test("paddingReport rejects unsorted capacities") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("toks")
+    intercept[IllegalArgumentException] {
+      Packing.paddingReport(df, "toks", capacities = Seq(32L, 16L))
+    }
+  }
 }
