@@ -74,6 +74,15 @@ object ScaleCheck {
     // cross-copy duplicate mass that no dedup operator should be expected
     // to scale linearly through (SCALING.md documents the 10x/30x numbers
     // and this attribution)
+    // round-11: the third iterative operator (label propagation — 5 fixed
+    // synchronous rounds; per-round cost is one label join + one
+    // (node,label) count, so bytes must be linear and rounds flat), plus
+    // the two narrow round-11 projections (scan-bound by construction —
+    // measured to confirm, not to discover)
+    "label_prop", "quality_rules", "padding_report",
+    // PQ ANN: training joins the broadcast codebook (constant size), the
+    // probe touches m rows per vector — both linear terms under test
+    "ann_pq_topk",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

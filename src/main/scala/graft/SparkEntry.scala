@@ -702,6 +702,20 @@ object SparkEntry {
     table(spark, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
 
+  /** Product-quantization ANN: integer-grid codebooks (hash init + 1
+    * Lloyd round), 8 subspaces x 16 codes over dim 64, ADC probe against
+    * vec 0 — training, encoding and probe all replayed exactly by the
+    * oracle. */
+  private def qAnnPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.ProductQuant.adcTopK(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q,
+      k = 10, m = 8, nCodes = 16, lloydIters = 1, excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pq_dist").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -2934,6 +2948,7 @@ object SparkEntry {
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
     "ann_topk" -> qAnnTopk,
+    "ann_pq_topk" -> qAnnPqTopk,
     "ann_ivf_topk" -> qAnnIvfTopk,
     "ann_lsh_topk" -> qAnnLshTopk,
     "text_profile" -> qTextProfile,
@@ -3169,7 +3184,39 @@ object SparkEntry {
       "SELECT node::BIGINT AS node, label::BIGINT AS label FROM l5 ORDER BY node"
   }
 
+  /** PQ replayed exactly: quantize to the 1e6 grid, hash-init codebooks,
+    * one Lloyd round (floor-mean centroids, ties-to-smallest-code argmin),
+    * final encode, ADC table against vec 0, top-10 by integer distance. */
+  private val annPqOracleSql: String = {
+    // floor-mean in pure integers (negative-safe pmod, same idiom as
+    // embed_centroid); assignment argmin as a (dist, code) window rank
+    def cb(name: String, assign: String) =
+      s"$name AS (SELECT z.s, a.code, z.spos, " +
+        "((sum(z.q) - ((sum(z.q) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS c " +
+        s"FROM qz z JOIN $assign a ON a.vec_id = z.vec_id AND a.s = z.s GROUP BY z.s, a.code, z.spos)"
+    def assign(name: String, codebook: String) =
+      s"$name AS (SELECT vec_id, s, code FROM (" +
+        "SELECT z.vec_id, z.s, cb.code, row_number() OVER (PARTITION BY z.vec_id, z.s " +
+        "ORDER BY sum((z.q - cb.c) * (z.q - cb.c)), cb.code) AS rn " +
+        s"FROM qz z JOIN $codebook cb ON cb.s = z.s AND cb.spos = z.spos " +
+        "GROUP BY z.vec_id, z.s, cb.code) WHERE rn = 1)"
+    "WITH qz AS (SELECT vec_id, ((pos - 1) // 8)::BIGINT AS s, ((pos - 1) % 8)::BIGINT AS spos, q FROM (" +
+      "SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +
+      "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings)), " +
+      "a0 AS (SELECT DISTINCT vec_id, s, (vec_id * 31 + s * 7) % 16 AS code FROM qz), " +
+      cb("cb0", "a0") + ", " + assign("a1", "cb0") + ", " +
+      cb("cb1", "a1") + ", " + assign("a2", "cb1") + ", " +
+      "qv AS (SELECT s, spos, q FROM qz WHERE vec_id = 0), " +
+      "dt AS (SELECT cb.s, cb.code, sum((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d " +
+      "FROM cb1 cb JOIN qv ON qv.s = cb.s AND qv.spos = cb.spos GROUP BY cb.s, cb.code), " +
+      "res AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM a2 a " +
+      "JOIN dt ON dt.s = a.s AND dt.code = a.code WHERE a.vec_id <> 0 GROUP BY a.vec_id) " +
+      "SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
+      "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_pq_topk" -> annPqOracleSql,
     // SemDeDup drop set recomputed with double-cast cosines in SQL
     "semantic_dedup" ->
       ("WITH d AS (SELECT DISTINCT b.vec_id AS vid FROM embeddings a JOIN embeddings b " +

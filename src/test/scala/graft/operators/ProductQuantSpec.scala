@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ProductQuantSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(vecs: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    vecs.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+  }
+
+  /** Scalar PQ replay with the operator's exact arithmetic. */
+  private def scalarAdc(vecs: Seq[(Long, Seq[Double])], query: Seq[Double],
+                        m: Int, nCodes: Int, lloydIters: Int,
+                        scale: Long = 1000000L): Seq[(Long, Long)] = {
+    val subDim = query.length / m
+    def quant(v: Double): Long =
+      BigDecimal(v.toFloat.toDouble * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qz = vecs.flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, p) => (id, p / subDim, p % subDim, quant(x)) }
+    }
+    def centroids(assign: Map[(Long, Int), Long]): Map[(Int, Long, Int), Long] =
+      qz.groupBy(r => (r._2, assign((r._1, r._2)), r._3)).view.mapValues { rows =>
+        val s = rows.map(_._4).sum
+        Math.floorDiv(s, rows.size.toLong)
+      }.toMap
+    def assignStep(cb: Map[(Int, Long, Int), Long]): Map[(Long, Int), Long] =
+      qz.groupBy(r => (r._1, r._2)).view.mapValues { rows =>
+        val s = rows.head._2
+        val codes = cb.keys.collect { case (`s`, c, _) => c }.toSeq.distinct
+        codes.map { c =>
+          val d = rows.map(r => { val dd = r._4 - cb((s, c, r._3)); dd * dd }).sum
+          (d, c)
+        }.minBy(identity)._2
+      }.toMap
+    var assign = qz.map(r => (r._1, r._2)).distinct
+      .map { case (id, s) => (id, s) -> ((id * 31 + s * 7) % nCodes + nCodes) % nCodes }.toMap
+    var cb = centroids(assign)
+    (1 to lloydIters).foreach { _ => assign = assignStep(cb); cb = centroids(assign) }
+    val finalAssign = assignStep(cb)
+    val qq = query.map(quant)
+    val dt = cb.keys.map(k => (k._1, k._2)).toSeq.distinct.map { case (s, c) =>
+      (s, c) -> (0 until subDim).map { sp =>
+        val d = qq(s * subDim + sp) - cb((s, c, sp)); d * d
+      }.sum
+    }.toMap
+    vecs.map(_._1).map(id => id -> (0 until m).map(s => dt((s, finalAssign((id, s))))).sum)
+      .sortBy { case (id, d) => (d, id) }
+  }
+
+  test("matches the scalar replay end-to-end on a mixed fixture") {
+    val vecs = (0L until 12L).map { i =>
+      i -> (0 until 4).map(d => ((i * 7 + d * 3) % 11).toDouble / 10.0 - 0.5)
+    }
+    val query = vecs.head._2
+    val expected = scalarAdc(vecs, query, m = 2, nCodes = 2, lloydIters = 1)
+      .filter(_._1 != 0L).take(5)
+    val got = ProductQuant.adcTopK(df(vecs), "vec_id", "embedding", query.toArray,
+      k = 5, m = 2, nCodes = 2, lloydIters = 1, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("duplicates of the query share its codes and its ADC distance exactly") {
+    // 3 exact copies of the query among 20 spread vectors. NOTE: rank-first
+    // is NOT a PQ guarantee (a vector in a cell whose centroid lies nearer
+    // the query can beat the query's own cell) — the guaranteed invariant
+    // is identical quantization -> identical codes -> identical distance.
+    val base = (0L until 20L).map { i =>
+      i -> (0 until 8).map(d => ((i * 13 + d * 5) % 17).toDouble / 8.0 - 1.0)
+    }
+    val q = base(3L.toInt)._2
+    val vecs = base ++ Seq(100L -> q, 101L -> q)
+    val qz = ProductQuant.quantized(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(qz, nCodes = 4, lloydIters = 1)
+    val codes = ProductQuant.encode(qz, cb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { s =>
+      assert(codes((100L, s)) === codes((3L, s)) && codes((101L, s)) === codes((3L, s)), s"s=$s")
+    }
+    val dists = ProductQuant.adcTopK(df(vecs), "vec_id", "embedding", q.toArray,
+      k = 22, m = 4, nCodes = 4, lloydIters = 1, excludeId = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dists(3L) === dists(100L) && dists(3L) === dists(101L))
+  }
+
+  test("deterministic across runs and partitionings") {
+    val vecs = (0L until 30L).map { i =>
+      i -> (0 until 8).map(d => ((i * 11 + d * 7) % 23).toDouble / 11.0 - 1.0)
+    }
+    val q = vecs(5L.toInt)._2.toArray
+    def run(parts: Int) = ProductQuant.adcTopK(df(vecs).repartition(parts),
+      "vec_id", "embedding", q, k = 10, m = 4, nCodes = 4, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("codebook stays bounded and broadcast-sized: m * nCodes * subDim rows max") {
+    val vecs = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => ((i + d) % 5).toDouble)
+    }
+    val qz = ProductQuant.quantized(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(qz, nCodes = 8, lloydIters = 1).collect()
+    assert(cb.length <= 4 * 8 * 2)
+    // every (s, code) group carries a full subDim of positions
+    cb.groupBy(r => (r.getInt(0), r.getLong(1))).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(0, 1))
+    }
+  }
+}
