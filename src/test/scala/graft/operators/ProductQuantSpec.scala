@@ -75,13 +75,11 @@ class ProductQuantSpec extends AnyFunSuite {
     }
     val q = base(3L.toInt)._2
     val vecs = base ++ Seq(100L -> q, 101L -> q)
-    val qz = ProductQuant.quantized(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
-    val cb = ProductQuant.trainCodebooks(qz, nCodes = 4, lloydIters = 1)
-    val codes = ProductQuant.encode(qz, cb).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    (0 until 4).foreach { s =>
-      assert(codes((100L, s)) === codes((3L, s)) && codes((101L, s)) === codes((3L, s)), s"s=$s")
-    }
+    val rows = ProductQuant.quantizedRows(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(rows, m = 4, subDim = 2, nCodes = 4, lloydIters = 1)
+    val codes = ProductQuant.encode(rows, cb, m = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(100L) === codes(3L) && codes(101L) === codes(3L))
     val dists = ProductQuant.adcTopK(df(vecs), "vec_id", "embedding", q.toArray,
       k = 22, m = 4, nCodes = 4, lloydIters = 1, excludeId = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -99,16 +97,32 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(run(1) === run(7))
   }
 
-  test("codebook stays bounded and broadcast-sized: m * nCodes * subDim rows max") {
+  test("codebook stays bounded: at most m * nCodes codewords, each full subDim") {
     val vecs = (0L until 40L).map { i =>
       i -> (0 until 8).map(d => ((i + d) % 5).toDouble)
     }
-    val qz = ProductQuant.quantized(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
-    val cb = ProductQuant.trainCodebooks(qz, nCodes = 8, lloydIters = 1).collect()
-    assert(cb.length <= 4 * 8 * 2)
-    // every (s, code) group carries a full subDim of positions
-    cb.groupBy(r => (r.getInt(0), r.getLong(1))).foreach { case (_, rows) =>
-      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(0, 1))
-    }
+    val rows = ProductQuant.quantizedRows(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(rows, m = 4, subDim = 2, nCodes = 8, lloydIters = 1)
+    assert(cb.size <= 4 * 8)
+    cb.foreach(cw => assert(cw.centroid.size === 2))
+    // sorted by (s, code) — the ordering every literal dispatch relies on
+    assert(cb.map(cw => (cw.s, cw.code)) === cb.map(cw => (cw.s, cw.code)).sorted)
+  }
+
+  test("short and null-element vectors are dropped, not mis-encoded") {
+    import spark.implicits._
+    val good = (0L until 8L).map(i => (i, (0 until 4).map(d => (i + d).toFloat / 10f)))
+    val degenerate = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(90L, Seq(0.1f, 0.2f)),                  // short
+        org.apache.spark.sql.Row(91L, null),                            // null vector
+        org.apache.spark.sql.Row(92L, Seq(0.1f, null, 0.3f, 0.4f)))),   // null element
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val all = good.toDF("vec_id", "embedding").union(degenerate)
+    val rows = ProductQuant.quantizedRows(all, "vec_id", "embedding", m = 2, subDim = 2)
+    assert(rows.select("vid").collect().map(_.getLong(0)).sorted.toSeq === (0L until 8L))
   }
 }
