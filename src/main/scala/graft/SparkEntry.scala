@@ -2671,6 +2671,19 @@ object SparkEntry {
     graft.operators.LabelProp.communities(edges, nodes, iters = 5)
   }
 
+  /** Temperature (τ=1/2) language-mixture quotas over the lang column —
+    * exact isqrt weights, floor quotas, full per-language oracle. */
+  private def qLangMixReport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.temperatureQuotas(
+      table(spark, dir, "documents"), "lang", budget = 200L)
+      .orderBy("lang")
+
+  /** The temperature-balanced sample itself: per-language ring-hash
+    * ranks up to each language's quota, replayed by a window in SQL. */
+  private def qLangMixSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.temperatureSample(
+      table(spark, dir, "documents"), "doc_id", "lang", budget = 200L)
+
   /** Gopher-style structural quality rules, full per-doc flag oracle. */
   private def qQualityRules(spark: SparkSession, dir: String): DataFrame =
     graft.operators.QualityRules.gopherRules(
@@ -3016,6 +3029,8 @@ object SparkEntry {
     "label_prop" -> qLabelProp,
     "quality_rules" -> qQualityRules,
     "padding_report" -> qPaddingReport,
+    "lang_mix_report" -> qLangMixReport,
+    "lang_mix_sample" -> qLangMixSample,
     "dsir_select" -> qDsirSelect,
     "dedup_keep_best" -> qDedupKeepBest,
     "length_buckets" -> qLengthBuckets,
@@ -3215,6 +3230,17 @@ object SparkEntry {
       "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
   }
 
+  /** Shared quota CTE for the lang-mix oracles: counts, exact isqrt
+    * weights, floor quotas at budget 200. */
+  private val langMixQuotaCte: String =
+    "WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents " +
+      "WHERE lang IS NOT NULL GROUP BY lang), " +
+      "s0 AS (SELECT lang, n_docs, floor(sqrt(n_docs::DOUBLE))::BIGINT AS s FROM c), " +
+      "s1 AS (SELECT lang, n_docs, CASE WHEN s * s > n_docs THEN s - 1 ELSE s END AS d FROM s0), " +
+      "w AS (SELECT lang, n_docs, CASE WHEN (d + 1) * (d + 1) <= n_docs THEN d + 1 ELSE d END AS w FROM s1), " +
+      "t AS (SELECT sum(w)::BIGINT AS wt FROM w), " +
+      "q AS (SELECT lang, n_docs, w::BIGINT AS w, ((200 * w) // wt)::BIGINT AS quota FROM w, t)"
+
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     // SemDeDup drop set recomputed with double-cast cosines in SQL
@@ -3230,6 +3256,19 @@ object SparkEntry {
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
     "label_prop" -> labelPropOracleSql,
+    // exact integer sqrt (float floor(sqrt) with the +-1 correction),
+    // floor quotas over the isqrt weight total
+    "lang_mix_report" ->
+      (langMixQuotaCte +
+        "SELECT lang, n_docs, w, quota FROM q ORDER BY lang"),
+    // ring-hash window replay of the bounded-heap sample, cut at quota
+    "lang_mix_sample" ->
+      (langMixQuotaCte + ", " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id) AS rank " +
+        "FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL) " +
+        "SELECT r.lang, r.doc_id::BIGINT AS doc_id, r.rank::BIGINT AS rank " +
+        "FROM r JOIN q USING (lang) WHERE r.rank <= q.quota ORDER BY lang, rank"),
     // every structural rule recomputed in integer cross-multiplication
     "quality_rules" ->
       ("WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
