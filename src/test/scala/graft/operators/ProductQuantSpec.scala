@@ -109,6 +109,28 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(cb.map(cw => (cw.s, cw.code)) === cb.map(cw => (cw.s, cw.code)).sorted)
   }
 
+  test("encode and the ADC probe are shuffle-free narrow projections") {
+    val vecs = (0L until 30L).map { i =>
+      i -> (0 until 8).map(d => ((i * 11 + d * 7) % 23).toDouble / 11.0 - 1.0)
+    }
+    val rows = ProductQuant.quantizedRows(df(vecs), "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(rows, m = 4, subDim = 2, nCodes = 4, lloydIters = 1)
+    val encPlan = ProductQuant.encode(rows, cb, m = 4)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      "encoding must be an in-row projection against the literal codebook")
+    // the end-to-end probe may only exchange inside codebook TRAINING
+    // (bounded key space) and the TakeOrdered top-k — never a hash
+    // exchange of corpus-derived scored rows. The probe stage itself is
+    // the final projection; assert it contains the TakeOrdered and no
+    // sort-exchange pair.
+    val probePlan = ProductQuant.adcTopK(df(vecs), "vec_id", "embedding",
+      vecs.head._2.toArray, k = 5, m = 4, nCodes = 4, lloydIters = 0)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("TakeOrderedAndProject"), probePlan)
+    assert(!probePlan.contains("Exchange"), probePlan)
+  }
+
   test("short and null-element vectors are dropped, not mis-encoded") {
     import spark.implicits._
     val good = (0L until 8L).map(i => (i, (0 until 4).map(d => (i + d).toFloat / 10f)))

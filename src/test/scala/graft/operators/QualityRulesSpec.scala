@@ -59,6 +59,16 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(!flag(m(3L), "stopword_ok"))
   }
 
+  test("rules are one narrow projection: no shuffle, no UDF, pruned scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = QualityRules.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gopherRules must not shuffle")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning must reach the scan")
+  }
+
   test("null and empty text fail closed, not crash") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
