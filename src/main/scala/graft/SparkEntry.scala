@@ -716,6 +716,40 @@ object SparkEntry {
       .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
   }
 
+  /** Exact integer-L2 top-10 on the quantization grid — the brute-force
+    * ANN ground truth, shuffle-free. */
+  private def qAnnL2Topk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.ProductQuant.l2TopK(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q, k = 10, excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l2_dist").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("l2_dist"), col("rank"))
+  }
+
+  /** PQ recall@10 against the exact-L2 ground truth on the same grid —
+    * the evaluation every ANN deployment runs before trusting the
+    * approximate path. One-row integer report. */
+  private def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val pq = graft.operators.ProductQuant.adcTopK(emb, "vec_id", "embedding", q,
+      k = 10, m = 8, nCodes = 16, lloydIters = 1, excludeId = Some(0L)).select(col("vid"))
+    val exact = graft.operators.ProductQuant.l2TopK(emb, "vec_id", "embedding", q,
+      k = 10, excludeId = Some(0L)).select(col("vid"))
+    pq.join(exact, Seq("vid"))
+      .agg(count(lit(1)).as("__n"))
+      .select(lit(10L).as("k"), col("__n").cast("long").as("n_common"),
+        expr("(__n * 1000000) div 10").cast("long").as("recall_ppm"))
+  }
+
+  /** Hard-negative mining: for probes 0..4, the 3 most cosine-similar
+    * vectors with a DIFFERENT label — contrastive-training pairs. */
+  private def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", "label",
+      probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -2962,6 +2996,9 @@ object SparkEntry {
     "embed_quantize" -> qEmbedQuantize,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
+    "ann_l2_topk" -> qAnnL2Topk,
+    "pq_recall" -> qPqRecall,
+    "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
     "ann_lsh_topk" -> qAnnLshTopk,
     "text_profile" -> qTextProfile,
@@ -3202,7 +3239,7 @@ object SparkEntry {
   /** PQ replayed exactly: quantize to the 1e6 grid, hash-init codebooks,
     * one Lloyd round (floor-mean centroids, ties-to-smallest-code argmin),
     * final encode, ADC table against vec 0, top-10 by integer distance. */
-  private val annPqOracleSql: String = {
+  private val annPqCoreCte: String = {
     // floor-mean in pure integers (negative-safe pmod, same idiom as
     // embed_centroid); assignment argmin as a (dist, code) window rank
     def cb(name: String, assign: String) =
@@ -3225,10 +3262,24 @@ object SparkEntry {
       "dt AS (SELECT cb.s, cb.code, sum((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d " +
       "FROM cb1 cb JOIN qv ON qv.s = cb.s AND qv.spos = cb.spos GROUP BY cb.s, cb.code), " +
       "res AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM a2 a " +
-      "JOIN dt ON dt.s = a.s AND dt.code = a.code WHERE a.vec_id <> 0 GROUP BY a.vec_id) " +
-      "SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
-      "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
+      "JOIN dt ON dt.s = a.s AND dt.code = a.code WHERE a.vec_id <> 0 GROUP BY a.vec_id)"
   }
+
+  private val annPqOracleSql: String =
+    annPqCoreCte + " SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
+      "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
+
+  /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
+    * PQ CTE with the brute-force distance and intersects the two top-10
+    * id sets. */
+  private val pqRecallOracleSql: String =
+    annPqCoreCte + ", " +
+      "exq AS (SELECT z.vec_id, sum((z.q - qv.q) * (z.q - qv.q))::BIGINT AS d " +
+      "FROM qz z JOIN qv ON qv.s = z.s AND qv.spos = z.spos WHERE z.vec_id <> 0 GROUP BY z.vec_id), " +
+      "ex AS (SELECT vec_id FROM exq ORDER BY d, vec_id LIMIT 10), " +
+      "pqt AS (SELECT vec_id FROM res ORDER BY pq_dist, vec_id LIMIT 10), " +
+      "nc AS (SELECT count(*)::BIGINT AS n FROM pqt JOIN ex USING (vec_id)) " +
+      "SELECT 10::BIGINT AS k, n AS n_common, ((n * 1000000) // 10)::BIGINT AS recall_ppm FROM nc"
 
   /** Shared quota CTE for the lang-mix oracles: counts, exact isqrt
     * weights, floor quotas at budget 200. */
@@ -3243,6 +3294,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
+    "pq_recall" -> pqRecallOracleSql,
+    // brute-force integer L2 on the same 1e6 grid
+    "ann_l2_topk" ->
+      ("WITH qz AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +
+        "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings), " +
+        "qv AS (SELECT pos, q FROM qz WHERE vec_id = 0), " +
+        "d AS (SELECT z.vec_id, sum((z.q - qv.q) * (z.q - qv.q))::BIGINT AS l2_dist " +
+        "FROM qz z JOIN qv ON qv.pos = z.pos WHERE z.vec_id <> 0 GROUP BY z.vec_id) " +
+        "SELECT vec_id, l2_dist, row_number() OVER (ORDER BY l2_dist, vec_id) AS rank " +
+        "FROM d ORDER BY l2_dist, vec_id LIMIT 10"),
+    // per-probe different-label cosine ranking, cut at k=3
+    "hard_negatives" ->
+      ("WITH p AS (SELECT vec_id AS probe_id, list_transform(embedding, x -> x::DOUBLE) AS pe, " +
+        "label AS pl FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)), " +
+        "s AS (SELECT p.probe_id, e.vec_id, row_number() OVER (PARTITION BY p.probe_id " +
+        "ORDER BY list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), p.pe) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e JOIN p ON e.label <> p.pl) " +
+        "SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id, rank::BIGINT AS rank " +
+        "FROM s WHERE rank <= 3 ORDER BY probe_id, rank"),
     // SemDeDup drop set recomputed with double-cast cosines in SQL
     "semantic_dedup" ->
       ("WITH d AS (SELECT DISTINCT b.vec_id AS vid FROM embeddings a JOIN embeddings b " +

@@ -179,4 +179,23 @@ object ProductQuant {
     rows.unpersist(blocking = false)
     out
   }
+
+  /** EXACT integer squared-L2 top-k on the same quantization grid — the
+    * ground truth PQ recall is measured against (same metric, no
+    * codebook approximation). One in-row distance projection against the
+    * literal quantized query + TakeOrderedAndProject: shuffle-free, the
+    * brute-force baseline every ANN evaluation needs. Returns (vid,
+    * l2_dist) ordered by (distance asc, vid asc). */
+  def l2TopK(df: DataFrame, idCol: String, embCol: String, query: Array[Double],
+             k: Int, scale: Long = 1000000L, excludeId: Option[Long] = None): DataFrame = {
+    val qq = query.map(v => BigDecimal(v * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toList
+    val rows = quantizedRows(df, idCol, embCol, m = 1, subDim = query.length, scale)
+    val dist = aggregate(
+      zip_with(element_at(col("qsubs"), 1), typedlit(qq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = rows.select(col("vid"), dist.as("l2_dist"))
+    excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
+      .orderBy(col("l2_dist").asc, col("vid").asc).limit(k)
+  }
 }

@@ -418,4 +418,40 @@ object Similarity {
       // operator's whole contract at the top of its headroom
       .withColumn("mean_scaled", expr("(s - pmod(s, n)) div n"))
   }
+
+  /** Hard-negative mining for contrastive training: for each probe
+    * vector, the `k` most cosine-similar corpus vectors carrying a
+    * DIFFERENT label — near the anchor in embedding space, wrong by
+    * ground truth, exactly the examples a contrastive loss learns most
+    * from. Returns (probe_id, vec_id, rank), rank 1-based by (cosine
+    * desc, vec_id asc).
+    *
+    * Scale shape: the probe set is bounded by contract (`probeIds`, ≤100)
+    * and enters the plan through a `limit`, so the label-mismatch join is
+    * a broadcast nested-loop of a STATICALLY bounded side — linear in the
+    * corpus with a |probes| constant, which is the same cost any scoring
+    * pass pays. Top-k per probe runs through the bounded-heap aggregate
+    * (≤ k rows per probe per map partition shuffle), never a per-probe
+    * sort. Corpus-side math stays in the codegen'd dot expression. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String, labelCol: String,
+                    probeIds: Seq[Long], k: Int): DataFrame = {
+    require(probeIds.nonEmpty && probeIds.size <= 100,
+      "probe set must be non-empty and bounded (<= 100) — it multiplies the corpus scan")
+    require(k >= 1, "k must be >= 1")
+    val id = col(s"`$idCol`").cast("long")
+    val e = col(s"`$embCol`").cast("array<double>")
+    val probes = df.where(id.isin(probeIds: _*))
+      .select(id.as("probe_id"), e.as("pe"), col(s"`$labelCol`").as("pl"))
+      .limit(probeIds.size) // static row bound: audits as a bounded-side join
+    val base = df.where(col(s"`$labelCol`").isNotNull)
+      .select(id.as("vec_id"), e.as("emb"), col(s"`$labelCol`").as("lbl"))
+    val dot = graft.plans.VectorExpressions.dot(col("emb"), col("pe"))
+    val cos = dot / (norm(col("emb")) * norm(col("pe")))
+    base.join(broadcast(probes), col("lbl") =!= col("pl"))
+      .select(col("probe_id"), col("vec_id"), cos.as("cosine"))
+      .groupBy(col("probe_id"))
+      .agg(graft.plans.TopKAggregate.topKByScore(col("cosine"), col("vec_id"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top.id")).as(Seq("pos", "vec_id")))
+      .select(col("probe_id"), col("vec_id"), (col("pos") + 1).cast("long").as("rank"))
+  }
 }

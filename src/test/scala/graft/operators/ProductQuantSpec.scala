@@ -131,6 +131,18 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(!probePlan.contains("Exchange"), probePlan)
   }
 
+  test("l2TopK: exact duplicates rank first at distance 0, ties by id") {
+    val base = (0L until 15L).map { i =>
+      i -> (0 until 4).map(d => ((i * 5 + d) % 9).toDouble / 4.0)
+    }
+    val q = base(6L.toInt)._2
+    val vecs = base ++ Seq(50L -> q)
+    val got = ProductQuant.l2TopK(df(vecs), "vec_id", "embedding", q.toArray, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.take(2).toSeq === Seq((6L, 0L), (50L, 0L)))
+    assert(got(2)._2 > 0L)
+  }
+
   test("short and null-element vectors are dropped, not mis-encoded") {
     import spark.implicits._
     val good = (0L until 8L).map(i => (i, (0 until 4).map(d => (i + d).toFloat / 10f)))

@@ -232,4 +232,22 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.integerCentroids(big.repartition(13), "label", "embedding").head().getLong(4)
     assert(a === b && a === 250500000L) // mean of 1..500 = 250.5 exactly on the grid
   }
+
+  test("hardNegatives: same-label neighbors are invisible, ranks follow cosine") {
+    import spark.implicits._
+    // probe 0 (label 1): its exact duplicate 10 carries label 1 (must be
+    // invisible), 11 is a near-copy with label 2 (must rank 1), the rest
+    // are orthogonal-ish fillers with label 2
+    val q = Array(1.0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, q, 1), (10L, q, 1), (11L, Array(0.99f, 0.1f, 0f, 0f), 2),
+      (12L, Array(0f, 1f, 0f, 0f), 2), (13L, Array(0f, 0f, 1f, 0f), 2),
+      (14L, Array(0.5f, 0.5f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
+      probeIds = Seq(0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(got.map(_._2).toSeq === Seq(11L, 14L, 12L)) // by cosine to the probe
+    assert(!got.map(_._2).contains(10L), "same-label duplicate leaked in")
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L))
+  }
 }
