@@ -2723,6 +2723,28 @@ object SparkEntry {
     graft.operators.QualityRules.gopherRules(
       table(spark, dir, "documents"), "doc_id", "text")
 
+  /** The same rules applied to a STREAM (stateless projection — quality
+    * gating composes with ingestion unchanged); AvailableNow one-shot,
+    * batch-equivalent aggregate oracle. */
+  private def qStreamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val rules = graft.operators.QualityRules.gopherRules(src, "doc_id", "text")
+    val sink = "graft_stream_quality_sink"
+    val q = rules.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("pass").cast("long")).as("n_pass"),
+      sum(col("bullet_ok").cast("long")).as("n_bullet_ok"),
+      sum(col("alpha_ok").cast("long")).as("n_alpha_ok"),
+      sum(col("stopword_ok").cast("long")).as("n_stopword_ok"),
+      sum(when(col("pass"), col("doc_id")).otherwise(lit(0L))).cast("long").as("pass_id_sum"))
+  }
+
   /** Length-bucketed padding-waste report over whitespace token counts —
     * the pad-vs-pack efficiency audit. */
   private def qPaddingReport(spark: SparkSession, dir: String): DataFrame = {
@@ -3065,6 +3087,7 @@ object SparkEntry {
     "pagerank" -> qPagerank,
     "label_prop" -> qLabelProp,
     "quality_rules" -> qQualityRules,
+    "stream_quality_filter" -> qStreamQualityFilter,
     "padding_report" -> qPaddingReport,
     "lang_mix_report" -> qLangMixReport,
     "lang_mix_sample" -> qLangMixSample,
@@ -3281,6 +3304,39 @@ object SparkEntry {
       "nc AS (SELECT count(*)::BIGINT AS n FROM pqt JOIN ex USING (vec_id)) " +
       "SELECT 10::BIGINT AS k, n AS n_common, ((n * 1000000) // 10)::BIGINT AS recall_ppm FROM nc"
 
+  /** Shared Gopher-rule CTE (through `g`, which carries every flag plus
+    * `pass`) — consumed by the per-doc `quality_rules` oracle and the
+    * aggregate `stream_quality_filter` twin. */
+  private val qualityRulesCte: String =
+    "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+      "w AS (SELECT doc_id, text, " +
+      "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words, " +
+      "string_split(text, chr(10)) AS lines FROM d), " +
+      "m AS (SELECT doc_id, " +
+      "len(words)::BIGINT AS n_words, len(lines)::BIGINT AS n_lines, " +
+      "coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS word_chars, " +
+      "((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))))::BIGINT AS symbols, " +
+      "len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))::BIGINT AS bullet_lines, " +
+      "len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines, " +
+      "len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_words, " +
+      "((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END))::BIGINT AS stop_ct FROM w), " +
+      "f AS (SELECT doc_id, n_words, n_lines, " +
+      "(n_words >= 3 AND n_words <= 100000) AS word_count_ok, " +
+      "(n_words > 0 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS mean_word_len_ok, " +
+      "(10 * symbols <= n_words) AS symbol_ok, " +
+      "(10 * bullet_lines <= 9 * n_lines) AS bullet_ok, " +
+      "(10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ok, " +
+      "(5 * alpha_words >= 4 * n_words) AS alpha_ok, " +
+      "(stop_ct >= 2) AS stopword_ok FROM m), " +
+      "g AS (SELECT *, (word_count_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok " +
+      "AND ellipsis_ok AND alpha_ok AND stopword_ok) AS pass FROM f) "
+
   /** Shared quota CTE for the lang-mix oracles: counts, exact isqrt
     * weights, floor quotas at budget 200. */
   private val langMixQuotaCte: String =
@@ -3341,36 +3397,19 @@ object SparkEntry {
         "FROM r JOIN q USING (lang) WHERE r.rank <= q.quota ORDER BY lang, rank"),
     // every structural rule recomputed in integer cross-multiplication
     "quality_rules" ->
-      ("WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
-        "w AS (SELECT doc_id, text, " +
-        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words, " +
-        "string_split(text, chr(10)) AS lines FROM d), " +
-        "m AS (SELECT doc_id, " +
-        "len(words)::BIGINT AS n_words, len(lines)::BIGINT AS n_lines, " +
-        "coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS word_chars, " +
-        "((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '…', ''))))::BIGINT AS symbols, " +
-        "len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))::BIGINT AS bullet_lines, " +
-        "len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines, " +
-        "len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_words, " +
-        "((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END))::BIGINT AS stop_ct FROM w), " +
-        "f AS (SELECT doc_id, n_words, n_lines, " +
-        "(n_words >= 3 AND n_words <= 100000) AS word_count_ok, " +
-        "(n_words > 0 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS mean_word_len_ok, " +
-        "(10 * symbols <= n_words) AS symbol_ok, " +
-        "(10 * bullet_lines <= 9 * n_lines) AS bullet_ok, " +
-        "(10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ok, " +
-        "(5 * alpha_words >= 4 * n_words) AS alpha_ok, " +
-        "(stop_ct >= 2) AS stopword_ok FROM m) " +
+      (qualityRulesCte +
         "SELECT doc_id, n_words, n_lines, word_count_ok, mean_word_len_ok, symbol_ok, " +
-        "bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, " +
-        "(word_count_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok AND ellipsis_ok " +
-        "AND alpha_ok AND stopword_ok) AS pass FROM f ORDER BY doc_id"),
+        "bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, pass FROM g ORDER BY doc_id"),
+    // streaming twin: the stateless rules aggregate identically over the
+    // one-shot stream
+    "stream_quality_filter" ->
+      (qualityRulesCte +
+        "SELECT count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass, " +
+        "sum(CASE WHEN bullet_ok THEN 1 ELSE 0 END)::BIGINT AS n_bullet_ok, " +
+        "sum(CASE WHEN alpha_ok THEN 1 ELSE 0 END)::BIGINT AS n_alpha_ok, " +
+        "sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END)::BIGINT AS n_stopword_ok, " +
+        "sum(CASE WHEN pass THEN doc_id ELSE 0 END)::BIGINT AS pass_id_sum FROM g"),
     // smallest-capacity bucket assignment + integral padding arithmetic
     "padding_report" ->
       ("WITH t AS (SELECT len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks FROM documents), " +
