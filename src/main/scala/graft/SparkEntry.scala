@@ -1520,6 +1520,22 @@ object SparkEntry {
         max(col("fill")).cast("long").as("max_bin_fill"))
   }
 
+  /** Optimal (fewest-token, longest-last-token ties) Viterbi segmentation
+    * against the BPE-implied vocabulary — the unigram-style counterpart
+    * to greedy `bpe_encode`; full per-token oracle (20-level chained-CTE
+    * DP + recursive backtrack). */
+  private def qSegmentViterbi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val chars = docs.select(explode(
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w.rlike("^[a-z]+$"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c")).where(col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val vocab = chars ++ merges.map(m => m._1 + m._2)
+    graft.operators.Segment.viterbiSegment(docs, "doc_id", "text", vocab)
+  }
+
   /** Per-document OOV rate against the corpus top-20 token vocabulary —
     * the tokenizer-coverage check run before committing to a vocab. Full
     * per-doc value oracle. */
@@ -3047,6 +3063,7 @@ object SparkEntry {
     "bpe_train" -> qBpeTrain,
     "bpe_encode" -> qBpeEncode,
     "bpe_pack" -> qBpePack,
+    "segment_viterbi" -> qSegmentViterbi,
     "langid_profile" -> qLangidProfile,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
@@ -3210,6 +3227,40 @@ object SparkEntry {
       "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
       "dw AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS wpos, unnest(t) AS word FROM dt)"
 
+  /** The Viterbi segmentation replayed exactly: BPE-implied vocabulary
+    * (chars + merge products), a `maxWordLen`-level chained-CTE DP with
+    * the (cost asc, last-token-length desc) argmin as a window rank, and
+    * a recursive backtrack emitting the token stream. */
+  private val segmentViterbiOracleSql: String = {
+    val maxLen = 20
+    val head = s"WITH RECURSIVE $bpeEncodeCte, " +
+      "chars2 AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM words), " +
+      "vset AS (SELECT c AS token FROM chars2 UNION SELECT a || b FROM merges), " +
+      "d0 AS (SELECT word, 0 AS j, 0 AS c, 0 AS l FROM words)"
+    val dp = (1 to maxLen).map { j =>
+      s"s$j AS (SELECT word, c, l FROM (" +
+        s"SELECT p.word, p.c + 1 AS c, $j - p.j AS l, " +
+        s"row_number() OVER (PARTITION BY p.word ORDER BY p.c + 1, $j - p.j DESC) AS rn " +
+        s"FROM d${j - 1} p JOIN vset v ON v.token = substr(p.word, p.j + 1, $j - p.j) " +
+        s"WHERE len(p.word) >= $j) q WHERE rn = 1), " +
+        // MATERIALIZED: each d_j is referenced twice (s_{j+1} and d_{j+1});
+        // inlining would expand d20 into 2^20 base scans
+        s"d$j AS MATERIALIZED (SELECT * FROM d${j - 1} UNION ALL SELECT word, $j, c, l FROM s$j)"
+    }.mkString(", ", ", ", ", ")
+    head + dp +
+      s"bt AS (SELECT word, len(word) AS j, CAST([] AS VARCHAR[]) AS toks FROM words " +
+      s"WHERE len(word) <= $maxLen AND EXISTS (SELECT 1 FROM d$maxLen x " +
+      "WHERE x.word = words.word AND x.j = len(words.word)) " +
+      "UNION ALL SELECT b.word, b.j - s.l, " +
+      "list_prepend(substr(b.word, b.j - s.l + 1, s.l), b.toks) " +
+      s"FROM bt b JOIN d$maxLen s ON s.word = b.word AND s.j = b.j WHERE b.j > 0), " +
+      "seg AS (SELECT word, toks FROM bt WHERE j = 0), " +
+      "ex2 AS (SELECT dw.doc_id, dw.wpos, unnest(range(1, len(g.toks)+1)) AS tpos, " +
+      "unnest(g.toks) AS token FROM dw JOIN seg g USING (word)) " +
+      "SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos))::BIGINT AS pos, " +
+      "token FROM ex2 ORDER BY doc_id, pos"
+  }
+
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
   /** Fixed-point PageRank recomputed as 10 chained CTEs — identical
@@ -3351,6 +3402,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
+    "segment_viterbi" -> segmentViterbiOracleSql,
     // brute-force integer L2 on the same 1e6 grid
     "ann_l2_topk" ->
       ("WITH qz AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +
