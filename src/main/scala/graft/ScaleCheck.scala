@@ -83,6 +83,11 @@ object ScaleCheck {
     // PQ ANN: training joins the broadcast codebook (constant size), the
     // probe touches m rows per vector — both linear terms under test
     "ann_pq_topk",
+    // round-11 batch 2: the distinct-word DP (cost is vocabulary-shaped —
+    // scaled copies rotate the alphabet so distinct words grow ~SCALEx,
+    // the worst case for this operator), the heap-sampled language
+    // mixture, and the bounded-probe nested-loop miner
+    "segment_viterbi", "lang_mix_sample", "hard_negatives",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -32,53 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Segment {
 
-  /** Per-word DP producing the token array (null when unsegmentable).
-    * `bests(j)` = (cost, lastTokenLen) for prefix length j, computed by a
-    * fold over j; the backtrack is a second fold walking lastTokenLen
-    * pointers. Both are in-row expressions over the broadcast `vocab`
-    * map literal. */
-  private def viterbiToks(word: Column, vocab: Seq[String], maxWordLen: Int): Column = {
-    val unreachable = 1 << 20 // sentinel cost; real costs are <= maxWordLen
-    val vmap = typedlit(vocab.map(t => t -> 1).toMap)
-    val len = length(word)
-    val emptyBests = expr("CAST(array() AS ARRAY<STRUCT<c INT, l INT>>)")
-    val bests = aggregate(
-      sequence(lit(1), len),
-      emptyBests,
-      (acc, j) => {
-        val cand = aggregate(
-          sequence(lit(1), j),
-          struct(lit(unreachable).as("c"), lit(0).as("l")),
-          (best, l) => {
-            val tok = word.substr(j - l + 1, l)
-            val prevC = when(l === j, lit(0))
-              .otherwise(element_at(acc, (j - l).cast("int")).getField("c"))
-            val cost = prevC + 1
-            // try_element_at: ANSI element_at THROWS on a missing map key
-            val better = try_element_at(vmap, tok).isNotNull && prevC < unreachable &&
-              (cost < best.getField("c") ||
-                (cost === best.getField("c") && l > best.getField("l")))
-            when(better, struct(cost.cast("int").as("c"), l.cast("int").as("l")))
-              .otherwise(best)
-          })
-        concat(acc, array(cand))
-      })
-    // walk at most `len` pointer hops; st.j hits 0 exactly when done
-    val walk = aggregate(
-      sequence(lit(1), len),
-      struct(len.cast("int").as("j"), expr("CAST(array() AS ARRAY<STRING>)").as("toks")),
-      (st, _) => {
-        val j = st.getField("j")
-        val bl = element_at(bests, j).getField("l")
-        when(j > 0,
-          struct((j - bl).cast("int").as("j"),
-            concat(array(word.substr(j - bl + 1, bl)), st.getField("toks")).as("toks")))
-          .otherwise(st)
-      })
-    when(len.between(1, maxWordLen) &&
-      element_at(bests, len.cast("int")).getField("c") < unreachable,
-      walk.getField("toks"))
-  }
+  /** Per-word DP producing the token array (null when unsegmentable),
+    * via the codegen'd [[graft.plans.ViterbiSegmentExpr]] kernel — a
+    * first cut as nested higher-order array functions evaluated
+    * INTERPRETED at ~80 ms per word (measured: 75 s over the sf0.1
+    * distinct-word set); the flat-loop kernel does the same DP in
+    * microseconds with the vocabulary riding the plan as a reference
+    * object. */
+  private def viterbiToks(word: Column, vocab: Seq[String], maxWordLen: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.plans.ViterbiSegmentExpr(
+      org.apache.spark.sql.GraftBridge.expression(word),
+      new graft.plans.ViterbiKernel(vocab.distinct.toArray, maxWordLen)))
 
   /** Segment every `[a-z]+` whitespace word of `textCol` optimally
     * against `vocab`: (id, pos, token) with `pos` the 1-based token
