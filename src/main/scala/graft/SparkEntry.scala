@@ -1484,6 +1484,19 @@ object SparkEntry {
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(table(spark, dir, "documents"), "text", k = 20)
 
+  /** Trained merges memoized per scale dir: four queries (`bpe_encode`,
+    * `bpe_pack`, `segment_viterbi`, and transitively their oracles' Spark
+    * side) consume the SAME deterministic k=20 training run — retraining
+    * per query would spend ~4 s x 3 of pure duplication in every
+    * Verify/Bench pass. The result is a pure function of (dir, k), so
+    * memoization cannot change any output. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+  private def trainedMerges(spark: SparkSession, dir: String, k: Int = 20): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent((dir, k), _ =>
+      graft.operators.Bpe.train(table(spark, dir, "documents"), "text", k)
+        .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** BPE ENCODE of every document with the merges trained on the same
     * corpus: one row per (doc, position) with the token text and its
     * vocab id — the full-value per-token oracle (~90k rows at the gate
@@ -1491,8 +1504,7 @@ object SparkEntry {
     * by merge products in rank order, first occurrence winning. */
   private def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
-      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = trainedMerges(spark, dir)
     graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
   }
 
@@ -1505,8 +1517,7 @@ object SparkEntry {
   private def qBpePack(spark: SparkSession, dir: String): DataFrame = {
     val capacity = 512L
     val docs = table(spark, dir, "documents")
-    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
-      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = trainedMerges(spark, dir)
     val counts = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
       .groupBy("doc_id").agg(count(lit(1)).as("toks"))
     val spans = graft.operators.Packing.chunkSpans(counts, "doc_id", "toks", capacity)
@@ -1526,8 +1537,7 @@ object SparkEntry {
     * DP + recursive backtrack). */
   private def qSegmentViterbi(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val merges = graft.operators.Bpe.train(docs, "text", k = 20)
-      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = trainedMerges(spark, dir)
     val chars = docs.select(explode(
       filter(split(trim(lower(col("text"))), "\\s+"), w => w.rlike("^[a-z]+$"))).as("w"))
       .select(explode(split(col("w"), "")).as("c")).where(col("c") =!= "")
