@@ -750,6 +750,20 @@ object SparkEntry {
       table(spark, dir, "embeddings"), "vec_id", "embedding", "label",
       probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
 
+  /** IVFADC: coarse quantizer (8 inverted lists) + PQ on residuals +
+    * 2-list routed ADC probe — the FAISS-style billion-vector
+    * architecture, fully replayed by the oracle. */
+  private def qAnnIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.ProductQuant.ivfAdcTopK(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q,
+      k = 10, m = 8, nLists = 8, nProbe = 2, nCodes = 16, lloydIters = 1,
+      excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pq_dist").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3045,6 +3059,7 @@ object SparkEntry {
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
     "ann_l2_topk" -> qAnnL2Topk,
+    "ann_ivfpq_topk" -> qAnnIvfPqTopk,
     "pq_recall" -> qPqRecall,
     "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
@@ -3353,6 +3368,56 @@ object SparkEntry {
     annPqCoreCte + " SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
       "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
 
+  /** IVFADC replayed exactly: the coarse quantizer is a one-subspace PQ
+    * chain over the full vector, residuals subtract the own-list
+    * centroid, a second PQ chain trains on the residuals, and the probe
+    * routes to the 2 nearest lists with per-list ADC tables. Every cb /
+    * assign CTE is MATERIALIZED — the chain is deep and multiply
+    * referenced; inlining would expand exponentially. */
+  private val annIvfPqOracleSql: String = {
+    def cb(name: String, assignT: String, src: String) =
+      s"$name AS MATERIALIZED (SELECT z.s, a.code, z.spos, " +
+        "((sum(z.q) - ((sum(z.q) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS c " +
+        s"FROM $src z JOIN $assignT a ON a.vec_id = z.vec_id AND a.s = z.s GROUP BY z.s, a.code, z.spos)"
+    def assign(name: String, codebook: String, src: String) =
+      s"$name AS MATERIALIZED (SELECT vec_id, s, code FROM (" +
+        "SELECT z.vec_id, z.s, cb.code, row_number() OVER (PARTITION BY z.vec_id, z.s " +
+        "ORDER BY sum((z.q - cb.c) * (z.q - cb.c)), cb.code) AS rn " +
+        s"FROM $src z JOIN $codebook cb ON cb.s = z.s AND cb.spos = z.spos " +
+        "GROUP BY z.vec_id, z.s, cb.code) WHERE rn = 1)"
+    "WITH qz AS MATERIALIZED (SELECT vec_id, ((pos - 1) // 8)::BIGINT AS s, ((pos - 1) % 8)::BIGINT AS spos, q FROM (" +
+      "SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +
+      "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings)), " +
+      // coarse source: the full vector as ONE subspace (s = 0, spos 0..63)
+      "fz AS MATERIALIZED (SELECT vec_id, 0::BIGINT AS s, (z.s * 8 + z.spos)::BIGINT AS spos, q FROM qz z), " +
+      "ca0 AS (SELECT DISTINCT vec_id, s, (vec_id * 31) % 8 AS code FROM fz), " +
+      cb("ccb0", "ca0", "fz") + ", " + assign("ca1", "ccb0", "fz") + ", " +
+      cb("ccb1", "ca1", "fz") + ", " + assign("ca2", "ccb1", "fz") + ", " +
+      "la AS MATERIALIZED (SELECT vec_id, code AS list FROM ca2), " +
+      // residuals against the own-list centroid, back in m=8 layout
+      "rz AS MATERIALIZED (SELECT z.vec_id, z.s, z.spos, z.q - c.c AS q FROM qz z " +
+      "JOIN la ON la.vec_id = z.vec_id JOIN ccb1 c ON c.code = la.list AND c.spos = z.s * 8 + z.spos), " +
+      "pa0 AS (SELECT DISTINCT vec_id, s, (vec_id * 31 + s * 7) % 16 AS code FROM rz), " +
+      cb("pcb0", "pa0", "rz") + ", " + assign("pa1", "pcb0", "rz") + ", " +
+      cb("pcb1", "pa1", "rz") + ", " + assign("pa2", "pcb1", "rz") + ", " +
+      // routing: query = vec 0's full-dim grid vector
+      "qf AS MATERIALIZED (SELECT spos, q FROM fz WHERE vec_id = 0), " +
+      "cd AS (SELECT c.code, sum((qf.q - c.c) * (qf.q - c.c)) AS d FROM ccb1 c " +
+      "JOIN qf ON qf.spos = c.spos GROUP BY c.code), " +
+      "pl AS MATERIALIZED (SELECT code AS list FROM cd ORDER BY d, code LIMIT 2), " +
+      // per-probed-list residual query + ADC table
+      "rq AS MATERIALIZED (SELECT pl.list, qf.spos, qf.q - c.c AS q FROM pl " +
+      "JOIN ccb1 c ON c.code = pl.list JOIN qf ON qf.spos = c.spos), " +
+      "dtab AS MATERIALIZED (SELECT rq.list, p.s, p.code, sum((rq.q - p.c) * (rq.q - p.c)) AS d " +
+      "FROM pcb1 p JOIN rq ON rq.spos = p.s * 8 + p.spos GROUP BY rq.list, p.s, p.code), " +
+      "score AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM pa2 a " +
+      "JOIN la ON la.vec_id = a.vec_id JOIN pl ON pl.list = la.list " +
+      "JOIN dtab dt ON dt.list = la.list AND dt.s = a.s AND dt.code = a.code " +
+      "WHERE a.vec_id <> 0 GROUP BY a.vec_id) " +
+      "SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
+      "FROM score ORDER BY pq_dist, vec_id LIMIT 10"
+  }
+
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
     * id sets. */
@@ -3412,6 +3477,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
+    "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "segment_viterbi" -> segmentViterbiOracleSql,
     // brute-force integer L2 on the same 1e6 grid
     "ann_l2_topk" ->

@@ -180,6 +180,94 @@ object ProductQuant {
     out
   }
 
+  /** IVFADC (Jégou et al. 2011 §III): a coarse quantizer partitions the
+    * corpus into `nLists` inverted lists, PQ encodes each vector's
+    * RESIDUAL against its list centroid, and the probe routes the query
+    * to the `nProbe` nearest lists, scanning only those lists with a
+    * per-list ADC table. This is the architecture that makes
+    * billion-vector ANN tractable: the probe touches `nProbe/nLists` of
+    * the corpus, and what it touches costs m table lookups per vector.
+    *
+    * Same exactness contract as [[adcTopK]]: the coarse quantizer IS a
+    * one-subspace PQ training run (hash init + integer floor-mean Lloyd
+    * rounds), residuals/assignments/distances are in-row projections
+    * against plan-literal codebooks, and the whole pipeline — coarse
+    * training, residual PQ training, routing, ADC — replays in SQL
+    * (`ann_ivfpq_topk`). At 100 TB the inverted-list structure is the
+    * partition-pruning story: `list_idx` is a physical partitioning
+    * column, and the probe's in-row `isin(probedLists)` filter becomes
+    * partition pruning on a list-partitioned layout.
+    *
+    * Returns the top `k` of the PROBED lists by (approximate distance
+    * asc, vid asc) — vectors outside the probed lists are structurally
+    * invisible, exactly the IVF trade. */
+  def ivfAdcTopK(df: DataFrame, idCol: String, embCol: String, query: Array[Double],
+                 k: Int, m: Int, nLists: Int = 8, nProbe: Int = 2, nCodes: Int = 16,
+                 lloydIters: Int = 1, scale: Long = 1000000L,
+                 excludeId: Option[Long] = None): DataFrame = {
+    require(query.length % m == 0, s"query dim ${query.length} not divisible by m=$m")
+    require(nProbe >= 1 && nProbe <= nLists, "nProbe in [1, nLists]")
+    val dim = query.length
+    val subDim = dim / m
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // coarse quantizer = one-subspace PQ over the full vector
+    val coarseRows = rows.select(col("vid"), array(flatten(col("qsubs"))).as("qsubs"))
+    val coarseCb = trainCodebooks(coarseRows, m = 1, subDim = dim, nCodes = nLists, lloydIters)
+
+    // in-row list assignment + residual subvectors against the OWN list
+    // centroid (literal dispatch over the bounded list set)
+    val flat = flatten(col("qsubs"))
+    val listCode = zip_with(
+      nearestIdx(array(flat), centArrays(coarseCb, 1)), typedlit(idArrays(coarseCb, 1)),
+      (i, idarr) => element_at(idarr, i))
+    def centOf(listCol: Column): Seq[Column] = coarseCb.map(cw =>
+      when(listCol === cw.code, typedlit(cw.centroid.toList)))
+    val residRows = rows
+      .withColumn("list_idx", element_at(listCode, 1))
+      .withColumn("__cent", coalesce(centOf(col("list_idx")): _*))
+      .select(col("vid"), col("list_idx"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          zip_with(element_at(col("qsubs"), s + 1),
+            slice(col("__cent"), s * subDim + 1, lit(subDim)), (a, b) => a - b)).as("qsubs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pqCb = trainCodebooks(residRows, m, subDim, nCodes, lloydIters)
+
+    // driver-side routing + per-list ADC tables
+    val qq = query.map(v => BigDecimal(v * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val probed = coarseCb.map { cw =>
+      val d = cw.centroid.zipWithIndex.map { case (c, j) => val x = qq(j) - c; x * x }.sum
+      (d, cw.code, cw.centroid)
+    }.sortBy(t => (t._1, t._2)).take(nProbe)
+    val dtables: Map[Long, Seq[Seq[Long]]] = probed.map { case (_, listId, cent) =>
+      listId -> List.tabulate(m) { s =>
+        pqCb.filter(_.s == s).map { cw =>
+          cw.centroid.zipWithIndex.map { case (c, j) =>
+            val r = (qq(s * subDim + j) - cent(s * subDim + j)) - c; r * r
+          }.sum
+        }.toList
+      }
+    }.toMap
+
+    val idxs = nearestIdx(col("qsubs"), centArrays(pqCb, m))
+    val dtableFor = coalesce(probed.map { case (_, listId, _) =>
+      when(col("list_idx") === listId, typedlit(dtables(listId)))
+    }: _*)
+    val dist = aggregate(
+      zip_with(idxs, dtableFor, (i, darr) => element_at(darr, i)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = residRows
+      .where(col("list_idx").isin(probed.map(p => Long.box(p._2)): _*))
+      .select(col("vid"), col("list_idx"), dist.as("pq_dist"))
+    val filtered = excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
+    val out = filtered.orderBy(col("pq_dist").asc, col("vid").asc).limit(k)
+    rows.unpersist(blocking = false)
+    residRows.unpersist(blocking = false)
+    out
+  }
+
   /** EXACT integer squared-L2 top-k on the same quantization grid — the
     * ground truth PQ recall is measured against (same metric, no
     * codebook approximation). One in-row distance projection against the

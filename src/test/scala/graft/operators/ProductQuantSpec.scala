@@ -131,6 +131,41 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(!probePlan.contains("Exchange"), probePlan)
   }
 
+  test("ivfAdcTopK: probe structurally excludes unprobed lists; full probe covers all") {
+    val vecs = (0L until 60L).map { i =>
+      i -> (0 until 8).map(d => ((i * 17 + d * 3) % 29).toDouble / 7.0 - 2.0)
+    }
+    val q = vecs(4L.toInt)._2.toArray
+    def run(nProbe: Int) = ProductQuant.ivfAdcTopK(df(vecs), "vec_id", "embedding", q,
+      k = 60, m = 4, nLists = 4, nProbe = nProbe, nCodes = 4, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val partial = run(1)
+    val full = run(4)
+    assert(full.length === 60, "nProbe = nLists must cover the whole corpus")
+    assert(partial.length < 60, "nProbe < nLists must structurally exclude lists")
+    // probed-list scores agree between partial and full probe (routing
+    // changes WHICH vectors are visible, never their distances)
+    val fullMap = full.toMap
+    partial.foreach { case (vid, d) => assert(fullMap(vid) === d, s"vid $vid") }
+  }
+
+  test("ivfAdcTopK is deterministic across partitionings; query duplicates tie") {
+    val base = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => ((i * 7 + d * 11) % 19).toDouble / 5.0 - 1.5)
+    }
+    val q = base(9L.toInt)._2
+    val vecs = base ++ Seq(200L -> q)
+    def run(parts: Int) = ProductQuant.ivfAdcTopK(df(vecs).repartition(parts),
+      "vec_id", "embedding", q.toArray, k = 41, m = 4, nLists = 4, nProbe = 4,
+      nCodes = 4, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val a = run(1)
+    assert(a === run(9))
+    val m2 = a.toMap
+    // identical vectors -> same list, same residual, same codes, same ADC dist
+    assert(m2(9L) === m2(200L))
+  }
+
   test("l2TopK: exact duplicates rank first at distance 0, ties by id") {
     val base = (0L until 15L).map { i =>
       i -> (0 until 4).map(d => ((i * 5 + d) % 9).toDouble / 4.0)
