@@ -87,7 +87,7 @@ object ScaleCheck {
     // scaled copies rotate the alphabet so distinct words grow ~SCALEx,
     // the worst case for this operator), the heap-sampled language
     // mixture, and the bounded-probe nested-loop miner
-    "segment_viterbi", "lang_mix_sample", "hard_negatives",
+    "segment_viterbi", "lang_mix_sample", "hard_negatives", "ann_ivfpq_topk",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
