@@ -750,6 +750,36 @@ object SparkEntry {
       table(spark, dir, "embeddings"), "vec_id", "embedding", "label",
       probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
 
+  /** Streaming ADC probe: the PQ codebook (trained on the static corpus)
+    * and distance table ride the plan as literals, so scoring an incoming
+    * vector stream is a STATELESS projection — the pattern for flagging
+    * near-query vectors at ingest. AvailableNow one-shot; the oracle is
+    * the batch PQ replay aggregated over every vector. */
+  private def qStreamPqProbe(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val subDim = q.length / 8
+    val rows = graft.operators.ProductQuant.quantizedRows(emb, "vec_id", "embedding", 8, subDim)
+    val cb = graft.operators.ProductQuant.trainCodebooks(rows, m = 8, subDim = subDim,
+      nCodes = 16, lloydIters = 1)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val scored = graft.operators.ProductQuant.adcScores(src, "vec_id", "embedding", cb, q, m = 8)
+      .where(col("vid") =!= 0L)
+    val sink = "graft_stream_pq_sink"
+    val sq = scored.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n"),
+      sum(col("pq_dist")).cast("long").as("dist_sum"),
+      min(col("pq_dist")).cast("long").as("dist_min"),
+      max(col("pq_dist")).cast("long").as("dist_max"),
+      sum(col("vid")).cast("long").as("id_sum"))
+  }
+
   /** IVFADC: coarse quantizer (8 inverted lists) + PQ on residuals +
     * 2-list routed ADC probe — the FAISS-style billion-vector
     * architecture, fully replayed by the oracle. */
@@ -3060,6 +3090,7 @@ object SparkEntry {
     "ann_pq_topk" -> qAnnPqTopk,
     "ann_l2_topk" -> qAnnL2Topk,
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
+    "stream_pq_probe" -> qStreamPqProbe,
     "pq_recall" -> qPqRecall,
     "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
@@ -3478,6 +3509,11 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
+    // batch PQ replay aggregated over every streamed vector
+    "stream_pq_probe" ->
+      (annPqCoreCte + " SELECT count(*)::BIGINT AS n, sum(pq_dist)::BIGINT AS dist_sum, " +
+        "min(pq_dist)::BIGINT AS dist_min, max(pq_dist)::BIGINT AS dist_max, " +
+        "sum(vec_id)::BIGINT AS id_sum FROM res"),
     "segment_viterbi" -> segmentViterbiOracleSql,
     // brute-force integer L2 on the same 1e6 grid
     "ann_l2_topk" ->

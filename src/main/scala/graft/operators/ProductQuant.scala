@@ -139,6 +139,40 @@ object ProductQuant {
       zip_with(nearestIdx(col("qsubs"), centArrays(cb, m)), typedlit(idArrays(cb, m)),
         (i, idarr) => element_at(idarr, i)).as("codes"))
 
+  /** Quantize the query with the SAME rounding the executors use
+    * (BigDecimal HALF_UP == SQL round — java.lang.Math.round differs on
+    * negative halves and would silently diverge). */
+  private def quantizeQuery(query: Array[Double], scale: Long): Array[Long] =
+    query.map(v => BigDecimal(v * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** ADC scores of EVERY vector of `df` against `query` under a trained
+    * codebook: (vid, pq_dist) as one in-row projection (encode + distance
+    * table lookup — no shuffle, no join). Works unchanged on a STREAMING
+    * DataFrame: the codebook and distance table are plan literals, so the
+    * probe is a stateless projection a `writeStream` can run per
+    * micro-batch. */
+  def adcScores(df: DataFrame, idCol: String, embCol: String, cb: Seq[Codeword],
+                query: Array[Double], m: Int,
+                scale: Long = 1000000L): DataFrame = {
+    require(query.length % m == 0, s"query dim ${query.length} not divisible by m=$m")
+    val subDim = query.length / m
+    val qq = quantizeQuery(query, scale)
+    val dtable: Seq[Seq[Long]] = List.tabulate(m) { s =>
+      cb.filter(_.s == s).map { cw =>
+        cw.centroid.zipWithIndex.map { case (c, j) =>
+          val d = qq(s * subDim + j) - c; d * d
+        }.sum
+      }.toList
+    }
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
+    val idxs = nearestIdx(col("qsubs"), centArrays(cb, m))
+    val dist = aggregate(
+      zip_with(idxs, typedlit(dtable), (i, darr) => element_at(darr, i)),
+      lit(0L), (acc, x) => acc + x)
+    rows.select(col("vid"), dist.as("pq_dist"))
+  }
+
   /** End-to-end PQ ANN: train, encode, ADC-probe. Returns the top `k`
     * corpus vectors by approximate (integer) squared distance to
     * `query`: (vid, pq_dist), ordered by (distance asc, vid asc). The
@@ -154,30 +188,10 @@ object ProductQuant {
     val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = trainCodebooks(rows, m, subDim, nCodes, lloydIters)
-
-    // driver-side ADC table, aligned with idArrays ordering: quantize the
-    // query with the SAME rounding (BigDecimal HALF_UP == SQL round —
-    // java.lang.Math.round differs on negative halves and would silently
-    // diverge from the executors)
-    val qq = query.map(v => BigDecimal(v * scale)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    val dtable: Seq[Seq[Long]] = List.tabulate(m) { s =>
-      cb.filter(_.s == s).map { cw =>
-        cw.centroid.zipWithIndex.map { case (c, j) =>
-          val d = qq(s * subDim + j) - c; d * d
-        }.sum
-      }.toList
-    }
-
-    val idxs = nearestIdx(col("qsubs"), centArrays(cb, m))
-    val dist = aggregate(
-      zip_with(idxs, typedlit(dtable), (i, darr) => element_at(darr, i)),
-      lit(0L), (acc, x) => acc + x)
-    val scored = rows.select(col("vid"), dist.as("pq_dist"))
-    val filtered = excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
-    val out = filtered.orderBy(col("pq_dist").asc, col("vid").asc).limit(k)
     rows.unpersist(blocking = false)
-    out
+    val scored = adcScores(df, idCol, embCol, cb, query, m, scale)
+    val filtered = excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
+    filtered.orderBy(col("pq_dist").asc, col("vid").asc).limit(k)
   }
 
   /** IVFADC (Jégou et al. 2011 §III): a coarse quantizer partitions the
