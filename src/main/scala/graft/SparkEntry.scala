@@ -780,6 +780,22 @@ object SparkEntry {
       sum(col("vid")).cast("long").as("id_sum"))
   }
 
+  /** Corpus PQ reconstruction-error report — the drift metric that
+    * triggers codebook retraining; exact-integer aggregate oracle. */
+  private def qPqError(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val subDim = q.length / 8
+    val rows = graft.operators.ProductQuant.quantizedRows(emb, "vec_id", "embedding", 8, subDim)
+    val cb = graft.operators.ProductQuant.trainCodebooks(rows, m = 8, subDim = subDim,
+      nCodes = 16, lloydIters = 1)
+    graft.operators.ProductQuant.quantizationError(emb, "vec_id", "embedding", cb, m = 8)
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("q_err")).cast("long").as("total_err"),
+        expr("(sum(q_err) - pmod(sum(q_err), count(1))) div count(1)").cast("long").as("mean_err"))
+  }
+
   /** IVFADC: coarse quantizer (8 inverted lists) + PQ on residuals +
     * 2-list routed ADC probe — the FAISS-style billion-vector
     * architecture, fully replayed by the oracle. */
@@ -3091,6 +3107,7 @@ object SparkEntry {
     "ann_l2_topk" -> qAnnL2Topk,
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
     "stream_pq_probe" -> qStreamPqProbe,
+    "pq_error" -> qPqError,
     "pq_recall" -> qPqRecall,
     "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
@@ -3509,6 +3526,17 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
+    // reconstruction error vs the final codebook: per-(vec, subspace)
+    // min distance over codes, summed, floor-mean aggregate
+    "pq_error" ->
+      (annPqCoreCte + ", " +
+        "qe AS (SELECT vec_id, s, min(d) AS md FROM (" +
+        "SELECT z.vec_id, z.s, cb.code, sum((z.q - cb.c) * (z.q - cb.c)) AS d " +
+        "FROM qz z JOIN cb1 cb ON cb.s = z.s AND cb.spos = z.spos " +
+        "GROUP BY z.vec_id, z.s, cb.code) GROUP BY vec_id, s), " +
+        "te AS (SELECT vec_id, sum(md) AS e FROM qe GROUP BY vec_id) " +
+        "SELECT count(*)::BIGINT AS n_vectors, sum(e)::BIGINT AS total_err, " +
+        "((sum(e) - ((sum(e) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS mean_err FROM te"),
     // batch PQ replay aggregated over every streamed vector
     "stream_pq_probe" ->
       (annPqCoreCte + " SELECT count(*)::BIGINT AS n, sum(pq_dist)::BIGINT AS dist_sum, " +

@@ -60,26 +60,19 @@ object ProductQuant {
           .as("qsubs"))
   }
 
-  /** Per-subspace nearest-code INDEX (1-based into `ids(s)`), in-row:
-    * distances to every codeword of the subspace via a literal-array
-    * transform, argmin as first-position-of-min — `ids(s)` is sorted
-    * ascending, so first occurrence = smallest code id on ties. */
+  private def kernelOf(cents: Seq[Seq[Seq[Long]]]): graft.plans.PqKernel =
+    new graft.plans.PqKernel(cents.map(_.map(_.toArray).toArray).toArray)
+
+  /** Per-subspace nearest-code INDEX (1-based into `ids(s)`), via the
+    * codegen'd [[graft.plans.PqNearestExpr]] kernel (first-min wins ties;
+    * the codeword lists are sorted ascending by code id, so first
+    * occurrence = smallest code). A first cut built this from nested
+    * higher-order functions over nested literals; HOF lambdas evaluate
+    * interpreted and the measured IVFADC wall went super-linear on pure
+    * interpretation overhead — same fix as the Viterbi kernel. */
   private def nearestIdx(qsubs: Column, cents: Seq[Seq[Seq[Long]]]): Column =
-    transform(sequence(lit(0), lit(cents.size - 1)), s => {
-      val dists = cents.indices.map { si =>
-        // per-subspace literal dispatch: `s` is a Column, so branch with CASE
-        // (typedlit needs concrete List types — it rejects Range literals)
-        when(s === si,
-          transform(typedlit(cents(si).indices.toList), i =>
-            aggregate(
-              zip_with(element_at(qsubs, s + 1),
-                element_at(typedlit(cents(si).map(_.toList).toList), i + 1),
-                (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x)))
-      }
-      val darr = coalesce(dists: _*)
-      array_position(darr, array_min(darr)).cast("int")
-    })
+    org.apache.spark.sql.GraftBridge.column(graft.plans.PqNearestExpr(
+      org.apache.spark.sql.GraftBridge.expression(qsubs), kernelOf(cents)))
 
   /** Train per-subspace codebooks: hash-init assignment (code =
     * pmod(vid*31 + s*7, nCodes) — k-means++ would be better placement but
@@ -231,20 +224,22 @@ object ProductQuant {
     val coarseCb = trainCodebooks(coarseRows, m = 1, subDim = dim, nCodes = nLists, lloydIters)
 
     // in-row list assignment + residual subvectors against the OWN list
-    // centroid (literal dispatch over the bounded list set)
+    // centroid (both via codegen'd kernels with the coarse codebook as a
+    // reference object)
     val flat = flatten(col("qsubs"))
     val listCode = zip_with(
       nearestIdx(array(flat), centArrays(coarseCb, 1)), typedlit(idArrays(coarseCb, 1)),
       (i, idarr) => element_at(idarr, i))
-    def centOf(listCol: Column): Seq[Column] = coarseCb.map(cw =>
-      when(listCol === cw.code, typedlit(cw.centroid.toList)))
+    val residKernel = new graft.plans.PqResidualKernel(
+      coarseCb.map(cw => cw.code -> cw.centroid.toArray).toMap, m, subDim)
+    def residOf(qsubs: Column, listCol: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.plans.PqResidualExpr(
+        org.apache.spark.sql.GraftBridge.expression(qsubs),
+        org.apache.spark.sql.GraftBridge.expression(listCol), residKernel))
     val residRows = rows
       .withColumn("list_idx", element_at(listCode, 1))
-      .withColumn("__cent", coalesce(centOf(col("list_idx")): _*))
       .select(col("vid"), col("list_idx"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          zip_with(element_at(col("qsubs"), s + 1),
-            slice(col("__cent"), s * subDim + 1, lit(subDim)), (a, b) => a - b)).as("qsubs"))
+        residOf(col("qsubs"), col("list_idx")).as("qsubs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pqCb = trainCodebooks(residRows, m, subDim, nCodes, lloydIters)
 
@@ -280,6 +275,22 @@ object ProductQuant {
     rows.unpersist(blocking = false)
     residRows.unpersist(blocking = false)
     out
+  }
+
+  /** Per-vector PQ quantization (reconstruction) error: the integer
+    * squared distance between each vector and its own codeword set,
+    * summed over subspaces — THE metric a production ANN deployment
+    * monitors (rising error on new data = distribution drift = retrain
+    * the codebooks; `pq_error` reports the corpus aggregate). One in-row
+    * projection, same literal-codebook machinery as the probe. */
+  def quantizationError(df: DataFrame, idCol: String, embCol: String, cb: Seq[Codeword],
+                        m: Int, scale: Long = 1000000L): DataFrame = {
+    require(cb.nonEmpty, "codebook must be non-empty")
+    val subDim = cb.head.centroid.size
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
+    val err = org.apache.spark.sql.GraftBridge.column(graft.plans.PqMinDistSumExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("qsubs")), kernelOf(centArrays(cb, m))))
+    rows.select(col("vid"), err.as("q_err"))
   }
 
   /** EXACT integer squared-L2 top-k on the same quantization grid — the

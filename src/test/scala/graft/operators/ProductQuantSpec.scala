@@ -166,6 +166,26 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(m2(9L) === m2(200L))
   }
 
+  test("quantizationError: identical vectors share error; far outliers dominate") {
+    // 4 distinct vectors repeated 10x; codewords are means of data subsets,
+    // so they live inside the data's bounding box — a far-outside vector
+    // must carry a strictly larger reconstruction error than any original
+    val distinct4 = (0 until 4).map(c => (0 until 4).map(d => (c * 10 + d).toDouble))
+    val vecs = (0L until 40L).map(i => i -> distinct4((i % 4L).toInt))
+    val rows = ProductQuant.quantizedRows(df(vecs), "vec_id", "embedding", m = 2, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(rows, m = 2, subDim = 2, nCodes = 4, lloydIters = 1)
+    val vecs2 = vecs :+ (100L -> (0 until 4).map(d => 500.0 + d))
+    val errs = ProductQuant.quantizationError(df(vecs2), "vec_id", "embedding", cb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(errs.size === 41)
+    // identical inputs -> identical codes -> identical error
+    (0 until 4).foreach { c =>
+      val group = (0L until 40L).filter(_ % 4 == c).map(errs)
+      assert(group.distinct.size === 1, s"cluster $c errors diverge")
+    }
+    assert(errs(100L) > (0L until 40L).map(errs).max)
+  }
+
   test("l2TopK: exact duplicates rank first at distance 0, ties by id") {
     val base = (0L until 15L).map { i =>
       i -> (0 until 4).map(d => ((i * 5 + d) % 9).toDouble / 4.0)
