@@ -2791,6 +2791,19 @@ object SparkEntry {
     graft.operators.LabelProp.communities(edges, nodes, iters = 5)
   }
 
+  /** Exact-integer Newman modularity of the round-5 LPA labeling — the
+    * community-quality score (Q = q_x4m2 / 4m^2, no floats). */
+  private def qCommunityModularity(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"), explode(array(
+      pmod(col("node") * 31 + 7, lit(n)),
+      pmod(col("node") * 17 + 3, lit(n)),
+      pmod(col("node") * 13 + 11, lit(n)))).as("dst"))
+    val labels = graft.operators.LabelProp.communities(edges, nodes, iters = 5)
+    graft.operators.LabelProp.modularity(edges, labels)
+  }
+
   /** Temperature (τ=1/2) language-mixture quotas over the lang column —
     * exact isqrt weights, floor quotas, full per-language oracle. */
   private def qLangMixReport(spark: SparkSession, dir: String): DataFrame =
@@ -3176,6 +3189,7 @@ object SparkEntry {
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
     "label_prop" -> qLabelProp,
+    "community_modularity" -> qCommunityModularity,
     "quality_rules" -> qQualityRules,
     "stream_quality_filter" -> qStreamQualityFilter,
     "padding_report" -> qPaddingReport,
@@ -3361,7 +3375,7 @@ object SparkEntry {
   /** Label propagation replayed exactly: same hash-generated edges as
     * `pagerank`, symmetrized/dedup'd, then 5 synchronous rounds as chained
     * CTEs with the (count desc, label asc) argmax as a window rank. */
-  private val labelPropOracleSql: String = {
+  private val labelPropCte: String = {
     val head = "WITH nodes AS (SELECT doc_id AS node FROM documents), " +
       "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
       "e0 AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes " +
@@ -3379,9 +3393,23 @@ object SparkEntry {
         s"FROM sym s JOIN l${i - 1} l ON l.node = s.nbr GROUP BY s.node, l.label) " +
         "WHERE rn = 1) w ON w.node = nodes.node)"
     }.mkString(", ", ", ", " ")
-    head + rounds +
-      "SELECT node::BIGINT AS node, label::BIGINT AS label FROM l5 ORDER BY node"
+    head + rounds
   }
+
+  private val labelPropOracleSql: String =
+    labelPropCte + "SELECT node::BIGINT AS node, label::BIGINT AS label FROM l5 ORDER BY node"
+
+  /** Newman modularity of the round-5 labeling in exact integer form:
+    * Q·4m² = Σ_c (2m·in2_c − deg_c²) over the directed half-edge view. */
+  private val modularityOracleSql: String =
+    labelPropCte +
+      ", hv AS (SELECT a.label AS c1, b.label AS c2 FROM sym s " +
+      "JOIN l5 a ON a.node = s.node JOIN l5 b ON b.node = s.nbr), " +
+      "m2 AS (SELECT count(*)::BIGINT AS v FROM hv), " +
+      "per AS (SELECT c1, count(*)::BIGINT AS deg_c, " +
+      "sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)::BIGINT AS in2 FROM hv GROUP BY c1) " +
+      "SELECT count(*)::BIGINT AS n_communities, ((SELECT v FROM m2) // 2)::BIGINT AS m_edges, " +
+      "sum(in2 * (SELECT v FROM m2) - deg_c * deg_c)::BIGINT AS q_x4m2 FROM per"
 
   /** PQ replayed exactly: quantize to the 1e6 grid, hash-init codebooks,
     * one Lloyd round (floor-mean centroids, ties-to-smallest-code argmin),
@@ -3574,6 +3602,7 @@ object SparkEntry {
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
     "label_prop" -> labelPropOracleSql,
+    "community_modularity" -> modularityOracleSql,
     // exact integer sqrt (float floor(sqrt) with the +-1 correction),
     // floor quotas over the isqrt weight total
     "lang_mix_report" ->

@@ -77,4 +77,47 @@ object LabelProp {
     }
     labels
   }
+
+  /** EXACT integer Newman modularity of a labeling over an undirected
+    * edge set — the quality score that tells you whether [[communities]]
+    * found real structure or noise. Standard Q = Σ_c [ in_c/m −
+    * (deg_c/2m)² ] is a rational with denominator 4m²; this returns the
+    * integer numerator `q_x4m2 = Σ_c (4m·in_c − deg_c²)` alongside `m`,
+    * so Q = q_x4m2 / (4m²) exactly and two engines can compare without a
+    * single float (the oracle replays the integer form).
+    *
+    * `in_c` counts undirected intra-community edges, `deg_c` sums member
+    * degrees, `m` is the undirected edge count after the same
+    * symmetrize/dedup/self-loop discipline as [[communities]]. Scale
+    * shape: one edge-keyed join against the node-sized label frame per
+    * endpoint (the same layout the rounds use) and two
+    * map-side-combined aggregates — no quadratic term anywhere. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = Partitioning.spread(edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = e0.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e0.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+    val lab = labels.select(col("node").cast("long").as("node"), col("label").cast("long").as("label"))
+    // directed view: every undirected edge appears twice in sym
+    val both = sym
+      .join(lab.withColumnRenamed("node", "__n1").withColumnRenamed("label", "c1"),
+        col("node") === col("__n1"))
+      .join(lab.withColumnRenamed("node", "__n2").withColumnRenamed("label", "c2"),
+        col("nbr") === col("__n2"))
+      .select(col("c1"), col("c2"))
+    val m2 = both.count() // = 2m (directed half-edge count)
+    require(m2 > 0, "modularity needs at least one edge")
+    val perC = both.groupBy(col("c1").as("community"))
+      .agg(
+        count(lit(1)).as("deg_c"), // sum of member degrees
+        count(when(col("c1") === col("c2"), 1)).as("in2_c")) // 2 * in_c
+    perC.agg(
+      count(lit(1)).cast("long").as("n_communities"),
+      lit(m2 / 2).cast("long").as("m_edges"),
+      // Σ_c (4m·in_c − deg_c²) with in_c = in2_c/2 and 2m = m2:
+      // 4m·in_c = m2 · in2_c / ... careful: 4m·in_c = 2·m2·(in2_c/2) = m2·in2_c
+      sum(col("in2_c") * m2 - col("deg_c") * col("deg_c")).cast("long").as("q_x4m2"))
+  }
 }

@@ -74,6 +74,29 @@ class LabelPropSpec extends AnyFunSuite {
     assert(got(0L) === 1L && got(1L) === 0L) // odd round count of a 2-cycle swap
   }
 
+  test("modularity: exact integer Q for hand-checkable partitions") {
+    import spark.implicits._
+    // two triangles + bridge; m = 7 undirected edges
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+      .toDF("src", "dst")
+    def q(labels: Map[Long, Long]): (Long, Long, Long) = {
+      val r = LabelProp.modularity(edges,
+        labels.toSeq.toDF("node", "label")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // perfect 2-community split: in_c = 3 each, deg = {7, 7}, m = 7
+    // Q*4m^2 = 2 * (4*7*3 - 49) = 2 * 35 = 70
+    val split = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 1L, 11L -> 1L, 12L -> 1L)
+    assert(q(split) === ((2L, 7L, 70L)))
+    // everything in one community: in = m, Q*4m^2 = 4*7*7 - (2*7)^2 = 0
+    val one = split.keys.map(_ -> 0L).toMap
+    assert(q(one) === ((1L, 7L, 0L)))
+    // LPA's own labeling should beat the one-community baseline
+    val nodes = split.keys.toSeq.toDF("node")
+    val lpa = LabelProp.communities(edges, nodes, iters = 5)
+    assert(LabelProp.modularity(edges, lpa).head().getLong(2) > 0L)
+  }
+
   test("checkpointing rounds produce identical labels (lineage-only change)") {
     val nodes = (0L until 30L)
     val edges = nodes.flatMap(i => Seq((i, (i * 13 + 1) % 30)))
