@@ -780,6 +780,14 @@ object SparkEntry {
       sum(col("vid")).cast("long").as("id_sum"))
   }
 
+  /** PQ-code-blocked near-dup candidate pairs over the embeddings —
+    * quantization cells as blocking keys (the embedding analogue of LSH
+    * band buckets), exact grid-L2 verification. */
+  private def qDedupPqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuant.codeBlockedPairs(
+      table(spark, dir, "embeddings"), "vec_id", "embedding",
+      m = 4, subDim = 16, maxL2 = 20000000000000L, nCodes = 4, lloydIters = 1)
+
   /** Corpus PQ reconstruction-error report — the drift metric that
     * triggers codebook retraining; exact-integer aggregate oracle. */
   private def qPqError(spark: SparkSession, dir: String): DataFrame = {
@@ -3121,6 +3129,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
+    "dedup_pq_codes" -> qDedupPqCodes,
     "pq_recall" -> qPqRecall,
     "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
@@ -3444,6 +3453,40 @@ object SparkEntry {
     annPqCoreCte + " SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
       "FROM res ORDER BY pq_dist, vec_id LIMIT 10"
 
+  /** PQ-code blocking replayed with a coarser m=4/subDim=16/nCodes=4
+    * codebook: train, encode, group identical code vectors into cells,
+    * pair within cells (2..1000 guard), verify by exact grid L2. */
+  private val pqCodePairsOracleSql: String = {
+    def cb(name: String, assignT: String) =
+      s"$name AS MATERIALIZED (SELECT z.s, a.code, z.spos, " +
+        "((sum(z.q) - ((sum(z.q) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS c " +
+        s"FROM qz4 z JOIN $assignT a ON a.vec_id = z.vec_id AND a.s = z.s GROUP BY z.s, a.code, z.spos)"
+    def assign(name: String, codebook: String) =
+      s"$name AS MATERIALIZED (SELECT vec_id, s, code FROM (" +
+        "SELECT z.vec_id, z.s, cb.code, row_number() OVER (PARTITION BY z.vec_id, z.s " +
+        "ORDER BY sum((z.q - cb.c) * (z.q - cb.c)), cb.code) AS rn " +
+        s"FROM qz4 z JOIN $codebook cb ON cb.s = z.s AND cb.spos = z.spos " +
+        "GROUP BY z.vec_id, z.s, cb.code) WHERE rn = 1)"
+    "WITH qz4 AS MATERIALIZED (SELECT vec_id, ((pos - 1) // 16)::BIGINT AS s, ((pos - 1) % 16)::BIGINT AS spos, q FROM (" +
+      "SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +
+      "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings)), " +
+      "b0 AS (SELECT DISTINCT vec_id, s, (vec_id * 31 + s * 7) % 4 AS code FROM qz4), " +
+      cb("bb0", "b0") + ", " + assign("ba1", "bb0") + ", " +
+      cb("bb1", "ba1") + ", " + assign("ba2", "bb1") + ", " +
+      "cv AS MATERIALIZED (SELECT vec_id, list(code ORDER BY s) AS codes FROM ba2 GROUP BY vec_id), " +
+      "cnt AS (SELECT codes, count(*) AS n FROM cv GROUP BY codes), " +
+      "okc AS MATERIALIZED (SELECT cv.vec_id, cv.codes FROM cv JOIN cnt ON cnt.codes = cv.codes " +
+      "WHERE cnt.n BETWEEN 2 AND 1000), " +
+      "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM okc a " +
+      "JOIN okc b ON a.codes = b.codes AND a.vec_id < b.vec_id), " +
+      "dd AS (SELECT pr.id_a, pr.id_b, sum((za.q - zb.q) * (za.q - zb.q))::BIGINT AS l2_dist " +
+      "FROM pr JOIN qz4 za ON za.vec_id = pr.id_a " +
+      "JOIN qz4 zb ON zb.vec_id = pr.id_b AND zb.s = za.s AND zb.spos = za.spos " +
+      "GROUP BY pr.id_a, pr.id_b) " +
+      "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, l2_dist FROM dd " +
+      "WHERE l2_dist <= 20000000000000 ORDER BY id_a, id_b"
+  }
+
   /** IVFADC replayed exactly: the coarse quantizer is a one-subspace PQ
     * chain over the full vector, residuals subtract the own-list
     * centroid, a second PQ chain trains on the residuals, and the probe
@@ -3554,6 +3597,7 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
+    "dedup_pq_codes" -> pqCodePairsOracleSql,
     // reconstruction error vs the final codebook: per-(vec, subspace)
     // min distance over codes, summed, floor-mean aggregate
     "pq_error" ->

@@ -293,6 +293,47 @@ object ProductQuant {
     rows.select(col("vid"), err.as("q_err"))
   }
 
+  /** PQ-code-blocked near-duplicate candidates: vectors sharing their
+    * ENTIRE code vector land in the same quantization cell, and cells are
+    * the blocking key — the embedding-space analogue of the LSH band
+    * buckets the text dedup family uses. Pairs within a cell are verified
+    * with the exact integer L2 on the grid and kept under `maxL2`.
+    * With coarse codebooks (small nCodes) cells are wide and recall is
+    * high; with fine codebooks cells approach exact-duplicate detection —
+    * the caller picks the operating point, same trade as shingle size.
+    *
+    * Scale shape: encoding is the in-row kernel projection; the blocking
+    * join is an equi-join on the code vector with map-side-combined cell
+    * counts gating membership (cells above `maxBucket` are dropped — the
+    * same quadratic guard as `maxBucket` in the LSH dedup family, and
+    * cells below 2 can't pair). Only candidate pairs carry vector
+    * payloads. Returns (id_a, id_b, l2_dist), id_a < id_b. */
+  def codeBlockedPairs(df: DataFrame, idCol: String, embCol: String, m: Int, subDim: Int,
+                       maxL2: Long, nCodes: Int = 4, lloydIters: Int = 1,
+                       scale: Long = 1000000L, maxBucket: Int = 1000): DataFrame = {
+    require(maxL2 >= 0 && maxBucket >= 2, "maxL2 >= 0, maxBucket >= 2")
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = trainCodebooks(rows, m, subDim, nCodes, lloydIters)
+    val codes = zip_with(nearestIdx(col("qsubs"), centArrays(cb, m)),
+      typedlit(idArrays(cb, m)), (i, idarr) => element_at(idarr, i))
+    val coded = rows.select(col("vid"), col("qsubs"), codes.as("codes"))
+    rows.unpersist(blocking = false)
+    val cells = coded.groupBy(col("codes")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("codes"))
+    val inCell = coded.join(cells, Seq("codes"))
+    val a = inCell.select(col("codes"), col("vid").as("id_a"), col("qsubs").as("__qa"))
+    val b = inCell.select(col("codes"), col("vid").as("id_b"), col("qsubs").as("__qb"))
+    val l2 = aggregate(
+      zip_with(col("__qa"), col("__qb"), (sa, sb) =>
+        aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)),
+      lit(0L), (acc, v) => acc + v)
+    a.join(b, Seq("codes")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), l2.as("l2_dist"))
+      .where(col("l2_dist") <= maxL2)
+  }
+
   /** EXACT integer squared-L2 top-k on the same quantization grid — the
     * ground truth PQ recall is measured against (same metric, no
     * codebook approximation). One in-row distance projection against the

@@ -186,6 +186,32 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(errs(100L) > (0L until 40L).map(errs).max)
   }
 
+  test("codeBlockedPairs: planted duplicates pair at distance 0; guards hold") {
+    // i stays below the modulus so i*13 mod 23 is injective — no
+    // accidental exact duplicates beyond the planted ones
+    val base = (0L until 20L).map { i =>
+      i -> (0 until 8).map(d => ((i * 13 + d * 7) % 23).toDouble - 11.0)
+    }
+    // plant two exact duplicate groups
+    val vecs = base ++ Seq(100L -> base(3L.toInt)._2, 101L -> base(3L.toInt)._2,
+      200L -> base(8L.toInt)._2)
+    val pairs = ProductQuant.codeBlockedPairs(df(vecs), "vec_id", "embedding",
+      m = 2, subDim = 4, maxL2 = Long.MaxValue, nCodes = 2, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zero = pairs.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(Set((3L, 100L), (3L, 101L), (100L, 101L), (8L, 200L)).subsetOf(zero))
+    pairs.foreach { case (a, b, _) => assert(a < b) }
+    // maxL2 = 0 keeps only the exact duplicates
+    val strict = ProductQuant.codeBlockedPairs(df(vecs), "vec_id", "embedding",
+      m = 2, subDim = 4, maxL2 = 0L, nCodes = 2, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((3L, 100L), (3L, 101L), (100L, 101L), (8L, 200L)))
+    // a tiny maxBucket drops every cell (2 codes^2 subspaces = 4 wide cells)
+    val guarded = ProductQuant.codeBlockedPairs(df(vecs), "vec_id", "embedding",
+      m = 2, subDim = 4, maxL2 = Long.MaxValue, nCodes = 2, lloydIters = 1, maxBucket = 2)
+    assert(guarded.count() <= strict.size.toLong)
+  }
+
   test("l2TopK: exact duplicates rank first at distance 0, ties by id") {
     val base = (0L until 15L).map { i =>
       i -> (0 until 4).map(d => ((i * 5 + d) % 9).toDouble / 4.0)
