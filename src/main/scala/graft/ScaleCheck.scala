@@ -88,6 +88,10 @@ object ScaleCheck {
     // the worst case for this operator), the heap-sampled language
     // mixture, and the bounded-probe nested-loop miner
     "segment_viterbi", "lang_mix_sample", "hard_negatives", "ann_ivfpq_topk",
+    // round-11 batch 3: quantization-cell blocking (cell-count growth is
+    // the term under test), the narrow reconstruction-error scan, and the
+    // modularity aggregate riding the LPA layout
+    "dedup_pq_codes", "pq_error", "community_modularity",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
