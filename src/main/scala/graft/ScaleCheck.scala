@@ -229,7 +229,12 @@ object ScaleCheck {
         bytesListener.settle()
         bytesListener.reset()
         val t0 = System.nanoTime()
-        fn(spark, dir).collect().length
+        // execute fully (every column materialized into UnsafeRows) but
+        // DISCARD on the executors: a collect() here capped the harness at
+        // spark.driver.maxResultSize — segment_viterbi's per-token result
+        // is ~1 GiB of driver traffic at 100x, and shipping results to the
+        // driver is harness cost, not operator cost
+        fn(spark, dir).queryExecution.toRdd.count()
         val e = (System.nanoTime() - t0) / 1e9
         bytes = bytesListener.settle()
         try { spark.catalog.clearCache() } catch { case _: Throwable => }
