@@ -2825,6 +2825,39 @@ object SparkEntry {
     graft.operators.Mixture.temperatureSample(
       table(spark, dir, "documents"), "doc_id", "lang", budget = 200L)
 
+  /** One-row corpus data card — the summary a pipeline publishes with a
+    * dataset release: volume, token mass, source/language spread,
+    * structural-quality pass rate, and exact-duplicate mass, all integer
+    * observables in ONE pass over the corpus plus the quality projection.
+    * Top language resolves ties toward the lexicographically smallest
+    * code so the card is a pure function of the data. */
+  private def qCorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val rules = graft.operators.QualityRules.gopherRules(docs, "doc_id", "text")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(lower(trim(col("text")))).as("n_distinct_texts"),
+      sum(col("n_chars")).cast("long").as("n_chars"))
+    val quality = rules.agg(sum(col("pass").cast("long")).as("n_quality_pass"))
+    base.crossJoin(broadcast(quality)).crossJoin(broadcast(topLangCount(spark, dir)))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_sources"), col("n_langs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dup_docs"),
+        col("n_quality_pass"),
+        col("top_lang"), col("top_lang_docs"))
+  }
+
+  /** Most frequent language with ties to the smallest code, as a 1-row
+    * frame (broadcast into the card). */
+  private def topLangCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").where(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"), col("__n").cast("long").as("top_lang_docs"))
+
   /** Gopher-style structural quality rules, full per-doc flag oracle. */
   private def qQualityRules(spark: SparkSession, dir: String): DataFrame =
     graft.operators.QualityRules.gopherRules(
@@ -3200,6 +3233,7 @@ object SparkEntry {
     "label_prop" -> qLabelProp,
     "community_modularity" -> qCommunityModularity,
     "quality_rules" -> qQualityRules,
+    "corpus_card" -> qCorpusCard,
     "stream_quality_filter" -> qStreamQualityFilter,
     "padding_report" -> qPaddingReport,
     "lang_mix_report" -> qLangMixReport,
@@ -3665,6 +3699,22 @@ object SparkEntry {
       (qualityRulesCte +
         "SELECT doc_id, n_words, n_lines, word_count_ok, mean_word_len_ok, symbol_ok, " +
         "bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, pass FROM g ORDER BY doc_id"),
+    // one-row dataset card: volume, token mass, spread, quality pass
+    // rate, exact-dup mass, top language (ties to smallest code)
+    "corpus_card" ->
+      (qualityRulesCte +
+        ", base AS (SELECT count(*)::BIGINT AS n_docs, " +
+        "sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS n_tokens, " +
+        "count(DISTINCT source)::BIGINT AS n_sources, " +
+        "count(DISTINCT lang)::BIGINT AS n_langs, " +
+        "count(DISTINCT lower(trim(text)))::BIGINT AS n_distinct_texts, " +
+        "sum(n_chars)::BIGINT AS n_chars FROM documents), " +
+        "qp AS (SELECT sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass FROM g), " +
+        "tl AS (SELECT lang AS top_lang, count(*)::BIGINT AS top_lang_docs FROM documents " +
+        "WHERE lang IS NOT NULL GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1) " +
+        "SELECT n_docs, n_tokens, n_chars, n_sources, n_langs, " +
+        "(n_docs - n_distinct_texts)::BIGINT AS n_exact_dup_docs, n_quality_pass, " +
+        "top_lang, top_lang_docs FROM base, qp, tl"),
     // streaming twin: the stateless rules aggregate identically over the
     // one-shot stream
     "stream_quality_filter" ->
