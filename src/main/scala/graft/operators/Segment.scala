@@ -48,26 +48,29 @@ object Segment {
     * against `vocab`: (id, pos, token) with `pos` the 1-based token
     * position in the document stream (unsegmentable words dropped,
     * positions contiguous over what remains — mirroring [[Bpe.encode]]'s
-    * stream shape). */
+    * stream shape).
+    *
+    * Fully IN-ROW: each document's word array runs through the kernel
+    * inside a `transform` lambda, unsegmentable words drop via a null
+    * filter, and positions come from the flattened array's own ordinality
+    * — zero joins, zero shuffles, scan-bound at any corpus size. (The
+    * first design segmented DISTINCT words and joined the stream back —
+    * right when per-word work is expensive like BPE training, but with a
+    * microsecond kernel the join-back's shuffle dominates: measured at
+    * 100×, the distinct-word table outgrew the broadcast threshold and
+    * the (doc, word) stream shuffled 3.4 GB that this layout simply never
+    * moves.) */
   def viterbiSegment(df: DataFrame, idCol: String, textCol: String,
                      vocab: Seq[String], maxWordLen: Int = 20): DataFrame = {
     require(vocab.nonEmpty && vocab.size <= 1000000, "vocab must be non-empty and bounded")
     require(maxWordLen >= 1 && maxWordLen <= 64, "maxWordLen in [1, 64] — it squares in the DP")
-    val words = df.select(posexplode(
-      filter(split(trim(lower(col(s"`$textCol`"))), "\\s+"), w => w.rlike("^[a-z]+$")))
-      .as(Seq("wpos", "word")))
-      .where(length(col("word")) <= maxWordLen)
-    val distinctWords = words.select(col("word")).distinct()
-      .withColumn("toks", viterbiToks(col("word"), vocab, maxWordLen))
-      .where(col("toks").isNotNull)
-    val docWords = df.select(col(s"`$idCol`").as("id"), posexplode(
-      filter(split(trim(lower(col(s"`$textCol`"))), "\\s+"), w => w.rlike("^[a-z]+$")))
-      .as(Seq("wpos", "word")))
-    docWords.join(distinctWords, Seq("word"))
-      .select(col("id"), col("wpos"), posexplode(col("toks")).as(Seq("tpos", "token")))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("wpos"), col("tpos"))).cast("long"))
-      .select(col("id").as(idCol), col("pos"), col("token"))
+    val words = filter(split(trim(lower(col(s"`$textCol`"))), "\\s+"), w => w.rlike("^[a-z]+$"))
+    // per-word token arrays; the kernel returns null for unsegmentable or
+    // over-length words and the filter drops them, keeping positions
+    // contiguous over what remains
+    val tokenStream = flatten(filter(
+      transform(words, w => viterbiToks(w, vocab, maxWordLen)), a => a.isNotNull))
+    df.select(col(s"`$idCol`").as(idCol), posexplode(tokenStream).as(Seq("__p", "token")))
+      .select(col(s"`$idCol`"), (col("__p") + 1).cast("long").as("pos"), col("token"))
   }
 }
