@@ -79,6 +79,15 @@ class SegmentSpec extends AnyFunSuite {
     assert(got(1L) === Seq("ab", "b", "a"))
   }
 
+  test("segmentation is a zero-shuffle narrow projection") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ba abab")).toDF("doc_id", "text")
+    val plan = Segment.viterbiSegment(docs, "doc_id", "text", Seq("a", "b", "ab"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("empty result for a doc with no segmentable words") {
     val vocab = Seq("x")
     val got = segment(vocab, 1L -> "yy zz", 2L -> "x")
