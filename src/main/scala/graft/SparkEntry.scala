@@ -2825,6 +2825,15 @@ object SparkEntry {
     graft.operators.Mixture.temperatureSample(
       table(spark, dir, "documents"), "doc_id", "lang", budget = 200L)
 
+  /** Exact half-life recency weighting per user over the event stream
+    * (ref pinned at 2024-02-01 UTC, 7-day half-life) — full per-user
+    * integer oracle. */
+  private def qRecencyWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Recency.halfLifeWeightedSum(
+      table(spark, dir, "events"), "user_id", "ts", "value",
+      refEpochSec = 1706745600L, halfLifeDays = 7)
+      .select(col("key").as("user_id"), col("n_events"), col("w_sum"), col("decayed_cents"))
+
   /** One-row corpus data card — the summary a pipeline publishes with a
     * dataset release: volume, token mass, source/language spread,
     * structural-quality pass rate, and exact-duplicate mass, all integer
@@ -3234,6 +3243,7 @@ object SparkEntry {
     "community_modularity" -> qCommunityModularity,
     "quality_rules" -> qQualityRules,
     "corpus_card" -> qCorpusCard,
+    "recency_weights" -> qRecencyWeights,
     "stream_quality_filter" -> qStreamQualityFilter,
     "padding_report" -> qPaddingReport,
     "lang_mix_report" -> qLangMixReport,
@@ -3699,6 +3709,17 @@ object SparkEntry {
       (qualityRulesCte +
         "SELECT doc_id, n_words, n_lines, word_count_ok, mean_word_len_ok, symbol_ok, " +
         "bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, pass FROM g ORDER BY doc_id"),
+    // power-of-2 half-life decay replayed in integers: floor-second ages,
+    // 7-day buckets, weight 2^(30 - bucket), cents-grid values
+    "recency_weights" ->
+      ("WITH e AS (SELECT user_id, " +
+        "((1706745600 - floor(epoch(ts))::BIGINT) // 86400) // 7 AS bucket, " +
+        "round(value * 100)::BIGINT AS cents FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL), " +
+        "w AS (SELECT user_id, cents, " +
+        "CASE WHEN bucket <= 30 THEN (1::BIGINT << (30 - bucket)::INT) ELSE 0 END AS w FROM e) " +
+        "SELECT user_id, count(*)::BIGINT AS n_events, sum(w)::BIGINT AS w_sum, " +
+        "sum(cents * w)::BIGINT AS decayed_cents FROM w GROUP BY user_id ORDER BY user_id"),
     // one-row dataset card: volume, token mass, spread, quality pass
     // rate, exact-dup mass, top language (ties to smallest code)
     "corpus_card" ->
