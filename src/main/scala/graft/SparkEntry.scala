@@ -2848,7 +2848,11 @@ object SparkEntry {
       sum(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"),
-      countDistinct(lower(trim(col("text")))).as("n_distinct_texts"),
+      // Distinct over a 128-bit fingerprint, never the body: the distinct
+      // aggregate's Expand+partial-agg exchange would otherwise carry the
+      // corpus's text bytes (the snapshotDiff discipline — move
+      // fingerprints, not bodies).
+      countDistinct(md5(lower(trim(col("text"))))).as("n_distinct_texts"),
       sum(col("n_chars")).cast("long").as("n_chars"))
     val quality = rules.agg(sum(col("pass").cast("long")).as("n_quality_pass"))
     base.crossJoin(broadcast(quality)).crossJoin(broadcast(topLangCount(spark, dir)))
@@ -3728,7 +3732,7 @@ object SparkEntry {
         "sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS n_tokens, " +
         "count(DISTINCT source)::BIGINT AS n_sources, " +
         "count(DISTINCT lang)::BIGINT AS n_langs, " +
-        "count(DISTINCT lower(trim(text)))::BIGINT AS n_distinct_texts, " +
+        "count(DISTINCT md5(lower(trim(text))))::BIGINT AS n_distinct_texts, " +
         "sum(n_chars)::BIGINT AS n_chars FROM documents), " +
         "qp AS (SELECT sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass FROM g), " +
         "tl AS (SELECT lang AS top_lang, count(*)::BIGINT AS top_lang_docs FROM documents " +

@@ -17,11 +17,6 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Distinguishes concurrent [[connectedComponents]] calls' observation
-    * names: a listener registered by call A must never capture call B's
-    * same-numbered round metric. */
-  private val ccCallIds = new java.util.concurrent.atomic.AtomicLong()
-
   /** Character n-gram shingle set (codegen'd builtins only). */
   private def shingleArr(textCol: String, n: Int): Column =
     // NB sequence(1, 0) DESCENDS in Spark - short texts must yield an empty
@@ -165,71 +160,26 @@ object Dedup {
       .select(col("id"), col("id").as("component"), lit(true).as("changed")))
     var iter = 0
     var converged = false
-    val ccCall = ccCallIds.incrementAndGet()
-    // set on the first missed CollectMetrics event: if one round's event
-    // never arrived, none will (this runtime's checkpoint action isn't
-    // posting QueryExecution events) — later rounds of THIS call go
-    // straight to the count fallback instead of re-waiting 10 s each.
-    // Per-call, not JVM-global: one anomalous run must not degrade every
-    // future CC in the process.
-    var eventsMissing = false
+    // the convergence signal RIDES the checkpoint materialization as a
+    // CollectMetrics observation read through a latched
+    // QueryExecutionListener — one job per round, no UDF, whole-stage
+    // codegen intact (plumbing shared with LabelProp via [[Convergence]])
+    val conv = new Convergence.Latched(spark, "cc")
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       val frontier = labels.where(col("changed")).select(col("id"), col("component"))
       val msgs = edges.join(frontier, edges("dst") === frontier("id"))
         .groupBy(col("src")).agg(min(col("component")).as("neighbor_min"))
-      // the convergence signal RIDES the checkpoint materialization as a
-      // CollectMetrics observation — one job per round, no UDF, whole-stage
-      // codegen intact. Round 9 ran a separate cached-scan count() job per
-      // round; at 32 shuffle partitions the per-job fixed cost (scheduling +
-      // task launch) of doubling the round's job count dominated the CC
-      // queries' wall clock — exactly the per-iteration overhead a 1000-
-      // executor cluster cannot afford. The metric is read through a
-      // QueryExecutionListener latch registered BEFORE the action — the
-      // listener bus is async, so the event is awaited, never polled, and
-      // no private[sql] surface is touched.
-      val obsName = s"graft.cc.$ccCall.$iter"
-      val latch = new java.util.concurrent.CountDownLatch(1)
-      @volatile var observedChanged: Long = -1L
-      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit =
-          qe.observedMetrics.get(obsName).foreach { row =>
-            // defensive: a null metric is "no rows", not "no event"
-            observedChanged = if (row.isNullAt(0)) 0L else row.getLong(0)
-            latch.countDown()
-          }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      }
-      val registered = !eventsMissing
-      if (registered) spark.listenerManager.register(listener)
-      val changed: Long = try {
-        val stepped = truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
+      val (stepped, changed) = conv.observedRound(
+        obsName => truncate(labels.join(msgs, labels("id") === msgs("src"), "left")
           .select(labels("id"),
             least(labels("component"), coalesce(col("neighbor_min"), labels("component"))).as("component"),
             (coalesce(col("neighbor_min"), labels("component")) < labels("component")).as("changed"))
           // count, not sum: sum over an EMPTY label frame is NULL, which
-          // the null-metric guard above would otherwise have to special-case
-          .observe(obsName, count(when(col("changed"), 1)).as("n_changed")))
-        labels = stepped
-        // a latch timeout guards against an event that never arrives (e.g.
-        // a future Spark moving checkpoint off withAction) by falling back
-        // to a cached-scan count instead of hanging the driver
-        if (registered &&
-            latch.await(10, java.util.concurrent.TimeUnit.SECONDS)) observedChanged
-        else {
-          if (registered) {
-            eventsMissing = true
-            log.warn("graft.cc observation event missing - falling back to cached-scan counts for this call")
-          }
-          stepped.where(col("changed")).count()
-        }
-      } finally {
-        if (registered) spark.listenerManager.unregister(listener)
-      }
+          // the helper's null-metric guard would otherwise special-case
+          .observe(obsName, count(when(col("changed"), 1)).as("n_changed"))),
+        df => df.where(col("changed")).count())
+      labels = stepped
       log.info(s"graft.cc round=$iter changed=$changed ms=${(System.nanoTime() - t0) / 1000000}")
       converged = changed == 0
       iter += 1

@@ -36,13 +36,18 @@ object Recency {
     val key = col(s"`$keyCol`")
     val ts = col(s"`$tsCol`")
     val v = col(s"`$valueCol`")
-    val ageDays = expr(s"($refEpochSec - CAST(CAST(`$tsCol` AS TIMESTAMP) AS LONG)) div 86400")
+    // the guard is on the RAW seconds age: `div 86400` truncates toward
+    // zero, so a day-quantized `ageDays < 0` check would wave through an
+    // event up to 86399 s after the reference with full weight (and the
+    // oracle's floor division would bucket it at -1 — a guaranteed
+    // mismatch); sub-day-future events must be rejected like any other
+    val ageSec = expr(s"$refEpochSec - CAST(CAST(`$tsCol` AS TIMESTAMP) AS LONG)")
     val bucket = expr(s"(($refEpochSec - CAST(CAST(`$tsCol` AS TIMESTAMP) AS LONG)) div 86400) div $halfLifeDays")
     events
       .where(key.isNotNull && ts.isNotNull && v.isNotNull)
       .select(key.as("key"),
         round(v * 100, 0).cast("long").as("__cents"),
-        when(ageDays < 0, raise_error(lit(
+        when(ageSec < 0, raise_error(lit(
           s"halfLifeWeightedSum: event after refEpochSec=$refEpochSec — pin the reference " +
             "instant AFTER the newest event")).cast("long"))
           .when(bucket <= maxShift,

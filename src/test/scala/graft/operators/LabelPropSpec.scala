@@ -9,10 +9,9 @@ class LabelPropSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private def labelsOf(edges: Seq[(Long, Long)], nodes: Seq[Long],
-                       iters: Int, checkpointEvery: Int = 5): Map[Long, Long] = {
+                       iters: Int): Map[Long, Long] = {
     import spark.implicits._
-    LabelProp.communities(edges.toDF("src", "dst"), nodes.toDF("node"),
-      iters = iters, checkpointEvery = checkpointEvery)
+    LabelProp.communities(edges.toDF("src", "dst"), nodes.toDF("node"), iters = iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -97,10 +96,25 @@ class LabelPropSpec extends AnyFunSuite {
     assert(LabelProp.modularity(edges, lpa).head().getLong(2) > 0L)
   }
 
-  test("checkpointing rounds produce identical labels (lineage-only change)") {
-    val nodes = (0L until 30L)
-    val edges = nodes.flatMap(i => Seq((i, (i * 13 + 1) % 30)))
-    assert(labelsOf(edges, nodes, iters = 7, checkpointEvery = 2) ===
-      labelsOf(edges, nodes, iters = 7, checkpointEvery = 100))
+  test("fixed point exits early: fewer jobs than the round budget") {
+    // two disjoint triangles converge in 1 round (every node adopts its
+    // triangle's smallest label and round 2 changes nothing); a 50-round
+    // budget must therefore run ~2 rounds of jobs, not 50. Each round is
+    // at least one job (the eager checkpoint), so an early exit is visible
+    // as a job count far below the budget. Labels must match the full run.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async: a late event could undercount, never
+    // overcount — and undercounting only strengthens the assertion below
+    val got = try labelsOf(edges, nodes, iters = 50)
+    finally spark.sparkContext.removeSparkListener(listener)
+    assert(got === scalarLpa(edges, nodes, iters = 50))
+    assert(jobs < 25, s"expected an early exit well under the 50-round budget, saw $jobs jobs")
   }
 }

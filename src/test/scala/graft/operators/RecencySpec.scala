@@ -41,11 +41,16 @@ class RecencySpec extends AnyFunSuite {
   }
 
   test("an event after the reference instant fails loudly") {
-    val ex = intercept[Exception] {
-      run(Seq((1L, ts(-1), 1.0)))
+    // both a full day after AND 30 s after: the guard is on raw seconds,
+    // so a sub-day-future event must not slip through `div 86400`'s
+    // truncation toward zero with full weight (advisor r11)
+    for (future <- Seq(ts(-1), ts(0, plusSec = 30))) {
+      val ex = intercept[Exception] {
+        run(Seq((1L, future, 1.0)))
+      }
+      assert(ex.getMessage.contains("refEpochSec") ||
+        Option(ex.getCause).exists(_.getMessage.contains("refEpochSec")))
     }
-    assert(ex.getMessage.contains("refEpochSec") ||
-      Option(ex.getCause).exists(_.getMessage.contains("refEpochSec")))
   }
 
   test("deterministic across partitionings (pure integer reduction)") {
