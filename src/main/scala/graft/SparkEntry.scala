@@ -3672,15 +3672,19 @@ object SparkEntry {
         "FROM qz z JOIN qv ON qv.pos = z.pos WHERE z.vec_id <> 0 GROUP BY z.vec_id) " +
         "SELECT vec_id, l2_dist, row_number() OVER (ORDER BY l2_dist, vec_id) AS rank " +
         "FROM d ORDER BY l2_dist, vec_id LIMIT 10"),
-    // per-probe different-label cosine ranking, cut at k=3
+    // per-probe different-label cosine ranking on the ppm grid (a 1e-15
+    // cross-engine float difference can flip an exact-float rank on a
+    // near-tie but not a 1e-6 grid cell), cut at k=3
     "hard_negatives" ->
       ("WITH p AS (SELECT vec_id AS probe_id, list_transform(embedding, x -> x::DOUBLE) AS pe, " +
         "label AS pl FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)), " +
-        "s AS (SELECT p.probe_id, e.vec_id, row_number() OVER (PARTITION BY p.probe_id " +
-        "ORDER BY list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), p.pe) DESC, e.vec_id) AS rank " +
-        "FROM embeddings e JOIN p ON e.label <> p.pl) " +
-        "SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id, rank::BIGINT AS rank " +
-        "FROM s WHERE rank <= 3 ORDER BY probe_id, rank"),
+        "s AS (SELECT p.probe_id, e.vec_id, " +
+        "round(list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), p.pe) * 1000000)::BIGINT AS cos_ppm " +
+        "FROM embeddings e JOIN p ON e.label <> p.pl), " +
+        "r AS (SELECT probe_id, vec_id, cos_ppm, row_number() OVER (PARTITION BY probe_id " +
+        "ORDER BY cos_ppm DESC, vec_id) AS rank FROM s) " +
+        "SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id, cos_ppm, rank::BIGINT AS rank " +
+        "FROM r WHERE rank <= 3 ORDER BY probe_id, rank"),
     // SemDeDup drop set recomputed with double-cast cosines in SQL
     "semantic_dedup" ->
       ("WITH d AS (SELECT DISTINCT b.vec_id AS vid FROM embeddings a JOIN embeddings b " +

@@ -214,6 +214,7 @@ object ProductQuant {
                  excludeId: Option[Long] = None): DataFrame = {
     require(query.length % m == 0, s"query dim ${query.length} not divisible by m=$m")
     require(nProbe >= 1 && nProbe <= nLists, "nProbe in [1, nLists]")
+    require(k >= 1 && k <= 10000, "k in [1, 10000] — the probe result is driver-materialized")
     val dim = query.length
     val subDim = dim / m
     val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
@@ -272,9 +273,19 @@ object ProductQuant {
       .select(col("vid"), col("list_idx"), dist.as("pq_dist"))
     val filtered = excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
     val out = filtered.orderBy(col("pq_dist").asc, col("vid").asc).limit(k)
+    // materialize the k-bounded result BEFORE unpersisting: a lazy return
+    // executed after unpersist would recompute the whole quantize +
+    // coarse-assign + residual pipeline at action time, and the persist
+    // would only ever have served training (advisor r11). k is require-
+    // bounded, so this is a model-sized collect, same budget discipline
+    // as the codebooks themselves.
+    val local = out.collect().toSeq
+    val result = df.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(local).asJava),
+      out.schema)
     rows.unpersist(blocking = false)
     residRows.unpersist(blocking = false)
-    out
+    result
   }
 
   /** Per-vector PQ quantization (reconstruction) error: the integer

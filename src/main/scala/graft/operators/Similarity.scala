@@ -423,8 +423,14 @@ object Similarity {
     * vector, the `k` most cosine-similar corpus vectors carrying a
     * DIFFERENT label — near the anchor in embedding space, wrong by
     * ground truth, exactly the examples a contrastive loss learns most
-    * from. Returns (probe_id, vec_id, rank), rank 1-based by (cosine
-    * desc, vec_id asc).
+    * from. Returns (probe_id, vec_id, cos_ppm, rank), rank 1-based by
+    * (cos_ppm desc, vec_id asc) where cos_ppm = round(cosine · 1e6) —
+    * ranking on the ppm GRID, not the raw float: two engines computing
+    * the cosine with different operation orders disagree at ~1e-15,
+    * which flips exact-float ranks on near-ties but (outside a
+    * measure-zero boundary) never moves a value across a 1e-6 grid cell;
+    * within a cell the vec_id tie-break decides, so the ranking is
+    * engine-portable (advisor r11).
     *
     * Scale shape: the probe set is bounded by contract (`probeIds`, ≤100)
     * and enters the plan through a `limit`, so the label-mismatch join is
@@ -447,11 +453,17 @@ object Similarity {
       .select(id.as("vec_id"), e.as("emb"), col(s"`$labelCol`").as("lbl"))
     val dot = graft.plans.VectorExpressions.dot(col("emb"), col("pe"))
     val cos = dot / (norm(col("emb")) * norm(col("pe")))
+    // |ppm| <= 1e6 << 2^53, so the long->double round-trip through the
+    // heap's score slot is exact
+    val cosPpm = round(cos * lit(1000000d), 0).cast("long")
     base.join(broadcast(probes), col("lbl") =!= col("pl"))
-      .select(col("probe_id"), col("vec_id"), cos.as("cosine"))
+      .select(col("probe_id"), col("vec_id"), cosPpm.as("cos_ppm"))
       .groupBy(col("probe_id"))
-      .agg(graft.plans.TopKAggregate.topKByScore(col("cosine"), col("vec_id"), k).as("__top"))
-      .select(col("probe_id"), posexplode(col("__top.id")).as(Seq("pos", "vec_id")))
-      .select(col("probe_id"), col("vec_id"), (col("pos") + 1).cast("long").as("rank"))
+      .agg(graft.plans.TopKAggregate.topKByScore(
+        col("cos_ppm").cast("double"), col("vec_id"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("vec_id"),
+        col("t.score").cast("long").as("cos_ppm"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

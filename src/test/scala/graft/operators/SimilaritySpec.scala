@@ -245,9 +245,12 @@ class SimilaritySpec extends AnyFunSuite {
       (14L, Array(0.5f, 0.5f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label")
     val got = Similarity.hardNegatives(rows, "vec_id", "embedding", "label",
       probeIds = Seq(0L), k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._4)
     assert(got.map(_._2).toSeq === Seq(11L, 14L, 12L)) // by cosine to the probe
     assert(!got.map(_._2).contains(10L), "same-label duplicate leaked in")
-    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_._4).toSeq === Seq(1L, 2L, 3L))
+    // the ppm surrogate is the published score: cos(14)=1/sqrt(2), cos(12)=0
+    assert(got.find(_._2 == 14L).get._3 === 707107L)
+    assert(got.find(_._2 == 12L).get._3 === 0L)
   }
 }
