@@ -818,6 +818,27 @@ object SparkEntry {
       .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
   }
 
+  /** IVFADC probed through the ON-DISK inverted-list layout: residuals
+    * written hive-partitioned by list_idx, probe filter = partition
+    * pruning (only nProbe of nLists directories are listed — asserted in
+    * ScanPruningSpec). Same oracle as ann_ivfpq_topk: the layout must
+    * change WHERE bytes live, never the answer. */
+  private def qAnnIvfPqPruned(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    // layout dir is per-sf: dynamic overwrite only replaces lists present
+    // in THIS corpus, so two scale factors sharing a dir could leak stale
+    // lists into each other's probes
+    val layout = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_layout_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    graft.operators.ProductQuant.ivfAdcTopKPruned(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q, layout,
+      k = 10, m = 8, nLists = 8, nProbe = 2, nCodes = 16, lloydIters = 1,
+      excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pq_dist").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3173,6 +3194,7 @@ object SparkEntry {
     "ann_pq_topk" -> qAnnPqTopk,
     "ann_l2_topk" -> qAnnL2Topk,
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
+    "ann_ivfpq_pruned" -> qAnnIvfPqPruned,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -3645,6 +3667,8 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
+    // the partitioned layout changes where bytes live, never the answer
+    "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "dedup_pq_codes" -> pqCodePairsOracleSql,
     // reconstruction error vs the final codebook: per-(vec, subspace)
     // min distance over codes, summed, floor-mean aggregate
