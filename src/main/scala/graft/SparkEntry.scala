@@ -804,6 +804,24 @@ object SparkEntry {
         expr("(sum(q_err) - pmod(sum(q_err), count(1))) div count(1)").cast("long").as("mean_err"))
   }
 
+  /** Batched ADC probe — the serving shape: 5 query vectors scored
+    * against the whole corpus in ONE scan (row codes computed once, the
+    * 5 distance tables riding as one literal). Full integer compare:
+    * every (query_id, vec_id, pq_dist) must equal 5 independent
+    * single-query replays, which is what the oracle computes. */
+  private def qAnnPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val probes = emb.where(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray).toSeq
+    val subDim = probes.head.length / 8
+    val rows = graft.operators.ProductQuant.quantizedRows(emb, "vec_id", "embedding", 8, subDim)
+    val cb = graft.operators.ProductQuant.trainCodebooks(rows, m = 8, subDim = subDim,
+      nCodes = 16, lloydIters = 1)
+    graft.operators.ProductQuant.adcScoresBatch(emb, "vec_id", "embedding", cb, probes, m = 8)
+      .select(col("query_id"), col("vid").as("vec_id"), col("pq_dist"))
+  }
+
   /** IVFADC: coarse quantizer (8 inverted lists) + PQ on residuals +
     * 2-list routed ADC probe — the FAISS-style billion-vector
     * architecture, fully replayed by the oracle. */
@@ -3195,6 +3213,7 @@ object SparkEntry {
     "ann_l2_topk" -> qAnnL2Topk,
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
     "ann_ivfpq_pruned" -> qAnnIvfPqPruned,
+    "ann_pq_batch" -> qAnnPqBatch,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -3493,7 +3512,11 @@ object SparkEntry {
   /** PQ replayed exactly: quantize to the 1e6 grid, hash-init codebooks,
     * one Lloyd round (floor-mean centroids, ties-to-smallest-code argmin),
     * final encode, ADC table against vec 0, top-10 by integer distance. */
-  private val annPqCoreCte: String = {
+  /** PQ training replay (shared by the single- and batch-probe oracles):
+    * quantize to the 1e6 grid, hash-init codebooks, one Lloyd round
+    * (floor-mean centroids, ties-to-smallest-code argmin), final encode
+    * (a2 against cb1). */
+  private val annPqTrainCte: String = {
     // floor-mean in pure integers (negative-safe pmod, same idiom as
     // embed_centroid); assignment argmin as a (dist, code) window rank
     def cb(name: String, assign: String) =
@@ -3511,13 +3534,27 @@ object SparkEntry {
       "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings)), " +
       "a0 AS (SELECT DISTINCT vec_id, s, (vec_id * 31 + s * 7) % 16 AS code FROM qz), " +
       cb("cb0", "a0") + ", " + assign("a1", "cb0") + ", " +
-      cb("cb1", "a1") + ", " + assign("a2", "cb1") + ", " +
-      "qv AS (SELECT s, spos, q FROM qz WHERE vec_id = 0), " +
-      "dt AS (SELECT cb.s, cb.code, sum((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d " +
-      "FROM cb1 cb JOIN qv ON qv.s = cb.s AND qv.spos = cb.spos GROUP BY cb.s, cb.code), " +
-      "res AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM a2 a " +
-      "JOIN dt ON dt.s = a.s AND dt.code = a.code WHERE a.vec_id <> 0 GROUP BY a.vec_id)"
+      cb("cb1", "a1") + ", " + assign("a2", "cb1")
   }
+
+  private val annPqCoreCte: String = annPqTrainCte + ", " +
+    "qv AS (SELECT s, spos, q FROM qz WHERE vec_id = 0), " +
+    "dt AS (SELECT cb.s, cb.code, sum((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d " +
+    "FROM cb1 cb JOIN qv ON qv.s = cb.s AND qv.spos = cb.spos GROUP BY cb.s, cb.code), " +
+    "res AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM a2 a " +
+    "JOIN dt ON dt.s = a.s AND dt.code = a.code WHERE a.vec_id <> 0 GROUP BY a.vec_id)"
+
+  /** The batch probe: per-probe distance tables keyed by query_id (=
+    * vec_id of the probe, which is also its 0-based batch position), one
+    * joined lookup-sum over the shared encode — 5 independent
+    * single-query replays in one statement. */
+  private val annPqBatchOracleSql: String = annPqTrainCte + ", " +
+    "qv AS (SELECT vec_id AS query_id, s, spos, q FROM qz WHERE vec_id IN (0, 1, 2, 3, 4)), " +
+    "dt AS (SELECT qv.query_id, cb.s, cb.code, sum((qv.q - cb.c) * (qv.q - cb.c))::BIGINT AS d " +
+    "FROM cb1 cb JOIN qv ON qv.s = cb.s AND qv.spos = cb.spos GROUP BY qv.query_id, cb.s, cb.code) " +
+    "SELECT dt.query_id::BIGINT AS query_id, a.vec_id::BIGINT AS vec_id, sum(dt.d)::BIGINT AS pq_dist " +
+    "FROM a2 a JOIN dt ON dt.s = a.s AND dt.code = a.code " +
+    "GROUP BY dt.query_id, a.vec_id ORDER BY query_id, vec_id"
 
   private val annPqOracleSql: String =
     annPqCoreCte + " SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
@@ -3669,6 +3706,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
+    "ann_pq_batch" -> annPqBatchOracleSql,
     "dedup_pq_codes" -> pqCodePairsOracleSql,
     // reconstruction error vs the final codebook: per-(vec, subspace)
     // min distance over codes, summed, floor-mean aggregate

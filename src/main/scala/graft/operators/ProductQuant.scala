@@ -166,6 +166,47 @@ object ProductQuant {
     rows.select(col("vid"), dist.as("pq_dist"))
   }
 
+  /** ADC scores of every corpus vector against a BOUNDED BATCH of
+    * queries — the serving shape: real retrieval amortizes the corpus
+    * scan over q concurrent probes instead of paying one pass per query.
+    * ONE corpus pass: each row's codes are computed once (the same
+    * in-row argmin kernel as [[adcScores]]) and the q per-query distance
+    * tables ride the plan as a single q × m × nCodes literal; a bounded
+    * posexplode then emits (query_id, vid, pq_dist) — q·n rows from n
+    * scanned, zero shuffle, zero join, and per-(query, vid) distances
+    * EQUAL to q independent [[adcScores]] runs by construction (same
+    * codes, same tables). `query_id` is the 0-based position in
+    * `queries`. */
+  def adcScoresBatch(df: DataFrame, idCol: String, embCol: String, cb: Seq[Codeword],
+                     queries: Seq[Array[Double]], m: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 100,
+      "query batch must be non-empty and bounded (<= 100) — it multiplies the emitted rows")
+    require(queries.forall(_.length == queries.head.length),
+      "all batch queries must share one dimension")
+    require(queries.head.length % m == 0,
+      s"query dim ${queries.head.length} not divisible by m=$m")
+    val subDim = queries.head.length / m
+    val dtables: Seq[Seq[Seq[Long]]] = queries.toList.map { query =>
+      val qq = quantizeQuery(query, scale)
+      List.tabulate(m) { s =>
+        cb.filter(_.s == s).map { cw =>
+          cw.centroid.zipWithIndex.map { case (c, j) =>
+            val d = qq(s * subDim + j) - c; d * d
+          }.sum
+        }.toList
+      }
+    }
+    val rows = quantizedRows(df, idCol, embCol, m, subDim, scale)
+    rows.select(col("vid"),
+        nearestIdx(col("qsubs"), centArrays(cb, m)).as("__idx"),
+        posexplode(typedlit(dtables)).as(Seq("query_id", "__dt")))
+      .select(col("query_id").cast("long").as("query_id"), col("vid"),
+        aggregate(
+          zip_with(col("__idx"), col("__dt"), (i, darr) => element_at(darr, i)),
+          lit(0L), (acc, x) => acc + x).as("pq_dist"))
+  }
+
   /** End-to-end PQ ANN: train, encode, ADC-probe. Returns the top `k`
     * corpus vectors by approximate (integer) squared distance to
     * `query`: (vid, pq_dist), ordered by (distance asc, vid asc). The

@@ -85,6 +85,15 @@ class ScanPruningSpec extends AnyFunSuite {
       s"of nLists=8 (partition filters: ${scan.partitionFilters.mkString(", ")})")
   }
 
+  test("batched ADC probe plans exactly one corpus scan") {
+    // the point of the batch shape is amortization: 5 probes must share
+    // one pass, so the plan holds a single embeddings scan (training and
+    // probe-vector fetches happen at build time, outside this plan)
+    val scans = scansOf("ann_pq_batch", "embeddings")
+    assert(scans.size === 1,
+      s"expected one embeddings scan in the batch-probe plan, found ${scans.size}")
+  }
+
   test("literal predicates push down to the scan (query-vector probe)") {
     // ann_topk fetches its query vector with an id-equality filter; that
     // predicate must appear in the scan's pushed filters, not a post-scan

@@ -240,4 +240,26 @@ class ProductQuantSpec extends AnyFunSuite {
     val rows = ProductQuant.quantizedRows(all, "vec_id", "embedding", m = 2, subDim = 2)
     assert(rows.select("vid").collect().map(_.getLong(0)).sorted.toSeq === (0L until 8L))
   }
+
+  test("adcScoresBatch equals independent single-query probes, one pass") {
+    val vecs = (0L until 20L).map { i =>
+      i -> (0 until 8).map(d => ((i * 13 + d * 5) % 17).toDouble / 8.0 - 1.0)
+    }
+    val data = df(vecs)
+    val rows = ProductQuant.quantizedRows(data, "vec_id", "embedding", m = 4, subDim = 2)
+    val cb = ProductQuant.trainCodebooks(rows, m = 4, subDim = 2, nCodes = 3, lloydIters = 1)
+    val queries = Seq(vecs(0)._2.toArray, vecs(7)._2.toArray, vecs(13)._2.toArray)
+    val batch = ProductQuant.adcScoresBatch(data, "vec_id", "embedding", cb, queries, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val singles = queries.zipWithIndex.flatMap { case (q, qi) =>
+      ProductQuant.adcScores(data, "vec_id", "embedding", cb, q, m = 4)
+        .collect().map(r => (qi.toLong, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(batch === singles)
+    assert(batch.size === 3 * vecs.size)
+    // bounds hold loudly
+    intercept[IllegalArgumentException] {
+      ProductQuant.adcScoresBatch(data, "vec_id", "embedding", cb, Nil, m = 4)
+    }
+  }
 }
