@@ -2741,6 +2741,44 @@ object SparkEntry {
       .orderBy("nat", "seg")
   }
 
+  /** The reference's PURPOSE measured end-to-end: re-identification risk
+    * of the quasi-identifier tuple BEFORE and AFTER a metadata-driven
+    * treatment set — the masking engine (O1/O2: treatments in schema
+    * metadata, composed by [[graft.operators.MaskTransform]]) feeding the
+    * privacy report ([[graft.operators.Privacy.anonymityReport]]). Quasi
+    * = (c_name, nation, segment): raw names are unique, so before
+    * treatment every class has size 1 and k fails everywhere; the
+    * treatment set suppresses the name and generalizes nation to
+    * 10-wide groups, after which every class is release-sized. 2-row
+    * integer report; the oracle replays both phases. */
+  private def qMaskKAnon(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").select(
+      col("c_name"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    def report(df: DataFrame, phase: String): DataFrame =
+      graft.operators.Privacy.anonymityReport(df, Seq("c_name", "nat", "seg"),
+          "bal_cents", k = 5, l = 3)
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min(col("class_size")).as("min_class_size"),
+          sum(when(col("k_ok") === 0, col("class_size")).otherwise(lit(0L)))
+            .cast("long").as("rows_below_k"),
+          (count(lit(1)) === sum(col("k_ok"))).cast("long").as("all_k_ok"),
+          (count(lit(1)) === sum(col("l_ok"))).cast("long").as("all_l_ok"))
+        .select(lit(phase).as("phase"), col("n_classes"), col("min_class_size"),
+          col("rows_below_k"), col("all_k_ok"), col("all_l_ok"))
+    val tagged = cust.select(
+      cust("c_name").as("c_name", maskMeta("'suppressed'")),
+      cust("nat").as("nat",
+        maskMeta("cast(${value} as long) - pmod(cast(${value} as long), 10)")),
+      cust("seg"), cust("bal_cents"))
+    report(cust, "before")
+      .unionAll(report(graft.operators.MaskTransform(tagged), "after"))
+      .orderBy("phase")
+  }
+
   /** Generalization-ladder search: coarsen balance buckets until every
     * (segment, bucket) class reaches k=10; `chosen` marks the minimal
     * information-loss level. */
@@ -3166,6 +3204,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> qKAnonymity,
+    "mask_k_anon" -> qMaskKAnon,
     "generalize_k_anon" -> qGeneralizeKAnon,
     "dedup_lines_global" -> qDedupLinesGlobal,
     "mixture_plan" -> qMixturePlan,
@@ -4018,6 +4057,21 @@ object SparkEntry {
         "(count(*) >= 10)::BIGINT AS k_ok, " +
         "(count(DISTINCT bal_cents) >= 5)::BIGINT AS l_ok " +
         "FROM c GROUP BY nat, seg ORDER BY nat, seg"),
+    // before/after anonymity of the treatment set: suppress name,
+    // generalize nation to 10-wide groups
+    "mask_k_anon" ->
+      ("WITH c AS (SELECT c_name, c_nationkey::BIGINT AS nat, c_mktsegment AS seg, " +
+        "round(c_acctbal * 100)::BIGINT AS bal_cents FROM customer), " +
+        "b AS (SELECT c_name, nat, seg, count(*)::BIGINT AS cs, " +
+        "count(DISTINCT bal_cents)::BIGINT AS ld FROM c GROUP BY 1, 2, 3), " +
+        "a AS (SELECT 'suppressed' AS c_name, nat - ((nat % 10) + 10) % 10 AS nat, seg, " +
+        "count(*)::BIGINT AS cs, count(DISTINCT bal_cents)::BIGINT AS ld FROM c GROUP BY 1, 2, 3), " +
+        "r AS (SELECT 'before' AS phase, cs, ld FROM b UNION ALL SELECT 'after' AS phase, cs, ld FROM a) " +
+        "SELECT phase, count(*)::BIGINT AS n_classes, min(cs)::BIGINT AS min_class_size, " +
+        "sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)::BIGINT AS rows_below_k, " +
+        "(count(*) = sum(CASE WHEN cs >= 5 THEN 1 ELSE 0 END))::BIGINT AS all_k_ok, " +
+        "(count(*) = sum(CASE WHEN ld >= 3 THEN 1 ELSE 0 END))::BIGINT AS all_l_ok " +
+        "FROM r GROUP BY phase ORDER BY phase"),
     // ladder of balance-bucket widths; chosen = minimal width meeting k=10
     "generalize_k_anon" ->
       ("WITH c AS (SELECT c_mktsegment AS seg, round(c_acctbal * 100)::BIGINT AS cents FROM customer), " +
