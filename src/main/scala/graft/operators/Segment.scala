@@ -44,11 +44,16 @@ object Segment {
       org.apache.spark.sql.GraftBridge.expression(word),
       new graft.plans.ViterbiKernel(vocab.distinct.toArray, maxWordLen)))
 
-  /** Segment every `[a-z]+` whitespace word of `textCol` optimally
-    * against `vocab`: (id, pos, token) with `pos` the 1-based token
-    * position in the document stream (unsegmentable words dropped,
-    * positions contiguous over what remains — mirroring [[Bpe.encode]]'s
-    * stream shape).
+  /** Segment every word of `textCol` matching `wordPattern` (default
+    * `[a-z]+`; pass [[Bpe.UnicodeWords]] for the `\p{L}` letter class a
+    * multilingual corpus needs — RE2-compatible, so the oracle applies it
+    * verbatim) optimally against `vocab`: (id, pos, token) with `pos`
+    * the 1-based token position in the document stream (unsegmentable
+    * words dropped, positions contiguous over what remains — mirroring
+    * [[Bpe.encode]]'s stream shape). Every vocabulary token must itself
+    * match the pattern — an out-of-alphabet token can never match any
+    * word's substring under a character-class pattern, so shipping one
+    * is a vocabulary/alphabet mismatch and fails loudly at build time.
     *
     * Fully IN-ROW: each document's word array runs through the kernel
     * inside a `transform` lambda, unsegmentable words drop via a null
@@ -61,10 +66,15 @@ object Segment {
     * the (doc, word) stream shuffled 3.4 GB that this layout simply never
     * moves.) */
   def viterbiSegment(df: DataFrame, idCol: String, textCol: String,
-                     vocab: Seq[String], maxWordLen: Int = 20): DataFrame = {
+                     vocab: Seq[String], maxWordLen: Int = 20,
+                     wordPattern: String = Bpe.AsciiWords): DataFrame = {
     require(vocab.nonEmpty && vocab.size <= 1000000, "vocab must be non-empty and bounded")
     require(maxWordLen >= 1 && maxWordLen <= 64, "maxWordLen in [1, 64] — it squares in the DP")
-    val words = filter(split(trim(lower(col(s"`$textCol`"))), "\\s+"), w => w.rlike("^[a-z]+$"))
+    val offAlphabet = vocab.filterNot(t => t.nonEmpty && t.matches(wordPattern))
+    require(offAlphabet.isEmpty,
+      s"vocabulary tokens outside the word alphabet $wordPattern can never match: " +
+        offAlphabet.take(5).mkString("'", "', '", "'"))
+    val words = filter(split(trim(lower(col(s"`$textCol`"))), "\\s+"), w => w.rlike(wordPattern))
     // per-word token arrays; the kernel returns null for unsegmentable or
     // over-length words and the filter drops them, keeping positions
     // contiguous over what remains

@@ -94,5 +94,29 @@ class SegmentSpec extends AnyFunSuite {
     assert(!got.contains(1L) && got(2L) === Seq("x"))
   }
 
+  test("unicode alphabet segments accented words; ascii alphabet drops them") {
+    import spark.implicits._
+    val docs = Seq((1L, "straße über cafe")).toDF("doc_id", "text")
+    val uniVocab = Seq("s", "t", "r", "a", "ß", "e", "ü", "b", "c", "f", "straße", "üb")
+    val uni = Segment.viterbiSegment(docs, "doc_id", "text", uniVocab,
+        wordPattern = Bpe.UnicodeWords)
+      .collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).map(_._2)
+    assert(uni.toSeq === Seq("straße", "üb", "e", "r", "c", "a", "f", "e"))
+    // the default ascii alphabet sees only "cafe" (documented contract)
+    val ascii = Segment.viterbiSegment(docs, "doc_id", "text",
+        Seq("c", "a", "f", "e"))
+      .collect().map(_.getString(2))
+    assert(ascii.toSeq === Seq("c", "a", "f", "e"))
+  }
+
+  test("vocabulary tokens outside the word alphabet fail loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Segment.viterbiSegment(docs, "doc_id", "text", Seq("a", "b", "Über"))
+    }
+    assert(ex.getMessage.contains("Über"))
+  }
+
   private def explode(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.explode(c)
 }
