@@ -348,12 +348,23 @@ object StreamScaleCheck {
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val slices = sys.env.getOrElse("SPARK_GRAFT_SLICES", "10").toInt
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps the default on-heap
+    // HDFSBackedStateStore for the disk-backed RocksDB provider — the
+    // production choice once state outgrows executor heap (the 60x dedup
+    // point already holds 282 MB on-heap; another 100x of that OOMs,
+    // RocksDB pages it to local disk with a bounded block cache instead).
+    // Same semantics, same progress metrics — memoryUsedBytes then
+    // reports the RocksDB memtable+cache footprint, not row bytes.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 8) // state stores = stores x partitions
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // time-sliced feed: K equal event-time slices of the SCALEx table,
@@ -393,7 +404,7 @@ object StreamScaleCheck {
         .parquet(feedDir.getAbsolutePath)
       val out = build(src())
       val q = out.writeStream.format("noop")
-        .option("checkpointLocation", s"target/streamscale$scale-ckpt-$name")
+        .option("checkpointLocation", s"target/streamscale$scale-$provider-ckpt-$name")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -420,7 +431,7 @@ object StreamScaleCheck {
     (0 until 1).foreach { _ =>
       ops(spark).foreach { case (name, _) =>
         org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"target/streamscale$scale-ckpt-$name"))
+          new java.io.File(s"target/streamscale$scale-$provider-ckpt-$name"))
       }
     }
     val json = s"""{"scale":$scale,"slices":$slices,"base":"$baseDir","queries":{${results.mkString(",")}}}"""
