@@ -1008,6 +1008,29 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text",
       Seq("hash", "join", "window", "stream"), k = 10)
 
+  /** Hybrid retrieval: BM25 top-20 (lexical) ⊕ exact-cosine top-20
+    * (semantic, query vec 0) fused by reciprocal-rank fusion — the RAG
+    * retrieval stack's standard combiner, integer-exact. doc_id and
+    * vec_id share the 0..n-1 id space by testdata construction, which is
+    * exactly the lexical⊕semantic shape. */
+  private def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.operators.Ranking.bm25TopK(
+        table(spark, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window", "stream"), k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_x1e4").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val q = queryVecOf(spark, dir)
+    val sem = graft.operators.Similarity.topK(
+        table(spark, dir, "embeddings"), "vec_id", "embedding", q, 20,
+        excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("id"), col("rank"))
+    graft.operators.Ranking.rrfFuse(Seq(lex, sem), topK = 10)
+  }
+
   /** PII redaction over free text. The corpus has no real PII, so the query
     * plants a deterministic mix (email/SSN/phone/CCN/IPv4 keyed off doc_id)
     * into the text, scrubs it with [[graft.operators.Redaction]], and
@@ -2928,6 +2951,32 @@ object SparkEntry {
     graft.operators.LabelProp.communities(edges, nodes, iters = 5)
   }
 
+  /** k-core (k=10) of the hash link graph augmented with three planted
+    * ring tiers of decreasing density (widths 6/5/4 over disjoint node
+    * ranges) — engineered so the peel is a GENUINE multi-round cascade,
+    * not a one-shot filter: measured at sf0.01 the survivor counts run
+    * 500 → 300 → 294 → 281 → 259 → 229 → 196 → 162 → 150 over 8 rounds
+    * before the fixpoint (the width-6 + width-5 tiers). Full
+    * (node, core_deg) value oracle via chained SQL peel levels — the
+    * k-core is the unique fixpoint, so any level count past the cascade
+    * depth replays it exactly (extra levels are no-ops). */
+  private def qKcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    def ring(lo: Long, hi: Long, width: Int) =
+      nodes.where(col("node") >= lo && col("node") < hi)
+        .select(col("node").as("src"), explode(array((1 to width).map(j =>
+          lit(lo) + pmod(col("node") - lo + j, lit(hi - lo))): _*)).as("dst"))
+    val edges = nodes.select(col("node").as("src"), explode(array(
+        pmod(col("node") * 31 + 7, lit(n)),
+        pmod(col("node") * 17 + 3, lit(n)),
+        pmod(col("node") * 13 + 11, lit(n)))).as("dst"))
+      .unionAll(ring(0, 50, 6))
+      .unionAll(ring(50, 150, 5))
+      .unionAll(ring(150, 300, 4))
+    graft.operators.KCore.kcore(edges, k = 10).orderBy("node")
+  }
+
   /** Exact-integer Newman modularity of the round-5 LPA labeling — the
     * community-quality score (Q = q_x4m2 / 4m^2, no floats). */
   private def qCommunityModularity(spark: SparkSession, dir: String): DataFrame = {
@@ -3320,6 +3369,8 @@ object SparkEntry {
     "redact_pii" -> qRedactPii,
     "redact_pii_extended" -> qRedactPiiExtended,
     "bm25_topk" -> qBm25Topk,
+    "hybrid_rrf" -> qHybridRrf,
+    "kcore_peel" -> qKcorePeel,
     "gapfill_resample" -> qGapfillResample,
     "decontaminate_bloom" -> qDecontaminateBloom,
     "kmeans_cluster" -> qKmeansCluster,
@@ -3601,6 +3652,36 @@ object SparkEntry {
   private val labelPropOracleSql: String =
     labelPropCte + "SELECT node::BIGINT AS node, label::BIGINT AS label FROM l5 ORDER BY node"
 
+  /** k-core peel replayed as chained levels over the same hash graph:
+    * level i keeps edges whose BOTH endpoints had degree >= k at level
+    * i-1. The k-core is the unique fixpoint, so any level count >= the
+    * actual cascade depth yields it — 25 levels is far past the measured
+    * depth, and extra levels are no-ops. */
+  private val kcoreOracleSql: String = {
+    val k = 10
+    val levels = 25
+    val head = "WITH nodes AS (SELECT doc_id AS node FROM documents), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+      "e0 AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes " +
+      "UNION ALL SELECT node, (node * 17 + 3) % (SELECT n FROM nn) FROM nodes " +
+      "UNION ALL SELECT node, (node * 13 + 11) % (SELECT n FROM nn) FROM nodes " +
+      "UNION ALL SELECT node, (node + j) % 50 FROM nodes, (SELECT unnest(range(1, 7)) AS j) WHERE node < 50 " +
+      "UNION ALL SELECT node, 50 + ((node - 50 + j) % 100) FROM nodes, (SELECT unnest(range(1, 6)) AS j) WHERE node >= 50 AND node < 150 " +
+      "UNION ALL SELECT node, 150 + ((node - 150 + j) % 150) FROM nodes, (SELECT unnest(range(1, 5)) AS j) WHERE node >= 150 AND node < 300), " +
+      "p0 AS MATERIALIZED (SELECT DISTINCT node, nbr FROM (" +
+      "SELECT src AS node, dst AS nbr FROM e0 WHERE src <> dst " +
+      "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst))"
+    val rounds = (1 to levels).map { i =>
+      s"s$i AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS c " +
+        s"FROM p${i - 1} GROUP BY node) WHERE c >= $k), " +
+        s"p$i AS MATERIALIZED (SELECT p.node, p.nbr FROM p${i - 1} p " +
+        s"JOIN s$i a ON a.node = p.node JOIN s$i b ON b.node = p.nbr)"
+    }.mkString(", ", ", ", " ")
+    head + rounds +
+      s"SELECT node::BIGINT AS node, count(*)::BIGINT AS core_deg " +
+      s"FROM p$levels GROUP BY node ORDER BY node"
+  }
+
   /** Newman modularity of the round-5 labeling in exact integer form:
     * Q·4m² = Σ_c (2m·in2_c − deg_c²) over the directed half-edge view. */
   private val modularityOracleSql: String =
@@ -3871,6 +3952,32 @@ object SparkEntry {
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
     "label_prop" -> labelPropOracleSql,
+    "kcore_peel" -> kcoreOracleSql,
+    // BM25 top-20 and cosine top-20 replayed, fused by the same integer
+    // 1e12 div (rank + 60) contributions
+    "hybrid_rrf" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl), " +
+        "p AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS tok FROM toks) " +
+        "WHERE tok IN ('hash', 'join', 'window', 'stream') GROUP BY doc_id, tok), " +
+        "f AS (SELECT tok, count(*)::DOUBLE AS df FROM p GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, floor(sum(" +
+        "ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf::DOUBLE * (1.2 + 1.0) / " +
+        "(p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE / st.avgdl))" +
+        ") * 10000 + 0.000001)::BIGINT AS score_x1e4 " +
+        "FROM p JOIN f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN st GROUP BY p.doc_id, d.dl), " +
+        "lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score_x1e4 DESC, doc_id) AS rank " +
+        "FROM sc ORDER BY score_x1e4 DESC, doc_id LIMIT 20), " +
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "sem AS (SELECT vec_id AS id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rank " +
+        "FROM embeddings, qv WHERE vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 20), " +
+        "u AS (SELECT id, 1000000000000 // (rank + 60) AS contrib FROM lex " +
+        "UNION ALL SELECT id, 1000000000000 // (rank + 60) FROM sem) " +
+        "SELECT id::BIGINT AS id, sum(contrib)::BIGINT AS rrf_x1e12, count(*)::BIGINT AS n_rankings " +
+        "FROM u GROUP BY id ORDER BY rrf_x1e12 DESC, id LIMIT 10"),
     "community_modularity" -> modularityOracleSql,
     // exact integer sqrt (float floor(sqrt) with the +-1 correction),
     // floor quotas over the isqrt weight total

@@ -123,4 +123,38 @@ object Ranking {
       .orderBy(col("pmi_x1e4").desc, col("x"), col("y")).limit(k)
       .select(col("x"), col("y"), col("n_xy"), col("pmi_x1e4"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given R rankings of the same id
+    * space (lexical BM25 ⊕ embedding ANN in a RAG stack, or any mix of
+    * retrievers), score each id by `Σ_r 1/(k0 + rank_r)` and re-rank.
+    * RRF needs only RANKS, never the retrievers' incomparable raw
+    * scores, which is exactly why it is the default fusion in hybrid
+    * search.
+    *
+    * Contribution arithmetic is `1e12 div (k0 + rank)` in pure Long —
+    * exact, engine-portable, and order-independent under summation (the
+    * float form's `Σ 1/(k0+r)` would be reduction-order-sensitive in the
+    * last ulps). Ids absent from a ranking contribute 0 (the standard
+    * convention); ties break toward the smaller id.
+    *
+    * Scale shape: each input ranking is top-k-sized by construction —
+    * model-sized, not corpus-sized — so the union + id-keyed sum is one
+    * bounded aggregate and the final order is TakeOrderedAndProject over
+    * ≤ Σk rows. The expensive work happened in the retrievers. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "id", rankCol: String = "rank",
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1, "k0 must be >= 1 (the standard damping constant is 60)")
+    require(topK >= 1, "topK must be >= 1")
+    val union = rankings.map(_.select(
+        col(s"`$idCol`").cast("long").as("id"),
+        expr(s"1000000000000 div (cast(`$rankCol` as bigint) + $k0)").as("__contrib")))
+      .reduce(_ unionAll _)
+    union.groupBy(col("id"))
+      .agg(sum(col("__contrib")).cast("long").as("rrf_x1e12"),
+        count(lit(1)).as("n_rankings"))
+      .orderBy(col("rrf_x1e12").desc, col("id"))
+      .limit(topK)
+  }
 }

@@ -63,4 +63,28 @@ class RankingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("p", "q"), ("q", "r"))) // (p,r) is distance 2
   }
+
+  test("rrfFuse: exact integer contributions, absent ids contribute zero") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val got = Ranking.rrfFuse(Seq(a, b), k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(rank: Long) = 1000000000000L / (60 + rank)
+    val expected = Map(
+      10L -> (c(1) + c(2), 2L), 20L -> (c(2) + c(1), 2L),
+      30L -> (c(3), 1L), 40L -> (c(3), 1L))
+    assert(got.map(t => t._1 -> ((t._2, t._3))).toMap === expected)
+    // 10 and 20 tie exactly (symmetric ranks) -> smaller id first; the
+    // singles tie too, 30 before 40
+    assert(got.map(_._1).toSeq === Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("rrfFuse: topK cuts after the fused order; k0 bounds hold") {
+    import spark.implicits._
+    val a = (1L to 9L).map(i => (i, i)).toDF("id", "rank")
+    val top = Ranking.rrfFuse(Seq(a), topK = 3).collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { Ranking.rrfFuse(Nil) }
+  }
 }
