@@ -702,6 +702,30 @@ object SparkEntry {
     table(spark, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
 
+  /** JL sign projection 64 → 8 dims, full per-coordinate value oracle
+    * (4,000 integers at the gate scale) — dimensionality reduction for
+    * cheaper similarity shuffles, exact on the 1e6 grid. */
+  private def qEmbedProject(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.Quantization.signProject(
+        table(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = q.length, outDim = 8)
+      .select(col("vid").as("vec_id"), posexplode(col("proj")).as(Seq("p", "y")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("y"))
+  }
+
+  /** Semantic decontamination: vectors 0..9 as the benchmark, the rest
+    * as the training corpus, flagged at cosine >= 0.25 on the ppm grid;
+    * full per-flagged-vector value oracle. */
+  private def qDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    graft.operators.Decontamination.semanticContaminated(
+        emb.where(col("vec_id") >= 10), "vec_id", "embedding",
+        emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        tauPpm = 250000L, maxBench = 10)
+      .orderBy("vid")
+  }
+
   /** Product-quantization ANN: integer-grid codebooks (hash init + 1
     * Lloyd round), 8 subspaces x 16 codes over dim 64, ADC probe against
     * vec 0 — training, encoding and probe all replayed exactly by the
@@ -3348,6 +3372,8 @@ object SparkEntry {
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
+    "embed_project" -> qEmbedProject,
+    "decontaminate_semantic" -> qDecontaminateSemantic,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
     "ann_l2_topk" -> qAnnL2Topk,
@@ -4668,6 +4694,24 @@ object SparkEntry {
         "SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) AS rank " +
         "FROM embeddings, q WHERE vec_id <> 0 " +
         "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10"),
+    // same 1e6-grid quantize, same middle-hash-bit sign matrix, exact sums
+    "embed_project" ->
+      ("WITH qz AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, " +
+        "unnest(list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT)) AS q FROM embeddings), " +
+        "js AS (SELECT unnest(range(0, 8)) AS j), " +
+        "s AS (SELECT qz.vec_id, js.j, sum(qz.q * (CASE WHEN ((qz.i * 2654435761 + js.j * 40503) // 65536) % 2 = 0 THEN 1 ELSE -1 END))::BIGINT AS y " +
+        "FROM qz CROSS JOIN js GROUP BY qz.vec_id, js.j) " +
+        "SELECT vec_id::BIGINT AS vec_id, (j + 1)::BIGINT AS pos, y FROM s ORDER BY vec_id, pos"),
+    // ppm-grid cosine threshold against the 10-vector benchmark
+    "decontaminate_semantic" ->
+      ("WITH b AS (SELECT vec_id AS bench_id, list_transform(embedding, x -> x::DOUBLE) AS be " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ce " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "s AS (SELECT c.vec_id, round(list_cosine_similarity(ce, be) * 1000000)::BIGINT AS cos_ppm " +
+        "FROM c CROSS JOIN b) " +
+        "SELECT vec_id::BIGINT AS vid, count(*)::BIGINT AS n_hits, max(cos_ppm)::BIGINT AS max_cos_ppm " +
+        "FROM s WHERE cos_ppm >= 250000 GROUP BY vec_id ORDER BY vid"),
     "text_profile" ->
       ("WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
         "length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np, " +

@@ -151,4 +151,42 @@ object Decontamination {
     docs.join(broadcast(bad),
       docs(s"`$idCol`").cast("long") === bad("doc_id"), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram operators above: an eval example paraphrased into different
+    * surface tokens shares no 8-grams with its source but still sits next
+    * to it in embedding space, so modern decontamination (e.g. the
+    * Phi/FineWeb recipes) also flags training vectors whose cosine
+    * against ANY benchmark vector reaches a threshold. Comparison runs on
+    * the ppm grid (`round(cosine·1e6) >= tauPpm`, the [[Similarity
+    * .hardNegatives]] discipline — a ~1e-15 cross-engine float difference
+    * cannot cross a 1e-6 grid cell outside a measure-zero boundary).
+    *
+    * Returns one row per flagged corpus vector: (vid, n_hits,
+    * max_cos_ppm). Scale shape: the benchmark side is require-bounded and
+    * enters the plan through a `limit` (a statically bounded × N nested
+    * loop — linear in the corpus with a |bench| constant, the same shape
+    * as hardNegatives); corpus-side math stays in the codegen'd dot
+    * kernel and the per-vid aggregate is map-side combined. */
+  def semanticContaminated(corpus: DataFrame, idCol: String, embCol: String,
+                           bench: DataFrame, benchIdCol: String, benchEmbCol: String,
+                           tauPpm: Long, maxBench: Int = 100): DataFrame = {
+    require(tauPpm > -1000000 && tauPpm <= 1000000, "tauPpm is a cosine on the 1e6 grid")
+    require(maxBench >= 1 && maxBench <= 1000,
+      "benchmark set must be bounded (<= 1000) — it multiplies the corpus scan")
+    def norm(c: Column): Column = sqrt(graft.plans.VectorExpressions.dot(c, c))
+    val b = bench.select(col(s"`$benchIdCol`").cast("long").as("bench_id"),
+        col(s"`$benchEmbCol`").cast("array<double>").as("be"))
+      .limit(maxBench) // static row bound: audits as a bounded-side join
+    val base = corpus.select(col(s"`$idCol`").cast("long").as("vid"),
+      col(s"`$embCol`").cast("array<double>").as("ce"))
+    val dot = graft.plans.VectorExpressions.dot(col("ce"), col("be"))
+    val cosPpm = round(dot / (norm(col("ce")) * norm(col("be"))) * lit(1000000d), 0)
+      .cast("long")
+    base.crossJoin(broadcast(b))
+      .select(col("vid"), cosPpm.as("cos_ppm"))
+      .where(col("cos_ppm") >= tauPpm)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos_ppm")).as("max_cos_ppm"))
+  }
 }

@@ -130,4 +130,23 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(r.getLong(2) === 1L)
     assert(r.getLong(3) === 10000L / 8)
   }
+
+  test("semanticContaminated flags near-benchmark vectors, counts hits exactly") {
+    import spark.implicits._
+    // bench = unit x-axis and unit y-axis; corpus: an x-copy (cos 1 to
+    // bench 0), a 45-degree vector (cos ~0.707 to BOTH), a z-axis vector
+    // (cos 0 to both — never flagged)
+    val bench = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2f, 0f, 0f)),
+      (11L, Array(1f, 1f, 0f)),
+      (12L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val got = Decontamination.semanticContaminated(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding", tauPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) === ((1L, 1000000L)))
+    assert(got(11L) === ((2L, 707107L))) // 1/sqrt(2) on the ppm grid, both benches
+    assert(!got.contains(12L))
+  }
 }

@@ -71,4 +71,33 @@ class QuantExpressionsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("max_err") <= scale / 2.0 + 1e-15)
     }
   }
+
+  test("signProject matches the scalar replay and roughly preserves distances") {
+    import spark.implicits._
+    val dim = 16; val outDim = 8
+    val vecs = (0L until 20L).map { v =>
+      v -> (0 until dim).map(i => (((v * 13 + i * 7) % 19).toFloat / 9f) - 1f).toArray
+    }
+    val got = graft.operators.Quantization.signProject(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", dim, outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def sign(i: Int, j: Int): Long =
+      if (((i.toLong * 2654435761L + j.toLong * 40503L) / 65536L) % 2L == 0L) 1L else -1L
+    def quant(x: Float): Long =
+      BigDecimal(x.toDouble * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for ((v, emb) <- vecs) {
+      val expect = (0 until outDim).map(j =>
+        (0 until dim).map(i => quant(emb(i)) * sign(i, j)).sum)
+      assert(got(v).toSeq === expect, s"vec $v")
+    }
+    // JL sanity: an exact duplicate pair projects to distance 0 while a
+    // far pair stays far — the projection cannot conflate them
+    val dup = Seq((100L, vecs(0)._2), (101L, vecs(0)._2),
+      (102L, vecs(0)._2.map(-_))).toDF("vec_id", "embedding")
+    val p = graft.operators.Quantization.signProject(dup, "vec_id", "embedding", dim, outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(p(100L) === p(101L))
+    def l2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    assert(l2(p(100L), p(102L)) > 0L)
+  }
 }
