@@ -98,6 +98,12 @@ object ScaleCheck {
     // single-aggregate ops (recency decay, k-anonymity report) that
     // complete the per-family scale table
     "corpus_card", "recency_weights", "k_anonymity", "mask_k_anon",
+    // round-12 batch 2: the fourth iterative operator (k-core peel —
+    // rounds = cascade depth, which the planted tiers pin; per-round cost
+    // linear), the bounded fusion aggregate, the in-row JL projection
+    // (zero shuffle by construction), and the bounded-bench semantic
+    // decontamination scan
+    "kcore_peel", "hybrid_rrf", "embed_project", "decontaminate_semantic",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
