@@ -378,29 +378,10 @@ object StreamScaleCheck {
     // delivers them in event-time order (one micro-batch per file)
     val feedDir = new java.io.File(s"target/streamscale$scale-feed")
     if (!new java.io.File(feedDir, s"slice${slices - 1}.parquet").exists()) {
-      val ev = ScaleCheck.eventCopies(spark.read.parquet(s"$baseDir/events.parquet"), scale)
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val Array(minTs, maxTs) = ev.agg(
-        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))) + 1)
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = math.max(1L, (maxTs - minTs) / slices + 1)
-      feedDir.mkdirs()
-      (0 until slices).foreach { i =>
-        val tmp = new java.io.File(feedDir, s"_tmp$i")
-        ev.where(
-            unix_timestamp(col("ts")) >= minTs + i * span &&
-              unix_timestamp(col("ts")) < minTs + (i + 1) * span)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(feedDir, s"slice$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        dst.setLastModified(1000000000000L + i * 60000L)
-      }
-      ev.unpersist(false)
+      graft.sources.Sinks.writeTimeSliced(
+        ScaleCheck.eventCopies(spark.read.parquet(s"$baseDir/events.parquet"), scale)
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "ts", feedDir.getAbsolutePath, slices)
     }
     val schema = spark.read.parquet(feedDir.getAbsolutePath).schema
 

@@ -2658,6 +2658,55 @@ object SparkEntry {
       sum(col("right_id")).cast("long").as("purchase_id_sum"))
   }
 
+  /** LEFT OUTER stream-stream interval join over a MULTI-BATCH feed —
+    * the null-emission path no single-batch AvailableNow query can
+    * exercise: unmatched clicks emit with nulls only when the advancing
+    * watermark clears their window, so the events table is replayed as 6
+    * time-ordered slices (one micro-batch each via maxFilesPerTrigger).
+    * The comparison restricts unmatched rows to a 2-day safety band
+    * before the corpus end: inside the band the batch anti-join and the
+    * streamed null set agree EXACTLY, and Spark's internal state-eviction
+    * boundary (wherever its ±1-interval adjustments land) lies strictly
+    * in the excluded tail, so the oracle never sits on it. Matched pairs
+    * are compared unfiltered (they emit immediately, batch-equal). */
+  private def qStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val feed = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_events_slices_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    if (!new java.io.File(feed, "slice5.parquet").exists()) {
+      graft.sources.Sinks.writeTimeSliced(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "ts", feed, slices = 6)
+    }
+    val schema = spark.read.parquet(feed).schema
+    def side(eventType: String): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .where(col("event_type") === eventType)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val joined = graft.streaming.Streaming.intervalJoinLeftOuter(
+      side("click"), side("purchase"), gapMinutes = 30, watermarkDelay = "10 minutes")
+    val sink = "graft_stream_join_outer_sink"
+    // same state-store partition bound as qStreamStreamJoin
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    // exact microsecond band on both engines (unix_micros == epoch_us)
+    val cutoffUs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0) -
+      2L * 24 * 3600 * 1000000
+    val old = unix_micros(col("left_ts")) < cutoffUs
+    spark.table(sink).agg(
+      count(when(col("right_id").isNotNull, 1)).as("n_pairs"),
+      sum(when(col("right_id").isNotNull, col("left_id"))).cast("long").as("matched_click_id_sum"),
+      count(when(col("right_id").isNull && old, 1)).as("n_unconverted_old"),
+      sum(when(col("right_id").isNull && old, col("left_id"))).cast("long").as("unconverted_id_sum"))
+  }
+
   /** Streaming exact dedup as a REAL one-shot stream: the events source
     * unioned with a second stream of every-10th event (planted duplicates,
     * DuckDB-recomputable), deduplicated on event_id with
@@ -3485,6 +3534,7 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_stream_join" -> qStreamStreamJoin,
+    "stream_join_outer" -> qStreamJoinOuter,
     "stream_static_join" -> qStreamStaticJoin,
     "session_window_agg" -> qSessionWindowAgg,
     "stream_foreach_batch" -> qStreamForeachBatch,
@@ -5327,6 +5377,20 @@ object SparkEntry {
         "FROM events c JOIN events p ON c.user_id = p.user_id " +
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
+    // matched pairs = the batch interval join; unmatched = the batch
+    // anti-join restricted to the 2-day safety band before corpus end
+    "stream_join_outer" ->
+      ("WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT c.event_id FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE), " +
+        "u AS (SELECT c.event_id FROM c WHERE NOT EXISTS (SELECT 1 FROM p " +
+        "WHERE p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE) " +
+        "AND epoch_us(c.ts) < (SELECT max(epoch_us(ts)) FROM events) - 172800000000) " +
+        "SELECT (SELECT count(*) FROM m)::BIGINT AS n_pairs, " +
+        "(SELECT coalesce(sum(event_id), 0) FROM m)::BIGINT AS matched_click_id_sum, " +
+        "(SELECT count(*) FROM u)::BIGINT AS n_unconverted_old, " +
+        "(SELECT coalesce(sum(event_id), 0) FROM u)::BIGINT AS unconverted_id_sum"),
     "events_window_stream" ->
       ("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ws_epoch, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -61,4 +61,37 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .save(path)
   }
+
+  /** Write `df` as `slices` single-file parquets covering equal
+    * EVENT-TIME ranges, modification times ascending — a deterministic
+    * multi-micro-batch replay feed for file-source streams: with
+    * `maxFilesPerTrigger=1` each slice becomes one micro-batch, so the
+    * event-time watermark genuinely ADVANCES between batches (the
+    * single-file AvailableNow shape delivers everything in one batch and
+    * never exercises watermark-driven emission mid-stream). Used by the
+    * outer-join / state-scale paths; slices are disjoint ts ranges, so
+    * the replay has no cross-batch disorder. */
+  def writeTimeSliced(df: DataFrame, tsCol: String, dirPath: String, slices: Int): Unit = {
+    require(slices >= 1, "need at least one slice")
+    val dir = new java.io.File(dirPath)
+    dir.mkdirs()
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ts = unix_timestamp(col(s"`$tsCol`"))
+    val Array(minTs, maxTs) = src.agg(min(ts), max(ts) + 1)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, (maxTs - minTs) / slices + 1)
+    (0 until slices).foreach { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      src.where(ts >= minTs + i * span && ts < minTs + (i + 1) * span)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    src.unpersist(false)
+  }
 }

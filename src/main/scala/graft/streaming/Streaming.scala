@@ -150,6 +150,35 @@ object Streaming {
       .drop("r_user_id")
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution shape
+    * ("which clicks never converted within the window"): matched pairs
+    * emit like [[intervalJoin]]; an UNMATCHED left row emits with nulls
+    * on the right once the watermark guarantees no future right row can
+    * land in its `[left_ts, left_ts + gap]` window — i.e. when the left
+    * row's state expires. The two-sided time bound keeps BOTH state
+    * stores watermark-bounded (same finiteness argument as the inner
+    * join). Null emission is watermark-DRIVEN: rows near the stream's
+    * tail whose window the final watermark never clears are held, not
+    * emitted — callers comparing against a batch anti-join must restrict
+    * to rows safely inside the horizon (the oracle query does exactly
+    * that with an explicit safety band, so the comparison never sits on
+    * Spark's internal state-eviction boundary). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, gapMinutes: Int,
+                            watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("left_id"), col("ts").as("left_ts"),
+      col("user_id").as("user_id"))
+      .withWatermark("left_ts", watermarkDelay)
+    val r = right.select(col("event_id").as("right_id"), col("ts").as("right_ts"),
+      col("user_id").as("r_user_id"))
+      .withWatermark("right_ts", watermarkDelay)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+      "left_outer")
+      .drop("r_user_id")
+  }
+
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
                            tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
