@@ -881,6 +881,62 @@ object SparkEntry {
       .select(col("vid").as("vec_id"), col("pq_dist"), col("rank"))
   }
 
+  /** IVFADC + exact refine — ADC shortlist of 50, exact grid re-rank to
+    * 10. The refine stage's value is measurable: whenever PQ approximation
+    * error reorders the true neighbors inside the shortlist, the refined
+    * top-10 differs from `ann_ivfpq_topk`'s — and both are oracle-pinned,
+    * so the disagreement itself is verified. */
+  private def qAnnIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.ProductQuant.ivfAdcTopKRefined(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q,
+      k = 10, kShort = 50, m = 8, nLists = 8, nProbe = 2, nCodes = 16, lloydIters = 1,
+      excludeId = Some(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("exact_dist").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("pq_dist"), col("exact_dist"), col("rank"))
+  }
+
+  /** MMR diversification over the exact top-20: greedy λ=0.7 selection on
+    * the ppm grid, oracle-replayed as a recursive CTE. */
+  private def qAnnMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    graft.operators.Similarity.mmrRerank(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", q,
+      k = 10, nCandidates = 20, lamX10 = 7, excludeId = Some(0L))
+  }
+
+  /** Winnowing fingerprint dedup (MOSS): kernel-selected k-gram hashes,
+    * bucket join on the 60-bit fingerprint, Jaccard >= 0.5 over the
+    * fingerprint sets. The oracle recomputes selection hash-for-hash
+    * (same md5-prefix integer both engines). */
+  private def qDedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.pairs(
+        table(spark, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, threshold = 0.5, maxDf = 1000L)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"),
+        coalesce(sum(col("n_shared")), lit(0L)).cast("long").as("shared_sum"))
+
+  /** Multi-pass sorted-neighborhood dedup over the edit_pairs planted-
+    * variant corpus: both passes' candidates, Levenshtein-verified. The
+    * n_matches bar is the full planted set — single-pass finds 16 of 50,
+    * the reverse-key second pass finds the rest. */
+  private def qSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
+    graft.operators.SortedNeighborhood.candidatesWithDist(
+        docs.unionByName(planted), "doc_id", "text", window = 5, blockLen = 4)
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("dist") <= 2, 1)).as("n_matches"),
+        coalesce(sum(when(col("dist") <= 2, col("id_a") + col("id_b"))), lit(0L))
+          .cast("long").as("pair_id_sum"),
+        coalesce(sum(when(col("dist") <= 2, col("dist"))), lit(0L))
+          .cast("long").as("dist_sum"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3428,7 +3484,11 @@ object SparkEntry {
     "ann_l2_topk" -> qAnnL2Topk,
     "ann_ivfpq_topk" -> qAnnIvfPqTopk,
     "ann_ivfpq_pruned" -> qAnnIvfPqPruned,
+    "ann_ivfpq_refine" -> qAnnIvfPqRefine,
     "ann_pq_batch" -> qAnnPqBatch,
+    "ann_mmr_rerank" -> qAnnMmrRerank,
+    "dedup_winnow" -> qDedupWinnow,
+    "sorted_neighborhood" -> qSortedNeighborhood,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -3861,7 +3921,7 @@ object SparkEntry {
     * routes to the 2 nearest lists with per-list ADC tables. Every cb /
     * assign CTE is MATERIALIZED — the chain is deep and multiply
     * referenced; inlining would expand exponentially. */
-  private val annIvfPqOracleSql: String = {
+  private val annIvfPqCoreCte: String = {
     def cb(name: String, assignT: String, src: String) =
       s"$name AS MATERIALIZED (SELECT z.s, a.code, z.spos, " +
         "((sum(z.q) - ((sum(z.q) % count(*)) + count(*)) % count(*)) // count(*))::BIGINT AS c " +
@@ -3900,10 +3960,98 @@ object SparkEntry {
       "score AS (SELECT a.vec_id, sum(dt.d)::BIGINT AS pq_dist FROM pa2 a " +
       "JOIN la ON la.vec_id = a.vec_id JOIN pl ON pl.list = la.list " +
       "JOIN dtab dt ON dt.list = la.list AND dt.s = a.s AND dt.code = a.code " +
-      "WHERE a.vec_id <> 0 GROUP BY a.vec_id) " +
-      "SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
-      "FROM score ORDER BY pq_dist, vec_id LIMIT 10"
+      "WHERE a.vec_id <> 0 GROUP BY a.vec_id)"
   }
+
+  private val annIvfPqOracleSql: String =
+    annIvfPqCoreCte +
+      " SELECT vec_id, pq_dist, row_number() OVER (ORDER BY pq_dist, vec_id) AS rank " +
+      "FROM score ORDER BY pq_dist, vec_id LIMIT 10"
+
+  /** Refine stage on top of the full IVFADC replay: ADC shortlist of 50,
+    * exact squared-L2 on the full-dim grid (`fz` vs the query's `qf`),
+    * final top-10 by exact distance. */
+  private val annIvfPqRefineOracleSql: String =
+    annIvfPqCoreCte + ", " +
+      "short AS MATERIALIZED (SELECT vec_id, pq_dist FROM score ORDER BY pq_dist, vec_id LIMIT 50), " +
+      "ex AS (SELECT z.vec_id, sum((z.q - qf.q) * (z.q - qf.q))::BIGINT AS exact_dist " +
+      "FROM fz z JOIN qf ON qf.spos = z.spos JOIN short s ON s.vec_id = z.vec_id " +
+      "GROUP BY z.vec_id) " +
+      "SELECT s.vec_id, s.pq_dist, e.exact_dist, " +
+      "row_number() OVER (ORDER BY e.exact_dist, s.vec_id) AS rank " +
+      "FROM short s JOIN ex e USING (vec_id) ORDER BY exact_dist, vec_id LIMIT 10"
+
+  /** MMR greedy selection replayed as a recursive CTE: the picks list is
+    * the recursion state; each step's argmax is a correlated subquery
+    * ranking the remaining candidates by 7·rel − 3·max_sim_to_picks on
+    * the ppm grid, ties by vec_id — the exact mirror of
+    * [[graft.operators.Similarity.mmrRerank]]'s driver loop. */
+  private val annMmrOracleSql: String =
+    "WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe FROM embeddings WHERE vec_id = 0), " +
+      "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings WHERE vec_id <> 0), " +
+      "rel AS (SELECT vec_id, e, round(list_cosine_similarity(e, qe) * 1000000)::BIGINT AS rel_ppm FROM v, q), " +
+      "cand AS (SELECT vec_id, e, rel_ppm, row_number() OVER (ORDER BY rel_ppm DESC, vec_id) AS rn FROM rel " +
+      "QUALIFY rn <= 20), " +
+      "sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "round(list_cosine_similarity(a.e, b.e) * 1000000)::BIGINT AS sim_ppm " +
+      "FROM cand a JOIN cand b ON a.vec_id <> b.vec_id), " +
+      "sel AS (WITH RECURSIVE r(step, picks) AS (" +
+      "SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel_ppm DESC, vec_id LIMIT 1)] " +
+      "UNION ALL SELECT step + 1, list_append(picks, (" +
+      "SELECT c.vec_id FROM cand c WHERE NOT list_contains(r.picks, c.vec_id) " +
+      "ORDER BY 7 * c.rel_ppm - 3 * (SELECT max(s.sim_ppm) FROM sims s " +
+      "WHERE s.va = c.vec_id AND list_contains(r.picks, s.vb)) DESC, c.vec_id LIMIT 1)) " +
+      "FROM r WHERE step < 10) SELECT picks FROM r WHERE step = 10) " +
+      "SELECT u.i::BIGINT AS sel_rank, u.v AS vec_id, c.rel_ppm " +
+      "FROM (SELECT unnest(picks) AS v, unnest(range(1, 11)) AS i FROM sel) u " +
+      "JOIN cand c ON c.vec_id = u.v ORDER BY sel_rank"
+
+  /** Winnowing replayed selection-for-selection: same k=5 grams over
+    * lower(trim(text)), same 60-bit md5-prefix hash, same rightmost-min
+    * window rule (list_reduce keeps the later index on ties), same df<=
+    * 1000 hot-fingerprint cap, Jaccard >= 0.5 over fingerprint sets. */
+  private val dedupWinnowOracleSql: String =
+    "WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT doc_id, [('0x' || substr(md5(t[i:i+4]), 1, 15))::UBIGINT::BIGINT " +
+      "FOR i IN range(1, greatest(len(t) - 3, 1))] AS h FROM d WHERE len(t) >= 5), " +
+      "w AS (SELECT doc_id, h, least(4, len(h)) AS we FROM g), " +
+      "f AS (SELECT doc_id, list_distinct([list_reduce(range(j, j + we), " +
+      "(acc, p) -> CASE WHEN h[p] <= h[acc] THEN p ELSE acc END) " +
+      "FOR j IN range(1, len(h) - we + 2)]) AS selpos, h FROM w), " +
+      "fp AS (SELECT doc_id, unnest(list_distinct(list_transform(selpos, p -> h[p]))) AS fp FROM f), " +
+      "keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000), " +
+      "fpk AS (SELECT doc_id, fp FROM fp JOIN keepfp USING (fp)), " +
+      "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+      "FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, count(*) AS n_fp FROM fpk GROUP BY 1), " +
+      "p AS (SELECT id_a, id_b, n_shared, " +
+      "n_shared::DOUBLE / (sa.n_fp + sb.n_fp - n_shared) AS sim " +
+      "FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+      "SELECT count(*) AS n_pairs, coalesce(sum(id_a + id_b), 0)::BIGINT AS pair_id_sum, " +
+      "coalesce(sum(n_shared), 0)::BIGINT AS shared_sum FROM p WHERE sim >= 0.5"
+
+  /** Both SNM passes (normalized key + reversed key), blocked on the
+    * 4-char prefix, window 5, distinct pair union, Levenshtein verify. */
+  private val sortedNeighborhoodOracleSql: String =
+    "WITH u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id + 1000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
+      "FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
+      "d AS (SELECT doc_id, lower(trim(text)) AS k1, reverse(lower(trim(text))) AS k2, text FROM u), " +
+      "o1 AS (SELECT doc_id, text, substr(k1, 1, 4) AS blk, " +
+      "row_number() OVER (PARTITION BY substr(k1, 1, 4) ORDER BY k1, doc_id) AS rn FROM d), " +
+      "o2 AS (SELECT doc_id, text, substr(k2, 1, 4) AS blk, " +
+      "row_number() OVER (PARTITION BY substr(k2, 1, 4) ORDER BY k2, doc_id) AS rn FROM d), " +
+      "c1 AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b " +
+      "FROM o1 a JOIN o1 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4), " +
+      "c2 AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b " +
+      "FROM o2 a JOIN o2 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4), " +
+      "cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)), " +
+      "m AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist FROM cand " +
+      "JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b) " +
+      "SELECT count(*) AS n_candidates, " +
+      "count(CASE WHEN dist <= 2 THEN 1 END)::BIGINT AS n_matches, " +
+      "coalesce(sum(CASE WHEN dist <= 2 THEN id_a + id_b END), 0)::BIGINT AS pair_id_sum, " +
+      "coalesce(sum(CASE WHEN dist <= 2 THEN dist END), 0)::BIGINT AS dist_sum FROM m"
 
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
@@ -3965,6 +4113,10 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
+    "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,
+    "ann_mmr_rerank" -> annMmrOracleSql,
+    "dedup_winnow" -> dedupWinnowOracleSql,
+    "sorted_neighborhood" -> sortedNeighborhoodOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "ann_pq_batch" -> annPqBatchOracleSql,

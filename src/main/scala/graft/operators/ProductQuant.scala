@@ -466,4 +466,44 @@ object ProductQuant {
     excludeId.map(x => scored.where(col("vid") =!= x)).getOrElse(scored)
       .orderBy(col("l2_dist").asc, col("vid").asc).limit(k)
   }
+
+  /** IVFADC with an exact refine stage — the serving shape FAISS calls
+    * `IndexRefineFlat`: the routed ADC probe produces a `kShort`
+    * SHORTLIST by approximate distance, then only those `kShort` vectors
+    * get an exact (grid) squared-L2 evaluation and the final top `k` is
+    * ranked by the exact distance. This buys back the PQ approximation
+    * error at a cost bounded by `kShort` full-precision distance
+    * computations per query — the standard accuracy/cost dial between
+    * pure ADC (cheapest) and brute force (exact).
+    *
+    * Scale shape: the shortlist is `kShort`-bounded and driver-
+    * materialized (same budget discipline as [[ivfAdcTopK]]'s top-k);
+    * the refine pass re-reads the corpus with `vid.isin(shortlist)` — a
+    * scan-pushable IN filter over a model-sized id set, so the exact
+    * arithmetic touches `kShort` rows regardless of corpus size.
+    * Returns (vid, pq_dist, exact_dist) ordered by (exact asc, vid asc).
+    */
+  def ivfAdcTopKRefined(df: DataFrame, idCol: String, embCol: String, query: Array[Double],
+                        k: Int, kShort: Int, m: Int, nLists: Int = 8, nProbe: Int = 2,
+                        nCodes: Int = 16, lloydIters: Int = 1, scale: Long = 1000000L,
+                        excludeId: Option[Long] = None): DataFrame = {
+    require(k >= 1 && kShort >= k && kShort <= 10000,
+      "need 1 <= k <= kShort <= 10000 — the shortlist is driver-materialized")
+    val shortlist = ivfAdcTopK(df, idCol, embCol, query, kShort, m, nLists, nProbe,
+      nCodes, lloydIters, scale, excludeId)
+    val ids = shortlist.select(col("vid")).collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) return shortlist.select(col("vid"), col("pq_dist"),
+      col("pq_dist").as("exact_dist")).limit(0)
+    val qq = query.map(v => BigDecimal(v * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toList
+    val dist = aggregate(
+      zip_with(element_at(col("qsubs"), 1), typedlit(qq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val exact = quantizedRows(df, idCol, embCol, m = 1, subDim = query.length, scale)
+      .where(col("vid").isin(ids.map(Long.box): _*))
+      .select(col("vid"), dist.as("exact_dist"))
+    exact.join(broadcast(shortlist), Seq("vid"))
+      .select(col("vid"), col("pq_dist"), col("exact_dist"))
+      .orderBy(col("exact_dist").asc, col("vid").asc).limit(k)
+  }
 }

@@ -466,4 +466,92 @@ object Similarity {
         col("t.score").cast("long").as("cos_ppm"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * retrieve the `nCandidates` most query-similar vectors, then greedily
+    * select `k` of them maximizing
+    * `lamX10·rel − (10−lamX10)·max_sim_to_selected` — relevance traded
+    * against redundancy, the standard diversification pass between ANN
+    * retrieval and a RAG/labeling consumer.
+    *
+    * Determinism contract (advisor r11, the hard-negatives rule): all
+    * similarities live on the ppm GRID — rel_ppm = round(cos·1e6)
+    * HALF_UP, pairwise sim_ppm the same — and every argmax tie-breaks
+    * toward the smaller vec_id, so candidate cut, greedy trajectory, and
+    * output are bit-identical across engines (the `ann_mmr_rerank` oracle
+    * replays the greedy loop as a recursive CTE).
+    *
+    * Scale shape: the corpus pays ONE codegen'd scoring scan +
+    * TakeOrderedAndProject for the candidate cut; everything after is
+    * driver arithmetic on an `nCandidates`-bounded set (≤100, require'd —
+    * the greedy loop is O(k·n²) on the candidate count, model-sized like
+    * the PQ codebooks). Returns (sel_rank 1-based, vec_id, rel_ppm) in
+    * selection order. */
+  def mmrRerank(df: DataFrame, idCol: String, embCol: String, query: Array[Double],
+                k: Int = 10, nCandidates: Int = 20, lamX10: Int = 7,
+                excludeId: Option[Long] = None): DataFrame = {
+    require(nCandidates >= k && nCandidates <= 100,
+      "need k <= nCandidates <= 100 — candidates are driver-materialized")
+    require(lamX10 >= 0 && lamX10 <= 10, "lamX10 in [0, 10]")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val e = col(s"`$embCol`").cast("array<double>")
+    val scored = df.where(e.isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("vec_id"), e.as("emb"),
+        round(dotLit(e, query) / (norm(e) * lit(qNorm)) * lit(1000000d), 0)
+          .cast("long").as("rel_ppm"))
+    val cand = excludeId.fold(scored)(id => scored.where(col("vec_id") =!= id))
+      .orderBy(col("rel_ppm").desc, col("vec_id").asc)
+      .limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    if (cand.isEmpty) {
+      return df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sel_rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rel_ppm", org.apache.spark.sql.types.LongType))))
+    }
+    def cosPpm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val n = cand.length
+    val sim = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 0L else cosPpm(cand(i)._2, cand(j)._2))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val inSel = new Array[Boolean](n)
+    val kEff = math.min(k, n)
+    while (selected.length < kEff) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!inSel(i)) {
+          val maxSim = if (selected.isEmpty) 0L else selected.iterator.map(s => sim(i)(s)).max
+          val score = lamX10 * cand(i)._3 - (10 - lamX10) * maxSim
+          // score ties resolve toward the smaller vec_id, mirroring the
+          // oracle's ORDER BY score DESC, vec_id
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && cand(i)._1 < cand(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      inSel(best) = true
+      selected += best
+    }
+    val rows = selected.zipWithIndex.map { case (idx, r) =>
+      org.apache.spark.sql.Row((r + 1).toLong, cand(idx)._1, cand(idx)._3)
+    }
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rel_ppm", org.apache.spark.sql.types.LongType))))
+  }
 }

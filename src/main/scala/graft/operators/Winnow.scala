@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprinting (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS algorithm) as a dedup family member: position-robust
+  * SUBSTRING-level fingerprints, sitting between the set-similarity
+  * families (MinHash/n-gram Jaccard, which lose locality) and the exact
+  * window families ([[SpanDedup]], which need exact 8-gram repeats). The
+  * winnowing guarantee: two documents sharing any substring of length
+  * >= k + w - 1 share at least one fingerprint, while only ~2/(w+1) of
+  * all gram hashes are kept — a principled recall floor at a bounded
+  * index size, which neither MinHash (probabilistic) nor full inverted
+  * gram indexes (complete but k·|corpus| entries) give.
+  *
+  * Scale shape: fingerprint selection is one in-row codegen'd kernel call
+  * per document ([[graft.plans.WinnowKernel]] — zero shuffle, scan-bound);
+  * the only shuffles are the fingerprint-bucket join (keyed on the 60-bit
+  * hash, ~2n/(w+1) entries per doc) and the final per-pair aggregate. Hot
+  * fingerprints (boilerplate shared by thousands of docs) would make the
+  * bucket join quadratic, so a document-frequency cap drops them — same
+  * `maxDf` discipline as [[Dedup.ngramJaccardPairs]]'s hot-gram guard, and
+  * the DuckDB oracle replays the cap exactly. */
+object Winnow {
+
+  /** Per-document winnowing fingerprints: (id, fp) with `fp` the 60-bit
+    * md5-prefix hash of a selected k-gram. Normalization (lower + trim)
+    * happens in Catalyst so the kernel sees exactly what the SQL oracle's
+    * `lower(trim(text))` sees; docs shorter than `k` codepoints have no
+    * gram and are dropped (kernel returns null). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    val kernel = new graft.plans.WinnowKernel(k, w)
+    val fps = org.apache.spark.sql.GraftBridge.column(graft.plans.WinnowFingerprintsExpr(
+      org.apache.spark.sql.GraftBridge.expression(lower(trim(col(s"`$textCol`")))), kernel))
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("id"), fps.as("__fps"))
+      .where(col("__fps").isNotNull)
+      .select(col("id"), explode(col("__fps")).as("fp"))
+  }
+
+  /** Near-duplicate pairs by fingerprint-set Jaccard >= `threshold`:
+    * (id_a, id_b, n_shared, sim) with id_a < id_b. `maxDf` drops
+    * fingerprints shared by more than that many documents before the
+    * bucket join (boilerplate guard — a fingerprint in f docs contributes
+    * f^2 candidate pairs). One shuffle keyed on the fingerprint for the
+    * candidate counts, one on the pair for the shared tally; document
+    * fingerprint-set sizes ride a broadcast (distinct-doc-sized only in
+    * the worst case — at corpus scale swap for a shuffle join by leaving
+    * `broadcastSizes = false`). */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+            k: Int = 5, w: Int = 4, threshold: Double = 0.5,
+            maxDf: Long = 1000L, broadcastSizes: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    require(maxDf >= 2, "maxDf must allow at least one co-occurrence")
+    // persisted because it feeds three consumers (sizes, the df cap, and
+    // both sides of the bucket join); left to LRU eviction like
+    // [[Dedup.minhashPairs]]'s shingle frame — unpersisting before the
+    // returned lazy frame executes would force a triple recompute
+    // (advisor r11, the ivfAdcTopK lesson)
+    val fp = fingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val kept = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+        .select(col("fp")),
+      Seq("fp"), "left_semi")
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val szA = if (broadcastSizes) broadcast(sizes) else sizes
+    val szB = if (broadcastSizes) broadcast(sizes) else sizes
+    shared
+      .join(szA.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+      .join(szB.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      .withColumn("sim",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("sim"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprint kernel (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): hash every character `k`-gram of the document, slide a
+  * window of `w` consecutive hashes, and keep the minimum of each window
+  * (ties broken toward the RIGHTMOST minimum, the paper's rule that makes
+  * consecutive windows reuse the same selection). The selected hash set is
+  * a position-robust fingerprint: any shared substring of length
+  * >= k + w - 1 between two documents is GUARANTEED to contribute at least
+  * one common fingerprint, while the set size is ~2/(w+1) of the gram
+  * count — the density/guarantee trade the paper proves optimal.
+  *
+  * Same engineering rule as [[ViterbiKernel]]: per-row model compute runs
+  * as a flat JVM loop inside a codegen'd expression, not interpreted HOF
+  * lambdas (an O(n*w) comprehension per document interpreted per-element
+  * is exactly the Viterbi regression measured in round 11).
+  *
+  * Cross-engine hash contract: hash(gram) = first 15 hex chars of
+  * md5(utf8(gram)) read as a 60-bit integer — computable bit-identically
+  * in DuckDB as `('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT`, which
+  * is what the `dedup_winnow` oracle does. Grams are CODEPOINT-based
+  * (DuckDB string slicing is codepoint-based), so the kernel widens to a
+  * codepoint array first; ASCII corpora take the cheap path inside
+  * `String.codePoints`.
+  *
+  * Returns the DISTINCT selected hashes in first-selection order, or null
+  * when the document has fewer than `k` codepoints (no gram exists). */
+final class WinnowKernel(val k: Int, val w: Int) extends Serializable {
+  require(k >= 2 && k <= 64, "gram length k in [2, 64]")
+  require(w >= 2 && w <= 64, "window w in [2, 64]")
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-prefix hash of the gram's UTF-8 bytes: bytes 0..7 of the
+    * digest read big-endian, shifted right 4 — identical to parsing the
+    * first 15 hex characters of the hex digest. */
+  private def hashGram(cps: Array[Int], from: Int): Long = {
+    val gram = new String(cps, from, k)
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def fingerprints(textU: UTF8String): ArrayData = {
+    val cps = textU.toString.codePoints().toArray
+    val n = cps.length - k + 1 // gram count
+    if (n < 1) return null
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hashGram(cps, i); i += 1 }
+    val wEff = math.min(w, n)
+    // rightmost-min per window; consecutive windows differ by one element,
+    // so re-scan only when the previous selection falls out of the window
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var sel = -1
+    var j = 0 // window start, 0-based; windows [j, j + wEff - 1]
+    while (j <= n - wEff) {
+      if (sel < j) {
+        // previous selection expired: full scan, rightmost min wins
+        sel = j
+        var p = j + 1
+        while (p <= j + wEff - 1) { if (h(p) <= h(sel)) sel = p; p += 1 }
+      } else {
+        // only the new rightmost element can displace the current min
+        val p = j + wEff - 1
+        if (h(p) <= h(sel)) sel = p
+      }
+      seen.add(h(sel))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column wrapper: `winnow_fingerprints(text)` → array<long> of distinct
+  * selected gram hashes (null when the text is shorter than k). */
+case class WinnowFingerprintsExpr(child: Expression, kernel: WinnowKernel)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.fingerprints(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowKernel", kernel, classOf[WinnowKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.fingerprints($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}

@@ -262,4 +262,38 @@ class ProductQuantSpec extends AnyFunSuite {
       ProductQuant.adcScoresBatch(data, "vec_id", "embedding", cb, Nil, m = 4)
     }
   }
+
+  test("ivfAdcTopKRefined: full-corpus shortlist equals exact l2TopK; subset of shortlist") {
+    val vecs = (0L until 30L).map { i =>
+      i -> (0 until 8).map(d => ((i * 11 + d * 7) % 19).toDouble / 9.0 - 1.0)
+    }
+    val data = df(vecs)
+    val query = vecs(0)._2.toArray
+    // kShort = corpus size and nProbe = nLists: the shortlist holds every
+    // vector, so exact re-rank == brute-force l2TopK rank-for-rank
+    val refined = ProductQuant.ivfAdcTopKRefined(data, "vec_id", "embedding", query,
+        k = 5, kShort = 30, m = 4, nLists = 4, nProbe = 4, nCodes = 4, lloydIters = 1,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exact = ProductQuant.l2TopK(data, "vec_id", "embedding", query, k = 5,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(refined.toSeq === exact.toSeq)
+    // narrow shortlist: the refined result must be a subset of the ADC
+    // shortlist, ranked by exact distance ascending
+    val short = ProductQuant.ivfAdcTopK(data, "vec_id", "embedding", query,
+        k = 10, m = 4, nLists = 4, nProbe = 2, nCodes = 4, lloydIters = 1,
+        excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val narrow = ProductQuant.ivfAdcTopKRefined(data, "vec_id", "embedding", query,
+        k = 5, kShort = 10, m = 4, nLists = 4, nProbe = 2, nCodes = 4, lloydIters = 1,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(narrow.map(_._1).forall(short.contains))
+    assert(narrow.map(_._2).toSeq === narrow.map(_._2).toSeq.sorted)
+    intercept[IllegalArgumentException] {
+      ProductQuant.ivfAdcTopKRefined(data, "vec_id", "embedding", query,
+        k = 20, kShort = 10, m = 4)
+    }
+  }
 }

@@ -253,4 +253,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.find(_._2 == 14L).get._3 === 707107L)
     assert(got.find(_._2 == 12L).get._3 === 0L)
   }
+
+  test("mmrRerank: λ=1 is pure relevance; λ=0.5 skips the redundant near-copy") {
+    import spark.implicits._
+    val q = Array(1.0f, 0f, 0f, 0f)
+    // 11 ~ near-copy of 10 (the most relevant): pure relevance ranks it
+    // second; at λ=0.5 the redundancy term (sim(11,10) ≈ 0.99994) drives
+    // 11's marginal score negative while the orthogonal-ish 12 and 13
+    // stay positive, so the diversified set drops 11 entirely
+    val rows = Seq(
+      (0L, q), (10L, Array(0.9f, 0.1f, 0f, 0f)), (11L, Array(0.9f, 0.11f, 0f, 0f)),
+      (12L, Array(0.5f, 0f, 0.8f, 0f)), (13L, Array(0.4f, 0f, 0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    def sel(lam: Int) = Similarity.mmrRerank(rows, "vec_id", "embedding",
+        q.map(_.toDouble), k = 3, nCandidates = 4, lamX10 = lam, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(sel(10) === Seq(10L, 11L, 12L)) // relevance order
+    assert(sel(5) === Seq(10L, 12L, 13L), "λ=0.5 must trade the near-copy for coverage")
+  }
+
+  test("mmrRerank: rel_ppm grid, selection order column, bounds enforced") {
+    import spark.implicits._
+    val q = Array(1.0f, 0f)
+    val rows = Seq((0L, q), (1L, Array(1.0f, 0f)), (2L, Array(0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(rows, "vec_id", "embedding", q.map(_.toDouble),
+        k = 2, nCandidates = 2, lamX10 = 7, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 1000000L), (2L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(rows, "vec_id", "embedding", q.map(_.toDouble),
+        k = 5, nCandidates = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(rows, "vec_id", "embedding", q.map(_.toDouble),
+        k = 5, nCandidates = 500)
+    }
+  }
 }
