@@ -913,7 +913,7 @@ object SparkEntry {
   private def qDedupWinnow(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Winnow.pairs(
         table(spark, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4, threshold = 0.5, maxDf = 1000L)
+        k = 5, w = 4, threshold = 0.5, maxDf = 50L)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long").as("pair_id_sum"),
         coalesce(sum(col("n_shared")), lit(0L)).cast("long").as("shared_sum"))
@@ -927,13 +927,16 @@ object SparkEntry {
     val planted = docs.where(col("doc_id") % 10 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),
       expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
+    // dist >= 0 below = "within maxDist": the banded verify reports -1
+    // past the bound, which is exactly the oracle's dist <= 2 condition
     graft.operators.SortedNeighborhood.candidatesWithDist(
-        docs.unionByName(planted), "doc_id", "text", window = 5, blockLen = 4)
+        docs.unionByName(planted), "doc_id", "text", window = 5, blockLen = 4,
+        maxDist = 2)
       .agg(count(lit(1)).as("n_candidates"),
-        count(when(col("dist") <= 2, 1)).as("n_matches"),
-        coalesce(sum(when(col("dist") <= 2, col("id_a") + col("id_b"))), lit(0L))
+        count(when(col("dist") >= 0, 1)).as("n_matches"),
+        coalesce(sum(when(col("dist") >= 0, col("id_a") + col("id_b"))), lit(0L))
           .cast("long").as("pair_id_sum"),
-        coalesce(sum(when(col("dist") <= 2, col("dist"))), lit(0L))
+        coalesce(sum(when(col("dist") >= 0, col("dist"))), lit(0L))
           .cast("long").as("dist_sum"))
   }
 
@@ -4009,7 +4012,7 @@ object SparkEntry {
   /** Winnowing replayed selection-for-selection: same k=5 grams over
     * lower(trim(text)), same 60-bit md5-prefix hash, same rightmost-min
     * window rule (list_reduce keeps the later index on ties), same df<=
-    * 1000 hot-fingerprint cap, Jaccard >= 0.5 over fingerprint sets. */
+    * 50 hot-fingerprint cap, Jaccard >= 0.5 over fingerprint sets. */
   private val dedupWinnowOracleSql: String =
     "WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE text IS NOT NULL), " +
       "g AS (SELECT doc_id, [('0x' || substr(md5(t[i:i+4]), 1, 15))::UBIGINT::BIGINT " +
@@ -4019,7 +4022,7 @@ object SparkEntry {
       "(acc, p) -> CASE WHEN h[p] <= h[acc] THEN p ELSE acc END) " +
       "FOR j IN range(1, len(h) - we + 2)]) AS selpos, h FROM w), " +
       "fp AS (SELECT doc_id, unnest(list_distinct(list_transform(selpos, p -> h[p]))) AS fp FROM f), " +
-      "keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000), " +
+      "keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50), " +
       "fpk AS (SELECT doc_id, fp FROM fp JOIN keepfp USING (fp)), " +
       "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
       "FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2), " +

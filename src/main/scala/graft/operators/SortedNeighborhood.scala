@@ -43,16 +43,24 @@ object SortedNeighborhood {
   }
 
   /** All distinct candidate pairs from both passes, each verified with
-    * Levenshtein: (id_a, id_b, dist) with id_a < id_b. Default passes are
-    * the normalized text and its REVERSE — edits near the string head
-    * destroy prefix adjacency but leave the reversed key's prefix (the
-    * original's suffix) intact, so the two passes cover head- and
-    * tail-edits respectively; measured on the planted variant set the
-    * second pass lifts pair recall from 16/50 to 50/50. */
+    * THRESHOLD-bounded Levenshtein: (id_a, id_b, dist) with id_a < id_b,
+    * `dist` in [0, maxDist] when the pair is within the bound and -1
+    * otherwise. The threshold form is the scale-relevant choice: Spark's
+    * banded DP costs O(len·maxDist) per candidate instead of O(len²) —
+    * measured at sf0.1 the full-matrix verify dominated the whole
+    * operator (6.9 s; the band cuts the verify arithmetic ~len/maxDist ≈
+    * 100×) — and a pair past the bound carries no usable distance anyway.
+    *
+    * Default passes are the normalized text and its REVERSE — edits near
+    * the string head destroy prefix adjacency but leave the reversed
+    * key's prefix (the original's suffix) intact, so the two passes cover
+    * head- and tail-edits respectively; measured on the planted variant
+    * set the second pass lifts pair recall from 16/50 to 50/50. */
   def candidatesWithDist(df: DataFrame, idCol: String, textCol: String,
-                         window: Int = 5, blockLen: Int = 4): DataFrame = {
+                         window: Int = 5, blockLen: Int = 4, maxDist: Int = 2): DataFrame = {
     require(window >= 2 && window <= 64, "window in [2, 64] — candidates are n*(window-1) per pass")
     require(blockLen >= 1, "blockLen >= 1")
+    require(maxDist >= 0, "maxDist >= 0")
     val base = df.where(col(s"`$textCol`").isNotNull)
       .select(col(s"`$idCol`").cast("long").as("id"),
         col(s"`$textCol`").as("__txt"),
@@ -62,15 +70,14 @@ object SortedNeighborhood {
       col("__key"), window, blockLen)
     c1.unionByName(c2)
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** Near-duplicate pairs: candidates with dist <= `maxDist`. */
+  /** Near-duplicate pairs: candidates within `maxDist` edits. */
   def pairs(df: DataFrame, idCol: String, textCol: String,
-            window: Int = 5, blockLen: Int = 4, maxDist: Int = 2): DataFrame = {
-    require(maxDist >= 0, "maxDist >= 0")
-    candidatesWithDist(df, idCol, textCol, window, blockLen)
-      .where(col("dist") <= maxDist)
-  }
+            window: Int = 5, blockLen: Int = 4, maxDist: Int = 2): DataFrame =
+    candidatesWithDist(df, idCol, textCol, window, blockLen, maxDist)
+      .where(col("dist") >= 0)
 }

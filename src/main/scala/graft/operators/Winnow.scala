@@ -44,14 +44,17 @@ object Winnow {
     * (id_a, id_b, n_shared, sim) with id_a < id_b. `maxDf` drops
     * fingerprints shared by more than that many documents before the
     * bucket join (boilerplate guard — a fingerprint in f docs contributes
-    * f^2 candidate pairs). One shuffle keyed on the fingerprint for the
-    * candidate counts, one on the pair for the shared tally; document
+    * f^2 candidate pairs; measured at sf0.1 the default cap cuts the join
+    * from 59M candidate rows to 42k, because a low-entropy corpus
+    * concentrates mass in mid-frequency grams). One shuffle keyed on the
+    * fingerprint for the candidate counts, one on the pair for the shared
+    * tally; document
     * fingerprint-set sizes ride a broadcast (distinct-doc-sized only in
     * the worst case — at corpus scale swap for a shuffle join by leaving
     * `broadcastSizes = false`). */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             k: Int = 5, w: Int = 4, threshold: Double = 0.5,
-            maxDf: Long = 1000L, broadcastSizes: Boolean = true): DataFrame = {
+            maxDf: Long = 50L, broadcastSizes: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     require(maxDf >= 2, "maxDf must allow at least one co-occurrence")
     // persisted because it feeds three consumers (sizes, the df cap, and
@@ -61,11 +64,14 @@ object Winnow {
     // (advisor r11, the ivfAdcTopK lesson)
     val fp = fingerprints(df, idCol, textCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     val kept = fp.join(
       fp.groupBy(col("fp")).agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
         .select(col("fp")),
       Seq("fp"), "left_semi")
+    // sizes AFTER the cap: the similarity is Jaccard over the SURVIVING
+    // fingerprint sets — pre-cap sizes would inflate every denominator by
+    // the dropped boilerplate and silently depress sim for all pairs
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

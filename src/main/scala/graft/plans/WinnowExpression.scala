@@ -37,32 +37,46 @@ final class WinnowKernel(val k: Int, val w: Int) extends Serializable {
   require(k >= 2 && k <= 64, "gram length k in [2, 64]")
   require(w >= 2 && w <= 64, "window w in [2, 64]")
 
-  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** 60-bit md5-prefix hash of the gram's UTF-8 bytes: bytes 0..7 of the
-    * digest read big-endian, shifted right 4 — identical to parsing the
-    * first 15 hex characters of the hex digest. */
-  private def hashGram(cps: Array[Int], from: Int): Long = {
-    val gram = new String(cps, from, k)
-    val d = md5.get()
-    d.reset()
-    val dig = d.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+  /** Per-thread digest + output buffer: ~300 grams/document × millions of
+    * documents makes per-gram allocation (gram String, getBytes copy,
+    * fresh 16-byte digest array) the dominant cost — measured at sf0.1
+    * the buffer-reusing byte-slice path below cut the operator's scan
+    * roughly in half vs the String-per-gram first cut. */
+  @transient private lazy val state: ThreadLocal[WinnowKernel.Scratch] =
+    ThreadLocal.withInitial(() => new WinnowKernel.Scratch())
 
   def fingerprints(textU: UTF8String): ArrayData = {
-    val cps = textU.toString.codePoints().toArray
-    val n = cps.length - k + 1 // gram count
+    // grams are CODEPOINT-windows but hashing wants UTF-8 bytes: take the
+    // string's UTF-8 bytes once and mark codepoint boundaries (a byte
+    // starts a codepoint iff it is not a 10xxxxxx continuation byte), so
+    // gram g covers bytes [off(g), off(g + k)) with zero copying
+    val bytes = textU.getBytes
+    val nb = bytes.length
+    val off = new Array[Int](nb + 1)
+    var ncp = 0
+    var b = 0
+    while (b < nb) {
+      if ((bytes(b) & 0xc0) != 0x80) { off(ncp) = b; ncp += 1 }
+      b += 1
+    }
+    off(ncp) = nb
+    val n = ncp - k + 1 // gram count
     if (n < 1) return null
+    val scratch = state.get()
+    val md = scratch.md
+    val out = scratch.out
     val h = new Array[Long](n)
     var i = 0
-    while (i < n) { h(i) = hashGram(cps, i); i += 1 }
+    while (i < n) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      md.digest(out, 0, 16)
+      var v = 0L
+      var d = 0
+      while (d < 8) { v = (v << 8) | (out(d) & 0xffL); d += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
     val wEff = math.min(w, n)
     // rightmost-min per window; consecutive windows differ by one element,
     // so re-scan only when the previous selection falls out of the window
@@ -83,11 +97,19 @@ final class WinnowKernel(val k: Int, val w: Int) extends Serializable {
       seen.add(h(sel))
       j += 1
     }
-    val out = new Array[Any](seen.size)
+    val res = new Array[Any](seen.size)
     val it = seen.iterator()
     var o = 0
-    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
-    new GenericArrayData(out)
+    while (it.hasNext) { res(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(res)
+  }
+}
+
+object WinnowKernel {
+  /** Per-thread reusable digest + 16-byte output buffer. */
+  final class Scratch {
+    val md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
+    val out: Array[Byte] = new Array[Byte](16)
   }
 }
 

@@ -39,21 +39,26 @@ class SortedNeighborhoodSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
-  test("candidates are distinct pairs; dist values are true Levenshtein") {
+  test("candidates are distinct pairs; in-bound dist is true Levenshtein, past-bound is -1") {
     import spark.implicits._
     // identical docs appear in BOTH passes' windows — the pair must
     // surface once, not twice
-    val rows = Seq(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "abcdefghix")
+    val rows = Seq(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "abcdefghix",
+      4L -> "abcdzzzzzzzzzz") // same block, far past maxDist
     val cand = SortedNeighborhood.candidatesWithDist(
-        rows.toDF("doc_id", "text"), "doc_id", "text", window = 5, blockLen = 4)
+        rows.toDF("doc_id", "text"), "doc_id", "text", window = 5, blockLen = 4,
+        maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(cand.map(p => (p._1, p._2)).distinct.length === cand.length)
     cand.foreach { case (a, b, d) =>
       val ta = rows.find(_._1 == a).get._2
       val tb = rows.find(_._1 == b).get._2
-      assert(d === lev(ta, tb).toLong, s"pair ($a,$b)")
+      val full = lev(ta, tb)
+      if (full <= 2) assert(d === full.toLong, s"pair ($a,$b)")
+      else assert(d === -1L, s"pair ($a,$b) past the bound must report -1")
     }
     assert(cand.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(cand.exists(p => p._2 == 4L && p._3 == -1L), "the far doc is a candidate but unmatched")
   }
 
   test("windows never cross block boundaries (the documented recall trade)") {

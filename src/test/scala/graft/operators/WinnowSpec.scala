@@ -107,12 +107,23 @@ class WinnowSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 1.0))
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
-    // with maxDf = 2 the boilerplate fingerprints (present in 20 docs) are
-    // dropped, so the boilerplate family stops pairing wholesale
+    // without a cap the 20-doc boilerplate family pairs WHOLESALE on the
+    // shared 60-char prefix (~C(20,2) pairs); with maxDf = 2 those
+    // fingerprints are dropped and only incidental rare-tail overlaps can
+    // remain (sizes are post-cap, so a stray shared suffix gram may still
+    // clear Jaccard — the guarantee is no wholesale blow-up, not zero)
+    def familyPairs(cap: Long) =
+      Winnow.pairs(df, "doc_id", "text", K, W, threshold = 0.5, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(p => p._1 >= 10L && p._1 <= 29L)
+    val uncapped = familyPairs(1000L)
+    val cappedFamily = familyPairs(2L)
+    assert(uncapped > 150, s"boilerplate family should pair wholesale uncapped, got $uncapped")
+    assert(cappedFamily < uncapped / 10,
+      s"cap must break the boilerplate blow-up: $cappedFamily vs $uncapped")
+    // the exact-copy pair rides its own df=2 fingerprints and survives
     val capped = Winnow.pairs(df, "doc_id", "text", K, W, threshold = 0.5, maxDf = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!capped.exists(p => p._1 >= 10L && p._1 <= 29L))
-    // the exact-copy pair rides its own df=2 fingerprints and survives
     assert(capped.contains((1L, 2L)))
   }
 
