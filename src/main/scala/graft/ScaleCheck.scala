@@ -104,6 +104,12 @@ object ScaleCheck {
     // (zero shuffle by construction), and the bounded-bench semantic
     // decontamination scan
     "kcore_peel", "hybrid_rrf", "embed_project", "decontaminate_semantic",
+    // round-12 batch 3: winnowing (fingerprint-bucket join under the df
+    // cap — candidate growth is the term under test), two-pass SNM (two
+    // block shuffles + banded verify, candidates n*(w-1) by construction),
+    // the IVFADC exact-refine probe (shortlist-bounded second scan), and
+    // the MMR rerank (one scoring scan + driver greedy on 20 candidates)
+    "dedup_winnow", "sorted_neighborhood", "ann_ivfpq_refine", "ann_mmr_rerank",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -34,7 +34,7 @@ object Winnow {
     val kernel = new graft.plans.WinnowKernel(k, w)
     val fps = org.apache.spark.sql.GraftBridge.column(graft.plans.WinnowFingerprintsExpr(
       org.apache.spark.sql.GraftBridge.expression(lower(trim(col(s"`$textCol`")))), kernel))
-    df.where(col(s"`$textCol`").isNotNull)
+    df.where(col(s"`$textCol`").isNotNull && col(s"`$idCol`").isNotNull)
       .select(col(s"`$idCol`").cast("long").as("id"), fps.as("__fps"))
       .where(col("__fps").isNotNull)
       .select(col("id"), explode(col("__fps")).as("fp"))
@@ -42,39 +42,42 @@ object Winnow {
 
   /** Near-duplicate pairs by fingerprint-set Jaccard >= `threshold`:
     * (id_a, id_b, n_shared, sim) with id_a < id_b. `maxDf` drops
-    * fingerprints shared by more than that many documents before the
-    * bucket join (boilerplate guard — a fingerprint in f docs contributes
-    * f^2 candidate pairs; measured at sf0.1 the default cap cuts the join
-    * from 59M candidate rows to 42k, because a low-entropy corpus
-    * concentrates mass in mid-frequency grams). One shuffle keyed on the
-    * fingerprint for the candidate counts, one on the pair for the shared
-    * tally; document
-    * fingerprint-set sizes ride a broadcast (distinct-doc-sized only in
-    * the worst case — at corpus scale swap for a shuffle join by leaving
-    * `broadcastSizes = false`). */
+    * fingerprints shared by more than that many documents (boilerplate
+    * guard — a fingerprint in f docs contributes C(f,2) candidate pairs;
+    * measured at sf0.1 the default cap cuts candidates from 59M to 42k,
+    * because a low-entropy corpus concentrates mass in mid-frequency
+    * grams).
+    *
+    * Plan shape — the same inverted-index discipline as the LSH band
+    * families: ONE shuffle of the fingerprint frame builds per-
+    * fingerprint member ARRAYS (bounded by `maxDf`, so the in-row
+    * [[Pairs.fromSortedLongs]] expansion is explicitly capped at
+    * C(maxDf,2) per row), post-cap set sizes and the shared tally both
+    * derive from those bucket arrays, and nothing corpus-sized moves
+    * again. A first cut expressed the cap as a left-semi join of the
+    * fingerprint frame against its own df aggregate plus an a×b
+    * self-join; the aggregate side has no size estimate, so at 100× the
+    * planner sort-merged BOTH — three full shuffles of a 275M-row frame,
+    * measured 2.96 GB against this layout's ~1 GB. */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             k: Int = 5, w: Int = 4, threshold: Double = 0.5,
             maxDf: Long = 50L, broadcastSizes: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    require(maxDf >= 2, "maxDf must allow at least one co-occurrence")
-    // persisted because it feeds three consumers (sizes, the df cap, and
-    // both sides of the bucket join); left to LRU eviction like
-    // [[Dedup.minhashPairs]]'s shingle frame — unpersisting before the
-    // returned lazy frame executes would force a triple recompute
-    // (advisor r11, the ivfAdcTopK lesson)
-    val fp = fingerprints(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = fp.join(
-      fp.groupBy(col("fp")).agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-        .select(col("fp")),
-      Seq("fp"), "left_semi")
-    // sizes AFTER the cap: the similarity is Jaccard over the SURVIVING
-    // fingerprint sets — pre-cap sizes would inflate every denominator by
-    // the dropped boilerplate and silently depress sim for all pairs
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
-    val shared = kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    require(maxDf >= 2 && maxDf <= 10000,
+      "maxDf in [2, 10000] — it caps the per-bucket quadratic expansion")
+    // df <= maxDf keeps SINGLETON buckets too: the similarity is Jaccard
+    // over the surviving fingerprint sets, and a document's unshared
+    // (df=1) fingerprints count in its denominator
+    val buckets = fingerprints(df, idCol, textCol, k, w)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("id"))).as("members"))
+      .where(size(col("members")) <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = buckets.select(explode(col("members")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val shared = buckets.where(size(col("members")) >= 2)
+      .select(explode(Pairs.fromSortedLongs(col("members"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     val szA = if (broadcastSizes) broadcast(sizes) else sizes
     val szB = if (broadcastSizes) broadcast(sizes) else sizes

@@ -73,6 +73,34 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
       s"corpus_card shuffles raw document bodies: ${offending.mkString(", ")}")
   }
 
+  test("dedup_winnow: only fingerprints cross exchanges, never document bodies") {
+    // Winnowing's whole scale story is that selection happens in-row and
+    // the join is keyed on 60-bit hashes: the text column must be gone
+    // before the first exchange (same discipline as corpus_card).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("dedup_winnow")(spark, sf).queryExecution.sparkPlan
+    val offending = plan.collect { case e: ShuffleExchangeExec =>
+      e.child.output.filter(a =>
+        a.name == "text" && a.dataType == org.apache.spark.sql.types.StringType)
+    }.flatten
+    assert(offending.isEmpty,
+      s"dedup_winnow shuffles raw document bodies: ${offending.mkString(", ")}")
+  }
+
+  test("sorted_neighborhood: candidates come from windows, not a self-join") {
+    // SNM's linearity argument is structural: candidates are lead()
+    // neighbors inside block-partitioned windows, so the optimized plan
+    // must contain window operators and ZERO joins — a self-join variant
+    // would re-introduce the bucket-quadratic regime SNM exists to avoid.
+    val plan = SparkEntry.queries("sorted_neighborhood")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.isEmpty, s"sorted_neighborhood plans ${joins.size} join(s)")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected lead() windows in the SNM plan")
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")
