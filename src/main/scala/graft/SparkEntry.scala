@@ -940,6 +940,75 @@ object SparkEntry {
           .cast("long").as("dist_sum"))
   }
 
+  /** Fellegi–Sunter record linkage over the customer table with planted
+    * duplicates (every 10th customer re-enters with a `#`→`-` name edit
+    * and a 50-cent balance jitter): SNM candidates under the reversed
+    * lowercased name (blockLen 3 = the last three custkey digits, so
+    * customers k and k+1000·j meet as name-similar FALSE candidates and
+    * populate the possible band), integer log-odds weights name(lev≤2)
+    * +24/−8, nation +6/−6, segment +4/−4, balance-within-$1 +10/−10;
+    * bands: match ≥ 30, possible [10, 30). The planted twin scores
+    * 24+6+4+10 = 44. */
+  private def qRecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    def shape(d: DataFrame) = d.select(
+      col("c_custkey").cast("long").as("cust_id"), lower(col("c_name")).as("nm"),
+      col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    val planted = shape(c.where(col("c_custkey") % 10 === 0))
+      .select((col("cust_id") + 10000000L).as("cust_id"),
+        concat(substring(col("nm"), 1, 8), lit("-"), substring(col("nm"), 10, 1000)).as("nm"),
+        col("nat"), col("seg"), (col("bal") + 50L).as("bal"))
+    val rules = Seq(
+      graft.operators.RecordLinkage.FieldRule("nm",
+        (a, b) => levenshtein(a, b, 2) >= 0, 24L, -8L),
+      graft.operators.RecordLinkage.FieldRule("nat", (a, b) => a === b, 6L, -6L),
+      graft.operators.RecordLinkage.FieldRule("seg", (a, b) => a === b, 4L, -4L),
+      graft.operators.RecordLinkage.FieldRule("bal",
+        (a, b) => abs(a - b) <= 100L, 10L, -10L))
+    graft.operators.RecordLinkage.fsScores(
+        shape(c).unionByName(planted), "cust_id",
+        keys = Seq(reverse(col("nm"))), rules, window = 5, blockLen = 3)
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("score") >= 30, 1)).as("n_match"),
+        count(when(col("score") >= 10 && col("score") < 30, 1)).as("n_possible"),
+        coalesce(sum(when(col("score") >= 30, col("id_a") + col("id_b"))), lit(0L))
+          .cast("long").as("match_id_sum"),
+        coalesce(sum(when(col("score") >= 30, col("score"))), lit(0L))
+          .cast("long").as("match_score_sum"))
+  }
+
+  /** Accent-fold dedup key: every 10th document re-enters with its vowels
+    * rewritten to accented forms (à é î ö ú — canonical decompositions,
+    * so the NFD+strip-Mn fold restores the original), and the folded
+    * corpus collapses each planted pair into one key group. Grouping is
+    * on md5 of the folded text — the snapshotDiff fingerprint discipline;
+    * the fold itself is a codegen'd expression with an ASCII fast path,
+    * so the un-planted 90% of the corpus pays one byte scan and zero
+    * allocations. */
+  private def qFoldAccents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val planted = docs.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      translate(col("t"), "aeiou", "àéîöú").as("t"))
+    val folded = docs.unionByName(planted).select(
+      col("doc_id"), col("t"),
+      graft.operators.UnicodeFold.foldAccents(col("t")).as("f"))
+    val groups = folded
+      .select(col("doc_id"), (col("f") =!= col("t")).cast("long").as("changed"),
+        md5(col("f")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("changed")).as("nc"), sum(col("doc_id")).as("ids"))
+    groups.agg(
+      sum(col("n")).cast("long").as("n_docs"),
+      sum(col("nc")).cast("long").as("n_changed"),
+      count(lit(1)).as("n_groups"),
+      count(when(col("n") >= 2, 1)).as("n_dup_groups"),
+      coalesce(sum(when(col("n") >= 2, col("ids"))), lit(0L)).cast("long").as("dup_id_sum"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3492,6 +3561,8 @@ object SparkEntry {
     "ann_mmr_rerank" -> qAnnMmrRerank,
     "dedup_winnow" -> qDedupWinnow,
     "sorted_neighborhood" -> qSortedNeighborhood,
+    "record_linkage" -> qRecordLinkage,
+    "fold_accents" -> qFoldAccents,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -4056,6 +4127,48 @@ object SparkEntry {
       "coalesce(sum(CASE WHEN dist <= 2 THEN id_a + id_b END), 0)::BIGINT AS pair_id_sum, " +
       "coalesce(sum(CASE WHEN dist <= 2 THEN dist END), 0)::BIGINT AS dist_sum FROM m"
 
+  /** Fellegi–Sunter replayed weight-for-weight: same planted duplicates,
+    * same reversed-name SNM pass (blockLen 3, window 5), same integer
+    * log-odds table, same decision bands. Agreement predicates are all
+    * symmetric, so the a/b orientation difference (rn order here, id
+    * order in Spark) cannot move a score. */
+  private val recordLinkageOracleSql: String =
+    "WITH c AS (SELECT c_custkey AS id, lower(c_name) AS nm, c_nationkey AS nat, " +
+      "c_mktsegment AS seg, round(c_acctbal * 100)::BIGINT AS bal FROM customer " +
+      "UNION ALL SELECT c_custkey + 10000000, " +
+      "concat(substr(lower(c_name), 1, 8), '-', substr(lower(c_name), 10)), " +
+      "c_nationkey, c_mktsegment, round(c_acctbal * 100)::BIGINT + 50 " +
+      "FROM customer WHERE c_custkey % 10 = 0), " +
+      "o AS (SELECT *, substr(reverse(nm), 1, 3) AS blk, " +
+      "row_number() OVER (PARTITION BY substr(reverse(nm), 1, 3) " +
+      "ORDER BY reverse(nm), id) AS rn FROM c), " +
+      "s AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b, " +
+      "(CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 24 ELSE -8 END) + " +
+      "(CASE WHEN a.nat = b.nat THEN 6 ELSE -6 END) + " +
+      "(CASE WHEN a.seg = b.seg THEN 4 ELSE -4 END) + " +
+      "(CASE WHEN abs(a.bal - b.bal) <= 100 THEN 10 ELSE -10 END) AS score " +
+      "FROM o a JOIN o b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4) " +
+      "SELECT count(*) AS n_candidates, " +
+      "count(CASE WHEN score >= 30 THEN 1 END)::BIGINT AS n_match, " +
+      "count(CASE WHEN score >= 10 AND score < 30 THEN 1 END)::BIGINT AS n_possible, " +
+      "coalesce(sum(CASE WHEN score >= 30 THEN id_a + id_b END), 0)::BIGINT AS match_id_sum, " +
+      "coalesce(sum(CASE WHEN score >= 30 THEN score END), 0)::BIGINT AS match_score_sum FROM s"
+
+  /** The fold is utf8proc's strip_accents contract, so DuckDB replays it
+    * natively; grouping on the folded text directly is equivalent to the
+    * Spark side's md5-of-folded key. */
+  private val foldAccentsOracleSql: String =
+    "WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id + 2000000, translate(lower(text), 'aeiou', 'àéîöú') " +
+      "FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
+      "f AS (SELECT doc_id, t, strip_accents(t) AS ff FROM d), " +
+      "g AS (SELECT ff, count(*) AS n, sum(CASE WHEN ff <> t THEN 1 ELSE 0 END) AS nc, " +
+      "sum(doc_id) AS ids FROM f GROUP BY ff) " +
+      "SELECT sum(n)::BIGINT AS n_docs, sum(nc)::BIGINT AS n_changed, " +
+      "count(*)::BIGINT AS n_groups, " +
+      "count(CASE WHEN n >= 2 THEN 1 END)::BIGINT AS n_dup_groups, " +
+      "coalesce(sum(CASE WHEN n >= 2 THEN ids END), 0)::BIGINT AS dup_id_sum FROM g"
+
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
     * id sets. */
@@ -4120,6 +4233,8 @@ object SparkEntry {
     "ann_mmr_rerank" -> annMmrOracleSql,
     "dedup_winnow" -> dedupWinnowOracleSql,
     "sorted_neighborhood" -> sortedNeighborhoodOracleSql,
+    "record_linkage" -> recordLinkageOracleSql,
+    "fold_accents" -> foldAccentsOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "ann_pq_batch" -> annPqBatchOracleSql,
