@@ -1009,6 +1009,24 @@ object SparkEntry {
       coalesce(sum(when(col("n") >= 2, col("ids"))), lit(0L)).cast("long").as("dup_id_sum"))
   }
 
+  /** Aho–Corasick phrase blocklist over the corpus: five phrases (three
+    * multi-word — beyond [[graft.operators.TextAnalysis.blocklistHits]]'s
+    * single-word contract), every occurrence counted including
+    * boundary-sharing overlaps, one automaton pass per row regardless of
+    * list size. */
+  private def qBlocklistPhrases(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq("big table", "table table", "slow query", "hash join", "stream")
+    val hits = graft.operators.PhraseMatch.phraseHits(col("text"), phrases)
+    table(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), hits.as("hits"))
+      .agg(count(when(col("hits") > 0, 1)).as("n_docs_hit"),
+        coalesce(sum(col("hits")), lit(0L)).cast("long").as("total_hits"),
+        coalesce(sum(when(col("hits") > 0, col("doc_id"))), lit(0L))
+          .cast("long").as("hit_id_sum"),
+        coalesce(max(col("hits")), lit(0L)).cast("long").as("max_hits"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3563,6 +3581,7 @@ object SparkEntry {
     "sorted_neighborhood" -> qSortedNeighborhood,
     "record_linkage" -> qRecordLinkage,
     "fold_accents" -> qFoldAccents,
+    "blocklist_phrases" -> qBlocklistPhrases,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -4169,6 +4188,25 @@ object SparkEntry {
       "count(CASE WHEN n >= 2 THEN 1 END)::BIGINT AS n_dup_groups, " +
       "coalesce(sum(CASE WHEN n >= 2 THEN ids END), 0)::BIGINT AS dup_id_sum FROM g"
 
+  /** Token-position replay of the automaton semantics: phrases match
+    * whole token sequences over lower(text) split on non-[a-z0-9] runs,
+    * overlapping (boundary-sharing) occurrences all count — the list
+    * comprehension enumerates every start position, exactly what the AC
+    * scan reports. */
+  private val blocklistPhrasesOracleSql: String =
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT doc_id, " +
+      "len([i FOR i IN range(1, len(tk)) IF tk[i:i+1] = ['big','table']]) + " +
+      "len([i FOR i IN range(1, len(tk)) IF tk[i:i+1] = ['table','table']]) + " +
+      "len([i FOR i IN range(1, len(tk)) IF tk[i:i+1] = ['slow','query']]) + " +
+      "len([i FOR i IN range(1, len(tk)) IF tk[i:i+1] = ['hash','join']]) + " +
+      "len(list_filter(tk, x -> x = 'stream')) AS hits FROM d) " +
+      "SELECT count(CASE WHEN hits > 0 THEN 1 END)::BIGINT AS n_docs_hit, " +
+      "coalesce(sum(hits), 0)::BIGINT AS total_hits, " +
+      "coalesce(sum(CASE WHEN hits > 0 THEN doc_id END), 0)::BIGINT AS hit_id_sum, " +
+      "coalesce(max(hits), 0)::BIGINT AS max_hits FROM h"
+
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
     * id sets. */
@@ -4235,6 +4273,7 @@ object SparkEntry {
     "sorted_neighborhood" -> sortedNeighborhoodOracleSql,
     "record_linkage" -> recordLinkageOracleSql,
     "fold_accents" -> foldAccentsOracleSql,
+    "blocklist_phrases" -> blocklistPhrasesOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "ann_pq_batch" -> annPqBatchOracleSql,
