@@ -110,6 +110,12 @@ object ScaleCheck {
     // the IVFADC exact-refine probe (shortlist-bounded second scan), and
     // the MMR rerank (one scoring scan + driver greedy on 20 candidates)
     "dedup_winnow", "sorted_neighborhood", "ann_ivfpq_refine", "ann_mmr_rerank",
+    // round-12 batch 4: FS linkage (same SNM window layout, score in the
+    // post-window projection), and the two in-row text kernels (fold +
+    // AC phrase scan — both shuffle only per-doc aggregates; the scaled
+    // corpus's rotated alphabets make phrase hits ~constant while the
+    // scan grows, which is exactly the scan-bound claim under test)
+    "record_linkage", "fold_accents", "blocklist_phrases",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
