@@ -1027,6 +1027,50 @@ object SparkEntry {
         coalesce(max(col("hits")), lit(0L)).cast("long").as("max_hits"))
   }
 
+  /** Count-Min heavy hitters: the depth×width cell table (4×1024 rows —
+    * CONSTANT shuffle regardless of vocabulary) answers point queries for
+    * the exact top-10 tokens; output carries exact vs estimate so the
+    * overestimate bound is visible data, not a comment. */
+  private def qCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents").where(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok").asc).limit(10)
+    graft.operators.Sketches.cmsEstimates(cells, top.select(col("tok")), "tok",
+        depth = 4, width = 1024)
+      .join(broadcast(top), Seq("tok"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).cast("long").as("overcount"))
+  }
+
+  /** HyperLogLog register construction over the corpus's 5-token
+    * shingles: registers are max-aggregates (duplicate-insensitive — no
+    * pre-distinct shuffle, the whole point), the exchange is ≤ m = 1024
+    * rows, and the exact distinct rides the same query for comparison
+    * (distinct over md5 fingerprints, never gram bodies). The float
+    * estimator stays driver-side ([[graft.operators.Sketches
+    * .hllEstimate]], accuracy asserted in SketchesSpec) — no
+    * cross-engine float ever reaches the oracle compare. */
+  private def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents").where(col("text").isNotNull)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))"))
+        .as("gram"))
+    val regs = graft.operators.Sketches.hllRegisters(grams, "gram", m = 1024)
+    val regSummary = regs.agg(
+      count(lit(1)).as("n_filled"),
+      coalesce(sum(col("rho")), lit(0L)).cast("long").as("sum_rho"),
+      coalesce(max(col("rho")), lit(0L)).cast("long").as("max_rho"))
+    val exact = grams.agg(countDistinct(md5(col("gram"))).as("exact_distinct"))
+    regSummary.crossJoin(exact)
+      .select(lit(1024L).as("m"), col("n_filled"), col("sum_rho"), col("max_rho"),
+        col("exact_distinct"))
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3582,6 +3626,8 @@ object SparkEntry {
     "record_linkage" -> qRecordLinkage,
     "fold_accents" -> qFoldAccents,
     "blocklist_phrases" -> qBlocklistPhrases,
+    "cms_heavy_hitters" -> qCmsHeavyHitters,
+    "hll_distinct" -> qHllDistinct,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -4207,6 +4253,42 @@ object SparkEntry {
       "coalesce(sum(CASE WHEN hits > 0 THEN doc_id END), 0)::BIGINT AS hit_id_sum, " +
       "coalesce(max(hits), 0)::BIGINT AS max_hits FROM h"
 
+  /** Count-Min replayed cell-for-cell: same md5 hex-slice columns (row r
+    * uses hex[3r+1..3r+3] mod 1024), same min-over-rows estimate with
+    * empty cells read as 0. */
+  private val cmsHeavyHittersOracleSql: String =
+    "WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL), " +
+      "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c, " +
+      "count(*) AS cnt FROM t, rr GROUP BY 1, 2), " +
+      "top AS (SELECT tok, count(*)::BIGINT AS exact FROM t GROUP BY tok " +
+      "ORDER BY exact DESC, tok LIMIT 10), " +
+      "pc AS (SELECT tok, r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c " +
+      "FROM top, rr), " +
+      "est AS (SELECT tok, min(coalesce(cnt, 0))::BIGINT AS est FROM pc " +
+      "LEFT JOIN cells USING (r, c) GROUP BY tok) " +
+      "SELECT tok, exact, est, (est - exact)::BIGINT AS overcount " +
+      "FROM est JOIN top USING (tok)"
+
+  /** HLL registers replayed bucket-for-bucket: bucket = hex[1..3] mod
+    * 1024, rho = 61 − len(bin(v)) over the 60-bit hex[4..18] slice (61
+    * when v = 0), registers as max-aggregates; exact distinct over the
+    * same md5 fingerprints. */
+  private val hllDistinctOracleSql: String =
+    "WITH d AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT unnest(list_transform(range(1, len(toks) - 5 + 2), " +
+      "i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM d WHERE len(toks) >= 5), " +
+      "h AS (SELECT ('0x' || substr(md5(gram), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+      "('0x' || substr(md5(gram), 4, 15))::UBIGINT::BIGINT AS v, md5(gram) AS fp FROM g), " +
+      "regs AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY bucket) " +
+      "SELECT 1024::BIGINT AS m, (SELECT count(*) FROM regs)::BIGINT AS n_filled, " +
+      "(SELECT coalesce(sum(rho), 0) FROM regs)::BIGINT AS sum_rho, " +
+      "(SELECT coalesce(max(rho), 0) FROM regs)::BIGINT AS max_rho, " +
+      "(SELECT count(DISTINCT fp) FROM h)::BIGINT AS exact_distinct"
+
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
     * id sets. */
@@ -4274,6 +4356,8 @@ object SparkEntry {
     "record_linkage" -> recordLinkageOracleSql,
     "fold_accents" -> foldAccentsOracleSql,
     "blocklist_phrases" -> blocklistPhrasesOracleSql,
+    "cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
+    "hll_distinct" -> hllDistinctOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "ann_pq_batch" -> annPqBatchOracleSql,

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency and cardinality sketches — Count-Min
+  * (Cormode & Muthukrishnan 2005, J. Algorithms 55) and HyperLogLog
+  * (Flajolet, Fusy, Gandouet & Meunier 2007, AofA) — built as plain
+  * map-side-combined aggregates over md5-derived hash slices, so both
+  * engines replay every cell and register EXACTLY (the same
+  * hex-slice-to-integer trick as the winnowing fingerprints; no
+  * engine-private hash like xxhash64 anywhere near the oracle).
+  *
+  * Why these exist at 100 TB: exact per-key counts and exact distincts
+  * shuffle key-cardinality-sized state; the sketches shuffle a CONSTANT
+  * — depth×width cells (CMS) or m registers (HLL) per map partition —
+  * regardless of corpus or vocabulary size. Spark's own
+  * `approx_count_distinct` is the same HLL idea but its register layout
+  * is engine-private; this one is portable by construction.
+  *
+  * Hash layout (one md5 per key, disjoint hex slices):
+  *   - CMS row r (r < depth ≤ 10): column = hex[3r+1 .. 3r+3] as int
+  *     mod width — 12 bits reduced to `width`; uniform iff width
+  *     divides 4096 (require'd).
+  *   - HLL: bucket = hex[1..3] mod m (m | 4096, require'd); rank
+  *     source = hex[4..18] as a 60-bit integer v, rho = 61−bitlen(v)
+  *     (61 when v = 0) — the leading-zero count in a fixed 60-bit
+  *     window, computed as `length(bin(v))` which both engines define
+  *     identically (minimal binary string).
+  */
+object Sketches {
+
+  private def hexSlice(key: Column, start: Int, len: Int): Column =
+    conv(substring(md5(key), start, len), 16, 10).cast("long")
+
+  /** Count-Min cell table: (r, c, cnt), at most depth×width rows out of
+    * one map-side-combined aggregate. `keys` may repeat (one row per
+    * occurrence). */
+  def cmsAggregate(keys: DataFrame, keyCol: String,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 10, "depth in [1, 10] — md5 has 10 disjoint 3-hex slices")
+    require(width >= 2 && 4096 % width == 0,
+      s"width must divide 4096 for a uniform 12-bit reduction, got $width")
+    val k = col(s"`$keyCol`")
+    val rows = (0 until depth).map { r =>
+      keys.where(k.isNotNull).select(lit(r).as("r"),
+        (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))
+    }.reduce(_ unionAll _)
+    rows.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (distinct keys, one column `keyCol`):
+    * (key, est) where est = min over rows of the key's cell — the CMS
+    * upper bound, est >= true count always, with the classic (eps,
+    * delta) overestimate guarantee. The cell table is depth×width rows,
+    * so it broadcasts; probes stream. */
+  def cmsEstimates(cells: DataFrame, probes: DataFrame, keyCol: String,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val probeCells = probes.where(k.isNotNull).select(
+        k.as("__key"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))): _*)).as("p"))
+      .select(col("__key"), col("p.r").as("r"), col("p.c").as("c"))
+    // empty cell = zero occurrences hashed there: the min must see 0,
+    // not skip the row — hence the left join + coalesce
+    probeCells.join(broadcast(cells), Seq("r", "c"), "left_outer")
+      .groupBy(col("__key").as(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HLL register table: (bucket, rho) with rho = max rank observed, at
+    * most m rows out of one map-side-combined aggregate over DISTINCT-
+    * insensitive input (duplicates cannot raise a max — no pre-distinct
+    * shuffle needed, the whole point of the sketch). */
+  def hllRegisters(keys: DataFrame, keyCol: String, m: Int = 1024): DataFrame = {
+    require(m >= 16 && 4096 % m == 0,
+      s"m must divide 4096 for a uniform bucket reduction, got $m")
+    val k = col(s"`$keyCol`")
+    val v = hexSlice(k, 4, 15) // 60-bit rank source
+    keys.where(k.isNotNull).select(
+        (hexSlice(k, 1, 3) % m).as("bucket"),
+        when(v === 0L, lit(61L)).otherwise(lit(61L) - length(bin(v))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** Driver-side HLL estimate from a (collected) register table — the
+    * raw HyperLogLog estimator with the small-range linear-counting
+    * correction. Float arithmetic lives HERE (driver, m-sized input),
+    * never in an oracle-compared column. */
+  def hllEstimate(registers: Seq[(Long, Long)], m: Int): Double = {
+    val rho = new Array[Long](m)
+    registers.foreach { case (b, r) => rho(b.toInt) = r }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val harm = rho.map(r => math.pow(2.0, -r.toDouble)).sum
+    val raw = alpha * m * m / harm
+    val zeros = rho.count(_ == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}
