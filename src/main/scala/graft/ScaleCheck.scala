@@ -116,6 +116,11 @@ object ScaleCheck {
     // corpus's rotated alphabets make phrase hits ~constant while the
     // scan grows, which is exactly the scan-bound claim under test)
     "record_linkage", "fold_accents", "blocklist_phrases",
+    // round-12 batch 5: the sketches — CMS cells and HLL registers are
+    // CONSTANT-size aggregates by construction, so their shuffle bytes
+    // must be ~flat while the scan grows; the exact-side top-10/distinct
+    // in the same queries is the linear term that dominates the bytes
+    "cms_heavy_hitters", "hll_distinct",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
