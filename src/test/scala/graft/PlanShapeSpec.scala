@@ -101,6 +101,53 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
     assert(windows.nonEmpty, "expected lead() windows in the SNM plan")
   }
 
+  test("fold_accents: only fingerprints cross exchanges, never folded bodies") {
+    // The fold happens in-row; the group key is md5(folded). Neither the
+    // raw text nor the folded text may reach a shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("fold_accents")(spark, sf).queryExecution.sparkPlan
+    val offending = plan.collect { case e: ShuffleExchangeExec =>
+      e.child.output.filter(a =>
+        (a.name == "text" || a.name == "t" || a.name == "f") &&
+          a.dataType == org.apache.spark.sql.types.StringType)
+    }.flatten
+    assert(offending.isEmpty,
+      s"fold_accents shuffles text-width columns: ${offending.mkString(", ")}")
+  }
+
+  test("record_linkage: candidates come from windows, not a self-join") {
+    // Same structural-linearity argument as sorted_neighborhood: SNM
+    // windows produce the candidates and the FS score is a post-window
+    // projection, so the optimized plan must contain zero joins.
+    val plan = SparkEntry.queries("record_linkage")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.isEmpty, s"record_linkage plans ${joins.size} join(s)")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected lead() windows in the SNM candidate plan")
+  }
+
+  test("sketch queries: the sketch-side aggregates are grouped on cell/register ids only") {
+    // CMS shuffles (r, c) pairs, HLL shuffles (bucket, rho) — small fixed
+    // integer domains. The token/gram STRINGS may only cross an exchange on
+    // the exact-comparator side (top-10 count / distinct fingerprint), so
+    // the guard here is narrower: no exchange input may be wider than
+    // (key string, long) — i.e. no full-row or array payloads.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("cms_heavy_hitters", "hll_distinct")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val wide = plan.collect { case e: ShuffleExchangeExec =>
+        e.child.output.filter(a => a.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+      }.flatten
+      assert(wide.isEmpty, s"$q shuffles array/struct payloads: ${wide.mkString(", ")}")
+    }
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")
