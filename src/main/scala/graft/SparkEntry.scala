@@ -1030,17 +1030,30 @@ object SparkEntry {
   /** Count-Min heavy hitters: the depth×width cell table (4×1024 rows —
     * CONSTANT shuffle regardless of vocabulary) answers point queries for
     * the exact top-10 tokens; output carries exact vs estimate so the
-    * overestimate bound is visible data, not a comment. */
+    * overestimate bound is visible data, not a comment.
+    *
+    * Relationship to `vocab_cms`: that query exercises Spark's BUILT-IN
+    * `stat.countMinSketch` and can only oracle its (eps, confidence)
+    * CONTRACT, because the built-in's hashing is engine-private. This one
+    * is the portable complement — md5-slice hashing makes every cell
+    * replayable, so DuckDB checks the sketch itself, not just its bound. */
   private def qCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents").where(col("text").isNotNull)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
+    // the top-10 is collected ONCE (10 rows — bounded by the limit) and
+    // re-enters the plan as a local relation: referencing the uncached
+    // aggregate twice would re-run the corpus-sized token count for the
+    // probe side and again for the join side (review r12 finding)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("tok").asc).limit(10)
-    graft.operators.Sketches.cmsEstimates(cells, top.select(col("tok")), "tok",
+      .orderBy(col("exact").desc, col("tok").asc).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    val topDf = top.toDF("tok", "exact")
+    graft.operators.Sketches.cmsEstimates(cells, topDf.select(col("tok")), "tok",
         depth = 4, width = 1024)
-      .join(broadcast(top), Seq("tok"))
+      .join(broadcast(topDf), Seq("tok"))
       .select(col("tok"), col("exact"), col("est"),
         (col("est") - col("exact")).cast("long").as("overcount"))
   }
@@ -1052,10 +1065,19 @@ object SparkEntry {
     * (distinct over md5 fingerprints, never gram bodies). The float
     * estimator stays driver-side ([[graft.operators.Sketches
     * .hllEstimate]], accuracy asserted in SketchesSpec) — no
-    * cross-engine float ever reaches the oracle compare. */
+    * cross-engine float ever reaches the oracle compare.
+    *
+    * Relationship to the `approx_count_distinct` contract query (profile
+    * family): that one bounds Spark's built-in engine-private HLL against
+    * the exact count; this one builds registers from portable md5 slices
+    * so the oracle checks the register table itself. */
   private def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // filter(toks, ...) mirrors the oracle's list_filter: Spark's split
+    // keeps leading/trailing empty strings (limit -1) and trim() strips
+    // only spaces, so a text ending in \t or \n would otherwise gram
+    // differently than DuckDB (review r12 finding)
     val grams = table(spark, dir, "documents").where(col("text").isNotNull)
-      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("toks"))
       .where(size(col("toks")) >= 5)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))"))

@@ -11,8 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 final class AcAutomaton private[operators] (
     gotoTab: Array[Int], out: Array[Int]) extends Serializable {
 
-  private val SYMBOLS = 37
-  private val SEP = 36
+  // single source of truth for the table layout — see PhraseMatch.SYMBOLS
+  private def SYMBOLS = PhraseMatch.SYMBOLS
+  private def SEP = PhraseMatch.SEP
 
   /** Total (position, phrase) match count over the normalized token
     * stream of `s`. Byte-level scan: any byte outside ASCII alnum

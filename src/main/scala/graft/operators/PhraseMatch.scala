@@ -33,8 +33,11 @@ object PhraseMatch {
     * phrase; the completed goto table costs 37 ints per node. */
   val maxPatternChars = 100000
 
-  private val SYMBOLS = 37 // 26 letters, 10 digits, 1 separator
-  private val SEP = 36
+  /** Token alphabet shared with [[AcAutomaton]] — the goto table is
+    * indexed `state * SYMBOLS + sym` on BOTH the build and match side, so
+    * these constants must have exactly one definition. */
+  private[operators] val SYMBOLS = 37 // 26 letters, 10 digits, 1 separator
+  private[operators] val SEP = 36
 
   private def symbolOf(b: Byte): Int = {
     if (b >= 'a' && b <= 'z') b - 'a'
@@ -60,13 +63,29 @@ object PhraseMatch {
     if (out.length <= 2) Array.empty else out.toArray
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], AcAutomaton]()
+  /** Bounded LRU (access-order LinkedHashMap): a long-lived executor
+    * evaluating many distinct blocklists must not retain every goto table
+    * forever — at the 100k-symbol bound each entry can hold ~15 MB
+    * (review r12 finding). 8 automatons is generous for any one job;
+    * eviction only costs a rebuild. */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Seq[String], AcAutomaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], AcAutomaton]): Boolean = size() > 8
+    })
 
   /** Automaton for `phrases` (per-JVM cached — interpreted-eval paths on
     * executors rebuild once per phrase list, not per row/task). */
-  def automaton(phrases: Seq[String]): AcAutomaton =
-    cache.computeIfAbsent(phrases.toVector, build(_))
+  def automaton(phrases: Seq[String]): AcAutomaton = {
+    val key = phrases.toVector
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build(key)
+      cache.put(key, built)
+      built
+    }
+  }
 
   private def build(phrases: Seq[String]): AcAutomaton = {
     require(phrases.nonEmpty, "empty phrase list matches nothing; pass the real list")

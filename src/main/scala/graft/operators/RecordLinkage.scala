@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969,
@@ -44,7 +43,8 @@ object RecordLinkage {
 
   /** Candidate pairs from SNM passes under each `keys` entry, each pair
     * carrying both records' rule fields: (id_a, id_b, a struct, b struct)
-    * with id_a < id_b, distinct across passes. */
+    * with id_a < id_b, distinct across passes. The window/orientation
+    * machinery is [[SortedNeighborhood.snmPass]] — one shared copy. */
   def candidates(df: DataFrame, idCol: String, keys: Seq[Column],
                  fields: Seq[String], window: Int = 5, blockLen: Int = 4): DataFrame = {
     require(keys.nonEmpty, "at least one SNM sort key")
@@ -52,21 +52,12 @@ object RecordLinkage {
     require(blockLen >= 1, "blockLen >= 1")
     val rec = struct(fields.distinct.map(f => col(s"`$f`")): _*)
     val passes = keys.map { key =>
-      val base = df.where(col(s"`$idCol`").isNotNull && key.isNotNull)
-        .select(col(s"`$idCol`").cast("long").as("id"), key.as("__key"), rec.as("__rec"))
-      val w = Window.partitionBy(substring(col("__key"), 1, blockLen))
-        .orderBy(col("__key").asc, col("id").asc)
-      base
-        .withColumn("__nbrs", array((1 until window).map(i =>
-          struct(lead(col("id"), i).over(w).as("nid"),
-            lead(col("__rec"), i).over(w).as("nrec"))): _*))
-        .select(col("id"), col("__rec"), explode(col("__nbrs")).as("n"))
-        .where(col("n.nid").isNotNull)
-        .select(
-          least(col("id"), col("n.nid")).as("id_a"),
-          greatest(col("id"), col("n.nid")).as("id_b"),
-          when(col("id") <= col("n.nid"), col("__rec")).otherwise(col("n.nrec")).as("a"),
-          when(col("id") <= col("n.nid"), col("n.nrec")).otherwise(col("__rec")).as("b"))
+      SortedNeighborhood.snmPass(
+          df.where(col(s"`$idCol`").isNotNull && key.isNotNull)
+            .select(col(s"`$idCol`").cast("long").as("id"),
+              key.as("__key"), rec.as("__pay")),
+          window, blockLen)
+        .select(col("id_a"), col("id_b"), col("pay_a").as("a"), col("pay_b").as("b"))
     }
     passes.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
   }

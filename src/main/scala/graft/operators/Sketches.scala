@@ -34,19 +34,25 @@ object Sketches {
     conv(substring(md5(key), start, len), 16, 10).cast("long")
 
   /** Count-Min cell table: (r, c, cnt), at most depth×width rows out of
-    * one map-side-combined aggregate. `keys` may repeat (one row per
-    * occurrence). */
+    * one map-side-combined aggregate over ONE scan of `keys` (the
+    * depth-way fan-out is an in-row explode, not a union of re-scans —
+    * review r12 finding: the union form re-ran the whole upstream
+    * token pipeline `depth` times). `keys` may repeat (one row per
+    * occurrence). The (depth, width) parameters ride the `r` column's
+    * metadata so [[cmsEstimates]] can reject a mismatched probe. */
   def cmsAggregate(keys: DataFrame, keyCol: String,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 10, "depth in [1, 10] — md5 has 10 disjoint 3-hex slices")
     require(width >= 2 && 4096 % width == 0,
       s"width must divide 4096 for a uniform 12-bit reduction, got $width")
     val k = col(s"`$keyCol`")
-    val rows = (0 until depth).map { r =>
-      keys.where(k.isNotNull).select(lit(r).as("r"),
-        (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))
-    }.reduce(_ unionAll _)
-    rows.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.cms.depth", depth).putLong("graft.cms.width", width).build()
+    keys.where(k.isNotNull)
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))): _*)).as("p"))
+      .groupBy(col("p.r").as("r", meta), col("p.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Point estimates for `probes` (distinct keys, one column `keyCol`):
@@ -56,6 +62,16 @@ object Sketches {
     * so it broadcasts; probes stream. */
   def cmsEstimates(cells: DataFrame, probes: DataFrame, keyCol: String,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    // a probe against cells built with different (depth, width) silently
+    // reads wrong/empty cells and can UNDERestimate — the one way a CMS
+    // breaks its upper-bound contract. The build stamps its parameters on
+    // the `r` column; a cells frame carrying the stamp must match.
+    val rMeta = cells.schema.find(_.name == "r").map(_.metadata)
+    rMeta.filter(_.contains("graft.cms.depth")).foreach { m =>
+      require(m.getLong("graft.cms.depth") == depth && m.getLong("graft.cms.width") == width,
+        s"cells were built with depth=${m.getLong("graft.cms.depth")}, " +
+          s"width=${m.getLong("graft.cms.width")} but the probe asks for ($depth, $width)")
+    }
     val k = col(s"`$keyCol`")
     val probeCells = probes.where(k.isNotNull).select(
         k.as("__key"),

@@ -23,24 +23,39 @@ import org.apache.spark.sql.functions._
   * window and pass count. */
 object SortedNeighborhood {
 
-  /** Candidate pairs from one pass: records adjacent within `window`
-    * under `key`, blocked by the key's first `blockLen` characters. */
-  private def passCandidates(base: DataFrame, key: Column, window: Int,
-                             blockLen: Int): DataFrame = {
+  /** Candidate pairs from one SNM pass over a frame shaped (id, __key,
+    * __pay): records adjacent within `window` under `__key`, blocked by
+    * the key's first `blockLen` characters, each pair carrying both
+    * sides' payloads oriented so pay_a belongs to the smaller id.
+    * Payload-generic so the text family here and the multi-field
+    * Fellegi–Sunter scorer ([[RecordLinkage]]) share ONE copy of the
+    * window/orientation machinery (review r12: two drifting copies of
+    * this subtle logic is how a tie-break fix silently misses one). */
+  private[operators] def snmPass(base: DataFrame, window: Int,
+                                 blockLen: Int): DataFrame = {
+    val key = col("__key")
     val blk = substring(key, 1, blockLen)
     val w = Window.partitionBy(blk).orderBy(key.asc, col("id").asc)
     base
       .withColumn("__nbrs", array((1 until window).map(i =>
         struct(lead(col("id"), i).over(w).as("nid"),
-          lead(col("__txt"), i).over(w).as("ntxt"))): _*))
-      .select(col("id"), col("__txt"), explode(col("__nbrs")).as("n"))
+          lead(col("__pay"), i).over(w).as("npay"))): _*))
+      .select(col("id"), col("__pay"), explode(col("__nbrs")).as("n"))
       .where(col("n.nid").isNotNull)
       .select(
         least(col("id"), col("n.nid")).as("id_a"),
         greatest(col("id"), col("n.nid")).as("id_b"),
-        when(col("id") <= col("n.nid"), col("__txt")).otherwise(col("n.ntxt")).as("text_a"),
-        when(col("id") <= col("n.nid"), col("n.ntxt")).otherwise(col("__txt")).as("text_b"))
+        when(col("id") <= col("n.nid"), col("__pay")).otherwise(col("n.npay")).as("pay_a"),
+        when(col("id") <= col("n.nid"), col("n.npay")).otherwise(col("__pay")).as("pay_b"))
   }
+
+  /** Text-payload pass: the original SNM shape. */
+  private def passCandidates(base: DataFrame, key: Column, window: Int,
+                             blockLen: Int): DataFrame =
+    snmPass(base.select(col("id"), key.as("__key"), col("__txt").as("__pay")),
+        window, blockLen)
+      .select(col("id_a"), col("id_b"),
+        col("pay_a").as("text_a"), col("pay_b").as("text_b"))
 
   /** All distinct candidate pairs from both passes, each verified with
     * THRESHOLD-bounded Levenshtein: (id_a, id_b, dist) with id_a < id_b,

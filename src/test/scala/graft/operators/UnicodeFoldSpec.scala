@@ -27,6 +27,15 @@ class UnicodeFoldSpec extends AnyFunSuite {
     assert(fold("ß ø æ Œ ﬁ 中文 عربى") === "ß ø æ Œ ﬁ 中文 عربى")
   }
 
+  test("spacing-combining and enclosing marks strip like utf8proc STRIPMARK") {
+    assert(fold("का") === "क") // Devanagari ka + vowel sign aa (Mc)
+    assert(fold("a⃝") === "a") // enclosing circle (Me)
+  }
+
+  test("Hangul recomposes after the strip (utf8proc pipeline ends in NFC)") {
+    assert(fold("한국") === "한국") // '한국' round-trips precomposed
+  }
+
   test("ASCII fast path returns the same buffer uncopied") {
     val in = UTF8String.fromString("plain ascii text 123")
     assert(UnicodeFold.foldAccentsUTF8(in) eq in)
