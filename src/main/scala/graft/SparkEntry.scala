@@ -767,6 +767,26 @@ object SparkEntry {
         expr("(__n * 1000000) div 10").cast("long").as("recall_ppm"))
   }
 
+  /** Retrieval eval: nDCG@10 + MRR of the PQ ADC ranking against the
+    * exact-L2 graded truth on the same grid — the regression gate a
+    * retrieval pipeline runs after every index rebuild. All metrics are
+    * ppm integers; the log2 discounts are Scala-computed constants
+    * embedded as literals in BOTH plans (see
+    * [[graft.operators.Ranking.dcgDiscountsPpm]]). */
+  private def qRankingEval(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVecOf(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    def ranked(df: DataFrame, distCol: String) = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(distCol).asc, col("vid").asc)))
+      .select(col("vid"), col("rank"))
+    val sys = ranked(graft.operators.ProductQuant.adcTopK(emb, "vec_id", "embedding", q,
+      k = 10, m = 8, nCodes = 16, lloydIters = 1, excludeId = Some(0L)), "pq_dist")
+    val truth = ranked(graft.operators.ProductQuant.l2TopK(emb, "vec_id", "embedding", q,
+      k = 10, excludeId = Some(0L)), "l2_dist")
+    graft.operators.Ranking.evalRanking(sys, truth, k = 10)
+  }
+
   /** Hard-negative mining: for probes 0..4, the 3 most cosine-similar
     * vectors with a DIFFERENT label — contrastive-training pairs. */
   private def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
@@ -3654,6 +3674,7 @@ object SparkEntry {
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
     "pq_recall" -> qPqRecall,
+    "ranking_eval" -> qRankingEval,
     "hard_negatives" -> qHardNegatives,
     "ann_ivf_topk" -> qAnnIvfTopk,
     "ann_lsh_topk" -> qAnnLshTopk,
@@ -4311,6 +4332,30 @@ object SparkEntry {
       "(SELECT coalesce(max(rho), 0) FROM regs)::BIGINT AS max_rho, " +
       "(SELECT count(DISTINCT fp) FROM h)::BIGINT AS exact_distinct"
 
+  /** nDCG/MRR replayed with the SAME Scala-computed discount constants
+    * embedded as SQL literals — the float log2 never runs in DuckDB. */
+  private val rankingEvalOracleSql: String = {
+    val disc = graft.operators.Ranking.dcgDiscountsPpm(10)
+    val idcg = (1 to 10).map(i => (11 - i).toLong * disc(i - 1)).sum
+    val caseDisc = (1 to 10).map(i => s"WHEN $i THEN ${disc(i - 1)}")
+      .mkString("CASE srank ", " ", " ELSE 0 END")
+    annPqCoreCte + ", " +
+      "exq AS (SELECT z.vec_id, sum((z.q - qv.q) * (z.q - qv.q))::BIGINT AS d " +
+      "FROM qz z JOIN qv ON qv.s = z.s AND qv.spos = z.spos WHERE z.vec_id <> 0 GROUP BY z.vec_id), " +
+      "ex AS (SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS trank " +
+      "FROM exq ORDER BY d, vec_id LIMIT 10), " +
+      "sysr AS (SELECT vec_id, row_number() OVER (ORDER BY pq_dist, vec_id) AS srank " +
+      "FROM res ORDER BY pq_dist, vec_id LIMIT 10), " +
+      "j AS (SELECT s.srank, coalesce(11 - e.trank, 0) AS rel " +
+      "FROM sysr s LEFT JOIN ex e USING (vec_id)), " +
+      s"m AS (SELECT coalesce(sum(rel * ($caseDisc)), 0)::BIGINT AS dcg, " +
+      "min(CASE WHEN rel > 0 THEN srank END) AS fr, " +
+      "count(CASE WHEN rel > 0 THEN 1 END)::BIGINT AS n_relevant FROM j) " +
+      s"SELECT 10::BIGINT AS k, dcg, $idcg::BIGINT AS idcg, " +
+      s"((dcg * 1000000) // $idcg)::BIGINT AS ndcg_ppm, " +
+      "coalesce(1000000 // fr, 0)::BIGINT AS mrr_ppm, n_relevant FROM m"
+  }
+
   /** PQ recall@10 vs the exact L2 ranking on the same grid: extends the
     * PQ CTE with the brute-force distance and intersects the two top-10
     * id sets. */
@@ -4370,6 +4415,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
+    "ranking_eval" -> rankingEvalOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,
     "ann_mmr_rerank" -> annMmrOracleSql,

@@ -157,4 +157,49 @@ object Ranking {
       .orderBy(col("rrf_x1e12").desc, col("id"))
       .limit(topK)
   }
+
+  /** The nDCG position discounts on the ppm grid: `floor(1e6/log2(i+1))`
+    * for ranks i = 1..k. Computed ONCE here (JVM doubles) and embedded as
+    * plan/oracle LITERALS on both engines — the float log never crosses
+    * an engine boundary, the shared constants do (the hard-negatives ppm
+    * rule applied to a formula instead of a measurement). */
+  def dcgDiscountsPpm(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 100, "k in [1, 100] — the discounts become plan literals")
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** Retrieval-quality metrics of a `system` top-k ranking against a
+    * graded `truth` top-k ranking, entirely on integer grids: relevance
+    * of an id at truth rank t is `k+1-t` (linear gain, 0 if absent),
+    * DCG = Σ rel·disc(srank) over [[dcgDiscountsPpm]], IDCG is the
+    * perfect-ordering constant, nDCG and MRR emerge as ppm integers via
+    * floor division. One row out: (k, dcg, idcg, ndcg_ppm, mrr_ppm,
+    * n_relevant).
+    *
+    * Scale shape: both inputs are top-k-sized by construction (the
+    * retrievers did the corpus work), so this is a broadcast join over
+    * ≤ k rows and a single-row aggregate — evaluation is free at any
+    * corpus size, which is why it belongs INSIDE the pipeline as a
+    * regression gate rather than in a notebook. */
+  def evalRanking(system: DataFrame, truth: DataFrame, k: Int,
+                  idCol: String = "vid", rankCol: String = "rank"): DataFrame = {
+    val disc = dcgDiscountsPpm(k)
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val s = system.select(col(s"`$idCol`").cast("long").as("__id"),
+      col(s"`$rankCol`").cast("long").as("srank"))
+    val t = truth.select(col(s"`$idCol`").cast("long").as("__id"),
+      col(s"`$rankCol`").cast("long").as("trank"))
+    s.join(broadcast(t), Seq("__id"), "left_outer")
+      .select(col("srank"),
+        coalesce(lit(k.toLong + 1) - col("trank"), lit(0L)).as("rel"),
+        element_at(typedlit(disc), col("srank").cast("int")).as("disc"))
+      .agg(
+        coalesce(sum(col("rel") * col("disc")), lit(0L)).cast("long").as("dcg"),
+        min(when(col("rel") > 0, col("srank"))).as("__fr"),
+        count(when(col("rel") > 0, 1)).as("n_relevant"))
+      .select(lit(k.toLong).as("k"), col("dcg"), lit(idcg).as("idcg"),
+        expr(s"(dcg * 1000000) div $idcg").cast("long").as("ndcg_ppm"),
+        coalesce(expr("1000000 div __fr"), lit(0L)).cast("long").as("mrr_ppm"),
+        col("n_relevant"))
+  }
 }

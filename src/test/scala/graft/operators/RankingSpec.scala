@@ -87,4 +87,47 @@ class RankingSpec extends AnyFunSuite {
     assert(top.toSeq === Seq(1L, 2L, 3L))
     intercept[IllegalArgumentException] { Ranking.rrfFuse(Nil) }
   }
+
+  private def evalRow(sys: Seq[(Long, Long)], truth: Seq[(Long, Long)], k: Int) = {
+    import spark.implicits._
+    val r = Ranking.evalRanking(sys.toDF("vid", "rank"), truth.toDF("vid", "rank"), k)
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("evalRanking: the perfect ranking scores ndcg = mrr = 1e6 exactly") {
+    val perfect = (1L to 10L).map(i => (100L + i, i))
+    val (dcg, idcg, ndcg, mrr, nRel) = evalRow(perfect, perfect, 10)
+    assert(dcg === idcg && ndcg === 1000000L && mrr === 1000000L && nRel === 10L)
+  }
+
+  test("evalRanking: a disjoint ranking scores all zeros") {
+    val sys = (1L to 10L).map(i => (i, i))
+    val truth = (1L to 10L).map(i => (1000L + i, i))
+    val (dcg, _, ndcg, mrr, nRel) = evalRow(sys, truth, 10)
+    assert(dcg === 0L && ndcg === 0L && mrr === 0L && nRel === 0L)
+  }
+
+  test("evalRanking: hand-computed single-hit case") {
+    // truth rank 1 (rel = 3) found at system rank 2 with k = 3:
+    // dcg = 3 * disc(2), idcg = 3*disc(1) + 2*disc(2) + 1*disc(3), mrr = 1e6 div 2
+    val disc = Ranking.dcgDiscountsPpm(3)
+    val sys = Seq((7L, 1L), (42L, 2L), (8L, 3L))
+    val truth = Seq((42L, 1L), (43L, 2L), (44L, 3L))
+    val (dcg, idcg, ndcg, mrr, nRel) = evalRow(sys, truth, 3)
+    assert(dcg === 3L * disc(1))
+    assert(idcg === 3L * disc(0) + 2L * disc(1) + 1L * disc(2))
+    assert(ndcg === dcg * 1000000L / idcg)
+    assert(mrr === 500000L && nRel === 1L)
+  }
+
+  test("evalRanking: moving a relevant hit earlier never lowers ndcg (discount monotonicity)") {
+    val truth = Seq((42L, 1L))
+    def ndcgAt(pos: Long): Long = {
+      val sys = (1L to 5L).map(i => (if (i == pos) 42L else i, i))
+      evalRow(sys, truth, 5)._3
+    }
+    val scores = (1L to 5L).map(ndcgAt)
+    assert(scores === scores.sorted.reverse, s"ndcg not monotone in position: $scores")
+  }
 }
