@@ -2966,6 +2966,34 @@ object SparkEntry {
       sum(col("event_id")).cast("long").as("id_sum"))
   }
 
+  /** STREAMING Count-Min: the cell table as a complete-mode streaming
+    * aggregate over the document token stream — state is the sketch
+    * itself, 4×1024 rows BY CONSTRUCTION at any input volume (the
+    * sketch-family composition of the streaming-state story measured in
+    * SCALING.md). AvailableNow one-shot; the oracle is the batch cell
+    * replay, so stream and batch sketches must agree cell-for-cell,
+    * summarized as (n_cells, total_mass, max_cell, cell_checksum). */
+  private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val toks = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
+    val sink = "graft_stream_cms_sink"
+    val q = cells.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+      count(lit(1)).as("n_cells"),
+      coalesce(sum(col("cnt")), lit(0L)).cast("long").as("total_mass"),
+      coalesce(max(col("cnt")), lit(0L)).cast("long").as("max_cell"),
+      coalesce(sum((col("r") * 1024L + col("c")) * col("cnt")), lit(0L))
+        .cast("long").as("cell_checksum"))
+  }
+
   /** Gap sessionization (30 min) over the events table via the batch
     * twin of the streaming operator; the oracle recomputes the same
     * sessions with window functions in DuckDB. */
@@ -3775,6 +3803,7 @@ object SparkEntry {
     "quantile_sketch" -> qQuantileSketch,
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
+    "stream_cms" -> qStreamCms,
     "stream_stream_join" -> qStreamStreamJoin,
     "stream_join_outer" -> qStreamJoinOuter,
     "stream_static_join" -> qStreamStaticJoin,
@@ -4296,6 +4325,20 @@ object SparkEntry {
       "coalesce(sum(CASE WHEN hits > 0 THEN doc_id END), 0)::BIGINT AS hit_id_sum, " +
       "coalesce(max(hits), 0)::BIGINT AS max_hits FROM h"
 
+  /** Streamed sketch == batch sketch: the oracle rebuilds the cell table
+    * from the same tokens and summarizes it identically — the
+    * AvailableNow complete-mode aggregate must land on exactly the same
+    * 4096-cell state. */
+  private val streamCmsOracleSql: String =
+    "WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL), " +
+      "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c, " +
+      "count(*) AS cnt FROM t, rr GROUP BY 1, 2) " +
+      "SELECT count(*)::BIGINT AS n_cells, coalesce(sum(cnt), 0)::BIGINT AS total_mass, " +
+      "coalesce(max(cnt), 0)::BIGINT AS max_cell, " +
+      "coalesce(sum((r * 1024 + c) * cnt), 0)::BIGINT AS cell_checksum FROM cells"
+
   /** Count-Min replayed cell-for-cell: same md5 hex-slice columns (row r
     * uses hex[3r+1..3r+3] mod 1024), same min-over-rows estimate with
     * empty cells read as 0. */
@@ -4416,6 +4459,7 @@ object SparkEntry {
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
     "ranking_eval" -> rankingEvalOracleSql,
+    "stream_cms" -> streamCmsOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,
     "ann_mmr_rerank" -> annMmrOracleSql,
