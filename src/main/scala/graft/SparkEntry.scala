@@ -1696,6 +1696,33 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Split-leakage audit — the negative that motivates cluster-stable
+    * splitting: a NAIVE id-hash split (expressed as clusterStableSplit
+    * with an empty pair graph, so both paths share one assignment code
+    * path) lets near-duplicate pairs straddle train/val/test, while the
+    * cluster-stable split provably never does (n_leaky_stable must be 0
+    * — asserted by the oracle, not by fiat). The eval-integrity report a
+    * training pipeline runs before trusting its benchmark numbers. */
+  private def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val splits = Seq(("train", 9000), ("val", 500), ("test", 500))
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val stable = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs, splits)
+      .select(col("doc_id"), col("split").as("stable"))
+    val naive = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs.limit(0), splits)
+      .select(col("doc_id"), col("split").as("naive"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(naive.as("na"), col("id_a") === col("na.doc_id"))
+      .join(naive.as("nb"), col("id_b") === col("nb.doc_id"))
+      .join(stable.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(stable.as("sb"), col("id_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("na.naive") =!= col("nb.naive"), 1)).as("n_leaky_naive"),
+        coalesce(sum(when(col("na.naive") =!= col("nb.naive"), col("id_a") + col("id_b"))),
+          lit(0L)).cast("long").as("leaky_id_sum"),
+        count(when(col("sa.stable") =!= col("sb.stable"), 1)).as("n_leaky_stable"))
+  }
+
   /** Near-dup cluster-size histogram over the LSH pair graph; the oracle
     * recomputes components from exact jaccard with the recursive CTE and
     * histograms the same sizes. */
@@ -3745,6 +3772,7 @@ object SparkEntry {
     "dedup_lines" -> qDedupLines,
     "chunk_docs" -> qChunkDocs,
     "cluster_split" -> qClusterSplit,
+    "split_leakage" -> qSplitLeakage,
     "text_normalize" -> qTextNormalize,
     "epoch_shuffle" -> qEpochShuffle,
     "lm_score" -> qLmScore,
@@ -5006,6 +5034,30 @@ object SparkEntry {
         "WHEN (key::HUGEINT * 2654435761) % 4294967296 < 4080218931 THEN 'val' ELSE 'test' END AS split FROM k) " +
         "SELECT split, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum, " +
         "count(DISTINCT key)::BIGINT AS n_keys FROM asn GROUP BY split ORDER BY split"),
+    // same CC + assignment CTEs as cluster_split, extended with the naive
+    // id-hash split; n_leaky_stable = 0 is the oracle-asserted guarantee
+    "split_leakage" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p WHERE j >= 0.8 UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE r.a <> e.b) SELECT * FROM r), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a), " +
+        "k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS key FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id), " +
+        "asn AS (SELECT doc_id, CASE WHEN (key::HUGEINT * 2654435761) % 4294967296 < 3865470566 THEN 'train' " +
+        "WHEN (key::HUGEINT * 2654435761) % 4294967296 < 4080218931 THEN 'val' ELSE 'test' END AS split FROM k), " +
+        "nv AS (SELECT doc_id, CASE WHEN (doc_id::HUGEINT * 2654435761) % 4294967296 < 3865470566 THEN 'train' " +
+        "WHEN (doc_id::HUGEINT * 2654435761) % 4294967296 < 4080218931 THEN 'val' ELSE 'test' END AS naive FROM documents), " +
+        "pp AS (SELECT id_a, id_b FROM p WHERE j >= 0.8), " +
+        "lk AS (SELECT pp.id_a, pp.id_b, na.naive AS sa, nb.naive AS sb, ca.split AS ta, cb.split AS tb " +
+        "FROM pp JOIN nv na ON na.doc_id = pp.id_a JOIN nv nb ON nb.doc_id = pp.id_b " +
+        "JOIN asn ca ON ca.doc_id = pp.id_a JOIN asn cb ON cb.doc_id = pp.id_b) " +
+        "SELECT count(*)::BIGINT AS n_pairs, " +
+        "count(CASE WHEN sa <> sb THEN 1 END)::BIGINT AS n_leaky_naive, " +
+        "coalesce(sum(CASE WHEN sa <> sb THEN id_a + id_b END), 0)::BIGINT AS leaky_id_sum, " +
+        "count(CASE WHEN ta <> tb THEN 1 END)::BIGINT AS n_leaky_stable FROM lk"),
     "skew_join_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
