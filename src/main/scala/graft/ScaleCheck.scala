@@ -121,6 +121,9 @@ object ScaleCheck {
     // must be ~flat while the scan grows; the exact-side top-10/distinct
     // in the same queries is the linear term that dominates the bytes
     "cms_heavy_hitters", "hll_distinct",
+    // the split-leakage audit composes the measured minhash + CC + hash
+    // assignment pipelines; its own term is the pair-sized split joins
+    "split_leakage", "ranking_eval",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

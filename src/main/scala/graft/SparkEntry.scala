@@ -1706,7 +1706,12 @@ object SparkEntry {
   private def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val splits = Seq(("train", 9000), ("val", 500), ("test", 500))
+    // persisted: the pair frame (duplicate-mass-sized, small) feeds the CC
+    // rounds AND the final straddle join — unpersisted, the whole LSH
+    // pipeline would re-run per consumer; left to LRU eviction like
+    // minhashPairs' shingle frame (the ivfAdcTopK lesson, advisor r11)
     val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stable = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs, splits)
       .select(col("doc_id"), col("split").as("stable"))
     val naive = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs.limit(0), splits)

@@ -18,17 +18,28 @@ import org.apache.spark.sql.functions._
   * `h(id) = (id * 2654435761) mod 2^32`. All comparisons are pure integer
   * arithmetic (no floats, no RNG), so plain SQL — the DuckDB oracle, a
   * warehouse, a Python check script — reproduces membership bit-for-bit.
-  * Java's wrap-on-overflow multiply is exact here: (a*b mod 2^64) mod 2^32
-  * equals (a*b) mod 2^32, so ids of any size hash identically to an engine
-  * doing the multiply in wider integers.
+  *
+  * The multiply is SPLIT (hi/lo 16-bit halves of the constant, each
+  * product reduced mod 2^32 before recombining) so no intermediate
+  * exceeds ~2^49: under Spark's ANSI mode a plain `id * 2654435761`
+  * THROWS on Long overflow once ids pass ~3.4e9 — ids real 100-TB
+  * corpora reach, and exactly where the 100× ScaleCheck run caught it
+  * (wrap-on-overflow would have been algebraically correct mod 2^32,
+  * but ANSI never wraps). The split form is identical to
+  * `(id::HUGEINT * 2654435761) % 2^32` for every non-negative id, so
+  * every oracle keeps the one-line HUGEINT formula.
   */
 object Sampling {
 
-  private val Knuth = 2654435761L
+  private val KnuthHi = 40503L // 0x9E37
+  private val KnuthLo = 31153L // 0x79B1; hi*2^16 + lo = 2654435761
   private val Ring = 4294967296L // 2^32
 
   /** The 32-bit multiplicative hash of a non-negative integer id. */
-  def idHash(id: Column): Column = pmod(id.cast("long") * Knuth, lit(Ring))
+  def idHash(id: Column): Column = {
+    val k32 = pmod(id.cast("long"), lit(Ring))
+    pmod(pmod(k32 * KnuthHi, lit(Ring)) * 65536L + k32 * KnuthLo, lit(Ring))
+  }
 
   /** Integer cutoff under which a hash is "in" an `fractionBp`-basis-point
     * sample. Exposed so callers (and oracles) can inline the constant. */

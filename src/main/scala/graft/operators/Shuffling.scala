@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
 object Shuffling {
 
   /** The portable epoch-order key: `(id * 2654435761 + seed') mod 2^32`,
-    * computed in Long arithmetic (exact — see [[Sampling]] for why the
-    * wrap-around matches wider-integer engines). */
+    * the multiply through [[Sampling.idHash]]'s ANSI-safe split form
+    * (a plain Long multiply throws on overflow under ANSI once ids pass
+    * ~3.4e9 — see the Sampling scaladoc; the mod-2^32 result is
+    * identical, so oracles keep the one-line HUGEINT formula). */
   def epochKey(id: Column, seed: Long): Column = {
     // mix the seed through the same multiplicative constant so seed 0 and
     // seed 1 produce unrelated orders (an additive raw seed would just
-    // rotate the ring)
+    // rotate the ring); driver-side Long wrap is fine HERE (not ANSI SQL)
     val mixed = (seed * 2654435761L) ^ (seed >>> 17)
-    pmod(id.cast("long") * 2654435761L + lit(mixed), lit(4294967296L))
+    // ring-reduce the seed on the driver so the SQL-side sum stays < 2^33
+    // for EVERY seed (a near-Long.MaxValue mixed seed would overflow the
+    // addition under ANSI; (a + b) mod R == (a + b mod R) mod R)
+    val mixedR = ((mixed % 4294967296L) + 4294967296L) % 4294967296L
+    pmod(Sampling.idHash(id) + lit(mixedR), lit(4294967296L))
   }
 
   /** Shuffle `df` into `numPartitions` ordered shards for one epoch.
