@@ -2998,6 +2998,41 @@ object SparkEntry {
       sum(col("event_id")).cast("long").as("id_sum"))
   }
 
+  /** Sketch shard-merge — the deployment pattern at 100 TB: each corpus
+    * shard builds its own sketch, and shard sketches MERGE exactly (CMS
+    * by cellwise sum, HLL by registerwise max) into the whole-corpus
+    * sketch. The query builds both shard sketches (odd/even doc ids),
+    * merges, and diffs against the single-pass whole-corpus sketch —
+    * the mismatch counts are computed for real on the Spark side and
+    * oracle-PINNED to zero (the merge theorem as data, not a comment). */
+  private def qSketchShardMerge(spark: SparkSession, dir: String): DataFrame = {
+    def toks(parity: Option[Int]) = {
+      val base = table(spark, dir, "documents").where(col("text").isNotNull)
+      parity.map(p => base.where(col("doc_id") % 2 === p)).getOrElse(base)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+    }
+    import graft.operators.Sketches
+    val mergedCms = Sketches.cmsAggregate(toks(Some(0)), "tok")
+      .unionByName(Sketches.cmsAggregate(toks(Some(1)), "tok"))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    val wholeCms = Sketches.cmsAggregate(toks(None), "tok")
+    val cmsDiff = mergedCms.as("m").join(wholeCms.as("w"), Seq("r", "c"), "full_outer")
+      .agg(count(lit(1)).as("cms_cells"),
+        count(when(!(col("m.cnt") <=> col("w.cnt")), 1)).as("cms_mismatch"),
+        coalesce(sum(col("w.cnt")), lit(0L)).cast("long").as("total_mass"))
+    val mergedHll = Sketches.hllRegisters(toks(Some(0)), "tok")
+      .unionByName(Sketches.hllRegisters(toks(Some(1)), "tok"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+    val wholeHll = Sketches.hllRegisters(toks(None), "tok")
+    val hllDiff = mergedHll.as("m").join(wholeHll.as("w"), Seq("bucket"), "full_outer")
+      .agg(count(lit(1)).as("hll_regs"),
+        count(when(!(col("m.rho") <=> col("w.rho")), 1)).as("hll_mismatch"))
+    cmsDiff.crossJoin(hllDiff)
+      .select(col("cms_cells"), col("cms_mismatch"), col("total_mass"),
+        col("hll_regs"), col("hll_mismatch"))
+  }
+
   /** STREAMING Count-Min: the cell table as a complete-mode streaming
     * aggregate over the document token stream — state is the sketch
     * itself, 4×1024 rows BY CONSTRUCTION at any input volume (the
@@ -3837,6 +3872,7 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_cms" -> qStreamCms,
+    "sketch_shard_merge" -> qSketchShardMerge,
     "stream_stream_join" -> qStreamStreamJoin,
     "stream_join_outer" -> qStreamJoinOuter,
     "stream_static_join" -> qStreamStaticJoin,
@@ -4358,6 +4394,24 @@ object SparkEntry {
       "coalesce(sum(CASE WHEN hits > 0 THEN doc_id END), 0)::BIGINT AS hit_id_sum, " +
       "coalesce(max(hits), 0)::BIGINT AS max_hits FROM h"
 
+  /** The merge theorem as assertion: the oracle recomputes the WHOLE-
+    * corpus sketch summaries and pins both mismatch counts to zero — a
+    * Spark-side merge that diverged from the single-pass sketch in any
+    * cell/register would fail the compare. */
+  private val sketchShardMergeOracleSql: String =
+    "WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL), " +
+      "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c, " +
+      "count(*) AS cnt FROM t, rr GROUP BY 1, 2), " +
+      "h AS (SELECT ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+      "('0x' || substr(md5(tok), 4, 15))::UBIGINT::BIGINT AS v FROM t), " +
+      "regs AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY bucket) " +
+      "SELECT (SELECT count(*) FROM cells)::BIGINT AS cms_cells, 0::BIGINT AS cms_mismatch, " +
+      "(SELECT coalesce(sum(cnt), 0) FROM cells)::BIGINT AS total_mass, " +
+      "(SELECT count(*) FROM regs)::BIGINT AS hll_regs, 0::BIGINT AS hll_mismatch"
+
   /** Streamed sketch == batch sketch: the oracle rebuilds the cell table
     * from the same tokens and summarizes it identically — the
     * AvailableNow complete-mode aggregate must land on exactly the same
@@ -4493,6 +4547,7 @@ object SparkEntry {
     "pq_recall" -> pqRecallOracleSql,
     "ranking_eval" -> rankingEvalOracleSql,
     "stream_cms" -> streamCmsOracleSql,
+    "sketch_shard_merge" -> sketchShardMergeOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,
     "ann_mmr_rerank" -> annMmrOracleSql,
