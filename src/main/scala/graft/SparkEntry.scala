@@ -1047,6 +1047,16 @@ object SparkEntry {
         coalesce(max(col("hits")), lit(0L)).cast("long").as("max_hits"))
   }
 
+  /** The ONE token definition every sketch oracle mirrors verbatim
+    * (`string_split_regex(lower(trim(text)), '\s+')` + non-empty filter
+    * in four DuckDB strings): a tweak to the whitespace class must be a
+    * single edit here, not a hunt across copies (review r12). Works on
+    * batch and streaming frames alike. */
+  private def sketchTokens(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+
   /** Count-Min heavy hitters: the depth×width cell table (4×1024 rows —
     * CONSTANT shuffle regardless of vocabulary) answers point queries for
     * the exact top-10 tokens; output carries exact vs estimate so the
@@ -1058,9 +1068,7 @@ object SparkEntry {
     * is the portable complement — md5-slice hashing makes every cell
     * replayable, so DuckDB checks the sketch itself, not just its bound. */
   private def qCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = table(spark, dir, "documents").where(col("text").isNotNull)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .where(col("tok") =!= "")
+    val toks = sketchTokens(table(spark, dir, "documents"))
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
     // the top-10 is collected ONCE (10 rows — bounded by the limit) and
     // re-enters the plan as a local relation: referencing the uncached
@@ -3007,10 +3015,8 @@ object SparkEntry {
     * oracle-PINNED to zero (the merge theorem as data, not a comment). */
   private def qSketchShardMerge(spark: SparkSession, dir: String): DataFrame = {
     def toks(parity: Option[Int]) = {
-      val base = table(spark, dir, "documents").where(col("text").isNotNull)
-      parity.map(p => base.where(col("doc_id") % 2 === p)).getOrElse(base)
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .where(col("tok") =!= "")
+      val base = table(spark, dir, "documents")
+      sketchTokens(parity.map(p => base.where(col("doc_id") % 2 === p)).getOrElse(base))
     }
     import graft.operators.Sketches
     val mergedCms = Sketches.cmsAggregate(toks(Some(0)), "tok")
@@ -3042,11 +3048,8 @@ object SparkEntry {
     * summarized as (n_cells, total_mass, max_cell, cell_checksum). */
   private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val toks = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .where(col("text").isNotNull)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .where(col("tok") =!= "")
+    val toks = sketchTokens(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir))
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
     val sink = "graft_stream_cms_sink"
     val q = cells.writeStream.format("memory").queryName(sink)
@@ -4466,7 +4469,7 @@ object SparkEntry {
     * embedded as SQL literals — the float log2 never runs in DuckDB. */
   private val rankingEvalOracleSql: String = {
     val disc = graft.operators.Ranking.dcgDiscountsPpm(10)
-    val idcg = (1 to 10).map(i => (11 - i).toLong * disc(i - 1)).sum
+    val idcg = graft.operators.Ranking.idcgPpm(10)
     val caseDisc = (1 to 10).map(i => s"WHEN $i THEN ${disc(i - 1)}")
       .mkString("CASE srank ", " ", " ELSE 0 END")
     annPqCoreCte + ", " +

@@ -168,13 +168,23 @@ object Ranking {
     (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
   }
 
+  /** The perfect-ordering DCG constant for [[evalRanking]]'s linear
+    * gain: Σ_{i=1..k} (k+1−i)·disc(i). Exposed so oracles embed the
+    * SAME constant instead of re-deriving the formula. */
+  def idcgPpm(k: Int): Long = {
+    val disc = dcgDiscountsPpm(k)
+    (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+  }
+
   /** Retrieval-quality metrics of a `system` top-k ranking against a
     * graded `truth` top-k ranking, entirely on integer grids: relevance
-    * of an id at truth rank t is `k+1-t` (linear gain, 0 if absent),
-    * DCG = Σ rel·disc(srank) over [[dcgDiscountsPpm]], IDCG is the
-    * perfect-ordering constant, nDCG and MRR emerge as ppm integers via
-    * floor division. One row out: (k, dcg, idcg, ndcg_ppm, mrr_ppm,
-    * n_relevant).
+    * of an id at truth rank t is `k+1-t` (linear gain; 0 when absent OR
+    * past rank k), DCG = Σ rel·disc(srank) over [[dcgDiscountsPpm]]
+    * (system rows past rank k discount to 0, like the oracle's `ELSE 0`
+    * — so a top-20 system ranking evaluated at k=10 is well-defined,
+    * never an ANSI array-index error), IDCG is [[idcgPpm]], nDCG and
+    * MRR emerge as ppm integers via floor division. One row out:
+    * (k, dcg, idcg, ndcg_ppm, mrr_ppm, n_relevant).
     *
     * Scale shape: both inputs are top-k-sized by construction (the
     * retrievers did the corpus work), so this is a broadcast join over
@@ -184,15 +194,25 @@ object Ranking {
   def evalRanking(system: DataFrame, truth: DataFrame, k: Int,
                   idCol: String = "vid", rankCol: String = "rank"): DataFrame = {
     val disc = dcgDiscountsPpm(k)
-    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val idcg = idcgPpm(k)
     val s = system.select(col(s"`$idCol`").cast("long").as("__id"),
       col(s"`$rankCol`").cast("long").as("srank"))
     val t = truth.select(col(s"`$idCol`").cast("long").as("__id"),
       col(s"`$rankCol`").cast("long").as("trank"))
     s.join(broadcast(t), Seq("__id"), "left_outer")
       .select(col("srank"),
-        coalesce(lit(k.toLong + 1) - col("trank"), lit(0L)).as("rel"),
-        element_at(typedlit(disc), col("srank").cast("int")).as("disc"))
+        // clamp BOTH edges: truth rows past rank k grade 0 (a raw
+        // k+1-trank would go NEGATIVE and corrupt dcg), and system rows
+        // past rank k carry rel 0 too, so n_relevant/MRR are @k metrics
+        // (a hit at system rank 15 is not a top-10 hit); system rows past
+        // rank k also discount to 0 (a raw element_at would throw
+        // INVALID_ARRAY_INDEX under ANSI) — mirroring the oracle's CASE
+        when(col("srank").between(1, k) &&
+            col("trank").isNotNull && col("trank") <= k,
+          lit(k.toLong + 1) - col("trank")).otherwise(lit(0L)).as("rel"),
+        when(col("srank").between(1, k),
+          element_at(typedlit(disc), col("srank").cast("int")))
+          .otherwise(lit(0L)).as("disc"))
       .agg(
         coalesce(sum(col("rel") * col("disc")), lit(0L)).cast("long").as("dcg"),
         min(when(col("rel") > 0, col("srank"))).as("__fr"),

@@ -121,6 +121,21 @@ class RankingSpec extends AnyFunSuite {
     assert(mrr === 500000L && nRel === 1L)
   }
 
+  test("evalRanking: oversized inputs clamp — no ANSI array error, no negative relevance") {
+    // system top-20 evaluated at k=10: ranks 11..20 discount to 0 instead
+    // of element_at throwing; truth top-20: trank 12 grades 0 instead of
+    // rel = -1 corrupting dcg. A hit at system rank 15 is NOT a top-10 hit.
+    val sys20 = (1L to 20L).map(i => (100L + i, i))
+    val truth20 = (1L to 20L).map(i => (100L + i, i))
+    val (dcg, idcg, ndcg, mrr, nRel) = evalRow(sys20, truth20, 10)
+    assert(dcg === idcg && ndcg === 1000000L && mrr === 1000000L && nRel === 10L)
+    // the only overlap is at truth rank 12 / system rank 15 — everything 0
+    val sysLate = (1L to 15L).map(i => (if (i == 15L) 42L else i, i))
+    val truthLate = (1L to 20L).map(i => (if (i == 12L) 42L else 1000L + i, i))
+    val (d2, _, n2, m2, r2) = evalRow(sysLate, truthLate, 10)
+    assert(d2 === 0L && n2 === 0L && m2 === 0L && r2 === 0L)
+  }
+
   test("evalRanking: moving a relevant hit earlier never lowers ndcg (discount monotonicity)") {
     val truth = Seq((42L, 1L))
     def ndcgAt(pos: Long): Long = {
