@@ -123,7 +123,7 @@ object ScaleCheck {
     "cms_heavy_hitters", "hll_distinct",
     // the split-leakage audit composes the measured minhash + CC + hash
     // assignment pipelines; its own term is the pair-sized split joins
-    "split_leakage", "ranking_eval",
+    "split_leakage", "ranking_eval", "sketch_shard_merge",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
