@@ -135,7 +135,7 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
     // the guard here is narrower: no exchange input may be wider than
     // (key string, long) — i.e. no full-row or array payloads.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    for (q <- Seq("cms_heavy_hitters", "hll_distinct")) {
+    for (q <- Seq("cms_heavy_hitters", "hll_distinct", "sketch_shard_merge")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val wide = plan.collect { case e: ShuffleExchangeExec =>
         e.child.output.filter(a => a.dataType match {
