@@ -109,8 +109,63 @@ object Bench {
       walls(1)
     }
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    // ---- bench history: regression comparator + per-round archive ----
+    // r12 verdict ask #1: a 70-second suite-level swing was unattributable
+    // because only the total was archived per round. Every FULL-suite run
+    // now (a) compares each query's calib-normalized wall against its
+    // trailing minimum across bench_history/bench_r*.json and flags >1.5x,
+    // and (b) archives its own per-query timings as the next round's
+    // history entry. Flags are LEADS, not verdicts: per-query wall on this
+    // box swings up to 2x run-to-run (streaming trigger machinery + GC
+    // spikes; see bench_history/README.md for the noise model), so a flag
+    // means "re-measure isolated with SPARK_GRAFT_QUERIES", not
+    // "regression confirmed".
+    val histDir = java.nio.file.Paths.get("bench_history")
+    val history: Seq[(Double, Map[String, Double])] = {
+      import org.json4s._
+      if (!java.nio.file.Files.isDirectory(histDir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(histDir).iterator().asScala
+          .filter(_.getFileName.toString.matches("bench_r\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString)
+        files.flatMap { p =>
+          try {
+            val j = org.json4s.jackson.JsonMethods.parse(
+              new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+            def num(v: JValue): Option[Double] = v match {
+              case JDouble(d)  => Some(d)
+              case JInt(i)     => Some(i.toDouble)
+              case JLong(l)    => Some(l.toDouble)
+              case JDecimal(d) => Some(d.toDouble)
+              case _           => None
+            }
+            val c = num(j \ "calib_argon2_ms").getOrElse(0.0)
+            val qsH = (j \ "queries") match {
+              case JObject(fields) =>
+                fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            if (c > 0 && qsH.nonEmpty) Some((c, qsH)) else None
+          } catch { case scala.util.control.NonFatal(e) =>
+            // an unreadable history file must not kill the bench — it only
+            // degrades the comparator back to "no history for that round"
+            System.err.println(s"[bench] unreadable history $p: $e"); None }
+        }
+      }
+    }
+    val regressions: Map[String, Double] = results.flatMap { case (q, t) =>
+      val prior = history.flatMap { case (c, qsH) => qsH.get(q).map(_ / c) }
+      if (prior.isEmpty) None
+      else {
+        val ratio = (t / calib) / prior.min
+        if (ratio > 1.5) Some(q -> math.rint(ratio * 100) / 100) else None
+      }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val regs = regressions.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // calib-normalized timings for the KDF-bound queries (time / single-hash
     // ms): these move with shared-host CPU contention, and dividing by the
     // calibration constant makes round-over-round comparison mechanical
@@ -128,8 +183,8 @@ object Bench {
     // lives in `out`; the stdout line stays well under any capture bound.
     val errs = errors.map { case (k, v) => s"${JsonText.esc(k)}:${JsonText.esc(v)}" }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"bench_file":"$out"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)}}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"bench_file":"$out"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)}}"""
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -139,6 +194,29 @@ object Bench {
       // copy would recreate exactly the failure this file guards against
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] failed to persist $out: $e")
+    }
+    // Archive this run as the next round's history entry — FULL-suite runs
+    // only (a SPARK_GRAFT_QUERIES subset would plant artificially-low
+    // trailing-mins for the queries it happens to include). Round number =
+    // 1 + the highest driver-archived BENCH_r<k>.json in cwd, so the r13
+    // driver run lands as bench_history/bench_r13.json.
+    if (only.isEmpty && errors.isEmpty) {
+      try {
+        import scala.jdk.CollectionConverters._
+        val roundRe = "BENCH_r(\\d+)\\.json".r
+        val lastRound = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator().asScala
+          .flatMap(p => p.getFileName.toString match {
+            case roundRe(n) => Some(n.toInt); case _ => None
+          }).foldLeft(0)(math.max)
+        java.nio.file.Files.createDirectories(histDir)
+        java.nio.file.Files.write(
+          histDir.resolve(f"bench_r${lastRound + 1}%02d.json"),
+          (full + "\n").getBytes("UTF-8"))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] failed to archive history: $e")
+      }
     }
     // The summary must be the FINAL unprefixed stdout line (the driver's
     // parser reads the last non-sbt line): stop Spark BEFORE printing so
