@@ -372,7 +372,7 @@ object SparkEntry {
   private def qEditPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.where(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      (col("doc_id") + 1000000000000L).as("doc_id"),
       expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
     graft.operators.EditDistance.editDistancePairs(
         docs.unionByName(planted), "doc_id", "text", maxDistance = 2)
@@ -564,7 +564,7 @@ object SparkEntry {
       when(col("doc_id") % 11 === 0, lit(null).cast("string"))
         .otherwise(col("lang")).as("lang"))
     val fresh = docs.filter(col("doc_id") % 50 === 0).select(
-      (col("doc_id") + 5000000L).as("doc_id"), col("text"), col("lang"))
+      (col("doc_id") + 5000000000000L).as("doc_id"), col("text"), col("lang"))
     graft.operators.Versioning.scd2Merge(
         hist.unionByName(open), upd.unionByName(fresh), "doc_id",
         Seq("text", "lang"), batchTs = 200L)
@@ -944,8 +944,14 @@ object SparkEntry {
     * the reverse-key second pass finds the rest. */
   private def qSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // Planted-variant offsets are N·1e12 REPO-WIDE (advisor r12): the old
+    // N·1e6 offsets collide with real doc_ids once a scaled corpus passes
+    // ~1M documents (the 100x ScaleCheck corpora shift ids to ~1e10), and
+    // because the oracle replays the same arithmetic the collision would
+    // silently change query semantics without failing the compare. 1e12
+    // clears the 100x id range by 100x and stays 6 orders below Long.Max.
     val planted = docs.where(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      (col("doc_id") + 1000000000000L).as("doc_id"),
       expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
     // dist >= 0 below = "within maxDist": the banded verify reports -1
     // past the bound, which is exactly the oracle's dist <= 2 condition
@@ -976,7 +982,7 @@ object SparkEntry {
       col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
       round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
     val planted = shape(c.where(col("c_custkey") % 10 === 0))
-      .select((col("cust_id") + 10000000L).as("cust_id"),
+      .select((col("cust_id") + 10000000000000L).as("cust_id"),
         concat(substring(col("nm"), 1, 8), lit("-"), substring(col("nm"), 10, 1000)).as("nm"),
         col("nat"), col("seg"), (col("bal") + 50L).as("bal"))
     val rules = Seq(
@@ -1011,7 +1017,7 @@ object SparkEntry {
       .where(col("text").isNotNull)
       .select(col("doc_id"), lower(col("text")).as("t"))
     val planted = docs.where(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 2000000L).as("doc_id"),
+      (col("doc_id") + 2000000000000L).as("doc_id"),
       translate(col("t"), "aeiou", "àéîöú").as("t"))
     val folded = docs.unionByName(planted).select(
       col("doc_id"), col("t"),
@@ -1635,7 +1641,7 @@ object SparkEntry {
   private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val batch = docs.where(col("doc_id") % 50 === 0).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      (col("doc_id") + 1000000000000L).as("doc_id"),
       concat(col("text"), lit(" appended tail")).as("text"))
     val flagged = graft.operators.Dedup.incrementalNearDuplicates(
       docs.select(col("doc_id"), col("text")), batch, "doc_id", "text", threshold = 0.8)
@@ -1716,24 +1722,28 @@ object SparkEntry {
     val splits = Seq(("train", 9000), ("val", 500), ("test", 500))
     // persisted: the pair frame (duplicate-mass-sized, small) feeds the CC
     // rounds AND the final straddle join — unpersisted, the whole LSH
-    // pipeline would re-run per consumer; left to LRU eviction like
-    // minhashPairs' shingle frame (the ivfAdcTopK lesson, advisor r11)
+    // pipeline would re-run per consumer. Release is registered AFTER the
+    // eager CC rounds inside clusterStableSplit have consumed the cache,
+    // and fires on the caller's first action over the returned aggregate
+    // (verdict r12: this was one of two genuinely never-released persists)
     val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stable = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs, splits)
       .select(col("doc_id"), col("split").as("stable"))
     val naive = graft.operators.Splits.clusterStableSplit(docs, "doc_id", pairs.limit(0), splits)
       .select(col("doc_id"), col("split").as("naive"))
-    pairs.select(col("id_a"), col("id_b"))
-      .join(naive.as("na"), col("id_a") === col("na.doc_id"))
-      .join(naive.as("nb"), col("id_b") === col("nb.doc_id"))
-      .join(stable.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(stable.as("sb"), col("id_b") === col("sb.doc_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        count(when(col("na.naive") =!= col("nb.naive"), 1)).as("n_leaky_naive"),
-        coalesce(sum(when(col("na.naive") =!= col("nb.naive"), col("id_a") + col("id_b"))),
-          lit(0L)).cast("long").as("leaky_id_sum"),
-        count(when(col("sa.stable") =!= col("sb.stable"), 1)).as("n_leaky_stable"))
+    graft.operators.Partitioning.releaseAfterUse(
+      pairs.select(col("id_a"), col("id_b"))
+        .join(naive.as("na"), col("id_a") === col("na.doc_id"))
+        .join(naive.as("nb"), col("id_b") === col("nb.doc_id"))
+        .join(stable.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(stable.as("sb"), col("id_b") === col("sb.doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("na.naive") =!= col("nb.naive"), 1)).as("n_leaky_naive"),
+          coalesce(sum(when(col("na.naive") =!= col("nb.naive"), col("id_a") + col("id_b"))),
+            lit(0L)).cast("long").as("leaky_id_sum"),
+          count(when(col("sa.stable") =!= col("sb.stable"), 1)).as("n_leaky_stable")),
+      pairs)
   }
 
   /** Near-dup cluster-size histogram over the LSH pair graph; the oracle
@@ -1754,7 +1764,7 @@ object SparkEntry {
   private def qDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     val variants = docs.where(col("doc_id") % 40 === 0)
-      .select((col("doc_id") + 4000000L).as("doc_id"),
+      .select((col("doc_id") + 4000000000000L).as("doc_id"),
         concat(upper(col("text")), lit("  ")).as("text"))
     val all = docs.unionAll(variants)
       .withColumn("norm", graft.operators.TextAnalysis.normalize(col("text")))
@@ -1775,7 +1785,7 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .where(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
         concat(col("text"), lit(" appended tail")).as("text"))
     val corpus = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     val index = graft.operators.Dedup.bandIndex(corpus, "doc_id", "text", threshold = 0.8)
@@ -1802,9 +1812,9 @@ object SparkEntry {
   private def qDedupExactIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val batch = docs.where(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 2000000000000L).as("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 25 === 1)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select((col("doc_id") + 3000000000000L).as("doc_id"),
           concat(col("text"), lit(" changed")).as("text")))
     val flagged = graft.operators.Dedup.exactIncremental(
       docs.select(col("doc_id"), col("text")), batch, "doc_id", Seq("text"))
@@ -1831,7 +1841,7 @@ object SparkEntry {
         .write.mode("overwrite").parquet(out.getAbsolutePath)
       val index = spark.read.parquet(out.getAbsolutePath)
       val batch = docs.where(col("doc_id") % 50 === 0).select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + 1000000000000L).as("doc_id"),
         concat(col("text"), lit(" appended tail")).as("text"))
       val flagged = graft.operators.Dedup.incrementalNearDuplicatesIndexed(
         docs.select(col("doc_id"), col("text")), index, batch, "doc_id", "text", threshold = 0.8)
@@ -3684,7 +3694,7 @@ object SparkEntry {
     val rot13 = "nopqrstuvwxyzabcdefghijklm"
     val docs = table(spark, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val planted = docs.where(col("doc_id") % 20 === 0).select(
-      (col("doc_id") + 2000000L).as("doc_id"),
+      (col("doc_id") + 2000000000000L).as("doc_id"),
       concat(col("text"), lit(" "), translate(col("text"), alpha, rot13)).as("text"))
     val all = docs.unionByName(planted)
     // BOTH measures from ONE pair-counts pass (same tokenize/persist/
@@ -3909,7 +3919,7 @@ object SparkEntry {
     * shared by `dedup_incremental` and `dedup_sig_reuse` (precomputing the
     * band index must not change a single flagged pair). */
   private val incrementalOracleSql: String =
-    "WITH newb AS (SELECT doc_id + 1000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +
+    "WITH newb AS (SELECT doc_id + 1000000000000 AS nid, text || ' appended tail' AS t FROM documents WHERE doc_id % 50 = 0), " +
       "shc AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
       "shn AS (SELECT nid, list_distinct([t[i:i+4] FOR i IN range(1, greatest(len(t)-3, 1))]) AS s FROM newb), " +
       "p AS (SELECT n.nid, c.doc_id, len(list_intersect(n.s, c.s))::DOUBLE / " +
@@ -4317,7 +4327,7 @@ object SparkEntry {
     * 4-char prefix, window 5, distinct pair union, Levenshtein verify. */
   private val sortedNeighborhoodOracleSql: String =
     "WITH u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
-      "UNION ALL SELECT doc_id + 1000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
+      "UNION ALL SELECT doc_id + 1000000000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
       "FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
       "d AS (SELECT doc_id, lower(trim(text)) AS k1, reverse(lower(trim(text))) AS k2, text FROM u), " +
       "o1 AS (SELECT doc_id, text, substr(k1, 1, 4) AS blk, " +
@@ -4344,7 +4354,7 @@ object SparkEntry {
   private val recordLinkageOracleSql: String =
     "WITH c AS (SELECT c_custkey AS id, lower(c_name) AS nm, c_nationkey AS nat, " +
       "c_mktsegment AS seg, round(c_acctbal * 100)::BIGINT AS bal FROM customer " +
-      "UNION ALL SELECT c_custkey + 10000000, " +
+      "UNION ALL SELECT c_custkey + 10000000000000, " +
       "concat(substr(lower(c_name), 1, 8), '-', substr(lower(c_name), 10)), " +
       "c_nationkey, c_mktsegment, round(c_acctbal * 100)::BIGINT + 50 " +
       "FROM customer WHERE c_custkey % 10 = 0), " +
@@ -4368,7 +4378,7 @@ object SparkEntry {
     * Spark side's md5-of-folded key. */
   private val foldAccentsOracleSql: String =
     "WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL " +
-      "UNION ALL SELECT doc_id + 2000000, translate(lower(text), 'aeiou', 'àéîöú') " +
+      "UNION ALL SELECT doc_id + 2000000000000, translate(lower(text), 'aeiou', 'àéîöú') " +
       "FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
       "f AS (SELECT doc_id, t, strip_accents(t) AS ff FROM d), " +
       "g AS (SELECT ff, count(*) AS n, sum(CASE WHEN ff <> t THEN 1 ELSE 0 END) AS nc, " +
@@ -4383,8 +4393,14 @@ object SparkEntry {
     * overlapping (boundary-sharing) occurrences all count — the list
     * comprehension enumerates every start position, exactly what the AC
     * scan reports. */
+  // Case fold is ASCII-ONLY `translate`, not `lower()`: the byte-level AC
+  // scan folds exactly [A-Z]->[a-z] and treats every non-ASCII byte as a
+  // separator, while Unicode lowercasing can map non-ASCII chars INTO
+  // [a-z0-9] (Kelvin sign U+212A -> 'k', fullwidth letters) — lower() would
+  // tokenize those differently than the scan (advisor r12).
   private val blocklistPhrasesOracleSql: String =
-    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents WHERE text IS NOT NULL), " +
       "h AS (SELECT doc_id, " +
       "len([i FOR i IN range(1, len(tk)) IF tk[i:i+1] = ['big','table']]) + " +
@@ -4800,7 +4816,7 @@ object SparkEntry {
     // asymmetric containment and the symmetric jaccard at 0.9
     "dedup_containment" ->
       ("WITH base AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 2000000, text || ' ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') " +
+        "UNION ALL SELECT doc_id + 2000000000000, text || ' ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm') " +
         "FROM documents WHERE doc_id % 20 = 0), " +
         "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM base), " +
         "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 " +
@@ -5160,7 +5176,7 @@ object SparkEntry {
     // prefix-filtered similarity join
     "edit_pairs" ->
       ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
+        "SELECT doc_id + 1000000000000, concat(substr(text, 1, 5), '#', substr(text, 7)) " +
         "FROM documents WHERE doc_id % 10 = 0), " +
         "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, levenshtein(a.text, b.text) AS dist " +
         "FROM u a JOIN u b ON a.doc_id < b.doc_id " +
@@ -5275,7 +5291,7 @@ object SparkEntry {
         "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang " +
         "FROM documents WHERE doc_id % 7 = 0 " +
         "UNION ALL " +
-        "SELECT doc_id + 5000000, text, lang FROM documents WHERE doc_id % 50 = 0), " +
+        "SELECT doc_id + 5000000000000, text, lang FROM documents WHERE doc_id % 50 = 0), " +
         "cur AS (SELECT * FROM dim WHERE valid_to IS NULL), " +
         "amended AS (" +
         "SELECT d.doc_id, d.text, d.lang, d.valid_from, " +
@@ -5797,7 +5813,7 @@ object SparkEntry {
     // same normalization regexes, min doc_id per normalized-content group
     "dedup_normalized" ->
       ("WITH allv AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 4000000, upper(text) || '  ' FROM documents WHERE doc_id % 40 = 0), " +
+        "UNION ALL SELECT doc_id + 4000000000000, upper(text) || '  ' FROM documents WHERE doc_id % 40 = 0), " +
         "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM allv), " +
         "k AS (SELECT min(doc_id) AS keep FROM n GROUP BY norm) " +
         "SELECT (SELECT count(*) FROM allv)::BIGINT AS n_total, " +
@@ -5805,8 +5821,8 @@ object SparkEntry {
         "(SELECT sum(keep) FROM k)::BIGINT AS kept_id_sum"),
     // truth by plain text-equality join; min matching corpus id per new doc
     "dedup_exact_incremental" ->
-      ("WITH newb AS (SELECT doc_id + 2000000 AS new_id, text AS t FROM documents WHERE doc_id % 25 = 0 " +
-        "UNION ALL SELECT doc_id + 3000000 AS new_id, text || ' changed' AS t FROM documents WHERE doc_id % 25 = 1), " +
+      ("WITH newb AS (SELECT doc_id + 2000000000000 AS new_id, text AS t FROM documents WHERE doc_id % 25 = 0 " +
+        "UNION ALL SELECT doc_id + 3000000000000 AS new_id, text || ' changed' AS t FROM documents WHERE doc_id % 25 = 1), " +
         "m AS (SELECT n.new_id, min(d.doc_id) AS corpus_id FROM newb n JOIN documents d ON n.t = d.text GROUP BY n.new_id) " +
         "SELECT (SELECT count(*) FROM newb)::BIGINT AS n_new, " +
         "(SELECT count(*) FROM m)::BIGINT AS n_flagged, " +

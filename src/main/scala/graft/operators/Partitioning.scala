@@ -93,7 +93,15 @@ object Partitioning {
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def usesIntermediate(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-        targets.exists(t => qe.analyzed.exists(p => p.fastEquals(t) || p == t))
+        // fastEquals catches the direct-reference case cheaply; sameResult
+        // (canonicalized compare) catches subtrees the analyzer REWROTE —
+        // when an intermediate feeds a plan twice (self-join, union of two
+        // derivations), deduplicateRelations assigns fresh attribute ids
+        // to the second occurrence, and reference equality never matches
+        // (caught by CacheDisciplineSpec: incrementalRecompute's diff
+        // cache was never released)
+        targets.exists(t => qe.analyzed.exists(p =>
+          p.fastEquals(t) || (p.schema.length == t.schema.length && p.sameResult(t))))
       private def cleanup(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         if (usesIntermediate(qe) && released.compareAndSet(false, true)) {
           intermediates.foreach(_.unpersist(false))

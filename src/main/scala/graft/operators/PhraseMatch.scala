@@ -35,7 +35,14 @@ object PhraseMatch {
 
   /** Token alphabet shared with [[AcAutomaton]] — the goto table is
     * indexed `state * SYMBOLS + sym` on BOTH the build and match side, so
-    * these constants must have exactly one definition. */
+    * these constants must have exactly one definition.
+    *
+    * CASE-FOLD CONTRACT (advisor r12): folding is ASCII-ONLY — exactly
+    * [A-Z]→[a-z]; every non-ASCII byte is a separator. This is NOT
+    * Unicode `lower()`, which can map non-ASCII chars INTO [a-z0-9]
+    * (Kelvin sign U+212A → 'k', fullwidth Ａ-Ｚ) and would tokenize such
+    * input differently. The `blocklist_phrases` oracle replays the same
+    * contract with an ASCII-only `translate`, never `lower()`. */
   private[operators] val SYMBOLS = 37 // 26 letters, 10 digits, 1 separator
   private[operators] val SEP = 36
 

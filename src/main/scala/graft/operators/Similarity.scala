@@ -494,8 +494,12 @@ object Similarity {
       "need k <= nCandidates <= 100 — candidates are driver-materialized")
     require(lamX10 >= 0 && lamX10 <= 10, "lamX10 in [0, 10]")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
+    // advisor r12: a zero query or zero-norm row makes the cosine NaN, and
+    // under ANSI mode round(NaN).cast(long) THROWS — reject the query up
+    // front and drop zero-norm rows exactly like the null-embedding filter
+    require(qNorm > 0, "query embedding must have non-zero norm")
     val e = col(s"`$embCol`").cast("array<double>")
-    val scored = df.where(e.isNotNull)
+    val scored = df.where(e.isNotNull && norm(e) > lit(0d))
       .select(col(s"`$idCol`").cast("long").as("vec_id"), e.as("emb"),
         round(dotLit(e, query) / (norm(e) * lit(qNorm)) * lit(1000000d), 0)
           .cast("long").as("rel_ppm"))

@@ -107,7 +107,15 @@ object Sketches {
   def hllEstimate(registers: Seq[(Long, Long)], m: Int): Double = {
     val rho = new Array[Long](m)
     registers.foreach { case (b, r) => rho(b.toInt) = r }
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Flajolet et al. 2007 prescribe FIXED alpha at small m — the
+    // asymptotic 0.7213/(1+1.079/m) formula only holds for m >= 128 and
+    // carries avoidable bias below it (advisor r12)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     val harm = rho.map(r => math.pow(2.0, -r.toDouble)).sum
     val raw = alpha * m * m / harm
     val zeros = rho.count(_ == 0L)

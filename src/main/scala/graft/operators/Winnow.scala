@@ -31,9 +31,8 @@ object Winnow {
     * gram and are dropped (kernel returns null). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
-    val kernel = new graft.plans.WinnowKernel(k, w)
     val fps = org.apache.spark.sql.GraftBridge.column(graft.plans.WinnowFingerprintsExpr(
-      org.apache.spark.sql.GraftBridge.expression(lower(trim(col(s"`$textCol`")))), kernel))
+      org.apache.spark.sql.GraftBridge.expression(lower(trim(col(s"`$textCol`")))), k, w))
     df.where(col(s"`$textCol`").isNotNull && col(s"`$idCol`").isNotNull)
       .select(col(s"`$idCol`").cast("long").as("id"), fps.as("__fps"))
       .where(col("__fps").isNotNull)
@@ -81,12 +80,18 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
     val szA = if (broadcastSizes) broadcast(sizes) else sizes
     val szB = if (broadcastSizes) broadcast(sizes) else sizes
-    shared
-      .join(szA.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
-      .join(szB.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
-      .withColumn("sim",
-        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
-      .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("sim"))
+    // the bucket frame feeds both the size and shared branches; released
+    // after the caller's first action like every other pair operator
+    // (verdict r12: this was the one pair family still leaving its cache
+    // to LRU eviction)
+    Partitioning.releaseAfterUse(
+      shared
+        .join(szA.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+        .join(szB.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+        .withColumn("sim",
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+        .where(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("sim")),
+      buckets)
   }
 }

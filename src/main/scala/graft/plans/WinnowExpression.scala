@@ -114,9 +114,18 @@ object WinnowKernel {
 }
 
 /** Column wrapper: `winnow_fingerprints(text)` → array<long> of distinct
-  * selected gram hashes (null when the text is shorter than k). */
-case class WinnowFingerprintsExpr(child: Expression, kernel: WinnowKernel)
+  * selected gram hashes (null when the text is shorter than k).
+  *
+  * Parameterized on (k, w), NOT on a kernel instance: a kernel field would
+  * compare by reference (WinnowKernel has no value equals), so two
+  * structurally identical winnow expressions would never be semantically
+  * equal — defeating common-subexpression elimination and plan
+  * canonicalization (advisor r12). The kernel is built lazily inside,
+  * the same pattern PhraseHitsExpr uses with its phrase list. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
+
+  @transient private lazy val kernel: WinnowKernel = new WinnowKernel(k, w)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
