@@ -1105,17 +1105,22 @@ object SparkEntry {
     * family): that one bounds Spark's built-in engine-private HLL against
     * the exact count; this one builds registers from portable md5 slices
     * so the oracle checks the register table itself. */
-  private def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // filter(toks, ...) mirrors the oracle's list_filter: Spark's split
-    // keeps leading/trailing empty strings (limit -1) and trim() strips
-    // only spaces, so a text ending in \t or \n would otherwise gram
-    // differently than DuckDB (review r12 finding)
-    val grams = table(spark, dir, "documents").where(col("text").isNotNull)
+  /** 5-token shingles under the shared sketch token definition — the gram
+    * stream both HLL queries sketch. filter(toks, ...) mirrors the
+    * oracle's list_filter: Spark's split keeps leading/trailing empty
+    * strings (limit -1) and trim() strips only spaces, so a text ending
+    * in \t or \n would otherwise gram differently than DuckDB (review
+    * r12 finding). */
+  private def fiveTokenShingles(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
       .select(expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("toks"))
       .where(size(col("toks")) >= 5)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))"))
         .as("gram"))
+
+  private def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val grams = fiveTokenShingles(table(spark, dir, "documents"))
     val regs = graft.operators.Sketches.hllRegisters(grams, "gram", m = 1024)
     val regSummary = regs.agg(
       count(lit(1)).as("n_filled"),
@@ -1125,6 +1130,102 @@ object SparkEntry {
     regSummary.crossJoin(exact)
       .select(lit(1024L).as("m"), col("n_filled"), col("sum_rho"), col("max_rho"),
         col("exact_distinct"))
+  }
+
+  /** Production-shape twin of `hll_distinct` (verdict r12 ask #6): the
+    * register table ALONE. `hll_distinct` deliberately carries a
+    * corpus-linear exact-distinct comparator — the oracle's ground truth,
+    * 1.69 GB of shuffle at 100× — which is the right correctness query
+    * but the wrong thing for the bench to track. This twin is what a
+    * production pipeline actually runs: ≤ m = 1024 register rows out of
+    * one max-aggregate, KB-scale shuffle at ANY corpus size. The
+    * (bucket+1)-weighted checksum pins every register exactly, so the
+    * oracle is full-strength on the sketch state itself. */
+  private def qHllRegistersOnly(spark: SparkSession, dir: String): DataFrame = {
+    val regs = graft.operators.Sketches.hllRegisters(
+      fiveTokenShingles(table(spark, dir, "documents")), "gram", m = 1024)
+    regs.agg(
+        count(lit(1)).as("n_filled"),
+        coalesce(sum(col("rho")), lit(0L)).cast("long").as("sum_rho"),
+        coalesce(max(col("rho")), lit(0L)).cast("long").as("max_rho"),
+        coalesce(sum((col("bucket") + 1) * col("rho")), lit(0L))
+          .cast("long").as("reg_checksum"))
+      .select(lit(1024L).as("m"), col("n_filled"), col("sum_rho"), col("max_rho"),
+        col("reg_checksum"))
+  }
+
+  /** Production-shape twin of `cms_heavy_hitters`/`stream_cms` for the
+    * BATCH plan: the depth×width cell table alone, summarized by the same
+    * position-weighted checksum the streaming twin uses — no exact top-k
+    * comparator, so the bench tracks the sketch's constant cost (≤ 4096
+    * cells regardless of vocabulary). */
+  private def qCmsCellsOnly(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.operators.Sketches.cmsAggregate(
+      sketchTokens(table(spark, dir, "documents")), "tok", depth = 4, width = 1024)
+    cells.agg(
+      count(lit(1)).as("n_cells"),
+      coalesce(sum(col("cnt")), lit(0L)).cast("long").as("total_mass"),
+      coalesce(max(col("cnt")), lit(0L)).cast("long").as("max_cell"),
+      coalesce(sum((col("r") * 1024 + col("c")) * col("cnt")), lit(0L))
+        .cast("long").as("cell_checksum"))
+  }
+
+  /** Document-length source for the quantile-sketch family: one integer
+    * value per document, char length on both engines. */
+  private def docLengths(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+
+  /** Portable mergeable quantile sketch (verdict r12 ask #3): bottom-k
+    * hash-priority sample over document lengths, quantile picks at
+    * p25/p50/p75/p99 on the x1e4 integer grid. The oracle replays the
+    * ENTIRE sketch state — same md5 priorities, same `ORDER BY prio
+    * LIMIT k`, same integer rank arithmetic — unlike `quantile_sketch`,
+    * whose GK state is engine-private and contract-checkable only. See
+    * [[graft.operators.QuantileSketch]] for why the deterministic
+    * bottom-k summary stands in for KLL's randomized compaction. */
+  private def qQuantileBottomk(spark: SparkSession, dir: String): DataFrame = {
+    val sk = graft.operators.QuantileSketch.build(
+      docLengths(spark, dir), "doc_id", "len", k = 1024)
+    graft.operators.QuantileSketch.estimates(sk, Seq(2500, 5000, 7500, 9900))
+      .orderBy("q_x1e4")
+  }
+
+  /** The bottom-k merge theorem as assertion, mirroring
+    * `sketch_shard_merge`: 8 per-shard sketches (doc_id mod 8) merge into
+    * EXACTLY the single-pass whole-corpus sketch — the oracle recomputes
+    * the whole sketch and pins n_mismatch to 0, so one divergent (prio,
+    * v) row fails the compare. */
+  private def qQuantileBottomkMerge(spark: SparkSession, dir: String): DataFrame = {
+    val src = docLengths(spark, dir).withColumn("shard", expr("doc_id % 8"))
+    val whole = graft.operators.QuantileSketch.build(src, "doc_id", "len", k = 1024)
+    val merged = graft.operators.QuantileSketch.merge(
+      graft.operators.QuantileSketch.buildPerShard(src, "shard", "doc_id", "len", k = 1024),
+      k = 1024)
+    merged.as("m").join(whole.as("w"),
+        col("m.prio") === col("w.prio") && col("m.v") === col("w.v"), "full_outer")
+      .agg(
+        count(lit(1)).as("sketch_rows"),
+        count(when(col("m.prio").isNull || col("w.prio").isNull, 1)).as("n_mismatch"),
+        coalesce(sum(coalesce(col("m.prio"), col("w.prio")) % 1000003), lit(0L))
+          .cast("long").as("prio_checksum"),
+        coalesce(sum(coalesce(col("m.v"), col("w.v"))), lit(0L)).cast("long").as("v_sum"))
+  }
+
+  /** `Stats.groupPercentiles` on the PORTABLE backend: per-language
+    * length quantiles from per-group bottom-k samples, flattened to
+    * (lang, n, q_x1e4, est_v) rows. `group_percentiles` (GK backend)
+    * stays contract-checked; this one is value-checked row-for-row. */
+  private def qGroupPercentilesPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").where(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"), length(col("text")).cast("long").as("len"))
+    graft.operators.Stats.groupPercentiles(docs, "lang", "len",
+        Seq(0.25, 0.50, 0.75), portableIdCol = Some("doc_id"))
+      .select(col("lang"), col("n"), posexplode(col("v")).as(Seq("pos", "ev")))
+      .select(col("lang"), col("n").cast("long").as("n"),
+        ((col("pos") + 1) * 2500).cast("long").as("q_x1e4"),
+        col("ev").cast("long").as("est_v"))
+      .orderBy("lang", "q_x1e4")
   }
 
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -3778,6 +3879,11 @@ object SparkEntry {
     "blocklist_phrases" -> qBlocklistPhrases,
     "cms_heavy_hitters" -> qCmsHeavyHitters,
     "hll_distinct" -> qHllDistinct,
+    "hll_registers_only" -> qHllRegistersOnly,
+    "cms_cells_only" -> qCmsCellsOnly,
+    "quantile_bottomk" -> qQuantileBottomk,
+    "quantile_bottomk_merge" -> qQuantileBottomkMerge,
+    "group_percentiles_portable" -> qGroupPercentilesPortable,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
     "dedup_pq_codes" -> qDedupPqCodes,
@@ -4481,6 +4587,65 @@ object SparkEntry {
       "(SELECT coalesce(max(rho), 0) FROM regs)::BIGINT AS max_rho, " +
       "(SELECT count(DISTINCT fp) FROM h)::BIGINT AS exact_distinct"
 
+  /** Register table alone, replayed bucket-for-bucket with a
+    * position-weighted checksum — the production HLL shape (no exact
+    * comparator term). */
+  private val hllRegistersOnlyOracleSql: String =
+    "WITH d AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT unnest(list_transform(range(1, len(toks) - 5 + 2), " +
+      "i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM d WHERE len(toks) >= 5), " +
+      "h AS (SELECT ('0x' || substr(md5(gram), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+      "('0x' || substr(md5(gram), 4, 15))::UBIGINT::BIGINT AS v FROM g), " +
+      "regs AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY bucket) " +
+      "SELECT 1024::BIGINT AS m, count(*)::BIGINT AS n_filled, " +
+      "coalesce(sum(rho), 0)::BIGINT AS sum_rho, " +
+      "coalesce(max(rho), 0)::BIGINT AS max_rho, " +
+      "coalesce(sum((bucket + 1) * rho), 0)::BIGINT AS reg_checksum FROM regs"
+
+  /** Bottom-k quantile sketch replayed state-for-state: same md5
+    * priorities, same ORDER BY prio LIMIT k cut, same integer rank
+    * arithmetic — the quantile member of the portable-sketch family. */
+  private val quantileBottomkOracleSql: String =
+    "WITH src AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id IS NOT NULL), " +
+      "sk AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || len::VARCHAR), 1, 15))" +
+      "::UBIGINT::BIGINT AS prio, len AS v FROM src ORDER BY prio, v LIMIT 1024), " +
+      "r AS (SELECT v, prio, row_number() OVER (ORDER BY v, prio) AS rn, " +
+      "count(*) OVER () AS s FROM sk), " +
+      "qq AS (SELECT unnest([2500, 5000, 7500, 9900])::BIGINT AS q_x1e4) " +
+      "SELECT q_x1e4, v AS est_v, s::BIGINT AS sketch_rows FROM qq JOIN r " +
+      "ON rn = greatest(1, (q_x1e4 * s + 9999) // 10000) ORDER BY q_x1e4"
+
+  /** Merge theorem as assertion: the oracle recomputes the WHOLE-corpus
+    * sketch and pins n_mismatch to 0 — a merged sketch diverging from the
+    * single pass in any (prio, v) row fails the compare. */
+  private val quantileBottomkMergeOracleSql: String =
+    "WITH src AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id IS NOT NULL), " +
+      "sk AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || len::VARCHAR), 1, 15))" +
+      "::UBIGINT::BIGINT AS prio, len AS v FROM src ORDER BY prio, v LIMIT 1024) " +
+      "SELECT count(*)::BIGINT AS sketch_rows, 0::BIGINT AS n_mismatch, " +
+      "coalesce(sum(prio % 1000003), 0)::BIGINT AS prio_checksum, " +
+      "coalesce(sum(v), 0)::BIGINT AS v_sum FROM sk"
+
+  /** Per-group bottom-k quantiles replayed group-for-group. */
+  private val groupPercentilesPortableOracleSql: String =
+    "WITH src AS (SELECT lang, doc_id, length(text)::BIGINT AS v FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL), " +
+      "pr AS (SELECT lang, v, ('0x' || substr(md5(doc_id::VARCHAR || ':' || v::VARCHAR), 1, 15))" +
+      "::UBIGINT::BIGINT AS prio FROM src), " +
+      "sm AS (SELECT lang, v, prio, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY prio, v) AS pn, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM pr), " +
+      "samp AS (SELECT lang, v, prio, n, least(n, 1024) AS s, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY v, prio) AS rn " +
+      "FROM sm WHERE pn <= 1024), " +
+      "qq AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS q_x1e4) " +
+      "SELECT lang, n::BIGINT AS n, q_x1e4, v AS est_v FROM qq JOIN samp " +
+      "ON rn = greatest(1, (q_x1e4 * s + 9999) // 10000) ORDER BY lang, q_x1e4"
+
   /** nDCG/MRR replayed with the SAME Scala-computed discount constants
     * embedded as SQL literals — the float log2 never runs in DuckDB. */
   private val rankingEvalOracleSql: String = {
@@ -4577,6 +4742,13 @@ object SparkEntry {
     "blocklist_phrases" -> blocklistPhrasesOracleSql,
     "cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "hll_distinct" -> hllDistinctOracleSql,
+    "hll_registers_only" -> hllRegistersOnlyOracleSql,
+    // the batch cell table must land on exactly the same 4096-cell state
+    // as the streamed one — same oracle, different plan under test
+    "cms_cells_only" -> streamCmsOracleSql,
+    "quantile_bottomk" -> quantileBottomkOracleSql,
+    "quantile_bottomk_merge" -> quantileBottomkMergeOracleSql,
+    "group_percentiles_portable" -> groupPercentilesPortableOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
     "ann_pq_batch" -> annPqBatchOracleSql,

@@ -181,12 +181,25 @@ object Stats {
     * Returns one row per group: the group, its exact row count, and the
     * quantile values array (sketch members, not interpolations). */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+      qs: Seq[Double], accuracy: Int = 1000,
+      portableIdCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles must be in (0,1)")
-    df.groupBy(col(s"`$groupCol`"))
-      .agg(count(lit(1)).as("n"),
-        percentile_approx(col(s"`$valueCol`").cast("double"),
-          array(qs.map(lit): _*), lit(accuracy)).as("v"))
+    // portable backend toggle (verdict r12 ask #3): percentile_approx's GK
+    // sketch is engine-PRIVATE state — oracles can only check its contract.
+    // Given a row-identity column, the bottom-k hash-priority sketch
+    // ([[QuantileSketch]]) computes the same report from md5-grid state
+    // that another engine replays row-for-row and that shard-merges
+    // exactly. Same output schema; same skew-safe one-shuffle shape.
+    portableIdCol match {
+      case Some(idCol) =>
+        QuantileSketch.groupEstimates(df, groupCol, idCol, valueCol,
+          qs.map(q => math.round(q * 10000).toInt))
+      case None =>
+        df.groupBy(col(s"`$groupCol`"))
+          .agg(count(lit(1)).as("n"),
+            percentile_approx(col(s"`$valueCol`").cast("double"),
+              array(qs.map(lit): _*), lit(accuracy)).as("v"))
+    }
   }
 
   /** Per-group percent-rank calibration — rank-normalize a score within
