@@ -124,6 +124,21 @@ object ScaleCheck {
     // the split-leakage audit composes the measured minhash + CC + hash
     // assignment pipelines; its own term is the pair-sized split joins
     "split_leakage", "ranking_eval", "sketch_shard_merge",
+    // round-13: the fifth iterative operator — star-contraction CC on the
+    // planted diameter-50 chain graph (rounds must be FLAT in corpus size:
+    // chain length is fixed, O(log² n) contraction depth barely moves);
+    // the quantile-sketch family (bottom-k state is CONSTANT — the
+    // TakeOrderedAndProject cut is the term under test; the per-group
+    // variant shuffles group-key rows once); and the production-shape
+    // sketch twins whose bytes must be ~flat where their oracle-bearing
+    // siblings carry the corpus-linear comparator
+    "cc_chain_star", "quantile_bottomk", "quantile_bottomk_merge",
+    "group_percentiles_portable", "hll_registers_only", "cms_cells_only",
+    // round-13 backfill (verdict ask #7): the outer interval join and the
+    // streaming CMS (state measured in StreamScaleCheck; THIS row is the
+    // batch-harness bytes view), the per-distinct-value KDF path, and the
+    // multi-pattern redaction scan
+    "stream_join_outer", "stream_cms", "mask_via_distinct", "redact_pii_extended",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -611,6 +611,30 @@ object SparkEntry {
         sum_distinct(col("component")).cast("long").as("rep_id_sum"))
   }
 
+  /** Star-contraction CC on a planted DEEP graph (verdict r12 ask #4):
+    * every 1000-id block contributes a diameter-50 duplicate chain
+    * (consecutive-id pairs where both endpoints exist), the path shape
+    * min-label propagation cannot finish inside its O(diameter) budget —
+    * `Dedup.connectedComponents` on this graph throws its loud maxIter
+    * contract (pinned in CcStarSpec), while [[graft.operators.CcStar]]
+    * contracts it in O(log² n) rounds (~5 observed, FLAT in corpus size
+    * because chain length is fixed). The oracle needs no graph walk:
+    * components of consecutive-integer chains are gaps-and-islands —
+    * component = min(id) over island (id − row_number()). depth_sum =
+    * Σ(id − component) is bounded by 50·rows, ANSI-safe at any scale. */
+  private def qCcChainStar(spark: SparkSession, dir: String): DataFrame = {
+    val ids = table(spark, dir, "documents").select(col("doc_id"))
+    val pairs = ids.where(col("doc_id") % 1000 < 50)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.operators.CcStar.connectedComponentsStar(pairs)
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        countDistinct(col("component")).as("n_components"),
+        coalesce(sum(col("id") - col("component")), lit(0L)).cast("long").as("depth_sum"),
+        coalesce(sum(col("component") % 1000003), lit(0L)).cast("long").as("comp_checksum"))
+  }
+
   /** End-to-end near-dup removal: pairs -> components -> drop everything but
     * each component's min-id representative. The oracle recomputes the kept
     * set (count + id sum) from the exact pair closure in DuckDB. */
@@ -3159,8 +3183,21 @@ object SparkEntry {
     * summarized as (n_cells, total_mass, max_cell, cell_checksum). */
   private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val toks = sketchTokens(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    // layout-sensitive source: the driver's testdata ships
+    // documents.parquet as a single FILE (FileStreamSource rejects a file
+    // path — "basePath must be a directory" — so that layout needs the
+    // parent dir + a leaf-file glob), while any Spark-written copy,
+    // including the ScaleCheck corpora, is a DIRECTORY of part files —
+    // where the same leaf glob matches NOTHING and the stream silently
+    // reads zero rows (the 10x ScaleCheck row caught exactly that: 0
+    // shuffle bytes). One stat call picks the right form for both.
+    val tablePath = new java.io.File(s"$dir/documents.parquet")
+    val toks = sketchTokens(
+      if (tablePath.isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath.getPath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
     val sink = "graft_stream_cms_sink"
     val q = cells.writeStream.format("memory").queryName(sink)
@@ -3842,6 +3879,7 @@ object SparkEntry {
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
     "dedup_components" -> qDedupComponents,
+    "cc_chain_star" -> qCcChainStar,
     "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
     "dedup_ngram_hot" -> qDedupNgramHot,
@@ -5215,6 +5253,19 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT count(DISTINCT component) AS n_components, count(*) AS n_clustered_docs, " +
         "sum(DISTINCT component)::BIGINT AS rep_id_sum FROM comp"),
+    // chains of consecutive ids = gaps-and-islands: component = min(id)
+    // over island (id - row_number() is constant per consecutive run) —
+    // no recursive walk needed, exact at any scale
+    "cc_chain_star" ->
+      ("WITH ids AS (SELECT doc_id FROM documents), " +
+        "e AS (SELECT a.doc_id AS ida, a.doc_id + 1 AS idb FROM ids a " +
+        "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 1000 < 50), " +
+        "nodes AS (SELECT DISTINCT id FROM (SELECT ida AS id FROM e UNION ALL SELECT idb FROM e)), " +
+        "isl AS (SELECT id, id - row_number() OVER (ORDER BY id) AS island FROM nodes), " +
+        "lab AS (SELECT id, min(id) OVER (PARTITION BY island) AS component FROM isl) " +
+        "SELECT count(*)::BIGINT AS n_nodes, count(DISTINCT component)::BIGINT AS n_components, " +
+        "coalesce(sum(id - component), 0)::BIGINT AS depth_sum, " +
+        "coalesce(sum(component % 1000003), 0)::BIGINT AS comp_checksum FROM lab"),
     "dedup_drop" ->
       ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

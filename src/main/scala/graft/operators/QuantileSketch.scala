@@ -65,21 +65,27 @@ object QuantileSketch {
   }
 
   /** Per-shard sketches in ONE pass: (shard, prio, v) with ≤ k rows per
-    * shard — a top-k window on the shard key, the same single-shuffle
-    * shape [[groupEstimates]] uses. Feed the result (minus `shard`) to
-    * [[merge]] to reassemble the whole-corpus sketch exactly. */
+    * shard. The bottom-k runs as the bounded-heap aggregate
+    * ([[graft.plans.TopKAggregate.bottomKLongPairs]] — exact Long pairs;
+    * a double score would corrupt 60-bit priorities above 2^53), so
+    * partial aggregation is MAP-SIDE: the shuffle carries ≤ k pairs per
+    * shard per input partition, never the corpus rows (the first cut's
+    * per-shard rank window shuffled every row — measured 9.4× bytes at
+    * 10×, corpus-linear; this shape is Θ(shards·k·partitions)). Feed the
+    * result (minus `shard`) to [[merge]] to reassemble the whole-corpus
+    * sketch exactly. */
   def buildPerShard(df: DataFrame, shardCol: String, idCol: String,
       valueCol: String, k: Int = 1024): DataFrame = {
     checkK(k)
-    val byPrio = Window.partitionBy(col("shard")).orderBy(col("prio"), col("v"))
     df.where(col(s"`$shardCol`").isNotNull && col(s"`$idCol`").isNotNull &&
         col(s"`$valueCol`").isNotNull)
       .select(col(s"`$shardCol`").as("shard"),
         priority(col(s"`$idCol`"), col(s"`$valueCol`")).as("prio"),
         col(s"`$valueCol`").cast("long").as("v"))
-      .withColumn("__pn", row_number().over(byPrio))
-      .where(col("__pn") <= k)
-      .drop("__pn")
+      .groupBy(col("shard"))
+      .agg(graft.plans.TopKAggregate.bottomKLongPairs(col("prio"), col("v"), k).as("__sk"))
+      .select(col("shard"), explode(col("__sk")).as("__p"))
+      .select(col("shard"), col("__p.key").as("prio"), col("__p.value").as("v"))
   }
 
   /** Merge shard sketches (any number, unioned into one frame): keep the
@@ -114,29 +120,34 @@ object QuantileSketch {
   }
 
   /** Per-group bottom-k quantiles — the portable backend behind
-    * [[Stats.groupPercentiles]]: one shuffle on the group key, a top-k
-    * window bounds every group's sample at k rows (the skewed-group-safe
-    * property percentile_approx has, kept), then in-sample rank picks.
-    * Returns (group, n, v) with `v` the quantile values in `qsX1e4`
-    * order, as doubles for schema compatibility with the GK backend. */
+    * [[Stats.groupPercentiles]]: the sample rides the bounded-heap
+    * aggregate (map-side combined — ≤ k pairs per group per input
+    * partition cross the wire, the skewed-group-safe property
+    * percentile_approx has, kept for real: a billion-row group costs the
+    * shuffle k rows, not a billion), then in-sample rank picks run over
+    * the exploded ≤ k·groups rows. Returns (group, n, v) with `v` the
+    * quantile values in `qsX1e4` order, as doubles for schema
+    * compatibility with the GK backend. */
   def groupEstimates(df: DataFrame, groupCol: String, idCol: String, valueCol: String,
       qsX1e4: Seq[Int], k: Int = 1024): DataFrame = {
     checkK(k)
     require(qsX1e4.nonEmpty && qsX1e4.forall(q => q >= 1 && q <= 9999),
       "quantiles on the x1e4 grid must be in [1, 9999]")
     val g = col(s"`$groupCol`")
-    val base = df.where(g.isNotNull && col(s"`$idCol`").isNotNull &&
+    val sampled = df.where(g.isNotNull && col(s"`$idCol`").isNotNull &&
         col(s"`$valueCol`").isNotNull)
       .select(g.as("__g"),
         priority(col(s"`$idCol`"), col(s"`$valueCol`")).as("prio"),
         col(s"`$valueCol`").cast("long").as("v"))
-    val byPrio = Window.partitionBy(col("__g")).orderBy(col("prio"), col("v"))
-    val sample = base
-      .withColumn("__pn", row_number().over(byPrio))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
-      .where(col("__pn") <= k)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        graft.plans.TopKAggregate.bottomKLongPairs(col("prio"), col("v"), k).as("__sk"))
+    // everything below runs over ≤ k rows per group (bounded post-agg
+    // frames, the benign window class)
     val byValue = Window.partitionBy(col("__g")).orderBy(col("v"), col("prio"))
-    val ranked = sample
+    val ranked = sampled
+      .select(col("__g"), col("__n"), explode(col("__sk")).as("__p"))
+      .select(col("__g"), col("__n"), col("__p.key").as("prio"), col("__p.value").as("v"))
       .withColumn("rn", row_number().over(byValue))
       .withColumn("s", least(col("__n"), lit(k.toLong)))
     val picks = qsX1e4.map(q =>

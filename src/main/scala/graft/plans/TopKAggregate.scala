@@ -111,6 +111,96 @@ case class TopKByScore(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Bottom-k (key, value) LONG pairs per group — the exact-integer sibling
+  * of [[TopKByScore]] for the quantile sketch's 60-bit md5 priorities,
+  * which a double score would corrupt above 2^53. Ranked ascending by
+  * (key, value); result `array<struct<key:bigint,value:bigint>>` in rank
+  * order. Same map-side-combine property: the shuffle carries ≤ k pairs
+  * per group per input partition, never the group's rows. */
+case class BottomKLongPairs(
+    keyExpr: Expression,
+    valueExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+  require(k >= 1, "k must be >= 1")
+
+  // max-heap on (key, value): the head is the LARGEST pair — the one a
+  // smaller candidate evicts
+  private def largestFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(x: (Long, Long), y: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  override def children: Seq[Expression] = Seq(keyExpr, valueExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("value", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bottom_k_long_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (keyExpr.dataType, valueExpr.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint), got ${a.catalogString} and ${b.catalogString}")
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(largestFirst)
+
+  private def insert(buf: mutable.PriorityQueue[(Long, Long)], cand: (Long, Long)): Unit =
+    if (buf.size < k) buf.enqueue(cand)
+    else if (largestFirst.compare(cand, buf.head) < 0) { buf.dequeue(); buf.enqueue(cand) }
+
+  override def update(
+      buf: mutable.PriorityQueue[(Long, Long)], input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val a = keyExpr.eval(input)
+    val b = valueExpr.eval(input)
+    if (a != null && b != null) insert(buf, (a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Long, Long)],
+      other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    // dequeue order is largest-first; reverse for ascending rank order
+    val ranked = buf.clone().dequeueAll.reverse
+    new GenericArrayData(ranked.map(p => InternalRow(p._1, p._2)).toArray[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (a, b) => bb.putLong(a); bb.putLong(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKLongPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKLongPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BottomKLongPairs =
+    copy(keyExpr = newChildren(0), valueExpr = newChildren(1))
+}
+
 object TopKAggregate {
   import org.apache.spark.sql.GraftBridge
 
@@ -119,5 +209,11 @@ object TopKAggregate {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(
       TopKByScore(GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Bottom-k (key, value) long pairs per group by (key ASC, value ASC). */
+  def bottomKLongPairs(key: Column, value: Column, k: Int): Column =
+    GraftBridge.column(
+      BottomKLongPairs(GraftBridge.expression(key), GraftBridge.expression(value), k)
         .toAggregateExpression())
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Star-contraction CC: equivalence with min-label propagation on
+  * shallow graphs, logarithmic rounds on DEEP ones (the diameter-50
+  * duplicate chain min-label cannot finish inside its budget), and the
+  * loud-maxIter contract on both operators (verdict r12 ask #4). */
+class CcStarSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** A path 0-1-2-...-(n-1), shifted by `base`. */
+  private def chain(n: Int, base: Long = 0L): DataFrame =
+    (0 until n - 1).map(i => (base + i, base + i + 1)).toDF("id_a", "id_b")
+
+  test("star CC equals min-label CC on a mixed shallow graph") {
+    // triangles, a small star, a 4-path, isolated pairs — the near-dup shapes
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),         // triangle
+      (10L, 11L), (10L, 12L), (10L, 13L),    // star
+      (20L, 21L), (21L, 22L), (22L, 23L),    // path
+      (30L, 31L), (40L, 41L)                 // pairs
+    ).toDF("id_a", "id_b")
+    val star = labelsOf(CcStar.connectedComponentsStar(pairs))
+    val minl = labelsOf(Dedup.connectedComponents(pairs))
+    assert(star == minl)
+    assert(star(3L) == 1L && star(13L) == 10L && star(23L) == 20L && star(41L) == 40L)
+  }
+
+  test("diameter-50 chain: star converges inside its O(log^2 n) budget") {
+    val pairs = chain(51, base = 1000L) // 51 nodes, diameter 50
+    val labels = labelsOf(CcStar.connectedComponentsStar(pairs, maxIter = 12))
+    assert(labels.size == 51)
+    assert(labels.values.toSet == Set(1000L))
+  }
+
+  test("min-label CC on the same chain throws LOUDLY at its round budget") {
+    // the contract the r12 verdict asked to be pinned: a truncated
+    // propagation is a WRONG labeling, so it must throw, never return
+    val pairs = chain(51, base = 0L)
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(pairs, maxIter = 10).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star CC throws loudly when maxIter is too small to contract") {
+    val pairs = chain(300)
+    val e = intercept[IllegalStateException](
+      CcStar.connectedComponentsStar(pairs, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("many parallel chains keep components separate") {
+    val pairs = (0 until 20).map(c => chain(50, base = c * 1000L))
+      .reduce(_ unionByName _)
+    val labels = labelsOf(CcStar.connectedComponentsStar(pairs))
+    assert(labels.size == 20 * 50)
+    (0 until 20).foreach { c =>
+      assert(labels(c * 1000L + 49L) == c * 1000L)
+    }
+  }
+
+  test("star CC at 1e10-scale ids (the ANSI overflow regime) is exact") {
+    val big = 10_000_000_000L
+    val pairs = chain(30, base = big)
+    val labels = labelsOf(CcStar.connectedComponentsStar(pairs))
+    assert(labels.size == 30 && labels.values.toSet == Set(big))
+  }
+}
