@@ -148,6 +148,38 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
     }
   }
 
+  test("quantile sketch: the global build is a TakeOrdered, never a full sort") {
+    // ORDER BY prio LIMIT k must plan as TakeOrderedAndProject (k rows per
+    // partition to one merge task); a global SortExec before the limit
+    // would sort the corpus to keep 1024 rows
+    val plan = SparkEntry.queries("quantile_bottomk")(spark, sf)
+      .queryExecution.sparkPlan
+    val takes = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(takes.nonEmpty, "expected TakeOrderedAndProject for the bottom-k cut")
+    // a global sort is only a violation when it sorts the CORPUS — i.e.
+    // when no TakeOrdered cut sits below it; the final orderBy over the
+    // 4-row estimate output is bounded and fine
+    val corpusSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global &&
+        s.collect { case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }.isEmpty => s }
+    assert(corpusSorts.isEmpty, "quantile_bottomk global-sorts the corpus")
+  }
+
+  test("per-shard quantile sketches aggregate map-side (bounded-heap, partial agg)") {
+    // the bounded-heap aggregate must run with partial (map-side) mode —
+    // the whole point vs the rank-window formulation, which shuffles every
+    // corpus row to its shard; ObjectHashAggregate appears twice per
+    // grouping (partial + final) when partials are on
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val plan = SparkEntry.queries("quantile_bottomk_merge")(spark, sf)
+      .queryExecution.sparkPlan
+    val objAggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    assert(objAggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "expected a PARTIAL bounded-heap aggregate (map-side combine) in the per-shard build")
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")
