@@ -139,6 +139,9 @@ object ScaleCheck {
     // batch-harness bytes view), the per-distinct-value KDF path, and the
     // multi-pattern redaction scan
     "stream_join_outer", "stream_cms", "mask_via_distinct", "redact_pii_extended",
+    // the streamed bottom-k (state = one k-pair heap, constant by
+    // construction; bytes may only carry heap partials × splits)
+    "stream_quantile",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

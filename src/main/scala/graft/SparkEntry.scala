@@ -3181,23 +3181,27 @@ object SparkEntry {
     * SCALING.md). AvailableNow one-shot; the oracle is the batch cell
     * replay, so stream and batch sketches must agree cell-for-cell,
     * summarized as (n_cells, total_mass, max_cell, cell_checksum). */
-  private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
+  /** Layout-sensitive streaming source for the documents table: the
+    * driver's testdata ships documents.parquet as a single FILE
+    * (FileStreamSource rejects a file path — "basePath must be a
+    * directory" — so that layout needs the parent dir + a leaf-file
+    * glob), while any Spark-written copy, including the ScaleCheck
+    * corpora, is a DIRECTORY of part files — where the same leaf glob
+    * matches NOTHING and the stream silently reads zero rows (the r13
+    * 10x ScaleCheck row caught exactly that: 0 shuffle bytes). One stat
+    * call picks the right form for both. */
+  private def streamDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    // layout-sensitive source: the driver's testdata ships
-    // documents.parquet as a single FILE (FileStreamSource rejects a file
-    // path — "basePath must be a directory" — so that layout needs the
-    // parent dir + a leaf-file glob), while any Spark-written copy,
-    // including the ScaleCheck corpora, is a DIRECTORY of part files —
-    // where the same leaf glob matches NOTHING and the stream silently
-    // reads zero rows (the 10x ScaleCheck row caught exactly that: 0
-    // shuffle bytes). One stat call picks the right form for both.
     val tablePath = new java.io.File(s"$dir/documents.parquet")
-    val toks = sketchTokens(
-      if (tablePath.isDirectory)
-        spark.readStream.schema(schema).parquet(tablePath.getPath)
-      else
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    if (tablePath.isDirectory)
+      spark.readStream.schema(schema).parquet(tablePath.getPath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = sketchTokens(streamDocuments(spark, dir))
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
     val sink = "graft_stream_cms_sink"
     val q = cells.writeStream.format("memory").queryName(sink)
@@ -3210,6 +3214,31 @@ object SparkEntry {
       coalesce(max(col("cnt")), lit(0L)).cast("long").as("max_cell"),
       coalesce(sum((col("r") * 1024L + col("c")) * col("cnt")), lit(0L))
         .cast("long").as("cell_checksum"))
+  }
+
+  /** The quantile sketch as BOUNDED STREAMING STATE — the third streaming
+    * sketch next to `stream_cms`'s cells and the dedup probe:
+    * `orderBy().limit()` is illegal on an unbounded stream, but the
+    * bounded-heap aggregate form ([[graft.operators.QuantileSketch
+    * .buildAgg]]) is a complete-mode global aggregate whose state is the
+    * ≤ k-pair heap. The oracle is the SAME state replay as
+    * `quantile_bottomk` — the streamed sketch must land on exactly the
+    * batch sketch's (prio, v) set, estimates included. */
+  private def qStreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val lens = streamDocuments(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val agg = graft.operators.QuantileSketch.buildAgg(lens, "doc_id", "len", k = 1024)
+    val sink = "graft_stream_quantile_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sk = spark.table(sink)
+      .select(explode(col("sk")).as("p"))
+      .select(col("p.key").as("prio"), col("p.value").as("v"))
+    graft.operators.QuantileSketch.estimates(sk, Seq(2500, 5000, 7500, 9900))
+      .orderBy("q_x1e4")
   }
 
   /** Gap sessionization (30 min) over the events table via the batch
@@ -4029,6 +4058,7 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_cms" -> qStreamCms,
+    "stream_quantile" -> qStreamQuantile,
     "sketch_shard_merge" -> qSketchShardMerge,
     "stream_stream_join" -> qStreamStreamJoin,
     "stream_join_outer" -> qStreamJoinOuter,
@@ -4769,6 +4799,9 @@ object SparkEntry {
     "pq_recall" -> pqRecallOracleSql,
     "ranking_eval" -> rankingEvalOracleSql,
     "stream_cms" -> streamCmsOracleSql,
+    // the streamed bottom-k must land on EXACTLY the batch sketch's state
+    // — same oracle as quantile_bottomk, different plan under test
+    "stream_quantile" -> quantileBottomkOracleSql,
     "sketch_shard_merge" -> sketchShardMergeOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,

@@ -189,10 +189,13 @@ object Dedup {
     labels = labels.select(col("id"), col("component"))
     // partial labels are WRONG labels: a component wider than maxIter hops
     // would silently split. Near-dup graphs are tiny-diameter, so hitting
-    // this means the input is not the pair set this operator is for.
+    // this means the input is not the pair set this operator is for —
+    // deep (path-shaped) graphs belong to [[CcStar.connectedComponentsStar]],
+    // whose contraction depth is O(log² n) regardless of diameter.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds - " +
-        "the pair graph has a longer path than expected; raise maxIter")
+        "the pair graph has a longer path than expected; raise maxIter, or " +
+        "use CcStar.connectedComponentsStar for deep (high-diameter) graphs")
     labels
   }
 

@@ -88,6 +88,21 @@ object QuantileSketch {
       .select(col("shard"), col("__p.key").as("prio"), col("__p.value").as("v"))
   }
 
+  /** The sketch as ONE bounded aggregate row — `array<struct<key,value>>`
+    * of the ≤ k smallest (prio, v) pairs via the bounded-heap aggregate.
+    * This is the STREAMING-legal form: `orderBy().limit()` is not allowed
+    * on an unbounded stream, but a global aggregate with k-bounded state
+    * is — complete-mode output lands on exactly the same state as the
+    * batch [[build]] (the `stream_quantile` oracle pins that). Explode
+    * the array to recover the (prio, v) sketch frame. */
+  def buildAgg(df: DataFrame, idCol: String, valueCol: String, k: Int = 1024): DataFrame = {
+    checkK(k)
+    df.where(col(s"`$idCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+      .select(priority(col(s"`$idCol`"), col(s"`$valueCol`")).as("prio"),
+        col(s"`$valueCol`").cast("long").as("v"))
+      .agg(graft.plans.TopKAggregate.bottomKLongPairs(col("prio"), col("v"), k).as("sk"))
+  }
+
   /** Merge shard sketches (any number, unioned into one frame): keep the
     * k smallest priorities of the union. Exact by the bottom-k merge
     * theorem — asserted against the single-pass sketch in the

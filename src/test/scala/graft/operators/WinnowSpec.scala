@@ -43,6 +43,20 @@ class WinnowSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
+  test("structurally identical winnow expressions are semantically equal (CSE-able)") {
+    // advisor r12: the expression used to carry the kernel INSTANCE as a
+    // case-class field compared by reference, so two identical winnow
+    // columns never canonicalized together — defeating common-subexpression
+    // elimination. Parameterized on (k, w), equality is value-based.
+    val child = org.apache.spark.sql.GraftBridge.expression(lower(lit("abcdef")))
+    val a = graft.plans.WinnowFingerprintsExpr(child, K, W)
+    val b = graft.plans.WinnowFingerprintsExpr(child, K, W)
+    assert(a == b, "same (child, k, w) must be equal")
+    assert(a.semanticEquals(b), "canonicalized forms must match")
+    assert(a != graft.plans.WinnowFingerprintsExpr(child, K, W + 1),
+      "different window must not compare equal")
+  }
+
   test("kernel matches the per-window-rescan reference on random strings") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcde " // small alphabet forces hash ties (rightmost rule exercised)
