@@ -43,10 +43,21 @@ object CcStar {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** (id, component) labels for every node appearing in `pairs`
-    * (columns id_a, id_b), component = the component's minimum id. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * (columns id_a, id_b), component = the component's minimum id.
+    *
+    * @param reliableCheckpoint same contract as
+    *        [[Dedup.connectedComponents]]: truncate per-round lineage with
+    *        `checkpoint(true)` against `sparkContext.getCheckpointDir`
+    *        instead of `localCheckpoint`. Local blocks die with their
+    *        executor — fine single-process, but on a real cluster one lost
+    *        executor aborts the whole contraction. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30,
+                              reliableCheckpoint: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
-    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    if (reliableCheckpoint) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint=true needs sparkContext.setCheckpointDir(...) first")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
 
     def sym(e: DataFrame): DataFrame =
       e.select(explode(array(

@@ -72,4 +72,21 @@ class CcStarSpec extends AnyFunSuite {
     val labels = labelsOf(CcStar.connectedComponentsStar(pairs))
     assert(labels.size == 30 && labels.values.toSet == Set(big))
   }
+
+  test("reliable checkpointing produces the same labels (and demands a checkpoint dir)") {
+    val spark = graft.SparkTestBase.spark
+    val pairs = chain(40)
+    val prior = Option(spark.sparkContext.getCheckpointDir.orNull)
+    if (prior.isEmpty) {
+      intercept[IllegalArgumentException](
+        CcStar.connectedComponentsStar(pairs, reliableCheckpoint = true))
+    }
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ccstar-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = labelsOf(CcStar.connectedComponentsStar(pairs, reliableCheckpoint = true))
+      assert(reliable == labelsOf(CcStar.connectedComponentsStar(pairs)))
+    } finally prior.foreach(spark.sparkContext.setCheckpointDir)
+  }
 }
