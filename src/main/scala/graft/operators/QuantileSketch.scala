@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   * Quantile estimate: the element at rank ⌈q·s⌉ of the sample's value
   * order (s = sample size) — sample quantiles estimate population
   * quantiles, pure integer arithmetic on both engines. When n ≤ k the
-  * sample IS the population and estimates are exact. */
+  * sample IS the population and estimates are exact.
+  *
+  * Float-valued columns: snap to an integer grid FIRST (the repo-wide
+  * discipline — `round(score * 1e6).cast("long")`, the same ppm grid the
+  * similarity operators use). Quantiles are order statistics, so any
+  * monotone grid preserves them to grid precision, and the sketch state
+  * stays byte-exact across engines — raw doubles never would. */
 object QuantileSketch {
 
   /** Per-OCCURRENCE priority: equal values must draw independent
