@@ -142,6 +142,11 @@ object ScaleCheck {
     // the streamed bottom-k (state = one k-pair heap, constant by
     // construction; bytes may only carry heap partials × splits)
     "stream_quantile",
+    // true KLL: the sketch aggregate's state is O(cap·levels) items, so
+    // its shuffle term is constant-class; the corpus-linear term in these
+    // queries is the exact-rank comparator (the contract's ground truth,
+    // same role as hll_distinct's exact side)
+    "quantile_kll", "quantile_kll_merge",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

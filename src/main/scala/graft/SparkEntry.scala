@@ -1236,6 +1236,72 @@ object SparkEntry {
         coalesce(sum(coalesce(col("m.v"), col("w.v"))), lit(0L)).cast("long").as("v_sum"))
   }
 
+  /** True KLL (Karnin–Lang–Liberty 2016) over document lengths — the
+    * SPACE-OPTIMAL quantile-sketch member next to the portable bottom-k:
+    * O((1/ε)·log log) retained items vs the sample's O(1/ε²), at the
+    * price of randomized, merge-order-dependent state no other engine
+    * can replay. Oracled by CONTRACT, the `vocab_cms` pattern for
+    * engine-private sketches: the query computes each estimate's EXACT
+    * rank with a corpus pass and pins |rank − q·n| ≤ ε·n (ε = 0.05, ~10×
+    * the empirical error at capacity 256 — the gate never flakes) plus
+    * the deterministic invariant total-weight == n. */
+  private def qQuantileKll(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(2500, 5000, 7500, 9900)
+    val lens = docLengths(spark, dir).select(col("len"))
+    val row = lens.agg(
+      graft.plans.KllAggregate.kllSketch(col("len"), 256).as("sk"),
+      count(lit(1)).as("n")).collect()(0)
+    val items = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val n = row.getLong(1)
+    val state = graft.plans.KllAggregate.stateOf(items, n, 256)
+    val weightExact = if (state.totalWeight == n) 1L else 0L
+    val ests = qs.map(q => q -> state.estimate(q))
+    // exact ranks of the four estimate values in ONE corpus pass (the
+    // ground-truth term — this is the correctness query; the production
+    // shape is the sketch aggregate alone)
+    val rankCols = ests.map { case (q, e) => count(when(col("len") <= e, 1)).as(s"r$q") }
+    val ranks = lens.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+    import spark.implicits._
+    val eps = 0.05
+    qs.zipWithIndex.map { case (q, i) =>
+      val rank = ranks.getLong(i)
+      val target = q.toDouble / 10000 * n
+      val within = if (math.abs(rank - target) <= eps * n) 1L else 0L
+      (q.toLong, n, weightExact, within)
+    }.toDF("q_x1e4", "n", "weight_exact", "within_bound").orderBy("q_x1e4")
+  }
+
+  /** KLL shard merge: 8 per-shard sketches merged driver-side. The coins
+    * differ run to run, but two things never do — total weight (exactly
+    * n, conserved through every compaction and merge) and the (ε, δ)
+    * rank bound — and those are what the oracle pins. */
+  private def qQuantileKllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(2500, 5000, 7500, 9900)
+    val lens = docLengths(spark, dir).withColumn("shard", expr("doc_id % 8"))
+    val shardRows = lens.groupBy(col("shard")).agg(
+      graft.plans.KllAggregate.kllSketch(col("len"), 256).as("sk"),
+      count(lit(1)).as("n")).collect()
+    val states = shardRows.map { r =>
+      graft.plans.KllAggregate.stateOf(
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))),
+        r.getLong(2), 256)
+    }
+    val merged = states.reduce { (a, b) => a.mergeIn(b); a }
+    val n = shardRows.map(_.getLong(2)).sum
+    val weightExact = if (merged.totalWeight == n) 1L else 0L
+    val ests = qs.map(q => q -> merged.estimate(q))
+    val rankCols = ests.map { case (q, e) => count(when(col("len") <= e, 1)).as(s"r$q") }
+    val ranks = lens.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+    val eps = 0.05
+    val nWithin = qs.indices.count { i =>
+      math.abs(ranks.getLong(i) - qs(i).toDouble / 10000 * n) <= eps * n
+    }.toLong
+    import spark.implicits._
+    Seq((n, weightExact, qs.size.toLong, nWithin))
+      .toDF("n", "weight_exact", "n_q", "n_within")
+  }
+
   /** `Stats.groupPercentiles` on the PORTABLE backend: per-language
     * length quantiles from per-group bottom-k samples, flattened to
     * (lang, n, q_x1e4, est_v) rows. `group_percentiles` (GK backend)
@@ -3950,6 +4016,8 @@ object SparkEntry {
     "cms_cells_only" -> qCmsCellsOnly,
     "quantile_bottomk" -> qQuantileBottomk,
     "quantile_bottomk_merge" -> qQuantileBottomkMerge,
+    "quantile_kll" -> qQuantileKll,
+    "quantile_kll_merge" -> qQuantileKllMerge,
     "group_percentiles_portable" -> qGroupPercentilesPortable,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
@@ -4819,6 +4887,17 @@ object SparkEntry {
     "cms_cells_only" -> streamCmsOracleSql,
     "quantile_bottomk" -> quantileBottomkOracleSql,
     "quantile_bottomk_merge" -> quantileBottomkMergeOracleSql,
+    // KLL state is randomized and merge-order-dependent — no other engine
+    // can replay it, so the oracle pins the CONTRACT the query verified
+    // in-engine: exact total-weight conservation and the rank bound per
+    // quantile (the vocab_cms pattern for engine-private sketch state)
+    "quantile_kll" ->
+      ("SELECT unnest([2500, 5000, 7500, 9900])::BIGINT AS q_x1e4, " +
+        "(SELECT count(*) FROM documents WHERE text IS NOT NULL)::BIGINT AS n, " +
+        "1::BIGINT AS weight_exact, 1::BIGINT AS within_bound ORDER BY q_x1e4"),
+    "quantile_kll_merge" ->
+      ("SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL)::BIGINT AS n, " +
+        "1::BIGINT AS weight_exact, 4::BIGINT AS n_q, 4::BIGINT AS n_within"),
     "group_percentiles_portable" -> groupPercentilesPortableOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,

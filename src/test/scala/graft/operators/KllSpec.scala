@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{KllAggregate, KllState}
+
+/** KLL quantile sketch laws: exact weight conservation (deterministic,
+  * coin-independent), rank-error bounds, exactness below capacity, merge
+  * correctness, and serialization roundtrip through a real Spark
+  * aggregate with partials. */
+class KllSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("total weight is conserved exactly through compaction cascades") {
+    val s = new KllState(16) // tiny capacity forces many compactions
+    (1 to 100000).foreach(i => s.insert(i.toLong * 7 % 9973))
+    assert(s.n == 100000L)
+    assert(s.totalWeight == 100000L)
+  }
+
+  test("rank error on linear data stays far inside the contract epsilon") {
+    val n = 100000
+    val s = new KllState(256)
+    // adversarial order: interleaved halves, not sorted
+    (0 until n).foreach(i => s.insert(((i * 48271L) % n) + 1))
+    for (q <- Seq(500, 2500, 5000, 7500, 9900)) {
+      val est = s.estimate(q)
+      val err = math.abs(est - q.toDouble / 10000 * n) // value == rank here
+      assert(err <= 0.02 * n, s"q=$q est=$est err=$err")
+    }
+  }
+
+  test("below capacity the sketch is exact") {
+    val s = new KllState(256)
+    (1 to 100).foreach(i => s.insert(i.toLong))
+    assert(s.estimate(2500) == 25L && s.estimate(5000) == 50L && s.estimate(9900) == 99L)
+  }
+
+  test("merge conserves weight exactly and keeps the rank bound") {
+    val n = 60000
+    val shards = (0 until 6).map { sh =>
+      val s = new KllState(256)
+      (0 until n).filter(_ % 6 == sh).foreach(i => s.insert(((i * 48271L) % n) + 1))
+      s
+    }
+    val merged = shards.reduce { (a, b) => a.mergeIn(b); a }
+    assert(merged.n == n.toLong && merged.totalWeight == n.toLong)
+    for (q <- Seq(2500, 5000, 7500))
+      assert(math.abs(merged.estimate(q) - q.toDouble / 10000 * n) <= 0.02 * n)
+  }
+
+  test("the Spark aggregate combines partials into a contract-keeping state") {
+    val n = 50000
+    val df = spark.range(1, n + 1).repartition(8)
+      .select((((col("id") * 48271) % n) + 1).as("v"))
+    val row = df.agg(KllAggregate.kllSketch(col("v"), 256).as("sk"),
+      count(lit(1)).as("n")).collect()(0)
+    val items = row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getInt(0), r.getLong(1)))
+    val st = KllAggregate.stateOf(items, row.getLong(1), 256)
+    assert(st.totalWeight == n.toLong)
+    assert(items.size <= 256 * 16, s"state kept ${items.size} items") // O(cap * levels)
+    for (q <- Seq(2500, 5000, 7500))
+      assert(math.abs(st.estimate(q) - q.toDouble / 10000 * n) <= 0.03 * n)
+  }
+
+  test("nulls are ignored; non-bigint input is rejected") {
+    val df = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("v")
+    val row = df.agg(KllAggregate.kllSketch(col("v"), 16).as("sk")).collect()(0)
+    assert(row.getSeq[org.apache.spark.sql.Row](0).size == 3)
+    val bad = Seq("x").toDF("v")
+    intercept[Exception](bad.agg(KllAggregate.kllSketch(col("v"), 16)).collect())
+  }
+
+  test("stateOf rejects a corrupted (weight-inconsistent) state loudly") {
+    intercept[IllegalArgumentException](
+      KllAggregate.stateOf(Seq((0, 5L), (1, 7L)), n = 100L))
+  }
+}
