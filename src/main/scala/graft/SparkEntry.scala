@@ -1257,17 +1257,25 @@ object SparkEntry {
     val state = graft.plans.KllAggregate.stateOf(items, n, 256)
     val weightExact = if (state.totalWeight == n) 1L else 0L
     val ests = qs.map(q => q -> state.estimate(q))
-    // exact ranks of the four estimate values in ONE corpus pass (the
+    // exact rank INTERVAL of each estimate in ONE corpus pass (the
     // ground-truth term — this is the correctness query; the production
-    // shape is the sketch aggregate alone)
-    val rankCols = ests.map { case (q, e) => count(when(col("len") <= e, 1)).as(s"r$q") }
+    // shape is the sketch aggregate alone). The contract is the
+    // duplicate-safe form: a value with heavy duplicate mass occupies the
+    // whole rank interval [count(<e), count(<=e)], and a PERFECT sketch
+    // can only place the target inside it — so the bound is
+    // count(<e) <= target + eps*n AND count(<=e) >= target - eps*n,
+    // never |count(<=e) - target| (which a 30%-mass value would blow
+    // through with a flawless sketch).
+    val rankCols = ests.flatMap { case (q, e) => Seq(
+      count(when(col("len") < e, 1)).as(s"lt$q"),
+      count(when(col("len") <= e, 1)).as(s"le$q")) }
     val ranks = lens.agg(rankCols.head, rankCols.tail: _*).collect()(0)
     import spark.implicits._
     val eps = 0.05
     qs.zipWithIndex.map { case (q, i) =>
-      val rank = ranks.getLong(i)
+      val (lt, le) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
       val target = q.toDouble / 10000 * n
-      val within = if (math.abs(rank - target) <= eps * n) 1L else 0L
+      val within = if (lt <= target + eps * n && le >= target - eps * n) 1L else 0L
       (q.toLong, n, weightExact, within)
     }.toDF("q_x1e4", "n", "weight_exact", "within_bound").orderBy("q_x1e4")
   }
@@ -1291,11 +1299,15 @@ object SparkEntry {
     val n = shardRows.map(_.getLong(2)).sum
     val weightExact = if (merged.totalWeight == n) 1L else 0L
     val ests = qs.map(q => q -> merged.estimate(q))
-    val rankCols = ests.map { case (q, e) => count(when(col("len") <= e, 1)).as(s"r$q") }
+    // duplicate-safe rank-interval contract — same form as quantile_kll
+    val rankCols = ests.flatMap { case (q, e) => Seq(
+      count(when(col("len") < e, 1)).as(s"lt$q"),
+      count(when(col("len") <= e, 1)).as(s"le$q")) }
     val ranks = lens.agg(rankCols.head, rankCols.tail: _*).collect()(0)
     val eps = 0.05
     val nWithin = qs.indices.count { i =>
-      math.abs(ranks.getLong(i) - qs(i).toDouble / 10000 * n) <= eps * n
+      val target = qs(i).toDouble / 10000 * n
+      ranks.getLong(2 * i) <= target + eps * n && ranks.getLong(2 * i + 1) >= target - eps * n
     }.toLong
     import spark.implicits._
     Seq((n, weightExact, qs.size.toLong, nWithin))
