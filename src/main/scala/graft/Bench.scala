@@ -121,7 +121,7 @@ object Bench {
     // means "re-measure isolated with SPARK_GRAFT_QUERIES", not
     // "regression confirmed".
     val histDir = java.nio.file.Paths.get("bench_history")
-    val history: Seq[(Double, Map[String, Double])] = {
+    val history: Seq[(Double, Double, Map[String, Double])] = {
       import org.json4s._
       if (!java.nio.file.Files.isDirectory(histDir)) Nil
       else {
@@ -141,12 +141,13 @@ object Bench {
               case _           => None
             }
             val c = num(j \ "calib_argon2_ms").getOrElse(0.0)
+            val cp = num(j \ "calib_argon2_par_ms").getOrElse(c)
             val qsH = (j \ "queries") match {
               case JObject(fields) =>
                 fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (c > 0 && qsH.nonEmpty) Some((c, qsH)) else None
+            if (c > 0 && qsH.nonEmpty) Some((c, cp, qsH)) else None
           } catch { case scala.util.control.NonFatal(e) =>
             // an unreadable history file must not kill the bench — it only
             // degrades the comparator back to "no history for that round"
@@ -154,11 +155,23 @@ object Bench {
         }
       }
     }
+    // A flag requires the query to exceed 1.5x its trailing minimum under
+    // BOTH normalizations — single-thread calib AND the 32-thread parallel
+    // calib. The two constants move INDEPENDENTLY on a shared host
+    // (observed in-round: single fell 13.1 -> 10.9 ms while parallel rose
+    // 49.8 -> 71.5 ms — DRAM-bandwidth contention that slows every
+    // 32-thread query while making a lone thread FASTER; single-only
+    // normalization then flagged 60 phantom regressions in one run). A
+    // real plan regression inflates under both; box drift inflates one
+    // and deflates the other.
     val regressions: Map[String, Double] = results.flatMap { case (q, t) =>
-      val prior = history.flatMap { case (c, qsH) => qsH.get(q).map(_ / c) }
-      if (prior.isEmpty) None
+      val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }
+      val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }
+      if (priorS.isEmpty) None
       else {
-        val ratio = (t / calib) / prior.min
+        val ratioS = (t / calib) / priorS.min
+        val ratioP = (t / calibPar) / priorP.min
+        val ratio = math.min(ratioS, ratioP)
         if (ratio > 1.5) Some(q -> math.rint(ratio * 100) / 100) else None
       }
     }.toMap
