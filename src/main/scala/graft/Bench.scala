@@ -126,9 +126,13 @@ object Bench {
       if (!java.nio.file.Files.isDirectory(histDir)) Nil
       else {
         import scala.jdk.CollectionConverters._
-        val files = java.nio.file.Files.list(histDir).iterator().asScala
-          .filter(_.getFileName.toString.matches("bench_r\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString)
+        // Files.list streams hold a directory handle until closed (advisor
+        // r13) — drain inside Using so the handle never outlives the scan
+        val files = scala.util.Using.resource(java.nio.file.Files.list(histDir)) {
+          _.iterator().asScala
+            .filter(_.getFileName.toString.matches("bench_r\\d+\\.json"))
+            .toSeq
+        }.sortBy(_.getFileName.toString)
         files.flatMap { p =>
           try {
             val j = org.json4s.jackson.JsonMethods.parse(
@@ -164,10 +168,12 @@ object Bench {
     // normalization then flagged 60 phantom regressions in one run). A
     // real plan regression inflates under both; box drift inflates one
     // and deflates the other.
-    val regressions: Map[String, Double] = results.flatMap { case (q, t) =>
-      val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }
-      val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }
-      if (priorS.isEmpty) None
+    val flagged: Map[String, Double] = results.flatMap { case (q, t) =>
+      // sub-ms walls archive as 0.0 at 3 decimals — a zero prior would make
+      // every future ratio Infinity and flag the query forever (advisor r13)
+      val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }.filter(_ > 0)
+      val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }.filter(_ > 0)
+      if (priorS.isEmpty || priorP.isEmpty) None
       else {
         val ratioS = (t / calib) / priorS.min
         val ratioP = (t / calibPar) / priorP.min
@@ -175,10 +181,41 @@ object Bench {
         if (ratio > 1.5) Some(q -> math.rint(ratio * 100) / 100) else None
       }
     }.toMap
+    // Auto-adjudication (verdict r13 ask #7): in-suite flags are LEADS —
+    // per-query wall swings up to 2x with suite-order scheduling/GC noise,
+    // and the last two rounds each spent a manual isolated re-measure per
+    // flag. The bench now carries its own adjudication: each flagged query
+    // re-runs ONCE at suite end (caches cleared, post-GC — the same
+    // protocol as a manual SPARK_GRAFT_QUERIES run), and the archive
+    // records both walls. A flag is CONFIRMED only if the isolated wall
+    // still exceeds 1.5x the trailing minimum under both normalizations.
+    val adjudicated: Map[String, (Double, Double, Double)] = flagged.map { case (q, ratio) =>
+      try { spark.catalog.clearCache() } catch { case _: Throwable => }
+      graft.functions.MaskFunctions.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(q)(spark, sfDir).collect(); true }
+        catch { case _: Throwable => false }
+      val iso = (System.nanoTime() - t0) / 1e9
+      val isoRatio = if (!ok) Double.PositiveInfinity else {
+        val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }.filter(_ > 0)
+        val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }.filter(_ > 0)
+        math.min((iso / calib) / priorS.min, (iso / calibPar) / priorP.min)
+      }
+      // a failed isolated re-run records 999 (JSON has no Infinity); the
+      // failure itself already surfaced in the suite pass if systematic
+      q -> (ratio, iso,
+        if (isoRatio.isInfinite) 999.0 else math.rint(isoRatio * 100) / 100)
+    }
+    val regressions = adjudicated
+    val nConfirmed = adjudicated.count(_._2._3 > 1.5)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val regs = regressions.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val regs = regressions.toSeq.sortBy(-_._2._1)
+      .map { case (k, (ratio, iso, isoRatio)) =>
+        s"\"" + k + "\":{\"ratio\":" + ratio + ",\"in_suite_s\":" + r3(results(k)) +
+          ",\"isolated_s\":" + r3(iso) + ",\"isolated_ratio\":" + isoRatio + "}"
+      }.mkString("{", ",", "}")
     // calib-normalized timings for the KDF-bound queries (time / single-hash
     // ms): these move with shared-host CPU contention, and dividing by the
     // calibration constant makes round-over-round comparison mechanical
@@ -196,7 +233,7 @@ object Bench {
     // lives in `out`; the stdout line stays well under any capture bound.
     val errs = errors.map { case (k, v) => s"${JsonText.esc(k)}:${JsonText.esc(v)}" }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"bench_file":"$out"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"n_confirmed":$nConfirmed,"bench_file":"$out"}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)}}"""
     try {
       val p = java.nio.file.Paths.get(out)
@@ -217,11 +254,13 @@ object Bench {
       try {
         import scala.jdk.CollectionConverters._
         val roundRe = "BENCH_r(\\d+)\\.json".r
-        val lastRound = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          .iterator().asScala
-          .flatMap(p => p.getFileName.toString match {
-            case roundRe(n) => Some(n.toInt); case _ => None
-          }).foldLeft(0)(math.max)
+        val lastRound = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get("."))) {
+          _.iterator().asScala
+            .flatMap(p => p.getFileName.toString match {
+              case roundRe(n) => Some(n.toInt); case _ => None
+            }).foldLeft(0)(math.max)
+        }
         java.nio.file.Files.createDirectories(histDir)
         java.nio.file.Files.write(
           histDir.resolve(f"bench_r${lastRound + 1}%02d.json"),

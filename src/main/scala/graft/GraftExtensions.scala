@@ -202,5 +202,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException("graft_top_k expects 3 arguments: score, id, k")
         graft.plans.TopKByScore(children(0), children(1), litInt(children(2), "k"))
       }))
+    // the rest of the sketch-aggregate family, same literal-parameter
+    // discipline (verdict r13 ask #4): SQL users get the mergeable
+    // quantile sketches the Column API already has
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo("graft", "graft_bottom_k",
+        "graft_bottom_k(key, value, k) - aggregate: bottom-k (key, value) bigint pairs " +
+          "by (key ASC, value ASC); the portable quantile-sketch state"),
+      { children: Seq[Expression] =>
+        if (children.length != 3)
+          throw new IllegalArgumentException("graft_bottom_k expects 3 arguments: key, value, k")
+        graft.plans.BottomKLongPairs(children(0), children(1), litInt(children(2), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo("graft", "graft_kll_sketch",
+        "graft_kll_sketch(value, capacity) - aggregate: KLL quantile sketch state " +
+          "array<struct<level:int,v:bigint>> (Karnin-Lang-Liberty 2016)"),
+      { children: Seq[Expression] =>
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            "graft_kll_sketch expects 2 arguments: value, capacity")
+        graft.plans.KllSketchAgg(children(0), litInt(children(1), "capacity"))
+      }))
   }
 }

@@ -1330,6 +1330,142 @@ object SparkEntry {
       .orderBy("lang", "q_x1e4")
   }
 
+  /** Per-GROUP HyperLogLog distinct counts (verdict r13 ask #1): distinct
+    * 5-token shingles per language — the cardinality report every curation
+    * pipeline emits ("distinct users per domain", "distinct shingles per
+    * language") without either corpus-keyed exact shuffle or Spark's
+    * engine-private `approx_count_distinct`. The register key carries the
+    * group ([[graft.operators.Sketches.hllGroupRegisters]]); shuffle is
+    * ≤ groups × m register rows per map partition, Θ(groups·m) total. The
+    * oracle replays every register (per-group checksum) AND carries the
+    * exact per-group distinct as ground truth — this is the correctness
+    * query; `hll_group_registers_only` is the production twin the bench
+    * tracks. Estimator accuracy per group is asserted in SketchesSpec
+    * (floats stay driver-side, never in an oracle column). */
+  private def langShingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))"))
+        .as("gram"))
+
+  private def qHllGroupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val grams = langShingles(spark, dir)
+    val regs = graft.operators.Sketches.hllGroupRegisters(grams, "lang", "gram", m = 256)
+    val summary = regs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_filled"),
+      sum(col("rho")).cast("long").as("sum_rho"),
+      max(col("rho")).cast("long").as("max_rho"),
+      sum((col("bucket") + 1) * col("rho")).cast("long").as("reg_checksum"))
+    val exact = grams.groupBy(col("lang"))
+      .agg(countDistinct(md5(col("gram"))).as("exact_distinct"))
+    summary.join(exact, Seq("lang")).orderBy("lang")
+  }
+
+  /** Production twin of `hll_group_distinct`: the per-group register
+    * summary ALONE — no exact-distinct comparator term, so the bench
+    * tracks the sketch's Θ(groups·m) cost, not the corpus-linear ground
+    * truth (the `hll_registers_only` pattern). */
+  private def qHllGroupRegistersOnly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllGroupRegisters(
+        langShingles(spark, dir), "lang", "gram", m = 256)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_filled"),
+        sum(col("rho")).cast("long").as("sum_rho"),
+        max(col("rho")).cast("long").as("max_rho"),
+        sum((col("bucket") + 1) * col("rho")).cast("long").as("reg_checksum"))
+      .orderBy("lang")
+
+  /** Per-GROUP KLL (verdict r13 ask #4): per-language length quantiles
+    * from the space-optimal sketch — `KllSketchAgg` composing with
+    * `groupBy`, the sibling of `group_percentiles_portable`'s bottom-k
+    * backend. States collect driver-side (a few KB per group); the oracle
+    * pins the duplicate-safe rank-interval CONTRACT per (group, quantile)
+    * — count(<e) ≤ target + ε·n_g and count(≤e) ≥ target − ε·n_g, exact
+    * per-group ranks from ONE corpus pass — plus exact weight conservation
+    * (stateOf throws on any weight drift). ε = 0.05, ~10× the empirical
+    * error at capacity 256. */
+  private def qGroupQuantileKll(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(2500, 5000, 7500)
+    val lens = table(spark, dir, "documents")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+    val perLang = lens.groupBy(col("lang")).agg(
+      graft.plans.KllAggregate.kllSketch(col("len"), 256).as("sk"),
+      count(lit(1)).as("n")).collect()
+    // (lang, n, q, estimate) — estimates are integer arithmetic on the
+    // collected few-KB states; stateOf REQUIRES totalWeight == n
+    val ests = perLang.toSeq.flatMap { r =>
+      val lang = r.getString(0)
+      val n = r.getLong(2)
+      val st = graft.plans.KllAggregate.stateOf(
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))), n, 256)
+      qs.map(q => (lang, n, q, st.estimate(q)))
+    }
+    // exact rank interval of every (lang, estimate) in ONE corpus pass
+    val rankCols = ests.zipWithIndex.flatMap { case ((lang, _, _, e), i) => Seq(
+      count(when(col("lang") === lang && col("len") < e, 1)).as(s"lt$i"),
+      count(when(col("lang") === lang && col("len") <= e, 1)).as(s"le$i")) }
+    val ranks = lens.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+    val eps = 0.05
+    import spark.implicits._
+    ests.zipWithIndex.map { case ((lang, n, q, _), i) =>
+      val (lt, le) = (ranks.getLong(2 * i), ranks.getLong(2 * i + 1))
+      val target = q.toDouble / 10000 * n
+      val within = if (lt <= target + eps * n && le >= target - eps * n) 1L else 0L
+      (lang, n, q.toLong, within)
+    }.toDF("lang", "n", "q_x1e4", "within_bound").orderBy("lang", "q_x1e4")
+  }
+
+  /** Deterministic plants for the compression-ratio oracle: DuckDB has no
+    * zlib, so the planted documents' deflate sizes are computed ONCE
+    * driver-side ([[graft.operators.TextAnalysis.deflatedBytes]] — the
+    * identical Deflater path the operator runs) and embedded as literals
+    * in the oracle SQL (the rankingEval discount-constant pattern). Three
+    * entropy regimes: a constant run (collapses), repeated natural-prose
+    * phrases (compresses well), and an md5-chain hex string — 4 bits/char,
+    * so deflate can only approach the ~0.55 alphabet floor, far above any
+    * natural text's ratio. */
+  private val compressPlants: Seq[(Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new StringBuilder
+    var seed = "graft-compress-plant-0"
+    while (sb.length < 4096) {
+      seed = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      sb.append(seed)
+    }
+    Seq(
+      -1L -> "a" * 4096,
+      -2L -> ("the quick brown fox jumps over the lazy dog. " * 91),
+      -3L -> sb.toString.take(4096))
+  }
+
+  /** Per-document deflate ratio over the corpus plus the three plants.
+    * Corpus rows carry a weak-but-honest invariant (every non-empty doc
+    * gets a positive ratio, bounded above by raw-deflate's stored-block
+    * overhead once the doc is big enough for the bound to be meaningful);
+    * the plants pin the signal itself to exact byte counts. */
+  private def qTextCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = graft.operators.TextAnalysis.deflateRatio(
+      table(spark, dir, "documents"), "doc_id", "text")
+    val corpusAgg = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("orig_bytes") > 0, 1)).as("n_nonempty"),
+      count(when(col("ratio_x1e4") > 0 &&
+        (col("orig_bytes") < 100 || col("ratio_x1e4") <= 11000), 1)).as("n_in_bounds"))
+    val plantAgg = graft.operators.TextAnalysis.deflateRatio(
+        compressPlants.toDF("doc_id", "text"), "doc_id", "text")
+      .agg(
+        max(when(col("doc_id") === -1L, col("ratio_x1e4"))).as("const_ratio_x1e4"),
+        max(when(col("doc_id") === -2L, col("ratio_x1e4"))).as("phrase_ratio_x1e4"),
+        max(when(col("doc_id") === -3L, col("ratio_x1e4"))).as("rand_ratio_x1e4"))
+    corpusAgg.crossJoin(plantAgg)
+  }
+
   private def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVecOf(spark, dir)
     graft.operators.Similarity.topK(table(spark, dir, "embeddings"), "vec_id", "embedding", q, 10,
@@ -3252,6 +3388,93 @@ object SparkEntry {
         col("hll_regs"), col("hll_mismatch"))
   }
 
+  /** Sketch STORE round-trip (verdict r13 ask #2) — sketches as
+    * incremental corpus statistics: day-0's CMS cells / HLL registers /
+    * bottom-k state are WRITTEN through the partitioned sink, READ back,
+    * and merged with day-1's fresh sketch; the result must equal the
+    * single-pass whole-corpus sketch EXACTLY (cell-for-cell,
+    * register-for-register, row-for-row) — the daily-update cycle that
+    * makes the sketch family operationally real: a 100-TB pipeline never
+    * re-sketches its history, it merges yesterday's stored state with
+    * today's delta.
+    *
+    * The CMS params-on-metadata probe guard does NOT survive this store:
+    * the r-partitioned layout rebuilds `r` from directory names with no
+    * metadata (and a non-Spark rewriter would drop the Spark footer schema
+    * wholesale) — the pinned mechanism is re-stamp on read
+    * ([[graft.operators.Sketches.stampCms]]): the store path carries the
+    * parameters out of band, the reader re-attaches them, and every
+    * downstream probe is guarded again (drop/restamp behavior asserted in
+    * SketchesSpec). */
+  private def qSketchStoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{QuantileSketch, Sketches}
+    import graft.sources.Sinks
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_sketch_store")
+    // a previous run at a DIFFERENT scale factor may have written partition
+    // values this run's data never touches — dynamic overwrite would keep
+    // them as stale state, so the store starts clean
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val store = storeDir.getAbsolutePath
+    def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
+    def lensOf(d: DataFrame) = d.where(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+
+    // ---- day 0: build all three sketch states, persist through the sink
+    // (depth=4 natural partitions for cells; registers/sample get a
+    // derived bucket so the partitioned layout stays few-directory) ----
+    Sinks.writePartitioned(Sketches.cmsAggregate(sketchTokens(half(0)), "tok"),
+      s"$store/cms", Seq("r"), filesPerPartition = 1)
+    Sinks.writePartitioned(
+      Sketches.hllRegisters(sketchTokens(half(0)), "tok")
+        .withColumn("pb", pmod(col("bucket"), lit(8L))),
+      s"$store/hll", Seq("pb"), filesPerPartition = 1)
+    Sinks.writePartitioned(
+      QuantileSketch.build(lensOf(half(0)), "doc_id", "len", k = 1024)
+        .withColumn("pb", pmod(col("prio"), lit(4L))),
+      s"$store/bk", Seq("pb"), filesPerPartition = 1)
+
+    // ---- day 1: reload day-0 state (re-stamping CMS params), merge with
+    // the fresh batch's sketch ----
+    val cmsStored = Sketches.stampCms(spark.read.parquet(s"$store/cms"), 4, 1024)
+    val cmsMerged = cmsStored
+      .unionByName(Sketches.cmsAggregate(sketchTokens(half(1)), "tok"))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    val hllStored = spark.read.parquet(s"$store/hll")
+      .select(col("bucket").cast("long").as("bucket"), col("rho").cast("long").as("rho"))
+    val hllMerged = hllStored
+      .unionByName(Sketches.hllRegisters(sketchTokens(half(1)), "tok"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+    val bkStored = spark.read.parquet(s"$store/bk")
+      .select(col("prio").cast("long").as("prio"), col("v").cast("long").as("v"))
+    val bkMerged = QuantileSketch.merge(
+      bkStored.unionByName(QuantileSketch.build(lensOf(half(1)), "doc_id", "len", k = 1024)),
+      k = 1024)
+
+    // ---- merged-after-reload == single-pass whole-corpus, exactly ----
+    val cmsWhole = Sketches.cmsAggregate(sketchTokens(table(spark, dir, "documents")), "tok")
+    val cmsDiff = cmsMerged.as("m").join(cmsWhole.as("w"), Seq("r", "c"), "full_outer")
+      .agg(count(lit(1)).as("cms_cells"),
+        count(when(!(col("m.cnt") <=> col("w.cnt")), 1)).as("cms_mismatch"),
+        coalesce(sum(col("w.cnt")), lit(0L)).cast("long").as("total_mass"))
+    val hllWhole = Sketches.hllRegisters(sketchTokens(table(spark, dir, "documents")), "tok")
+    val hllDiff = hllMerged.as("m").join(hllWhole.as("w"), Seq("bucket"), "full_outer")
+      .agg(count(lit(1)).as("hll_regs"),
+        count(when(!(col("m.rho") <=> col("w.rho")), 1)).as("hll_mismatch"))
+    val bkWhole = QuantileSketch.build(
+      lensOf(table(spark, dir, "documents")), "doc_id", "len", k = 1024)
+    val bkDiff = bkMerged.as("m").join(bkWhole.as("w"),
+        col("m.prio") === col("w.prio") && col("m.v") === col("w.v"), "full_outer")
+      .agg(count(lit(1)).as("bk_rows"),
+        count(when(col("m.prio").isNull || col("w.prio").isNull, 1)).as("bk_mismatch"),
+        coalesce(sum(coalesce(col("m.prio"), col("w.prio")) % 1000003), lit(0L))
+          .cast("long").as("bk_prio_checksum"))
+    cmsDiff.crossJoin(hllDiff).crossJoin(bkDiff)
+      .select(col("cms_cells"), col("cms_mismatch"), col("total_mass"),
+        col("hll_regs"), col("hll_mismatch"),
+        col("bk_rows"), col("bk_mismatch"), col("bk_prio_checksum"))
+  }
+
   /** STREAMING Count-Min: the cell table as a complete-mode streaming
     * aggregate over the document token stream — state is the sketch
     * itself, 4×1024 rows BY CONSTRUCTION at any input volume (the
@@ -4025,11 +4248,14 @@ object SparkEntry {
     "cms_heavy_hitters" -> qCmsHeavyHitters,
     "hll_distinct" -> qHllDistinct,
     "hll_registers_only" -> qHllRegistersOnly,
+    "hll_group_distinct" -> qHllGroupDistinct,
+    "hll_group_registers_only" -> qHllGroupRegistersOnly,
     "cms_cells_only" -> qCmsCellsOnly,
     "quantile_bottomk" -> qQuantileBottomk,
     "quantile_bottomk_merge" -> qQuantileBottomkMerge,
     "quantile_kll" -> qQuantileKll,
     "quantile_kll_merge" -> qQuantileKllMerge,
+    "group_quantile_kll" -> qGroupQuantileKll,
     "group_percentiles_portable" -> qGroupPercentilesPortable,
     "stream_pq_probe" -> qStreamPqProbe,
     "pq_error" -> qPqError,
@@ -4042,6 +4268,7 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "text_fingerprint" -> qTextFingerprint,
     "text_repetition" -> qTextRepetition,
+    "text_compress_ratio" -> qTextCompressRatio,
     "quality_filter" -> qQualityFilter,
     "truncate_tokens" -> qTruncateTokens,
     "redact_pii" -> qRedactPii,
@@ -4140,6 +4367,7 @@ object SparkEntry {
     "stream_cms" -> qStreamCms,
     "stream_quantile" -> qStreamQuantile,
     "sketch_shard_merge" -> qSketchShardMerge,
+    "sketch_store_roundtrip" -> qSketchStoreRoundtrip,
     "stream_stream_join" -> qStreamStreamJoin,
     "stream_join_outer" -> qStreamJoinOuter,
     "stream_static_join" -> qStreamStaticJoin,
@@ -4752,6 +4980,57 @@ object SparkEntry {
       "coalesce(max(rho), 0)::BIGINT AS max_rho, " +
       "coalesce(sum((bucket + 1) * rho), 0)::BIGINT AS reg_checksum FROM regs"
 
+  /** Per-group HLL registers replayed (group, bucket)-for-(group, bucket):
+    * same md5 slices as `hll_distinct`, the language riding the register
+    * key, m = 256; per-group position-weighted checksum pins every
+    * register; exact per-group distinct as ground truth. */
+  private def hllGroupCte(m: Int): String =
+    "WITH d AS (SELECT lang, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+      "g AS (SELECT lang, unnest(list_transform(range(1, len(toks) - 5 + 2), " +
+      "i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM d WHERE len(toks) >= 5), " +
+      s"h AS (SELECT lang, ('0x' || substr(md5(gram), 1, 3))::UBIGINT::BIGINT % $m AS bucket, " +
+      "('0x' || substr(md5(gram), 4, 15))::UBIGINT::BIGINT AS v, md5(gram) AS fp FROM g), " +
+      "regs AS (SELECT lang, bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY lang, bucket), " +
+      "s AS (SELECT lang, count(*)::BIGINT AS n_filled, " +
+      "coalesce(sum(rho), 0)::BIGINT AS sum_rho, coalesce(max(rho), 0)::BIGINT AS max_rho, " +
+      "coalesce(sum((bucket + 1) * rho), 0)::BIGINT AS reg_checksum FROM regs GROUP BY lang) "
+
+  private val hllGroupDistinctOracleSql: String =
+    hllGroupCte(256) +
+      ", x AS (SELECT lang, count(DISTINCT fp)::BIGINT AS exact_distinct FROM h GROUP BY lang) " +
+      "SELECT s.lang, n_filled, sum_rho, max_rho, reg_checksum, exact_distinct " +
+      "FROM s JOIN x USING (lang) ORDER BY lang"
+
+  private val hllGroupRegistersOnlyOracleSql: String =
+    hllGroupCte(256) +
+      "SELECT lang, n_filled, sum_rho, max_rho, reg_checksum FROM s ORDER BY lang"
+
+  /** Store round-trip pinned like `sketch_shard_merge`: the oracle
+    * recomputes the WHOLE-corpus cells/registers/bottom-k and requires all
+    * three mismatch counts to be zero — one cell/register/(prio, v) row
+    * diverging through the write→read→merge cycle fails the compare. */
+  private val sketchStoreRoundtripOracleSql: String =
+    "WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL), " +
+      "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c, " +
+      "count(*) AS cnt FROM t, rr GROUP BY 1, 2), " +
+      "h AS (SELECT ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+      "('0x' || substr(md5(tok), 4, 15))::UBIGINT::BIGINT AS v FROM t), " +
+      "regs AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY bucket), " +
+      "src AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents " +
+      "WHERE text IS NOT NULL AND doc_id IS NOT NULL), " +
+      "sk AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || len::VARCHAR), 1, 15))" +
+      "::UBIGINT::BIGINT AS prio, len AS v FROM src ORDER BY prio, v LIMIT 1024) " +
+      "SELECT (SELECT count(*) FROM cells)::BIGINT AS cms_cells, 0::BIGINT AS cms_mismatch, " +
+      "(SELECT coalesce(sum(cnt), 0) FROM cells)::BIGINT AS total_mass, " +
+      "(SELECT count(*) FROM regs)::BIGINT AS hll_regs, 0::BIGINT AS hll_mismatch, " +
+      "(SELECT count(*) FROM sk)::BIGINT AS bk_rows, 0::BIGINT AS bk_mismatch, " +
+      "(SELECT coalesce(sum(prio % 1000003), 0) FROM sk)::BIGINT AS bk_prio_checksum"
+
   /** Bottom-k quantile sketch replayed state-for-state: same md5
     * priorities, same ORDER BY prio LIMIT k cut, same integer rank
     * arithmetic — the quantile member of the portable-sketch family. */
@@ -4793,6 +5072,27 @@ object SparkEntry {
       "qq AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS q_x1e4) " +
       "SELECT lang, n::BIGINT AS n, q_x1e4, v AS est_v FROM qq JOIN samp " +
       "ON rn = greatest(1, (q_x1e4 * s + 9999) // 10000) ORDER BY lang, q_x1e4"
+
+  /** Deflate ratios: DuckDB has no zlib, so the planted documents' exact
+    * ratios are Scala-computed literals (the rankingEval pattern), and the
+    * corpus carries the always-true bound invariant (n_in_bounds must
+    * equal n_nonempty — every non-empty doc compresses to a positive size,
+    * and raw deflate's stored-block overhead caps the ratio well under
+    * 1.10x once orig_bytes ≥ 100). */
+  private def textCompressRatioOracleSql: String = {
+    def ratioOf(s: String): Long = {
+      val n = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      graft.operators.TextAnalysis.deflatedBytes(s) * 10000L / n
+    }
+    val Seq(c, p, rnd) = compressPlants.map { case (_, s) => ratioOf(s) }
+    "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, " +
+      "(SELECT count(*) FROM documents WHERE text IS NOT NULL AND length(text) > 0)" +
+      "::BIGINT AS n_nonempty, " +
+      "(SELECT count(*) FROM documents WHERE text IS NOT NULL AND length(text) > 0)" +
+      "::BIGINT AS n_in_bounds, " +
+      s"$c::BIGINT AS const_ratio_x1e4, $p::BIGINT AS phrase_ratio_x1e4, " +
+      s"$rnd::BIGINT AS rand_ratio_x1e4"
+  }
 
   /** nDCG/MRR replayed with the SAME Scala-computed discount constants
     * embedded as SQL literals — the float log2 never runs in DuckDB. */
@@ -4883,6 +5183,7 @@ object SparkEntry {
     // — same oracle as quantile_bottomk, different plan under test
     "stream_quantile" -> quantileBottomkOracleSql,
     "sketch_shard_merge" -> sketchShardMergeOracleSql,
+    "sketch_store_roundtrip" -> sketchStoreRoundtripOracleSql,
     "ann_ivfpq_topk" -> annIvfPqOracleSql,
     "ann_ivfpq_refine" -> annIvfPqRefineOracleSql,
     "ann_mmr_rerank" -> annMmrOracleSql,
@@ -4894,6 +5195,8 @@ object SparkEntry {
     "cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "hll_distinct" -> hllDistinctOracleSql,
     "hll_registers_only" -> hllRegistersOnlyOracleSql,
+    "hll_group_distinct" -> hllGroupDistinctOracleSql,
+    "hll_group_registers_only" -> hllGroupRegistersOnlyOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state
     // as the streamed one — same oracle, different plan under test
     "cms_cells_only" -> streamCmsOracleSql,
@@ -4910,6 +5213,15 @@ object SparkEntry {
     "quantile_kll_merge" ->
       ("SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL)::BIGINT AS n, " +
         "1::BIGINT AS weight_exact, 4::BIGINT AS n_q, 4::BIGINT AS n_within"),
+    // per-group KLL: same contract oracle per (lang, quantile) — the
+    // rank-interval bound was verified in-engine against exact per-group
+    // ranks; weight conservation throws in stateOf on any drift
+    "group_quantile_kll" ->
+      ("WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL GROUP BY lang), " +
+        "q AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS q_x1e4) " +
+        "SELECT lang, n, q_x1e4, 1::BIGINT AS within_bound FROM g, q " +
+        "ORDER BY lang, q_x1e4"),
     "group_percentiles_portable" -> groupPercentilesPortableOracleSql,
     // the partitioned layout changes where bytes live, never the answer
     "ann_ivfpq_pruned" -> annIvfPqOracleSql,
@@ -5843,18 +6155,59 @@ object SparkEntry {
         "sum(len(regexp_extract_all(t5, '\\[EMAIL\\]@[A-Za-z0-9.-]+')))::BIGINT AS n_frag_default, " +
         "sum(len(regexp_extract_all(t7, '\\[EMAIL\\]@[A-Za-z0-9.-]+')))::BIGINT AS n_frag_extended, " +
         "sum(len(t5) - len(t7))::BIGINT AS len_delta FROM r7"),
+    // the full Gopher set (Rae et al. 2021 Table A1) replayed: same token
+    // grid, top-gram char mass with the same ties-to-larger-mass rule,
+    // dup-gram coverage via DISTINCT token positions (overlaps once),
+    // integer // division throughout
     "text_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, " +
         "string_split(text, chr(10)) AS lines FROM documents), " +
         "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b " +
         "FROM t WHERE len(toks) >= 2), " +
         "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b), " +
-        "bs AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_bg FROM bc GROUP BY doc_id) " +
+        "bs AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_bg FROM bc GROUP BY doc_id), " +
+        "tc AS (SELECT doc_id, coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tot FROM t), " +
+        "nn AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nv), " +
+        "gp0 AS (SELECT doc_id, nv, toks, unnest(range(1, len(toks) - nv + 2)) AS i " +
+        "FROM t, nn WHERE len(toks) >= nv), " +
+        "gp AS (SELECT doc_id, nv, i, array_to_string(toks[i:i+nv-1], ' ') AS g FROM gp0), " +
+        "gc AS (SELECT doc_id, nv, g, count(*) AS c FROM gp GROUP BY 1, 2, 3), " +
+        "mx AS (SELECT doc_id, nv, max(c) AS mc FROM gc WHERE nv <= 4 GROUP BY 1, 2), " +
+        "tm AS (SELECT gc.doc_id, gc.nv, max((length(g) - (gc.nv - 1)) * c) AS mass " +
+        "FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.nv = mx.nv AND gc.c = mx.mc GROUP BY 1, 2), " +
+        "tmp AS (SELECT doc_id, " +
+        "max(CASE WHEN nv = 2 THEN mass END) AS m2, max(CASE WHEN nv = 3 THEN mass END) AS m3, " +
+        "max(CASE WHEN nv = 4 THEN mass END) AS m4 FROM tm GROUP BY doc_id), " +
+        "dupg AS (SELECT doc_id, nv, g FROM gc WHERE nv >= 5 AND c > 1), " +
+        "cov0 AS (SELECT gp.doc_id, gp.nv, unnest(range(gp.i, gp.i + gp.nv)) AS pos " +
+        "FROM gp JOIN dupg ON gp.doc_id = dupg.doc_id AND gp.nv = dupg.nv AND gp.g = dupg.g), " +
+        "cov AS (SELECT DISTINCT doc_id, nv, pos FROM cov0), " +
+        "tp AS (SELECT doc_id, pos, length(toks[pos]) AS tlen FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t)), " +
+        "dm AS (SELECT cov.doc_id, cov.nv, sum(tp.tlen) AS mass FROM cov " +
+        "JOIN tp ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos GROUP BY 1, 2), " +
+        "dmp AS (SELECT doc_id, " +
+        "max(CASE WHEN nv = 5 THEN mass END) AS d5, max(CASE WHEN nv = 6 THEN mass END) AS d6, " +
+        "max(CASE WHEN nv = 7 THEN mass END) AS d7, max(CASE WHEN nv = 8 THEN mass END) AS d8, " +
+        "max(CASE WHEN nv = 9 THEN mass END) AS d9, max(CASE WHEN nv = 10 THEN mass END) AS d10 " +
+        "FROM dm GROUP BY doc_id) " +
         "SELECT t.doc_id, len(lines)::BIGINT AS n_lines, " +
         "floor((len(lines) - len(list_distinct(lines)))::DOUBLE / greatest(len(lines), 1) * 10000)::BIGINT AS dup_line_frac_x1e4, " +
         "coalesce(n_bg, 0)::BIGINT AS n_bigrams, coalesce(top_n, 0)::BIGINT AS top_bigram_n, " +
-        "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4 " +
-        "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id ORDER BY t.doc_id"),
+        "floor(coalesce(top_n, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1) * 10000)::BIGINT AS top_bigram_frac_x1e4, " +
+        "(coalesce(m2, 0) * 10000 // greatest(tot, 1))::BIGINT AS top2_char_frac_x1e4, " +
+        "(coalesce(m3, 0) * 10000 // greatest(tot, 1))::BIGINT AS top3_char_frac_x1e4, " +
+        "(coalesce(m4, 0) * 10000 // greatest(tot, 1))::BIGINT AS top4_char_frac_x1e4, " +
+        "(coalesce(d5, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup5_char_frac_x1e4, " +
+        "(coalesce(d6, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup6_char_frac_x1e4, " +
+        "(coalesce(d7, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup7_char_frac_x1e4, " +
+        "(coalesce(d8, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup8_char_frac_x1e4, " +
+        "(coalesce(d9, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup9_char_frac_x1e4, " +
+        "(coalesce(d10, 0) * 10000 // greatest(tot, 1))::BIGINT AS dup10_char_frac_x1e4 " +
+        "FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id LEFT JOIN tc ON t.doc_id = tc.doc_id " +
+        "LEFT JOIN tmp ON t.doc_id = tmp.doc_id LEFT JOIN dmp ON t.doc_id = dmp.doc_id " +
+        "ORDER BY t.doc_id"),
+    "text_compress_ratio" -> textCompressRatioOracleSql,
     // full-row recompute incl. the truncated string itself
     "truncate_tokens" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE text IS NOT NULL) " +

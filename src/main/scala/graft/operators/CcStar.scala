@@ -50,9 +50,21 @@ object CcStar {
     *        `checkpoint(true)` against `sparkContext.getCheckpointDir`
     *        instead of `localCheckpoint`. Local blocks die with their
     *        executor — fine single-process, but on a real cluster one lost
-    *        executor aborts the whole contraction. */
+    *        executor aborts the whole contraction.
+    * @param validate run the three post-convergence labeling checks (no
+    *        split edges, one label per node, labels are component minima).
+    *        Fail-loud is the DEFAULT — a wrong labeling throws, never
+    *        returns — but the checks cost three extra edge/label-sized
+    *        joins+aggregates after convergence (~2× the post-convergence
+    *        wall at 100 TB edges, SCALING.md cc_star_validate row); a
+    *        caller who has just validated the same pipeline may opt out,
+    *        mirroring how `reliableCheckpoint` is opt-in (verdict r13
+    *        ask #5). Labels are identical either way — the flag skips
+    *        verification, never changes the computation (asserted in
+    *        CcStarSpec). */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30,
-                              reliableCheckpoint: Boolean = false): DataFrame = {
+                              reliableCheckpoint: Boolean = false,
+                              validate: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     if (reliableCheckpoint) require(spark.sparkContext.getCheckpointDir.isDefined,
       "reliableCheckpoint=true needs sparkContext.setCheckpointDir(...) first")
@@ -120,6 +132,7 @@ object CcStar {
       .distinct()
 
     // ---- validation: a wrong labeling must THROW, never return ----
+    if (!validate) return labels
     // (1) every original edge connects identically-labeled nodes (a split
     // component fails here even if each side looks star-shaped)
     val la = labels.select(col("id").as("id_a"), col("component").as("__ca"))

@@ -55,6 +55,31 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Re-stamp the (depth, width) parameter metadata on a CMS cell table
+    * read back from storage. A plain Spark parquet write happens to keep
+    * column metadata (Spark's own schema, stamp included, rides the
+    * footer) — but that protection is engine-private and layout-fragile:
+    * a column that becomes a PARTITION directory is rebuilt from path
+    * names with no metadata, and any non-Spark writer/rewriter of the
+    * store drops the Spark schema entirely. A reloaded cell table can
+    * therefore arrive WITHOUT the parameter stamp [[cmsEstimates]]'s
+    * guard checks — silently degrading the probe-mismatch protection to
+    * nothing. The sketch-store contract is: write cells with any sink,
+    * re-stamp ON READ with the parameters the store's path/registry says
+    * the sketch was built with. The caller asserts those parameters out
+    * of band (directory naming, a params sidecar, a table property); this
+    * helper only re-attaches them so every downstream probe is guarded
+    * again. Round-trip pinned by `sketch_store_roundtrip`; the dropping
+    * case pinned in SketchesSpec. */
+  def stampCms(cells: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(cells.columns.contains("r") && cells.columns.contains("c") &&
+      cells.columns.contains("cnt"), "expected a CMS cell table (r, c, cnt)")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.cms.depth", depth).putLong("graft.cms.width", width).build()
+    cells.select(col("r").cast("int").as("r", meta), col("c").cast("long").as("c"),
+      col("cnt").cast("long").as("cnt"))
+  }
+
   /** Point estimates for `probes` (distinct keys, one column `keyCol`):
     * (key, est) where est = min over rows of the key's cell — the CMS
     * upper bound, est >= true count always, with the classic (eps,
@@ -98,6 +123,33 @@ object Sketches {
         (hexSlice(k, 1, 3) % m).as("bucket"),
         when(v === 0L, lit(61L)).otherwise(lit(61L) - length(bin(v))).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-GROUP HyperLogLog register table: (group, bucket, rho) with rho =
+    * max rank observed within the group — the cardinality report every
+    * curation pipeline emits ("distinct shingles per language", "distinct
+    * source URLs per domain") without the corpus-keyed shuffle of exact
+    * `count_distinct` and without Spark's engine-private
+    * `approx_count_distinct` state.
+    *
+    * Same register discipline as [[hllRegisters]], with the group column
+    * riding the register key: max-aggregates combine map-side (duplicates
+    * within a partition collapse before the exchange), so the shuffle
+    * carries at most groups × m register rows per map partition — a
+    * constant per group, never the group's rows. Merging two corpora's
+    * group-register tables is the same per-(group, bucket) max. */
+  def hllGroupRegisters(keys: DataFrame, groupCol: String, keyCol: String,
+                        m: Int = 1024): DataFrame = {
+    require(m >= 16 && 4096 % m == 0,
+      s"m must divide 4096 for a uniform bucket reduction, got $m")
+    val g = col(s"`$groupCol`")
+    val k = col(s"`$keyCol`")
+    val v = hexSlice(k, 4, 15) // 60-bit rank source, same layout as hllRegisters
+    keys.where(k.isNotNull && g.isNotNull).select(
+        g.as(groupCol),
+        (hexSlice(k, 1, 3) % m).as("bucket"),
+        when(v === 0L, lit(61L)).otherwise(lit(61L) - length(bin(v))).as("rho"))
+      .groupBy(g, col("bucket")).agg(max(col("rho")).as("rho"))
   }
 
   /** Driver-side HLL estimate from a (collected) register table — the

@@ -51,7 +51,22 @@ final class KllState(val capacity: Int) extends Serializable {
     (rng & 1L) == 1L
   }
 
+  /** Fold entropy into the coin stream, keeping it away from the all-zero
+    * xorshift fixed point. KLL's (ε, δ) analysis assumes independent
+    * compaction coins; a constant per-buffer seed correlates the coins of
+    * every partition's buffer, and replicated or adversarially partitioned
+    * input could then bias ranks beyond the modeled bound (advisor r13).
+    * The first inserted value and each merged-in partner's stream are
+    * mixed in, so buffers holding different data flip different coins —
+    * and the state stays fully serialized (`rng` rides serialize/
+    * deserialize), so a single-threaded replay is still reproducible. */
+  private def mixSeed(entropy: Long): Unit = {
+    rng ^= java.lang.Long.rotateLeft(entropy * 0x9E3779B97F4A7C15L, 31)
+    if (rng == 0L) rng = 0x9E3779B97F4A7C15L
+  }
+
   def insert(v: Long): Unit = {
+    if (n == 0L) mixSeed(v)
     levels(0) += v
     n += 1
     compactCascade()
@@ -89,6 +104,7 @@ final class KllState(val capacity: Int) extends Serializable {
   }
 
   def mergeIn(other: KllState): Unit = {
+    mixSeed(other.rng)
     while (levels.size < other.levels.size) levels += mutable.ArrayBuffer.empty[Long]
     var h = 0
     while (h < other.levels.size) {

@@ -29,7 +29,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",
         "graft_redact", "graft_redaction_count",
         "graft_normalize", "graft_normalize_nopunct", "graft_tokens",
-        "graft_zorder2", "graft_top_k", "graft_epoch_key"))
+        "graft_zorder2", "graft_top_k", "graft_epoch_key",
+        "graft_bottom_k", "graft_kll_sketch"))
 
       val e = captured("mask_string")(Seq(
         GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
@@ -69,6 +70,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val topk = captured("graft_top_k")(Seq(
         GraftBridge.expression(lit(1.0)), GraftBridge.expression(lit(7L)), Literal(3)))
       assert(topk.isInstanceOf[graft.plans.TopKByScore])
+      // sketch aggregates (r13 ask #4): SQL surface for bottom-k and KLL —
+      // evaluate end-to-end and match the Column-API result
+      val bk = captured("graft_bottom_k")(Seq(
+        GraftBridge.expression(org.apache.spark.sql.functions.col("id") * 7 % 5),
+        GraftBridge.expression(org.apache.spark.sql.functions.col("id")), Literal(3)))
+      assert(bk.isInstanceOf[graft.plans.BottomKLongPairs])
+      val bkRows = spark.range(20)
+        .select(GraftBridge.column(bk.asInstanceOf[graft.plans.BottomKLongPairs]
+          .toAggregateExpression()).as("sk"))
+        .selectExpr("inline(sk)").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val bkApi = spark.range(20)
+        .select(graft.plans.TopKAggregate.bottomKLongPairs(
+          org.apache.spark.sql.functions.col("id") * 7 % 5,
+          org.apache.spark.sql.functions.col("id"), 3).as("sk"))
+        .selectExpr("inline(sk)").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(bkRows === bkApi, "SQL-injected bottom-k matches the Column API")
+      val kll = captured("graft_kll_sketch")(Seq(
+        GraftBridge.expression(org.apache.spark.sql.functions.col("id")), Literal(64)))
+      assert(kll.isInstanceOf[graft.plans.KllSketchAgg])
+      val kllItems = spark.range(1000)
+        .select(GraftBridge.column(kll.asInstanceOf[graft.plans.KllSketchAgg]
+          .toAggregateExpression()).as("sk"))
+        .selectExpr("inline(sk)").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val kllState = graft.plans.KllAggregate.stateOf(kllItems, 1000L, 64)
+      assert(kllState.totalWeight === 1000L, "SQL-built KLL conserves weight exactly")
+      val kllCapErr = intercept[IllegalArgumentException](captured("graft_kll_sketch")(Seq(
+        GraftBridge.expression(org.apache.spark.sql.functions.col("id")),
+        GraftBridge.expression(org.apache.spark.sql.functions.col("x")))))
+      assert(kllCapErr.getMessage.contains("integer literal"))
       // int8 quantization surface
       val q = captured("graft_quantize_int8")(Seq(
         GraftBridge.expression(org.apache.spark.sql.functions.array(

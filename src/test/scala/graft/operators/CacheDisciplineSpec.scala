@@ -108,8 +108,36 @@ class CacheDisciplineSpec extends AnyFunSuite {
       .flatMap { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val persists = src.sliding(".persist(".length).count(_ == ".persist(")
-        val releases = src.contains("unpersist") || src.contains("releaseAfterUse")
-        if (persists > 0 && !releases) Some(s"$p ($persists persist(s), no release)")
+        // Per-SITE accounting (advisor r13): the old boolean file-level
+        // check let a NEW unreleased persist ride silently in any file that
+        // already released one. Each `.unpersist(` releases one frame; each
+        // `releaseAfterUse(result, i1, i2, ...)` releases one frame per
+        // intermediate argument (top-level commas after the first arg).
+        val unpersists = src.sliding(".unpersist(".length).count(_ == ".unpersist(")
+        val releaseArgs = {
+          val marker = "releaseAfterUse("
+          var total = 0
+          var at = src.indexOf(marker)
+          while (at >= 0) {
+            var i = at + marker.length
+            var depth = 1
+            var commas = 0
+            while (depth > 0 && i < src.length) {
+              src.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case ',' if depth == 1 => commas += 1
+                case _ =>
+              }
+              i += 1
+            }
+            total += commas // result is arg 0; intermediates = top-level commas
+            at = src.indexOf(marker, i)
+          }
+          total
+        }
+        if (persists > unpersists + releaseArgs)
+          Some(s"$p ($persists persist(s), ${unpersists + releaseArgs} release(s))")
         else None
       }.toList
     assert(offenders.isEmpty,

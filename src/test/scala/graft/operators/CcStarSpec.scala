@@ -56,6 +56,19 @@ class CcStarSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("validate=false returns the identical labeling, skipping only the checks") {
+    // the r13 ask-#5 opt-out: validation is three extra edge/label-sized
+    // joins AFTER convergence — the labels themselves must not depend on it
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (20L, 21L), (21L, 22L), (22L, 23L),
+      (30L, 31L)
+    ).toDF("id_a", "id_b")
+    val validated = labelsOf(CcStar.connectedComponentsStar(pairs))
+    val unvalidated = labelsOf(CcStar.connectedComponentsStar(pairs, validate = false))
+    assert(unvalidated == validated)
+  }
+
   test("many parallel chains keep components separate") {
     val pairs = (0 until 20).map(c => chain(50, base = c * 1000L))
       .reduce(_ unionByName _)

@@ -77,4 +77,80 @@ class SketchesSpec extends AnyFunSuite {
     val est = Sketches.hllEstimate(regs, 1024)
     assert(math.abs(est - 30) <= 3, s"linear-counting regime estimate $est vs 30")
   }
+
+  // ---- per-group registers (verdict r13 ask #1) ----
+
+  private def groupedDf(groups: Map[String, Int]): DataFrame = {
+    import spark.implicits._
+    groups.toSeq.flatMap { case (g, n) => (1 to n).map(i => (g, s"$g-item-$i")) }
+      .toDF("grp", "k")
+  }
+
+  test("per-group registers equal per-group runs of the global builder") {
+    val df = groupedDf(Map("en" -> 800, "de" -> 300, "fr" -> 50))
+    val grouped = Sketches.hllGroupRegisters(df, "grp", "k", m = 256).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val perGroup = Seq("en", "de", "fr").flatMap { g =>
+      Sketches.hllRegisters(df.where(col("grp") === g), "k", m = 256).collect()
+        .map(r => (g, r.getLong(0), r.getLong(1)))
+    }.sorted
+    assert(grouped === perGroup)
+  }
+
+  test("per-group register tables shard-merge exactly (per-(group,bucket) max)") {
+    val df = groupedDf(Map("en" -> 600, "de" -> 400)).withColumn("shard",
+      abs(xxhash64(col("k"))) % 3)
+    val whole = Sketches.hllGroupRegisters(df, "grp", "k", m = 256)
+    val merged = (0 until 3).map(s =>
+        Sketches.hllGroupRegisters(df.where(col("shard") === s), "grp", "k", m = 256))
+      .reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("rho"))
+    val diff = merged.as("m").join(whole.as("w"), Seq("grp", "bucket"), "full_outer")
+      .where(!(col("m.rho") <=> col("w.rho"))).count()
+    assert(diff === 0L, "shard-merged group registers diverged from the single pass")
+  }
+
+  test("per-group estimates land within the m=256 error envelope per group") {
+    val truth = Map("en" -> 2000, "de" -> 700, "fr" -> 120)
+    val regsByGroup = Sketches.hllGroupRegisters(groupedDf(truth), "grp", "k", m = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    truth.foreach { case (g, n) =>
+      val est = Sketches.hllEstimate(regsByGroup(g).map(t => (t._2, t._3)).toSeq, 256)
+      // rse at m=256 is ~6.5%; 3 sigma with slack
+      assert(math.abs(est - n) / n.toDouble < 0.20, s"group $g: estimate $est vs true $n")
+    }
+  }
+
+  // ---- store round-trip stamping (verdict r13 ask #2) ----
+
+  test("a partitioned store drops the CMS params stamp; stampCms restores the probe guard") {
+    val cells = Sketches.cmsAggregate(keysDf((1 to 200).map(i => s"key$i")), "k",
+      depth = 4, width = 512)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cms-store-").toString
+    // a PLAIN Spark parquet write keeps column metadata (Spark serializes
+    // its schema, stamp included, into the footer) — but that protection is
+    // an engine-private courtesy: it vanishes the moment the stamped column
+    // becomes a partition directory (rebuilt from path names, no footer) or
+    // the store is written/rewritten by any non-Spark engine. Pin the
+    // partitioned layout — the realistic store shape — as the dropping case.
+    graft.sources.Sinks.writePartitioned(cells, dir, Seq("r"), filesPerPartition = 1)
+    val reread = spark.read.parquet(dir)
+    val meta = reread.schema.find(_.name == "r").get.metadata
+    assert(!meta.contains("graft.cms.depth"),
+      "partition-encoded column unexpectedly kept its metadata stamp")
+    // re-stamped with the STORE's params, a mismatched probe throws again
+    val stamped = Sketches.stampCms(reread, depth = 4, width = 512)
+    val err = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimates(stamped, keysDf(Seq("key1")), "k", depth = 4, width = 1024)
+    }
+    assert(err.getMessage.contains("width=512"))
+    // and a matched probe reads the same estimates as the pre-store cells
+    val a = Sketches.cmsEstimates(cells, keysDf(Seq("key1", "key2")), "k",
+      depth = 4, width = 512).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.cmsEstimates(stamped, keysDf(Seq("key1", "key2")), "k",
+      depth = 4, width = 512).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

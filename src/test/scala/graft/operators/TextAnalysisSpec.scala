@@ -427,4 +427,74 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.blocklistHits(col("text"), Seq("!!!", "  "))
     }
   }
+
+  test("Gopher char fractions: top-n mass and overlap-once dup coverage, by hand") {
+    import spark.implicits._
+    // doc 1: "x y x y x y" — 6 tokens, 6 chars total.
+    //   top-2: "x y"×3, 2 chars each → 6/6 = 10000
+    //   top-3: "x y x"×2 (ties "y x y"×2, same mass) → 3·2/6 = 10000
+    //   top-4: "x y x y"×2 → 4·2/6 = 13333 (overlapping occurrences CAN
+    //   push the published top-n metric past 1 — documented semantics)
+    //   dup-5: both 5-gram windows unique → 0
+    // doc 3: "p q r s t u v w p q r s t z z" — 15 tokens.
+    //   "p q r s t" repeats at positions 1 and 9 → covered {1..5, 9..13},
+    //   10 of 15 chars → dup5 = 6666; no 6-gram repeats → dup6..10 = 0
+    //   top-2 = 2·2/15 = 2666, top-3 = 3·2/15 = 4000, top-4 = 4·2/15 = 5333
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "solo"),
+      (3L, "p q r s t u v w p q r s t z z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Long =
+      out(id).getLong(out(id).fieldIndex(c))
+    assert(f(1L, "top2_char_frac_x1e4") === 10000L)
+    assert(f(1L, "top3_char_frac_x1e4") === 10000L)
+    assert(f(1L, "top4_char_frac_x1e4") === 13333L)
+    (5 to 10).foreach(n => assert(f(1L, s"dup${n}_char_frac_x1e4") === 0L))
+    (2 to 4).foreach(n => assert(f(2L, s"top${n}_char_frac_x1e4") === 0L))
+    assert(f(3L, "top2_char_frac_x1e4") === 2666L)
+    assert(f(3L, "top3_char_frac_x1e4") === 4000L)
+    assert(f(3L, "top4_char_frac_x1e4") === 5333L)
+    assert(f(3L, "dup5_char_frac_x1e4") === 6666L)
+    (6 to 10).foreach(n => assert(f(3L, s"dup${n}_char_frac_x1e4") === 0L))
+  }
+
+  test("deflateRatio separates the entropy regimes and matches the driver twin") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var seed = "spec-seed"
+    val rand = (1 to 128).map { _ =>
+      seed = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString; seed
+    }.mkString
+    val docs = Seq(
+      (1L, "a" * 4096),                                      // constant: collapses
+      (2L, "the cat sat on the mat and purred loudly. " * 100), // prose: compresses
+      (3L, rand),                                            // md5-hex chain: high entropy
+      (4L, ""),                                              // empty: (0, 0, 0)
+      (5L, null.asInstanceOf[String])                        // null: (0, 0, 0)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.deflateRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (constR, proseR, randR) = (out(1L)._3, out(2L)._3, out(3L)._3)
+    assert(constR < 100, s"constant run should collapse, got ratio $constR")
+    assert(proseR > constR && proseR < 2000, s"prose ratio $proseR")
+    // hex text carries 4 bits/char, so deflate approaches ratio ~0.55 — the
+    // floor for this alphabet, still far above any natural-text ratio
+    assert(randR > 4000 && randR > 3 * proseR,
+      s"hex chain should resist compression far beyond prose, got $randR vs prose $proseR")
+    assert(out(4L) === ((0L, 0L, 0L)) && out(5L) === ((0L, 0L, 0L)))
+    // per-partition Deflater reuse must not leak state doc-to-doc: the
+    // single-value driver twin (fresh Deflater each call) pins every size
+    Seq(1L, 2L, 3L).foreach { id =>
+      val text = id match {
+        case 1L => "a" * 4096
+        case 2L => "the cat sat on the mat and purred loudly. " * 100
+        case _ => rand
+      }
+      assert(out(id)._2 === TextAnalysis.deflatedBytes(text),
+        s"doc $id deflate size differs from the fresh-Deflater twin")
+    }
+  }
 }

@@ -78,7 +78,35 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     spark.read.parquet(dir).groupBy("event_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("a stream killed mid-run and resumed from its checkpoint loses and duplicates nothing") {
+  /** Run `body` with the session's state-store provider pinned, restoring
+    * the previous setting afterwards (the StateSchemaEvolutionSpec
+    * pattern — the conf is read at query START, so a per-test set/restore
+    * is exact). */
+  private def withProvider(providerClass: Option[String])(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    providerClass match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Both providers a deployment would run (verdict r13 ask #3): the
+    * default HDFS-backed store AND RocksDB — the provider a 100-TB
+    * deployment actually uses for large state. The restart contract must
+    * hold identically on each. */
+  private val providers: Seq[(String, Option[String])] = Seq(
+    "default state store" -> None,
+    "RocksDB state store" -> Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
+  for ((label, providerClass) <- providers)
+  test(s"a stream killed mid-run and resumed from its checkpoint loses and duplicates nothing [$label]") {
+   withProvider(providerClass) {
     val root = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "ckpt-recovery-").toString
     val inDir = s"$root/in"
@@ -117,12 +145,15 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     // state reloaded from the checkpoint, none lost, none double-counted
     assert(stateA == nFiles.toLong * rowsPerFile, s"reference end state $stateA")
     assert(stateB == stateA, s"state after resume $stateB != reference $stateA")
-    info(s"killed after $killedBatches/$nFiles batches; " +
+    info(s"[$label] killed after $killedBatches/$nFiles batches; " +
       s"rows-in-state at end: reference=$stateA resumed=$stateB; " +
       s"output multiset identical (${a.size} ids, all count=1)")
+   }
   }
 
-  test("a second AvailableNow pass over a finished checkpoint emits nothing new") {
+  for ((label, providerClass) <- providers)
+  test(s"a second AvailableNow pass over a finished checkpoint emits nothing new [$label]") {
+   withProvider(providerClass) {
     // idempotent restart: the no-new-data restart a scheduled pipeline
     // performs constantly — must commit zero new rows
     val root = java.nio.file.Files.createTempDirectory(
@@ -134,5 +165,6 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     runToEnd(inDir, s"$root/ckpt", s"$root/out")
     val second = multiset(s"$root/out")
     assert(second == first, "an idempotent restart changed the sink")
+   }
   }
 }
