@@ -147,6 +147,21 @@ object ScaleCheck {
     // queries is the exact-rank comparator (the contract's ground truth,
     // same role as hll_distinct's exact side)
     "quantile_kll", "quantile_kll_merge",
+    // round-14: the per-group register sketch (shuffle must be
+    // Θ(groups·m) — ~flat here, groups fixed at the 5 languages — while
+    // the _distinct sibling carries the corpus-linear exact comparator);
+    // per-group KLL (constant-class aggregate state per group + the exact
+    // per-group rank comparator as the linear term); the sketch STORE
+    // cycle (three sketch builds + three constant-size store round-trips
+    // + whole-corpus comparators); the deflate-ratio scan (narrow
+    // per-partition codec pass — scan-bound by construction); the widened
+    // Gopher repetition profile (9× gram explode, all keyed aggs — the
+    // bytes ratio is the explicit price of the full char-fraction set);
+    // and the validate on/off CC pair (the delta is the measured cost of
+    // the three post-convergence checks, r13 ask #5)
+    "hll_group_distinct", "hll_group_registers_only", "group_quantile_kll",
+    "sketch_store_roundtrip", "text_compress_ratio", "text_repetition",
+    "cc_chain_star_novalidate",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -622,18 +622,25 @@ object SparkEntry {
     * components of consecutive-integer chains are gaps-and-islands —
     * component = min(id) over island (id − row_number()). depth_sum =
     * Σ(id − component) is bounded by 50·rows, ANSI-safe at any scale. */
-  private def qCcChainStar(spark: SparkSession, dir: String): DataFrame = {
+  private def qCcChainStar(spark: SparkSession, dir: String, validate: Boolean = true): DataFrame = {
     val ids = table(spark, dir, "documents").select(col("doc_id"))
     val pairs = ids.where(col("doc_id") % 1000 < 50)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
       .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-    graft.operators.CcStar.connectedComponentsStar(pairs)
+    graft.operators.CcStar.connectedComponentsStar(pairs, validate = validate)
       .agg(
         count(lit(1)).as("n_nodes"),
         countDistinct(col("component")).as("n_components"),
         coalesce(sum(col("id") - col("component")), lit(0L)).cast("long").as("depth_sum"),
         coalesce(sum(col("component") % 1000003), lit(0L)).cast("long").as("comp_checksum"))
   }
+
+  /** The validate=false twin (verdict r13 ask #5): the labels are
+    * IDENTICAL — the flag only skips the three post-convergence checks —
+    * so the twin shares cc_chain_star's oracle verbatim, and the SCALING
+    * delta between the two rows is the measured price of the guarantee. */
+  private def qCcChainStarNoValidate(spark: SparkSession, dir: String): DataFrame =
+    qCcChainStar(spark, dir, validate = false)
 
   /** End-to-end near-dup removal: pairs -> components -> drop everything but
     * each component's min-id representative. The oracle recomputes the kept
@@ -4209,7 +4216,8 @@ object SparkEntry {
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
     "dedup_components" -> qDedupComponents,
-    "cc_chain_star" -> qCcChainStar,
+    "cc_chain_star" -> (qCcChainStar(_, _)),
+    "cc_chain_star_novalidate" -> qCcChainStarNoValidate,
     "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
     "dedup_ngram_hot" -> qDedupNgramHot,
@@ -4980,6 +4988,19 @@ object SparkEntry {
       "coalesce(max(rho), 0)::BIGINT AS max_rho, " +
       "coalesce(sum((bucket + 1) * rho), 0)::BIGINT AS reg_checksum FROM regs"
 
+  /** Gaps-and-islands replay of the planted chain components (no graph
+    * walk needed: component = min(id) over island (id − row_number)). */
+  private val ccChainStarOracleSql: String =
+    "WITH ids AS (SELECT doc_id FROM documents), " +
+      "e AS (SELECT a.doc_id AS ida, a.doc_id + 1 AS idb FROM ids a " +
+      "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 1000 < 50), " +
+      "nodes AS (SELECT DISTINCT id FROM (SELECT ida AS id FROM e UNION ALL SELECT idb FROM e)), " +
+      "isl AS (SELECT id, id - row_number() OVER (ORDER BY id) AS island FROM nodes), " +
+      "lab AS (SELECT id, min(id) OVER (PARTITION BY island) AS component FROM isl) " +
+      "SELECT count(*)::BIGINT AS n_nodes, count(DISTINCT component)::BIGINT AS n_components, " +
+      "coalesce(sum(id - component), 0)::BIGINT AS depth_sum, " +
+      "coalesce(sum(component % 1000003), 0)::BIGINT AS comp_checksum FROM lab"
+
   /** Per-group HLL registers replayed (group, bucket)-for-(group, bucket):
     * same md5 slices as `hll_distinct`, the language riding the register
     * key, m = 256; per-group position-weighted checksum pins every
@@ -5692,16 +5713,9 @@ object SparkEntry {
     // chains of consecutive ids = gaps-and-islands: component = min(id)
     // over island (id - row_number() is constant per consecutive run) —
     // no recursive walk needed, exact at any scale
-    "cc_chain_star" ->
-      ("WITH ids AS (SELECT doc_id FROM documents), " +
-        "e AS (SELECT a.doc_id AS ida, a.doc_id + 1 AS idb FROM ids a " +
-        "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 1000 < 50), " +
-        "nodes AS (SELECT DISTINCT id FROM (SELECT ida AS id FROM e UNION ALL SELECT idb FROM e)), " +
-        "isl AS (SELECT id, id - row_number() OVER (ORDER BY id) AS island FROM nodes), " +
-        "lab AS (SELECT id, min(id) OVER (PARTITION BY island) AS component FROM isl) " +
-        "SELECT count(*)::BIGINT AS n_nodes, count(DISTINCT component)::BIGINT AS n_components, " +
-        "coalesce(sum(id - component), 0)::BIGINT AS depth_sum, " +
-        "coalesce(sum(component % 1000003), 0)::BIGINT AS comp_checksum FROM lab"),
+    "cc_chain_star" -> ccChainStarOracleSql,
+    // identical labels by contract (validate only adds checks) — same oracle
+    "cc_chain_star_novalidate" -> ccChainStarOracleSql,
     "dedup_drop" ->
       ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
