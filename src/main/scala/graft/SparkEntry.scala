@@ -745,6 +745,73 @@ object SparkEntry {
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("y"))
   }
 
+  /** PCA over the embeddings table (round 14) — the data-ADAPTIVE
+    * dimensionality reduction next to `embed_project`'s data-oblivious
+    * JL: ONE statistics pass accumulates the exact integer second-moment
+    * state ([[graft.plans.GramMatrixAgg]] — 1 + d + d(d+1)/2 longs, one
+    * ~2 KB partial per map partition, nothing corpus-sized moves), the
+    * eigensolve is a driver-side O(d³) Jacobi on the d×d covariance, and
+    * the projection replays as a narrow integer pass with the basis as
+    * plan literals.
+    *
+    * Oracle split (the established two-tier discipline): the MOMENT STATE
+    * — the only corpus-sized computation — is exact integers DuckDB
+    * replays verbatim (n, Σ qᵢ and Σ qᵢqⱼ checksums, trace); the
+    * eigensolve's float output is pinned by CONTRACT booleans the oracle
+    * fixes at 1 (Σλ = tr(cov), λ descending, VᵀV = I, λ₁ ≥ every
+    * coordinate variance — each a theorem for a correct eigensolver) plus
+    * `proj_var_ok`: the variance of the ACTUAL in-plan integer projection
+    * onto the top component must land on λ₁·1e24 (both grids at 1e6)
+    * within 2% — tying the driver's basis back to the distributed data in
+    * one more cheap pass. */
+  private def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = table(spark, dir, "embeddings")
+    val flat = graft.operators.Pca.gram(emb, "embedding", dim, grid = 1000L)
+      .collect()(0).getSeq[Long](0)
+    val st = graft.operators.Pca.stateOf(flat, dim, 1000L)
+    val cov = st.covariance
+    val (values, vectors) = graft.operators.Pca.jacobiEigen(cov)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val eigTraceOk = math.abs(values.sum - trace) <= 1e-9 * math.max(math.abs(trace), 1e-12)
+    val sortedOk = values.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+    val orthoOk = (0 until dim).forall { i =>
+      (i until dim).forall { j =>
+        val dot = (0 until dim).map(k => vectors(i)(k) * vectors(j)(k)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+      }
+    }
+    val dominatesAxes = values(0) >= (0 until dim).map(i => cov(i)(i)).max - 1e-12
+    // the top-component projection, as the corpus would run it: integer
+    // outputs; variance read through double aggregates (driver-side
+    // contract only, never oracle-compared)
+    val projStats = graft.operators.Pca.project(emb, "vec_id", "embedding",
+        Array(vectors(0)), dim)
+      .select(col("proj")(0).cast("double").as("y"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .collect()(0)
+    val (pn, ps, pss) = (projStats.getDouble(0), projStats.getDouble(1), projStats.getDouble(2))
+    val varY = pss / pn - (ps / pn) * (ps / pn)
+    // vec grid 1e6 × component grid 1e6 → the projection scales by 1e12
+    // and its variance by 1e24; λ₁ is on the ORIGINAL scale, so
+    // expected = λ₁·1e24 (the PcaSpec invariant)
+    val projVarOk = math.abs(varY - values(0) * 1e24) <= 0.02 * values(0) * 1e24
+    val mod = 1000000007L
+    val sumsChecksum = st.sums.zipWithIndex
+      .map { case (s, i) => (i + 1) * (s % 1000003L) }.sum % mod
+    val gramChecksum = (0 until dim).flatMap(i => (i until dim).map(j =>
+      (i.toLong * dim + j + 1) * (st.gramAt(i, j) % 1000003L))).sum % mod
+    val traceQ = (0 until dim).map(i => st.gramAt(i, i)).sum
+    val b = (x: Boolean) => if (x) 1L else 0L
+    import spark.implicits._
+    Seq((st.n, dim.toLong, traceQ, sumsChecksum, gramChecksum,
+      b(eigTraceOk), b(sortedOk), b(orthoOk), b(dominatesAxes), b(projVarOk)))
+      .toDF("n", "d", "trace_q", "sums_checksum", "gram_checksum",
+        "eig_trace_ok", "eig_sorted_ok", "eig_orthonormal_ok",
+        "eig_dominates_axes", "proj_var_ok")
+  }
+
   /** Semantic decontamination: vectors 0..9 as the benchmark, the rest
     * as the training corpus, flagged at cosine >= 0.25 on the ppm grid;
     * full per-flagged-vector value oracle. */
@@ -1385,6 +1452,86 @@ object SparkEntry {
         max(col("rho")).cast("long").as("max_rho"),
         sum((col("bucket") + 1) * col("rho")).cast("long").as("reg_checksum"))
       .orderBy("lang")
+
+  /** (lang, tok) token stream for the per-group frequency sketch. */
+  private def langTokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** Per-GROUP Count-Min heavy hitters (round 14): "top tokens per
+    * language with sketch-bounded counts" — the frequency sibling of
+    * `hll_group_distinct`'s cardinality report. The group-cell table is ≤
+    * groups × depth × width rows out of ONE map-side-combined aggregate
+    * (never a vocabulary-keyed shuffle per group); estimates come from a
+    * broadcast of that constant-size table. The exact per-(lang, tok)
+    * comparator is the oracle's ground-truth term (corpus-priced, same
+    * role as `hll_distinct`'s exact side); `overcount` pins the CMS
+    * upper-bound contract per row. */
+  private def qCmsGroupTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = langTokens(spark, dir)
+    val cells = graft.operators.Sketches.cmsGroupAggregate(
+      toks, "lang", "tok", depth = 4, width = 1024)
+    val exact = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("exact").desc, col("tok"))
+    val top = exact.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("lang"), col("tok"), col("exact"))
+    val est = graft.operators.Sketches.cmsGroupEstimates(
+      cells, top.select(col("lang"), col("tok")), "lang", "tok",
+      depth = 4, width = 1024)
+    top.join(est, Seq("lang", "tok"))
+      .select(col("lang"), col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
+  /** Distinct-vocabulary overlap between two halves of the corpus via
+    * HLL register algebra (round 14): registers(A) and registers(B) are
+    * built independently — different days, different clusters — and their
+    * per-bucket MAX is EXACTLY registers(A ∪ B) (max over a partitioned
+    * multiset == max over the whole; a theorem, not an approximation),
+    * which is what makes register tables composable corpus statistics.
+    * |A ∩ B| then falls out by inclusion–exclusion WITHOUT any re-scan.
+    *
+    * The oracle replays all three register tables checksum-for-checksum
+    * and the exact intersection (the ground-truth term); `merge_mismatch`
+    * pins the union law register-for-register; `within_bound` pins the
+    * inclusion–exclusion estimate (driver-side floats, the
+    * `group_quantile_kll` contract pattern) against the exact overlap at
+    * 20% — wide against m = 4096's ~1.6% per-estimate rse compounded
+    * across three estimates on a large-overlap regime. */
+  private def qHllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val docs = table(spark, dir, "documents")
+      .where(col("text").isNotNull && col("source").isNotNull)
+      .withColumn("src_n", expr("cast(substring(source, 4, 10) as int)"))
+    val toksOf = (half: Column) => sketchTokens(docs.where(half))
+    val toksA = toksOf(col("src_n") < 10)
+    val toksB = toksOf(col("src_n") >= 10)
+    val regsA = graft.operators.Sketches.hllRegisters(toksA, "tok", m)
+    val regsB = graft.operators.Sketches.hllRegisters(toksB, "tok", m)
+    val merged = graft.operators.Sketches.hllMergeRegisters(regsA, regsB)
+    val union = graft.operators.Sketches.hllRegisters(toksA.unionAll(toksB), "tok", m)
+    val mismatch = merged.as("m").join(union.as("u"), Seq("bucket"), "full_outer")
+      .where(col("m.rho").isNull || col("u.rho").isNull || col("m.rho") =!= col("u.rho"))
+      .count()
+    val summarize = (df: DataFrame) => df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (a, b, u) = (summarize(regsA), summarize(regsB), summarize(merged))
+    val est = graft.operators.Sketches.hllIntersectionEstimate(a, b, u, m)
+    val exact = toksA.select(md5(col("tok")).as("fp")).distinct()
+      .join(toksB.select(md5(col("tok")).as("fp")).distinct(), Seq("fp"))
+      .count()
+    val checksum = (regs: Seq[(Long, Long)]) =>
+      regs.map { case (bucket, rho) => (bucket + 1) * rho }.sum
+    val withinBound = if (math.abs(est - exact.toDouble) <= 0.20 * exact) 1L else 0L
+    import spark.implicits._
+    Seq((m.toLong, a.size.toLong, b.size.toLong, u.size.toLong,
+      checksum(a), checksum(b), checksum(u), mismatch, exact, withinBound))
+      .toDF("m", "a_filled", "b_filled", "u_filled", "a_checksum", "b_checksum",
+        "u_checksum", "merge_mismatch", "exact_intersection", "within_bound")
+  }
 
   /** Per-GROUP KLL (verdict r13 ask #4): per-language length quantiles
     * from the space-optimal sketch — `KllSketchAgg` composing with
@@ -3549,6 +3696,34 @@ object SparkEntry {
       .orderBy("q_x1e4")
   }
 
+  /** STREAMING HyperLogLog: the register table as a complete-mode
+    * streaming aggregate — the fourth streaming sketch next to the CMS
+    * cells, the quantile heap, and the dedup probe, completing the
+    * family: every mergeable batch sketch here also runs as bounded
+    * streaming state. State is ≤ m = 1024 (bucket, max rho) rows BY
+    * CONSTRUCTION at any input volume (a max-aggregate per bucket —
+    * duplicates collapse in the partial, exactly the batch plan's
+    * shape). AvailableNow one-shot; the oracle replays the batch
+    * register table token-for-token, so stream and batch sketches must
+    * agree register-for-register via the position-weighted checksum. */
+  private def qStreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = sketchTokens(streamDocuments(spark, dir))
+    val regs = graft.operators.Sketches.hllRegisters(toks, "tok", m = 1024)
+    val sink = "graft_stream_hll_sink"
+    val q = regs.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).agg(
+        count(lit(1)).as("n_filled"),
+        coalesce(sum(col("rho")), lit(0L)).cast("long").as("sum_rho"),
+        coalesce(max(col("rho")), lit(0L)).cast("long").as("max_rho"),
+        coalesce(sum((col("bucket") + 1) * col("rho")), lit(0L))
+          .cast("long").as("reg_checksum"))
+      .select(lit(1024L).as("m"), col("n_filled"), col("sum_rho"), col("max_rho"),
+        col("reg_checksum"))
+  }
+
   /** Gap sessionization (30 min) over the events table via the batch
     * twin of the streaming operator; the oracle recomputes the same
     * sessions with window functions in DuckDB. */
@@ -4239,6 +4414,7 @@ object SparkEntry {
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
     "embed_project" -> qEmbedProject,
+    "pca_project" -> qPcaProject,
     "decontaminate_semantic" -> qDecontaminateSemantic,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
@@ -4258,6 +4434,8 @@ object SparkEntry {
     "hll_registers_only" -> qHllRegistersOnly,
     "hll_group_distinct" -> qHllGroupDistinct,
     "hll_group_registers_only" -> qHllGroupRegistersOnly,
+    "cms_group_topk" -> qCmsGroupTopk,
+    "hll_intersection" -> qHllIntersection,
     "cms_cells_only" -> qCmsCellsOnly,
     "quantile_bottomk" -> qQuantileBottomk,
     "quantile_bottomk_merge" -> qQuantileBottomkMerge,
@@ -4373,6 +4551,7 @@ object SparkEntry {
     "events_sessions_stream" -> qEventsSessionsStream,
     "events_dedup_stream" -> qEventsDedupStream,
     "stream_cms" -> qStreamCms,
+    "stream_hll" -> qStreamHll,
     "stream_quantile" -> qStreamQuantile,
     "sketch_shard_merge" -> qSketchShardMerge,
     "sketch_store_roundtrip" -> qSketchStoreRoundtrip,
@@ -5028,6 +5207,99 @@ object SparkEntry {
     hllGroupCte(256) +
       "SELECT lang, n_filled, sum_rho, max_rho, reg_checksum FROM s ORDER BY lang"
 
+  /** Streamed HLL == batch HLL: the oracle rebuilds the register table
+    * from the same tokens (m = 1024) — the complete-mode max-aggregate
+    * must land on exactly the batch registers, checksum-pinned. */
+  private val streamHllOracleSql: String =
+    "WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+      "('0x' || substr(md5(tok), 4, 15))::UBIGINT::BIGINT AS v FROM t), " +
+      "regs AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM h GROUP BY bucket) " +
+      "SELECT 1024::BIGINT AS m, count(*)::BIGINT AS n_filled, " +
+      "coalesce(sum(rho), 0)::BIGINT AS sum_rho, " +
+      "coalesce(max(rho), 0)::BIGINT AS max_rho, " +
+      "coalesce(sum((bucket + 1) * rho), 0)::BIGINT AS reg_checksum FROM regs"
+
+  /** Per-group Count-Min replayed cell-for-cell with the language riding
+    * the cell key; per-group top-3 exact counts as ground truth, same
+    * min-over-rows estimate with empty cells read as 0 WITHIN the
+    * group. */
+  private val cmsGroupTopkOracleSql: String =
+    "WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+      "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT lang, r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c, " +
+      "count(*) AS cnt FROM t, rr GROUP BY 1, 2, 3), " +
+      "top AS (SELECT lang, tok, exact FROM (SELECT lang, tok, count(*)::BIGINT AS exact, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rk " +
+      "FROM t GROUP BY lang, tok) WHERE rk <= 3), " +
+      "pc AS (SELECT lang, tok, r, ('0x' || substr(md5(tok), 1 + 3 * r, 3))::UBIGINT::BIGINT % 1024 AS c " +
+      "FROM top, rr), " +
+      "est AS (SELECT lang, tok, min(coalesce(cnt, 0))::BIGINT AS est FROM pc " +
+      "LEFT JOIN cells USING (lang, r, c) GROUP BY lang, tok) " +
+      "SELECT lang, tok, exact, est, (est - exact)::BIGINT AS overcount " +
+      "FROM est JOIN top USING (lang, tok) ORDER BY lang, tok"
+
+  /** HLL set algebra replayed: per-half register tables (m = 4096)
+    * checksum-for-checksum, the union registers from the combined token
+    * stream (== the per-bucket max merge, by the max law the Spark side
+    * asserts as merge_mismatch = 0), the exact fingerprint intersection
+    * as ground truth, and the inclusion–exclusion bound pinned at 1. */
+  private val hllIntersectionOracleSql: String =
+    "WITH d AS (SELECT substr(source, 4)::INT AS src_n, text FROM documents " +
+      "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+      "ta AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM d WHERE src_n < 10), " +
+      "tb AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS tok FROM d WHERE src_n >= 10), " +
+      "ha AS (SELECT ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 4096 AS bucket, " +
+      "('0x' || substr(md5(tok), 4, 15))::UBIGINT::BIGINT AS v, md5(tok) AS fp FROM ta), " +
+      "hb AS (SELECT ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 4096 AS bucket, " +
+      "('0x' || substr(md5(tok), 4, 15))::UBIGINT::BIGINT AS v, md5(tok) AS fp FROM tb), " +
+      "ra AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM ha GROUP BY bucket), " +
+      "rb AS (SELECT bucket, max(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho " +
+      "FROM hb GROUP BY bucket), " +
+      "ru AS (SELECT bucket, max(rho) AS rho FROM " +
+      "(SELECT bucket, rho FROM ra UNION ALL SELECT bucket, rho FROM rb) GROUP BY bucket), " +
+      "ix AS (SELECT count(*)::BIGINT AS exact FROM " +
+      "(SELECT DISTINCT fp FROM ha) a JOIN (SELECT DISTINCT fp FROM hb) b USING (fp)) " +
+      "SELECT 4096::BIGINT AS m, " +
+      "(SELECT count(*) FROM ra)::BIGINT AS a_filled, " +
+      "(SELECT count(*) FROM rb)::BIGINT AS b_filled, " +
+      "(SELECT count(*) FROM ru)::BIGINT AS u_filled, " +
+      "(SELECT coalesce(sum((bucket + 1) * rho), 0) FROM ra)::BIGINT AS a_checksum, " +
+      "(SELECT coalesce(sum((bucket + 1) * rho), 0) FROM rb)::BIGINT AS b_checksum, " +
+      "(SELECT coalesce(sum((bucket + 1) * rho), 0) FROM ru)::BIGINT AS u_checksum, " +
+      "0::BIGINT AS merge_mismatch, " +
+      "(SELECT exact FROM ix)::BIGINT AS exact_intersection, " +
+      "1::BIGINT AS within_bound"
+
+  /** PCA's moment state replayed exactly — the x1e3 integer grid, Σ qᵢ
+    * and upper-triangular Σ qᵢqⱼ under position-weighted mod-checksums,
+    * the gram trace — with the eigensolve contract booleans pinned at 1
+    * (each is a theorem for a correct symmetric eigensolver; the Spark
+    * side computes them honestly against its own basis and the in-plan
+    * projection variance). */
+  private val pcaProjectOracleSql: String =
+    "WITH v AS (SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS q " +
+      "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64 " +
+      "AND len(list_filter(embedding, x -> x IS NULL)) = 0), " +
+      "ij AS (SELECT a.i AS i, b.j AS j FROM (SELECT unnest(range(0, 64)) AS i) a, " +
+      "(SELECT unnest(range(0, 64)) AS j) b WHERE b.j >= a.i), " +
+      "g AS (SELECT i, j, sum(q[i + 1] * q[j + 1])::BIGINT AS gij FROM v, ij GROUP BY i, j), " +
+      "s AS (SELECT a.i AS i, sum(q[a.i + 1])::BIGINT AS si FROM v, " +
+      "(SELECT unnest(range(0, 64)) AS i) a GROUP BY a.i) " +
+      "SELECT (SELECT count(*) FROM v)::BIGINT AS n, 64::BIGINT AS d, " +
+      "(SELECT sum(CASE WHEN i = j THEN gij ELSE 0 END) FROM g)::BIGINT AS trace_q, " +
+      "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
+      "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum, " +
+      "1::BIGINT AS eig_trace_ok, 1::BIGINT AS eig_sorted_ok, " +
+      "1::BIGINT AS eig_orthonormal_ok, 1::BIGINT AS eig_dominates_axes, " +
+      "1::BIGINT AS proj_var_ok"
+
   /** Store round-trip pinned like `sketch_shard_merge`: the oracle
     * recomputes the WHOLE-corpus cells/registers/bottom-k and requires all
     * three mismatch counts to be zero — one cell/register/(prio, v) row
@@ -5200,6 +5472,7 @@ object SparkEntry {
     "pq_recall" -> pqRecallOracleSql,
     "ranking_eval" -> rankingEvalOracleSql,
     "stream_cms" -> streamCmsOracleSql,
+    "stream_hll" -> streamHllOracleSql,
     // the streamed bottom-k must land on EXACTLY the batch sketch's state
     // — same oracle as quantile_bottomk, different plan under test
     "stream_quantile" -> quantileBottomkOracleSql,
@@ -5218,6 +5491,9 @@ object SparkEntry {
     "hll_registers_only" -> hllRegistersOnlyOracleSql,
     "hll_group_distinct" -> hllGroupDistinctOracleSql,
     "hll_group_registers_only" -> hllGroupRegistersOnlyOracleSql,
+    "cms_group_topk" -> cmsGroupTopkOracleSql,
+    "hll_intersection" -> hllIntersectionOracleSql,
+    "pca_project" -> pcaProjectOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state
     // as the streamed one — same oracle, different plan under test
     "cms_cells_only" -> streamCmsOracleSql,

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal component analysis for embedding columns, Spark-first.
+  *
+  * The 100-TB shape: PCA over n rows × d dims needs only the d×d second-
+  * moment matrix — ONE pass, one map-side-combined aggregate whose state
+  * is 1 + d + d(d+1)/2 longs ([[graft.plans.GramMatrixAgg]]), shuffling a
+  * ~2 KB partial per map partition. The eigensolve is a driver-side O(d³)
+  * Jacobi on the collected state; the projection back over the corpus is a
+  * narrow codegen'd pass with the component matrix embedded as plan
+  * literals (the [[Quantization.signProject]] / PQ-codebook discipline).
+  * Nothing corpus-sized ever shuffles, collects, or iterates.
+  *
+  * Contrast with [[Quantization.signProject]] (Johnson–Lindenstrauss):
+  * JL is data-OBLIVIOUS — no training pass, distance-preserving in
+  * expectation. PCA is data-ADAPTIVE: one cheap statistics pass buys the
+  * variance-optimal basis (best rank-k reconstruction, Eckart–Young).
+  * Both live in the same integer-grid regime so results replay exactly.
+  *
+  * Exactness: vectors quantize to an integer grid (`round(x · grid)`), so
+  * the accumulated moments are exact integers — bit-identical across
+  * partitionings and engines. Floats appear only driver-side (covariance,
+  * eigensolve) and as fixed literal grids in the projection — never in an
+  * oracle-compared column except through contract booleans.
+  */
+object Pca {
+
+  /** Integer-quantized slice of an embedding column: array<bigint> of
+    * `round(x · grid)`, the exact-replay grid discipline. */
+  def quantize(emb: Column, dim: Int, grid: Long): Column =
+    transform(slice(emb.cast("array<double>"), 1, dim),
+      x => round(x * grid, 0).cast("long"))
+
+  /** The second-moment state over a table of embeddings: one row, one
+    * column `g` = [n, sums(d), upper-tri Σ qᵢqⱼ]. Rows with null / short /
+    * null-element vectors are excluded (the signProject guard). */
+  def gram(df: DataFrame, embCol: String, dim: Int, grid: Long = 1000L): DataFrame = {
+    val emb = col(s"`$embCol`").cast("array<double>")
+    df.where(emb.isNotNull && size(emb) >= dim && !exists(emb, _.isNull))
+      .agg(graft.plans.GramMatrixAgg.gramSketch(quantize(emb, dim, grid), dim).as("g"))
+  }
+
+  /** Driver-side view of a collected gram state. All float math lives in
+    * here, on d²-sized data. */
+  final case class GramState(n: Long, sums: Array[Long], upper: Array[Long],
+                             dim: Int, grid: Long) {
+    require(n > 0, "gram state is empty — no valid vectors")
+
+    private def upperIdx(i: Int, j: Int): Int = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * dim - a * (a - 1) / 2 + (b - a)
+    }
+
+    /** Σ qᵢqⱼ, exact. */
+    def gramAt(i: Int, j: Int): Long = upper(upperIdx(i, j))
+
+    /** Population covariance on the ORIGINAL (pre-grid) scale:
+      * (Σqᵢqⱼ − SᵢSⱼ/n) / n / grid². */
+    def covariance: Array[Array[Double]] = {
+      val g2 = grid.toDouble * grid.toDouble
+      Array.tabulate(dim, dim) { (i, j) =>
+        (gramAt(i, j).toDouble - sums(i).toDouble * sums(j).toDouble / n.toDouble) /
+          n.toDouble / g2
+      }
+    }
+  }
+
+  /** Unpack the single-row `gram` result; validates the layout length. */
+  def stateOf(flat: Seq[Long], dim: Int, grid: Long): GramState = {
+    val want = 1 + dim + dim * (dim + 1) / 2
+    require(flat.length == want,
+      s"gram state length ${flat.length} != expected $want for dim=$dim")
+    GramState(flat.head, flat.slice(1, 1 + dim).toArray,
+      flat.drop(1 + dim).toArray, dim, grid)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — deterministic
+    * (fixed (p,q) sweep order, no pivot search), O(d³) per sweep,
+    * converges quadratically; d ≤ 512 by the aggregate's bound so this is
+    * milliseconds on the driver. Returns (eigenvalues descending,
+    * eigenvectors as rows matching the values); each vector's sign is
+    * canonicalized so its largest-magnitude component is positive. */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 64,
+                  tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    require(d >= 1 && m.forall(_.length == d), "matrix must be square")
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(m.map(r => r.map(math.abs).max).max, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol * scale) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > tol * scale) {
+            // standard stable rotation (Golub & Van Loan §8.5); the
+            // branch (not signum) so theta = 0 rotates by 45°, t = 1
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val vec = Array.tabulate(d)(k => v(k)(i))
+      val dom = vec.indices.maxBy(k => (math.abs(vec(k)), -k))
+      if (vec(dom) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (values, vectors)
+  }
+
+  /** Top-k principal components of a table of embeddings: ONE statistics
+    * pass + driver eigensolve. Returns (eigenvalues desc over ALL d
+    * components, top-k component vectors). */
+  def principalComponents(df: DataFrame, embCol: String, dim: Int, k: Int,
+                          grid: Long = 1000L): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val row = gram(df, embCol, dim, grid).collect()(0)
+    val st = stateOf(row.getSeq[Long](0), dim, grid)
+    val (values, vectors) = jacobiEigen(st.covariance)
+    (values, vectors.take(k))
+  }
+
+  /** Project every row onto the given components — a narrow codegen'd
+    * pass, components as x1e6-grid integer plan literals so the outputs
+    * are EXACT integers both engines replay (the signProject shape).
+    * Output: (vid, proj array<long>), proj[j] = Σᵢ round(xᵢ·1e6) ·
+    * round(compⱼᵢ·1e6). */
+  def project(df: DataFrame, idCol: String, embCol: String,
+              components: Array[Array[Double]], dim: Int,
+              grid: Long = 1000000L): DataFrame = {
+    require(components.nonEmpty && components.forall(_.length == dim),
+      s"components must be non-empty $dim-dimensional vectors")
+    val emb = col(s"`$embCol`").cast("array<double>")
+    val base = df.where(emb.isNotNull && size(emb) >= dim && !exists(emb, _.isNull))
+      .select(col(s"`$idCol`").cast("long").as("vid"),
+        transform(slice(emb, 1, dim), x => round(x * grid, 0)).as("__q"))
+    val proj = array(components.map { comp =>
+      val w = typedlit(comp.map(x => math.round(x * grid).toDouble).toList)
+      graft.plans.VectorExpressions.dot(col("__q"), w).cast("long")
+    }.toIndexedSeq: _*)
+    base.select(col("vid"), proj.as("proj"))
+  }
+}

@@ -55,6 +55,58 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-GROUP Count-Min cell table: (group, r, c, cnt) — per-group
+    * frequency sketches ("how often does this token appear per language /
+    * per source") without a vocabulary-keyed shuffle per group: the
+    * aggregate combines map-side, so the exchange carries at most
+    * groups × depth × width cell rows per map partition, a constant per
+    * group regardless of the group's row count. The per-group sibling of
+    * [[cmsAggregate]], mirroring [[hllGroupRegisters]]'s register
+    * discipline; merging two corpora's group-cell tables is per-(group,
+    * r, c) SUM (counts are additive), where HLL registers merge by max. */
+  def cmsGroupAggregate(keys: DataFrame, groupCol: String, keyCol: String,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 10, "depth in [1, 10] — md5 has 10 disjoint 3-hex slices")
+    require(width >= 2 && 4096 % width == 0,
+      s"width must divide 4096 for a uniform 12-bit reduction, got $width")
+    val g = col(s"`$groupCol`")
+    val k = col(s"`$keyCol`")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.cms.depth", depth).putLong("graft.cms.width", width).build()
+    keys.where(k.isNotNull && g.isNotNull)
+      .select(g.as(groupCol), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))): _*)).as("p"))
+      .groupBy(g, col("p.r").as("r", meta), col("p.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group point estimates: (group, key, est) with est = min over the
+    * key's depth cells WITHIN its group — the same CMS upper bound as
+    * [[cmsEstimates]], per group. `probes` carries (groupCol, keyCol)
+    * rows (a key may be probed under several groups). The group-cell
+    * table is ≤ groups × depth × width rows — broadcast it; probes
+    * stream. */
+  def cmsGroupEstimates(cells: DataFrame, probes: DataFrame,
+                        groupCol: String, keyCol: String,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rMeta = cells.schema.find(_.name == "r").map(_.metadata)
+    rMeta.filter(_.contains("graft.cms.depth")).foreach { m =>
+      require(m.getLong("graft.cms.depth") == depth && m.getLong("graft.cms.width") == width,
+        s"cells were built with depth=${m.getLong("graft.cms.depth")}, " +
+          s"width=${m.getLong("graft.cms.width")} but the probe asks for ($depth, $width)")
+    }
+    val g = col(s"`$groupCol`")
+    val k = col(s"`$keyCol`")
+    val probeCells = probes.where(k.isNotNull && g.isNotNull).select(
+        g.as(groupCol), k.as("__key"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), (hexSlice(k, 1 + 3 * r, 3) % width).as("c"))): _*)).as("p"))
+      .select(col(s"`$groupCol`"), col("__key"), col("p.r").as("r"), col("p.c").as("c"))
+    probeCells.join(broadcast(cells), Seq(groupCol, "r", "c"), "left_outer")
+      .groupBy(col(s"`$groupCol`"), col("__key").as(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Re-stamp the (depth, width) parameter metadata on a CMS cell table
     * read back from storage. A plain Spark parquet write happens to keep
     * column metadata (Spark's own schema, stamp included, rides the
@@ -151,6 +203,35 @@ object Sketches {
         when(v === 0L, lit(61L)).otherwise(lit(61L) - length(bin(v))).as("rho"))
       .groupBy(g, col("bucket")).agg(max(col("rho")).as("rho"))
   }
+
+  /** Union of two HLL register tables by per-bucket MAX — the lossless
+    * set-union law every HLL inherits from max's associativity:
+    * registers(A) ⊔ registers(B) == registers(A ∪ B) EXACTLY, register
+    * for register (a max over a partitioned multiset equals the max over
+    * the whole — not an approximation, unlike the estimates themselves).
+    * This is what makes register tables composable corpus statistics:
+    * per-source sketches built independently (different days, different
+    * clusters) union into exactly the sketch a single pass over the
+    * combined corpus would build. Full-outer on bucket: a bucket filled
+    * in only one input carries that input's rho. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("rho").as("rho_a"))
+      .join(b.select(col("bucket"), col("rho").as("rho_b")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        greatest(coalesce(col("rho_a"), lit(0L)), coalesce(col("rho_b"), lit(0L))).as("rho"))
+
+  /** Inclusion–exclusion distinct-overlap estimate from three register
+    * tables (driver-side floats, never oracle-compared — the
+    * [[hllEstimate]] discipline): |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B).
+    * The union sketch comes from [[hllMergeRegisters]] — no re-scan of
+    * either corpus. Error compounds across the three estimates (each
+    * ±1.04/√m), so the RELATIVE error on the intersection grows as the
+    * overlap shrinks: fine for "how much vocabulary do these two sources
+    * share", wrong for needle-in-haystack overlaps (use the exact
+    * decontamination joins for those). */
+  def hllIntersectionEstimate(regsA: Seq[(Long, Long)], regsB: Seq[(Long, Long)],
+                              regsUnion: Seq[(Long, Long)], m: Int): Double =
+    hllEstimate(regsA, m) + hllEstimate(regsB, m) - hllEstimate(regsUnion, m)
 
   /** Driver-side HLL estimate from a (collected) register table — the
     * raw HyperLogLog estimator with the small-range linear-counting

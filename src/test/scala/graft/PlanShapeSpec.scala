@@ -180,6 +180,47 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
       "expected a PARTIAL bounded-heap aggregate (map-side combine) in the per-shard build")
   }
 
+  test("pca gram state aggregates map-side; only the flat state crosses the exchange") {
+    // the whole point of GramMatrixAgg vs the posexplode-twice formulation:
+    // partial (map-side) aggregation into one 1+d+d(d+1)/2 long array per
+    // partition, a SinglePartition exchange carrying only serialized states
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Pca.gram(df, "embedding", 64, grid = 1000L)
+      .queryExecution.sparkPlan
+    val objAggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    assert(objAggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "expected a PARTIAL gram aggregate (map-side combine)")
+    // no exchange may carry the embedding column itself — only agg buffers
+    val rawVecs = plan.collect { case e: ShuffleExchangeExec =>
+      e.child.output.filter(_.name == "embedding") }.flatten
+    assert(rawVecs.isEmpty, "gram shuffles raw embedding vectors")
+  }
+
+  test("per-group CMS estimates broadcast the cell table, never shuffle-join it") {
+    // the group-cell table is <= groups x depth x width rows by
+    // construction; probing must plan as a broadcast join so the probe
+    // stream never shuffles on (group, r, c)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(col("text")), "\\s+")).as("tok"))
+    val cells = graft.operators.Sketches.cmsGroupAggregate(toks, "lang", "tok")
+    val probes = toks.limit(10)
+    val plan = graft.operators.Sketches.cmsGroupEstimates(cells, probes, "lang", "tok")
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected the cell table to broadcast")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "per-group CMS probe sort-merge-joins the cell table")
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PcaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def vecsDf(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+  }
+
+  // deterministic pseudo-random stream (no Random seed drift across scala versions)
+  private def noise(i: Int, j: Int): Double = {
+    val h = (i.toLong * 2654435761L + j.toLong * 40503L + 12345L) & 0xffffffL
+    h.toDouble / 0xffffffL.toDouble - 0.5
+  }
+
+  test("jacobiEigen solves a known 2x2 exactly") {
+    // [[2, 1], [1, 2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (values, vectors) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(values(0) - 3.0) < 1e-12 && math.abs(values(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vectors(0)(0) - s) < 1e-12 && math.abs(vectors(0)(1) - s) < 1e-12)
+    assert(math.abs(math.abs(vectors(1)(0)) - s) < 1e-12 &&
+      math.abs(vectors(1)(0) + vectors(1)(1)) < 1e-12)
+  }
+
+  test("jacobiEigen: eigenvalues sum to trace, vectors orthonormal, A v = λ v") {
+    val d = 16
+    // symmetric with dominant structure: M = B^T B for a deterministic B
+    val b = Array.tabulate(d, d)((i, j) => noise(i, j) + (if (i == j) 1.5 else 0.0))
+    val m = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => b(k)(i) * b(k)(j)).sum)
+    val (values, vectors) = Pca.jacobiEigen(m)
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    assert(math.abs(values.sum - trace) < 1e-9 * math.abs(trace))
+    assert(values.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "values must be descending")
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => vectors(i)(k) * vectors(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"orthonormality ($i,$j)")
+    }
+    for (i <- 0 until d) {
+      val av = (0 until d).map(r => (0 until d).map(c => m(r)(c) * vectors(i)(c)).sum)
+      val resid = av.zipWithIndex.map { case (x, r) => x - values(i) * vectors(i)(r) }
+        .map(math.abs).max
+      assert(resid < 1e-8 * math.max(math.abs(values(i)), 1.0), s"A v = λ v for component $i")
+    }
+  }
+
+  test("gram state is exact and partitioning-invariant") {
+    val d = 5
+    val rows = (0 until 200).map(i => (i.toLong, (0 until d).map(j => noise(i, j) * 0.4)))
+    val df = vecsDf(rows)
+    val flat = Pca.gram(df, "embedding", d, grid = 1000L).collect()(0).getSeq[Long](0)
+    val st = Pca.stateOf(flat, d, 1000L)
+    // brute-force the same integer moments
+    val q = rows.map(_._2.map(x => math.round(x * 1000.0)).toArray)
+    assert(st.n === 200L)
+    for (i <- 0 until d) assert(st.sums(i) === q.map(_(i)).sum, s"sum $i")
+    for (i <- 0 until d; j <- i until d)
+      assert(st.gramAt(i, j) === q.map(v => v(i) * v(j)).sum, s"gram ($i,$j)")
+    // a different partitioning lands on the identical state
+    val flat7 = Pca.gram(df.repartition(7), "embedding", d, grid = 1000L)
+      .collect()(0).getSeq[Long](0)
+    assert(flat7 === flat)
+  }
+
+  test("principal components recover a planted direction and project() matches the variance") {
+    val d = 8
+    // planted: dominant variance along (1,1,...,1)/sqrt(d), small isotropic noise
+    val dir = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    val rows = (0 until 400).map { i =>
+      val t = 3.0 * (noise(i, 97) * 2.0) // spread along the planted direction
+      (i.toLong, (0 until d).map(j => t * dir(j) + 0.05 * noise(i, j)))
+    }
+    val df = vecsDf(rows)
+    val (values, comps) = Pca.principalComponents(df, "embedding", d, k = 2, grid = 1000L)
+    // top component aligns with the planted direction
+    val align = math.abs(comps(0).zip(dir).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"top component alignment $align")
+    // λ1 dominates and explains almost everything
+    assert(values(0) > 20.0 * values(1), s"spectrum ${values.take(3).mkString(",")}")
+    // projection onto comp1: integer outputs whose empirical variance
+    // matches λ1 (grid² scale) within 2%
+    val proj = Pca.project(df, "vec_id", "embedding", Array(comps(0)), d)
+      .select(col("proj")(0).as("y")).collect().map(_.getLong(0).toDouble)
+    val meanY = proj.sum / proj.length
+    val varY = proj.map(y => (y - meanY) * (y - meanY)).sum / proj.length
+    // vec grid 1e6 × comp grid 1e6 → proj scales by 1e12, variance by 1e24
+    val expected = values(0) * 1e24
+    assert(math.abs(varY - expected) / expected < 0.02,
+      s"projected variance $varY vs λ1·1e12 = $expected")
+  }
+
+  test("gram filters short and null-element vectors; empty input is loud at stateOf") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f)),          // too short for dim=3
+      (2L, Seq[java.lang.Float](1.0f, null, 3.0f)),    // null element
+      (3L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val flat = Pca.gram(df, "embedding", 3, grid = 1000L).collect()(0).getSeq[Long](0)
+    assert(Pca.stateOf(flat, 3, 1000L).n === 1L, "only the one clean vector counts")
+    // every row invalid -> n = 0 state -> stateOf throws rather than
+    // handing back a basis built from nothing
+    val none = Pca.gram(df.where(col("vec_id") === 2L), "embedding", 3, grid = 1000L)
+      .collect()(0).getSeq[Long](0)
+    intercept[IllegalArgumentException] { Pca.stateOf(none, 3, 1000L) }
+  }
+
+  test("the bare aggregate (no guard) rejects ragged vectors loudly") {
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("q")
+    val err = intercept[Exception] {
+      df.agg(graft.plans.GramMatrixAgg.gramSketch(col("q"), 3).as("g")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("stateOf validates the flat layout") {
+    intercept[IllegalArgumentException] { Pca.stateOf(Seq(1L, 2L, 3L), 4, 1000L) }
+  }
+}

@@ -153,4 +153,82 @@ class SketchesSpec extends AnyFunSuite {
       depth = 4, width = 512).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  // ---- per-group CMS (round 14: the frequency sibling of hllGroupRegisters) ----
+
+  private def groupKeysDf(rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("g", "k")
+  }
+
+  test("per-group CMS estimates per-group counts independently and never underestimates") {
+    val rows = Seq.fill(40)(("en", "alpha")) ++ Seq.fill(3)(("en", "beta")) ++
+      Seq.fill(7)(("de", "alpha")) ++ Seq.fill(11)(("de", "gamma"))
+    val cells = Sketches.cmsGroupAggregate(groupKeysDf(scala.util.Random.shuffle(rows)), "g", "k")
+    val probes = groupKeysDf(Seq(("en", "alpha"), ("en", "beta"), ("en", "gamma"),
+      ("de", "alpha"), ("de", "gamma")))
+    val est = Sketches.cmsGroupEstimates(cells, probes, "g", "k")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 2-3 keys per group in 4x1024 cells: equality expected, and a key
+    // absent FROM ITS GROUP reads 0 even though it is present in the other
+    assert(est === Map(("en", "alpha") -> 40L, ("en", "beta") -> 3L, ("en", "gamma") -> 0L,
+      ("de", "alpha") -> 7L, ("de", "gamma") -> 11L))
+  }
+
+  test("per-group CMS cell table is bounded by groups x depth x width and merges by sum") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"key$i"))
+    val df = groupKeysDf(rows)
+    val cells = Sketches.cmsGroupAggregate(df, "g", "k", depth = 4, width = 64)
+    assert(cells.count() <= 3L * 4L * 64L)
+    // additivity: cells(A) + cells(B) == cells(A union B), cell for cell
+    val (a, b) = (df.where(col("k").substr(4, 1).isin("1", "3", "5", "7", "9")),
+      df.where(!col("k").substr(4, 1).isin("1", "3", "5", "7", "9")))
+    val merged = Sketches.cmsGroupAggregate(a, "g", "k", depth = 4, width = 64)
+      .unionAll(Sketches.cmsGroupAggregate(b, "g", "k", depth = 4, width = 64))
+      .groupBy("g", "r", "c").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsGroupAggregate(df, "g", "k", depth = 4, width = 64)
+    assert(merged.as("m").join(whole.as("w"),
+      Seq("g", "r", "c"), "full_outer")
+      .where(col("m.cnt").isNull || col("w.cnt").isNull || col("m.cnt") =!= col("w.cnt"))
+      .count() === 0L)
+  }
+
+  test("per-group CMS params stamp guards mismatched probes") {
+    val cells = Sketches.cmsGroupAggregate(groupKeysDf(Seq(("g", "a"))), "g", "k",
+      depth = 4, width = 512)
+    val err = intercept[IllegalArgumentException] {
+      Sketches.cmsGroupEstimates(cells, groupKeysDf(Seq(("g", "a"))), "g", "k",
+        depth = 4, width = 1024)
+    }
+    assert(err.getMessage.contains("width=512"))
+  }
+
+  // ---- HLL register set algebra (round 14) ----
+
+  test("hllMergeRegisters is EXACTLY the union's register table (max law)") {
+    val a = keysDf((1 to 700).map(i => s"a$i"))
+    val b = keysDf((400 to 1200).map(i => if (i <= 700) s"a$i" else s"b$i"))
+    val merged = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(a, "k"), Sketches.hllRegisters(b, "k"))
+    val union = Sketches.hllRegisters(a.unionAll(b), "k")
+    assert(merged.as("m").join(union.as("u"), Seq("bucket"), "full_outer")
+      .where(col("m.rho").isNull || col("u.rho").isNull || col("m.rho") =!= col("u.rho"))
+      .count() === 0L)
+  }
+
+  test("inclusion-exclusion intersection estimate tracks the exact overlap") {
+    // |A| = 3000, |B| = 3000, |A ∩ B| = 2000 — the vocab-overlap regime
+    // the operator is for (overlap a large fraction of either side)
+    val a = keysDf((1 to 3000).map(i => s"v$i"))
+    val b = keysDf((1001 to 4000).map(i => s"v$i"))
+    val collect = (df: DataFrame) => df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val regsA = collect(Sketches.hllRegisters(a, "k"))
+    val regsB = collect(Sketches.hllRegisters(b, "k"))
+    val regsU = collect(Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(a, "k"), Sketches.hllRegisters(b, "k")))
+    val est = Sketches.hllIntersectionEstimate(regsA, regsB, regsU, 1024)
+    // each estimate carries ~1.04/sqrt(1024) ≈ 3.3% rse; three of them
+    // against a 2/3-of-side overlap stays well inside 20%
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.20, s"intersection estimate $est vs 2000")
+  }
 }
