@@ -162,6 +162,24 @@ object ScaleCheck {
     "hll_group_distinct", "hll_group_registers_only", "group_quantile_kll",
     "sketch_store_roundtrip", "text_compress_ratio", "text_repetition",
     "cc_chain_star_novalidate",
+    // round-14 batch 2: the streamed HLL (state <= m registers by
+    // construction — bytes must stay in the register-partial constant
+    // class); the per-group CMS (cells Θ(groups·depth·width) + the exact
+    // top-3 comparator as the corpus-linear term); the register set
+    // algebra (three register builds + the corpus-linear exact-overlap
+    // comparator); and PCA (the gram aggregate's shuffle is ONE flat
+    // d²-state per partition — bytes must be ~flat while the scan term
+    // carries the wall)
+    "stream_hll", "cms_group_topk", "hll_intersection", "pca_project",
+    // the kNN production twin: nLists scales with the corpus (buckets
+    // pinned ~512 vectors), so per-bucket pair work is flat and the
+    // probe shuffle is rows × nProbe — the measured proof of the
+    // "nLists must grow" lever documented on knnJoin
+    "knn_graph_only",
+    // the windowed streaming HLL: state = windows-in-horizon × m
+    // registers, watermark-evicted; bytes must stay in the
+    // register-partial class while the event stream grows 10×
+    "stream_hll_window",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

@@ -253,6 +253,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-points k-nearest-neighbor graph via IVF buckets — the neighbor
+    * structure SemDeDup-style clustering, hard-negative mining, and graph
+    * dedup consume. [[topK]]/[[ivfTopK]] answer ONE query; this joins the
+    * corpus against itself, bounded everywhere:
+    *
+    *   1. one narrow codegen pass assigns every vector to its nearest
+    *      list AND picks its `nProbe` nearest lists to probe (2·nLists
+    *      dot products per row, no shuffle);
+    *   2. the probe side explodes to rows × nProbe and joins the
+    *      assignment side on `list_id` — the ONLY corpus shuffle, keyed
+    *      on the bounded list domain;
+    *   3. within each bucket, candidate cosines feed a bounded-heap
+    *      per-vector top-k ([[graft.plans.TopKAggregate.topKByScore]]) —
+    *      partials combine map-side, so the second exchange carries ≤ k
+    *      pairs per vector, never the candidate lists.
+    *
+    * Scale levers, same story as [[cosinePairsLsh]]: per-bucket work is
+    * |probes ∩ bucket| × |bucket|, so `nLists` MUST grow with the corpus
+    * (n/nLists vectors per bucket keeps per-bucket cost flat while the
+    * bucket count carries the growth); the `maxBucket` guard throws
+    * loudly when a bucket exceeds the declared budget instead of letting
+    * a quadratic job limp. `nProbe = nLists` degrades to the EXACT kNN
+    * join (every pair considered once — assignment lists partition the
+    * corpus, probes are distinct), which is the oracle's configuration;
+    * recall at partial probe is quantizer-dependent and contract-checked
+    * against the exact join.
+    *
+    * Cosines land on the integer ppm grid (`round(cos·1e6)` — the
+    * `decontaminate_semantic` discipline) so ranking ties break
+    * identically in any engine; rank order is (cos_ppm DESC, nbr ASC).
+    * Output: (vec_id, rank, nbr_id, cos_ppm), ≤ k rows per vector. */
+  def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None,
+              maxBucket: Long = 1000000L): DataFrame = {
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
+    val cents = centroids.getOrElse(sampleCentroids(df, idCol, embCol, nLists))
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val e = col("emb").cast("array<double>")
+    // probe lists per vector: indexes of the nProbe highest-cosine
+    // centroids, via a lexicographic struct sort (codegen'd; ties by
+    // list index — deterministic)
+    val probeArr = slice(transform(array_sort(array((0 until nLists).map { i =>
+      struct((-(dotLit(e, cents(i)) /
+          greatest(norm(e) * lit(centNorms(i)), lit(1e-300)))).as("d"),
+        lit(i).as("i"))
+    }: _*)), x => x.getField("i")), 1, nProbe)
+    val assigned = ivfAssign(df, idCol, embCol, cents)
+      .where(col("list_id") >= 0)
+      .withColumn("probes", probeArr)
+      .persist()
+    val bucketMax = assigned.groupBy(col("list_id")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
+    require(bucketMax <= maxBucket,
+      s"knnJoin: largest IVF bucket has $bucketMax vectors (> maxBucket=$maxBucket) — " +
+        s"raise nLists (buckets must shrink as the corpus grows) or the budget")
+    val queries = assigned.select(col("vec_id"), col("emb"),
+      explode(col("probes")).as("list_id"))
+    val members = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),
+      col("emb").as("nbr_emb"))
+    val qe = col("emb").cast("array<double>")
+    val ne = col("nbr_emb").cast("array<double>")
+    val cosPpm = round(graft.plans.VectorExpressions.dot(qe, ne) /
+      greatest(norm(qe) * norm(ne), lit(1e-300)) * 1e6, 0)
+    val topk = queries.join(members, Seq("list_id"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), cosPpm.as("cos_ppm"), col("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(graft.plans.TopKAggregate.topKByScore(col("cos_ppm"), col("nbr_id"), k).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("p", "e")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("rank"),
+        col("e.id").as("nbr_id"), col("e.score").cast("long").as("cos_ppm"))
+    graft.operators.Partitioning.releaseAfterUse(topk, assigned)
+  }
+
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for
     * candidates, exact cosine verification within buckets.
     *

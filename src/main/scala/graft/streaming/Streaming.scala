@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -36,6 +36,42 @@ object Streaming {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** Distinct-cardinality HLL registers per tumbling event-time window —
+    * "distinct users per hour" as bounded streaming state, the windowed
+    * composition of the register discipline in
+    * [[graft.operators.Sketches.hllRegisters]] (same md5 slices: bucket =
+    * hex[1..3] mod m, rho from the 60-bit hex[4..18] slice — both engines
+    * replay every register).
+    *
+    * State is ≤ windows-in-horizon × m register rows: the max-aggregate
+    * combines duplicates map-side within each micro-batch, and the
+    * watermark evicts a window's registers once it closes — the exact
+    * cardinality alternative (`count_distinct` per window) would hold
+    * every distinct key in the horizon in state. APPEND output: a
+    * window's registers emit ONCE, when the watermark passes the window
+    * end — so under a single-batch AvailableNow run, windows still open
+    * at the final watermark (max event time − delay) are NOT emitted;
+    * the oracle replays that cutoff, the same stated-semantics trade as
+    * [[sessionize]]. */
+  def windowedHllRegisters(events: DataFrame, tsCol: String, keyCol: String,
+                           m: Int = 256, windowLength: String = "1 hour",
+                           watermark: String = "10 minutes"): DataFrame = {
+    require(m >= 16 && 4096 % m == 0,
+      s"m must divide 4096 for a uniform bucket reduction, got $m")
+    def hexSlice(c: Column, s: Int, l: Int): Column =
+      conv(substring(md5(c), s, l), 16, 10).cast("long")
+    val k = col(s"`$keyCol`")
+    val v = hexSlice(k, 4, 15)
+    events.where(k.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        (hexSlice(k, 1, 3) % m).as("bucket"),
+        when(v === 0L, lit(61L)).otherwise(lit(61L) - length(bin(v))).as("rho"))
+      .groupBy(window(col(tsCol), windowLength), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("window.start").as("ws"), col("bucket"), col("rho"))
+  }
 
   /** Gap-based sessionization with flatMapGroupsWithState and EVENT-TIME
     * timeouts: a session closes when a same-user event arrives past the gap

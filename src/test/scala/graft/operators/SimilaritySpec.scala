@@ -290,4 +290,54 @@ class SimilaritySpec extends AnyFunSuite {
         k = 5, nCandidates = 500)
     }
   }
+
+  // ---- knnJoin (round 14: the all-points neighbor graph) ----
+
+  private def bruteKnn(rows: Seq[(Long, Array[Float])], k: Int): Seq[(Long, Long, Long, Long)] =
+    rows.flatMap { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val nv = math.sqrt(vd.map(x => x * x).sum)
+      rows.filter(_._1 != id).map { case (oid, o) =>
+        val od = o.map(_.toDouble)
+        val no = math.sqrt(od.map(x => x * x).sum)
+        val cos = vd.zip(od).map { case (a, b) => a * b }.sum / math.max(nv * no, 1e-300)
+        (oid, math.round(cos * 1e6))
+      }.sortBy { case (oid, ppm) => (-ppm, oid) }.take(k)
+        .zipWithIndex.map { case ((oid, ppm), r) => (id, (r + 1).toLong, oid, ppm) }
+    }
+
+  test("knnJoin at full probe equals the brute-force kNN graph exactly") {
+    val rows = (0L until 60L).map(i => i -> randUnit(16))
+    val got = Similarity.knnJoin(vecs(rows: _*), "vec_id", "embedding", k = 3,
+        nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === bruteKnn(rows, 3).sortBy(t => (t._1, t._2)))
+  }
+
+  test("knnJoin pruned probing: bounded output, no self edges, high recall on clustered data") {
+    // 4 tight clusters: neighbors live in the probed (own) list, so
+    // pruned recall is structural, not luck
+    val centers = (0 until 4).map(_ => randUnit(16))
+    val rows = (0L until 120L).map(i => i -> jitter(centers((i % 4).toInt), 0.05f))
+    val df = vecs(rows: _*)
+    val exact = Similarity.knnJoin(df, "vec_id", "embedding", k = 3, nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pruned = Similarity.knnJoin(df, "vec_id", "embedding", k = 3, nLists = 4, nProbe = 1,
+        centroids = Some(centers.map(_.map(_.toDouble)).toArray))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pruned.forall { case (v, _, n) => v != n }, "self edge")
+    assert(pruned.groupBy(_._1).forall(_._2.length <= 3), "more than k per vector")
+    val recall = pruned.map(t => (t._1, t._3)).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall on well-clustered data")
+  }
+
+  test("knnJoin maxBucket guard throws before a quadratic bucket job") {
+    val rows = (0L until 50L).map(i => i -> randUnit(8))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(vecs(rows: _*), "vec_id", "embedding", k = 2,
+        nLists = 2, nProbe = 1, maxBucket = 5L)
+    }
+    assert(err.getMessage.contains("maxBucket"))
+  }
 }

@@ -37,6 +37,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedHllRegisters: append emits closed windows only, registers are duplicate-insensitive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Event]
+    val src = input.toDF().select(col("ts"), col("user_id").cast("string").as("uid"))
+    val q = Streaming.windowedHllRegisters(src, "ts", "uid", m = 16,
+        windowLength = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("whll_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+        Streaming.Event(2, ts("2024-01-01 10:06:00"), 7, "click", 1.0), // dup user
+        Streaming.Event(3, ts("2024-01-01 10:07:00"), 8, "view", 1.0),
+        Streaming.Event(4, ts("2024-01-01 11:30:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      // watermark = 11:30 - 10 min: the 10:00 window is closed, 11:00 open
+      input.addData(Streaming.Event(5, ts("2024-01-01 12:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val byWindow = spark.table("whll_out").collect()
+        .map(r => (r.getAs[Timestamp]("ws").toString, r.getAs[Long]("bucket"), r.getAs[Long]("rho")))
+        .groupBy(_._1)
+      // only fully-closed windows emitted; 12:00 is still open
+      assert(byWindow.keySet === Set("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0"))
+      // the 10:00 window saw two DISTINCT users -> at most 2 registers
+      // (duplicate events cannot add registers), each with rho >= 1
+      val w10 = byWindow("2024-01-01 10:00:00.0")
+      assert(w10.length <= 2 && w10.forall(_._3 >= 1L))
+      // batch-equivalence: the streamed registers equal Sketches.hllRegisters
+      // over the same closed window's keys
+      val batch = graft.operators.Sketches.hllRegisters(
+          Seq("7", "8").toDF("uid"), "uid", m = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(w10.map(t => (t._2, t._3)).toSet === batch)
+    } finally q.stop()
+  }
+
   test("enrichStatic joins each micro-batch against the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
