@@ -745,6 +745,54 @@ object SparkEntry {
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("y"))
   }
 
+  /** The PCA moment state as an INCREMENTAL, STORABLE corpus statistic
+    * (round 14) — the gram-family member of the `sketch_store_roundtrip`
+    * cycle: day-0 builds per-shard states ([[graft.operators.Pca
+    * .gramByGroup]] — the aggregate composing with groupBy), persists
+    * them through the partitioned sink, day-1 reloads and merges them
+    * with a fresh batch's shard states by element-wise sum
+    * ([[graft.operators.Pca.mergeStates]]) — and the merged state must
+    * equal the single-pass whole-corpus state ELEMENT FOR ELEMENT,
+    * because every entry is an exact integer sum. That equality is what
+    * makes covariance (and the PCA basis) updatable across daily runs
+    * without rescanning history. The oracle replays the whole-corpus
+    * moments (n, trace, both checksums) and pins n_mismatch = 0. */
+  private def qGramStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = table(spark, dir, "embeddings")
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_gram_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    def half(p: Int) = emb.where(col("vec_id") % 2 === p)
+    def shardStates(d: DataFrame) = graft.operators.Pca.gramByGroup(
+      d.withColumn("shard", pmod(col("vec_id"), lit(4L))), "shard", "embedding", dim)
+    // day 0: persist the per-shard states (arrays survive parquet as-is)
+    graft.sources.Sinks.writePartitioned(shardStates(half(0)),
+      storeDir.getAbsolutePath, Seq("shard"), filesPerPartition = 1)
+    // day 1: reload + fresh batch, one distributed element-wise merge
+    val reloaded = spark.read.parquet(storeDir.getAbsolutePath)
+      .select(col("g").cast("array<long>").as("g"))
+    val merged = graft.operators.Pca.mergeStates(
+      reloaded.unionByName(shardStates(half(1)).select(col("g"))))
+    val whole = graft.operators.Pca.gram(emb, "embedding", dim)
+    // element-for-element: any drifted entry fails the compare
+    val m = merged.collect()(0).getSeq[Long](0)
+    val w = whole.collect()(0).getSeq[Long](0)
+    val nMismatch = m.zipAll(w, Long.MinValue, Long.MaxValue)
+      .count { case (a, b) => a != b }.toLong
+    val st = graft.operators.Pca.stateOf(w, dim, 1000L)
+    val mod = 1000000007L
+    val sumsChecksum = st.sums.zipWithIndex
+      .map { case (s, i) => (i + 1) * (s % 1000003L) }.sum % mod
+    val gramChecksum = (0 until dim).flatMap(i => (i until dim).map(j =>
+      (i.toLong * dim + j + 1) * (st.gramAt(i, j) % 1000003L))).sum % mod
+    val traceQ = (0 until dim).map(i => st.gramAt(i, i)).sum
+    import spark.implicits._
+    Seq((st.n, (1 + dim + dim * (dim + 1) / 2).toLong, nMismatch,
+      traceQ, sumsChecksum, gramChecksum))
+      .toDF("n", "state_len", "n_mismatch", "trace_q", "sums_checksum", "gram_checksum")
+  }
+
   /** PCA over the embeddings table (round 14) — the data-ADAPTIVE
     * dimensionality reduction next to `embed_project`'s data-oblivious
     * JL: ONE statistics pass accumulates the exact integer second-moment
@@ -1688,6 +1736,35 @@ object SparkEntry {
     import spark.implicits._
     Seq((nVec, 3L, prunedN, served, selfEdges, recallOk))
       .toDF("n_vectors", "k", "n_edges", "n_served", "n_self_edges", "recall_ok")
+  }
+
+  /** Mutual-kNN clustering (round 14): the composition the kNN graph
+    * exists for — keep edges present in BOTH directions (the standard
+    * mutual-kNN sparsifier: an asymmetric neighbor claim is usually a
+    * hub artifact), then connected components over the mutual edges.
+    * Full-probe kNN so DuckDB replays the whole pipeline: brute-force
+    * graph → mutual filter → recursive-CTE closure → min-label
+    * components. Spark runs the same composition at scale shape:
+    * bucketed kNN join → one self-join on the ≤ k·n edge set →
+    * star-contraction CC — mutual-kNN graphs chain through neighbor
+    * links (this corpus's graph exceeds a 20-hop min-label budget at
+    * sf0.01), exactly the deep-graph regime `connectedComponentsStar`'s
+    * O(log² n) rounds exist for. */
+  private def qKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Similarity.knnJoin(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8)
+      .select(col("vec_id"), col("nbr_id"))
+    val mutual = edges.as("x").join(edges.as("y"),
+        col("x.vec_id") === col("y.nbr_id") && col("x.nbr_id") === col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("x.nbr_id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    graft.operators.CcStar.connectedComponentsStar(mutual)
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        countDistinct(col("component")).as("n_clusters"),
+        coalesce(sum(col("component") % 1000003), lit(0L)).cast("long").as("comp_checksum"),
+        coalesce(sum(col("id")), lit(0L)).cast("long").as("node_id_sum"))
   }
 
   /** Production twin of the kNN graph (the `hll_registers_only` role):
@@ -4532,6 +4609,8 @@ object SparkEntry {
     "knn_graph" -> qKnnGraph,
     "knn_graph_pruned" -> qKnnGraphPruned,
     "knn_graph_only" -> qKnnGraphOnly,
+    "knn_clusters" -> qKnnClusters,
+    "gram_store_merge" -> qGramStoreMerge,
     "decontaminate_semantic" -> qDecontaminateSemantic,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
@@ -5419,7 +5498,9 @@ object SparkEntry {
     * (each is a theorem for a correct symmetric eigensolver; the Spark
     * side computes them honestly against its own basis and the in-plan
     * projection variance). */
-  private val pcaProjectOracleSql: String =
+  /** The exact-integer moment CTEs shared by the PCA oracles: x1e3-grid
+    * quantization, Σ qᵢ and the upper-triangular Σ qᵢqⱼ. */
+  private val pcaMomentsCte: String =
     "WITH v AS (SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS q " +
       "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64 " +
       "AND len(list_filter(embedding, x -> x IS NULL)) = 0), " +
@@ -5427,7 +5508,10 @@ object SparkEntry {
       "(SELECT unnest(range(0, 64)) AS j) b WHERE b.j >= a.i), " +
       "g AS (SELECT i, j, sum(q[i + 1] * q[j + 1])::BIGINT AS gij FROM v, ij GROUP BY i, j), " +
       "s AS (SELECT a.i AS i, sum(q[a.i + 1])::BIGINT AS si FROM v, " +
-      "(SELECT unnest(range(0, 64)) AS i) a GROUP BY a.i) " +
+      "(SELECT unnest(range(0, 64)) AS i) a GROUP BY a.i) "
+
+  private val pcaProjectOracleSql: String =
+    pcaMomentsCte +
       "SELECT (SELECT count(*) FROM v)::BIGINT AS n, 64::BIGINT AS d, " +
       "(SELECT sum(CASE WHEN i = j THEN gij ELSE 0 END) FROM g)::BIGINT AS trace_q, " +
       "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
@@ -5435,6 +5519,39 @@ object SparkEntry {
       "1::BIGINT AS eig_trace_ok, 1::BIGINT AS eig_sorted_ok, " +
       "1::BIGINT AS eig_orthonormal_ok, 1::BIGINT AS eig_dominates_axes, " +
       "1::BIGINT AS proj_var_ok"
+
+  /** Shard-built + stored + merged gram state == the single-pass state:
+    * the oracle replays the whole-corpus moments and pins n_mismatch = 0
+    * (any drifted element fails the compare Spark-side). */
+  private val gramStoreMergeOracleSql: String =
+    pcaMomentsCte +
+      "SELECT (SELECT count(*) FROM v)::BIGINT AS n, 2145::BIGINT AS state_len, " +
+      "0::BIGINT AS n_mismatch, " +
+      "(SELECT sum(CASE WHEN i = j THEN gij ELSE 0 END) FROM g)::BIGINT AS trace_q, " +
+      "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
+      "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum"
+
+  /** The mutual-kNN clustering replayed end to end: brute-force kNN on
+    * the ppm grid, mutual filter, transitive closure by recursive CTE,
+    * min-label components. */
+  private val knnClustersOracleSql: String =
+    "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, " +
+      "round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), " +
+      "list_transform(b.embedding, x -> x::DOUBLE)) * 1000000)::BIGINT AS cos_ppm " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+      "r AS (SELECT vec_id, nbr_id, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, nbr_id) AS rank FROM p), " +
+      "knn AS (SELECT vec_id, nbr_id FROM r WHERE rank <= 3), " +
+      "mu AS (SELECT a.vec_id AS ida, a.nbr_id AS idb FROM knn a " +
+      "JOIN knn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id WHERE a.vec_id < a.nbr_id), " +
+      "e AS (SELECT ida AS s, idb AS d FROM mu UNION ALL SELECT idb AS s, ida AS d FROM mu), " +
+      "nodes AS (SELECT DISTINCT s AS id FROM e), " +
+      "walk AS (SELECT id, id AS reach FROM nodes " +
+      "UNION SELECT w.id, e.d AS reach FROM walk w JOIN e ON e.s = w.reach), " +
+      "comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id) " +
+      "SELECT count(*)::BIGINT AS n_nodes, count(DISTINCT component)::BIGINT AS n_clusters, " +
+      "coalesce(sum(component % 1000003), 0)::BIGINT AS comp_checksum, " +
+      "coalesce(sum(id), 0)::BIGINT AS node_id_sum FROM comp"
 
   /** The full-probe kNN graph replayed by brute force on the shared ppm
     * grid: every ordered pair's cosine (double-cast lists, the
@@ -5661,6 +5778,8 @@ object SparkEntry {
     "knn_graph" -> knnGraphOracleSql,
     "knn_graph_pruned" -> knnGraphPrunedOracleSql,
     "knn_graph_only" -> knnGraphOnlyOracleSql,
+    "knn_clusters" -> knnClustersOracleSql,
+    "gram_store_merge" -> gramStoreMergeOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state
     // as the streamed one — same oracle, different plan under test
     "cms_cells_only" -> streamCmsOracleSql,

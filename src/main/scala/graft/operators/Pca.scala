@@ -43,6 +43,33 @@ object Pca {
       .agg(graft.plans.GramMatrixAgg.gramSketch(quantize(emb, dim, grid), dim).as("g"))
   }
 
+  /** Per-group second-moment states: (group, g) — the gram aggregate
+    * composing with `groupBy`, one flat state per group combining
+    * map-side. The building block for per-source PCA and for shard-built
+    * incremental states ([[mergeStates]]). */
+  def gramByGroup(df: DataFrame, groupCol: String, embCol: String, dim: Int,
+                  grid: Long = 1000L): DataFrame = {
+    val emb = col(s"`$embCol`").cast("array<double>")
+    val g = col(s"`$groupCol`")
+    df.where(g.isNotNull && emb.isNotNull && size(emb) >= dim && !exists(emb, _.isNull))
+      .groupBy(g.as(groupCol))
+      .agg(graft.plans.GramMatrixAgg.gramSketch(quantize(emb, dim, grid), dim).as("g"))
+  }
+
+  /** Merge gram states by element-wise sum — the second-moment
+    * composability law: states built over disjoint shards (different
+    * days, different clusters, a reloaded store) sum into EXACTLY the
+    * state one pass over the union would build, because every entry is a
+    * plain integer sum. Distributed (posexplode + keyed sum — states are
+    * 1+d+d(d+1)/2 rows each, never corpus-sized); ANSI mode keeps the
+    * sums overflow-loud like the aggregate's `addExact`. Returns one row,
+    * one column `g`. */
+  def mergeStates(states: DataFrame): DataFrame =
+    states.select(posexplode(col("g")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("x"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        p => p.getField("x")).as("g"))
+
   /** Driver-side view of a collected gram state. All float math lives in
     * here, on d²-sized data. */
   final case class GramState(n: Long, sums: Array[Long], upper: Array[Long],

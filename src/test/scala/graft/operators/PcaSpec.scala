@@ -124,4 +124,31 @@ class PcaSpec extends AnyFunSuite {
   test("stateOf validates the flat layout") {
     intercept[IllegalArgumentException] { Pca.stateOf(Seq(1L, 2L, 3L), 4, 1000L) }
   }
+
+  test("gramByGroup equals independent gram runs per group") {
+    import org.apache.spark.sql.functions.col
+    val d = 4
+    val rows = (0 until 120).map(i => (i.toLong, (0 until d).map(j => noise(i, j))))
+    val df = vecsDf(rows).withColumn("grp", col("vec_id") % 3)
+    val byGroup = Pca.gramByGroup(df, "grp", "embedding", d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (g <- 0L until 3L) {
+      val solo = Pca.gram(df.where(col("grp") === g), "embedding", d)
+        .collect()(0).getSeq[Long](0)
+      assert(byGroup(g) === solo, s"group $g state")
+    }
+  }
+
+  test("mergeStates: shard states sum to EXACTLY the single-pass state") {
+    import org.apache.spark.sql.functions.col
+    val d = 6
+    val rows = (0 until 200).map(i => (i.toLong, (0 until d).map(j => noise(i, j))))
+    val df = vecsDf(rows)
+    val shards = Pca.gramByGroup(
+      df.withColumn("shard", col("vec_id") % 5), "shard", "embedding", d)
+    val merged = Pca.mergeStates(shards.select(col("g")))
+      .collect()(0).getSeq[Long](0)
+    val whole = Pca.gram(df, "embedding", d).collect()(0).getSeq[Long](0)
+    assert(merged === whole)
+  }
 }
