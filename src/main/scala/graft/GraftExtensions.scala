@@ -226,5 +226,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_kll_sketch expects 2 arguments: value, capacity")
         graft.plans.KllSketchAgg(children(0), litInt(children(1), "capacity"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_matrix"),
+      new ExpressionInfo("graft", "graft_gram_matrix",
+        "graft_gram_matrix(qvec, d) - aggregate: exact integer second-moment state " +
+          "[n, sums(d), upper-tri products(d(d+1)/2)] over array<bigint> quantized vectors"),
+      { children: Seq[Expression] =>
+        if (children.length != 2)
+          throw new IllegalArgumentException("graft_gram_matrix expects 2 arguments: qvec, d")
+        graft.plans.GramMatrixAgg(children(0), litInt(children(1), "d"))
+      }))
   }
 }

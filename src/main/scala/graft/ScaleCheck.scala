@@ -180,6 +180,17 @@ object ScaleCheck {
     // registers, watermark-evicted; bytes must stay in the
     // register-partial class while the event stream grows 10×
     "stream_hll_window",
+    // round-14 batch 3: the indexed kNN probe (the fixed 50-vector batch
+    // against a growing stored index — cost is batch × bucket, corpus
+    // never rescanned), the incremental gram store (2145-long states
+    // through the sink — constant-class), and whitening (one moment pass
+    // + a narrow literal-basis projection — the pca_project shape twice)
+    "knn_incremental", "gram_store_merge", "pca_whiten",
+    // knn_clusters and knn_graph are deliberately NOT here: their exact
+    // full-probe configuration is the ORACLE'S setting (every pair
+    // considered — quadratic by design, like embed_pairs_exact); the
+    // production path is knn_graph_only's pruned adaptive-nLists shape,
+    // measured above
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

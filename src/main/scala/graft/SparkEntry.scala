@@ -745,6 +745,58 @@ object SparkEntry {
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("y"))
   }
 
+  /** PCA WHITENING over the embeddings (round 14): project onto the top-8
+    * components scaled by 1/√λ ([[graft.operators.Pca.whitenComponents]])
+    * — the standard embedding preprocessing before cosine/ANN work when
+    * raw dimensions carry uneven energy. Same machinery as `pca_project`
+    * (one moment pass, driver eigensolve, literal-basis projection); the
+    * contract ties the WHOLE pipeline together: the in-plan integer
+    * projections must come out with unit variance per component and zero
+    * cross-covariance (|·| ≤ 0.02 on the 1e24 grid scale) — true only if
+    * the moment state, the eigensolve, the whitening scale, AND the
+    * projection all agree. Oracle replays the moment state and pins the
+    * contract booleans. */
+  private def qPcaWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val k = 8
+    val emb = table(spark, dir, "embeddings")
+    val flat = graft.operators.Pca.gram(emb, "embedding", dim, grid = 1000L)
+      .collect()(0).getSeq[Long](0)
+    val st = graft.operators.Pca.stateOf(flat, dim, 1000L)
+    val (values, vectors) = graft.operators.Pca.jacobiEigen(st.covariance)
+    val wcomps = graft.operators.Pca.whitenComponents(values, vectors, k)
+    val proj = graft.operators.Pca.project(emb, "vec_id", "embedding", wcomps, dim)
+    val kk = wcomps.length
+    val ys = (0 until kk).map(j => col("proj")(j).cast("double").as(s"y$j"))
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 until kk).map(j => sum(col(s"y$j")).as(s"s$j")) ++
+      (for (a <- 0 until kk; b <- a until kk)
+        yield sum(col(s"y$a") * col(s"y$b")).as(s"p${a}_$b"))
+    val r = proj.select(ys: _*).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getDouble(0)
+    val mean = (0 until kk).map(j => r.getDouble(1 + j) / n)
+    val scale = 1e24 // vec grid 1e6 × component grid 1e6, squared moments
+    var idx = 1 + kk
+    var unitVarOk = true
+    var decorrOk = true
+    for (a <- 0 until kk; b <- a until kk) {
+      val cov = (r.getDouble(idx) / n - mean(a) * mean(b)) / scale
+      if (a == b) { if (math.abs(cov - 1.0) > 0.02) unitVarOk = false }
+      else if (math.abs(cov) > 0.02) decorrOk = false
+      idx += 1
+    }
+    val mod = 1000000007L
+    val sumsChecksum = st.sums.zipWithIndex
+      .map { case (s, i) => (i + 1) * (s % 1000003L) }.sum % mod
+    val gramChecksum = (0 until dim).flatMap(i => (i until dim).map(j =>
+      (i.toLong * dim + j + 1) * (st.gramAt(i, j) % 1000003L))).sum % mod
+    val b = (x: Boolean) => if (x) 1L else 0L
+    import spark.implicits._
+    Seq((st.n, kk.toLong, sumsChecksum, gramChecksum, b(unitVarOk), b(decorrOk)))
+      .toDF("n", "k_kept", "sums_checksum", "gram_checksum",
+        "unit_var_ok", "decorrelated_ok")
+  }
+
   /** The PCA moment state as an INCREMENTAL, STORABLE corpus statistic
     * (round 14) — the gram-family member of the `sketch_store_roundtrip`
     * cycle: day-0 builds per-shard states ([[graft.operators.Pca
@@ -1736,6 +1788,38 @@ object SparkEntry {
     import spark.implicits._
     Seq((nVec, 3L, prunedN, served, selfEdges, recallOk))
       .toDF("n_vectors", "k", "n_edges", "n_served", "n_self_edges", "recall_ok")
+  }
+
+  /** Incremental kNN against a MATERIALIZED IVF index (round 14) — the
+    * ANN sibling of `dedup_incremental`'s band index: day-0 assigns the
+    * corpus to inverted lists ONCE and writes the assignment
+    * `partitionBy("list_id")`; day-1's batch probes the reloaded store
+    * without any corpus rescan or corpus shuffle — the batch routes to
+    * its probe lists narrowly, joins only those buckets, and cuts to ≤ k
+    * per batch vector map-side. Full probe here (the exact
+    * configuration), so DuckDB replays batch × corpus by brute force on
+    * the ppm grid; the centroids travel WITH the index (a params sidecar
+    * requirement the operator enforces by making them a required
+    * argument). */
+  private def qKnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val corpus = emb.where(col("vec_id") >= 50)
+    val batch = emb.where(col("vec_id") < 50)
+    val cents = graft.operators.Similarity.sampleCentroids(
+      corpus, "vec_id", "embedding", 8)
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_index_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    graft.sources.Sinks.writePartitioned(
+      graft.operators.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+        .where(col("list_id") >= 0),
+      storeDir.getAbsolutePath, Seq("list_id"), filesPerPartition = 1)
+    val index = spark.read.parquet(storeDir.getAbsolutePath)
+      .select(col("vec_id").cast("long").as("vec_id"), col("emb"),
+        col("list_id").cast("int").as("list_id"))
+    graft.operators.Similarity.knnProbeIndexed(
+        index, batch, "vec_id", "embedding", cents, k = 3, nProbe = 8)
+      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** Mutual-kNN clustering (round 14): the composition the kNN graph
@@ -4610,7 +4694,9 @@ object SparkEntry {
     "knn_graph_pruned" -> qKnnGraphPruned,
     "knn_graph_only" -> qKnnGraphOnly,
     "knn_clusters" -> qKnnClusters,
+    "knn_incremental" -> qKnnIncremental,
     "gram_store_merge" -> qGramStoreMerge,
+    "pca_whiten" -> qPcaWhiten,
     "decontaminate_semantic" -> qDecontaminateSemantic,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
@@ -5520,6 +5606,19 @@ object SparkEntry {
       "1::BIGINT AS eig_orthonormal_ok, 1::BIGINT AS eig_dominates_axes, " +
       "1::BIGINT AS proj_var_ok"
 
+  /** Batch-probes-index replayed by brute force: every (batch, corpus)
+    * pair's ppm cosine, rank per batch vector — the full-probe config
+    * considers every pair exactly once through the stored buckets. */
+  private val knnIncrementalOracleSql: String =
+    "WITH p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, " +
+      "round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), " +
+      "list_transform(b.embedding, x -> x::DOUBLE)) * 1000000)::BIGINT AS cos_ppm " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < 50 AND b.vec_id >= 50), " +
+      "r AS (SELECT vec_id, nbr_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, nbr_id) AS rank FROM p) " +
+      "SELECT vec_id, rank::BIGINT AS rank, nbr_id, cos_ppm FROM r WHERE rank <= 3 " +
+      "ORDER BY vec_id, rank"
+
   /** Shard-built + stored + merged gram state == the single-pass state:
     * the oracle replays the whole-corpus moments and pins n_mismatch = 0
     * (any drifted element fails the compare Spark-side). */
@@ -5530,6 +5629,17 @@ object SparkEntry {
       "(SELECT sum(CASE WHEN i = j THEN gij ELSE 0 END) FROM g)::BIGINT AS trace_q, " +
       "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
       "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum"
+
+  /** Whitening contract: moment state replayed exactly; unit variance and
+    * decorrelation pinned at 1 (they hold only if moments, eigensolve,
+    * whitening scale, and projection all agree — the Spark side computes
+    * them honestly from the in-plan integer projections). */
+  private val pcaWhitenOracleSql: String =
+    pcaMomentsCte +
+      "SELECT (SELECT count(*) FROM v)::BIGINT AS n, 8::BIGINT AS k_kept, " +
+      "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
+      "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum, " +
+      "1::BIGINT AS unit_var_ok, 1::BIGINT AS decorrelated_ok"
 
   /** The mutual-kNN clustering replayed end to end: brute-force kNN on
     * the ppm grid, mutual filter, transitive closure by recursive CTE,
@@ -5779,7 +5889,9 @@ object SparkEntry {
     "knn_graph_pruned" -> knnGraphPrunedOracleSql,
     "knn_graph_only" -> knnGraphOnlyOracleSql,
     "knn_clusters" -> knnClustersOracleSql,
+    "knn_incremental" -> knnIncrementalOracleSql,
     "gram_store_merge" -> gramStoreMergeOracleSql,
+    "pca_whiten" -> pcaWhitenOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state
     // as the streamed one — same oracle, different plan under test
     "cms_cells_only" -> streamCmsOracleSql,

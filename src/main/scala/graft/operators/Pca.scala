@@ -182,6 +182,27 @@ object Pca {
     (values, vectors.take(k))
   }
 
+  /** PCA-whitening basis: rows of the returned matrix are
+    * `vᵢ / sqrt(λᵢ + eps)` for the top-k components — projecting with
+    * them ([[project]]) yields coordinates with unit variance per
+    * component and zero cross-covariance (up to estimation error), the
+    * standard embedding preprocessing before cosine/ANN work when raw
+    * dimensions carry wildly uneven energy. `eps` regularizes the tail
+    * (a near-zero λ would otherwise blow the scale up). Components with
+    * λ ≤ 0 (numerical noise at the spectrum's foot) are dropped rather
+    * than amplified. */
+  def whitenComponents(values: Array[Double], vectors: Array[Array[Double]],
+                       k: Int, eps: Double = 1e-9): Array[Array[Double]] = {
+    require(k >= 1 && k <= vectors.length, s"k must be in [1, ${vectors.length}]")
+    require(eps > 0, "eps must be positive")
+    values.take(k).zip(vectors.take(k))
+      .filter { case (v, _) => v > 0 }
+      .map { case (v, vec) =>
+        val s = 1.0 / math.sqrt(v + eps)
+        vec.map(_ * s)
+      }.toArray
+  }
+
   /** Project every row onto the given components — a narrow codegen'd
     * pass, components as x1e6-grid integer plan literals so the outputs
     * are EXACT integers both engines replay (the signProject shape).

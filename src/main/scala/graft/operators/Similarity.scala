@@ -284,40 +284,29 @@ object Similarity {
     * `decontaminate_semantic` discipline) so ranking ties break
     * identically in any engine; rank order is (cos_ppm DESC, nbr ASC).
     * Output: (vec_id, rank, nbr_id, cos_ppm), ≤ k rows per vector. */
-  def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
-              nLists: Int = 16, nProbe: Int = 4,
-              centroids: Option[Array[Array[Double]]] = None,
-              maxBucket: Long = 1000000L): DataFrame = {
-    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
-    val cents = centroids.getOrElse(sampleCentroids(df, idCol, embCol, nLists))
+  /** Probe lists for the `emb` column: indexes of the nProbe
+    * highest-cosine centroids, via a lexicographic struct sort
+    * (codegen'd; ties by list index — deterministic). */
+  private def probeListsCol(cents: Array[Array[Double]], nProbe: Int): Column = {
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val e = col("emb").cast("array<double>")
-    // probe lists per vector: indexes of the nProbe highest-cosine
-    // centroids, via a lexicographic struct sort (codegen'd; ties by
-    // list index — deterministic)
-    val probeArr = slice(transform(array_sort(array((0 until nLists).map { i =>
+    slice(transform(array_sort(array(cents.indices.map { i =>
       struct((-(dotLit(e, cents(i)) /
           greatest(norm(e) * lit(centNorms(i)), lit(1e-300)))).as("d"),
         lit(i).as("i"))
     }: _*)), x => x.getField("i")), 1, nProbe)
-    val assigned = ivfAssign(df, idCol, embCol, cents)
-      .where(col("list_id") >= 0)
-      .withColumn("probes", probeArr)
-      .persist()
-    val bucketMax = assigned.groupBy(col("list_id")).count()
-      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
-    require(bucketMax <= maxBucket,
-      s"knnJoin: largest IVF bucket has $bucketMax vectors (> maxBucket=$maxBucket) — " +
-        s"raise nLists (buckets must shrink as the corpus grows) or the budget")
-    val queries = assigned.select(col("vec_id"), col("emb"),
-      explode(col("probes")).as("list_id"))
-    val members = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),
-      col("emb").as("nbr_emb"))
+  }
+
+  /** The shared bucket join + bounded-heap cut: queries (vec_id, emb,
+    * list_id — one row per probed list) against members (list_id, nbr_id,
+    * nbr_emb), ppm-grid cosine, ≤ k results per query vector in
+    * (cos_ppm DESC, nbr ASC) rank order. */
+  private def bucketTopK(queries: DataFrame, members: DataFrame, k: Int): DataFrame = {
     val qe = col("emb").cast("array<double>")
     val ne = col("nbr_emb").cast("array<double>")
     val cosPpm = round(graft.plans.VectorExpressions.dot(qe, ne) /
       greatest(norm(qe) * norm(ne), lit(1e-300)) * 1e6, 0)
-    val topk = queries.join(members, Seq("list_id"))
+    queries.join(members, Seq("list_id"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), cosPpm.as("cos_ppm"), col("nbr_id"))
       .groupBy(col("vec_id"))
@@ -325,7 +314,71 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("nn")).as(Seq("p", "e")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("rank"),
         col("e.id").as("nbr_id"), col("e.score").cast("long").as("cos_ppm"))
-    graft.operators.Partitioning.releaseAfterUse(topk, assigned)
+  }
+
+  private def requireBucketsBounded(index: DataFrame, maxBucket: Long, op: String): Unit = {
+    val bucketMax = index.groupBy(col("list_id")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
+    require(bucketMax <= maxBucket,
+      s"$op: largest IVF bucket has $bucketMax vectors (> maxBucket=$maxBucket) — " +
+        s"raise nLists (buckets must shrink as the corpus grows) or the budget")
+  }
+
+  def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None,
+              maxBucket: Long = 1000000L): DataFrame = {
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
+    val cents = centroids.getOrElse(sampleCentroids(df, idCol, embCol, nLists))
+    val assigned = ivfAssign(df, idCol, embCol, cents)
+      .where(col("list_id") >= 0)
+      .withColumn("probes", probeListsCol(cents, nProbe))
+      .persist()
+    requireBucketsBounded(assigned, maxBucket, "knnJoin")
+    val queries = assigned.select(col("vec_id"), col("emb"),
+      explode(col("probes")).as("list_id"))
+    val members = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),
+      col("emb").as("nbr_emb"))
+    graft.operators.Partitioning.releaseAfterUse(bucketTopK(queries, members, k), assigned)
+  }
+
+  /** Incremental kNN: probe a MATERIALIZED IVF index with a fresh batch —
+    * the ANN sibling of the indexed incremental dedup
+    * ([[graft.operators.Dedup]]'s band index): the corpus is assigned and
+    * stored ONCE (`ivfAssign` written `partitionBy("list_id")`), and each
+    * day's batch finds its corpus neighbors without rescanning or
+    * re-shuffling the corpus — the batch routes to its probe lists (one
+    * narrow pass over the BATCH), joins only those buckets (a
+    * partition-pruned scan when `index` comes from the partitioned
+    * store), and cuts to ≤ k per batch vector map-side.
+    *
+    * `index` must carry (vec_id, emb, list_id) — `ivfAssign`'s output or
+    * its reload — built with the SAME `centroids` passed here: routing
+    * batch vectors through different centroids than the index was built
+    * with silently probes wrong buckets, so centroids are a REQUIRED
+    * argument (persist them next to the index), not a resampled default.
+    * `nProbe = nLists` is the exact configuration (every index bucket
+    * probed), the oracle's setting. */
+  def knnProbeIndexed(index: DataFrame, batch: DataFrame, idCol: String,
+                      embCol: String, centroids: Array[Array[Double]], k: Int,
+                      nProbe: Int, maxBucket: Long = 1000000L): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= centroids.length)
+    require(Seq("vec_id", "emb", "list_id").forall(index.columns.contains),
+      "index must be ivfAssign output: (vec_id, emb, list_id)")
+    requireBucketsBounded(index, maxBucket, "knnProbeIndexed")
+    val queries = ivfAssign(batch, idCol, embCol, centroids)
+      .where(col("list_id") >= 0)
+      .select(col("vec_id"), col("emb"),
+        explode(probeListsCol(centroids, nProbe)).as("list_id"))
+    // the BATCH's probed-list union is batch-sized (the operator's whole
+    // premise is a small daily batch) — collect it and filter the index
+    // with a STATIC IN, so a list_id-partitioned store scans only the
+    // probed directories (partition pruning asserted in ScanPruningSpec),
+    // not the whole index. Full probe degrades to an all-lists IN.
+    val probed = queries.select(col("list_id")).distinct().collect().map(_.get(0))
+    val members = index.where(col("list_id").isin(probed.toIndexedSeq: _*))
+      .select(col("list_id"), col("vec_id").as("nbr_id"), col("emb").as("nbr_emb"))
+    bucketTopK(queries, members, k)
   }
 
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for

@@ -30,7 +30,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_redact", "graft_redaction_count",
         "graft_normalize", "graft_normalize_nopunct", "graft_tokens",
         "graft_zorder2", "graft_top_k", "graft_epoch_key",
-        "graft_bottom_k", "graft_kll_sketch"))
+        "graft_bottom_k", "graft_kll_sketch", "graft_gram_matrix"))
 
       val e = captured("mask_string")(Seq(
         GraftBridge.expression(lit(16)), GraftBridge.expression(lit(true)), GraftBridge.expression(lit("alice"))))
@@ -99,6 +99,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
         GraftBridge.expression(org.apache.spark.sql.functions.col("id")),
         GraftBridge.expression(org.apache.spark.sql.functions.col("x")))))
       assert(kllCapErr.getMessage.contains("integer literal"))
+      // gram-matrix aggregate surface: SQL state equals the Column API state
+      val gram = captured("graft_gram_matrix")(Seq(
+        GraftBridge.expression(org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("id") * 2)), Literal(2)))
+      assert(gram.isInstanceOf[graft.plans.GramMatrixAgg])
+      val gramSql = spark.range(10)
+        .select(GraftBridge.column(gram.asInstanceOf[graft.plans.GramMatrixAgg]
+          .toAggregateExpression()).as("g")).collect()(0).getSeq[Long](0)
+      val gramApi = spark.range(10)
+        .select(graft.plans.GramMatrixAgg.gramSketch(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("id") * 2), 2).as("g"))
+        .collect()(0).getSeq[Long](0)
+      assert(gramSql === gramApi, "SQL-injected gram matrix matches the Column API")
       // int8 quantization surface
       val q = captured("graft_quantize_int8")(Seq(
         GraftBridge.expression(org.apache.spark.sql.functions.array(

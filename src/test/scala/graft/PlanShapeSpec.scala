@@ -197,6 +197,15 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
     val rawVecs = plan.collect { case e: ShuffleExchangeExec =>
       e.child.output.filter(_.name == "embedding") }.flatten
     assert(rawVecs.isEmpty, "gram shuffles raw embedding vectors")
+    // column pruning must reach the parquet scan: a statistics pass that
+    // reads vec_id/label alongside the vectors reads ~30% more bytes for
+    // nothing at 100 TB
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.requiredSchema.fieldNames.sameElements(
+      Array("embedding"))),
+      s"gram scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")} " +
+        "— expected embedding only")
   }
 
   test("per-group CMS estimates broadcast the cell table, never shuffle-join it") {

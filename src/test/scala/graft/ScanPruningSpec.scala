@@ -94,6 +94,41 @@ class ScanPruningSpec extends AnyFunSuite {
       s"expected one embeddings scan in the batch-probe plan, found ${scans.size}")
   }
 
+  test("knnProbeIndexed prunes a list_id-partitioned index store to the probed lists") {
+    // the incremental-kNN premise: a stored index is scanned only where
+    // the batch probes — the batch's probed-list union becomes a static
+    // IN that must turn into a partition filter over the store layout
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 50)
+    val batch = emb.where(col("vec_id") < 3)
+    val cents = graft.operators.Similarity.sampleCentroids(corpus, "vec_id", "embedding", 8)
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_knn_prune_store")
+    if (store.exists()) org.apache.commons.io.FileUtils.deleteDirectory(store)
+    graft.sources.Sinks.writePartitioned(
+      graft.operators.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+        .where(col("list_id") >= 0),
+      store.getAbsolutePath, Seq("list_id"), filesPerPartition = 1)
+    val index = spark.read.parquet(store.getAbsolutePath)
+      .select(col("vec_id").cast("long").as("vec_id"), col("emb"),
+        col("list_id").cast("int").as("list_id"))
+    val df = graft.operators.Similarity.knnProbeIndexed(
+      index, batch, "vec_id", "embedding", cents, k = 2, nProbe = 2)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains("graft_knn_prune_store") => f
+    }
+    assert(scans.nonEmpty, "no scan over the index store found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"probe IN did not become a partition filter: ${scan.metadata.get("PartitionFilters")}")
+    val listed = scan.selectedPartitions.partitionCount
+    // 3 batch vectors x 2 probes overlap heavily; must list at most 6 of
+    // the 8 directories, and strictly fewer than all of them
+    assert(listed <= 6 && listed < 8,
+      s"scan lists $listed of 8 partitions — the store was not pruned")
+  }
+
   test("literal predicates push down to the scan (query-vector probe)") {
     // ann_topk fetches its query vector with an id-equality filter; that
     // predicate must appear in the scan's pushed filters, not a post-scan

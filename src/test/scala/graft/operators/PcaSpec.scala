@@ -125,6 +125,35 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Pca.stateOf(Seq(1L, 2L, 3L), 4, 1000L) }
   }
 
+  test("whitenComponents: projections come out unit-variance and decorrelated") {
+    val d = 6
+    // anisotropic data: per-dimension scales spanning 30x
+    val scales = Array(3.0, 1.0, 0.6, 0.3, 0.2, 0.1)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, (0 until d).map(j => scales(j) * noise(i, j * 7 + 1))))
+    val df = vecsDf(rows)
+    val flat = Pca.gram(df, "embedding", d, 10000L).collect()(0).getSeq[Long](0)
+    val (values, vectors) = Pca.jacobiEigen(Pca.stateOf(flat, d, 10000L).covariance)
+    val w = Pca.whitenComponents(values, vectors, k = 3)
+    assert(w.length === 3)
+    val proj = Pca.project(df, "vec_id", "embedding", w, d)
+      .collect().map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    val n = proj.length.toDouble
+    for (a <- 0 until 3; b <- a until 3) {
+      val ma = proj.map(_(a)).sum / n
+      val mb = proj.map(_(b)).sum / n
+      val cov = (proj.map(p => p(a) * p(b)).sum / n - ma * mb) / 1e24
+      if (a == b) assert(math.abs(cov - 1.0) < 0.02, s"var($a) = $cov")
+      else assert(math.abs(cov) < 0.02, s"cov($a,$b) = $cov")
+    }
+    // guards
+    intercept[IllegalArgumentException] { Pca.whitenComponents(values, vectors, 0) }
+    intercept[IllegalArgumentException] { Pca.whitenComponents(values, vectors, 3, eps = 0.0) }
+    // non-positive eigenvalues are dropped, never amplified
+    assert(Pca.whitenComponents(Array(1.0, -1e-18), Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      k = 2).length === 1)
+  }
+
   test("gramByGroup equals independent gram runs per group") {
     import org.apache.spark.sql.functions.col
     val d = 4

@@ -332,6 +332,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall on well-clustered data")
   }
 
+  test("knnProbeIndexed at full probe equals brute-force batch-vs-index; pruned is a subset") {
+    val corpus = (100L until 180L).map(i => i -> randUnit(16))
+    val batch = (0L until 10L).map(i => i -> randUnit(16))
+    val corpusDf = vecs(corpus: _*)
+    val cents = Similarity.sampleCentroids(corpusDf, "vec_id", "embedding", 4)
+    val index = Similarity.ivfAssign(corpusDf, "vec_id", "embedding", cents)
+    val got = Similarity.knnProbeIndexed(index, vecs(batch: _*), "vec_id", "embedding",
+        cents, k = 2, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // brute force: each batch vector's top-2 over the corpus on the ppm grid
+    val want = batch.flatMap { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val nv = math.sqrt(vd.map(x => x * x).sum)
+      corpus.map { case (oid, o) =>
+        val od = o.map(_.toDouble)
+        val no = math.sqrt(od.map(x => x * x).sum)
+        (oid, math.round(vd.zip(od).map { case (a, b) => a * b }.sum / math.max(nv * no, 1e-300) * 1e6))
+      }.sortBy { case (oid, ppm) => (-ppm, oid) }.take(2)
+        .zipWithIndex.map { case ((oid, ppm), r) => (id, (r + 1).toLong, oid, ppm) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got === want)
+    // pruned probing returns a subset of the exact edges, bounded per vector
+    val pruned = Similarity.knnProbeIndexed(index, vecs(batch: _*), "vec_id", "embedding",
+        cents, k = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.groupBy(_._1).forall(_._2.length <= 2))
+    // index-schema guard
+    intercept[IllegalArgumentException] {
+      Similarity.knnProbeIndexed(corpusDf, vecs(batch: _*), "vec_id", "embedding",
+        cents, k = 2, nProbe = 1)
+    }
+  }
+
   test("knnJoin maxBucket guard throws before a quadratic bucket job") {
     val rows = (0L until 50L).map(i => i -> randUnit(8))
     val err = intercept[IllegalArgumentException] {
