@@ -433,7 +433,17 @@ object StreamScaleCheck {
             .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id")),
           src.where(col("event_type") === "purchase")
             .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id")),
-          gapMinutes = 30)))
+          gapMinutes = 30)),
+      "stream_hll_window" -> ((src: DataFrame) =>
+        // the windowed register sketch: state must be windows-in-horizon
+        // x m ROWS regardless of how many distinct users the scaled feed
+        // carries — the whole claim vs per-window count_distinct, whose
+        // state is every distinct key in the horizon
+        graft.streaming.Streaming.windowedHllRegisters(
+          src.where(col("user_id").isNotNull)
+            .select(col("ts").cast("timestamp").as("ts"),
+              col("user_id").cast("string").as("uid")),
+          "ts", "uid", m = 256, windowLength = "1 hour", watermark = "10 minutes")))
   }
 
   def main(args: Array[String]): Unit = {
