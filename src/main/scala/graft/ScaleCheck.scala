@@ -185,7 +185,7 @@ object ScaleCheck {
     // never rescanned), the incremental gram store (2145-long states
     // through the sink — constant-class), and whitening (one moment pass
     // + a narrow literal-basis projection — the pca_project shape twice)
-    "knn_incremental", "gram_store_merge", "pca_whiten",
+    "knn_incremental", "gram_store_merge", "pca_whiten", "pca_by_group",
     // knn_clusters and knn_graph are deliberately NOT here: their exact
     // full-probe configuration is the ORACLE'S setting (every pair
     // considered — quadratic by design, like embed_pairs_exact); the

@@ -797,6 +797,38 @@ object SparkEntry {
         "unit_var_ok", "decorrelated_ok")
   }
 
+  /** Per-GROUP PCA (round 14): one moment pass with the group riding the
+    * aggregate key ([[graft.operators.Pca.gramByGroup]]) — per-label
+    * covariance bases ("per-source embedding geometry", the per-group
+    * sibling of `pca_project`) without a pass per group. Driver
+    * eigensolves each collected d²-state; the oracle replays every
+    * group's exact moments (the shared CTE grouped by label) and pins
+    * the per-group eigensolver contract. */
+  private def qPcaByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val states = graft.operators.Pca.gramByGroup(
+        table(spark, dir, "embeddings"), "label", "embedding", dim)
+      .collect().map(r => r.getInt(0).toLong -> r.getSeq[Long](1))
+    val mod = 1000000007L
+    import spark.implicits._
+    states.toSeq.sortBy(_._1).map { case (label, flat) =>
+      val st = graft.operators.Pca.stateOf(flat, dim, 1000L)
+      val cov = st.covariance
+      val (values, _) = graft.operators.Pca.jacobiEigen(cov)
+      val trace = (0 until dim).map(i => cov(i)(i)).sum
+      val eigTraceOk = math.abs(values.sum - trace) <= 1e-9 * math.max(math.abs(trace), 1e-12)
+      val dominates = values(0) >= (0 until dim).map(i => cov(i)(i)).max - 1e-12
+      val sumsChecksum = st.sums.zipWithIndex
+        .map { case (s, i) => (i + 1) * (s % 1000003L) }.sum % mod
+      val gramChecksum = (0 until dim).flatMap(i => (i until dim).map(j =>
+        (i.toLong * dim + j + 1) * (st.gramAt(i, j) % 1000003L))).sum % mod
+      val traceQ = (0 until dim).map(i => st.gramAt(i, i)).sum
+      (label, st.n, traceQ, sumsChecksum, gramChecksum,
+        if (eigTraceOk) 1L else 0L, if (dominates) 1L else 0L)
+    }.toDF("label", "n", "trace_q", "sums_checksum", "gram_checksum",
+      "eig_trace_ok", "eig_dominates_axes")
+  }
+
   /** The PCA moment state as an INCREMENTAL, STORABLE corpus statistic
     * (round 14) — the gram-family member of the `sketch_store_roundtrip`
     * cycle: day-0 builds per-shard states ([[graft.operators.Pca
@@ -4697,6 +4729,7 @@ object SparkEntry {
     "knn_incremental" -> qKnnIncremental,
     "gram_store_merge" -> qGramStoreMerge,
     "pca_whiten" -> qPcaWhiten,
+    "pca_by_group" -> qPcaByGroup,
     "decontaminate_semantic" -> qDecontaminateSemantic,
     "ann_topk" -> qAnnTopk,
     "ann_pq_topk" -> qAnnPqTopk,
@@ -5630,6 +5663,28 @@ object SparkEntry {
       "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
       "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum"
 
+  /** Per-group moments replayed with the label riding every CTE key;
+    * eigensolver contract booleans pinned per group. */
+  private val pcaByGroupOracleSql: String =
+    "WITH v AS (SELECT label, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS q " +
+      "FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64 " +
+      "AND len(list_filter(embedding, x -> x IS NULL)) = 0), " +
+      "ij AS (SELECT a.i AS i, b.j AS j FROM (SELECT unnest(range(0, 64)) AS i) a, " +
+      "(SELECT unnest(range(0, 64)) AS j) b WHERE b.j >= a.i), " +
+      "g AS (SELECT label, i, j, sum(q[i + 1] * q[j + 1])::BIGINT AS gij FROM v, ij " +
+      "GROUP BY label, i, j), " +
+      "s AS (SELECT label, a.i AS i, sum(q[a.i + 1])::BIGINT AS si FROM v, " +
+      "(SELECT unnest(range(0, 64)) AS i) a GROUP BY label, a.i), " +
+      "n AS (SELECT label, count(*)::BIGINT AS n FROM v GROUP BY label), " +
+      "gc AS (SELECT label, sum(CASE WHEN i = j THEN gij ELSE 0 END)::BIGINT AS trace_q, " +
+      "(sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007)::BIGINT AS gram_checksum " +
+      "FROM g GROUP BY label), " +
+      "sc AS (SELECT label, (sum((i + 1) * (si % 1000003)) % 1000000007)::BIGINT AS sums_checksum " +
+      "FROM s GROUP BY label) " +
+      "SELECT n.label::BIGINT AS label, n.n, gc.trace_q, sc.sums_checksum, gc.gram_checksum, " +
+      "1::BIGINT AS eig_trace_ok, 1::BIGINT AS eig_dominates_axes " +
+      "FROM n JOIN gc USING (label) JOIN sc USING (label) ORDER BY label"
+
   /** Whitening contract: moment state replayed exactly; unit variance and
     * decorrelation pinned at 1 (they hold only if moments, eigensolve,
     * whitening scale, and projection all agree — the Spark side computes
@@ -5892,6 +5947,7 @@ object SparkEntry {
     "knn_incremental" -> knnIncrementalOracleSql,
     "gram_store_merge" -> gramStoreMergeOracleSql,
     "pca_whiten" -> pcaWhitenOracleSql,
+    "pca_by_group" -> pcaByGroupOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state
     // as the streamed one — same oracle, different plan under test
     "cms_cells_only" -> streamCmsOracleSql,

@@ -64,11 +64,19 @@ object Pca {
     * 1+d+d(d+1)/2 rows each, never corpus-sized); ANSI mode keeps the
     * sums overflow-loud like the aggregate's `addExact`. Returns one row,
     * one column `g`. */
-  def mergeStates(states: DataFrame): DataFrame =
+  def mergeStates(states: DataFrame): DataFrame = {
+    // states of different dimensions would sum index-by-index into a
+    // silently wrong basis — the one failure mode an integer merge can't
+    // surface on its own, so it is checked here (one row-count-sized agg)
+    val lens = states.select(size(col("g")).as("len")).distinct().collect()
+    require(lens.length == 1,
+      s"mergeStates: mixed state lengths ${lens.map(_.getInt(0)).sorted.mkString(", ")} — " +
+        "all gram states must come from the same (dim) layout")
     states.select(posexplode(col("g")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(sum(col("x")).as("x"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
         p => p.getField("x")).as("g"))
+  }
 
   /** Driver-side view of a collected gram state. All float math lives in
     * here, on d²-sized data. */

@@ -179,5 +179,13 @@ class PcaSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     val whole = Pca.gram(df, "embedding", d).collect()(0).getSeq[Long](0)
     assert(merged === whole)
+    // mixed-dimension states must throw, never sum index-by-index into a
+    // silently wrong basis
+    val other = Pca.gram(vecsDf((0 until 10).map(i =>
+      (i.toLong, (0 until 3).map(j => noise(i, j))))), "embedding", 3)
+    val err = intercept[IllegalArgumentException] {
+      Pca.mergeStates(shards.select(col("g")).unionByName(other.select(col("g"))))
+    }
+    assert(err.getMessage.contains("mixed state lengths"))
   }
 }
