@@ -186,6 +186,9 @@ object ScaleCheck {
     // through the sink — constant-class), and whitening (one moment pass
     // + a narrow literal-basis projection — the pca_project shape twice)
     "knn_incremental", "gram_store_merge", "pca_whiten", "pca_by_group",
+    // the streamed moment state: ONE flat buffer per partition through
+    // the complete-mode aggregate — constant-class bytes at any volume
+    "stream_gram",
     // knn_clusters and knn_graph are deliberately NOT here: their exact
     // full-probe configuration is the ORACLE'S setting (every pair
     // considered — quadratic by design, like embed_pairs_exact); the

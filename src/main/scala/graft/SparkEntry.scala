@@ -3962,6 +3962,41 @@ object SparkEntry {
       .orderBy("ws_epoch")
   }
 
+  /** STREAMING second-moment state (round 14): [[graft.plans
+    * .GramMatrixAgg]] as a complete-mode streaming aggregate — state is
+    * ONE 1+d+d(d+1)/2-long buffer by construction at any input volume,
+    * extending the family law to the newest sketch: every mergeable
+    * batch statistic here (CMS cells, HLL registers, the quantile heap,
+    * now the covariance moments) also runs as bounded streaming state.
+    * A PCA basis can therefore track a live embedding feed. Oracle =
+    * the batch moment replay: the streamed state must equal the
+    * single-pass integer moments EXACTLY. */
+  private def qStreamGram(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = streamTable(spark, dir, "embeddings")
+    val e = col("embedding").cast("array<double>")
+    val state = emb
+      .where(e.isNotNull && size(e) >= dim && !exists(e, _.isNull))
+      .select(graft.operators.Pca.quantize(e, dim, 1000L).as("q"))
+      .agg(graft.plans.GramMatrixAgg.gramSketch(col("q"), dim).as("g"))
+    val sink = "graft_stream_gram_sink"
+    val q = state.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flat = spark.table(sink).collect()(0).getSeq[Long](0)
+    val st = graft.operators.Pca.stateOf(flat, dim, 1000L)
+    val mod = 1000000007L
+    val sumsChecksum = st.sums.zipWithIndex
+      .map { case (s, i) => (i + 1) * (s % 1000003L) }.sum % mod
+    val gramChecksum = (0 until dim).flatMap(i => (i until dim).map(j =>
+      (i.toLong * dim + j + 1) * (st.gramAt(i, j) % 1000003L))).sum % mod
+    val traceQ = (0 until dim).map(i => st.gramAt(i, i)).sum
+    import spark.implicits._
+    Seq((st.n, (1 + dim + dim * (dim + 1) / 2).toLong, traceQ, sumsChecksum, gramChecksum))
+      .toDF("n", "state_len", "trace_q", "sums_checksum", "gram_checksum")
+  }
+
   private def qStreamCms(spark: SparkSession, dir: String): DataFrame = {
     val toks = sketchTokens(streamDocuments(spark, dir))
     val cells = graft.operators.Sketches.cmsAggregate(toks, "tok", depth = 4, width = 1024)
@@ -4868,6 +4903,7 @@ object SparkEntry {
     "stream_cms" -> qStreamCms,
     "stream_hll" -> qStreamHll,
     "stream_hll_window" -> qStreamHllWindow,
+    "stream_gram" -> qStreamGram,
     "stream_quantile" -> qStreamQuantile,
     "sketch_shard_merge" -> qSketchShardMerge,
     "sketch_store_roundtrip" -> qSketchStoreRoundtrip,
@@ -5663,6 +5699,14 @@ object SparkEntry {
       "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
       "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum"
 
+  /** Streamed moment state == the single-pass batch moments, exactly. */
+  private val streamGramOracleSql: String =
+    pcaMomentsCte +
+      "SELECT (SELECT count(*) FROM v)::BIGINT AS n, 2145::BIGINT AS state_len, " +
+      "(SELECT sum(CASE WHEN i = j THEN gij ELSE 0 END) FROM g)::BIGINT AS trace_q, " +
+      "(SELECT sum((i + 1) * (si % 1000003)) % 1000000007 FROM s)::BIGINT AS sums_checksum, " +
+      "(SELECT sum((i * 64 + j + 1) * (gij % 1000003)) % 1000000007 FROM g)::BIGINT AS gram_checksum"
+
   /** Per-group moments replayed with the label riding every CTE key;
     * eigensolver contract booleans pinned per group. */
   private val pcaByGroupOracleSql: String =
@@ -5919,6 +5963,7 @@ object SparkEntry {
     "stream_cms" -> streamCmsOracleSql,
     "stream_hll" -> streamHllOracleSql,
     "stream_hll_window" -> streamHllWindowOracleSql,
+    "stream_gram" -> streamGramOracleSql,
     // the streamed bottom-k must land on EXACTLY the batch sketch's state
     // — same oracle as quantile_bottomk, different plan under test
     "stream_quantile" -> quantileBottomkOracleSql,
