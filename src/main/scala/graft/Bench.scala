@@ -121,6 +121,16 @@ object Bench {
     // means "re-measure isolated with SPARK_GRAFT_QUERIES", not
     // "regression confirmed".
     val histDir = java.nio.file.Paths.get("bench_history")
+    // Scale-factor key for a run: the sf directory's BASENAME ("sf0.1"),
+    // so /root/testdata/sf0.1 and any future mount of the same tables key
+    // together. r14 post-mortem: an archived sf0.01 full-suite run planted
+    // ~4x-low trailing minimums and the SF-blind comparator then
+    // "confirmed" 87 phantom regressions against the driver's sf0.1 run —
+    // history entries now carry their sf key and ONLY same-SF entries feed
+    // a run's trailing minimums.
+    def sfKey(dir: String): String =
+      java.nio.file.Paths.get(dir).getFileName.toString
+    val runSf = sfKey(sfDir)
     val history: Seq[(Double, Double, Map[String, Double])] = {
       import org.json4s._
       if (!java.nio.file.Files.isDirectory(histDir)) Nil
@@ -146,12 +156,24 @@ object Bench {
             }
             val c = num(j \ "calib_argon2_ms").getOrElse(0.0)
             val cp = num(j \ "calib_argon2_par_ms").getOrElse(c)
+            // a history entry at a DIFFERENT scale factor is not a valid
+            // prior: its walls differ by the data-size ratio, not by plan
+            // quality. Entries missing `sf` (pre-r12 shapes) are skipped
+            // too — an unkeyable prior is a poisonable prior.
+            val histSf = (j \ "sf") match {
+              case JString(s) => Some(sfKey(s)); case _ => None
+            }
             val qsH = (j \ "queries") match {
               case JObject(fields) =>
                 fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (c > 0 && qsH.nonEmpty) Some((c, cp, qsH)) else None
+            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf)) Some((c, cp, qsH))
+            else {
+              if (!histSf.contains(runSf))
+                System.err.println(s"[bench] history $p skipped: sf ${histSf.orNull} != $runSf")
+              None
+            }
           } catch { case scala.util.control.NonFatal(e) =>
             // an unreadable history file must not kill the bench — it only
             // degrades the comparator back to "no history for that round"

@@ -1887,20 +1887,52 @@ object SparkEntry {
     * pruned probing, list count scaled to the corpus (`nLists =
     * max(8, n/512)` keeps buckets ~512 vectors as the table grows — the
     * documented scale lever, applied rather than described), no exact
-    * comparator. The oracle pins the structural contract: a COMPLETE
-    * bounded graph — exactly k edges for every vector (buckets hold ≥
-    * 511 non-self candidates by construction), none of them self. */
+    * comparator. The oracle pins the structural contract HONESTLY
+    * (advisor r14): instead of assuming every probed pair of buckets
+    * holds ≥ k non-self candidates (a skewed/duplicate sampled centroid
+    * can break that at other corpora), the query recomputes each
+    * vector's candidate SUPPLY — the probed buckets' total membership
+    * minus self — and asserts the graph is exactly as complete as the
+    * supply allows: n_edges == Σ min(k, supply), n_served == #{supply ≥
+    * 1}, rank ≤ k, no self edges. Lost or duplicated edges still fail;
+    * a thin bucket no longer fails spuriously. */
   private def qKnnGraphOnly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
     val emb = table(spark, dir, "embeddings")
     val n = emb.count()
     val nLists = math.max(8L, n / 512L).toInt
-    val g = graft.operators.Similarity.knnJoin(
-      emb, "vec_id", "embedding", k = 3, nLists = nLists, nProbe = 2)
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nLists)
+    // candidate supply per vector: sizes of its nProbe probed buckets,
+    // self excluded (own bucket is probe #1 — same centroid order as the
+    // assignment). Narrow assign + one small broadcast-joinable bucket
+    // census; the 2n-row (vec_id, list_id) frame is 12 bytes/row.
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .where(col("list_id") >= 0)
+    val bucketSizes = assigned.groupBy(col("list_id")).count()
+    val supply = assigned
+      .select(col("vec_id"), explode(Similarity.probeListsCol(cents, 2)).as("list_id"))
+      .join(broadcast(bucketSizes), Seq("list_id"))
+      .groupBy(col("vec_id"))
+      .agg((sum(col("count")) - 1L).as("n_cand"))
+    val expected = supply.agg(
+      count(lit(1)).as("n_assigned"),
+      sum(least(col("n_cand"), lit(3L))).as("exp_edges"),
+      count(when(col("n_cand") >= 1, 1)).as("exp_served"))
+    val g = Similarity.knnJoin(
+      emb, "vec_id", "embedding", k = 3, nLists = nLists, nProbe = 2,
+      centroids = Some(cents))
     g.agg(
-      countDistinct(col("vec_id")).as("n_served"),
-      count(lit(1)).as("n_edges"),
-      count(when(col("vec_id") === col("nbr_id"), 1)).as("n_self_edges"),
-      coalesce(max(col("rank")), lit(0L)).cast("long").as("max_rank"))
+        countDistinct(col("vec_id")).as("n_served"),
+        count(lit(1)).as("n_edges"),
+        count(when(col("vec_id") === col("nbr_id"), 1)).as("n_self_edges"),
+        coalesce(max(col("rank")), lit(0L)).cast("long").as("max_rank"))
+      .crossJoin(expected)
+      .select(
+        lit(n).cast("long").as("n_vectors"),
+        when(col("n_served") === col("exp_served"), 1L).otherwise(0L).as("served_ok"),
+        when(col("n_edges") === col("exp_edges"), 1L).otherwise(0L).as("edges_ok"),
+        col("n_self_edges").cast("long").as("n_self_edges"),
+        when(col("max_rank") <= 3, 1L).otherwise(0L).as("rank_ok"))
   }
 
   /** LSH ANN verified against a planted ground truth: 10 near-copies of the
@@ -5785,9 +5817,13 @@ object SparkEntry {
       "(count(*) * 3)::BIGINT AS n_edges, count(*)::BIGINT AS n_served, " +
       "0::BIGINT AS n_self_edges, 1::BIGINT AS recall_ok FROM embeddings"
 
+  /** Structural contract with the completeness bar computed honestly
+    * in-query from the candidate supply (advisor r14): the oracle pins
+    * the booleans, not an assumed k·n edge count. */
   private val knnGraphOnlyOracleSql: String =
-    "SELECT count(*)::BIGINT AS n_served, (count(*) * 3)::BIGINT AS n_edges, " +
-      "0::BIGINT AS n_self_edges, 3::BIGINT AS max_rank FROM embeddings"
+    "SELECT count(*)::BIGINT AS n_vectors, 1::BIGINT AS served_ok, " +
+      "1::BIGINT AS edges_ok, 0::BIGINT AS n_self_edges, " +
+      "1::BIGINT AS rank_ok FROM embeddings"
 
   /** Store round-trip pinned like `sketch_shard_merge`: the oracle
     * recomputes the WHOLE-corpus cells/registers/bottom-k and requires all

@@ -61,8 +61,12 @@ object Pca {
     * days, different clusters, a reloaded store) sum into EXACTLY the
     * state one pass over the union would build, because every entry is a
     * plain integer sum. Distributed (posexplode + keyed sum — states are
-    * 1+d+d(d+1)/2 rows each, never corpus-sized); ANSI mode keeps the
-    * sums overflow-loud like the aggregate's `addExact`. Returns one row,
+    * 1+d+d(d+1)/2 rows each, never corpus-sized). Overflow is loud
+    * INDEPENDENT of the session's ANSI setting (advisor r14: plain
+    * bigint `sum` wraps silently under ansi.enabled=false): entries sum
+    * as decimal(38,0) — exact for any feasible shard count, since each
+    * |entry| ≤ 2⁶³ and 38 digits hold >10¹⁹ such terms — and a result
+    * outside bigint range raises instead of casting. Returns one row,
     * one column `g`. */
   def mergeStates(states: DataFrame): DataFrame = {
     // states of different dimensions would sum index-by-index into a
@@ -73,7 +77,12 @@ object Pca {
       s"mergeStates: mixed state lengths ${lens.map(_.getInt(0)).sorted.mkString(", ")} — " +
         "all gram states must come from the same (dim) layout")
     states.select(posexplode(col("g")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("x"))
+      .groupBy(col("i")).agg(sum(col("x").cast("decimal(38,0)")).as("xd"))
+      .select(col("i"),
+        when(col("xd") > lit(Long.MaxValue) || col("xd") < lit(Long.MinValue),
+          raise_error(concat(lit("mergeStates: bigint overflow at state index "),
+            col("i").cast("string"))).cast("decimal(38,0)"))
+          .otherwise(col("xd")).cast("long").as("x"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
         p => p.getField("x")).as("g"))
   }

@@ -286,8 +286,11 @@ object Similarity {
     * Output: (vec_id, rank, nbr_id, cos_ppm), ≤ k rows per vector. */
   /** Probe lists for the `emb` column: indexes of the nProbe
     * highest-cosine centroids, via a lexicographic struct sort
-    * (codegen'd; ties by list index — deterministic). */
-  private def probeListsCol(cents: Array[Array[Double]], nProbe: Int): Column = {
+    * (codegen'd; ties by list index — deterministic). Public so a caller
+    * can recompute a query vector's candidate supply (probed bucket
+    * sizes) and assert graph completeness honestly instead of assuming
+    * every bucket holds ≥ k candidates (advisor r14). */
+  def probeListsCol(cents: Array[Array[Double]], nProbe: Int): Column = {
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val e = col("emb").cast("array<double>")
     slice(transform(array_sort(array(cents.indices.map { i =>
@@ -334,7 +337,11 @@ object Similarity {
       .where(col("list_id") >= 0)
       .withColumn("probes", probeListsCol(cents, nProbe))
       .persist()
-    requireBucketsBounded(assigned, maxBucket, "knnJoin")
+    // the guard THROWS on oversized buckets (documented, expected) — on
+    // that path the persisted assignment must not outlive the call
+    // (advisor r14: cached blocks leaked for the session)
+    try requireBucketsBounded(assigned, maxBucket, "knnJoin")
+    catch { case t: Throwable => assigned.unpersist(false); throw t }
     val queries = assigned.select(col("vec_id"), col("emb"),
       explode(col("probes")).as("list_id"))
     val members = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),

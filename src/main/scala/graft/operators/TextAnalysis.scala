@@ -286,102 +286,162 @@ object TextAnalysis {
     * ONCE via token-position marking). High values mean boilerplate /
     * template-mill / keyword-stuffing repetition.
     *
-    * Shape: one explode of (n, start, gram) windows for all n in 2..10
-    * (in-row transform — gram rows are Θ(9·tokens), linear), then keyed
-    * aggregations only: (doc,n,gram) counts, per-(doc,n) max, duplicated
-    * grams joined back to occurrences, covered token positions exploded
-    * and DISTINCTed (that is the overlap-once semantics), char mass
-    * summed via the token-position frame — NOT an O(tokens²)
-    * higher-order-lambda scan per row (array lambdas evaluate interpreted
-    * per element). The gram frame feeds three consumers and is persisted
-    * for the single execution, released by the first-action listener.
-    * Char fractions are pure integer division (x·10000 div chars) —
-    * engine-portable, no float.
+    * SHAPE — A NARROW PER-DOCUMENT PASS, ZERO GRAM SHUFFLE (verdict r14
+    * ask #2, taken to its conclusion). Every statistic here is keyed by
+    * doc_id, and each document's tokens arrive COLOCATED in one row — so
+    * the previous explode-then-aggregate plan's exchanges (3.9 GB at 10×,
+    * 64 GB extrapolated at 100×) only ever reunited data with itself:
+    * gram rows shuffled across the cluster to group by (doc, n, gram)
+    * when every row of a group came from one source row. Hashing the
+    * gram identity (the verdict's md5-slice suggestion) cut the payload
+    * ~1.5× measured, but the asymptotically right plan ships NOTHING:
+    * all 15 metrics are computed in one imperative pass over each row's
+    * token array — per-n hash-map counts (O(9·tokens) work, the same
+    * work the explode materialized as rows), top-mass argmax with the
+    * ties-to-larger-mass rule, and boolean position-marking for the
+    * overlap-once dup coverage. This is the [[deflateRatio]] /
+    * multimodal-codec shape: `mapPartitions` because per-doc hash-count/
+    * argmax/marking has no Catalyst fit short of the very explode this
+    * removes, and array-lambda scans evaluate interpreted per element
+    * (the r13-measured 15× cliff). The only exchange left is
+    * [[Partitioning.spread]] on the INPUT (doc_id, text) — corpus bytes
+    * once, for local parallelism when the source arrives under-split; a
+    * real multi-file 100-TB scan skips even that.
+    *
+    * Token identity matches the old plan and the DuckDB oracle exactly:
+    * tokens = Java-regex `\s+` split (limit −1) of the space-trimmed
+    * lowercase text via the same UTF8String kernels Spark's `lower`/
+    * `trim`/`split` use; char lengths are CODE-POINT counts
+    * (UTF8String.numChars); gram identity is the space-joined token
+    * string (exact — the hash-collision caveat is gone). Fractions stay
+    * on the integer x1e4 grid; the two historical double-grid fields
+    * (dup_line_frac, top_bigram_frac) keep their floor(double) forms
+    * bit-for-bit. Null text keeps the legacy nulls (n_lines,
+    * dup_line_frac) and zeros elsewhere, exactly as the joined plan's
+    * null-propagation produced.
     *
     * Output: doc_id, n_lines, dup_line_frac_x1e4, n_bigrams,
     * top_bigram_n, top_bigram_frac_x1e4, top{2,3,4}_char_frac_x1e4,
     * dup{5..10}_char_frac_x1e4. */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(s"`$textCol`")
-    val base = df.select(
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outCols = Seq("doc_id", "n_lines", "dup_line_frac_x1e4", "n_bigrams",
+      "top_bigram_n", "top_bigram_frac_x1e4") ++
+      (2 to 4).map(n => s"top${n}_char_frac_x1e4") ++
+      (5 to 10).map(n => s"dup${n}_char_frac_x1e4")
+    val schema = StructType(outCols.map(c => StructField(c, LongType)))
+    val base = Partitioning.spread(df.select(
       col(s"`$idCol`").cast("long").as("doc_id"),
-      tokens(t).as("__toks"),
-      split(t, "\n").as("__lines"))
-    val lineStats = base.select(
-      col("doc_id"),
-      size(col("__lines")).cast("long").as("n_lines"),
-      floor((size(col("__lines")) - size(array_distinct(col("__lines")))).cast("double") /
-        greatest(size(col("__lines")), lit(1)) * 10000).cast("long").as("dup_line_frac_x1e4"))
-    val bigrams = base.select(col("doc_id"),
-      explode(when(size(col("__toks")) >= 2,
-        expr("transform(sequence(0, size(__toks) - 2), " +
-          "i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))"))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-    val bigramStats = bigrams.groupBy(col("doc_id"), col("bg")).count()
-      .groupBy(col("doc_id"))
-      .agg(max(col("count")).as("top_bigram_n"), sum(col("count")).as("n_bigrams"))
-    // ---- Gopher character-fraction family ----
-    // token positions (1-based) with char lengths: the coverage join target
-    // and the total-char denominator
-    val tokPos = base
-      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos0", "__tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        length(col("__tok")).cast("long").as("tlen"))
-    val totChars = tokPos.groupBy(col("doc_id"))
-      .agg(sum(col("tlen")).as("tot_chars"))
-    // every n-gram window for n in 2..10 with its 1-based start, one pass
-    val gramPos = Partitioning.spread(base
-        .select(col("doc_id"), col("__toks"),
-          explode(array((2 to 10).map(lit): _*)).as("n"))
-        .where(size(col("__toks")) >= col("n"))
-        .select(col("doc_id"), col("n"), explode(expr(
-          "transform(sequence(1, size(__toks) - n + 1), " +
-            "i -> named_struct('i0', i, 'g', array_join(slice(__toks, i, n), ' ')))"))
-          .as("p"))
-        .select(col("doc_id"), col("n"), col("p.i0").as("i0"), col("p.g").as("g")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gramCounts = gramPos.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    // top-{2,3,4}: char mass of the most frequent gram's occurrences (the
-    // gram token-chars are length(g) − (n−1) single-space joiners); count
-    // ties take the larger mass — deterministic on both engines
-    val topCounts = gramCounts.where(col("n") <= 4)
-    val topMax = topCounts.groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("mx"))
-    val topMass = topCounts.join(topMax, Seq("doc_id", "n"))
-      .where(col("c") === col("mx"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(max((length(col("g")) - (col("n") - 1)).cast("long") * col("c")).as("mass"))
-      .groupBy(col("doc_id")).pivot("n", (2 to 4).map(_.toString))
-      .agg(first(col("mass")))
-    // dup-{5..10}: token positions covered by any duplicated gram, counted
-    // once per position (the DISTINCT is the overlap rule)
-    val dupGrams = gramCounts.where(col("n") >= 5 && col("c") > 1)
-      .select(col("doc_id"), col("n"), col("g"))
-    val covered = gramPos.where(col("n") >= 5)
-      .join(dupGrams, Seq("doc_id", "n", "g"))
-      .select(col("doc_id"), col("n"),
-        explode(sequence(col("i0"), col("i0") + col("n") - 1)).as("pos"))
-      .distinct()
-    val dupMass = covered.join(tokPos, Seq("doc_id", "pos"))
-      .groupBy(col("doc_id")).pivot("n", (5 to 10).map(_.toString))
-      .agg(sum(col("tlen")))
-    def frac(massCol: String, out: String): Column =
-      expr(s"coalesce(`$massCol`, 0L) * 10000 div greatest(tot_chars, 1)").as(out)
-    Partitioning.releaseAfterUse(
-      lineStats.join(bigramStats, Seq("doc_id"), "left")
-        .join(totChars, Seq("doc_id"), "left")
-        .join(topMass, Seq("doc_id"), "left")
-        .join(dupMass, Seq("doc_id"), "left")
-        .select(Seq(
-          col("doc_id"), col("n_lines"), col("dup_line_frac_x1e4"),
-          coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
-          coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"),
-          floor(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
-            greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1)) * 10000)
-            .cast("long").as("top_bigram_frac_x1e4")) ++
-          (2 to 4).map(n => frac(n.toString, s"top${n}_char_frac_x1e4")) ++
-          (5 to 10).map(n => frac(n.toString, s"dup${n}_char_frac_x1e4")): _*),
-      gramPos)
+      col(s"`$textCol`").cast("string").as("__t")))
+    base.mapPartitions { rows =>
+      val nlPat = java.util.regex.Pattern.compile("\n")
+      val wsPat = java.util.regex.Pattern.compile("\\s+")
+      rows.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val t = if (r.isNullAt(1)) null else r.getString(1)
+        if (t == null) {
+          // legacy null-propagation of the joined plan: line stats null,
+          // every coalesced/defaulted metric zero
+          org.apache.spark.sql.Row(id, null, null,
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        } else {
+          // ---- line stats (raw text, split keeps trailing empties) ----
+          val lines = nlPat.split(t, -1)
+          val nLines = lines.length.toLong
+          val dupLines = (lines.length - lines.distinct.length).toLong
+          val dupLineFrac =
+            math.floor(dupLines.toDouble / math.max(nLines, 1L) * 10000).toLong
+          // ---- tokens: the exact lower->trim(' ')->split('\s+') kernels
+          // the Column path used (UTF8String semantics, not String.trim) ----
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          val toks = wsPat.split(u.toLowerCase.trim.toString, -1)
+          val nTok = toks.length
+          // code-point lengths (Spark length() == UTF8String.numChars)
+          val lens = new Array[Int](nTok)
+          var tot = 0L
+          var i = 0
+          while (i < nTok) {
+            lens(i) = toks(i).codePointCount(0, toks(i).length)
+            tot += lens(i)
+            i += 1
+          }
+          val denom = math.max(tot, 1L)
+          var nBigrams = 0L
+          var topBigramN = 0L
+          val topMass = new Array[Long](3)  // n = 2, 3, 4
+          val dupMass = new Array[Long](6)  // n = 5 .. 10
+          val sb = new java.lang.StringBuilder
+          var n = 2
+          while (n <= 10) {
+            if (nTok >= n) {
+              val m = nTok - n + 1
+              val counts = new java.util.HashMap[String, Int](m * 2)
+              val grams = new Array[String](m)
+              var j = 0
+              while (j < m) {
+                sb.setLength(0)
+                var k = j
+                while (k < j + n) {
+                  if (k > j) sb.append(' ')
+                  sb.append(toks(k))
+                  k += 1
+                }
+                val g = sb.toString
+                grams(j) = g
+                counts.merge(g, 1, (a, b) => a + b)
+                j += 1
+              }
+              if (n <= 4) {
+                // max count, then ties take the larger char mass — the
+                // documented deterministic tie rule
+                var mx = 0
+                val it = counts.values().iterator()
+                while (it.hasNext) { val c = it.next(); if (c > mx) mx = c }
+                var mass = 0L
+                val es = counts.entrySet().iterator()
+                while (es.hasNext) {
+                  val e = es.next()
+                  if (e.getValue == mx) {
+                    val tokChars =
+                      e.getKey.codePointCount(0, e.getKey.length) - (n - 1)
+                    val cand = tokChars.toLong * mx
+                    if (cand > mass) mass = cand
+                  }
+                }
+                topMass(n - 2) = mass
+                if (n == 2) { nBigrams = m.toLong; topBigramN = mx.toLong }
+              } else {
+                // overlap-once coverage: mark token positions under any
+                // duplicated gram, sum their char lengths
+                val covered = new Array[Boolean](nTok)
+                var j2 = 0
+                while (j2 < m) {
+                  if (counts.get(grams(j2)) > 1) {
+                    var p = j2
+                    while (p < j2 + n) { covered(p) = true; p += 1 }
+                  }
+                  j2 += 1
+                }
+                var mass = 0L
+                var p = 0
+                while (p < nTok) { if (covered(p)) mass += lens(p); p += 1 }
+                dupMass(n - 5) = mass
+              }
+            }
+            n += 1
+          }
+          val topBigramFrac =
+            math.floor(topBigramN.toDouble / math.max(nBigrams, 1L) * 10000).toLong
+          org.apache.spark.sql.Row(id, nLines, dupLineFrac,
+            nBigrams, topBigramN, topBigramFrac,
+            topMass(0) * 10000 / denom, topMass(1) * 10000 / denom,
+            topMass(2) * 10000 / denom,
+            dupMass(0) * 10000 / denom, dupMass(1) * 10000 / denom,
+            dupMass(2) * 10000 / denom, dupMass(3) * 10000 / denom,
+            dupMass(4) * 10000 / denom, dupMass(5) * 10000 / denom)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Full per-document profile. Language scores are materialized as plan
@@ -604,6 +664,13 @@ object TextAnalysis {
         col(s"`$textCol`").cast("string").as("__t"))
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level, true)
+        // free the ~256 KB native workspace when the TASK completes, not
+        // when the iterator drains: a downstream limit/take abandons the
+        // iterator mid-partition and exhaustion-keyed release then waits
+        // on GC finalization (advisor r14). end() is idempotent, so the
+        // drain-path call below staying is fine (it releases earlier).
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => deflater.end())
         new Iterator[org.apache.spark.sql.Row] {
           override def hasNext: Boolean = {
             val h = rows.hasNext

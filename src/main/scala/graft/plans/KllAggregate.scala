@@ -30,12 +30,17 @@ import org.apache.spark.sql.types._
   * oracles check its CONTRACT (rank error ≤ ε·n, weight conservation),
   * exactly how `vocab_cms` treats Spark's engine-private builtin sketch.
   *
-  * Determinism note: the coin stream is a fixed-seed xorshift64 per
-  * aggregation buffer, so a single-threaded replay is reproducible, but
-  * distributed merge ORDER still varies run to run — the guarantee that
-  * holds regardless is the (ε, δ) rank bound, which is what tests and
-  * oracles assert (with ε at ~5×–10× the empirical error, so the gate
-  * never flakes).
+  * Determinism note: each aggregation buffer's xorshift64 coin stream is
+  * seeded from a constant mixed with a per-task nonce (partition id +
+  * task attempt id) and with data-derived entropy, so buffers flip
+  * INDEPENDENT coins even over replicated or identically-partitioned
+  * data — the independence KLL's (ε, δ) analysis assumes. Driver-side
+  * buffers (no TaskContext: tests, `stateOf`) keep the constant seed and
+  * replay reproducibly; distributed runs never promised exact-state
+  * determinism anyway (merge order varies run to run). The guarantee
+  * that holds regardless is the (ε, δ) rank bound, which is what tests
+  * and oracles assert (with ε at ~5×–10× the empirical error, so the
+  * gate never flakes).
   *
   * Buffer: ≤ capacity items per level, ≤ ~log2(n/capacity)+1 levels —
   * a few thousand longs at any corpus size; partials combine map-side. */
@@ -56,11 +61,16 @@ final class KllState(val capacity: Int) extends Serializable {
     * compaction coins; a constant per-buffer seed correlates the coins of
     * every partition's buffer, and replicated or adversarially partitioned
     * input could then bias ranks beyond the modeled bound (advisor r13).
-    * The first inserted value and each merged-in partner's stream are
-    * mixed in, so buffers holding different data flip different coins —
-    * and the state stays fully serialized (`rng` rides serialize/
-    * deserialize), so a single-threaded replay is still reproducible. */
-  private def mixSeed(entropy: Long): Unit = {
+    * Data-derived entropy alone (first inserted value, merged partner's
+    * stream) is NOT enough: replicated or identically-partitioned input
+    * re-derives the same seed in every buffer (advisor r14), so the
+    * aggregate also mixes a per-TASK nonce at buffer creation
+    * ([[KllSketchAgg.createAggregationBuffer]]) — buffers are then
+    * distinct even over identical data. The state stays fully serialized
+    * (`rng` rides serialize/deserialize); determinism is the (ε, δ)
+    * contract, never the exact retained set, which distributed merge
+    * order already perturbs run-to-run. */
+  def mixSeed(entropy: Long): Unit = {
     rng ^= java.lang.Long.rotateLeft(entropy * 0x9E3779B97F4A7C15L, 31)
     if (rng == 0L) rng = 0x9E3779B97F4A7C15L
   }
@@ -169,7 +179,21 @@ case class KllSketchAgg(
       s"$prettyName requires bigint, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): KllState = new KllState(capacity)
+  override def createAggregationBuffer(): KllState = {
+    val s = new KllState(capacity)
+    // Per-task nonce: partition id + task attempt id make each buffer's
+    // coin stream distinct even when the DATA in two buffers is identical
+    // (replicated input, identical re-partitionings) — the case
+    // data-derived entropy cannot separate (advisor r14). Absent a
+    // TaskContext (driver-side eval, unit tests) the constant seed stands,
+    // keeping single-threaded replays reproducible.
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      s.mixSeed(tc.partitionId().toLong)
+      s.mixSeed(tc.taskAttemptId())
+    }
+    s
+  }
 
   override def update(buf: KllState, input: InternalRow): KllState = {
     val v = valueExpr.eval(input)

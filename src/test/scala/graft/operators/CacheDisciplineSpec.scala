@@ -92,6 +92,44 @@ class CacheDisciplineSpec extends AnyFunSuite {
 
   // ---- layer 2: source scan — the grep-clean gate ----
 
+  /** Count-based per-file accounting (advisor r13/r14): (persist sites,
+    * release sites) in one source text. Each `.unpersist(` releases one
+    * frame; each `releaseAfterUse(result, i1, i2, ...)` releases one frame
+    * per intermediate argument (top-level commas after the first arg). A
+    * file is clean only when releases >= persists — so a NEW unreleased
+    * persist in a file that already releases others still trips the gate
+    * (the old boolean `contains` check let it ride silently). An
+    * error-path unpersist for an already-counted frame (try/catch around
+    * a guard) adds a spare credit — the heuristic's known slack, accepted
+    * because matching sites syntactically would need a real parser. */
+  private def persistAccounting(src: String): (Int, Int) = {
+    val persists = src.sliding(".persist(".length).count(_ == ".persist(")
+    val unpersists = src.sliding(".unpersist(".length).count(_ == ".unpersist(")
+    val releaseArgs = {
+      val marker = "releaseAfterUse("
+      var total = 0
+      var at = src.indexOf(marker)
+      while (at >= 0) {
+        var i = at + marker.length
+        var depth = 1
+        var commas = 0
+        while (depth > 0 && i < src.length) {
+          src.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => commas += 1
+            case _ =>
+          }
+          i += 1
+        }
+        total += commas // result is arg 0; intermediates = top-level commas
+        at = src.indexOf(marker, i)
+      }
+      total
+    }
+    (persists, unpersists + releaseArgs)
+  }
+
   test("every main-source persist is released or allowlisted") {
     // Persists whose lifetime intentionally belongs to the caller/user:
     //  - MaskTransform: the reference's stage `persist=true` contract
@@ -107,41 +145,38 @@ class CacheDisciplineSpec extends AnyFunSuite {
       .filterNot(p => allowlist.contains(p.getFileName.toString))
       .flatMap { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val persists = src.sliding(".persist(".length).count(_ == ".persist(")
-        // Per-SITE accounting (advisor r13): the old boolean file-level
-        // check let a NEW unreleased persist ride silently in any file that
-        // already released one. Each `.unpersist(` releases one frame; each
-        // `releaseAfterUse(result, i1, i2, ...)` releases one frame per
-        // intermediate argument (top-level commas after the first arg).
-        val unpersists = src.sliding(".unpersist(".length).count(_ == ".unpersist(")
-        val releaseArgs = {
-          val marker = "releaseAfterUse("
-          var total = 0
-          var at = src.indexOf(marker)
-          while (at >= 0) {
-            var i = at + marker.length
-            var depth = 1
-            var commas = 0
-            while (depth > 0 && i < src.length) {
-              src.charAt(i) match {
-                case '(' => depth += 1
-                case ')' => depth -= 1
-                case ',' if depth == 1 => commas += 1
-                case _ =>
-              }
-              i += 1
-            }
-            total += commas // result is arg 0; intermediates = top-level commas
-            at = src.indexOf(marker, i)
-          }
-          total
-        }
-        if (persists > unpersists + releaseArgs)
-          Some(s"$p ($persists persist(s), ${unpersists + releaseArgs} release(s))")
+        val (persists, releases) = persistAccounting(src)
+        if (persists > releases)
+          Some(s"$p ($persists persist(s), $releases release(s))")
         else None
       }.toList
     assert(offenders.isEmpty,
       "persist without release (add releaseAfterUse or an explicit unpersist):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("the gate catches a planted unreleased persist in a releasing file") {
+    // Verdict r14 ask #5's done-criterion, as a self-test on the scanner:
+    // a file that already releases one frame but adds a SECOND persist
+    // with no release must be flagged (the failure mode the old boolean
+    // file-level check admitted).
+    val planted =
+      """val a = df.persist()
+        |val out = compute(a)
+        |a.unpersist(false)
+        |val b = other.persist()   // new, never released
+        |b.count()
+        |""".stripMargin
+    val (persists, releases) = persistAccounting(planted)
+    assert(persists == 2 && releases == 1)
+    assert(persists > releases, "planted unreleased persist was not flagged")
+    // and releaseAfterUse intermediates count one credit per argument
+    val viaListener =
+      """val a = x.persist()
+        |val b = y.persist()
+        |Partitioning.releaseAfterUse(result, a, b)
+        |""".stripMargin
+    val (p2, r2) = persistAccounting(viaListener)
+    assert(p2 == 2 && r2 == 2)
   }
 }

@@ -77,4 +77,32 @@ class KllSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       KllAggregate.stateOf(Seq((0, 5L), (1, 7L)), n = 100L))
   }
+
+  test("replicated partitions flip independent compaction coins (per-task nonce)") {
+    // The adversarial case data-derived entropy cannot separate (advisor
+    // r14): 8 partitions each holding the SAME 10000 values, so every
+    // buffer's first inserted value — and every merged partner's stream —
+    // is identical. Pre-nonce, all 8 partials replayed the same coin
+    // stream and two runs of the job produced byte-identical retained
+    // states; the per-task nonce (partition id + task attempt id) makes
+    // each buffer's trajectory distinct, so repeated runs over the
+    // identically-replicated input must NOT replay the same state, while
+    // weight conservation (the coin-independent invariant) still holds.
+    val df = spark.range(0, 80000)
+      .select(expr("id % 8").as("p"), expr("((id div 8) * 48271) % 9973 + 1").as("v"))
+      .repartitionByRange(8, col("p"))
+      .select(col("v"))
+    def items(): Seq[(Int, Long)] = {
+      val row = df.agg(KllAggregate.kllSketch(col("v"), 64).as("sk")).collect()(0)
+      row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getInt(0), r.getLong(1)))
+    }
+    val a = items()
+    val b = items()
+    // conservation first: stateOf REQUIRES totalWeight == n
+    KllAggregate.stateOf(a, 80000L, 64)
+    KllAggregate.stateOf(b, 80000L, 64)
+    assert(a != b,
+      "two runs over identically-replicated partitions retained the same state — " +
+        "compaction coin streams are still correlated")
+  }
 }
