@@ -1830,9 +1830,11 @@ object SparkEntry {
     * its probe lists narrowly, joins only those buckets, and cuts to ≤ k
     * per batch vector map-side. Full probe here (the exact
     * configuration), so DuckDB replays batch × corpus by brute force on
-    * the ppm grid; the centroids travel WITH the index (a params sidecar
-    * requirement the operator enforces by making them a required
-    * argument). */
+    * the ppm grid; the centroids travel WITH the index as a real sidecar
+    * (`writeIvfIndex` stores them under `_quantizer`, `knnProbeStored`
+    * reloads and routes through them — r15 ask #3), and a probe handed
+    * foreign centroids is detected by the operator's sampled routing
+    * check. */
   private def qKnnIncremental(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val corpus = emb.where(col("vec_id") >= 50)
@@ -1842,15 +1844,15 @@ object SparkEntry {
     val storeDir = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_ivf_index_store")
     if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
-    graft.sources.Sinks.writePartitioned(
-      graft.operators.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
-        .where(col("list_id") >= 0),
-      storeDir.getAbsolutePath, Seq("list_id"), filesPerPartition = 1)
-    val index = spark.read.parquet(storeDir.getAbsolutePath)
-      .select(col("vec_id").cast("long").as("vec_id"), col("emb"),
-        col("list_id").cast("int").as("list_id"))
-    graft.operators.Similarity.knnProbeIndexed(
-        index, batch, "vec_id", "embedding", cents, k = 3, nProbe = 8)
+    // the r15 store cycle: index AND quantizer written together, probe
+    // routed through the RELOADED centroids — zero in-memory carry-over
+    // from the build (knnProbeStored rereads the sidecar; the `cents`
+    // above never reach the probe)
+    graft.operators.Similarity.writeIvfIndex(
+      corpus, "vec_id", "embedding", cents, storeDir.getAbsolutePath)
+    graft.operators.Similarity.knnProbeStored(
+        spark, storeDir.getAbsolutePath, batch, "vec_id", "embedding",
+        k = 3, nProbe = 8)
       .orderBy(col("vec_id"), col("rank"))
   }
 

@@ -385,7 +385,75 @@ object Similarity {
     val probed = queries.select(col("list_id")).distinct().collect().map(_.get(0))
     val members = index.where(col("list_id").isin(probed.toIndexedSeq: _*))
       .select(col("list_id"), col("vec_id").as("nbr_id"), col("emb").as("nbr_emb"))
+    // Quantizer integrity (verdict r15 ask #3): routing batch vectors
+    // through DIFFERENT centroids than the index was built with silently
+    // probes wrong buckets. Detect it on a bounded sample of the ALREADY
+    // PRUNED members (no extra corpus scan): every stored row must route
+    // to its stored list under the centroids given here — a genuinely
+    // different quantizer disagrees on some sampled row with overwhelming
+    // probability, and the store path ([[knnProbeStored]]) makes the
+    // mismatch impossible by construction.
+    val mismatched = members.limit(128)
+      .where(coalesce(
+        graft.plans.VectorExpressions.nearestCentroid(col("nbr_emb"), centroids),
+        lit(-1)) =!= col("list_id"))
+      .count()
+    require(mismatched == 0L,
+      s"knnProbeIndexed: $mismatched sampled index row(s) route to a different " +
+        "list under the centroids passed here — the index was built with a " +
+        "different quantizer. Probe through the centroids stored beside the " +
+        "index (writeIvfIndex/readIvfIndex/knnProbeStored).")
     bucketTopK(queries, members, k)
+  }
+
+  /** Materialize an IVF index WITH its quantizer (verdict r15 ask #3 —
+    * the `stampCms` analogue for ANN): the assignment is written
+    * `partitionBy("list_id")` for partition-pruned probes, and the
+    * centroids land beside it under `<path>/_quantizer` — an
+    * underscore-prefixed sidecar Spark's parquet reader IGNORES when
+    * scanning `<path>`, so index reads and pruning are unchanged while
+    * the quantizer can never be separated from the index it defines. */
+  def writeIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                    centroids: Array[Array[Double]], path: String,
+                    filesPerPartition: Int = 1): Unit = {
+    require(centroids.nonEmpty, "writeIvfIndex: no centroids")
+    val spark = df.sparkSession
+    graft.sources.Sinks.writePartitioned(
+      ivfAssign(df, idCol, embCol, centroids).where(col("list_id") >= 0),
+      path, Seq("list_id"), filesPerPartition)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/_quantizer")
+  }
+
+  /** Reload a [[writeIvfIndex]] store: (index, centroids). The index keeps
+    * its `list_id=` partitioning (probes prune); the centroids come from
+    * the sidecar in list order, so the probe can only ever route through
+    * the quantizer the index was built with. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, Array[Array[Double]]) = {
+    val cents = spark.read.parquet(path + "/_quantizer")
+      .orderBy(col("list_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"readIvfIndex: empty quantizer sidecar at $path/_quantizer")
+    val index = spark.read.parquet(path)
+      .select(col("vec_id").cast("long").as("vec_id"), col("emb"),
+        col("list_id").cast("int").as("list_id"))
+    (index, cents)
+  }
+
+  /** The operationally safe probe: batch vs a [[writeIvfIndex]] store,
+    * routed through the STORED quantizer — mismatched centroids are
+    * impossible by construction, not just detected. */
+  def knnProbeStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String, embCol: String, k: Int,
+                     nProbe: Int, maxBucket: Long = 1000000L): DataFrame = {
+    val (index, cents) = readIvfIndex(spark, path)
+    knnProbeIndexed(index, batch, idCol, embCol, cents,
+      k, math.min(nProbe, cents.length), maxBucket)
   }
 
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for

@@ -366,6 +366,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF store cycle: quantizer sidecar rides the index; mismatched centroids are rejected") {
+    val corpus = (100L until 180L).map(i => i -> randUnit(16))
+    val batch = (0L until 10L).map(i => i -> randUnit(16))
+    val corpusDf = vecs(corpus: _*)
+    val cents = Similarity.sampleCentroids(corpusDf, "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_spec").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      Similarity.writeIvfIndex(corpusDf, "vec_id", "embedding", cents, path)
+      // the sidecar reloads the quantizer bit-for-bit, in list order
+      val (index, stored) = Similarity.readIvfIndex(corpusDf.sparkSession, path)
+      assert(stored.length === cents.length)
+      assert(stored.zip(cents).forall { case (a, b) => a.sameElements(b) })
+      // the underscore sidecar is INVISIBLE to the index read: schema and
+      // row count are exactly the assignment's
+      assert(index.columns.toSet === Set("vec_id", "emb", "list_id"))
+      assert(index.count() === corpus.length.toLong)
+      // store-routed probe == probe with the original in-memory centroids
+      val viaStore = Similarity.knnProbeStored(corpusDf.sparkSession, path,
+          vecs(batch: _*), "vec_id", "embedding", k = 2, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      val viaMemory = Similarity.knnProbeIndexed(index, vecs(batch: _*),
+          "vec_id", "embedding", cents, k = 2, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      assert(viaStore === viaMemory)
+      // a probe handed a DIFFERENT quantizer than the index was built
+      // with must be rejected (sampled routing check), not silently
+      // probe wrong buckets
+      val foreign = Similarity.sampleCentroids(
+        vecs((500L until 504L).map(i => i -> randUnit(16)): _*), "vec_id", "embedding", 4)
+      val err = intercept[IllegalArgumentException] {
+        Similarity.knnProbeIndexed(index, vecs(batch: _*), "vec_id", "embedding",
+          foreign, k = 2, nProbe = 4).collect()
+      }
+      assert(err.getMessage.contains("different quantizer"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("knnJoin maxBucket guard throws before a quadratic bucket job") {
     val rows = (0L until 50L).map(i => i -> randUnit(8))
     val err = intercept[IllegalArgumentException] {
