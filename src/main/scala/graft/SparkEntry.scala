@@ -2707,6 +2707,20 @@ object SparkEntry {
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(table(spark, dir, "documents"), "text", k = 20)
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING (r15 ask #6) —
+    * the second standard subword trainer next to BPE: substring seeding,
+    * one EM/prune round on the integer min-token Viterbi objective, a
+    * final E-step ranking the surviving vocabulary by corpus usage. The
+    * DuckDB replay re-runs the ENTIRE trajectory — seeding scores, both
+    * Viterbi E-steps (the `segment_viterbi` chained-CTE DP with the same
+    * ties-to-longest-final rule), the split-point prune losses, and the
+    * final ranking — so every (rank, token, piece_len, usage) row is
+    * pinned end to end. */
+  private def qUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.train(table(spark, dir, "documents"), "text",
+      vocabSize = 66, seedSize = 150, maxPieceLen = 4, rounds = 1,
+      minFreq = 2L, maxWordLen = 20)
+
   /** Planted multilingual fixture for the unicode tokenizer oracles —
     * lowercase NFC text with é/ü/ß/ø/å/ö/æ words (judge r11 ask #4: the
     * ASCII-only word alphabet silently emptied every non-ASCII token
@@ -4860,6 +4874,7 @@ object SparkEntry {
     "assemble_docs" -> qAssembleDocs,
     "bpe_pair_counts" -> qBpePairCounts,
     "bpe_train" -> qBpeTrain,
+    "unigram_train" -> qUnigramTrain,
     "bpe_train_unicode" -> qBpeTrainUnicode,
     "segment_viterbi_unicode" -> qSegmentViterbiUnicode,
     "bpe_encode" -> qBpeEncode,
@@ -5084,6 +5099,84 @@ object SparkEntry {
 
   private val segmentViterbiOracleSql: String =
     segmentViterbiOracleSqlFor("documents", "[a-z]+", 20)
+
+  /** One min-token Viterbi DP instance as chained CTEs (the
+    * `segment_viterbi` machinery, instance-tagged so several DPs coexist
+    * in one oracle): `<tag>_d<maxLen>` holds one (word, j, c, l) row per
+    * reachable boundary — min cost `c`, ties to the longest last token
+    * `l`, exactly [[graft.plans.ViterbiKernel]]'s cell rule. */
+  private def unigramDpCtes(tag: String, wordsSrc: String, vsetName: String,
+                            maxLen: Int): String = {
+    val head = s"${tag}_d0 AS (SELECT word, 0 AS j, 0 AS c, 0 AS l FROM $wordsSrc)"
+    val dp = (1 to maxLen).map { j =>
+      s"${tag}_s$j AS (SELECT word, c, l FROM (" +
+        s"SELECT p.word, p.c + 1 AS c, $j - p.j AS l, " +
+        s"row_number() OVER (PARTITION BY p.word ORDER BY p.c + 1, $j - p.j DESC) AS rn " +
+        s"FROM ${tag}_d${j - 1} p JOIN $vsetName v ON v.token = substr(p.word, p.j + 1, $j - p.j) " +
+        s"WHERE len(p.word) >= $j) q WHERE rn = 1), " +
+        s"${tag}_d$j AS MATERIALIZED (SELECT * FROM ${tag}_d${j - 1} " +
+        s"UNION ALL SELECT word, $j, c, l FROM ${tag}_s$j)"
+    }.mkString(", ", ", ", "")
+    head + dp
+  }
+
+  /** The recursive backtrack over a [[unigramDpCtes]] instance:
+    * `<tag>_seg` = (word, toks) per segmentable word. */
+  private def unigramBtCtes(tag: String, wordsSrc: String, maxLen: Int): String =
+    s"${tag}_bt AS (SELECT word, len(word) AS j, CAST([] AS VARCHAR[]) AS toks FROM $wordsSrc w " +
+      s"WHERE len(word) <= $maxLen AND EXISTS (SELECT 1 FROM ${tag}_d$maxLen x " +
+      "WHERE x.word = w.word AND x.j = len(w.word)) " +
+      "UNION ALL SELECT b.word, b.j - s.l, " +
+      "list_prepend(substr(b.word, b.j - s.l + 1, s.l), b.toks) " +
+      s"FROM ${tag}_bt b JOIN ${tag}_d$maxLen s ON s.word = b.word AND s.j = b.j WHERE b.j > 0), " +
+      s"${tag}_seg AS (SELECT word, toks FROM ${tag}_bt WHERE j = 0)"
+
+  /** The unigram trainer's WHOLE trajectory replayed: word histogram,
+    * substring seeding (frequency × length scores, minFreq floor, top
+    * `seedSize`), the round-1 E-step usage, the exact split-point prune
+    * loss (both halves costed by a piece-string DP under the full
+    * candidate vocabulary — a proper substring can never be the piece
+    * itself), the keep-to-target cut, and the final E-step ranking.
+    * Parameters mirror [[qUnigramTrain]] verbatim. */
+  private val unigramTrainOracleSql: String = {
+    val (vocabSize, seedSize, maxPieceLen, minFreq, maxWordLen) = (66, 150, 4, 2, 20)
+    "WITH RECURSIVE " +
+      "dt AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
+      s"wds AS (SELECT word, count(*)::BIGINT AS freq FROM " +
+      s"(SELECT unnest(t) AS word FROM dt) q WHERE len(word) <= $maxWordLen GROUP BY word), " +
+      "chars AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM wds), " +
+      s"subw AS (SELECT word, freq, unnest(range(2, ${maxPieceLen + 1})) AS l FROM wds), " +
+      "sub AS (SELECT substr(word, i, l) AS s, freq FROM " +
+      "(SELECT word, freq, l, unnest(range(1, len(word) - l + 2)) AS i FROM subw WHERE len(word) >= l) q), " +
+      s"subc AS (SELECT s, sum(freq)::BIGINT AS f FROM sub GROUP BY s HAVING sum(freq) >= $minFreq), " +
+      s"seed AS (SELECT s FROM (SELECT s, f * len(s) AS score FROM subc ORDER BY score DESC, s LIMIT $seedSize) q), " +
+      "v1 AS (SELECT c AS token FROM chars UNION SELECT s FROM seed), " +
+      unigramDpCtes("e1", "wds", "v1", maxWordLen) + ", " +
+      unigramBtCtes("e1", "wds", maxWordLen) + ", " +
+      "u1 AS (SELECT tok, sum(freq)::BIGINT AS u FROM " +
+      "(SELECT word, unnest(toks) AS tok FROM e1_seg) t JOIN wds USING (word) GROUP BY tok), " +
+      "pw AS (SELECT DISTINCT substr(s, i + 1) AS word FROM " +
+      "(SELECT s, unnest(range(0, len(s))) AS i FROM seed) q), " +
+      unigramDpCtes("p1", "pw", "v1", maxPieceLen) + ", " +
+      s"alt AS (SELECT s, min(pc.c + sc.c)::BIGINT AS altc FROM " +
+      "(SELECT s, unnest(range(1, len(s))) AS i FROM seed) sp " +
+      s"JOIN p1_d$maxPieceLen pc ON pc.word = sp.s AND pc.j = sp.i " +
+      s"JOIN p1_d$maxPieceLen sc ON sc.word = substr(sp.s, sp.i + 1) AND sc.j = len(sp.s) - sp.i " +
+      "GROUP BY s), " +
+      "lossq AS (SELECT a.s, coalesce(u1.u, 0)::BIGINT AS u, " +
+      "coalesce(u1.u, 0)::BIGINT * (a.altc - 1) AS loss FROM alt a LEFT JOIN u1 ON u1.tok = a.s), " +
+      "kept AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY loss DESC, u DESC, s) AS rn FROM lossq) q " +
+      s"WHERE rn <= $vocabSize - (SELECT count(*) FROM chars)), " +
+      "v2 AS (SELECT c AS token FROM chars UNION SELECT s FROM kept), " +
+      unigramDpCtes("e2", "wds", "v2", maxWordLen) + ", " +
+      unigramBtCtes("e2", "wds", maxWordLen) + ", " +
+      "u2 AS (SELECT tok, sum(freq)::BIGINT AS u FROM " +
+      "(SELECT word, unnest(toks) AS tok FROM e2_seg) t JOIN wds USING (word) GROUP BY tok), " +
+      "res AS (SELECT v2.token, coalesce(u2.u, 0)::BIGINT AS usage FROM v2 LEFT JOIN u2 ON u2.tok = v2.token) " +
+      "SELECT (row_number() OVER (ORDER BY usage DESC, token))::BIGINT AS rank, " +
+      "token, len(token)::BIGINT AS piece_len, usage FROM res ORDER BY rank"
+  }
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -6078,6 +6171,7 @@ object SparkEntry {
         "min(pq_dist)::BIGINT AS dist_min, max(pq_dist)::BIGINT AS dist_max, " +
         "sum(vec_id)::BIGINT AS id_sum FROM res"),
     "segment_viterbi" -> segmentViterbiOracleSql,
+    "unigram_train" -> unigramTrainOracleSql,
     // the same replays over the planted multilingual VALUES rows with the
     // \p{L} alphabet — accents survive training and segmentation
     "bpe_train_unicode" ->
