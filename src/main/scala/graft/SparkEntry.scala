@@ -2591,6 +2591,38 @@ object SparkEntry {
         coalesce(sum(col("new_id") + col("corpus_id")), lit(0L)).cast("long").as("pair_id_sum")))
   }
 
+  /** The incremental kNN probe as a STRUCTURED STREAM (r15 ask #7):
+    * knn_incremental's batch (vec_id < 50) arrives via readStream and
+    * probes the SAME materialized IVF store (quantizer sidecar included)
+    * per micro-batch through foreachBatch — the batch operator verbatim,
+    * integrity check and partition pruning intact. Shares
+    * knn_incremental's oracle verbatim: running the probe as a stream
+    * must not change one edge of the graph. */
+  private def qStreamKnnProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val corpus = emb.where(col("vec_id") >= 50)
+    val cents = graft.operators.Similarity.sampleCentroids(
+      corpus, "vec_id", "embedding", 8)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val store = new java.io.File(tmp, "graft_stream_knn_store")
+    val sink = new java.io.File(tmp, "graft_stream_knn_sink")
+    Seq(store, sink).foreach(d =>
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d))
+    graft.operators.Similarity.writeIvfIndex(
+      corpus, "vec_id", "embedding", cents, store.getAbsolutePath)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") < 50)
+    val q = graft.streaming.Streaming.knnProbeStream(
+      stream, store.getAbsolutePath, "vec_id", "embedding",
+      k = 3, nProbe = 8, sinkPath = sink.getAbsolutePath)
+    q.awaitTermination()
+    spark.read.parquet(sink.getAbsolutePath)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos_ppm"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Exact incremental dedup: a planted batch of exact copies (re-id'd,
     * unchanged text) plus modified non-copies against the corpus; the
     * oracle recomputes truth with a plain text-equality join. The operator
@@ -4885,6 +4917,7 @@ object SparkEntry {
     "dedup_sig_reuse" -> qDedupSigReuse,
     "dedup_exact_incremental" -> qDedupExactIncremental,
     "stream_dedup_probe" -> qStreamDedupProbe,
+    "stream_knn_probe" -> qStreamKnnProbe,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_cluster_report" -> qDedupClusterReport,
     "dedup_lines" -> qDedupLines,
@@ -6121,6 +6154,8 @@ object SparkEntry {
     "knn_graph_only" -> knnGraphOnlyOracleSql,
     "knn_clusters" -> knnClustersOracleSql,
     "knn_incremental" -> knnIncrementalOracleSql,
+    // shared verbatim: streaming the probe must not change one edge
+    "stream_knn_probe" -> knnIncrementalOracleSql,
     "gram_store_merge" -> gramStoreMergeOracleSql,
     "pca_whiten" -> pcaWhitenOracleSql,
     "pca_by_group" -> pcaByGroupOracleSql,

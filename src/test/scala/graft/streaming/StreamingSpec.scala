@@ -351,6 +351,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("knnProbeStream equals the batch probe edge-for-edge (MemoryStream agreement)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    // deterministic corpus/batch vectors (integer grid — no float seams)
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(d => (((seed * 31 + d * 7) % 19) - 9).toFloat / 9f)
+    val corpus = (100L until 160L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch = (0L until 10L).map(i => (i, vec(i * 13 + 3))).toSeq
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files.createTempDirectory("knn_stream_spec").toFile
+    try {
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val sink = new java.io.File(dir, "sink").getAbsolutePath
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, store)
+      val input = MemoryStream[(Long, Array[Float])]
+      input.addData(batch: _*)
+      val q = Streaming.knnProbeStream(
+        input.toDF().toDF("vec_id", "embedding"), store,
+        "vec_id", "embedding", k = 2, nProbe = 4, sinkPath = sink)
+      q.awaitTermination()
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val batched = Similarity.knnProbeStored(spark, store,
+          batch.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 2, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batched,
+        "streaming the probe changed the graph vs the batch operator")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("the masking projection passes streaming frames through (reference parity)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
