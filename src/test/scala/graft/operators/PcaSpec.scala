@@ -188,4 +188,38 @@ class PcaSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("mixed state lengths"))
   }
+
+  test("principalCosines: identical bases → 1, orthogonal → 0, subspace rotation-invariant") {
+    import org.apache.spark.sql.functions.col
+    val d = 4
+    // axis-pure shards: A varies on e0 (±2) and e1 (±1); B on e2/e3; C is
+    // A with its two axes SWAPPED (same top-2 subspace, different order)
+    def axes(a0: Int, a1: Int): Seq[(Long, Seq[Double])] =
+      (0 until 40).map { i =>
+        val v = Array.fill(d)(0.0)
+        v(a0) = if (i % 2 == 0) 2.0 else -2.0
+        v(a1) = if (i % 3 == 0) 1.0 else -1.0
+        (i.toLong, v.toSeq)
+      }
+    def st(rows: Seq[(Long, Seq[Double])]) = Pca.stateOf(
+      Pca.gram(vecsDf(rows), "embedding", d).collect()(0).getSeq[Long](0), d, 1000L)
+    val sA = st(axes(0, 1))
+    val sB = st(axes(2, 3))
+    val sC = st(axes(1, 0)) // e1 now dominant: top-1 flips, top-2 span identical
+    val same = Pca.principalCosines(sA, sA, 2)
+    assert(same.forall(c => math.abs(c - 1.0) < 1e-9))
+    val orth = Pca.principalCosines(sA, sB, 2)
+    assert(orth.forall(c => c < 1e-9), s"disjoint axes must be orthogonal: ${orth.toSeq}")
+    // top-1 direction moved (cos ~ 0) but the top-2 SUBSPACE is identical
+    // (both cosines 1) — exactly the k-sensitivity a drift monitor needs
+    assert(Pca.principalCosines(sA, sC, 1)(0) < 1e-9)
+    val sub = Pca.principalCosines(sA, sC, 2)
+    assert(sub.forall(c => math.abs(c - 1.0) < 1e-9), s"swapped axes span the same plane: ${sub.toSeq}")
+    // layout guard
+    intercept[IllegalArgumentException] {
+      Pca.principalCosines(sA, Pca.stateOf(
+        Pca.gram(vecsDf(axes(0, 1)), "embedding", d, grid = 10L)
+          .collect()(0).getSeq[Long](0), d, 10L), 1)
+    }
+  }
 }
