@@ -189,6 +189,16 @@ object ScaleCheck {
     // the streamed moment state: ONE flat buffer per partition through
     // the complete-mode aggregate — constant-class bytes at any volume
     "stream_gram",
+    // round-15: the unigram trainer (one corpus scan into the Heaps'-law
+    // word histogram, then vocab-broadcast kernel passes over the
+    // DISTINCT-WORD frame — rotation makes copies' vocabularies disjoint,
+    // so the distinct-word term grows ~linearly and seeding/E-step cost
+    // must track IT, not the corpus); the streaming kNN probe (fixed
+    // 50-vector stream against the grown stored index through
+    // foreachBatch — the knn_incremental law with trigger machinery on
+    // top); and the drift report (planted fixed-size shards: cost must
+    // be FLAT — the monitor never touches the corpus)
+    "unigram_train", "stream_knn_probe", "pca_drift",
     // knn_clusters and knn_graph are deliberately NOT here: their exact
     // full-probe configuration is the ORACLE'S setting (every pair
     // considered — quadratic by design, like embed_pairs_exact); the

@@ -2656,9 +2656,9 @@ object SparkEntry {
       if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d))
     graft.operators.Similarity.writeIvfIndex(
       corpus, "vec_id", "embedding", cents, store.getAbsolutePath)
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    // layout-sensitive source: driver testdata = single files, ScaleCheck
+    // corpora = Spark-written directories
+    val stream = streamTable(spark, dir, "embeddings")
       .where(col("vec_id") < 50)
     val q = graft.streaming.Streaming.knnProbeStream(
       stream, store.getAbsolutePath, "vec_id", "embedding",
