@@ -190,6 +190,18 @@ object Bench {
     // normalization then flagged 60 phantom regressions in one run). A
     // real plan regression inflates under both; box drift inflates one
     // and deflates the other.
+    // A third AND condition joined r15: the RAW wall must also exceed
+    // 1.5x its same-SF trailing minimum. Normalization exists to excuse
+    // box SLOWDOWNS (raw inflates, normalized stays put); the r15 run
+    // showed the inverse hole — a box with an unusually FAST single
+    // thread (calib 13.6 ms vs the 18-21 ms priors) inflates every
+    // normalized ratio and "confirmed" two sub-second queries whose raw
+    // walls moved 1.45x (inside the documented ±2x noise). A real plan
+    // regression inflates raw AND both normalizations; no combination of
+    // box drift inflates all three.
+    def rawPrior(q: String): Option[Double] =
+      Some(history.flatMap { case (_, _, qsH) => qsH.get(q) }.filter(_ > 0))
+        .filter(_.nonEmpty).map(_.min)
     val flagged: Map[String, Double] = results.flatMap { case (q, t) =>
       // sub-ms walls archive as 0.0 at 3 decimals — a zero prior would make
       // every future ratio Infinity and flag the query forever (advisor r13)
@@ -199,7 +211,8 @@ object Bench {
       else {
         val ratioS = (t / calib) / priorS.min
         val ratioP = (t / calibPar) / priorP.min
-        val ratio = math.min(ratioS, ratioP)
+        val ratioRaw = rawPrior(q).map(t / _).getOrElse(Double.PositiveInfinity)
+        val ratio = math.min(math.min(ratioS, ratioP), ratioRaw)
         if (ratio > 1.5) Some(q -> math.rint(ratio * 100) / 100) else None
       }
     }.toMap
@@ -222,7 +235,9 @@ object Bench {
       val isoRatio = if (!ok) Double.PositiveInfinity else {
         val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }.filter(_ > 0)
         val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }.filter(_ > 0)
-        math.min((iso / calib) / priorS.min, (iso / calibPar) / priorP.min)
+        val ratioRaw = rawPrior(q).map(iso / _).getOrElse(Double.PositiveInfinity)
+        math.min(math.min(
+          (iso / calib) / priorS.min, (iso / calibPar) / priorP.min), ratioRaw)
       }
       // a failed isolated re-run records 999 (JSON has no Infinity); the
       // failure itself already surfaced in the suite pass if systematic
