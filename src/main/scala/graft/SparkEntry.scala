@@ -2913,6 +2913,48 @@ object SparkEntry {
     graft.operators.Segment.viterbiSegment(docs, "doc_id", "text", vocab)
   }
 
+  /** Viterbi segmentation as a STRUCTURED STREAM (r15): the tokenizer
+    * family joins the "every batch operator also streams" law —
+    * [[graft.operators.Segment.viterbiSegment]] is fully in-row (kernel
+    * transform + posexplode, zero shuffle), so it is streaming-legal
+    * verbatim: the same vocabulary, applied to the same documents
+    * arriving as micro-batches, must emit the identical ~90k-row token
+    * stream. Shares `segment_viterbi`'s full per-token oracle. */
+  private def qStreamSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = trainedMerges(spark, dir)
+    val chars = docs.select(explode(
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w.rlike("^[a-z]+$"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c")).where(col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val vocab = chars ++ merges.map(m => m._1 + m._2)
+    val seg = graft.operators.Segment.viterbiSegment(
+      streamDocuments(spark, dir), "doc_id", "text", vocab)
+    val sink = "graft_stream_segment_sink"
+    val q = seg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).select(col("doc_id"), col("pos"), col("token"))
+  }
+
+  /** Token-distribution drift between two corpus snapshots (r15) — the
+    * monitor a live ingest runs daily: day-1 is a planted shift (a third
+    * of the corpus rotates out; every fifth survivor gains a boilerplate
+    * token), and every summary statistic — totals, vocabulary sizes,
+    * appeared/vanished counts, the ppm-grid L1 distance, the argmax
+    * mover — is exact-integer and replayed by DuckDB from the same
+    * planted arithmetic. */
+  private def qVocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val day1 = docs.where(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" zzdrift zzdrift")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.TextAnalysis.vocabDrift(docs, day1, "text")
+  }
+
   /** Per-document OOV rate against the corpus top-20 token vocabulary —
     * the tokenizer-coverage check run before committing to a vocab. Full
     * per-doc value oracle. */
@@ -4948,6 +4990,7 @@ object SparkEntry {
     "temperature_mix" -> qTemperatureMix,
     "curriculum_mix" -> qCurriculumMix,
     "vocab_coverage" -> qVocabCoverage,
+    "vocab_drift" -> qVocabDrift,
     "quality_checks" -> qQualityChecks,
     "skew_report" -> qSkewReport,
     "assemble_docs" -> qAssembleDocs,
@@ -4959,6 +5002,7 @@ object SparkEntry {
     "bpe_encode" -> qBpeEncode,
     "bpe_pack" -> qBpePack,
     "segment_viterbi" -> qSegmentViterbi,
+    "stream_segment" -> qStreamSegment,
     "langid_profile" -> qLangidProfile,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_sig_reuse" -> qDedupSigReuse,
@@ -6269,6 +6313,8 @@ object SparkEntry {
         "min(pq_dist)::BIGINT AS dist_min, max(pq_dist)::BIGINT AS dist_max, " +
         "sum(vec_id)::BIGINT AS id_sum FROM res"),
     "segment_viterbi" -> segmentViterbiOracleSql,
+    // shared verbatim: streaming the segmentation must not change a token
+    "stream_segment" -> segmentViterbiOracleSql,
     "unigram_train" -> unigramTrainOracleSql,
     // the same replays over the planted multilingual VALUES rows with the
     // \p{L} alphabet — accents survive training and segmentation
@@ -7652,6 +7698,28 @@ object SparkEntry {
         "coalesce(pd.n_oov, 0)::BIGINT AS n_oov, " +
         "coalesce(pd.n_oov * 10000 // pd.n_tokens, 0)::BIGINT AS oov_x1e4 " +
         "FROM documents d LEFT JOIN pd USING (doc_id)"),
+    // the planted day-1 snapshot replayed: same subset, same appended
+    // boilerplate, same ppm integer grid, same (delta DESC, token) argmax
+    "vocab_drift" ->
+      ("WITH at AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents), " +
+        "bd AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zzdrift zzdrift' ELSE text END AS text FROM documents WHERE doc_id % 3 <> 0), " +
+        "bt AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM bd), " +
+        "ha AS (SELECT tok, count(*)::BIGINT AS n FROM at GROUP BY tok), " +
+        "hb AS (SELECT tok, count(*)::BIGINT AS n FROM bt GROUP BY tok), " +
+        "ta AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM ha), " +
+        "tb AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM hb), " +
+        "d AS (SELECT tok, ha.n AS na, hb.n AS nb, " +
+        "abs(coalesce(ha.n, 0) * 1000000 // greatest((SELECT t FROM ta), 1) - " +
+        "coalesce(hb.n, 0) * 1000000 // greatest((SELECT t FROM tb), 1)) AS delta " +
+        "FROM ha FULL OUTER JOIN hb USING (tok)), " +
+        "top AS (SELECT tok, delta FROM d ORDER BY delta DESC, tok LIMIT 1) " +
+        "SELECT (SELECT t FROM ta) AS n_tok_a, (SELECT t FROM tb) AS n_tok_b, " +
+        "count(na)::BIGINT AS n_vocab_a, count(nb)::BIGINT AS n_vocab_b, " +
+        "count(CASE WHEN na IS NULL THEN 1 END)::BIGINT AS n_new, " +
+        "count(CASE WHEN nb IS NULL THEN 1 END)::BIGINT AS n_gone, " +
+        "coalesce(sum(delta), 0)::BIGINT AS l1_ppm, " +
+        "(SELECT tok FROM top) AS top_mover, " +
+        "(SELECT delta FROM top)::BIGINT AS top_mover_delta_ppm FROM d"),
     // old files read the evolved column as null; only odd doc_ids carry it
     "schema_evolution" ->
       ("SELECT count(*)::BIGINT AS n_rows, " +

@@ -444,6 +444,53 @@ object TextAnalysis {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the third
+    * member of the daily-monitor family next to the embedding-basis
+    * drift ([[Pca.principalCosines]]) and the mergeable sketch stores: a
+    * live ingest pipeline watches its token distribution because a
+    * source change (new crawl, new boilerplate, a bad extractor deploy)
+    * moves token rates before any downstream metric notices.
+    *
+    * Exact integer arithmetic end to end: per-side token rates on the
+    * per-million grid (`cnt·1e6 div total`), per-token drift = |Δppm|,
+    * aggregated into ONE summary row — corpus token masses, vocabulary
+    * sizes, appeared/vanished token counts, the total L1 rate distance
+    * (the standard distribution-shift statistic, integer on the ppm
+    * grid), and the single largest mover (ties by token — deterministic
+    * argmax). Scale shape: two corpus scans into map-side-combined token
+    * histograms (vocab-sized by Heaps' law), one vocab-keyed full-outer
+    * join, one aggregate — nothing corpus-shaped shuffles.
+    *
+    * Output: (n_tok_a, n_tok_b, n_vocab_a, n_vocab_b, n_new, n_gone,
+    * l1_ppm, top_mover, top_mover_delta_ppm). */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def hist(df: DataFrame): DataFrame =
+      df.select(explode(tokens(col(s"`$textCol`"))).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val ha = hist(a)
+    val hb = hist(b)
+    val rates = ha.select(col("tok"), col("n").as("na"))
+      .join(hb.select(col("tok"), col("n").as("nb")), Seq("tok"), "full_outer")
+      .crossJoin(ha.agg(coalesce(sum(col("n")), lit(0L)).as("tot_a")))
+      .crossJoin(hb.agg(coalesce(sum(col("n")), lit(0L)).as("tot_b")))
+      .select(col("tok"), col("na"), col("nb"), col("tot_a"), col("tot_b"),
+        expr("coalesce(na, 0L) * 1000000 div greatest(tot_a, 1)").as("rate_a_ppm"),
+        expr("coalesce(nb, 0L) * 1000000 div greatest(tot_b, 1)").as("rate_b_ppm"))
+      .withColumn("delta_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
+    val top = rates.orderBy(col("delta_ppm").desc, col("tok")).limit(1)
+      .select(col("tok").as("top_mover"), col("delta_ppm").as("top_mover_delta_ppm"))
+    rates.agg(
+        max(col("tot_a")).as("n_tok_a"),
+        max(col("tot_b")).as("n_tok_b"),
+        count(col("na")).as("n_vocab_a"),
+        count(col("nb")).as("n_vocab_b"),
+        count(when(col("na").isNull, 1)).as("n_new"),
+        count(when(col("nb").isNull, 1)).as("n_gone"),
+        coalesce(sum(col("delta_ppm")), lit(0L)).cast("long").as("l1_ppm"))
+      .crossJoin(top) // 1×1 combine
+  }
+
   /** Full per-document profile. Language scores are materialized as plan
     * columns first so each marker count is evaluated once per row. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {

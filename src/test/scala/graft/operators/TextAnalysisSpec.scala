@@ -461,6 +461,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     (6 to 10).foreach(n => assert(f(3L, s"dup${n}_char_frac_x1e4") === 0L))
   }
 
+  test("vocabDrift: ppm rates, L1, appeared/vanished, deterministic argmax — by hand") {
+    import spark.implicits._
+    // A: aa×2 bb cc (tot 4) → ppm aa 500000, bb 250000, cc 250000
+    // B: aa bb dd×2 (tot 4) → ppm aa 250000, bb 250000, dd 500000
+    // deltas: aa 250000, bb 0, cc 250000, dd 500000 → L1 = 1_000_000;
+    // dd appeared, cc vanished; top mover dd (500000)
+    val a = Seq((1L, "aa bb aa"), (2L, "cc")).toDF("doc_id", "text")
+    val b = Seq((1L, "aa bb"), (3L, "dd dd")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabDrift(a, b, "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_tok_a")) === 4L)
+    assert(r.getLong(r.fieldIndex("n_tok_b")) === 4L)
+    assert(r.getLong(r.fieldIndex("n_vocab_a")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_vocab_b")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_new")) === 1L)
+    assert(r.getLong(r.fieldIndex("n_gone")) === 1L)
+    assert(r.getLong(r.fieldIndex("l1_ppm")) === 1000000L)
+    assert(r.getString(r.fieldIndex("top_mover")) === "dd")
+    assert(r.getLong(r.fieldIndex("top_mover_delta_ppm")) === 500000L)
+    // identical snapshots: zero drift everywhere, argmax tie breaks to
+    // the first token
+    val same = TextAnalysis.vocabDrift(a, a, "text").collect()(0)
+    assert(same.getLong(same.fieldIndex("l1_ppm")) === 0L)
+    assert(same.getLong(same.fieldIndex("n_new")) === 0L)
+    assert(same.getLong(same.fieldIndex("n_gone")) === 0L)
+    assert(same.getString(same.fieldIndex("top_mover")) === "aa")
+  }
+
   test("deflateRatio separates the entropy regimes and matches the driver twin") {
     import spark.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")
