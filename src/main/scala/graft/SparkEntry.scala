@@ -2913,6 +2913,47 @@ object SparkEntry {
     graft.operators.Segment.viterbiSegment(docs, "doc_id", "text", vocab)
   }
 
+  /** Head-to-head tokenizer evaluation (r15) — the standard metric a
+    * pipeline computes after training BOTH subword tokenizers:
+    * characters-per-token of the greedy BPE encode vs the unigram-LM
+    * Viterbi segmentation over the same corpus, on the x1e4 integer
+    * grid. Both trainers, both appliers, and both metrics replay in
+    * DuckDB (the bpe_encode recursion + the unigram trajectory's final
+    * E-step segmentation, word-stream-joined). n_chars is identical by
+    * construction (a segmentation partitions its word), so the metric
+    * isolates token COUNT — n_words differs only by unigram's documented
+    * maxWordLen=20 drop rule. */
+  private def qTokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val wordsAll = docs.select(explode(
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w.rlike("^[a-z]+$"))).as("w"))
+    // BPE: the trained 20-merge list applied by the real encode operator
+    val bpeToks = graft.operators.Bpe.encode(
+      docs, "doc_id", "text", trainedMerges(spark, dir))
+    val bpe = wordsAll.agg(count(lit(1)).as("n_words"))
+      .crossJoin(bpeToks.agg( // 1x1 combine
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(length(col("token"))), lit(0L)).cast("long").as("n_chars")))
+      .select(lit("bpe").as("tokenizer"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_chars * 10000 div greatest(n_tokens, 1)").as("chars_per_token_x1e4"))
+    // unigram-LM: the trained vocabulary applied by the Viterbi segmenter
+    val vocab = graft.operators.Unigram.train(docs, "text",
+      vocabSize = 66, seedSize = 150, maxPieceLen = 4, rounds = 1,
+      minFreq = 2L, maxWordLen = 20)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    val uniToks = graft.operators.Segment.viterbiSegment(
+      docs, "doc_id", "text", vocab)
+    val uni = wordsAll.where(length(col("w")) <= 20).agg(count(lit(1)).as("n_words"))
+      .crossJoin(uniToks.agg( // 1x1 combine
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(length(col("token"))), lit(0L)).cast("long").as("n_chars")))
+      .select(lit("unigram").as("tokenizer"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_chars * 10000 div greatest(n_tokens, 1)").as("chars_per_token_x1e4"))
+    bpe.unionByName(uni).orderBy(col("tokenizer"))
+  }
+
   /** Viterbi segmentation as a STRUCTURED STREAM (r15): the tokenizer
     * family joins the "every batch operator also streams" law —
     * [[graft.operators.Segment.viterbiSegment]] is fully in-row (kernel
@@ -4997,6 +5038,7 @@ object SparkEntry {
     "bpe_pair_counts" -> qBpePairCounts,
     "bpe_train" -> qBpeTrain,
     "unigram_train" -> qUnigramTrain,
+    "tokenizer_eval" -> qTokenizerEval,
     "bpe_train_unicode" -> qBpeTrainUnicode,
     "segment_viterbi_unicode" -> qSegmentViterbiUnicode,
     "bpe_encode" -> qBpeEncode,
@@ -5262,13 +5304,27 @@ object SparkEntry {
     * candidate vocabulary — a proper substring can never be the piece
     * itself), the keep-to-target cut, and the final E-step ranking.
     * Parameters mirror [[qUnigramTrain]] verbatim. */
-  private val unigramTrainOracleSql: String = {
+  private val unigramTrainOracleSql: String =
+    "WITH RECURSIVE " + unigramChainCtes + ", " +
+      "u2 AS (SELECT tok, sum(freq)::BIGINT AS u FROM " +
+      "(SELECT word, unnest(toks) AS tok FROM e2_seg) t JOIN wds USING (word) GROUP BY tok), " +
+      "res AS (SELECT v2.token, coalesce(u2.u, 0)::BIGINT AS usage FROM v2 LEFT JOIN u2 ON u2.tok = v2.token) " +
+      "SELECT (row_number() OVER (ORDER BY usage DESC, token))::BIGINT AS rank, " +
+      "token, len(token)::BIGINT AS piece_len, usage FROM res ORDER BY rank"
+
+  /** The unigram trainer's CTE chain through the final-vocabulary
+    * segmentation (`e2_seg`) — shared by `unigram_train` (which adds the
+    * usage ranking on top) and `tokenizer_eval` (which consumes the
+    * segmentation directly). `udt` (not `dt`) so the chain composes with
+    * [[bpeEncodeCteFor]] in one WITH. A def: the consuming vals are
+    * declared on both sides of this definition, and a val here would
+    * initialize as null for the earlier one. */
+  private def unigramChainCtes: String = {
     val (vocabSize, seedSize, maxPieceLen, minFreq, maxWordLen) = (66, 150, 4, 2, 20)
-    "WITH RECURSIVE " +
-      "dt AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+    "udt AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
       "x -> regexp_full_match(x, '[a-z]+')) AS t FROM documents), " +
       s"wds AS (SELECT word, count(*)::BIGINT AS freq FROM " +
-      s"(SELECT unnest(t) AS word FROM dt) q WHERE len(word) <= $maxWordLen GROUP BY word), " +
+      s"(SELECT unnest(t) AS word FROM udt) q WHERE len(word) <= $maxWordLen GROUP BY word), " +
       "chars AS (SELECT DISTINCT unnest(list_transform(range(1, len(word)+1), i -> word[i])) AS c FROM wds), " +
       s"subw AS (SELECT word, freq, unnest(range(2, ${maxPieceLen + 1})) AS l FROM wds), " +
       "sub AS (SELECT substr(word, i, l) AS s, freq FROM " +
@@ -5294,13 +5350,29 @@ object SparkEntry {
       s"WHERE rn <= $vocabSize - (SELECT count(*) FROM chars)), " +
       "v2 AS (SELECT c AS token FROM chars UNION SELECT s FROM kept), " +
       unigramDpCtes("e2", "wds", "v2", maxWordLen) + ", " +
-      unigramBtCtes("e2", "wds", maxWordLen) + ", " +
-      "u2 AS (SELECT tok, sum(freq)::BIGINT AS u FROM " +
-      "(SELECT word, unnest(toks) AS tok FROM e2_seg) t JOIN wds USING (word) GROUP BY tok), " +
-      "res AS (SELECT v2.token, coalesce(u2.u, 0)::BIGINT AS usage FROM v2 LEFT JOIN u2 ON u2.tok = v2.token) " +
-      "SELECT (row_number() OVER (ORDER BY usage DESC, token))::BIGINT AS rank, " +
-      "token, len(token)::BIGINT AS piece_len, usage FROM res ORDER BY rank"
+      unigramBtCtes("e2", "wds", maxWordLen)
   }
+
+  /** Both tokenizers' chars-per-token over the same corpus: the BPE
+    * encode recursion and the unigram chain's final segmentation, each
+    * joined onto the document word stream (`dw`). */
+  private val tokenizerEvalOracleSql: String =
+    s"WITH RECURSIVE ${bpeEncodeCteFor("documents", "[a-z]+", 20)}, " +
+      unigramChainCtes + ", " +
+      "bstat AS (SELECT count(*)::BIGINT AS n_words FROM dw), " +
+      "btok AS (SELECT sum(len(f.toks))::BIGINT AS n_tokens, " +
+      "sum(len(word))::BIGINT AS n_chars FROM dw JOIN final f USING (word)), " +
+      "ustat AS (SELECT count(*)::BIGINT AS n_words FROM dw WHERE len(word) <= 20), " +
+      "utok AS (SELECT sum(len(s.toks))::BIGINT AS n_tokens, " +
+      "sum(len(word))::BIGINT AS n_chars FROM dw JOIN e2_seg s USING (word)) " +
+      "SELECT 'bpe' AS tokenizer, (SELECT n_words FROM bstat) AS n_words, " +
+      "(SELECT n_tokens FROM btok) AS n_tokens, (SELECT n_chars FROM btok) AS n_chars, " +
+      "((SELECT n_chars FROM btok) * 10000 // greatest((SELECT n_tokens FROM btok), 1))::BIGINT AS chars_per_token_x1e4 " +
+      "UNION ALL " +
+      "SELECT 'unigram', (SELECT n_words FROM ustat), " +
+      "(SELECT n_tokens FROM utok), (SELECT n_chars FROM utok), " +
+      "((SELECT n_chars FROM utok) * 10000 // greatest((SELECT n_tokens FROM utok), 1))::BIGINT " +
+      "ORDER BY tokenizer"
 
   /** DuckDB oracles: expected property values derived from the unmasked base
     * tables (the KDF itself is not DuckDB-expressible). */
@@ -6316,6 +6388,7 @@ object SparkEntry {
     // shared verbatim: streaming the segmentation must not change a token
     "stream_segment" -> segmentViterbiOracleSql,
     "unigram_train" -> unigramTrainOracleSql,
+    "tokenizer_eval" -> tokenizerEvalOracleSql,
     // the same replays over the planted multilingual VALUES rows with the
     // \p{L} alphabet — accents survive training and segmentation
     "bpe_train_unicode" ->

@@ -73,6 +73,30 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
       s"corpus_card shuffles raw document bodies: ${offending.mkString(", ")}")
   }
 
+  test("text_repetition: one narrow pass — no exchange beyond the input spread") {
+    // The r15 rewrite's whole claim: every repetition statistic is
+    // doc_id-keyed and each doc's tokens start colocated, so the plan
+    // must contain NO grouping/join exchange at all — at most the single
+    // input-spread RoundRobin repartition (local parallelism), whose
+    // payload is the raw (doc_id, text) input, never gram rows. Pinned
+    // here so a future edit can't quietly reintroduce the 64-GB-at-100×
+    // gram shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TextAnalysis
+      .repetitionProfile(docs, "doc_id", "text")
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1,
+      s"text_repetition plans ${exchanges.size} exchanges — the narrow per-doc rewrite allows at most the input spread")
+    exchanges.foreach { e =>
+      assert(e.outputPartitioning.toString.contains("RoundRobin"),
+        s"the only allowed exchange is the RoundRobin input spread, got ${e.outputPartitioning}")
+      assert(e.child.output.map(_.name).toSet.subsetOf(Set("doc_id", "__t")),
+        s"the spread must carry only the raw input, got ${e.child.output.map(_.name)}")
+    }
+  }
+
   test("dedup_winnow: only fingerprints cross exchanges, never document bodies") {
     // Winnowing's whole scale story is that selection happens in-row and
     // the join is keyed on 60-bit hashes: the text column must be gone
