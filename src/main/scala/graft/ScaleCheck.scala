@@ -199,6 +199,16 @@ object ScaleCheck {
     // top); and the drift report (planted fixed-size shards: cost must
     // be FLAT — the monitor never touches the corpus)
     "unigram_train", "stream_knn_probe", "pca_drift",
+    // round-15 batch 2: the token-distribution drift monitor (two
+    // map-side-combined histograms + one vocab-keyed join — vocab grows
+    // with the rotated copies, so bytes are Heaps'-shaped) and the
+    // two-tokenizer evaluation (both trainers + both in-row appliers —
+    // wall must track the distinct-word frame, not the corpus).
+    // stream_segment is NOT here: the operator is the in-row
+    // segmentation already measured via its batch twin; the QUERY's
+    // memory-sink harness would hold the 100× token stream on the
+    // driver, measuring the harness rather than the operator
+    "vocab_drift", "tokenizer_eval",
     // knn_clusters and knn_graph are deliberately NOT here: their exact
     // full-probe configuration is the ORACLE'S setting (every pair
     // considered — quadratic by design, like embed_pairs_exact); the
