@@ -1958,12 +1958,16 @@ object SparkEntry {
       .where(col("list_id") >= 0)
     val bucketSizes = assigned.groupBy(col("list_id")).count()
     val supply = assigned
-      .select(col("vec_id"), explode(Similarity.probeListsCol(cents, 2)).as("list_id"))
+      .select(col("vec_id"),
+        explode(Similarity.probeListsCol(col("emb"), cents, 2)).as("list_id"))
       .join(broadcast(bucketSizes), Seq("list_id"))
       .groupBy(col("vec_id"))
       .agg((sum(col("count")) - 1L).as("n_cand"))
+    // the census assignment pass is narrow (nearestCentroid + the probe
+    // sort, no shuffle) and measured cheap next to the bucket join —
+    // knnJoin recomputing its own assignment is the price of keeping the
+    // operator self-contained
     val expected = supply.agg(
-      count(lit(1)).as("n_assigned"),
       sum(least(col("n_cand"), lit(3L))).as("exp_edges"),
       count(when(col("n_cand") >= 1, 1)).as("exp_served"))
     val g = Similarity.knnJoin(

@@ -284,21 +284,27 @@ object Similarity {
     * `decontaminate_semantic` discipline) so ranking ties break
     * identically in any engine; rank order is (cos_ppm DESC, nbr ASC).
     * Output: (vec_id, rank, nbr_id, cos_ppm), ≤ k rows per vector. */
-  /** Probe lists for the `emb` column: indexes of the nProbe
+  /** Probe lists for an embedding column: indexes of the nProbe
     * highest-cosine centroids, via a lexicographic struct sort
     * (codegen'd; ties by list index — deterministic). Public so a caller
     * can recompute a query vector's candidate supply (probed bucket
     * sizes) and assert graph completeness honestly instead of assuming
-    * every bucket holds ≥ k candidates (advisor r14). */
-  def probeListsCol(cents: Array[Array[Double]], nProbe: Int): Column = {
+    * every bucket holds ≥ k candidates (advisor r14); the embedding is
+    * an explicit argument so the public form carries no hidden
+    * column-name contract. */
+  def probeListsCol(embCol: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val e = col("emb").cast("array<double>")
+    val e = embCol.cast("array<double>")
     slice(transform(array_sort(array(cents.indices.map { i =>
       struct((-(dotLit(e, cents(i)) /
           greatest(norm(e) * lit(centNorms(i)), lit(1e-300)))).as("d"),
         lit(i).as("i"))
     }: _*)), x => x.getField("i")), 1, nProbe)
   }
+
+  /** Legacy internal form bound to the conventional `emb` column. */
+  private def probeListsCol(cents: Array[Array[Double]], nProbe: Int): Column =
+    probeListsCol(col("emb"), cents, nProbe)
 
   /** The shared bucket join + bounded-heap cut: queries (vec_id, emb,
     * list_id — one row per probed list) against members (list_id, nbr_id,
@@ -368,7 +374,14 @@ object Similarity {
     * probed), the oracle's setting. */
   def knnProbeIndexed(index: DataFrame, batch: DataFrame, idCol: String,
                       embCol: String, centroids: Array[Array[Double]], k: Int,
-                      nProbe: Int, maxBucket: Long = 1000000L): DataFrame = {
+                      nProbe: Int, maxBucket: Long = 1000000L): DataFrame =
+    knnProbeImpl(index, batch, idCol, embCol, centroids, k, nProbe, maxBucket,
+      verifyQuantizer = true)
+
+  private def knnProbeImpl(index: DataFrame, batch: DataFrame, idCol: String,
+                           embCol: String, centroids: Array[Array[Double]], k: Int,
+                           nProbe: Int, maxBucket: Long,
+                           verifyQuantizer: Boolean): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nProbe <= centroids.length)
     require(Seq("vec_id", "emb", "list_id").forall(index.columns.contains),
       "index must be ivfAssign output: (vec_id, emb, list_id)")
@@ -385,24 +398,32 @@ object Similarity {
     val probed = queries.select(col("list_id")).distinct().collect().map(_.get(0))
     val members = index.where(col("list_id").isin(probed.toIndexedSeq: _*))
       .select(col("list_id"), col("vec_id").as("nbr_id"), col("emb").as("nbr_emb"))
-    // Quantizer integrity (verdict r15 ask #3): routing batch vectors
-    // through DIFFERENT centroids than the index was built with silently
-    // probes wrong buckets. Detect it on a bounded sample of the ALREADY
-    // PRUNED members (no extra corpus scan): every stored row must route
-    // to its stored list under the centroids given here — a genuinely
-    // different quantizer disagrees on some sampled row with overwhelming
-    // probability, and the store path ([[knnProbeStored]]) makes the
-    // mismatch impossible by construction.
-    val mismatched = members.limit(128)
-      .where(coalesce(
-        graft.plans.VectorExpressions.nearestCentroid(col("nbr_emb"), centroids),
-        lit(-1)) =!= col("list_id"))
-      .count()
-    require(mismatched == 0L,
-      s"knnProbeIndexed: $mismatched sampled index row(s) route to a different " +
-        "list under the centroids passed here — the index was built with a " +
-        "different quantizer. Probe through the centroids stored beside the " +
-        "index (writeIvfIndex/readIvfIndex/knnProbeStored).")
+    if (verifyQuantizer) {
+      // Quantizer integrity (verdict r15 ask #3): routing batch vectors
+      // through DIFFERENT centroids than the index was built with
+      // silently probes wrong buckets. Check ONE REPRESENTATIVE PER
+      // PROBED LIST (the min-id member — a head-of-first-partition
+      // limit() would sample a single list's directory and miss a
+      // partially-retrained quantizer whose first list happens to still
+      // agree): every probed list whose centroid moved enough to
+      // re-route its representative fires; cost is one |probed-lists|
+      // aggregate + join over the already-pruned members. The store path
+      // ([[knnProbeStored]]) skips this — its centroids come from the
+      // index's own sidecar, so a mismatch is impossible by construction.
+      val reps = members.groupBy(col("list_id")).agg(min(col("nbr_id")).as("nbr_id"))
+        .join(members, Seq("list_id", "nbr_id"))
+      val mismatched = reps
+        .where(coalesce(
+          graft.plans.VectorExpressions.nearestCentroid(col("nbr_emb"), centroids),
+          lit(-1)) =!= col("list_id"))
+        .count()
+      require(mismatched == 0L,
+        s"knnProbeIndexed: $mismatched probed list(s) whose representative " +
+          "routes to a different list under the centroids passed here — the " +
+          "index was built with a different quantizer. Probe through the " +
+          "centroids stored beside the index " +
+          "(writeIvfIndex/readIvfIndex/knnProbeStored).")
+    }
     bucketTopK(queries, members, k)
   }
 
@@ -439,22 +460,46 @@ object Similarity {
       .orderBy(col("list_id"))
       .collect().map(_.getSeq[Double](1).toArray)
     require(cents.nonEmpty, s"readIvfIndex: empty quantizer sidecar at $path/_quantizer")
-    val index = spark.read.parquet(path)
-      .select(col("vec_id").cast("long").as("vec_id"), col("emb"),
-        col("list_id").cast("int").as("list_id"))
-    (index, cents)
+    // a store whose corpus had zero routable vectors holds ONLY the
+    // underscore sidecar: the index read then fails schema inference with
+    // an opaque 'Unable to infer schema' — surface it as what it is
+    val index =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"readIvfIndex: the store at $path holds a quantizer but no index " +
+              "rows — the corpus had zero routable (non-null) embeddings at " +
+              s"write time (${e.getMessage})", e)
+      }
+    (index.select(col("vec_id").cast("long").as("vec_id"), col("emb"),
+      col("list_id").cast("int").as("list_id")), cents)
   }
 
   /** The operationally safe probe: batch vs a [[writeIvfIndex]] store,
     * routed through the STORED quantizer — mismatched centroids are
-    * impossible by construction, not just detected. */
+    * impossible by construction, not just detected, so the sampled
+    * routing check (and its extra per-probe job) is skipped here. */
   def knnProbeStored(spark: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, idCol: String, embCol: String, k: Int,
                      nProbe: Int, maxBucket: Long = 1000000L): DataFrame = {
     val (index, cents) = readIvfIndex(spark, path)
-    knnProbeIndexed(index, batch, idCol, embCol, cents,
-      k, math.min(nProbe, cents.length), maxBucket)
+    knnProbeImpl(index, batch, idCol, embCol, cents,
+      k, math.min(nProbe, cents.length), maxBucket, verifyQuantizer = false)
   }
+
+  /** The store path's per-batch body with the (index, quantizer) pair
+    * already loaded — [[graft.streaming.Streaming.knnProbeStream]] calls
+    * it per trigger without re-reading the sidecar; the quantizer came
+    * from the store, so the routing check is skipped like
+    * [[knnProbeStored]]. */
+  private[graft] def knnProbeStoredBatch(index: DataFrame,
+                                         centroids: Array[Array[Double]],
+                                         batch: DataFrame, idCol: String,
+                                         embCol: String, k: Int, nProbe: Int,
+                                         maxBucket: Long): DataFrame =
+    knnProbeImpl(index, batch, idCol, embCol, centroids, k, nProbe, maxBucket,
+      verifyQuantizer = false)
 
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH banding for
     * candidates, exact cosine verification within buckets.

@@ -478,17 +478,24 @@ object TextAnalysis {
         expr("coalesce(na, 0L) * 1000000 div greatest(tot_a, 1)").as("rate_a_ppm"),
         expr("coalesce(nb, 0L) * 1000000 div greatest(tot_b, 1)").as("rate_b_ppm"))
       .withColumn("delta_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
-    val top = rates.orderBy(col("delta_ppm").desc, col("tok")).limit(1)
-      .select(col("tok").as("top_mover"), col("delta_ppm").as("top_mover_delta_ppm"))
+    // the argmax rides the SAME aggregate as the summary (min over
+    // (−delta, token) structs — max delta, ties to the first token): a
+    // separate limit(1) frame crossJoined in would MULTIPLY the 1-row
+    // summary by an empty frame when both snapshots tokenize to nothing,
+    // silently emitting zero rows where the monitor must report zeros
     rates.agg(
-        max(col("tot_a")).as("n_tok_a"),
-        max(col("tot_b")).as("n_tok_b"),
+        coalesce(max(col("tot_a")), lit(0L)).as("n_tok_a"),
+        coalesce(max(col("tot_b")), lit(0L)).as("n_tok_b"),
         count(col("na")).as("n_vocab_a"),
         count(col("nb")).as("n_vocab_b"),
         count(when(col("na").isNull, 1)).as("n_new"),
         count(when(col("nb").isNull, 1)).as("n_gone"),
-        coalesce(sum(col("delta_ppm")), lit(0L)).cast("long").as("l1_ppm"))
-      .crossJoin(top) // 1×1 combine
+        coalesce(sum(col("delta_ppm")), lit(0L)).cast("long").as("l1_ppm"),
+        min(struct((-col("delta_ppm")).as("nd"), col("tok"))).as("__mv"))
+      .select(col("n_tok_a"), col("n_tok_b"), col("n_vocab_a"), col("n_vocab_b"),
+        col("n_new"), col("n_gone"), col("l1_ppm"),
+        col("__mv.tok").as("top_mover"),
+        (-col("__mv.nd")).cast("long").as("top_mover_delta_ppm"))
   }
 
   /** Full per-document profile. Language scores are materialized as plan

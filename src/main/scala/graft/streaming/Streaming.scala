@@ -243,27 +243,39 @@ object Streaming {
     * micro-batch. A stream-static join formulation would lose the
     * pruning: it cannot collect the batch's probed-list union at plan
     * time, so every trigger would scan the whole index. Index and
-    * centroids load ONCE (static between batches); results append to
-    * `sinkPath` as parquet. No streaming state: each batch's top-k
-    * closes within its trigger (vectors are not deduplicated across
-    * batches — the batch operator's contract). */
+    * centroids load ONCE (static between batches, via the store's own
+    * sidecar — the quantizer can't mismatch, so the sampled routing
+    * check is skipped per trigger). No streaming state: each batch's
+    * top-k closes within its trigger (vectors are not deduplicated
+    * across batches — the batch operator's contract).
+    *
+    * Restart safety: results land under `sinkPath/batch=<id>` with
+    * per-batch OVERWRITE, so a replayed micro-batch (failure before the
+    * checkpoint committed) rewrites its own directory instead of
+    * appending duplicate edges — foreachBatch's documented idempotence
+    * recipe. Pass `checkpointLocation` for a restartable deployment; the
+    * default temp checkpoint suits one-shot AvailableNow runs only.
+    * Readers take `spark.read.parquet(sinkPath)` (the `batch` partition
+    * column rides along). */
   def knnProbeStream(stream: DataFrame, storePath: String, idCol: String,
                      embCol: String, k: Int, nProbe: Int, sinkPath: String,
                      maxBucket: Long = 1000000L,
+                     checkpointLocation: Option[String] = None,
                      trigger: org.apache.spark.sql.streaming.Trigger =
                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
     val (index, cents) = graft.operators.Similarity.readIvfIndex(spark, storePath)
     val np = math.min(nProbe, cents.length)
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity
-          .knnProbeIndexed(index, batch, idCol, embCol, cents, k, np, maxBucket)
-          .write.mode("append").parquet(sinkPath)
+          .knnProbeStoredBatch(index, cents, batch, idCol, embCol, k, np, maxBucket)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
       .trigger(trigger)
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 
   /** Batch-equivalent sessionization (same gap semantics) — lets the

@@ -99,12 +99,17 @@ class CacheDisciplineSpec extends AnyFunSuite {
     * file is clean only when releases >= persists — so a NEW unreleased
     * persist in a file that already releases others still trips the gate
     * (the old boolean `contains` check let it ride silently). An
-    * error-path unpersist for an already-counted frame (try/catch around
-    * a guard) adds a spare credit — the heuristic's known slack, accepted
-    * because matching sites syntactically would need a real parser. */
+    * error-path unpersist re-releases a frame whose success path is
+    * already credited, so `.unpersist(` on a line that also rethrows
+    * (`throw`) earns NO credit — without that exclusion each guarded
+    * persist would bank a spare credit that lets a future unreleased
+    * persist ride (reviewer r15). */
   private def persistAccounting(src: String): (Int, Int) = {
     val persists = src.sliding(".persist(".length).count(_ == ".persist(")
-    val unpersists = src.sliding(".unpersist(".length).count(_ == ".unpersist(")
+    val unpersists = src.linesIterator
+      .filterNot(_.contains("throw"))
+      .map(l => l.sliding(".unpersist(".length).count(_ == ".unpersist("))
+      .sum
     val releaseArgs = {
       val marker = "releaseAfterUse("
       var total = 0
@@ -178,5 +183,18 @@ class CacheDisciplineSpec extends AnyFunSuite {
         |""".stripMargin
     val (p2, r2) = persistAccounting(viaListener)
     assert(p2 == 2 && r2 == 2)
+    // an error-path unpersist (rethrowing guard) earns no spare credit:
+    // the same frame's success path already releases it, and the extra
+    // credit would let a future unreleased persist ride
+    val guarded =
+      """val a = df.persist()
+        |try guard(a)
+        |catch { case t: Throwable => a.unpersist(false); throw t }
+        |val out = compute(a)
+        |Partitioning.releaseAfterUse(out, a)
+        |val b = other.persist()   // new, never released
+        |""".stripMargin
+    val (p3, r3) = persistAccounting(guarded)
+    assert(p3 == 2 && r3 == 1, s"got ($p3, $r3)")
   }
 }

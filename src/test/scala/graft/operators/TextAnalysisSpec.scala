@@ -486,6 +486,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(same.getLong(same.fieldIndex("n_new")) === 0L)
     assert(same.getLong(same.fieldIndex("n_gone")) === 0L)
     assert(same.getString(same.fieldIndex("top_mover")) === "aa")
+    // token-free snapshots still report ONE summary row of zeros (a
+    // crossJoined argmax frame would multiply the summary by an empty
+    // frame and emit nothing — reviewer r15)
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val z = TextAnalysis.vocabDrift(empty, empty, "text").collect()
+    assert(z.length === 1)
+    assert(z(0).getLong(z(0).fieldIndex("n_tok_a")) === 0L)
+    assert(z(0).getLong(z(0).fieldIndex("l1_ppm")) === 0L)
+    assert(z(0).isNullAt(z(0).fieldIndex("top_mover")))
   }
 
   test("deflateRatio separates the entropy regimes and matches the driver twin") {
