@@ -3000,6 +3000,28 @@ object SparkEntry {
     graft.operators.TextAnalysis.vocabDrift(docs, day1, "text")
   }
 
+  /** The drift monitor's PRODUCTION shape: day-0's token histogram is
+    * persisted once and RELOADED for the compare (the sketch-store
+    * discipline on token rates — the stored side never rescans its
+    * corpus). Shares vocab_drift's oracle verbatim: the store cycle must
+    * not change one statistic. */
+  private def qVocabDriftStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val day1 = docs.where(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" zzdrift zzdrift")))
+          .otherwise(col("text")).as("text"))
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_vocab_hist_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    graft.operators.TextAnalysis.tokenHistogram(docs, "text")
+      .write.parquet(storeDir.getAbsolutePath)
+    graft.operators.TextAnalysis.vocabDriftFromHistograms(
+      spark.read.parquet(storeDir.getAbsolutePath),
+      graft.operators.TextAnalysis.tokenHistogram(day1, "text"))
+  }
+
   /** Per-document OOV rate against the corpus top-20 token vocabulary —
     * the tokenizer-coverage check run before committing to a vocab. Full
     * per-doc value oracle. */
@@ -5036,6 +5058,7 @@ object SparkEntry {
     "curriculum_mix" -> qCurriculumMix,
     "vocab_coverage" -> qVocabCoverage,
     "vocab_drift" -> qVocabDrift,
+    "vocab_drift_store" -> qVocabDriftStore,
     "quality_checks" -> qQualityChecks,
     "skew_report" -> qSkewReport,
     "assemble_docs" -> qAssembleDocs,
@@ -6055,6 +6078,31 @@ object SparkEntry {
       "SELECT n.label::BIGINT AS label, n.n, gc.trace_q, sc.sums_checksum, gc.gram_checksum, " +
       "1::BIGINT AS eig_trace_ok, 1::BIGINT AS eig_dominates_axes " +
       "FROM n JOIN gc USING (label) JOIN sc USING (label) ORDER BY label"
+
+  /** Token-drift oracle: the planted day-1 snapshot replayed — same
+    * subset, same appended boilerplate, same ppm integer grid, same
+    * (delta DESC, token) argmax. Shared by `vocab_drift` and the
+    * histogram-store twin `vocab_drift_store`. */
+  private val vocabDriftOracleSql: String =
+    "WITH at AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents), " +
+      "bd AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zzdrift zzdrift' ELSE text END AS text FROM documents WHERE doc_id % 3 <> 0), " +
+      "bt AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM bd), " +
+      "ha AS (SELECT tok, count(*)::BIGINT AS n FROM at GROUP BY tok), " +
+      "hb AS (SELECT tok, count(*)::BIGINT AS n FROM bt GROUP BY tok), " +
+      "ta AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM ha), " +
+      "tb AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM hb), " +
+      "d AS (SELECT tok, ha.n AS na, hb.n AS nb, " +
+      "abs(coalesce(ha.n, 0) * 1000000 // greatest((SELECT t FROM ta), 1) - " +
+      "coalesce(hb.n, 0) * 1000000 // greatest((SELECT t FROM tb), 1)) AS delta " +
+      "FROM ha FULL OUTER JOIN hb USING (tok)), " +
+      "top AS (SELECT tok, delta FROM d ORDER BY delta DESC, tok LIMIT 1) " +
+      "SELECT (SELECT t FROM ta) AS n_tok_a, (SELECT t FROM tb) AS n_tok_b, " +
+      "count(na)::BIGINT AS n_vocab_a, count(nb)::BIGINT AS n_vocab_b, " +
+      "count(CASE WHEN na IS NULL THEN 1 END)::BIGINT AS n_new, " +
+      "count(CASE WHEN nb IS NULL THEN 1 END)::BIGINT AS n_gone, " +
+      "coalesce(sum(delta), 0)::BIGINT AS l1_ppm, " +
+      "(SELECT tok FROM top) AS top_mover, " +
+      "(SELECT delta FROM top)::BIGINT AS top_mover_delta_ppm FROM d"
 
   /** Drift-report oracle: shard sizes and exact integer traces replayed
     * from the same planted generator arithmetic; the two angle verdicts
@@ -7777,26 +7825,9 @@ object SparkEntry {
         "FROM documents d LEFT JOIN pd USING (doc_id)"),
     // the planted day-1 snapshot replayed: same subset, same appended
     // boilerplate, same ppm integer grid, same (delta DESC, token) argmax
-    "vocab_drift" ->
-      ("WITH at AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents), " +
-        "bd AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zzdrift zzdrift' ELSE text END AS text FROM documents WHERE doc_id % 3 <> 0), " +
-        "bt AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM bd), " +
-        "ha AS (SELECT tok, count(*)::BIGINT AS n FROM at GROUP BY tok), " +
-        "hb AS (SELECT tok, count(*)::BIGINT AS n FROM bt GROUP BY tok), " +
-        "ta AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM ha), " +
-        "tb AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM hb), " +
-        "d AS (SELECT tok, ha.n AS na, hb.n AS nb, " +
-        "abs(coalesce(ha.n, 0) * 1000000 // greatest((SELECT t FROM ta), 1) - " +
-        "coalesce(hb.n, 0) * 1000000 // greatest((SELECT t FROM tb), 1)) AS delta " +
-        "FROM ha FULL OUTER JOIN hb USING (tok)), " +
-        "top AS (SELECT tok, delta FROM d ORDER BY delta DESC, tok LIMIT 1) " +
-        "SELECT (SELECT t FROM ta) AS n_tok_a, (SELECT t FROM tb) AS n_tok_b, " +
-        "count(na)::BIGINT AS n_vocab_a, count(nb)::BIGINT AS n_vocab_b, " +
-        "count(CASE WHEN na IS NULL THEN 1 END)::BIGINT AS n_new, " +
-        "count(CASE WHEN nb IS NULL THEN 1 END)::BIGINT AS n_gone, " +
-        "coalesce(sum(delta), 0)::BIGINT AS l1_ppm, " +
-        "(SELECT tok FROM top) AS top_mover, " +
-        "(SELECT delta FROM top)::BIGINT AS top_mover_delta_ppm FROM d"),
+    "vocab_drift" -> vocabDriftOracleSql,
+    // shared verbatim: the histogram store cycle must not change one stat
+    "vocab_drift_store" -> vocabDriftOracleSql,
     // old files read the evolved column as null; only odd doc_ids carry it
     "schema_evolution" ->
       ("SELECT count(*)::BIGINT AS n_rows, " +

@@ -463,13 +463,23 @@ object TextAnalysis {
     *
     * Output: (n_tok_a, n_tok_b, n_vocab_a, n_vocab_b, n_new, n_gone,
     * l1_ppm, top_mover, top_mover_delta_ppm). */
-  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    def hist(df: DataFrame): DataFrame =
-      df.select(explode(tokens(col(s"`$textCol`"))).as("tok"))
-        .where(col("tok") =!= "")
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val ha = hist(a)
-    val hb = hist(b)
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    vocabDriftFromHistograms(tokenHistogram(a, textCol), tokenHistogram(b, textCol))
+
+  /** The (tok, n) token-frequency histogram [[vocabDrift]] compares — a
+    * vocab-sized table worth PERSISTING: the production monitor stores
+    * each day's histogram and diffs today's scan against yesterday's
+    * reload ([[vocabDriftFromHistograms]]) instead of re-scanning two
+    * corpora — the sketch-store discipline applied to token rates. */
+  def tokenHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(s"`$textCol`"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+  /** [[vocabDrift]] over two prebuilt (tok, n) histograms (one possibly a
+    * store reload): same output row, zero corpus contact for the stored
+    * side. */
+  def vocabDriftFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
     val rates = ha.select(col("tok"), col("n").as("na"))
       .join(hb.select(col("tok"), col("n").as("nb")), Seq("tok"), "full_outer")
       .crossJoin(ha.agg(coalesce(sum(col("n")), lit(0L)).as("tot_a")))

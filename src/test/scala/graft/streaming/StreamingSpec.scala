@@ -382,6 +382,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
       assert(streamed === batched,
         "streaming the probe changed the graph vs the batch operator")
+      // replay idempotence (reviewer r15): a second run over the same
+      // input into the SAME sink — the lost-checkpoint restart scenario —
+      // must OVERWRITE its per-batch directory, not append duplicates
+      val replay = MemoryStream[(Long, Array[Float])]
+      replay.addData(batch: _*)
+      Streaming.knnProbeStream(
+        replay.toDF().toDF("vec_id", "embedding"), store,
+        "vec_id", "embedding", k = 2, nProbe = 4, sinkPath = sink)
+        .awaitTermination()
+      val replayed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(replayed === streamed,
+        "a replayed micro-batch duplicated edges in the sink")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
