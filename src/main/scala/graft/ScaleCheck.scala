@@ -209,6 +209,11 @@ object ScaleCheck {
     // memory-sink harness would hold the 100× token stream on the
     // driver, measuring the harness rather than the operator
     "vocab_drift", "tokenizer_eval",
+    // round-15 batch 3: incremental CC — the day-0 contraction carries
+    // the corpus-linear term; the merge itself is batch-shaped (supernode
+    // graph ≤ 2·|batch| nodes, label store rewritten through a broadcast
+    // remap, never shuffled)
+    "cc_incremental",
     // knn_clusters and knn_graph are deliberately NOT here: their exact
     // full-probe configuration is the ORACLE'S setting (every pair
     // considered — quadratic by design, like embed_pairs_exact); the

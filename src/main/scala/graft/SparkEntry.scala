@@ -642,6 +642,27 @@ object SparkEntry {
   private def qCcChainStarNoValidate(spark: SparkSession, dir: String): DataFrame =
     qCcChainStar(spark, dir, validate = false)
 
+  /** Incremental CC (r15): day-0 labels cover only the chains' first
+    * halves (%1000 < 25); day-1's batch delivers the second halves —
+    * edges that EXTEND every chain with 25 brand-new nodes and weld them
+    * to the stored components through the shared node. The merged
+    * labeling must equal the full CC over all edges, so the query shares
+    * cc_chain_star's oracle verbatim. */
+  private def qCcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ids = table(spark, dir, "documents").select(col("doc_id"))
+    def chain(lo: Int, hi: Int) = ids
+      .where(col("doc_id") % 1000 >= lo && col("doc_id") % 1000 < hi)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val day0 = graft.operators.CcStar.connectedComponentsStar(chain(0, 25))
+    graft.operators.CcStar.incrementalComponents(day0, chain(25, 50))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        countDistinct(col("component")).as("n_components"),
+        coalesce(sum(col("id") - col("component")), lit(0L)).cast("long").as("depth_sum"),
+        coalesce(sum(col("component") % 1000003), lit(0L)).cast("long").as("comp_checksum"))
+  }
+
   /** End-to-end near-dup removal: pairs -> components -> drop everything but
     * each component's min-id representative. The oracle recomputes the kept
     * set (count + id sum) from the exact pair closure in DuckDB. */
@@ -4970,6 +4991,7 @@ object SparkEntry {
     "dedup_components" -> qDedupComponents,
     "cc_chain_star" -> (qCcChainStar(_, _)),
     "cc_chain_star_novalidate" -> qCcChainStarNoValidate,
+    "cc_incremental" -> qCcIncremental,
     "dedup_drop" -> qDedupDrop,
     "dedup_ngram" -> qDedupNgram,
     "dedup_ngram_hot" -> qDedupNgramHot,
@@ -6892,6 +6914,8 @@ object SparkEntry {
     "cc_chain_star" -> ccChainStarOracleSql,
     // identical labels by contract (validate only adds checks) — same oracle
     "cc_chain_star_novalidate" -> ccChainStarOracleSql,
+    // shared verbatim: the incremental merge must equal the full recompute
+    "cc_incremental" -> ccChainStarOracleSql,
     "dedup_drop" ->
       ("WITH sh AS (SELECT doc_id, list_distinct([text[i:i+4] FOR i IN range(1, greatest(len(text)-3, 1))]) AS s FROM documents), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

@@ -158,4 +158,53 @@ object CcStar {
       s"connectedComponentsStar labels are not component minima in $badMin components")
     labels
   }
+
+  /** Incremental connected components (r15): merge a batch of NEW edges
+    * into a stored (id, component) labeling WITHOUT re-running CC over
+    * the corpus edge set — the graph family's incremental member, the
+    * band-index / IVF-store pattern applied to component labels (the
+    * table a live dedup deployment maintains).
+    *
+    * Correctness leans on the invariant both CC operators here produce
+    * and VALIDATE: a stored label is its component's minimum member id.
+    * Then (a) new-edge endpoints map to their stored supernodes — one
+    * batch-sized join against the label store; an unseen id is its own
+    * supernode, which is how brand-new nodes enter — (b) star-contraction
+    * CC runs over the supernode graph those edges induce (≤ 2·|batch|
+    * nodes; contraction, so a batch that chains MANY old components
+    * still converges in O(log²) rounds), and (c) the store is rewritten
+    * through a BROADCAST remap of the touched components only — the
+    * label store itself never shuffles, it streams through one narrow
+    * join. Supernode labels are old minima or new ids, so the merged
+    * minimum IS the global minimum: the result equals a full CC over
+    * (stored ∪ new) edges exactly (shared oracle + spec law).
+    *
+    * Batch premise: the remap is touched-component-sized and broadcast;
+    * a caller merging corpus-scale edge sets should run
+    * [[connectedComponentsStar]] over the union instead. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            maxIter: Int = 30, validate: Boolean = true): DataFrame = {
+    val l = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val e = newEdges.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+    val la = l.select(col("id").as("id_a"), col("component").as("__ca"))
+    val lb = l.select(col("id").as("id_b"), col("component").as("__cb"))
+    val mapped = e.join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+      // an edge inside one stored component (or a self edge) carries no
+      // new connectivity; it cannot hide a NEW node, because a new id
+      // equalling its partner's component label would equal an EXISTING
+      // node id (labels are member ids) — contradicting "new"
+      .where(col("id_a") =!= col("id_b"))
+    val merged = connectedComponentsStar(mapped, maxIter, validate = validate)
+    val remap = merged.select(col("id").as("component"), col("component").as("__nc"))
+    val rewritten = l.join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("component")).as("component"))
+    val newNodes = merged.join(l.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("component"))
+    rewritten.unionByName(newNodes)
+  }
 }

@@ -86,6 +86,36 @@ class CcStarSpec extends AnyFunSuite {
     assert(labels.size == 30 && labels.values.toSet == Set(big))
   }
 
+  test("incrementalComponents equals full CC over the union (merge, extend, new nodes)") {
+    // day 0: two separate chains 0..9 and 100..109, one isolated pair
+    // 500-501; day 1: (a) an edge WELDING the two chains, (b) edges
+    // EXTENDING chain 2 with brand-new nodes 110..115, (c) a wholly new
+    // component 700-701, (d) a redundant intra-component edge 2-5
+    val day0Edges = chain(10).unionByName(chain(10, base = 100L))
+      .unionByName(Seq((500L, 501L)).toDF("id_a", "id_b"))
+    val day0 = CcStar.connectedComponentsStar(day0Edges)
+    val batch = Seq(
+      (9L, 100L),                                   // weld
+      (109L, 110L), (110L, 111L), (111L, 112L),     // extend with new nodes
+      (112L, 113L), (113L, 114L), (114L, 115L),
+      (700L, 701L),                                 // brand-new component
+      (2L, 5L)                                      // redundant internal
+    ).toDF("id_a", "id_b")
+    val got = labelsOf(CcStar.incrementalComponents(day0, batch))
+    val want = labelsOf(CcStar.connectedComponentsStar(
+      day0Edges.unionByName(batch)))
+    assert(got === want, "incremental merge diverged from the full recompute")
+    // the welded chain collapsed to min-label 0; untouched 500-501 kept
+    assert(got(115L) === 0L && got(500L) === 500L && got(700L) === 700L)
+  }
+
+  test("incrementalComponents with a fully-internal batch is the identity") {
+    val day0Edges = chain(10)
+    val day0 = CcStar.connectedComponentsStar(day0Edges)
+    val batch = Seq((1L, 7L), (0L, 9L)).toDF("id_a", "id_b")
+    assert(labelsOf(CcStar.incrementalComponents(day0, batch)) === labelsOf(day0))
+  }
+
   test("reliable checkpointing produces the same labels (and demands a checkpoint dir)") {
     val spark = graft.SparkTestBase.spark
     val pairs = chain(40)
