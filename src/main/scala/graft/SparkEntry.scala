@@ -2136,6 +2136,97 @@ object SparkEntry {
       table(spark, dir, "documents"), "doc_id", "text",
       Seq("hash", "join", "window", "stream"), k = 10)
 
+  /** BM25 through the MATERIALIZED inverted index
+    * ([[graft.operators.InvertedIndex]] — the lexical twin of the IVF
+    * vector store): the corpus is posting-listed once into a term-bucket-
+    * partitioned store with the corpus stats as a `_stats` sidecar, then
+    * the probe reads only the query terms' buckets (partition pruning
+    * from a driver-computed static IN). Same query, same k, same
+    * floor(x*1e4) grid as `bm25_topk`, so the oracle is the direct BM25
+    * replay — the store is invisible to the result by construction. */
+  private def qBm25StoreProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bm25_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val store = storeDir.getAbsolutePath
+    InvertedIndex.writeIndex(table(spark, dir, "documents"), "doc_id", "text",
+      store, nBuckets = 64)
+    InvertedIndex.probeStored(spark, store,
+      Seq("hash", "join", "window", "stream"), k = 10, nBuckets = 64)
+  }
+
+  /** Incremental inverted index (the sketch-store merge==rebuild law on
+    * the lexical retrieval family): day-0's index is materialized, day-1's
+    * document batch is appended via [[graft.operators.InvertedIndex.addBatch]]
+    * (postings land in their term buckets, `_stats` re-stamped by exact
+    * addition), and the merged store must equal a full rebuild row-for-row
+    * AND serve probes identical to the direct whole-corpus operator.
+    * Output: postings audit (rows, mismatches), the re-stamped stats, and
+    * the top-k agreement plus the top-1 hit — all replayable by the oracle
+    * from the corpus alone, because the store cycle is exact. */
+  private def qBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{InvertedIndex, Ranking}
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bm25_store_inc")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val store = storeDir.getAbsolutePath
+    def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
+    InvertedIndex.writeIndex(half(0), "doc_id", "text", store, nBuckets = 64)
+    InvertedIndex.addBatch(spark, store, half(1), "doc_id", "text", nBuckets = 64)
+
+    val merged = spark.read.parquet(store)
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"),
+        col("tb").cast("long").as("tb"))
+    val rebuilt = InvertedIndex.postings(
+      table(spark, dir, "documents"), "doc_id", "text", nBuckets = 64)
+    val postingsAudit = merged.as("m")
+      .join(rebuilt.as("r"), Seq("tok", "doc_id"), "full_outer")
+      .agg(count(lit(1)).as("postings_rows"),
+        count(when(!(col("m.tf") <=> col("r.tf")) || !(col("m.dl") <=> col("r.dl")) ||
+          !(col("m.tb") <=> col("r.tb")), 1)).as("postings_mismatch"))
+
+    val (nDocs, sumDl) = InvertedIndex.readStats(spark, store)
+    val q = Seq("hash", "join", "window", "stream")
+    val probe = InvertedIndex.probeStored(spark, store, q, k = 10, nBuckets = 64)
+    val direct = Ranking.bm25TopK(table(spark, dir, "documents"), "doc_id", "text", q, k = 10)
+    val topkAudit = probe.as("p")
+      .join(direct.as("d"), Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("topk_rows"),
+        count(when(!(col("p.score_x1e4") <=> col("d.score_x1e4")) ||
+          !(col("p.dl") <=> col("d.dl")), 1)).as("topk_mismatch"))
+    val top1 = probe.orderBy(col("score_x1e4").desc, col("doc_id")).limit(1)
+      .select(col("doc_id").as("top1_doc"), col("score_x1e4").as("top1_score"))
+
+    postingsAudit
+      .withColumn("n_docs", lit(nDocs)).withColumn("sum_dl", lit(sumDl))
+      .crossJoin(topkAudit).crossJoin(top1)
+      .select(col("postings_rows"), col("postings_mismatch"), col("n_docs"),
+        col("sum_dl"), col("topk_rows"), col("topk_mismatch"),
+        col("top1_doc"), col("top1_score"))
+  }
+
+  /** Hashed-token Naive Bayes language classification
+    * ([[graft.operators.Classifier]] — the CCNet/fastText-style corpus
+    * filter as counting aggregates): train on even doc_ids (lang as the
+    * class), predict odd doc_ids, emit the confusion matrix. Training is
+    * ONE bounded groupBy (labels × 1024 hashed buckets); inference
+    * broadcasts the dense log-likelihood table; predictions argmax over
+    * x1e4-floored scores with a label tie-break, so the oracle replays
+    * every count, every ln, and every argmax exactly. */
+  private def qNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val docs = table(spark, dir, "documents")
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val test = docs.where(col("doc_id") % 2 === 1)
+    val (counts, docCounts) = Classifier.trainNb(train, "text", "lang", nBuckets = 1024)
+    val preds = Classifier.predictNb(
+      Classifier.scoreNb(test, "doc_id", "text", counts, docCounts, nBuckets = 1024))
+    preds.join(test.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
   /** Hybrid retrieval: BM25 top-20 (lexical) ⊕ exact-cosine top-20
     * (semantic, query vec 0) fused by reciprocal-rank fusion — the RAG
     * retrieval stack's standard combiner, integer-exact. doc_id and
@@ -5068,6 +5159,9 @@ object SparkEntry {
     "redact_pii" -> qRedactPii,
     "redact_pii_extended" -> qRedactPiiExtended,
     "bm25_topk" -> qBm25Topk,
+    "bm25_store_probe" -> qBm25StoreProbe,
+    "bm25_incremental" -> qBm25Incremental,
+    "nb_classify" -> qNbClassify,
     "hybrid_rrf" -> qHybridRrf,
     "kcore_peel" -> qKcorePeel,
     "gapfill_resample" -> qGapfillResample,
@@ -7326,6 +7420,73 @@ object SparkEntry {
         ") * 10000 + 0.000001)::BIGINT AS score_x1e4 " +
         "FROM p JOIN f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN st GROUP BY p.doc_id, d.dl) " +
         "SELECT doc_id, dl, score_x1e4 FROM sc ORDER BY score_x1e4 DESC, doc_id LIMIT 10"),
+    // the store is invisible to the result by construction: identical
+    // BM25 replay as bm25_topk (same query, same grid)
+    "bm25_store_probe" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents WHERE text IS NOT NULL), " +
+        "dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl), " +
+        "p AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS tok FROM toks) " +
+        "WHERE tok IN ('hash', 'join', 'window', 'stream') GROUP BY doc_id, tok), " +
+        "f AS (SELECT tok, count(*)::DOUBLE AS df FROM p GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, d.dl, floor(sum(" +
+        "ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf::DOUBLE * (1.2 + 1.0) / " +
+        "(p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE / st.avgdl))" +
+        ") * 10000 + 0.000001)::BIGINT AS score_x1e4 " +
+        "FROM p JOIN f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN st GROUP BY p.doc_id, d.dl) " +
+        "SELECT doc_id, dl, score_x1e4 FROM sc ORDER BY score_x1e4 DESC, doc_id LIMIT 10"),
+    // merge == rebuild: postings are per-document pure, stats add exactly,
+    // so the oracle replays everything from the corpus alone — the audit
+    // counts are zero-by-construction and the top-k is the direct BM25
+    "bm25_incremental" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents WHERE text IS NOT NULL), " +
+        "dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks), " +
+        "allp AS (SELECT doc_id, unnest(t) AS tok FROM toks), " +
+        "pr AS (SELECT count(*)::BIGINT AS postings_rows FROM (SELECT tok, doc_id FROM allp GROUP BY tok, doc_id)), " +
+        "cs AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl), " +
+        "p AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM allp " +
+        "WHERE tok IN ('hash', 'join', 'window', 'stream') GROUP BY doc_id, tok), " +
+        "f AS (SELECT tok, count(*)::DOUBLE AS df FROM p GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, d.dl, floor(sum(" +
+        "ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5)) * p.tf::DOUBLE * (1.2 + 1.0) / " +
+        "(p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE / st.avgdl))" +
+        ") * 10000 + 0.000001)::BIGINT AS score_x1e4 " +
+        "FROM p JOIN f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN st GROUP BY p.doc_id, d.dl), " +
+        "tk AS (SELECT doc_id, score_x1e4 FROM sc ORDER BY score_x1e4 DESC, doc_id LIMIT 10), " +
+        "t1 AS (SELECT doc_id AS top1_doc, score_x1e4 AS top1_score FROM tk ORDER BY score_x1e4 DESC, doc_id LIMIT 1) " +
+        "SELECT pr.postings_rows, 0::BIGINT AS postings_mismatch, cs.n_docs, cs.sum_dl, " +
+        "(SELECT count(*) FROM tk)::BIGINT AS topk_rows, 0::BIGINT AS topk_mismatch, " +
+        "t1.top1_doc, t1.top1_score FROM pr, cs, t1"),
+    // full NB replay: identical md5-slice buckets, Laplace-smoothed ln
+    // likelihoods, x1e4-floored scores, argmax with label tie-break
+    "nb_classify" ->
+      ("WITH tr AS (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL), " +
+        "cn AS (SELECT lang AS label, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+        "count(*)::BIGINT AS cnt FROM (SELECT lang, unnest(t) AS tok FROM tr) GROUP BY 1, 2), " +
+        "tot AS (SELECT label, sum(cnt)::BIGINT AS tot FROM cn GROUP BY 1), " +
+        "dc AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM tr GROUP BY 1), " +
+        "na AS (SELECT sum(n_docs)::BIGINT AS n_all FROM dc), " +
+        "dense AS (SELECT b.bucket, t.label, " +
+        "ln((coalesce(cn.cnt, 0)::DOUBLE + 1.0) / (t.tot::DOUBLE + 1024.0)) AS lnp " +
+        "FROM (SELECT unnest(range(0, 1024)) AS bucket) b CROSS JOIN tot t " +
+        "LEFT JOIN cn ON cn.bucket = b.bucket AND cn.label = t.label), " +
+        "pri AS (SELECT dc.label, ln(dc.n_docs::DOUBLE) - ln(na.n_all::DOUBLE) AS lnprior FROM dc, na), " +
+        "te AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL), " +
+        "tfb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
+        "count(*)::BIGINT AS tfb FROM (SELECT doc_id, unnest(t) AS tok FROM te) GROUP BY 1, 2), " +
+        "sc AS (SELECT f.doc_id, d.label, " +
+        "floor((p.lnprior + sum(f.tfb::DOUBLE * d.lnp)) * 10000 + 0.000001)::BIGINT AS s " +
+        "FROM tfb f JOIN dense d USING (bucket) JOIN pri p ON p.label = d.label " +
+        "GROUP BY f.doc_id, d.label, p.lnprior), " +
+        "pred AS (SELECT doc_id, label AS pred FROM " +
+        "(SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label) AS rn FROM sc) " +
+        "WHERE rn = 1) " +
+        "SELECT te.lang, pred.pred, count(*)::BIGINT AS n_docs " +
+        "FROM pred JOIN te USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     // same planted PII, same RE2-compatible patterns, same sequential
     // count-then-replace order as Redaction.redactionCount
     "redact_pii" ->

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-token multinomial Naive Bayes — the quality/language classifier
+  * of a training-data curation stack (the CCNet/fastText recipe: a linear
+  * model over hashed token counts is how corpus-scale filtering is
+  * actually done — McCallum & Nigam 1998 for the multinomial NB model,
+  * Weinberger et al. 2009 for the hashing trick), built entirely as
+  * counting aggregates so BOTH training and inference are one-pass,
+  * map-side-combined, and exactly replayable by the oracle.
+  *
+  * Why NB and not gradient descent at 100 TB: training IS one groupBy —
+  * (label, bucket) occurrence counts; no epochs, no driver-resident
+  * weight vector being iterated against the cluster, no learning-rate
+  * schedule to tune. The model is `labels × nBuckets` counts — KB-sized,
+  * broadcast to inference, mergeable across corpus shards by plain
+  * addition (counts are additive), which gives the store/incremental
+  * law for free: day-0 counts + day-1 counts == whole-corpus counts,
+  * row-for-row.
+  *
+  * Determinism/portability: token buckets come from the engine's md5
+  * hex-slice hash ([[graft.operators.Sketches]] discipline — never an
+  * engine-private hash); all counts are exact longs; per-(doc, label)
+  * scores are sums of `ln` of exact-integer rationals (Laplace-smoothed
+  * likelihoods plus the label's log-prior), floored onto the x1e4 grid
+  * with the 1e-6 nudge ([[graft.operators.Ranking]]'s cross-engine grid
+  * argument). The argmax is taken over the FLOORED integer scores with a
+  * label tie-break, so a prediction can only differ across engines if a
+  * true score sits on a grid boundary — which the nudge excludes.
+  *
+  * Scale shape of inference: docs explode to (doc, bucket, tfb) — one
+  * narrow pass plus one (doc, bucket) combine bounded by
+  * min(tokens, nBuckets) per doc; the dense per-(bucket, label)
+  * log-likelihood table (nBuckets × L rows) broadcasts; the final
+  * (doc, label) sum combines map-side into L rows per doc. The corpus
+  * text never shuffles; nothing global sorts.
+  */
+object Classifier {
+
+  /** Portable token bucket: first 3 md5 hex chars (12 bits) mod nBuckets;
+    * nBuckets must divide 4096 (uniform reduction, CMS-width rule). */
+  def tokenBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long") % nBuckets
+
+  private def requireBuckets(nBuckets: Int): Unit =
+    require(nBuckets >= 2 && 4096 % nBuckets == 0,
+      s"nBuckets must divide 4096 for a uniform 12-bit reduction, got $nBuckets")
+
+  /** Train: sparse (label, bucket, cnt) token-occurrence counts plus
+    * (label, n_docs) document counts — the ENTIRE model state, additive
+    * across shards/days (merge == retrain by construction). One corpus
+    * scan, one bounded aggregate (≤ labels × nBuckets rows). */
+  def trainNb(docs: DataFrame, textCol: String, labelCol: String,
+              nBuckets: Int = 1024): (DataFrame, DataFrame) = {
+    requireBuckets(nBuckets)
+    val base = docs.where(col(s"`$textCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+    val counts = base
+      .select(col(s"`$labelCol`").as("label"),
+        explode(TextAnalysis.tokens(col(s"`$textCol`"))).as("tok"))
+      .groupBy(col("label"), tokenBucket(col("tok"), nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val docCounts = base.groupBy(col(s"`$labelCol`").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    (counts, docCounts)
+  }
+
+  /** Per-(doc, label) scores on the x1e4 grid:
+    * `floor((ln(prior) + Σ_tokens tfb · ln((cnt+1)/(tot_label+nBuckets)))
+    * · 1e4 + 1e-6)`. `counts`/`docCounts` are [[trainNb]] output (or the
+    * sum of several days' outputs — the model is additive). Buckets the
+    * label never saw contribute the smoothed floor ln(1/(tot+B)); the
+    * dense (bucket, label) table is built here so the join is
+    * broadcast-sized regardless of corpus size. */
+  def scoreNb(docs: DataFrame, idCol: String, textCol: String,
+              counts: DataFrame, docCounts: DataFrame,
+              nBuckets: Int = 1024): DataFrame = {
+    requireBuckets(nBuckets)
+    val spark = docs.sparkSession
+    // label totals: token mass and doc priors — L rows
+    val totals = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+      .join(docCounts, "label")
+    val allDocs = docCounts.agg(sum(col("n_docs")).as("n_all"))
+    // dense (bucket, label) log-likelihood table: nBuckets × L rows
+    val dense = spark.range(nBuckets).select(col("id").as("bucket"))
+      .crossJoin(totals)
+      .join(counts, Seq("bucket", "label"), "left_outer")
+      .select(col("bucket"), col("label"),
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+          (col("tot").cast("double") + nBuckets.toDouble)).as("lnp"))
+    val priors = totals.crossJoin(allDocs)
+      .select(col("label"),
+        (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("lnprior"))
+    val tfb = docs.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("doc_id"),
+        explode(TextAnalysis.tokens(col(s"`$textCol`"))).as("tok"))
+      .groupBy(col("doc_id"), tokenBucket(col("tok"), nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("tfb"))
+    tfb.join(broadcast(dense), "bucket")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("tfb").cast("double") * col("lnp")).as("lnlik"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("label"),
+        floor((col("lnprior") + col("lnlik")) * 10000 + lit(1e-6))
+          .cast("long").as("score_x1e4"))
+  }
+
+  /** Argmax prediction per document over the FLOORED scores, label
+    * tie-break ascending — deterministic cross-engine. */
+  def predictNb(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_x1e4").desc, col("label"))
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score_x1e4"))
+  }
+}
