@@ -692,6 +692,38 @@ object SparkEntry {
       when(col("n_pairs") * 100 >= col("n_truth") * 95, 1L).otherwise(0L).as("recall_ge_95"))
   }
 
+  /** Image near-dup via 64-bit perceptual dHash
+    * ([[graft.operators.Multimodal.pngDHash64]] — integer luma, 9×8
+    * block-mean grid, neighbor-comparison bits) over REAL planted PNGs
+    * (encode → decode → hash through the actual codec), paired by the
+    * SAME banded-pigeonhole join as text SimHash
+    * ([[graft.operators.Dedup.pairsFromSignatures64]]) — the multimodal
+    * member of the dedup family (LAION-style image near-dup). Plants:
+    * 18×16 grayscale textures keyed by doc_id/2, so consecutive ids carry
+    * the identical texture (hamming 0) and distinct keys differ unless
+    * their quadratic patterns collide — either way the oracle REPLAYS the
+    * full chain (pixels → integer block means → bits → hamming ≤ 3 pairs)
+    * from the pixel formula alone, never trusting the engine. maxBucket
+    * is uncapped here: the oracle's all-pairs replay has no bucket-drop
+    * concept, and the planted signature space keeps buckets tiny. */
+  private def qImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long) => {
+      val k = id / 2
+      val px = Array.tabulate[Byte](18 * 16) { i =>
+        val x = (i % 18).toLong; val y = (i / 18).toLong
+        ((x * x * (1 + k % 5) + y * y * (2 + k % 7) + x * y * (k % 11)) % 256).toByte
+      }
+      graft.operators.Multimodal.pngEncode(18, 16, 0, px)
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").as("media_id"), mkPng(col("doc_id").cast("long")).as("content"))
+    val sigs = graft.operators.Multimodal.dhashImagesDF(media)
+      .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+    graft.operators.Dedup.pairsFromSignatures64(sigs, maxHamming = 3,
+        maxBucket = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qEmbedPairsExact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosinePairsExact(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.48)
       .agg(count(lit(1)).as("n_pairs"),
@@ -5100,6 +5132,7 @@ object SparkEntry {
     "sample_fixed_k" -> qSampleFixedK,
     "compaction_plan" -> qCompactionPlan,
     "dedup_simhash" -> qDedupSimhash,
+    "image_phash_dedup" -> qImagePhashDedup,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
@@ -7313,6 +7346,25 @@ object SparkEntry {
     // fixed data); recall/hamming flags are structural constants
     "dedup_simhash" ->
       "SELECT 20::BIGINT AS n_pairs, 1::BIGINT AS hamming_bound_ok, 1::BIGINT AS recall_ge_95",
+    // full replay of the dHash chain from the pixel formula: integer luma
+    // (grayscale: the sample), 2x2 block means (18x16 / 9x8 grid), neighbor
+    // comparison bits, all-pairs hamming <= 3 — the engine must reproduce
+    // the exact pair list through its real PNG encode/decode round-trip
+    "image_phash_dedup" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "px AS (SELECT id, x, y, " +
+        "(x*x*(1 + k % 5) + y*y*(2 + k % 7) + x*y*(k % 11)) % 256 AS v " +
+        "FROM ids, (SELECT unnest(range(0, 18)) AS x), (SELECT unnest(range(0, 16)) AS y)), " +
+        "cells AS (SELECT id, y // 2 AS gy, x // 2 AS gx, sum(v) // 4 AS cell " +
+        "FROM px GROUP BY id, y // 2, x // 2), " +
+        "bits AS (SELECT a.id, a.gy, a.gx, CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit " +
+        "FROM cells a JOIN cells b ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1 " +
+        "WHERE a.gx < 8), " +
+        "sigs AS (SELECT id, list(bit ORDER BY gy * 8 + gx) AS bl FROM bits GROUP BY id), " +
+        "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
+        "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
     // planted-cluster ground truth: 8 clusters x C(6,2) in-cluster pairs
     "embed_pairs_lsh" ->
       "SELECT 120::BIGINT AS n_pairs, 120::BIGINT AS n_in_cluster, 0::BIGINT AS n_cross_cluster",

@@ -735,11 +735,25 @@ object Dedup {
     * nulls, not null), and groupBy groups nulls together. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
     val sigs = Partitioning.spread(df.select(
       col(s"`$idCol`").cast("long").as("doc_id"), col(s"`$textCol`").as("__text")))
       .select(col("doc_id"),
         graft.plans.VectorExpressions.simhash64(split(lower(col("__text")), "\\s+")).as("sig"))
+    pairsFromSignatures64(sigs, maxHamming, maxBucket)
+  }
+
+  /** Near-dup pairs from ANY precomputed 64-bit signature frame
+    * (doc_id, sig) — the banded-pigeonhole join behind [[simhashPairs]],
+    * shared with the image dHash dedup ([[graft.operators.Multimodal
+    * .pngDHash64]] signatures): candidates from exact match on any of 4
+    * 16-bit chunks (hamming<=3 guarantees a chunk collision), verified
+    * with bit_count(xor) <= maxHamming. Null signatures are dropped
+    * before chunking. */
+  def pairsFromSignatures64(sigFrame: DataFrame,
+                            maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
+    val sigs = sigFrame
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig").cast("long").as("sig"))
       .where(col("sig").isNotNull)
 
     val chunked = sigs.select(col("doc_id"), col("sig"),

@@ -629,6 +629,90 @@ object Multimodal {
       col("format").cast("string"), col("content").cast("binary")).as[MediaRecord]).toDF()
   }
 
+  // --- perceptual image hash ---------------------------------------------
+
+  /** 64-bit difference hash (dHash — the standard cheap perceptual image
+    * fingerprint: Krawetz's "kind of like that" construction) of a decoded
+    * PNG: integer luma, 9×8 block-average downsample, one bit per
+    * horizontal neighbor comparison. Every step is integer arithmetic —
+    * floor-division luma (299·R + 587·G + 114·B)/1000, floor-division
+    * block means — so the hash is exactly replayable from the pixel
+    * values by any engine (the oracle recomputes it in SQL from the
+    * planted pixel formula; no float anywhere).
+    *
+    * Bit layout: bit (gy·8 + gx) = 1 iff cell(gy, gx+1) > cell(gy, gx),
+    * gy in 0..7, gx in 0..7 over a 9-column × 8-row cell grid. Invariant
+    * to uniform brightness shifts (comparisons are order-based), which is
+    * what makes it a NEAR-dup key rather than a byte hash.
+    *
+    * Block (ci, ri) covers pixel cols [ci·W/9, (ci+1)·W/9) and rows
+    * [ri·H/8, (ri+1)·H/8) (integer division), widened to at least one
+    * pixel (clamped) when W < 9 or H < 8. Returns None for undecodable
+    * content. */
+  def pngDHash64(content: Array[Byte]): Option[Long] =
+    pngDecode(content).map { r =>
+      val w = r.width; val h = r.height; val ch = r.channels
+      @inline def luma(p: Int): Int = {
+        val base = p * ch
+        r.colorType match {
+          case 0 | 4 => r.samples(base) & 0xff
+          case _ =>
+            (299 * (r.samples(base) & 0xff) + 587 * (r.samples(base + 1) & 0xff) +
+              114 * (r.samples(base + 2) & 0xff)) / 1000
+        }
+      }
+      // 9x8 cell grid of block-mean lumas (integer floor division)
+      val cells = Array.ofDim[Int](8, 9)
+      var ri = 0
+      while (ri < 8) {
+        var ci = 0
+        while (ci < 9) {
+          val x0 = math.min(ci * w / 9, w - 1)
+          val x1 = math.max((ci + 1) * w / 9, x0 + 1)
+          val y0 = math.min(ri * h / 8, h - 1)
+          val y1 = math.max((ri + 1) * h / 8, y0 + 1)
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += luma(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          cells(ri)(ci) = (s / n).toInt
+          ci += 1
+        }
+        ri += 1
+      }
+      var hash = 0L
+      ri = 0
+      while (ri < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (cells(ri)(gx + 1) > cells(ri)(gx)) hash |= 1L << (ri * 8 + gx)
+          gx += 1
+        }
+        ri += 1
+      }
+      hash
+    }
+
+  /** Batch dHash over (media_id, content): narrow mapPartitions (binary
+    * decode has no Catalyst fit), no shuffle; undecodable rows emit a
+    * null hash. Output: (media_id, dhash, decoded). */
+  def dhashImagesDF(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          pngDHash64(content) match {
+            case Some(hd) => (id, Some(hd), true)
+            case None => (id, None, false)
+          }
+        }
+      }.toDF("media_id", "dhash", "decoded")
+  }
+
   // --- real AVI (RIFF) video container -----------------------------------
 
   case class AviMeta(width: Int, height: Int, totalFrames: Int, usPerFrame: Int)
