@@ -4722,6 +4722,43 @@ object SparkEntry {
       .select(col("node"), col("rank").as("rank_x1e12"))
   }
 
+  /** Warm-start PageRank ([[graft.operators.PageRank.ranksFrom]] — the
+    * incremental member of the graph-rank family): day-0 ranks over the
+    * 2-generator link graph are the STORED vector; day-1 adds the third
+    * edge generator and re-ranks with only 4 warm rounds from the store,
+    * vs 4 cold rounds from uniform, both measured in exact-integer L1
+    * distance against the 10-round day-1 reference. Every chain is
+    * integer-exact, so the oracle replays day-0 (10 rounds), the
+    * reference (10 rounds), and the warm chain (4 rounds seeded from the
+    * replayed day-0 ranks) as chained CTEs — the cold 4-round iterate IS
+    * the reference chain's 4th CTE. The warm start must land strictly
+    * closer (warm_closer pins the measured convergence advantage). */
+  private def qPagerankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    val nodes = table(spark, dir, "documents").select(col("doc_id").cast("long").as("node"))
+    val n = nodes.count()
+    def gen(a: Long, b: Long) = nodes.select(col("node").as("src"),
+      pmod(col("node") * a + b, lit(n)).as("dst"))
+    // multipliers share factors with n (testdata doc counts are 50·10^k, so
+    // 10 and 25 are never coprime): the affine maps CONTRACT onto residue
+    // classes, giving the skewed in-degree profile of a real link graph —
+    // with three coprime generators the graph is regular, uniform is the
+    // exact fixpoint, and every chain converges in one round (measured),
+    // which would make the warm/cold comparison vacuous
+    val day0 = gen(31, 7).unionByName(gen(10, 3))
+    val full = day0.unionByName(gen(25, 11))
+    val stored = PageRank.ranks(day0, nodes, iters = 10)
+    val ref = PageRank.ranks(full, nodes, iters = 10)
+    val warm = PageRank.ranksFrom(full, nodes, Some(stored), iters = 4)
+    val cold = PageRank.ranks(full, nodes, iters = 4)
+    def l1(a: DataFrame, name: String) = a.as("a")
+      .join(ref.as("r"), Seq("node"))
+      .agg(sum(abs(col("a.rank") - col("r.rank"))).as(name))
+    l1(warm, "l1_warm").crossJoin(l1(cold, "l1_cold"))
+      .select(lit(n).as("n_nodes"), col("l1_warm"), col("l1_cold"),
+        when(col("l1_warm") < col("l1_cold"), 1L).otherwise(0L).as("warm_closer"))
+  }
+
   /** Label-propagation communities over the same hash-generated link graph
     * as `pagerank`, 5 synchronous rounds; full per-node label oracle
     * (every round replayed as a chained CTE). */
@@ -5261,6 +5298,7 @@ object SparkEntry {
     "latest_k_events" -> qLatestKEvents,
     "pair_similarity_hist" -> qPairSimilarityHist,
     "pagerank" -> qPagerank,
+    "pagerank_incremental" -> qPagerankIncremental,
     "label_prop" -> qLabelProp,
     "community_modularity" -> qCommunityModularity,
     "quality_rules" -> qQualityRules,
@@ -5572,6 +5610,39 @@ object SparkEntry {
     }.mkString(", ", ", ", " ")
     head + iters +
       "SELECT node::BIGINT AS node, rank::BIGINT AS rank_x1e12 FROM r10 ORDER BY rank DESC, node LIMIT 10"
+  }
+
+  /** Warm-start PageRank replayed exactly: day-0 chain (10 rounds, 2-gen
+    * graph), reference chain (10 rounds, 3-gen graph), warm chain (4
+    * rounds seeded from the replayed day-0 ranks); the cold 4-round
+    * iterate is the reference chain's own 4th CTE. */
+  private val pagerankIncrementalOracleSql: String = {
+    def iterCte(name: String, prev: String, edges: String, od: String): String =
+      s"$name AS (SELECT nodes.node AS node, (SELECT 150000000000 // n FROM nn) + coalesce(m.c, 0) AS rank " +
+        s"FROM nodes LEFT JOIN (SELECT e.dst AS node, sum((85 * r.rank) // (100 * od.outdeg))::BIGINT AS c " +
+        s"FROM $edges e JOIN $prev r ON e.src = r.node JOIN $od od ON od.src = e.src GROUP BY e.dst) m " +
+        "ON nodes.node = m.node)"
+    val head = "WITH nodes AS (SELECT doc_id AS node FROM documents), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +
+      "e2 AS (SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes " +
+      "UNION ALL SELECT node, (node * 10 + 3) % (SELECT n FROM nn) FROM nodes), " +
+      "e3 AS (SELECT src, dst FROM e2 " +
+      "UNION ALL SELECT node, (node * 25 + 11) % (SELECT n FROM nn) FROM nodes), " +
+      "od2 AS (SELECT src, count(*)::BIGINT AS outdeg FROM e2 GROUP BY src), " +
+      "od3 AS (SELECT src, count(*)::BIGINT AS outdeg FROM e3 GROUP BY src), " +
+      "r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes)"
+    val day0 = (1 to 10).map(i =>
+      iterCte(s"d$i", if (i == 1) "r0" else s"d${i - 1}", "e2", "od2"))
+    val ref = (1 to 10).map(i =>
+      iterCte(s"f$i", if (i == 1) "r0" else s"f${i - 1}", "e3", "od3"))
+    val warm = (1 to 4).map(i =>
+      iterCte(s"w$i", if (i == 1) "d10" else s"w${i - 1}", "e3", "od3"))
+    head + (day0 ++ ref ++ warm).mkString(", ", ", ", " ") +
+      "SELECT n_nodes, l1_warm, l1_cold, " +
+      "(CASE WHEN l1_warm < l1_cold THEN 1 ELSE 0 END)::BIGINT AS warm_closer FROM " +
+      "(SELECT (SELECT n FROM nn) AS n_nodes, " +
+      "(SELECT sum(abs(w.rank - f.rank)) FROM w4 w JOIN f10 f USING (node))::BIGINT AS l1_warm, " +
+      "(SELECT sum(abs(c.rank - f.rank)) FROM f4 c JOIN f10 f USING (node))::BIGINT AS l1_cold) t"
   }
 
   /** Label propagation replayed exactly: same hash-generated edges as
@@ -6631,6 +6702,7 @@ object SparkEntry {
         "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS n_kept, " +
         "(SELECT coalesce(sum(vec_id), 0) FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM d))::BIGINT AS kept_id_sum"),
     "pagerank" -> pagerankOracleSql,
+    "pagerank_incremental" -> pagerankIncrementalOracleSql,
     "label_prop" -> labelPropOracleSql,
     "kcore_peel" -> kcoreOracleSql,
     // BM25 top-20 and cosine top-20 replayed, fused by the same integer

@@ -43,7 +43,30 @@ object PageRank {
   def ranks(edges: DataFrame, nodes: DataFrame, nodeCol: String = "node",
             iters: Int = 10, scale: Long = 1000000000000L,
             dampNum: Long = 85L, dampDen: Long = 100L,
-            checkpointEvery: Int = 5): DataFrame = {
+            checkpointEvery: Int = 5): DataFrame =
+    ranksFrom(edges, nodes, init = None, nodeCol, iters, scale,
+      dampNum, dampDen, checkpointEvery)
+
+  /** WARM-START power iteration — the incremental member of the graph-rank
+    * family (the stored-labeling CC / stored-IVF-probe pattern applied to
+    * PageRank): a daily link-graph job initializes from YESTERDAY'S stored
+    * (node, rank) vector instead of the uniform distribution, so the
+    * iteration starts near the fixpoint and needs a fraction of the
+    * rounds to re-converge after an incremental edge batch. Nodes absent
+    * from `init` (newly discovered pages) start at the uniform cold rank;
+    * stored ranks for nodes that left the graph are ignored (inner
+    * semantics via the node-set left join). The result after k rounds is
+    * integer-exact from (edges, nodes, init, k) — same grid, same floor
+    * divisions — so the oracle replays the warm chain as CTEs seeded from
+    * the replayed day-0 ranks. Convergence of power iteration is
+    * init-independent (the damping contraction), so warm == cold at the
+    * fixpoint; warm just gets there in fewer rounds — measured, not
+    * assumed, by `pagerank_incremental`. */
+  def ranksFrom(edges: DataFrame, nodes: DataFrame, init: Option[DataFrame],
+                nodeCol: String = "node",
+                iters: Int = 10, scale: Long = 1000000000000L,
+                dampNum: Long = 85L, dampDen: Long = 100L,
+                checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
     val n = nodes.select(col(s"`$nodeCol`").cast("long").as("node"))
       .where(col("node").isNotNull)
@@ -63,7 +86,14 @@ object PageRank {
     val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(eager = false)
 
-    var ranks = n.select(col("node"), lit(r0).as("rank"))
+    var ranks = init match {
+      case None => n.select(col("node"), lit(r0).as("rank"))
+      case Some(st) =>
+        n.join(st.select(col("node").cast("long").as("node"),
+            col("rank").cast("long").as("__init_rank"))
+            .where(col("node").isNotNull), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__init_rank"), lit(r0)).as("rank"))
+    }
     var round = 0
     while (round < iters) {
       val contrib = eo.join(ranks, eo("src") === ranks("node"))

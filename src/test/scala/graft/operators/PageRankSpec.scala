@@ -65,4 +65,37 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("warm-start from the k-round state continues the exact same chain") {
+    import spark.implicits._
+    val edges = (0L until 20L).flatMap(i => Seq((i, (i * 7 + 3) % 20), (i, (i * 11 + 5) % 20)))
+    val nodes = (0L until 20L)
+    val e = edges.toDF("src", "dst"); val n = nodes.toDF("node")
+    val r6 = PageRank.ranks(e, n, iters = 6)
+    val warm = PageRank.ranksFrom(e, n, Some(r6), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === ranksOf(edges, nodes, iters = 10))
+  }
+
+  test("warm-start: nodes missing from the stored vector start at the cold rank") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val n = Seq(0L, 1L).toDF("node")
+    // stored vector only knows node 0; node 1 must fall back to scale/n
+    val partial = Seq((0L, 123456789L)).toDF("node", "rank")
+    val warm0 = PageRank.ranksFrom(e, n, Some(partial), iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm0 === Map(0L -> 123456789L, 1L -> 500000000000L))
+  }
+
+  test("ranksFrom(None) is ranks") {
+    import spark.implicits._
+    val edges = (0L until 12L).map(i => (i, (i * 5 + 1) % 12))
+    val e = edges.toDF("src", "dst"); val n = (0L until 12L).toDF("node")
+    val a = PageRank.ranks(e, n, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.ranksFrom(e, n, None, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
