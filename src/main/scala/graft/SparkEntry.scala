@@ -724,6 +724,33 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Audio near-dup via the 64-bit envelope hash
+    * ([[graft.operators.Multimodal.wavEnvelopeHash64]] — window |sample|
+    * energies through the REAL WAV encode→decode round-trip, one bit per
+    * adjacent-window energy comparison), paired by the same
+    * banded-pigeonhole join as text SimHash and image dHash — the third
+    * modality of the dedup family. Plants: 650-sample mono clips keyed by
+    * doc_id/2 (consecutive ids = identical clip), quadratic sample
+    * formula the oracle replays end-to-end (samples → window energies →
+    * bits → hamming ≤ 3 pairs). */
+  private def qAudioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val k = id / 2
+      val samples = Array.tabulate[Short](650) { t =>
+        val tl = t.toLong
+        ((tl * tl * (1 + k % 7) + tl * (k % 13)) % 2001 - 1000).toShort
+      }
+      graft.operators.Multimodal.wavEncode(8000, 1, samples)
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").as("media_id"), mkWav(col("doc_id").cast("long")).as("content"))
+    val sigs = graft.operators.Multimodal.envelopeHashAudioDF(media)
+      .select(col("media_id").as("doc_id"), col("ehash").as("sig"))
+    graft.operators.Dedup.pairsFromSignatures64(sigs, maxHamming = 3,
+        maxBucket = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qEmbedPairsExact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosinePairsExact(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.48)
       .agg(count(lit(1)).as("n_pairs"),
@@ -5170,6 +5197,7 @@ object SparkEntry {
     "compaction_plan" -> qCompactionPlan,
     "dedup_simhash" -> qDedupSimhash,
     "image_phash_dedup" -> qImagePhashDedup,
+    "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
@@ -7433,6 +7461,22 @@ object SparkEntry {
         "FROM cells a JOIN cells b ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1 " +
         "WHERE a.gx < 8), " +
         "sigs AS (SELECT id, list(bit ORDER BY gy * 8 + gx) AS bl FROM bits GROUP BY id), " +
+        "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
+        "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // full replay of the envelope-hash chain from the sample formula:
+    // |sample| window energies (650 frames / 65 windows of 10), adjacent-
+    // window comparison bits, all-pairs hamming <= 3 — through the
+    // engine's real WAV encode/decode round-trip
+    "audio_fingerprint_dedup" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "sm AS (SELECT id, t, abs((t*t*(1 + k % 7) + t*(k % 13)) % 2001 - 1000) AS av " +
+        "FROM ids, (SELECT unnest(range(0, 650)) AS t)), " +
+        "en AS (SELECT id, t // 10 AS w, sum(av)::BIGINT AS e FROM sm GROUP BY id, t // 10), " +
+        "bits AS (SELECT a.id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit " +
+        "FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1 WHERE a.w < 64), " +
+        "sigs AS (SELECT id, list(bit ORDER BY w) AS bl FROM bits GROUP BY id), " +
         "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
         "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
         "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +

@@ -713,6 +713,68 @@ object Multimodal {
       }.toDF("media_id", "dhash", "decoded")
   }
 
+  /** 64-bit audio envelope hash — the dHash construction on the time
+    * axis (the cheap deterministic cousin of spectral fingerprints like
+    * Shazam's: Wang 2003 motivates landmark/relative features; here the
+    * relative feature is the energy DELTA between adjacent windows):
+    * decode WAV, mix to mono by integer-floor channel average, split the
+    * frame sequence into 65 equal windows, window energy = Σ|sample|
+    * (exact long), bit i = energy(i+1) > energy(i). Integer end to end —
+    * replayable by the oracle from a planted sample formula — and
+    * invariant to uniform amplitude scaling (comparisons are
+    * order-based), so re-gained copies of the same clip collide, which
+    * is the near-dup semantics. Windows are clamped non-empty below 65
+    * frames. Returns None for undecodable content or zero frames. */
+  def wavEnvelopeHash64(content: Array[Byte]): Option[Long] =
+    wavDecode(content).flatMap { a =>
+      val frames = a.samples.length / a.channels
+      if (frames == 0) None
+      else {
+        val energy = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val f0 = math.min(w.toLong * frames / 65, frames - 1L).toInt
+          val f1 = math.max(((w + 1).toLong * frames / 65).toInt, f0 + 1)
+          var s = 0L
+          var f = f0
+          while (f < f1) {
+            var mono = 0L
+            var c = 0
+            while (c < a.channels) { mono += a.samples(f * a.channels + c); c += 1 }
+            // floorDiv: the mono mix of negative sums must floor the same
+            // way in every engine (Scala / rounds toward zero)
+            s += math.abs(Math.floorDiv(mono, a.channels))
+            f += 1
+          }
+          energy(w) = s
+          w += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (energy(i + 1) > energy(i)) hash |= 1L << i
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Batch envelope hash over (media_id, content): narrow mapPartitions,
+    * no shuffle; undecodable rows emit a null hash. */
+  def envelopeHashAudioDF(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          wavEnvelopeHash64(content) match {
+            case Some(hd) => (id, Some(hd), true)
+            case None => (id, None, false)
+          }
+        }
+      }.toDF("media_id", "ehash", "decoded")
+  }
+
   // --- real AVI (RIFF) video container -----------------------------------
 
   case class AviMeta(width: Int, height: Int, totalFrames: Int, usPerFrame: Int)

@@ -50,6 +50,32 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(out.isNullAt(1) && !out.getBoolean(2))
   }
 
+  private def wav(n: Int, ch: Int = 1)(v: Int => Int): Array[Byte] = {
+    val samples = Array.tabulate[Short](n * ch)(i => (v(i / ch)).toShort)
+    Multimodal.wavEncode(8000, ch, samples)
+  }
+
+  test("audio envelope hash is invariant to uniform amplitude scaling") {
+    val a = Multimodal.wavEnvelopeHash64(wav(650)(t => (t * t % 900) - 450)).get
+    val b = Multimodal.wavEnvelopeHash64(wav(650)(t => ((t * t % 900) - 450) * 2)).get
+    assert(a === b)
+  }
+
+  test("audio: identical clips collide, different textures differ, stereo mixdown matches mono") {
+    def s(t: Int): Int = (t * t * 3 + t * 5) % 2001 - 1000
+    val mono = Multimodal.wavEnvelopeHash64(wav(650)(s)).get
+    assert(mono === Multimodal.wavEnvelopeHash64(wav(650)(s)).get)
+    val other = Multimodal.wavEnvelopeHash64(wav(650)(t => (t * 7) % 1800 - 900)).get
+    assert(mono !== other)
+    assert(mono === Multimodal.wavEnvelopeHash64(wav(650, ch = 2)(s)).get)
+  }
+
+  test("audio: short clips hash; empty/undecodable yield None") {
+    assert(Multimodal.wavEnvelopeHash64(wav(5)(t => t * 100)).isDefined)
+    assert(Multimodal.wavEnvelopeHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.wavEnvelopeHash64(wav(0)(_ => 0)).isEmpty)
+  }
+
   test("pairsFromSignatures64 finds exactly the identical-texture pairs") {
     import spark.implicits._
     def tex(k: Long)(x: Int, y: Int): Int =
