@@ -2273,15 +2273,55 @@ object SparkEntry {
     * broadcasts the dense log-likelihood table; predictions argmax over
     * x1e4-floored scores with a label tie-break, so the oracle replays
     * every count, every ln, and every argmax exactly. */
+  /** Planted language signal for the NB queries: the synthetic corpus
+    * shares ONE 31-token vocabulary across all langs (measured — the
+    * label carries zero lexical signal, so an honest classifier can only
+    * emit the majority prior), so 2/3 of the docs gain a lang-marker
+    * token the oracle replays; the unmarked third stays genuinely
+    * ambiguous and must fall to the prior. */
+  private def nbPlanted(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 =!= 0 && col("text").isNotNull,
+        concat(col("text"), lit(" zznb"), col("lang"), lit(" zznb"), col("lang")))
+        .otherwise(col("text")))
+
   private def qNbClassify(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Classifier
-    val docs = table(spark, dir, "documents")
+    val docs = nbPlanted(table(spark, dir, "documents"))
     val train = docs.where(col("doc_id") % 2 === 0)
     val test = docs.where(col("doc_id") % 2 === 1)
-    val (counts, docCounts) = Classifier.trainNb(train, "text", "lang", nBuckets = 1024)
+    val (counts, docCounts) = Classifier.trainNb(train, "text", "lang", nBuckets = 64)
     val preds = Classifier.predictNb(
-      Classifier.scoreNb(test, "doc_id", "text", counts, docCounts, nBuckets = 1024))
+      Classifier.scoreNb(test, "doc_id", "text", counts, docCounts, nBuckets = 64))
     preds.join(test.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Streaming NB classification — the classifier joins the "every batch
+    * operator also streams" law: [[graft.operators.Classifier
+    * .predictNbInRow]] scores each document fully IN-ROW (the collected
+    * model rides the plan as literals), so micro-batched documents emit
+    * the identical predictions with ZERO streaming state; the confusion
+    * matrix aggregates the drained sink batch-side. Shares `nb_classify`'s
+    * oracle verbatim — the stream and the in-row scorer must not change
+    * one prediction. */
+  private def qStreamNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val docs = nbPlanted(table(spark, dir, "documents"))
+    val (counts, docCounts) = Classifier.trainNb(
+      docs.where(col("doc_id") % 2 === 0), "text", "lang", nBuckets = 64)
+    val model = Classifier.collectModel(counts, docCounts, nBuckets = 64)
+    val preds = Classifier.predictNbInRow(
+      nbPlanted(streamDocuments(spark, dir)).where(col("doc_id") % 2 === 1),
+      "doc_id", "text", model, nBuckets = 64)
+    val sink = "graft_stream_nb_sink"
+    val q = preds.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .join(docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred"))
   }
@@ -5260,6 +5300,7 @@ object SparkEntry {
     "bm25_store_probe" -> qBm25StoreProbe,
     "bm25_incremental" -> qBm25Incremental,
     "nb_classify" -> qNbClassify,
+    "stream_nb_classify" -> qStreamNbClassify,
     "hybrid_rrf" -> qHybridRrf,
     "kcore_peel" -> qKcorePeel,
     "gapfill_resample" -> qGapfillResample,
@@ -5639,6 +5680,37 @@ object SparkEntry {
     head + iters +
       "SELECT node::BIGINT AS node, rank::BIGINT AS rank_x1e12 FROM r10 ORDER BY rank DESC, node LIMIT 10"
   }
+
+  /** Full NB replay shared by `nb_classify` and `stream_nb_classify`. */
+  private val nbClassifyOracleSql: String =
+    ("WITH pl AS (SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 3 <> 0 AND text IS NOT NULL THEN text || ' zznb' || lang || ' zznb' || lang ELSE text END AS text " +
+        "FROM documents), " +
+        "tr AS (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM pl WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL), " +
+        "cn AS (SELECT lang AS label, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 64 AS bucket, " +
+        "count(*)::BIGINT AS cnt FROM (SELECT lang, unnest(t) AS tok FROM tr) GROUP BY 1, 2), " +
+        "tot AS (SELECT label, sum(cnt)::BIGINT AS tot FROM cn GROUP BY 1), " +
+        "dc AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM tr GROUP BY 1), " +
+        "na AS (SELECT sum(n_docs)::BIGINT AS n_all FROM dc), " +
+        "dense AS (SELECT b.bucket, t.label, " +
+        "ln((coalesce(cn.cnt, 0)::DOUBLE + 1.0) / (t.tot::DOUBLE + 64.0)) AS lnp " +
+        "FROM (SELECT unnest(range(0, 64)) AS bucket) b CROSS JOIN tot t " +
+        "LEFT JOIN cn ON cn.bucket = b.bucket AND cn.label = t.label), " +
+        "pri AS (SELECT dc.label, ln(dc.n_docs::DOUBLE) - ln(na.n_all::DOUBLE) AS lnprior FROM dc, na), " +
+        "te AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM pl WHERE doc_id % 2 = 1 AND text IS NOT NULL), " +
+        "tfb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 64 AS bucket, " +
+        "count(*)::BIGINT AS tfb FROM (SELECT doc_id, unnest(t) AS tok FROM te) GROUP BY 1, 2), " +
+        "sc AS (SELECT f.doc_id, d.label, " +
+        "floor((p.lnprior + sum(f.tfb::DOUBLE * d.lnp)) * 10000 + 0.000001)::BIGINT AS s " +
+        "FROM tfb f JOIN dense d USING (bucket) JOIN pri p ON p.label = d.label " +
+        "GROUP BY f.doc_id, d.label, p.lnprior), " +
+        "pred AS (SELECT doc_id, label AS pred FROM " +
+        "(SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label) AS rn FROM sc) " +
+        "WHERE rn = 1) " +
+        "SELECT te.lang, pred.pred, count(*)::BIGINT AS n_docs " +
+        "FROM pred JOIN te USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2")
 
   /** Warm-start PageRank replayed exactly: day-0 chain (10 rounds, 2-gen
     * graph), reference chain (10 rounds, 3-gen graph), warm chain (4
@@ -7629,32 +7701,10 @@ object SparkEntry {
         "t1.top1_doc, t1.top1_score FROM pr, cs, t1"),
     // full NB replay: identical md5-slice buckets, Laplace-smoothed ln
     // likelihoods, x1e4-floored scores, argmax with label tie-break
-    "nb_classify" ->
-      ("WITH tr AS (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL), " +
-        "cn AS (SELECT lang AS label, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
-        "count(*)::BIGINT AS cnt FROM (SELECT lang, unnest(t) AS tok FROM tr) GROUP BY 1, 2), " +
-        "tot AS (SELECT label, sum(cnt)::BIGINT AS tot FROM cn GROUP BY 1), " +
-        "dc AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM tr GROUP BY 1), " +
-        "na AS (SELECT sum(n_docs)::BIGINT AS n_all FROM dc), " +
-        "dense AS (SELECT b.bucket, t.label, " +
-        "ln((coalesce(cn.cnt, 0)::DOUBLE + 1.0) / (t.tot::DOUBLE + 1024.0)) AS lnp " +
-        "FROM (SELECT unnest(range(0, 1024)) AS bucket) b CROSS JOIN tot t " +
-        "LEFT JOIN cn ON cn.bucket = b.bucket AND cn.label = t.label), " +
-        "pri AS (SELECT dc.label, ln(dc.n_docs::DOUBLE) - ln(na.n_all::DOUBLE) AS lnprior FROM dc, na), " +
-        "te AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL), " +
-        "tfb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 3))::UBIGINT::BIGINT % 1024 AS bucket, " +
-        "count(*)::BIGINT AS tfb FROM (SELECT doc_id, unnest(t) AS tok FROM te) GROUP BY 1, 2), " +
-        "sc AS (SELECT f.doc_id, d.label, " +
-        "floor((p.lnprior + sum(f.tfb::DOUBLE * d.lnp)) * 10000 + 0.000001)::BIGINT AS s " +
-        "FROM tfb f JOIN dense d USING (bucket) JOIN pri p ON p.label = d.label " +
-        "GROUP BY f.doc_id, d.label, p.lnprior), " +
-        "pred AS (SELECT doc_id, label AS pred FROM " +
-        "(SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label) AS rn FROM sc) " +
-        "WHERE rn = 1) " +
-        "SELECT te.lang, pred.pred, count(*)::BIGINT AS n_docs " +
-        "FROM pred JOIN te USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    "nb_classify" -> nbClassifyOracleSql,
+    // the stream and the in-row literal-model scorer must not change one
+    // prediction: nb_classify's oracle verbatim
+    "stream_nb_classify" -> nbClassifyOracleSql,
     // same planted PII, same RE2-compatible patterns, same sequential
     // count-then-replace order as Redaction.redactionCount
     "redact_pii" ->

@@ -106,6 +106,64 @@ object Classifier {
           .cast("long").as("score_x1e4"))
   }
 
+  /** Collected dense model for IN-ROW scoring: label-sorted
+    * (label, lnprior, lnp-per-bucket) with the same arithmetic as
+    * [[scoreNb]]'s dense table (JVM `Math.log` both ways). KB-sized —
+    * labels × nBuckets doubles — destined to ride the plan as literals
+    * (the centroid/projection-literal discipline), which is what makes
+    * scoring a pure per-row expression: no shuffle, no state, and
+    * therefore streamable in append mode with zero state store. */
+  def collectModel(counts: DataFrame, docCounts: DataFrame,
+                   nBuckets: Int = 1024): Seq[(String, Double, Array[Double])] = {
+    requireBuckets(nBuckets)
+    val dcs = docCounts.collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    require(dcs.nonEmpty, "collectModel: empty model (no training docs)")
+    val nAll = dcs.values.sum
+    val tots = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val cnts = counts.collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    dcs.keys.toSeq.sorted.map { label =>
+      val tot = tots.getOrElse(label, 0L)
+      val lnprior = math.log(dcs(label).toDouble) - math.log(nAll.toDouble)
+      val lnp = Array.tabulate(nBuckets) { b =>
+        math.log((cnts.getOrElse((label, b.toLong), 0L).toDouble + 1.0) /
+          (tot.toDouble + nBuckets.toDouble))
+      }
+      (label, lnprior, lnp)
+    }
+  }
+
+  /** In-row prediction: per-label scores as one codegen'd `aggregate`
+    * over the token array against the literal lnp tables, floored onto
+    * the x1e4 grid, argmax by first-position-of-max (= label ascending
+    * tie-break, [[predictNb]]'s rule). Output (doc_id, pred, score_x1e4)
+    * — agrees with trainNb→scoreNb→predictNb row-for-row (ClassifierSpec
+    * law), and because no shuffle or state is involved it runs verbatim
+    * on a STREAMING frame in append mode. */
+  def predictNbInRow(docs: DataFrame, idCol: String, textCol: String,
+                     model: Seq[(String, Double, Array[Double])],
+                     nBuckets: Int = 1024): DataFrame = {
+    requireBuckets(nBuckets)
+    require(model.nonEmpty, "predictNbInRow: empty model")
+    require(model.forall(_._3.length == nBuckets),
+      s"predictNbInRow: model bucket arrays must have length $nBuckets")
+    val toks = TextAnalysis.tokens(col(s"`$textCol`"))
+    def scoreOf(lnprior: Double, lnp: Array[Double]): Column =
+      floor((lit(lnprior) + aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(typedLit(lnp.toSeq),
+          (tokenBucket(t, nBuckets) + 1L).cast("int")))) * 10000 + lit(1e-6))
+        .cast("long")
+    val scores = array(model.map { case (_, p, l) => scoreOf(p, l) }: _*)
+    val labels = typedLit(model.map(_._1))
+    docs.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("doc_id"), scores.as("__s"))
+      .select(col("doc_id"),
+        element_at(labels, array_position(col("__s"), array_max(col("__s"))).cast("int")).as("pred"),
+        array_max(col("__s")).as("score_x1e4"))
+  }
+
   /** Argmax prediction per document over the FLOORED scores, label
     * tie-break ascending — deterministic cross-engine. */
   def predictNb(scores: DataFrame): DataFrame = {

@@ -77,6 +77,21 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("in-row literal-model predictions equal the batch scorer row-for-row") {
+    val test = corpus(Seq(
+      (1L, "gato casa luna", "es"), (3L, "perro sol gato", "es"),
+      (5L, "cat house moon", "en"), (7L, "dog sun cat", "en"),
+      (9L, "zzz unseen tokens", "??"), (11L, "", "??")))
+    val (cnt, dc) = Classifier.trainNb(train, "text", "lang", nBuckets = 256)
+    val batch = Classifier.predictNb(
+        Classifier.scoreNb(test, "doc_id", "text", cnt, dc, nBuckets = 256))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val model = Classifier.collectModel(cnt, dc, nBuckets = 256)
+    val inRow = Classifier.predictNbInRow(test, "doc_id", "text", model, nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(inRow === batch)
+  }
+
   test("scores are on the x1e4 grid and every test doc gets every label") {
     val test = corpus(Seq((1L, "gato casa", "es"), (5L, "cat house", "en")))
     val (cnt, dc) = Classifier.trainNb(train, "text", "lang", nBuckets = 256)
