@@ -219,6 +219,29 @@ object ScaleCheck {
     // considered — quadratic by design, like embed_pairs_exact); the
     // production path is knn_graph_only's pruned adaptive-nLists shape,
     // measured above
+    // round-15 batch 4: the inverted-index store (build = the one
+    // posting shuffle, probe = partition-pruned bucket reads whose bytes
+    // track query-term postings, not the corpus; the incremental query
+    // additionally carries the full-rebuild comparator — corpus-linear
+    // by definition of the audit); NB classification (training is one
+    // bounded labels×buckets aggregate, scoring shuffles ≤ min(tokens,
+    // buckets) rows per doc — both linear-class); warm-start PageRank
+    // (28 fixed rounds over three generated graphs — per-round cost is
+    // the linear term, round count flat by construction); the image
+    // dHash REPORT — image_phash_dedup's pair list is the oracle-priced
+    // ground truth and its OUTPUT is Θ(Σ group²) (measured 115× bytes at
+    // 10×: scaled copies replant the same 385 texture classes, so
+    // duplicate groups fatten 10× and pairs grow ~100× — the quadratic
+    // lives in the duplicate mass of the data, like any pair report over
+    // g-sized duplicate groups); the production twin groups by hash —
+    // one hash-keyed aggregate, output linear in distinct hashes.
+    // audio_fingerprint_dedup shares image_phash_dedup's exact shape
+    // (same plants, same join) and is not re-measured;
+    // stream_nb_classify is in-row scoring already measured via
+    // nb_classify plus the memory-sink harness stream_segment's note
+    // excludes
+    "bm25_store_probe", "bm25_incremental", "nb_classify",
+    "pagerank_incremental", "image_phash_report",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

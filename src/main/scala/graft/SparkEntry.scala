@@ -751,6 +751,62 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The image dedup's PRODUCTION twin (the knn_graph_only discipline:
+    * `image_phash_dedup`'s pair list is the oracle-priced ground truth,
+    * and pair OUTPUT over duplicate groups is Θ(Σ group²) — a property of
+    * the duplicate mass in the data, not of any plan): group by the
+    * 64-bit dHash and report duplicate GROUPS — one hash-keyed aggregate,
+    * output linear in distinct hashes at any duplicate density. */
+  private def qImagePhashReport(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long) => {
+      val k = id / 2
+      val px = Array.tabulate[Byte](18 * 16) { i =>
+        val x = (i % 18).toLong; val y = (i / 18).toLong
+        ((x * x * (1 + k % 5) + y * y * (2 + k % 7) + x * y * (k % 11)) % 256).toByte
+      }
+      graft.operators.Multimodal.pngEncode(18, 16, 0, px)
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").as("media_id"), mkPng(col("doc_id").cast("long")).as("content"))
+    val groups = graft.operators.Multimodal.dhashImagesDF(media)
+      .where(col("decoded"))
+      .groupBy(col("dhash")).agg(count(lit(1)).as("sz"), min(col("media_id")).as("rep"))
+    groups.agg(
+      sum(col("sz")).cast("long").as("n_images"),
+      count(lit(1)).as("n_distinct_hashes"),
+      count(when(col("sz") > 1, 1)).as("n_dup_groups"),
+      sum(when(col("sz") > 1, col("sz") - 1).otherwise(lit(0L))).cast("long").as("n_redundant"),
+      max(col("sz")).cast("long").as("max_group"),
+      sum(col("rep") % 1000003).cast("long").as("rep_checksum"))
+  }
+
+  /** Video near-dup via the clip fingerprint
+    * ([[graft.operators.Multimodal.aviEnvelopeHash64]] — per-frame
+    * byte-mass envelope through the REAL AVI encode→decode round-trip),
+    * same banded-pigeonhole pairing: the near-dup family now spans all
+    * four modalities (text, image, audio, video) through one machinery.
+    * Plants: 130-frame × 32-byte clips keyed by doc_id/2; the oracle
+    * replays bytes → frame energies → window bits → hamming ≤ 3 pairs. */
+  private def qVideoFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val mkAvi = udf((id: Long) => {
+      val k = id / 2
+      val frames = (0 until 130).map { f =>
+        val fl = f.toLong
+        Array.tabulate[Byte](32) { j =>
+          ((j * (1 + k % 5) + fl * fl * (2 + k % 7) + fl * (k % 11)) % 256).toByte
+        }
+      }
+      graft.operators.Multimodal.aviEncode(8, 4, frames)
+    })
+    val media = table(spark, dir, "documents").select(
+      col("doc_id").as("media_id"), mkAvi(col("doc_id").cast("long")).as("content"))
+    val sigs = graft.operators.Multimodal.envelopeHashVideoDF(media)
+      .select(col("media_id").as("doc_id"), col("vhash").as("sig"))
+    graft.operators.Dedup.pairsFromSignatures64(sigs, maxHamming = 3,
+        maxBucket = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qEmbedPairsExact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosinePairsExact(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.48)
       .agg(count(lit(1)).as("n_pairs"),
@@ -5237,7 +5293,9 @@ object SparkEntry {
     "compaction_plan" -> qCompactionPlan,
     "dedup_simhash" -> qDedupSimhash,
     "image_phash_dedup" -> qImagePhashDedup,
+    "image_phash_report" -> qImagePhashReport,
     "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
+    "video_fingerprint_dedup" -> qVideoFingerprintDedup,
     "embed_pairs_exact" -> qEmbedPairsExact,
     "embed_pairs_lsh" -> qEmbedPairsLsh,
     "embed_quantize" -> qEmbedQuantize,
@@ -7537,6 +7595,25 @@ object SparkEntry {
         "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
         "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
         "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // the production twin replayed from the same pixel formula: identical
+    // signatures group identically, so the report is a pure function of
+    // the planted textures
+    "image_phash_report" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "px AS (SELECT id, x, y, " +
+        "(x*x*(1 + k % 5) + y*y*(2 + k % 7) + x*y*(k % 11)) % 256 AS v " +
+        "FROM ids, (SELECT unnest(range(0, 18)) AS x), (SELECT unnest(range(0, 16)) AS y)), " +
+        "cells AS (SELECT id, y // 2 AS gy, x // 2 AS gx, sum(v) // 4 AS cell " +
+        "FROM px GROUP BY id, y // 2, x // 2), " +
+        "bits AS (SELECT a.id, a.gy, a.gx, CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit " +
+        "FROM cells a JOIN cells b ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1 " +
+        "WHERE a.gx < 8), " +
+        "sigs AS (SELECT id, list(bit ORDER BY gy * 8 + gx) AS bl FROM bits GROUP BY id), " +
+        "g AS (SELECT bl, count(*)::BIGINT AS sz, min(id) AS rep FROM sigs GROUP BY bl) " +
+        "SELECT sum(sz)::BIGINT AS n_images, count(*)::BIGINT AS n_distinct_hashes, " +
+        "count(CASE WHEN sz > 1 THEN 1 END)::BIGINT AS n_dup_groups, " +
+        "sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END)::BIGINT AS n_redundant, " +
+        "max(sz)::BIGINT AS max_group, sum(rep % 1000003)::BIGINT AS rep_checksum FROM g"),
     // full replay of the envelope-hash chain from the sample formula:
     // |sample| window energies (650 frames / 65 windows of 10), adjacent-
     // window comparison bits, all-pairs hamming <= 3 — through the
@@ -7705,6 +7782,22 @@ object SparkEntry {
     // the stream and the in-row literal-model scorer must not change one
     // prediction: nb_classify's oracle verbatim
     "stream_nb_classify" -> nbClassifyOracleSql,
+    // full replay of the clip-fingerprint chain from the frame-byte
+    // formula: per-frame byte mass, 65 windows of 2 frames, adjacent-
+    // window comparison bits, all-pairs hamming <= 3 — through the
+    // engine's real AVI encode/decode round-trip
+    "video_fingerprint_dedup" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "fb AS (SELECT id, f, (j*(1 + k % 5) + f*f*(2 + k % 7) + f*(k % 11)) % 256 AS v " +
+        "FROM ids, (SELECT unnest(range(0, 130)) AS f), (SELECT unnest(range(0, 32)) AS j)), " +
+        "en AS (SELECT id, f // 2 AS w, sum(v)::BIGINT AS e FROM fb GROUP BY id, f // 2), " +
+        "bits AS (SELECT a.id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit " +
+        "FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1 WHERE a.w < 64), " +
+        "sigs AS (SELECT id, list(bit ORDER BY w) AS bl FROM bits GROUP BY id), " +
+        "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
+        "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
     // same planted PII, same RE2-compatible patterns, same sequential
     // count-then-replace order as Redaction.redactionCount
     "redact_pii" ->

@@ -729,35 +729,74 @@ object Multimodal {
     wavDecode(content).flatMap { a =>
       val frames = a.samples.length / a.channels
       if (frames == 0) None
-      else {
-        val energy = new Array[Long](65)
-        var w = 0
-        while (w < 65) {
-          val f0 = math.min(w.toLong * frames / 65, frames - 1L).toInt
-          val f1 = math.max(((w + 1).toLong * frames / 65).toInt, f0 + 1)
-          var s = 0L
-          var f = f0
-          while (f < f1) {
-            var mono = 0L
-            var c = 0
-            while (c < a.channels) { mono += a.samples(f * a.channels + c); c += 1 }
-            // floorDiv: the mono mix of negative sums must floor the same
-            // way in every engine (Scala / rounds toward zero)
-            s += math.abs(Math.floorDiv(mono, a.channels))
-            f += 1
-          }
-          energy(w) = s
-          w += 1
-        }
-        var hash = 0L
-        var i = 0
-        while (i < 64) {
-          if (energy(i + 1) > energy(i)) hash |= 1L << i
-          i += 1
-        }
-        Some(hash)
-      }
+      else Some(envelope64(Array.tabulate(frames) { f =>
+        var mono = 0L
+        var c = 0
+        while (c < a.channels) { mono += a.samples(f * a.channels + c); c += 1 }
+        // floorDiv: the mono mix of negative sums must floor the same
+        // way in every engine (Scala / rounds toward zero)
+        math.abs(Math.floorDiv(mono, a.channels))
+      }))
     }
+
+  /** The shared envelope-bit construction: 65 clamped equal windows over
+    * an integer series, window energy = exact long sum, bit i =
+    * energy(i+1) > energy(i). */
+  private def envelope64(series: Array[Long]): Long = {
+    val n = series.length
+    val energy = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val i0 = math.min(w.toLong * n / 65, n - 1L).toInt
+      val i1 = math.max(((w + 1).toLong * n / 65).toInt, i0 + 1)
+      var s = 0L
+      var i = i0
+      while (i < i1) { s += series(i); i += 1 }
+      energy(w) = s
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** 64-bit video clip fingerprint: [[envelope64]] over the PER-FRAME
+    * byte-mass series of a decoded AVI (frame energy = Σ unsigned bytes
+    * of the raw '00db' payload) — the temporal-structure twin of the
+    * audio envelope hash: clips with the same motion profile collide,
+    * and a uniform brightness offset over equal-size frames shifts every
+    * window by the same constant, leaving all comparison bits unchanged.
+    * Returns None for undecodable content or zero frames. */
+  def aviEnvelopeHash64(content: Array[Byte]): Option[Long] =
+    aviFrames(content).flatMap { frames =>
+      if (frames.isEmpty) None
+      else Some(envelope64(frames.map { f =>
+        var s = 0L
+        var i = 0
+        while (i < f.length) { s += (f(i) & 0xff); i += 1 }
+        s
+      }.toArray))
+    }
+
+  /** Batch clip fingerprint over (media_id, content): narrow
+    * mapPartitions, no shuffle; undecodable rows emit a null hash. */
+  def envelopeHashVideoDF(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          aviEnvelopeHash64(content) match {
+            case Some(hd) => (id, Some(hd), true)
+            case None => (id, None, false)
+          }
+        }
+      }.toDF("media_id", "vhash", "decoded")
+  }
 
   /** Batch envelope hash over (media_id, content): narrow mapPartitions,
     * no shuffle; undecodable rows emit a null hash. */

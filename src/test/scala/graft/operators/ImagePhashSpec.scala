@@ -76,6 +76,28 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(Multimodal.wavEnvelopeHash64(wav(0)(_ => 0)).isEmpty)
   }
 
+  private def avi(nFrames: Int, frameBytes: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val frames = (0 until nFrames).map(f =>
+      Array.tabulate[Byte](frameBytes)(j => (v(f, j) & 0xff).toByte))
+    Multimodal.aviEncode(8, 4, frames)
+  }
+
+  test("video clip fingerprint: identical clips collide, brightness offset is invariant") {
+    def v(f: Int, j: Int): Int = (f * f * 3 + j * 5) % 200
+    val a = Multimodal.aviEnvelopeHash64(avi(130, 32)(v)).get
+    assert(a === Multimodal.aviEnvelopeHash64(avi(130, 32)(v)).get)
+    // +40 on every byte of every (equal-size) frame shifts all windows equally
+    assert(a === Multimodal.aviEnvelopeHash64(avi(130, 32)((f, j) => v(f, j) + 40)).get)
+    val other = Multimodal.aviEnvelopeHash64(avi(130, 32)((f, j) => (f * 11 + j) % 220)).get
+    assert(a !== other)
+  }
+
+  test("video: short clips hash; undecodable/empty yield None") {
+    assert(Multimodal.aviEnvelopeHash64(avi(3, 8)((f, j) => f * 50 + j)).isDefined)
+    assert(Multimodal.aviEnvelopeHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aviEnvelopeHash64(avi(0, 8)((_, _) => 0)).isEmpty)
+  }
+
   test("pairsFromSignatures64 finds exactly the identical-texture pairs") {
     import spark.implicits._
     def tex(k: Long)(x: Int, y: Int): Int =
