@@ -5064,6 +5064,24 @@ object SparkEntry {
         sum(col("n_chars")).cast("long").as("chars_sum"))
       .orderBy("source")
 
+  /** Token-budget cap per source ([[graft.operators.Caps
+    * .capTokensPerGroup]] — the mixer's real unit: a source contributes
+    * TOKENS, not documents): greedy hash-order fill to 400 tokens per
+    * source, straddler kept. The oracle replays the ring-hash order, the
+    * running token sum, and the prefix rule verbatim. */
+  private def qCapTokensPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").where(col("text").isNotNull)
+      .withColumn("toks",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Caps.capTokensPerGroup(
+        docs, Seq("source"), "doc_id", "toks", budget = 400L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("toks")).cast("long").as("tokens_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("source")
+  }
+
   /** MAD outliers on events.value per event_type at 3×MAD — the doubled-
     * integer-grid rule is recomputed verbatim by the oracle. */
   private def qAnomalyMad(spark: SparkSession, dir: String): DataFrame =
@@ -5411,6 +5429,7 @@ object SparkEntry {
     "token_entropy" -> qTokenEntropy,
     "semantic_dedup" -> qSemanticDedup,
     "cap_per_group" -> qCapPerGroup,
+    "cap_tokens_per_group" -> qCapTokensPerGroup,
     "anomaly_mad" -> qAnomalyMad,
     "blocklist_filter" -> qBlocklistFilter,
     "annotator_kappa" -> qAnnotatorKappa,
@@ -6962,6 +6981,17 @@ object SparkEntry {
         "SELECT source, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_sum, " +
         "sum(n_chars)::BIGINT AS chars_sum FROM h WHERE rn <= 25 " +
         "GROUP BY source ORDER BY source"),
+    // ring-hash prefix fill replayed: running token sum in (hash, id)
+    // order, keep while the PRECEDING sum is under the budget
+    "cap_tokens_per_group" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+        "len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL), " +
+        "h AS (SELECT source, doc_id, toks, coalesce(sum(toks) OVER (" +
+        "PARTITION BY source ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
+        "SELECT source, count(*)::BIGINT AS n_kept, sum(toks)::BIGINT AS tokens_kept, " +
+        "sum(doc_id)::BIGINT AS id_sum FROM h WHERE cb < 400 GROUP BY source ORDER BY source"),
     // doubled-integer-grid MAD rule, full recompute
     "anomaly_mad" ->
       ("WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events), " +

@@ -57,6 +57,38 @@ object Caps {
     * only scoped unique within their group (a per-domain sequence) still
     * cap correctly, and an id duplicated across groups cannot smuggle
     * extra rows past another group's cap. */
+  /** TOKEN-budget cap per group — the cap a training-data mixer actually
+    * enforces (a source's contribution is priced in tokens, not
+    * documents): greedy deterministic fill in (idHash, id) order until
+    * the group's cumulative token count reaches `budget`. The document
+    * that STRADDLES the budget is kept (the budget is a floor on
+    * progress, not a hard ceiling — dropping the straddler could leave a
+    * group of one long doc empty), so the kept set is the shortest
+    * hash-order prefix whose token sum meets or exceeds the budget.
+    *
+    * Scale shape: one per-group exchange + in-partition sort for the
+    * running sum — no global sort, no join; selection is stable across
+    * runs/engines/partitionings because the order key is the same
+    * portable ring hash every sampler here uses. NULL ids, group keys,
+    * or token counts are dropped (no identity → no deterministic cap). */
+  def capTokensPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be >= 1")
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`").cast("long")
+    val groups = groupCols.map(c => col(s"`$c`"))
+    val w = Window.partitionBy(groups: _*)
+      .orderBy(Sampling.idHash(id).asc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.where(id.isNotNull && col(s"`$tokenCol`").isNotNull &&
+        groups.map(_.isNotNull).reduce(_ && _))
+      .withColumn("__cum_before",
+        coalesce(sum(col(s"`$tokenCol`").cast("long")).over(w), lit(0L)))
+      .where(col("__cum_before") < budget)
+      .drop("__cum_before")
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     val winners = cappedIds(df, groupCols, idCol, k)
     val renamed = winners.columns.foldLeft(winners)((d, c) => d.withColumnRenamed(c, s"__w_$c"))

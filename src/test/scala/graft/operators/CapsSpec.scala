@@ -67,4 +67,42 @@ class CapsSpec extends AnyFunSuite {
     val out = Caps.cappedIds(rows, Seq("grp"), "id", 10).collect()
     assert(out.map(_.getLong(1)).toSet === Set(1L, 3L))
   }
+
+  private def tokDf(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("grp", "id", "toks")
+  }
+
+  test("token cap keeps the shortest hash-order prefix reaching the budget") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 8L).map(i => ("g", i, 10L)) ++ Seq(("tiny", 100L, 3L))
+    val kept = Caps.capTokensPerGroup(tokDf(rows), Seq("grp"), "id", "toks", budget = 35L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // greedy fill of 10-token docs to budget 35: 3 full docs (30) leave
+    // room, the 4th straddles and is kept -> exactly 4 kept
+    assert(kept.count(_._1 == "g") === 4)
+    assert(kept.contains(("tiny", 100L))) // under-budget group keeps all
+    // the kept set is the PREFIX of the deterministic hash order
+    val order = tokDf(rows).where(col("grp") === "g")
+      .orderBy(Sampling.idHash(col("id")), col("id"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(kept.filter(_._1 == "g").map(_._2) === order.take(4).toSet)
+  }
+
+  test("token cap: straddler kept — a single over-budget doc survives") {
+    val kept = Caps.capTokensPerGroup(
+        tokDf(Seq(("g", 1L, 1000L))), Seq("grp"), "id", "toks", budget = 10L)
+      .count()
+    assert(kept === 1L)
+  }
+
+  test("token cap: null id / group / tokens rows are dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some("g"), Some(1L), Some(5L)), (None, Some(2L), Some(5L)),
+      (Some("g"), None, Some(5L)), (Some("g"), Some(3L), None))
+      .toDF("grp", "id", "toks")
+    val kept = Caps.capTokensPerGroup(rows, Seq("grp"), "id", "toks", budget = 100L)
+    assert(kept.count() === 1L)
+  }
 }
