@@ -240,7 +240,7 @@ object ScaleCheck {
     // stream_nb_classify is in-row scoring already measured via
     // nb_classify plus the memory-sink harness stream_segment's note
     // excludes
-    "bm25_store_probe", "bm25_incremental", "nb_classify",
+    "bm25_store_probe", "bm25_incremental", "nb_classify_inrow",
     "pagerank_incremental", "image_phash_report",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product

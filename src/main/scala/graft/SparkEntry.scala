@@ -2354,6 +2354,28 @@ object SparkEntry {
       .orderBy(col("lang"), col("pred"))
   }
 
+  /** The classifier's batch PRODUCTION twin: same confusion matrix
+    * through [[graft.operators.Classifier.predictNbInRow]] — the model as
+    * plan literals, each doc scored by ONE codegen'd aggregate over its
+    * token array. The oracle-priced `nb_classify` path shuffles
+    * (doc, bucket) and (doc, label) frames whose per-partition key
+    * cardinality overflows partial aggregation at 100× (measured 443×
+    * bytes — hash-agg falls back to pass-through, so the exchange carries
+    * pre-combine rows); the in-row scorer's only shuffle is the 25-row
+    * confusion aggregate. Shares `nb_classify`'s oracle verbatim. */
+  private def qNbClassifyInRow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val docs = nbPlanted(table(spark, dir, "documents"))
+    val (counts, docCounts) = Classifier.trainNb(
+      docs.where(col("doc_id") % 2 === 0), "text", "lang", nBuckets = 64)
+    val model = Classifier.collectModel(counts, docCounts, nBuckets = 64)
+    Classifier.predictNbInRow(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", model,
+        nBuckets = 64, keep = Seq("lang"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
   /** Streaming NB classification — the classifier joins the "every batch
     * operator also streams" law: [[graft.operators.Classifier
     * .predictNbInRow]] scores each document fully IN-ROW (the collected
@@ -2766,6 +2788,61 @@ object SparkEntry {
     val (bg, uni) = graft.operators.LanguageModel.trainBigramCounts(docs, "text")
     graft.operators.LanguageModel.scoreBigrams(docs, "doc_id", "text", bg, uni)
       .orderBy("doc_id")
+  }
+
+  /** LM-counts STORE round-trip — the sketch-store merge==retrain law on
+    * the language-model family (the counts ARE the model, and counts are
+    * additive): day-0's bigram/unigram tables persist through the
+    * partitioned sink, reload, merge with day-1's fresh counts by
+    * per-gram SUM, and must equal the single-pass whole-corpus tables
+    * row-for-row; a 20-doc probe scored through the merged-stored model
+    * must match the direct whole-corpus scorer score-for-score. The
+    * daily CCNet-style quality filter never re-trains on its history. */
+  private def qLmStoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{InvertedIndex, LanguageModel}
+    import graft.sources.Sinks
+    val storeDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_lm_store")
+    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val store = storeDir.getAbsolutePath
+    def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
+
+    val (b0, u0) = LanguageModel.trainBigramCounts(half(0), "text")
+    Sinks.writePartitioned(
+      b0.withColumn("pb", InvertedIndex.termBucket(col("bg"), 8)),
+      s"$store/bg", Seq("pb"), filesPerPartition = 1)
+    Sinks.writePartitioned(
+      u0.withColumn("pb", InvertedIndex.termBucket(col("w"), 8)),
+      s"$store/uni", Seq("pb"), filesPerPartition = 1)
+
+    val (b1, u1) = LanguageModel.trainBigramCounts(half(1), "text")
+    val bMerged = spark.read.parquet(s"$store/bg")
+      .select(col("bg"), col("c2").cast("long").as("c2"))
+      .unionByName(b1).groupBy(col("bg")).agg(sum(col("c2")).as("c2"))
+    val uMerged = spark.read.parquet(s"$store/uni")
+      .select(col("w"), col("c1").cast("long").as("c1"))
+      .unionByName(u1).groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+
+    val (bw, uw) = LanguageModel.trainBigramCounts(table(spark, dir, "documents"), "text")
+    val bAudit = bMerged.as("m").join(bw.as("w"), Seq("bg"), "full_outer")
+      .agg(count(lit(1)).as("bg_rows"),
+        count(when(!(col("m.c2") <=> col("w.c2")), 1)).as("bg_mismatch"))
+    val uAudit = uMerged.as("m").join(uw.as("w"), Seq("w"), "full_outer")
+      .agg(count(lit(1)).as("uni_rows"),
+        count(when(!(col("m.c1") <=> col("w.c1")), 1)).as("uni_mismatch"))
+
+    val probe = table(spark, dir, "documents").where(col("doc_id") < 20)
+    val viaStore = LanguageModel.scoreBigrams(probe, "doc_id", "text", bMerged, uMerged)
+    val direct = LanguageModel.scoreBigrams(probe, "doc_id", "text", bw, uw)
+    val sAudit = viaStore.as("s").join(direct.as("d"), Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("scored_docs"),
+        count(when(!(col("s.avg_logp_x1e4") <=> col("d.avg_logp_x1e4")) ||
+          !(col("s.n_bigrams") <=> col("d.n_bigrams")), 1)).as("score_mismatch"),
+        sum(col("d.avg_logp_x1e4")).cast("long").as("score_checksum"))
+
+    bAudit.crossJoin(uAudit).crossJoin(sAudit)
+      .select(col("bg_rows"), col("bg_mismatch"), col("uni_rows"), col("uni_mismatch"),
+        col("scored_docs"), col("score_mismatch"), col("score_checksum"))
   }
 
   /** Epoch-shuffle order: first 20 documents of the seed-7 permutation via
@@ -5376,6 +5453,7 @@ object SparkEntry {
     "bm25_store_probe" -> qBm25StoreProbe,
     "bm25_incremental" -> qBm25Incremental,
     "nb_classify" -> qNbClassify,
+    "nb_classify_inrow" -> qNbClassifyInRow,
     "stream_nb_classify" -> qStreamNbClassify,
     "hybrid_rrf" -> qHybridRrf,
     "kcore_peel" -> qKcorePeel,
@@ -5418,6 +5496,7 @@ object SparkEntry {
     "text_normalize" -> qTextNormalize,
     "epoch_shuffle" -> qEpochShuffle,
     "lm_score" -> qLmScore,
+    "lm_store_roundtrip" -> qLmStoreRoundtrip,
     "vocab_topk" -> qVocabTopk,
     "vocab_cms" -> qVocabCms,
     "multimodal_features" -> qMultimodalFeatures,
@@ -7329,6 +7408,23 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, " +
         "coalesce(s.avg_logp_x1e4, 0)::BIGINT AS avg_logp_x1e4 " +
         "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"),
+    // merge == retrain: counts are additive, so the oracle replays the
+    // whole-corpus tables and the 20-doc probe scores from the corpus
+    // alone; audits are zero-by-construction
+    "lm_store_roundtrip" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), " +
+        "bg AS (SELECT bgk, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgk " +
+        "FROM toks WHERE len(t) >= 2) GROUP BY bgk), " +
+        "v AS (SELECT count(*)::DOUBLE AS v FROM uni), " +
+        "e AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2 AND doc_id < 20)), " +
+        "s AS (SELECT doc_id, floor(avg(ln((coalesce(c2, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v))) * 10000 + 0.000001)::BIGINT AS sc " +
+        "FROM e LEFT JOIN bg ON e.b = bg.bgk LEFT JOIN uni ON e.w1 = uni.w CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT (SELECT count(*) FROM bg)::BIGINT AS bg_rows, 0::BIGINT AS bg_mismatch, " +
+        "(SELECT count(*) FROM uni)::BIGINT AS uni_rows, 0::BIGINT AS uni_mismatch, " +
+        "(SELECT count(*) FROM documents WHERE doc_id < 20)::BIGINT AS scored_docs, 0::BIGINT AS score_mismatch, " +
+        "(SELECT sum(coalesce(s.sc, 0)) FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id WHERE d.doc_id < 20)::BIGINT AS score_checksum"),
     // same ring arithmetic: key = (id*2654435761 + mixedSeed) mod 2^32,
     // mixedSeed = (7*2654435761) ^ (7 >>> 17) = 18581050327
     "epoch_shuffle" ->
@@ -7809,6 +7905,8 @@ object SparkEntry {
     // full NB replay: identical md5-slice buckets, Laplace-smoothed ln
     // likelihoods, x1e4-floored scores, argmax with label tie-break
     "nb_classify" -> nbClassifyOracleSql,
+    // in-row production twin: same predictions by the spec'd law
+    "nb_classify_inrow" -> nbClassifyOracleSql,
     // the stream and the in-row literal-model scorer must not change one
     // prediction: nb_classify's oracle verbatim
     "stream_nb_classify" -> nbClassifyOracleSql,

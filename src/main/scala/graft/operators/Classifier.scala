@@ -144,7 +144,8 @@ object Classifier {
     * on a STREAMING frame in append mode. */
   def predictNbInRow(docs: DataFrame, idCol: String, textCol: String,
                      model: Seq[(String, Double, Array[Double])],
-                     nBuckets: Int = 1024): DataFrame = {
+                     nBuckets: Int = 1024,
+                     keep: Seq[String] = Nil): DataFrame = {
     requireBuckets(nBuckets)
     require(model.nonEmpty, "predictNbInRow: empty model")
     require(model.forall(_._3.length == nBuckets),
@@ -157,11 +158,12 @@ object Classifier {
         .cast("long")
     val scores = array(model.map { case (_, p, l) => scoreOf(p, l) }: _*)
     val labels = typedLit(model.map(_._1))
+    val kept = keep.map(c => col(s"`$c`"))
     docs.where(col(s"`$textCol`").isNotNull)
-      .select(col(s"`$idCol`").as("doc_id"), scores.as("__s"))
-      .select(col("doc_id"),
-        element_at(labels, array_position(col("__s"), array_max(col("__s"))).cast("int")).as("pred"),
-        array_max(col("__s")).as("score_x1e4"))
+      .select(col(s"`$idCol`").as("doc_id") +: scores.as("__s") +: kept: _*)
+      .select(col("doc_id") +:
+        element_at(labels, array_position(col("__s"), array_max(col("__s"))).cast("int")).as("pred") +:
+        array_max(col("__s")).as("score_x1e4") +: kept: _*)
   }
 
   /** Argmax prediction per document over the FLOORED scores, label
