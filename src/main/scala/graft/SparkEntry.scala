@@ -5159,6 +5159,46 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Join-size estimation from CMS sketches
+    * ([[graft.operators.Sketches.cmsJoinSizeEstimate]] — the CMS inner
+    * product): size |lineitem ⋈ lineitem on l_partkey| (the skew
+    * question: Σ c_k², what a self-join fanout costs) and
+    * |lineitem ⋈ orders on orderkey| (the FK question: broadcast or
+    * shuffle?) from constant-size sketches, against the exactly-computed
+    * truths. Contracts pinned in-query: est ≥ exact (upper bound — the
+    * one CMS law) and est ≤ exact + 3·N_A·N_B/width (the ε-overestimate
+    * envelope, e < 3). Every cell, dot, and bound is exact-integer, so
+    * the oracle replays the whole chain. */
+  private def qCmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val liPart = table(spark, dir, "lineitem").select(col("l_partkey").cast("string").as("k"))
+    val liOrd = table(spark, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+    val ord = table(spark, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
+    val w = 4096
+    val selfEst = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsAggregate(liPart, "k", 4, w), Sketches.cmsAggregate(liPart, "k", 4, w), 4, w)
+      .select(col("join_size_est").as("est_self"))
+    val olEst = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsAggregate(liOrd, "k", 4, w), Sketches.cmsAggregate(ord, "k", 4, w), 4, w)
+      .select(col("join_size_est").as("est_ol"))
+    val exactSelf = liPart.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_self"), sum(col("c")).as("n_li_part"))
+    val exactOl = liOrd.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(ord.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_ol"))
+    val nOrd = ord.agg(count(lit(1)).as("n_ord"))
+    selfEst.crossJoin(olEst).crossJoin(exactSelf).crossJoin(exactOl).crossJoin(nOrd)
+      .select(
+        col("est_self"), col("exact_self"),
+        when(col("est_self") >= col("exact_self"), 1L).otherwise(0L).as("self_ge_ok"),
+        when(col("est_self") <= col("exact_self") +
+          expr(s"(3 * n_li_part * n_li_part) div $w"), 1L).otherwise(0L).as("self_bound_ok"),
+        col("est_ol"), col("exact_ol"),
+        when(col("est_ol") >= col("exact_ol"), 1L).otherwise(0L).as("ol_ge_ok"),
+        when(col("est_ol") <= col("exact_ol") +
+          expr(s"(3 * n_li_part * n_ord) div $w"), 1L).otherwise(0L).as("ol_bound_ok"))
+  }
+
   /** MAD outliers on events.value per event_type at 3×MAD — the doubled-
     * integer-grid rule is recomputed verbatim by the oracle. */
   private def qAnomalyMad(spark: SparkSession, dir: String): DataFrame =
@@ -5509,6 +5549,7 @@ object SparkEntry {
     "semantic_dedup" -> qSemanticDedup,
     "cap_per_group" -> qCapPerGroup,
     "cap_tokens_per_group" -> qCapTokensPerGroup,
+    "cms_join_size" -> qCmsJoinSize,
     "anomaly_mad" -> qAnomalyMad,
     "blocklist_filter" -> qBlocklistFilter,
     "annotator_kappa" -> qAnnotatorKappa,
@@ -7071,6 +7112,32 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
         "SELECT source, count(*)::BIGINT AS n_kept, sum(toks)::BIGINT AS tokens_kept, " +
         "sum(doc_id)::BIGINT AS id_sum FROM h WHERE cb < 400 GROUP BY source ORDER BY source"),
+    // CMS inner product replayed cell-for-cell: same md5-slice cells,
+    // same per-row dots, same min-with-zero-reindex, exact truths and
+    // integer bound arithmetic
+    "cms_join_size" ->
+      ("WITH lp AS (SELECT l_partkey::VARCHAR AS k FROM lineitem), " +
+        "lo AS (SELECT l_orderkey::VARCHAR AS k FROM lineitem), " +
+        "oo AS (SELECT o_orderkey::VARCHAR AS k FROM orders), " +
+        "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+        "clp AS (SELECT r, ('0x' || substr(md5(k), 1 + 3 * r, 3))::UBIGINT::BIGINT % 4096 AS c, count(*)::BIGINT AS cnt FROM lp, rr GROUP BY 1, 2), " +
+        "clo AS (SELECT r, ('0x' || substr(md5(k), 1 + 3 * r, 3))::UBIGINT::BIGINT % 4096 AS c, count(*)::BIGINT AS cnt FROM lo, rr GROUP BY 1, 2), " +
+        "coo AS (SELECT r, ('0x' || substr(md5(k), 1 + 3 * r, 3))::UBIGINT::BIGINT % 4096 AS c, count(*)::BIGINT AS cnt FROM oo, rr GROUP BY 1, 2), " +
+        "dself AS (SELECT a.r, sum(a.cnt * b.cnt)::BIGINT AS dot FROM clp a JOIN clp b ON a.r = b.r AND a.c = b.c GROUP BY a.r), " +
+        "dol AS (SELECT a.r, sum(a.cnt * b.cnt)::BIGINT AS dot FROM clo a JOIN coo b ON a.r = b.r AND a.c = b.c GROUP BY a.r), " +
+        "eself AS (SELECT sum(c * c)::BIGINT AS exact_self, sum(c)::BIGINT AS n FROM (SELECT count(*)::BIGINT AS c FROM lp GROUP BY k)), " +
+        "eol AS (SELECT coalesce(sum(a.ca * b.cb), 0)::BIGINT AS exact_ol FROM " +
+        "(SELECT k, count(*)::BIGINT AS ca FROM lo GROUP BY k) a JOIN (SELECT k, count(*)::BIGINT AS cb FROM oo GROUP BY k) b ON a.k = b.k), " +
+        "nord AS (SELECT count(*)::BIGINT AS n_ord FROM oo), " +
+        "e1 AS (SELECT min(coalesce(dot, 0))::BIGINT AS est_self FROM rr LEFT JOIN dself USING (r)), " +
+        "e2 AS (SELECT min(coalesce(dot, 0))::BIGINT AS est_ol FROM rr LEFT JOIN dol USING (r)) " +
+        "SELECT est_self, exact_self, " +
+        "(CASE WHEN est_self >= exact_self THEN 1 ELSE 0 END)::BIGINT AS self_ge_ok, " +
+        "(CASE WHEN est_self <= exact_self + (3 * n * n) // 4096 THEN 1 ELSE 0 END)::BIGINT AS self_bound_ok, " +
+        "est_ol, exact_ol, " +
+        "(CASE WHEN est_ol >= exact_ol THEN 1 ELSE 0 END)::BIGINT AS ol_ge_ok, " +
+        "(CASE WHEN est_ol <= exact_ol + (3 * n * n_ord) // 4096 THEN 1 ELSE 0 END)::BIGINT AS ol_bound_ok " +
+        "FROM e1, e2, eself, eol, nord"),
     // doubled-integer-grid MAD rule, full recompute
     "anomaly_mad" ->
       ("WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events), " +

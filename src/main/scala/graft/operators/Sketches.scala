@@ -162,6 +162,44 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join SIZE estimate from two CMS cell tables (the CMS inner
+    * product — Cormode & Muthukrishnan 2005 §4.2, the AGMS idea on CMS
+    * state): |A ⋈ B| = Σ_k a_k·b_k is estimated per row r by
+    * Σ_c cntA(r,c)·cntB(r,c) and the rows combine by MIN. Every row's
+    * inner product ≥ the true join size (colliding keys only ADD
+    * cross-terms), so the estimate keeps the CMS upper-bound contract,
+    * with the classic ε·N_A·N_B overestimate guarantee.
+    *
+    * Why this exists at 100 TB: sizing a join BEFORE running it (choose
+    * broadcast vs shuffle, pre-provision skew handling) from two
+    * constant-size sketches that each cost one scan — and that were
+    * likely already persisted by the daily sketch store. The estimate
+    * itself joins depth×width rows against depth×width rows: driver-cheap
+    * at any corpus size. Both inputs must be [[cmsAggregate]] outputs
+    * with the SAME (depth, width) — the params-stamp guard applies. */
+  def cmsJoinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame,
+                          depth: Int = 4, width: Int = 1024): DataFrame = {
+    Seq(cellsA, cellsB).foreach { cells =>
+      val rMeta = cells.schema.find(_.name == "r").map(_.metadata)
+      rMeta.filter(_.contains("graft.cms.depth")).foreach { m =>
+        require(m.getLong("graft.cms.depth") == depth && m.getLong("graft.cms.width") == width,
+          s"cells were built with depth=${m.getLong("graft.cms.depth")}, " +
+            s"width=${m.getLong("graft.cms.width")} but the estimate asks for ($depth, $width)")
+      }
+    }
+    val dots = cellsA.select(col("r").cast("int").as("r"), col("c"), col("cnt").as("__a"))
+      .join(cellsB.select(col("r").cast("int").as("r"), col("c"), col("cnt").as("__b")), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("__a") * col("__b")).as("__dot"))
+    // a row whose cell sets are disjoint has dot 0 — and a true common key
+    // populates the SAME cell in every row, so any all-zero row proves the
+    // true join size is 0; reindex over the full row domain so the min
+    // sees those zeros instead of skipping them
+    cellsA.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(dots, Seq("r"), "left_outer")
+      .agg(min(coalesce(col("__dot"), lit(0L))).as("join_size_est"))
+  }
+
   /** HLL register table: (bucket, rho) with rho = max rank observed, at
     * most m rows out of one map-side-combined aggregate over DISTINCT-
     * insensitive input (duplicates cannot raise a max — no pre-distinct

@@ -33,6 +33,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(n <= 4L * 64L)
   }
 
+  test("CMS join-size estimate: exact for collision-free sets, upper bound always") {
+    val a = keysDf(Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z"))
+    val b = keysDf(Seq.fill(3)("x") ++ Seq.fill(5)("y") ++ Seq("w"))
+    val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsAggregate(a, "k"), Sketches.cmsAggregate(b, "k"))
+      .collect()(0).getLong(0)
+    // true join size = 4*3 + 2*5 = 22; 4 keys in 4x1024 cells: a same-row
+    // collision across all rows is astronomically unlikely
+    assert(est === 22L)
+  }
+
+  test("CMS join-size estimate: disjoint key sets estimate zero") {
+    val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsAggregate(keysDf(Seq("a", "b")), "k"),
+        Sketches.cmsAggregate(keysDf(Seq("c", "d")), "k"))
+      .collect()(0).getLong(0)
+    // min over rows sees any zero-dot row; with 4 keys a cross-collision
+    // in EVERY row is astronomically unlikely
+    assert(est === 0L)
+  }
+
+  test("CMS join-size estimate rejects mismatched sketch params") {
+    val cells = Sketches.cmsAggregate(keysDf(Seq("a")), "k", depth = 4, width = 512)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSizeEstimate(cells, cells, depth = 4, width = 1024)
+    }
+  }
+
   test("CMS estimate for a key hashed only to empty cells is zero") {
     val cells = Sketches.cmsAggregate(keysDf(Seq("only")), "k")
     val est = Sketches.cmsEstimates(cells, keysDf(Seq("absent-key-xyz")), "k")
