@@ -138,4 +138,32 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("vec_id"))),
       s"no embeddings scan pushes the vec_id predicate; metadata: ${scans.map(_.metadata.get("PushedFilters")).mkString("; ")}")
   }
+
+  test("inverted-index probe prunes the tb-partitioned store to the query terms' buckets") {
+    // the store's whole premise: a probe reads |query-term buckets|
+    // directories, not the corpus — the driver-computed static IN must
+    // become a partition filter over the tb= layout
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_ii_prune_store")
+    if (store.exists()) org.apache.commons.io.FileUtils.deleteDirectory(store)
+    graft.operators.InvertedIndex.writeIndex(
+      docs, "doc_id", "text", store.getAbsolutePath, nBuckets = 16)
+    val written = store.listFiles().count(_.getName.startsWith("tb="))
+    val q = Seq("hash", "join")
+    val buckets = q.map(graft.operators.InvertedIndex.termBucketScala(_, 16)).distinct
+    val df = graft.operators.InvertedIndex.probeStored(
+      spark, store.getAbsolutePath, q, k = 5, nBuckets = 16)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains("graft_ii_prune_store") => f
+    }
+    assert(scans.nonEmpty, "no scan over the index store found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"probe IN did not become a partition filter: ${scan.metadata.get("PartitionFilters")}")
+    val listed = scan.selectedPartitions.partitionCount
+    assert(listed <= buckets.size && listed < written,
+      s"scan lists $listed of $written partitions for ${buckets.size} probed buckets — not pruned")
+  }
 }
