@@ -108,6 +108,45 @@ object Bench {
       }.sorted
       walls(1)
     }
+    // PBKDF2 calibration, single + parallel (r15): the mask/stage queries
+    // under Verify/Bench defaults are PBKDF2-HMAC-SHA512-bound
+    // ([[graft.Defaults]] — Argon2id is selected only via env), and SHA
+    // throughput moves INDEPENDENTLY of the Argon2 constants on a shared
+    // host (measured in-round: calib_argon2_par swung 69.7 → 109.6 →
+    // 439.5 ms within hours while the PBKDF2 microbench barely moved —
+    // and the whole KDF query class "confirmed" 3-4x flags that neither
+    // Argon2 normalization could excuse). These constants close that
+    // instrument gap; they join the flag conditions once a history entry
+    // carries them.
+    val calibPb = {
+      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      (1 to 20).foreach(i => codec.hash(s"calib-pb-warm-$i", deterministic = true, pp))
+      val times = (1 to 5).map { i =>
+        val t0 = System.nanoTime()
+        (1 to 20).foreach(j => codec.hash(s"calib-pb-$i-$j", deterministic = true, pp))
+        (System.nanoTime() - t0) / 1e6 / 20
+      }.sorted
+      times(2)
+    }
+    val calibPbPar = {
+      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      val n = Runtime.getRuntime.availableProcessors()
+      val walls = (1 to 3).map { round =>
+        val t0 = System.nanoTime()
+        val threads = (1 to n).map { i =>
+          new Thread(() => {
+            (1 to 20).foreach(j =>
+              codec.hash(s"calib-pb-par-$round-$i-$j", deterministic = true, pp))
+            ()
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6 / 20
+      }.sorted
+      walls(1)
+    }
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // ---- bench history: regression comparator + per-round archive ----
     // r12 verdict ask #1: a 70-second suite-level swing was unattributable
@@ -131,7 +170,9 @@ object Bench {
     def sfKey(dir: String): String =
       java.nio.file.Paths.get(dir).getFileName.toString
     val runSf = sfKey(sfDir)
-    val history: Seq[(Double, Double, Map[String, Double])] = {
+    case class Hist(c: Double, cp: Double, cpb: Option[Double],
+                    cpbPar: Option[Double], qs: Map[String, Double])
+    val history: Seq[Hist] = {
       import org.json4s._
       if (!java.nio.file.Files.isDirectory(histDir)) Nil
       else {
@@ -156,6 +197,10 @@ object Bench {
             }
             val c = num(j \ "calib_argon2_ms").getOrElse(0.0)
             val cp = num(j \ "calib_argon2_par_ms").getOrElse(c)
+            // PBKDF2 constants (r15+ archives); absent in older entries —
+            // the pbkdf2 normalizations simply don't fire against them
+            val cpb = num(j \ "calib_pbkdf2_ms").filter(_ > 0)
+            val cpbPar = num(j \ "calib_pbkdf2_par_ms").filter(_ > 0)
             // a history entry at a DIFFERENT scale factor is not a valid
             // prior: its walls differ by the data-size ratio, not by plan
             // quality. Entries missing `sf` (pre-r12 shapes) are skipped
@@ -168,7 +213,7 @@ object Bench {
                 fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf)) Some((c, cp, qsH))
+            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf)) Some(Hist(c, cp, cpb, cpbPar, qsH))
             else {
               if (!histSf.contains(runSf))
                 System.err.println(s"[bench] history $p skipped: sf ${histSf.orNull} != $runSf")
@@ -200,21 +245,30 @@ object Bench {
     // regression inflates raw AND both normalizations; no combination of
     // box drift inflates all three.
     def rawPrior(q: String): Option[Double] =
-      Some(history.flatMap { case (_, _, qsH) => qsH.get(q) }.filter(_ > 0))
+      Some(history.flatMap(h => h.qs.get(q)).filter(_ > 0))
         .filter(_.nonEmpty).map(_.min)
+    // min normalized-ratio across every calibration family with a usable
+    // prior. Each family excuses one kind of box drift (single-thread CPU,
+    // 32-thread DRAM contention, SHA throughput single/saturated); a real
+    // plan regression inflates ALL of them plus the raw wall.
+    def normRatio(q: String, t: Double): Option[Double] = {
+      val fams: Seq[(Double, Hist => Option[Double])] = Seq(
+        (calib, h => Some(h.c)),
+        (calibPar, h => Some(h.cp)),
+        (calibPb, h => h.cpb),
+        (calibPbPar, h => h.cpbPar))
+      val ratios = fams.flatMap { case (now, pick) =>
+        val priors = history.flatMap(h =>
+          pick(h).flatMap(pc => h.qs.get(q).map(_ / pc))).filter(_ > 0)
+        if (priors.isEmpty) None else Some((t / now) / priors.min)
+      }
+      val raw = rawPrior(q).map(t / _)
+      Some(ratios ++ raw).filter(_.nonEmpty).map(_.min)
+    }
     val flagged: Map[String, Double] = results.flatMap { case (q, t) =>
       // sub-ms walls archive as 0.0 at 3 decimals — a zero prior would make
       // every future ratio Infinity and flag the query forever (advisor r13)
-      val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }.filter(_ > 0)
-      val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }.filter(_ > 0)
-      if (priorS.isEmpty || priorP.isEmpty) None
-      else {
-        val ratioS = (t / calib) / priorS.min
-        val ratioP = (t / calibPar) / priorP.min
-        val ratioRaw = rawPrior(q).map(t / _).getOrElse(Double.PositiveInfinity)
-        val ratio = math.min(math.min(ratioS, ratioP), ratioRaw)
-        if (ratio > 1.5) Some(q -> math.rint(ratio * 100) / 100) else None
-      }
+      normRatio(q, t).filter(_ > 1.5).map(r => q -> math.rint(r * 100) / 100)
     }.toMap
     // Auto-adjudication (verdict r13 ask #7): in-suite flags are LEADS —
     // per-query wall swings up to 2x with suite-order scheduling/GC noise,
@@ -232,13 +286,9 @@ object Bench {
       val ok = try { SparkEntry.queries(q)(spark, sfDir).collect(); true }
         catch { case _: Throwable => false }
       val iso = (System.nanoTime() - t0) / 1e9
-      val isoRatio = if (!ok) Double.PositiveInfinity else {
-        val priorS = history.flatMap { case (c, _, qsH) => qsH.get(q).map(_ / c) }.filter(_ > 0)
-        val priorP = history.flatMap { case (_, cp, qsH) => qsH.get(q).map(_ / cp) }.filter(_ > 0)
-        val ratioRaw = rawPrior(q).map(iso / _).getOrElse(Double.PositiveInfinity)
-        math.min(math.min(
-          (iso / calib) / priorS.min, (iso / calibPar) / priorP.min), ratioRaw)
-      }
+      val isoRatio =
+        if (!ok) Double.PositiveInfinity
+        else normRatio(q, iso).getOrElse(Double.PositiveInfinity)
       // a failed isolated re-run records 999 (JSON has no Infinity); the
       // failure itself already surfaced in the suite pass if systematic
       q -> (ratio, iso,
@@ -270,8 +320,8 @@ object Bench {
     // lives in `out`; the stdout line stays well under any capture bound.
     val errs = errors.map { case (k, v) => s"${JsonText.esc(k)}:${JsonText.esc(v)}" }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"n_confirmed":$nConfirmed,"bench_file":"$out"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)}}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"n_confirmed":$nConfirmed,"bench_file":"$out"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)}}"""
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
