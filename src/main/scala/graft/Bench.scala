@@ -76,7 +76,7 @@ object Bench {
     // noise (shared-host contention) moves this constant and every
     // KDF-bound query together, so cross-round comparisons can normalize:
     // r8 observed a ~30% box-wide slowdown that looked like a regression.
-    val calib = {
+    def measureCalib(): Double = {
       val codec = new graft.codec.Argon2Codec(2, 16384, 1)
       val pp = ("calibration-passphrase-0123456789" * 2).getBytes
       val times = (1 to 5).map { i =>
@@ -86,6 +86,7 @@ object Bench {
       }.sorted
       times(2)
     }
+    val calib = measureCalib()
     // PARALLEL calibration: per-hash wall with every core hashing at once.
     // Argon2 is memory-HARD — at 32 threads the workspaces (32 x 16 MB)
     // contend for DRAM bandwidth, so a loaded shared host can slow the
@@ -94,7 +95,7 @@ object Bench {
     // mask_argon2_rate swung 69 -> 88 s between two same-code runs).
     // par/single is the contention factor; normalize thread-saturated KDF
     // queries (mask_argon2_rate) by THIS constant, not the single one.
-    val calibPar = {
+    def measureCalibPar(): Double = {
       val codec = new graft.codec.Argon2Codec(2, 16384, 1)
       val pp = ("calibration-passphrase-0123456789" * 2).getBytes
       val n = Runtime.getRuntime.availableProcessors()
@@ -108,6 +109,7 @@ object Bench {
       }.sorted
       walls(1)
     }
+    val calibPar = measureCalibPar()
     // PBKDF2 calibration, single + parallel (r15): the mask/stage queries
     // under Verify/Bench defaults are PBKDF2-HMAC-SHA512-bound
     // ([[graft.Defaults]] — Argon2id is selected only via env), and SHA
@@ -118,7 +120,7 @@ object Bench {
     // Argon2 normalization could excuse). These constants close that
     // instrument gap; they join the flag conditions once a history entry
     // carries them.
-    val calibPb = {
+    def measureCalibPb(): Double = {
       val codec = new graft.codec.Pbkdf2Codec(1024, 64)
       val pp = ("calibration-passphrase-0123456789" * 2).getBytes
       (1 to 20).foreach(i => codec.hash(s"calib-pb-warm-$i", deterministic = true, pp))
@@ -129,7 +131,8 @@ object Bench {
       }.sorted
       times(2)
     }
-    val calibPbPar = {
+    val calibPb = measureCalibPb()
+    def measureCalibPbPar(): Double = {
       val codec = new graft.codec.Pbkdf2Codec(1024, 64)
       val pp = ("calibration-passphrase-0123456789" * 2).getBytes
       val n = Runtime.getRuntime.availableProcessors()
@@ -147,6 +150,7 @@ object Bench {
       }.sorted
       walls(1)
     }
+    val calibPbPar = measureCalibPbPar()
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // ---- bench history: regression comparator + per-round archive ----
     // r12 verdict ask #1: a 70-second suite-level swing was unattributable
@@ -251,12 +255,14 @@ object Bench {
     // prior. Each family excuses one kind of box drift (single-thread CPU,
     // 32-thread DRAM contention, SHA throughput single/saturated); a real
     // plan regression inflates ALL of them plus the raw wall.
-    def normRatio(q: String, t: Double): Option[Double] = {
+    def normRatio(q: String, t: Double,
+                  cS: Double = calib, cP: Double = calibPar,
+                  cPb: Double = calibPb, cPbPar: Double = calibPbPar): Option[Double] = {
       val fams: Seq[(Double, Hist => Option[Double])] = Seq(
-        (calib, h => Some(h.c)),
-        (calibPar, h => Some(h.cp)),
-        (calibPb, h => h.cpb),
-        (calibPbPar, h => h.cpbPar))
+        (cS, h => Some(h.c)),
+        (cP, h => Some(h.cp)),
+        (cPb, h => h.cpb),
+        (cPbPar, h => h.cpbPar))
       val ratios = fams.flatMap { case (now, pick) =>
         val priors = history.flatMap(h =>
           pick(h).flatMap(pc => h.qs.get(q).map(_ / pc))).filter(_ > 0)
@@ -286,9 +292,16 @@ object Bench {
       val ok = try { SparkEntry.queries(q)(spark, sfDir).collect(); true }
         catch { case _: Throwable => false }
       val iso = (System.nanoTime() - t0) / 1e9
+      // the shared box OSCILLATES on minute scales (measured in-round:
+      // calib_argon2_par 69.7 -> 439.5 -> 149.4 ms across runs an hour
+      // apart) — suite-END constants can miss the contention window a
+      // query actually ran in, so the adjudicator re-measures the
+      // calibration family FRESH next to each isolated re-run and
+      // normalizes by the instant constants
       val isoRatio =
         if (!ok) Double.PositiveInfinity
-        else normRatio(q, iso).getOrElse(Double.PositiveInfinity)
+        else normRatio(q, iso, measureCalib(), measureCalibPar(),
+          measureCalibPb(), measureCalibPbPar()).getOrElse(Double.PositiveInfinity)
       // a failed isolated re-run records 999 (JSON has no Infinity); the
       // failure itself already surfaced in the suite pass if systematic
       q -> (ratio, iso,
