@@ -174,6 +174,15 @@ object Bench {
     def sfKey(dir: String): String =
       java.nio.file.Paths.get(dir).getFileName.toString
     val runSf = sfKey(sfDir)
+    // Parallelism key (r15 post-mortem #2): the in-session full runs
+    // "confirmed" a 3-4x regression across the whole KDF class that turned
+    // out to be the harness itself — Bench invoked without
+    // SPARK_GRAFT_CPUS runs local[4] while the driver runs local[32], so
+    // every thread-saturated query pays the session's parallelism, not the
+    // box's. The calibration constants CANNOT catch this (they spawn raw
+    // threads across all cores regardless of the Spark master), so runs
+    // key their history comparisons on `cpus` exactly like `sf`; pre-r15
+    // entries carry no cpus field and were all driver runs at 32.
     case class Hist(c: Double, cp: Double, cpb: Option[Double],
                     cpbPar: Option[Double], qs: Map[String, Double])
     val history: Seq[Hist] = {
@@ -212,15 +221,19 @@ object Bench {
             val histSf = (j \ "sf") match {
               case JString(s) => Some(sfKey(s)); case _ => None
             }
+            val histCpus = num(j \ "cpus").map(_.toInt).getOrElse(32)
             val qsH = (j \ "queries") match {
               case JObject(fields) =>
                 fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf)) Some(Hist(c, cp, cpb, cpbPar, qsH))
+            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf) && histCpus == cpus.toInt)
+              Some(Hist(c, cp, cpb, cpbPar, qsH))
             else {
               if (!histSf.contains(runSf))
                 System.err.println(s"[bench] history $p skipped: sf ${histSf.orNull} != $runSf")
+              else if (histCpus != cpus.toInt)
+                System.err.println(s"[bench] history $p skipped: cpus $histCpus != $cpus")
               None
             }
           } catch { case scala.util.control.NonFatal(e) =>
@@ -333,8 +346,8 @@ object Bench {
     // lives in `out`; the stdout line stays well under any capture bound.
     val errs = errors.map { case (k, v) => s"${JsonText.esc(k)}:${JsonText.esc(v)}" }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"n_confirmed":$nConfirmed,"bench_file":"$out"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)}}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)},"n_queries":${results.size},"n_failed":${errors.size},"n_flagged":${regressions.size},"n_confirmed":$nConfirmed,"bench_file":"$out"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"regressions":$regs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_argon2_ms":${r3(calib)},"calib_argon2_par_ms":${r3(calibPar)},"calib_pbkdf2_ms":${r3(calibPb)},"calib_pbkdf2_par_ms":${r3(calibPbPar)}}"""
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
