@@ -177,4 +177,55 @@ class Round15PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- batch-4 laws: inverted-index store, NB classifier ----
+
+  test("inverted-index law: addBatch merge == full rebuild, probe == direct, on random corpora") {
+    samples(corpusGen, n = 4).zipWithIndex.foreach { case (rows, i) =>
+      val docs = rows.toDF("doc_id", "text")
+      val d0 = docs.where(col("doc_id") % 2 === 0)
+      val d1 = docs.where(col("doc_id") % 2 === 1)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_r15p_ii_$i")
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      InvertedIndex.writeIndex(d0, "doc_id", "text", dir.getAbsolutePath, nBuckets = 16)
+      InvertedIndex.addBatch(spark, dir.getAbsolutePath, d1, "doc_id", "text", nBuckets = 16)
+      val merged = spark.read.parquet(dir.getAbsolutePath)
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+      val rebuilt = InvertedIndex.postings(docs, "doc_id", "text", nBuckets = 16)
+      val mismatch = merged.as("m").join(rebuilt.as("r"), Seq("tok", "doc_id"), "full_outer")
+        .where(!(col("m.tf") <=> col("r.tf")) || !(col("m.dl") <=> col("r.dl"))).count()
+      assert(mismatch === 0L, s"corpus $i: merged store != rebuild")
+      // probe any term present in the corpus: store == direct
+      val term = rebuilt.select(col("tok")).where(length(col("tok")) > 0)
+        .orderBy(col("tok")).limit(1).collect().headOption.map(_.getString(0))
+      term.foreach { t =>
+        val direct = Ranking.bm25TopK(docs, "doc_id", "text", Seq(t), k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        val stored = InvertedIndex.probeStored(spark, dir.getAbsolutePath, Seq(t), k = 5, nBuckets = 16)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        assert(stored === direct, s"corpus $i term '$t': store probe != direct")
+      }
+    }
+  }
+
+  test("NB law: shard-merged counts retrain to the in-row scorer's exact predictions") {
+    samples(corpusGen, n = 4).zipWithIndex.foreach { case (rows, i) =>
+      // deterministic two-class labels from doc parity
+      val docs = rows.toDF("doc_id", "text")
+        .withColumn("label", when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+      val (c0, d0) = Classifier.trainNb(docs.where(col("doc_id") % 3 === 0), "text", "label", 64)
+      val (c1, d1) = Classifier.trainNb(docs.where(col("doc_id") % 3 =!= 0), "text", "label", 64)
+      val cm = c0.unionByName(c1).groupBy(col("label"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val dm = d0.unionByName(d1).groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+      val (cw, dw) = Classifier.trainNb(docs, "text", "label", 64)
+      // merged model == whole-corpus model -> identical predictions both paths
+      val viaMerged = Classifier.predictNb(
+          Classifier.scoreNb(docs, "doc_id", "text", cm, dm, 64))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val inRow = Classifier.predictNbInRow(
+          docs, "doc_id", "text", Classifier.collectModel(cw, dw, 64), 64)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaMerged === inRow, s"corpus $i: merged-shard batch path != whole-corpus in-row path")
+    }
+  }
 }
