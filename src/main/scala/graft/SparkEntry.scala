@@ -4800,6 +4800,25 @@ object SparkEntry {
       .orderBy("nat", "seg")
   }
 
+  /** t-closeness over the k_anonymity classes
+    * ([[graft.operators.Privacy.tClosenessReport]] — the release triple's
+    * third leg): per (nation, segment) class, the total variation
+    * distance between the class's account-balance-bucket distribution
+    * and the table's, exact ppm grid, t = 0.2. The sensitive column is
+    * bucketed to $1000 bands (distance over raw cents is vacuously
+    * maximal — every class "far" — which is also why the operator doc
+    * tells 100-TB callers to bucket). */
+  private def qTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      graft.operators.Privacy.bucketFloor(
+        round(col("c_acctbal") * 100, 0).cast("long"), 100000L).as("bal_band"))
+    graft.operators.Privacy.tClosenessReport(c, Seq("nat", "seg"), "bal_band",
+        tPpm = 200000L)
+      .orderBy("nat", "seg")
+  }
+
   /** The reference's PURPOSE measured end-to-end: re-identification risk
     * of the quasi-identifier tuple BEFORE and AFTER a metadata-driven
     * treatment set — the masking engine (O1/O2: treatments in schema
@@ -5384,6 +5403,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> qKAnonymity,
+    "t_closeness" -> qTCloseness,
     "mask_k_anon" -> qMaskKAnon,
     "generalize_k_anon" -> qGeneralizeKAnon,
     "dedup_lines_global" -> qDedupLinesGlobal,
@@ -7322,6 +7342,22 @@ object SparkEntry {
         "(count(*) >= 10)::BIGINT AS k_ok, " +
         "(count(DISTINCT bal_cents) >= 5)::BIGINT AS l_ok " +
         "FROM c GROUP BY nat, seg ORDER BY nat, seg"),
+    // one-sided TVD replayed on the exact integer grid: per (class, band)
+    // positive part max(cnt_cv*N - cnt_v*n_c, 0), one floor per class
+    "t_closeness" ->
+      ("WITH c AS (SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg, " +
+        "(round(c_acctbal * 100)::BIGINT - ((round(c_acctbal * 100)::BIGINT % 100000) + 100000) % 100000) AS bal_band FROM customer), " +
+        "n AS (SELECT count(*)::BIGINT AS n_all FROM c), " +
+        "g AS (SELECT bal_band, count(*)::BIGINT AS cnt_v FROM c GROUP BY bal_band), " +
+        "cc AS (SELECT nat, seg, bal_band, count(*)::BIGINT AS cnt_cv FROM c GROUP BY nat, seg, bal_band), " +
+        "cs AS (SELECT nat, seg, sum(cnt_cv)::BIGINT AS n_c FROM cc GROUP BY nat, seg), " +
+        "p AS (SELECT cc.nat, cc.seg, cs.n_c, " +
+        "greatest(cc.cnt_cv * (SELECT n_all FROM n) - g.cnt_v * cs.n_c, 0) AS pos " +
+        "FROM cc JOIN g USING (bal_band) JOIN cs ON cs.nat = cc.nat AND cs.seg = cc.seg) " +
+        "SELECT nat, seg, n_c AS class_size, " +
+        "((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT AS t_ppm, " +
+        "(((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT <= 200000)::BIGINT AS t_ok " +
+        "FROM p GROUP BY nat, seg, n_c ORDER BY nat, seg"),
     // before/after anonymity of the treatment set: suppress name,
     // generalize nation to 10-wide groups
     "mask_k_anon" ->

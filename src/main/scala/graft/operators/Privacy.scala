@@ -47,6 +47,57 @@ object Privacy {
         (col("l_diversity") >= l).cast("long").as("l_ok")): _*)
   }
 
+  /** Per-class t-closeness report (Li, Li & Venkatasubramanian 2007,
+    * ICDE — the third leg of the release triple after k-anonymity and
+    * l-diversity: a class can be large AND diverse yet still leak when
+    * its sensitive-value DISTRIBUTION differs from the table's): for each
+    * quasi-identifier class, the total variation distance between the
+    * class's sensitive distribution and the global one, on an exact ppm
+    * grid. TVD = Σ_v max(p_class(v) − p_global(v), 0) — the one-sided
+    * form needs only values PRESENT in the class (absent values have
+    * p_class = 0 and contribute nothing to the positive side), so no
+    * class × value-domain expansion ever materializes.
+    *
+    * Exact integers end to end: per (class, v) the positive part is
+    * max(cnt_cv·N − cnt_v·n_c, 0) over the common denominator n_c·N;
+    * ONE floor after the per-class sum, so engines can't disagree by
+    * summation order. Overflow headroom: Σ pos ≤ n_c·N, so the scaled
+    * numerator is ≤ n_c·N·10⁶ — callers at N beyond ~10⁹ rows should
+    * bucket the sensitive column (they must anyway for the distance to
+    * mean anything) and run per-partition releases.
+    *
+    * Scale shape: two keyed aggregates over (quasi, v) and (quasi) with
+    * map-side combine, one broadcast of the value-domain-sized global
+    * table, zero joins on data rows. NULL quasi values group together
+    * (same contract as [[anonymityReport]]). */
+  def tClosenessReport(df: DataFrame, quasi: Seq[String], sensitive: String,
+                       tPpm: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm >= 0 && tPpm <= 1000000L, "t is in ppm [0, 1e6]")
+    val qs = quasi.map(c => col(s"`$c`"))
+    val v = col(s"`$sensitive`")
+    val global = df.groupBy(v.as("__v")).agg(count(lit(1)).as("__cnt_v"))
+    val nAll = df.count()
+    require(nAll > 0, "t-closeness needs at least one row")
+    val classCounts = df.groupBy(qs :+ v.as("__v"): _*).agg(count(lit(1)).as("__cnt_cv"))
+    // class sizes via a window over the (class, v) frame, NOT a join on
+    // the quasi columns: Window.partitionBy groups NULL quasi values
+    // together (the anonymityReport contract) where an equi-join would
+    // silently drop null-keyed classes
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qs: _*)
+    classCounts
+      .withColumn("__n_c", sum(col("__cnt_cv")).over(w))
+      .join(broadcast(global), Seq("__v"))
+      .withColumn("__pos",
+        greatest(col("__cnt_cv") * nAll - col("__cnt_v") * col("__n_c"), lit(0L)))
+      .groupBy(qs: _*)
+      .agg(max(col("__n_c")).as("class_size"), sum(col("__pos")).as("__sum_pos"))
+      .select(qs ++ Seq(
+        col("class_size"),
+        expr(s"(__sum_pos * 1000000) div (class_size * $nAll)").as("t_ppm")): _*)
+      .withColumn("t_ok", (col("t_ppm") <= tPpm).cast("long"))
+  }
+
   /** Floor-to-bucket generalization of an integer column that is exact and
     * engine-portable for NEGATIVE values too: `v - pmod(v, width)` (plain
     * integer-division floors toward zero, which would merge the two buckets

@@ -53,4 +53,47 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(4))
     assert(out.forall(_ === 0L))
   }
+
+  test("tCloseness: class matching the global distribution scores 0; disjoint support is maximal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global: a:4, b:4 over 8 rows. class g1 = {a,a,b,b} mirrors it exactly;
+    // class g2 = {a,a,b,b} too -> both t=0
+    val mirror = Seq(("g1","a"),("g1","a"),("g1","b"),("g1","b"),
+      ("g2","a"),("g2","a"),("g2","b"),("g2","b")).toDF("q","v")
+    val t0 = Privacy.tClosenessReport(mirror, Seq("q"), "v", tPpm = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(t0 === Map("g1" -> (0L, 1L), "g2" -> (0L, 1L)))
+    // disjoint supports: g1 all 'a', g2 all 'b' (4 rows each, global a:4 b:4)
+    // TVD(g1) = max(4*8 - 4*4, 0)/(4*8) = 16/32 = 0.5 -> 500000 ppm
+    val split = Seq(("g1","a"),("g1","a"),("g1","a"),("g1","a"),
+      ("g2","b"),("g2","b"),("g2","b"),("g2","b")).toDF("q","v")
+    val t1 = Privacy.tClosenessReport(split, Seq("q"), "v", tPpm = 200000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(t1 === Map("g1" -> (500000L, 0L), "g2" -> (500000L, 0L)))
+  }
+
+  test("tCloseness: hand-computed skewed class on the exact ppm grid") {
+    import spark.implicits._
+    // global over 6 rows: a:3, b:2, c:1. class g1 = {a,a,a} (n_c=3):
+    // pos(a) = max(3*6 - 3*3, 0) = 9; b,c absent contribute 0
+    // t = 9 / (3*6) = 0.5 -> 500000. class g2 = {b,b,c} (n_c=3):
+    // pos(b) = max(2*6 - 2*3, 0) = 6; pos(c) = max(1*6 - 1*3, 0) = 3
+    // t = 9/18 = 0.5 -> 500000
+    val df = Seq(("g1","a"),("g1","a"),("g1","a"),
+      ("g2","b"),("g2","b"),("g2","c")).toDF("q","v")
+    val out = Privacy.tClosenessReport(df, Seq("q"), "v", tPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(("g1", 3L, 500000L, 1L), ("g2", 3L, 500000L, 1L)))
+  }
+
+  test("tCloseness: NULL quasi values form their own class (not dropped)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some("g1"),"a"),(Some("g1"),"b"),(None,"a"),(None,"b"))
+      .toDF("q","v")
+    val out = Privacy.tClosenessReport(df, Seq("q"), "v", tPpm = 1000000L)
+    assert(out.count() === 2L)
+    assert(out.where(col("q").isNull).count() === 1L)
+  }
 }
