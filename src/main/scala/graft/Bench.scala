@@ -221,19 +221,25 @@ object Bench {
             val histSf = (j \ "sf") match {
               case JString(s) => Some(sfKey(s)); case _ => None
             }
-            val histCpus = num(j \ "cpus").map(_.toInt).getOrElse(32)
+            // no default for a missing cpus field (advisor r15): the r15
+            // post-mortem itself found an archived local[4] run that a
+            // 32-default would have silently admitted as a local[32]
+            // prior. All live archives carry an explicit stamp; an
+            // unkeyable prior is a poisonable prior — skip it.
+            val histCpus = num(j \ "cpus").map(_.toInt)
             val qsH = (j \ "queries") match {
               case JObject(fields) =>
                 fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf) && histCpus == cpus.toInt)
+            if (c > 0 && qsH.nonEmpty && histSf.contains(runSf) &&
+                histCpus.contains(cpus.toInt))
               Some(Hist(c, cp, cpb, cpbPar, qsH))
             else {
               if (!histSf.contains(runSf))
                 System.err.println(s"[bench] history $p skipped: sf ${histSf.orNull} != $runSf")
-              else if (histCpus != cpus.toInt)
-                System.err.println(s"[bench] history $p skipped: cpus $histCpus != $cpus")
+              else if (!histCpus.contains(cpus.toInt))
+                System.err.println(s"[bench] history $p skipped: cpus ${histCpus.getOrElse("absent")} != $cpus")
               None
             }
           } catch { case scala.util.control.NonFatal(e) =>
@@ -321,7 +327,17 @@ object Bench {
         if (isoRatio.isInfinite) 999.0 else math.rint(isoRatio * 100) / 100)
     }
     val regressions = adjudicated
-    val nConfirmed = adjudicated.count(_._2._3 > 1.5)
+    // Noise floor (verdict r15 ask #2): a flag whose ISOLATED wall is under
+    // 1 second can never CONFIRM — r15 "confirmed" histogram_stats at
+    // +0.15 s absolute, which is minute-scale shared-box noise (the
+    // oscillation class bench_history/README.md documents), not a plan
+    // regression worth a round of forensics. The flag and both ratios
+    // still land in the archive (a sub-floor flag that persists across
+    // rounds is itself a lead); only the n_confirmed verdict is gated.
+    val confirmFloorS = 1.0
+    val nConfirmed = adjudicated.count { case (_, (_, iso, isoR)) =>
+      isoR > 1.5 && iso >= confirmFloorS
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val regs = regressions.toSeq.sortBy(-_._2._1)
