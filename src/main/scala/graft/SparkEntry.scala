@@ -19,6 +19,21 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** App-id-suffixed temp-store directory, pre-cleaned (advisor r15 #4):
+    * the materialized-store queries used FIXED java.io.tmpdir paths with
+    * delete-then-rewrite, so two concurrent drivers on one host could
+    * delete each other's in-flight store mid-probe. The application id
+    * keys the path per driver; within one application the delete keeps
+    * the rerun-from-scratch contract (stale partition values from a
+    * previous run at a different scale factor must not survive into a
+    * rebuilt store). */
+  private def freshTmpStore(spark: SparkSession, name: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${name}_${spark.sparkContext.applicationId}")
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    f
+  }
+
   private def maskMeta(treatments: String*): Metadata =
     new MetadataBuilder().putMetadata("mask",
       new MetadataBuilder().putStringArray("treatments", treatments.toArray).build()).build()
@@ -980,9 +995,7 @@ object SparkEntry {
   private def qGramStoreMerge(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val emb = table(spark, dir, "embeddings")
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_gram_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_gram_store")
     def half(p: Int) = emb.where(col("vec_id") % 2 === p)
     def shardStates(d: DataFrame) = graft.operators.Pca.gramByGroup(
       d.withColumn("shard", pmod(col("vec_id"), lit(4L))), "shard", "embedding", dim)
@@ -1037,9 +1050,7 @@ object SparkEntry {
             .cast("double")): _*).as("emb"))
     // day 0: build AND PERSIST the state; the compare reads the RELOADED
     // state (the store cycle is the operator under test, not a detail)
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_pca_drift_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_pca_drift_store")
     graft.operators.Pca.gram(planted(0, wA), "emb", dim, grid = 1L)
       .write.parquet(storeDir.getAbsolutePath)
     def stateOf(df: DataFrame) = graft.operators.Pca.stateOf(
@@ -2023,9 +2034,7 @@ object SparkEntry {
     val batch = emb.where(col("vec_id") < 50)
     val cents = graft.operators.Similarity.sampleCentroids(
       corpus, "vec_id", "embedding", 8)
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_index_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_ivf_index_store")
     // the r15 store cycle: index AND quantizer written together, probe
     // routed through the RELOADED centroids — zero in-memory carry-over
     // from the build (knnProbeStored rereads the sidecar; the `cents`
@@ -2261,9 +2270,7 @@ object SparkEntry {
     * replay — the store is invisible to the result by construction. */
   private def qBm25StoreProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.InvertedIndex
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_bm25_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_bm25_store")
     val store = storeDir.getAbsolutePath
     InvertedIndex.writeIndex(table(spark, dir, "documents"), "doc_id", "text",
       store, nBuckets = 64)
@@ -2282,9 +2289,7 @@ object SparkEntry {
     * from the corpus alone, because the store cycle is exact. */
   private def qBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{InvertedIndex, Ranking}
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_bm25_store_inc")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_bm25_store_inc")
     val store = storeDir.getAbsolutePath
     def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
     InvertedIndex.writeIndex(half(0), "doc_id", "text", store, nBuckets = 64)
@@ -2726,8 +2731,7 @@ object SparkEntry {
     * per-lang counts and id checksums from the base table, so a dropped or
     * duplicated row anywhere in the write/read path fails the compare. */
   private def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip").getAbsolutePath
+    val out = freshTmpStore(spark, "graft_sink_roundtrip").getAbsolutePath
     graft.sources.Sinks.writePartitioned(
       table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       out, Seq("lang"), filesPerPartition = 2)
@@ -2801,9 +2805,7 @@ object SparkEntry {
   private def qLmStoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{InvertedIndex, LanguageModel}
     import graft.sources.Sinks
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_lm_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_lm_store")
     val store = storeDir.getAbsolutePath
     def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
 
@@ -2997,11 +2999,8 @@ object SparkEntry {
     val corpus = emb.where(col("vec_id") >= 50)
     val cents = graft.operators.Similarity.sampleCentroids(
       corpus, "vec_id", "embedding", 8)
-    val tmp = System.getProperty("java.io.tmpdir")
-    val store = new java.io.File(tmp, "graft_stream_knn_store")
-    val sink = new java.io.File(tmp, "graft_stream_knn_sink")
-    Seq(store, sink).foreach(d =>
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d))
+    val store = freshTmpStore(spark, "graft_stream_knn_store")
+    val sink = freshTmpStore(spark, "graft_stream_knn_sink")
     graft.operators.Similarity.writeIvfIndex(
       corpus, "vec_id", "embedding", cents, store.getAbsolutePath)
     // layout-sensitive source: driver testdata = single files, ScaleCheck
@@ -3356,9 +3355,7 @@ object SparkEntry {
         when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" zzdrift zzdrift")))
           .otherwise(col("text")).as("text"))
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_vocab_hist_store")
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    val storeDir = freshTmpStore(spark, "graft_vocab_hist_store")
     graft.operators.TextAnalysis.tokenHistogram(docs, "text")
       .write.parquet(storeDir.getAbsolutePath)
     graft.operators.TextAnalysis.vocabDriftFromHistograms(
@@ -3490,8 +3487,7 @@ object SparkEntry {
     * scan) and aggregated — values survive the
     * parquet -> JSON text -> DataFrame roundtrip exactly. */
   private def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_json_roundtrip").getAbsolutePath
+    val out = freshTmpStore(spark, "graft_json_roundtrip").getAbsolutePath
     graft.sources.Sinks.writePartitioned(
       table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       out, Seq("lang"), filesPerPartition = 2, format = "json")
@@ -3509,8 +3505,7 @@ object SparkEntry {
     * into a per-language slice. Aggregates survive the
     * parquet -> ORC -> DataFrame roundtrip exactly. */
   private def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").getAbsolutePath
+    val out = freshTmpStore(spark, "graft_orc_roundtrip").getAbsolutePath
     graft.sources.Sinks.writePartitioned(
       table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       out, Seq("lang"), filesPerPartition = 2, format = "orc")
@@ -3527,8 +3522,7 @@ object SparkEntry {
     * read casts explicitly; the partition column comes back from the
     * directory layout. */
   private def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+    val out = freshTmpStore(spark, "graft_csv_roundtrip").getAbsolutePath
     graft.sources.Sinks.writePartitioned(
       table(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       out, Seq("lang"), filesPerPartition = 2, format = "csv",
@@ -4178,13 +4172,7 @@ object SparkEntry {
     * parquet via per-batch appends; the read-back aggregate equals the
     * batch filter, which the oracle recomputes. */
   private def qStreamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_febatch_sink")
-    if (out.exists()) {
-      java.nio.file.Files.walk(out.toPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val out = freshTmpStore(spark, "graft_febatch_sink")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -4402,12 +4390,10 @@ object SparkEntry {
   private def qSketchStoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{QuantileSketch, Sketches}
     import graft.sources.Sinks
-    val storeDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_sketch_store")
     // a previous run at a DIFFERENT scale factor may have written partition
     // values this run's data never touches — dynamic overwrite would keep
-    // them as stale state, so the store starts clean
-    if (storeDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+    // them as stale state, so the store starts clean (freshTmpStore deletes)
+    val storeDir = freshTmpStore(spark, "graft_sketch_store")
     val store = storeDir.getAbsolutePath
     def half(p: Int) = table(spark, dir, "documents").where(col("doc_id") % 2 === p)
     def lensOf(d: DataFrame) = d.where(col("text").isNotNull && col("doc_id").isNotNull)
@@ -7353,7 +7339,8 @@ object SparkEntry {
         "cs AS (SELECT nat, seg, sum(cnt_cv)::BIGINT AS n_c FROM cc GROUP BY nat, seg), " +
         "p AS (SELECT cc.nat, cc.seg, cs.n_c, " +
         "greatest(cc.cnt_cv * (SELECT n_all FROM n) - g.cnt_v * cs.n_c, 0) AS pos " +
-        "FROM cc JOIN g USING (bal_band) JOIN cs ON cs.nat = cc.nat AND cs.seg = cc.seg) " +
+        "FROM cc JOIN g ON g.bal_band IS NOT DISTINCT FROM cc.bal_band " +
+        "JOIN cs ON cs.nat = cc.nat AND cs.seg = cc.seg) " +
         "SELECT nat, seg, n_c AS class_size, " +
         "((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT AS t_ppm, " +
         "(((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT <= 200000)::BIGINT AS t_ok " +

@@ -136,12 +136,25 @@ object Classifier {
   }
 
   /** In-row prediction: per-label scores as one codegen'd `aggregate`
-    * over the token array against the literal lnp tables, floored onto
-    * the x1e4 grid, argmax by first-position-of-max (= label ascending
-    * tie-break, [[predictNb]]'s rule). Output (doc_id, pred, score_x1e4)
-    * — agrees with trainNb→scoreNb→predictNb row-for-row (ClassifierSpec
-    * law), and because no shuffle or state is involved it runs verbatim
-    * on a STREAMING frame in append mode. */
+    * over the SORTED bucket-id array against the literal lnp tables,
+    * floored onto the x1e4 grid, argmax by first-position-of-max
+    * (= label ascending tie-break, [[predictNb]]'s rule). Output
+    * (doc_id, pred, score_x1e4) — agrees with trainNb→scoreNb→predictNb
+    * row-for-row (ClassifierSpec law), and because no shuffle or state
+    * is involved it runs verbatim on a STREAMING frame in append mode.
+    *
+    * Arithmetic association (advisor r15 #3): the per-label sum is a
+    * run-length pass over the sorted bucket ids, emitting ONE
+    * `tfb · lnp[b]` product per distinct bucket — the SAME multiset of
+    * double terms [[scoreNb]] sums (which the old token-order
+    * `lnp+lnp+…` accumulation did not produce: repeated addition and
+    * one multiplication differ in IEEE arithmetic, so a doc with a
+    * repeated token could land ulps away from the batch score and flip
+    * a floor(x·1e4) boundary). Residual risk, documented: the batch
+    * path sums those terms in shuffle order while this path sums them
+    * bucket-ascending — identical-multiset reassociation can still
+    * differ by final-ulp amounts; the 1e-6 nudge absorbs everything
+    * except a true value within ~1e-6·1e-4 of a grid boundary. */
   def predictNbInRow(docs: DataFrame, idCol: String, textCol: String,
                      model: Seq[(String, Double, Array[Double])],
                      nBuckets: Int = 1024,
@@ -151,16 +164,29 @@ object Classifier {
     require(model.forall(_._3.length == nBuckets),
       s"predictNbInRow: model bucket arrays must have length $nBuckets")
     val toks = TextAnalysis.tokens(col(s"`$textCol`"))
-    def scoreOf(lnprior: Double, lnp: Array[Double]): Column =
-      floor((lit(lnprior) + aggregate(toks, lit(0.0), (acc, t) =>
-        acc + element_at(typedLit(lnp.toSeq),
-          (tokenBucket(t, nBuckets) + 1L).cast("int")))) * 10000 + lit(1e-6))
-        .cast("long")
+    def scoreOf(lnprior: Double, lnp: Array[Double]): Column = {
+      val lnpLit = typedLit(lnp.toSeq)
+      def term(b: Column, c: Column): Column =
+        when(c === 0L, lit(0.0))
+          .otherwise(c.cast("double") * element_at(lnpLit, (b + 1L).cast("int")))
+      val fin = aggregate(
+        col("__bks"),
+        struct(lit(-1L).as("b"), lit(0L).as("c"), lit(0.0).as("s")),
+        (acc, b) => when(b === acc.getField("b"),
+            struct(acc.getField("b").as("b"),
+              (acc.getField("c") + 1L).as("c"), acc.getField("s").as("s")))
+          .otherwise(struct(b.as("b"), lit(1L).as("c"),
+            (acc.getField("s") + term(acc.getField("b"), acc.getField("c"))).as("s"))),
+        acc => acc.getField("s") + term(acc.getField("b"), acc.getField("c")))
+      floor((lit(lnprior) + fin) * 10000 + lit(1e-6)).cast("long")
+    }
     val scores = array(model.map { case (_, p, l) => scoreOf(p, l) }: _*)
     val labels = typedLit(model.map(_._1))
     val kept = keep.map(c => col(s"`$c`"))
     docs.where(col(s"`$textCol`").isNotNull)
-      .select(col(s"`$idCol`").as("doc_id") +: scores.as("__s") +: kept: _*)
+      .select(col(s"`$idCol`").as("doc_id") +:
+        array_sort(transform(toks, t => tokenBucket(t, nBuckets))).as("__bks") +: kept: _*)
+      .select(col("doc_id") +: scores.as("__s") +: kept: _*)
       .select(col("doc_id") +:
         element_at(labels, array_position(col("__s"), array_max(col("__s"))).cast("int")).as("pred") +:
         array_max(col("__s")).as("score_x1e4") +: kept: _*)

@@ -124,9 +124,44 @@ object InvertedIndex {
     val (nb, sb) = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     postings(batch, idCol, textCol, nBuckets)
       .write.mode("append").partitionBy("tb").parquet(path)
+    // stats swap via temp-write + rename (advisor r15 #2): mode
+    // "overwrite" deletes the old sidecar BEFORE the new files land, so
+    // a crash mid-write left a half-written `_stats` that reads as a
+    // corrupt or 0/2-row frame. Writing beside and renaming last keeps
+    // `_stats` either old or new; the residual window (between delete
+    // and rename) leaves it ABSENT, which readStats treats as loud
+    // failure rather than silently stale idf/avgdl. A crash between the
+    // postings append and the swap leaves old stats with extra postings
+    // — detectable by [[auditStore]]'s exact sum(tf) == sum_dl law.
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val statsPath = new org.apache.hadoop.fs.Path(path + "/_stats")
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      path + s"/_stats_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = statsPath.getFileSystem(hconf)
     Seq((Math.addExact(n0, nb), Math.addExact(s0, sb))).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
+      .coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(statsPath, true)
+    require(fs.rename(tmpPath, statsPath),
+      s"addBatch: failed to swap stats sidecar $tmpPath -> $statsPath")
+  }
+
+  /** Exact postings-vs-stats consistency audit (advisor r15 #2): every
+    * token of every indexed document lands in exactly one posting row
+    * with its count in `tf`, so `sum(tf)` over the WHOLE postings store
+    * must equal the sidecar's `sum_dl`, and the distinct doc count must
+    * not exceed `n_docs` (token-less documents count in stats but emit
+    * no postings). A crash between [[addBatch]]'s postings append and
+    * its stats swap breaks the sum law; run this after any failed
+    * incremental job before trusting probes. One store scan, no state.
+    * Returns (ok, n_docs, sum_dl, sum_tf, distinct_docs). */
+  def auditStore(spark: SparkSession, path: String): (Boolean, Long, Long, Long, Long) = {
+    val (nDocs, sumDl) = readStats(spark, path)
+    val r = spark.read.parquet(path)
+      .agg(coalesce(sum(col("tf")), lit(0L)).cast("long").as("sum_tf"),
+        countDistinct(col("doc_id")).as("docs")).collect()(0)
+    val (sumTf, docs) = (r.getLong(0), r.getLong(1))
+    (sumTf == sumDl && docs <= nDocs, nDocs, sumDl, sumTf, docs)
   }
 
   /** Reload the stats sidecar: (n_docs, sum_dl). Loud when absent — a

@@ -85,9 +85,17 @@ object Privacy {
     // together (the anonymityReport contract) where an equi-join would
     // silently drop null-keyed classes
     val w = org.apache.spark.sql.expressions.Window.partitionBy(qs: _*)
+    // NULL-SAFE join on the sensitive value (advisor r15 #1): NULL is a
+    // distinct sensitive value, present in BOTH the class distribution
+    // and the global one. An equi-join would count null-sensitive rows
+    // in n_c (the window sum) yet drop them from the TVD numerator,
+    // silently UNDERSTATING t_ppm — a privacy gate must fail closed,
+    // not leak open, when the sensitive column has nulls.
     classCounts
       .withColumn("__n_c", sum(col("__cnt_cv")).over(w))
-      .join(broadcast(global), Seq("__v"))
+      .join(broadcast(global.withColumnRenamed("__v", "__gv")),
+        col("__v") <=> col("__gv"))
+      .drop("__gv")
       .withColumn("__pos",
         greatest(col("__cnt_cv") * nAll - col("__cnt_v") * col("__n_c"), lit(0L)))
       .groupBy(qs: _*)

@@ -92,6 +92,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(inRow === batch)
   }
 
+  test("in-row == batch holds under heavy token repetition (association law)") {
+    // advisor r15 #3: the old in-row path accumulated lnp token-by-token,
+    // so a doc repeating one token n times summed lnp n times where the
+    // batch path computes ONE n*lnp product — IEEE-divergent multisets
+    // that can flip a floor(x*1e4) boundary. The run-length rewrite makes
+    // both paths sum the same tfb*lnp terms; repetition-heavy docs are
+    // exactly the class that exposed the difference.
+    val test = corpus((1L to 40L).map { i =>
+      val words = Seq.fill((i % 7).toInt + 1)("gato") ++
+        Seq.fill((i % 5).toInt + 1)("cat") ++ Seq.fill(13)("luna")
+      (i, words.mkString(" "), "?")
+    })
+    val (cnt, dc) = Classifier.trainNb(train, "text", "lang", nBuckets = 256)
+    val batch = Classifier.predictNb(
+        Classifier.scoreNb(test, "doc_id", "text", cnt, dc, nBuckets = 256))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val model = Classifier.collectModel(cnt, dc, nBuckets = 256)
+    val inRow = Classifier.predictNbInRow(test, "doc_id", "text", model, nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(inRow === batch)
+  }
+
   test("scores are on the x1e4 grid and every test doc gets every label") {
     val test = corpus(Seq((1L, "gato casa", "es"), (5L, "cat house", "en")))
     val (cnt, dc) = Classifier.trainNb(train, "text", "lang", nBuckets = 256)

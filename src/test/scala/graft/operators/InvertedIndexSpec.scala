@@ -106,6 +106,39 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_stats"))
   }
 
+  test("auditStore: healthy stores pass; a partial append is detected") {
+    val path = tmp("graft_ii_spec_audit")
+    InvertedIndex.writeIndex(docs.where(col("doc_id") <= 3), "doc_id", "text",
+      path, nBuckets = 16)
+    InvertedIndex.addBatch(spark, path,
+      docs.where(col("doc_id") > 3), "doc_id", "text", nBuckets = 16)
+    val (ok, nDocs, sumDl, sumTf, dDocs) = InvertedIndex.auditStore(spark, path)
+    assert(ok, s"healthy store must audit clean: n_docs=$nDocs sum_dl=$sumDl sum_tf=$sumTf docs=$dDocs")
+    assert(sumTf === sumDl && dDocs <= nDocs)
+    // plant the addBatch failure mode the audit exists for: postings
+    // landed, stats swap never ran (crash between the two writes)
+    InvertedIndex.postings(corpus(Seq(99L -> "orphan orphan posting")),
+        "doc_id", "text", nBuckets = 16)
+      .write.mode("append").partitionBy("tb").parquet(path)
+    val (ok2, _, sumDl2, sumTf2, _) = InvertedIndex.auditStore(spark, path)
+    assert(!ok2 && sumTf2 === sumDl2 + 3L,
+      "orphaned postings must break the exact sum(tf) == sum_dl law")
+  }
+
+  test("addBatch stats swap: sidecar is whole-file old or new, never half") {
+    val path = tmp("graft_ii_spec_swap")
+    InvertedIndex.writeIndex(docs.where(col("doc_id") <= 2), "doc_id", "text",
+      path, nBuckets = 16)
+    InvertedIndex.addBatch(spark, path,
+      docs.where(col("doc_id") === 3), "doc_id", "text", nBuckets = 16)
+    // no _stats_tmp_* residue after a successful swap, and the sidecar reads
+    val residue = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_stats_tmp_"))
+    assert(residue.isEmpty, s"temp sidecars must not survive: ${residue.mkString(",")}")
+    val (n, s) = InvertedIndex.readStats(spark, path)
+    assert(n === 3L && s > 0L)
+  }
+
   test("nBuckets must divide 4096") {
     intercept[IllegalArgumentException] {
       InvertedIndex.postings(docs, "doc_id", "text", nBuckets = 100)

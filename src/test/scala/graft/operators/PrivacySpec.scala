@@ -96,4 +96,19 @@ class PrivacySpec extends AnyFunSuite {
     assert(out.count() === 2L)
     assert(out.where(col("q").isNull).count() === 1L)
   }
+
+  test("tCloseness: NULL sensitive values are a distinct value, not a leak") {
+    import spark.implicits._
+    // global over 4 rows: a:2, NULL:2. g1 = {a,a}, g2 = {NULL,NULL}.
+    // pos_{g1}(a) = max(2*4 - 2*2, 0) = 4 -> t = 4/(2*4) = 0.5
+    // pos_{g2}(NULL) = same by symmetry -> 500000 ppm for BOTH classes.
+    // Pre-fix (advisor r15 #1) the equi-join dropped the NULL band: g2's
+    // numerator was empty (t_ppm = 0 -> gate PASSED a class that is
+    // maximally far from the global distribution) and g1 understated.
+    val df = Seq(("g1", Some("a")), ("g1", Some("a")),
+      ("g2", Option.empty[String]), ("g2", Option.empty[String])).toDF("q", "v")
+    val out = Privacy.tClosenessReport(df, Seq("q"), "v", tPpm = 200000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(("g1", 2L, 500000L, 0L), ("g2", 2L, 500000L, 0L)))
+  }
 }
