@@ -34,5 +34,6 @@ object Defaults {
     val pp = passphrase
     MaskUdfs.register(spark, c, pp)
     Vocab.register(spark, c, pp)
+    graft.functions.Fpe.register(spark, pp)
   }
 }

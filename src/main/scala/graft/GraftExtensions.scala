@@ -80,6 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("mask_email", "mask_email(deterministic, value)") {
       udf((d: Boolean, v: String) => Vocab.maskEmail(codec, pp)(d, v)).asNondeterministic()
     }
+    // FF1 FPE is deterministic ENCRYPTION — no nondeterministic flag, so
+    // Catalyst may CSE/push it like any pure function
+    inject("mask_fpe", "mask_fpe(alphabet, tweak, value) - NIST SP 800-38G FF1 format-preserving mask") {
+      udf(graft.functions.Fpe.mask(pp))
+    }
+    inject("unmask_fpe", "unmask_fpe(alphabet, tweak, value) - exact inverse of mask_fpe") {
+      udf(graft.functions.Fpe.unmask(pp))
+    }
 
     // --- analytics surface: native expressions / column builders, exposed
     // to plain SQL (no UDF wrapper — these stay codegen'd in SQL too) ---

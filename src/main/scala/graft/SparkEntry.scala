@@ -87,6 +87,37 @@ object SparkEntry {
         count(when(col("m").rlike("^4[0-9]{3}-[0-9]{4}-[0-9]{4}-[0-9]{4}$"), 1)).as("n_formatted"))
   }
 
+  /** NIST SP 800-38G FF1 format-preserving masking over a synthetic PAN
+    * layout built from c_custkey ([[graft.functions.Fpe]] /
+    * [[graft.codec.Ff1]]): digits cycle over the digit alphabet under
+    * AES, separators pass through in place, the tweak separates columns,
+    * and `unmask_fpe` inverts exactly. Pinned-contract oracle (DuckDB
+    * cannot run AES-FF1): format/length preservation, determinism,
+    * injectivity (FPE is a permutation of the domain, so distinct in ==
+    * distinct out), round-trip identity, and tweak separation — each a
+    * count the oracle pins to the table's row count. */
+  private def qMaskFpeProps(spark: SparkSession, dir: String): DataFrame = {
+    Defaults.registerAll(spark)
+    graft.operators.Partitioning.spread(table(spark, dir, "customer"))
+      .selectExpr("concat('4', lpad(CAST(c_custkey AS STRING), 15, '0')) AS pan16")
+      .selectExpr("concat_ws('-', substr(pan16, 1, 4), substr(pan16, 5, 4), " +
+        "substr(pan16, 9, 4), substr(pan16, 13, 4)) AS pan")
+      .selectExpr("pan",
+        "mask_fpe('0123456789', 'cc_number', pan) AS m",
+        "mask_fpe('0123456789', 'cc_number', pan) AS m2",
+        "mask_fpe('0123456789', 'ssn', pan) AS mo")
+      .selectExpr("pan", "m", "m2", "mo", "unmask_fpe('0123456789', 'cc_number', m) AS um")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("m")).as("n_nonnull"),
+        count(when(col("m").rlike("^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}$"), 1)).as("n_format"),
+        count(when(col("m") === col("m2"), 1)).as("n_stable"),
+        count(when(col("um") === col("pan"), 1)).as("n_roundtrip"),
+        count(when(col("mo") =!= col("m"), 1)).as("n_tweak_sep"),
+        countDistinct(col("pan")).as("n_distinct_in"),
+        countDistinct(col("m")).as("n_distinct_out"))
+  }
+
   private def qMaskDateProps(spark: SparkSession, dir: String): DataFrame = {
     Defaults.registerAll(spark)
     graft.operators.Partitioning.spread(table(spark, dir, "orders"))
@@ -5396,6 +5427,7 @@ object SparkEntry {
     "mixture_plan" -> qMixturePlan,
     "anomaly_zscore" -> qAnomalyZscore,
     "mask_string_props" -> qMaskStringProps,
+    "mask_fpe_props" -> qMaskFpeProps,
     "mask_format_props" -> qMaskFormatProps,
     "mask_date_props" -> qMaskDateProps,
     "mask_timestamp_props" -> qMaskTimestampProps,
@@ -7420,6 +7452,14 @@ object SparkEntry {
         "count(DISTINCT c_name) AS n_distinct_in, count(DISTINCT c_name) AS n_distinct_out FROM customer"),
     "mask_format_props" ->
       "SELECT count(*) AS n, count(c_name) AS n_nonnull, count(c_name) AS n_formatted FROM customer",
+    // FF1 FPE contract: every property holds for EVERY row (the cipher is
+    // a deterministic permutation of the 16-digit domain), so each count
+    // pins to the row count; injectivity pins distinct out == distinct in
+    "mask_fpe_props" ->
+      ("SELECT count(*) AS n, count(*) AS n_nonnull, count(*) AS n_format, " +
+        "count(*) AS n_stable, count(*) AS n_roundtrip, count(*) AS n_tweak_sep, " +
+        "count(DISTINCT c_custkey) AS n_distinct_in, count(DISTINCT c_custkey) AS n_distinct_out " +
+        "FROM customer"),
     "mask_date_props" ->
       "SELECT count(*) AS n, count(o_orderdate) AS n_nonnull, count(o_orderdate) AS n_inbounds FROM orders",
     "mask_timestamp_props" ->
