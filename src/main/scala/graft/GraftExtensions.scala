@@ -123,6 +123,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectCol("graft_fingerprint", "graft_fingerprint(text) - canonical-content xxhash64", 1) {
       case Seq(t) => graft.operators.TextAnalysis.fingerprint(t)
     }
+    injectCol("graft_url_host", "graft_url_host(url) - lowercased host, port/userinfo/path stripped", 1) {
+      case Seq(u) => graft.plans.UrlExpressions.urlHost(u)
+    }
+    injectCol("graft_url_domain",
+      "graft_url_domain(url) - registrable domain under public-suffix rules (null for IPs/single labels)", 1) {
+      case Seq(u) => graft.plans.UrlExpressions.urlDomain(u)
+    }
     injectCol("graft_hash_bucket",
       "graft_hash_bucket(id) - deterministic 32-bit sample hash; WHERE graft_hash_bucket(id) < cutoff", 1) {
       case Seq(id) => graft.operators.Sampling.idHash(id)
