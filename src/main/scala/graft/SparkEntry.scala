@@ -770,6 +770,74 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The planted-PNG dHash signature frame shared by the incremental and
+    * streaming image-dedup queries — byte-identical plants to
+    * [[qImagePhashDedup]] (texture keyed by doc_id/2 through the real
+    * PNG codec), so all three share one oracle chain. */
+  private def plantedPngSigs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val mkPng = udf((id: Long) => {
+      val k = id / 2
+      val px = Array.tabulate[Byte](18 * 16) { i =>
+        val x = (i % 18).toLong; val y = (i / 18).toLong
+        ((x * x * (1 + k % 5) + y * y * (2 + k % 7) + x * y * (k % 11)) % 256).toByte
+      }
+      graft.operators.Multimodal.pngEncode(18, 16, 0, px)
+    })
+    graft.operators.Multimodal.dhashImagesDF(
+        docs.select(col("doc_id").as("media_id"), mkPng(col("doc_id").cast("long")).as("content")))
+      .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+  }
+
+  /** The multimodal family's INCREMENTAL law
+    * ([[graft.operators.Dedup.writeSignatureStore]] /
+    * [[Dedup.probeSignatureStore]] — the bandIndex/knnProbeStored pattern
+    * on perceptual signatures): day-0's image signatures are
+    * materialized, day-1's batch probes the RELOADED store for cross
+    * pairs (batch broadcasts, corpus never re-paired against itself),
+    * the batch is appended, and within-day pairs come off the reloaded
+    * store — the three disjoint parts reunioned must equal the direct
+    * whole-corpus operator pair-for-pair. Shares `image_phash_dedup`'s
+    * oracle VERBATIM: the store cycle is invisible to the result. */
+  private def qImagePhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = plantedPngSigs(spark, table(spark, dir, "documents"))
+    val day0 = sigs.where(col("doc_id") % 2 === 0)
+    val day1 = sigs.where(col("doc_id") % 2 === 1)
+    val store = freshTmpStore(spark, "graft_sig_store").getAbsolutePath
+    graft.operators.Dedup.writeSignatureStore(day0, store)
+    val cross = graft.operators.Dedup.probeSignatureStore(spark, store, day1)
+      .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+        greatest(col("new_id"), col("corpus_id")).as("id_b"), col("hamming"))
+    graft.operators.Dedup.addSignatureBatch(store, day1)
+    val reloaded = graft.operators.Dedup.readSignatureStore(spark, store)
+    def within(p: Int) = graft.operators.Dedup.pairsFromSignatures64(
+      reloaded.where(col("doc_id") % 2 === p), maxHamming = 3, maxBucket = Int.MaxValue)
+    within(0).unionByName(within(1)).unionByName(cross)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The signature probe as a STRUCTURED STREAM
+    * ([[graft.streaming.Streaming.signatureProbeStream]] — per-batch
+    * overwrite idempotence, zero state store): day-1's planted images
+    * arrive via readStream, each micro-batch runs the batch store probe
+    * verbatim against day-0's materialized signatures. Oracle: the
+    * cross-parity subset of the `image_phash_dedup` pair replay —
+    * streaming the probe must not change one flagged pair. */
+  private def qStreamSigProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val store = freshTmpStore(spark, "graft_stream_sig_store").getAbsolutePath
+    val sink = freshTmpStore(spark, "graft_stream_sig_sink").getAbsolutePath
+    graft.operators.Dedup.writeSignatureStore(
+      plantedPngSigs(spark, docs).where(col("doc_id") % 2 === 0), store)
+    val sigStream = plantedPngSigs(spark,
+      streamTable(spark, dir, "documents").where(col("doc_id") % 2 === 1))
+    val q = graft.streaming.Streaming.signatureProbeStream(sigStream, store, sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+        greatest(col("new_id"), col("corpus_id")).as("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Audio near-dup via the 64-bit envelope hash
     * ([[graft.operators.Multimodal.wavEnvelopeHash64]] — window |sample|
     * energies through the REAL WAV encode→decode round-trip, one bit per
@@ -5498,6 +5566,8 @@ object SparkEntry {
     "compaction_plan" -> qCompactionPlan,
     "dedup_simhash" -> qDedupSimhash,
     "image_phash_dedup" -> qImagePhashDedup,
+    "image_phash_incremental" -> qImagePhashIncremental,
+    "stream_sig_probe" -> qStreamSigProbe,
     "image_phash_report" -> qImagePhashReport,
     "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
     "video_fingerprint_dedup" -> qVideoFingerprintDedup,
@@ -7926,6 +7996,41 @@ object SparkEntry {
         "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
         "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
         "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // the store cycle is invisible to the result: image_phash_dedup's
+    // full pixel->bits->pairs replay VERBATIM
+    "image_phash_incremental" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "px AS (SELECT id, x, y, " +
+        "(x*x*(1 + k % 5) + y*y*(2 + k % 7) + x*y*(k % 11)) % 256 AS v " +
+        "FROM ids, (SELECT unnest(range(0, 18)) AS x), (SELECT unnest(range(0, 16)) AS y)), " +
+        "cells AS (SELECT id, y // 2 AS gy, x // 2 AS gx, sum(v) // 4 AS cell " +
+        "FROM px GROUP BY id, y // 2, x // 2), " +
+        "bits AS (SELECT a.id, a.gy, a.gx, CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit " +
+        "FROM cells a JOIN cells b ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1 " +
+        "WHERE a.gx < 8), " +
+        "sigs AS (SELECT id, list(bit ORDER BY gy * 8 + gx) AS bl FROM bits GROUP BY id), " +
+        "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
+        "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    // streaming the probe must not change one pair: the cross-parity
+    // (day-0 x day-1) subset of the same replay
+    "stream_sig_probe" ->
+      ("WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k FROM documents), " +
+        "px AS (SELECT id, x, y, " +
+        "(x*x*(1 + k % 5) + y*y*(2 + k % 7) + x*y*(k % 11)) % 256 AS v " +
+        "FROM ids, (SELECT unnest(range(0, 18)) AS x), (SELECT unnest(range(0, 16)) AS y)), " +
+        "cells AS (SELECT id, y // 2 AS gy, x // 2 AS gx, sum(v) // 4 AS cell " +
+        "FROM px GROUP BY id, y // 2, x // 2), " +
+        "bits AS (SELECT a.id, a.gy, a.gx, CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit " +
+        "FROM cells a JOIN cells b ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1 " +
+        "WHERE a.gx < 8), " +
+        "sigs AS (SELECT id, list(bit ORDER BY gy * 8 + gx) AS bl FROM bits GROUP BY id), " +
+        "pairs AS (SELECT s1.id AS id_a, s2.id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.bl[i] <> s2.bl[i] THEN 1 ELSE 0 END))::BIGINT AS hamming " +
+        "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
+        "SELECT id_a, id_b, hamming FROM pairs " +
+        "WHERE hamming <= 3 AND (id_a % 2) <> (id_b % 2) ORDER BY id_a, id_b"),
     // the production twin replayed from the same pixel formula: identical
     // signatures group identically, so the report is a pure function of
     // the planted textures

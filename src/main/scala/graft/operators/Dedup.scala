@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -749,17 +749,25 @@ object Dedup {
     * 16-bit chunks (hamming<=3 guarantees a chunk collision), verified
     * with bit_count(xor) <= maxHamming. Null signatures are dropped
     * before chunking. */
+  /** (chunk, bucket, doc_id, sig) pigeonhole rows of a 64-bit signature
+    * frame: 4 rows per signature, one per 16-bit chunk — the shared key
+    * space of [[pairsFromSignatures64]], the materialized
+    * [[writeSignatureStore]] layout, and the incremental
+    * [[probeSignatureStore]] join, so batch and incremental paths
+    * collide by construction. */
+  private def chunked64(sigFrame: DataFrame): DataFrame =
+    sigFrame
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig").cast("long").as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
+      .select(col("doc_id"), col("sig"), col("pos").as("chunk"), col("col").as("bucket"))
+
   def pairsFromSignatures64(sigFrame: DataFrame,
                             maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
-    val sigs = sigFrame
-      .select(col("doc_id").cast("long").as("doc_id"), col("sig").cast("long").as("sig"))
-      .where(col("sig").isNotNull)
-
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
-      .select(col("doc_id"), col("sig"), col("pos").as("chunk"), col("col").as("bucket"))
+    val chunked = chunked64(sigFrame)
 
     val buckets = chunked.groupBy("chunk", "bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
@@ -775,5 +783,65 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // Materialized 64-bit signature store — the multimodal near-dup
+  // family's incremental law ([[bandIndex]] / knnProbeStored applied to
+  // perceptual signatures): fingerprint the corpus ONCE, persist the
+  // pigeonhole layout, and flag each daily media batch against the
+  // RELOADED store without ever re-pairing corpus against corpus.
+  // -------------------------------------------------------------------
+
+  /** Materialize a signature frame (doc_id, sig) as its pigeonhole rows,
+    * partitioned by chunk (4 fixed directories — bucket stays a column:
+    * 65536 values x 4 chunks as directories would be small-file litter).
+    * Appends are pure per-document rows, so [[addSignatureBatch]] merge
+    * equals a full rebuild row-for-row with no stats sidecar to
+    * re-stamp. */
+  def writeSignatureStore(sigs: DataFrame, path: String,
+                          filesPerPartition: Int = 1): Unit =
+    graft.sources.Sinks.writePartitioned(
+      chunked64(sigs), path, Seq("chunk"), filesPerPartition)
+
+  /** Append a day's signatures to the store. Re-adding an already-stored
+    * doc_id is the caller's bug (its pairs would duplicate); dedup
+    * upstream. */
+  def addSignatureBatch(path: String, sigs: DataFrame): Unit =
+    chunked64(sigs).write.mode("append").partitionBy("chunk").parquet(path)
+
+  /** Reload the raw (doc_id, sig) frame from a store: chunk 0 carries
+    * each signature exactly once (partition-pruned single-directory
+    * read). Feeding this back into [[pairsFromSignatures64]] must equal
+    * the direct operator on the original frame — the store is invisible
+    * to the result. */
+  def readSignatureStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).where(col("chunk") === 0)
+      .select(col("doc_id"), col("sig"))
+
+  /** Flag a NEW batch's signatures against the stored corpus: the
+    * incremental twin of [[pairsFromSignatures64]], returning
+    * (new_id, corpus_id, hamming) for every cross pair at
+    * hamming <= maxHamming.
+    *
+    * Scale shape (the incrementalNearDuplicates argument): the batch's
+    * pigeonhole rows BROADCAST; the corpus store is scanned once and
+    * never shuffled or grouped — the join is broadcast-hash on
+    * (chunk, bucket), output is match-sized, and the only shuffle is the
+    * final pair distinct. Cost per probe is O(corpus scan) + O(matches),
+    * independent of corpus pair structure; the store pre-paid the
+    * chunk explosion at write time. */
+  def probeSignatureStore(spark: SparkSession, path: String, newSigs: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3; raise chunks for more")
+    val store = spark.read.parquet(path)
+    val batch = chunked64(newSigs)
+      .withColumnRenamed("doc_id", "new_id").withColumnRenamed("sig", "new_sig")
+    store.join(broadcast(batch), Seq("chunk", "bucket"))
+      .where(col("doc_id") =!= col("new_id"))
+      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("new_sig"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("doc_id").as("corpus_id"), col("hamming"))
+      .distinct()
   }
 }

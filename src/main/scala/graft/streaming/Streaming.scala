@@ -278,6 +278,31 @@ object Streaming {
     writer.start()
   }
 
+  /** Perceptual-signature probe as a stream: each micro-batch of
+    * (doc_id, sig) rows runs the BATCH store probe verbatim
+    * ([[graft.operators.Dedup.probeSignatureStore]] — broadcast batch
+    * pigeonhole rows, corpus store scanned, never shuffled) and lands
+    * its cross pairs under `batch=<id>` with per-batch OVERWRITE, so a
+    * redelivered micro-batch rewrites its own directory instead of
+    * duplicating pairs (the knnProbeStream idempotence rule). ZERO
+    * state store — the probe is stateless per batch by construction. */
+  def signatureProbeStream(sigStream: DataFrame, storePath: String, sinkPath: String,
+                           maxHamming: Int = 3,
+                           checkpointLocation: Option[String] = None,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = sigStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .probeSignatureStore(batch.sparkSession, storePath, batch, maxHamming)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+      }
+      .trigger(trigger)
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — lets the
     * streaming operator be cross-checked against a deterministic batch
     * computation in tests and backfills. */
