@@ -4904,6 +4904,21 @@ object SparkEntry {
       .orderBy("nat", "seg")
   }
 
+  /** ε = ln 2 differentially-private release of the k-anonymity classes'
+    * counts ([[graft.operators.Privacy.dpNoisyCounts]] — seeded discrete-
+    * Laplace, Ghosh/Roughgarden/Sundararajan 2009): noise is drawn by
+    * integer comparisons of the portable 60-bit md5 hash against EXACT
+    * BigInteger CDF thresholds, keyed by (release label, class), so the
+    * release is deterministic per label and the oracle replays the draw
+    * bit-for-bit — both engines execute the same generated CASE text.
+    * Completes the privacy family's output side (report → release). */
+  private def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"))
+    graft.operators.Privacy.dpNoisyCounts(c, Seq("nat", "seg"), "r16-census")
+      .orderBy("nat", "seg")
+  }
+
   /** The reference's PURPOSE measured end-to-end: re-identification risk
     * of the quasi-identifier tuple BEFORE and AFTER a metadata-driven
     * treatment set — the masking engine (O1/O2: treatments in schema
@@ -5521,6 +5536,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> qKAnonymity,
     "t_closeness" -> qTCloseness,
+    "dp_counts" -> qDpCounts,
     "mask_k_anon" -> qMaskKAnon,
     "generalize_k_anon" -> qGeneralizeKAnon,
     "dedup_lines_global" -> qDedupLinesGlobal,
@@ -7522,6 +7538,16 @@ object SparkEntry {
         "((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT AS t_ppm, " +
         "(((sum(pos) * 1000000) // (n_c * (SELECT n_all FROM n)))::BIGINT <= 200000)::BIGINT AS t_ok " +
         "FROM p GROUP BY nat, seg, n_c ORDER BY nat, seg"),
+    // full replay of the DP release: true counts + the IDENTICAL
+    // generated noise-draw CASE (exact integer thresholds) over the
+    // DuckDB spelling of the same 60-bit md5 hash
+    "dp_counts" ->
+      ("WITH c AS (SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg FROM customer), " +
+        "g AS (SELECT nat, seg, count(*)::BIGINT AS n FROM c GROUP BY nat, seg) " +
+        "SELECT nat, seg, (n + " +
+        graft.operators.Privacy.dpNoiseCaseSql(
+          "('0x' || substr(md5('r16-census' || ':' || nat::VARCHAR || ':' || seg), 1, 15))::UBIGINT::BIGINT") +
+        ")::BIGINT AS n_noisy FROM g ORDER BY nat, seg"),
     // before/after anonymity of the treatment set: suppress name,
     // generalize nation to 10-wide groups
     "mask_k_anon" ->

@@ -157,4 +157,77 @@ object Privacy {
         lit(false)) // no level satisfies k -> no row chosen (NULL min)
         .cast("long").as("chosen"))
   }
+
+  // -------------------------------------------------------------------
+  // Differentially-private count release — the privacy family's OUTPUT
+  // side (anonymityReport / tClosenessReport measure risk; this releases
+  // aggregate counts with calibrated noise).
+  // -------------------------------------------------------------------
+
+  /** Noise half-life parameter of the release: discrete Laplace with
+    * p = 1/2, i.e. P(X = k) = (1/3)·2^(−|k|) — the two-sided geometric
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009, "Universally
+    * utility-maximizing privacy mechanisms") at ε = ln 2 per released
+    * count (sensitivity 1: one person adds or removes one row of one
+    * class). p = 1/2 is chosen so every CDF value is the exact rational
+    * (3·2^j ± 2)/(3·2^j): the inverse-CDF threshold table is computed in
+    * integer arithmetic and the draw is integer comparisons — seeded,
+    * engine-portable, and replayable like every other randomized-looking
+    * operator in this engine. ε in ppm, for reports. */
+  val dpEpsilonPpm: Long = 693147L // ln 2
+
+  /** The seeded discrete-Laplace draw as ANSI-SQL CASE text over a
+    * uniform 60-bit integer expression (the engine's portable md5
+    * hex-slice hash): noise = min k in [−maxNoise, maxNoise] with
+    * h < floor(2^60 · F(k)). Thresholds are exact BigInteger floors of
+    * the rational CDF, interpolated as literals, so Spark and DuckDB
+    * execute the IDENTICAL draw — replay by construction. Tails beyond
+    * ±maxNoise clamp inward (truncated mechanism; with maxNoise = 40
+    * the clamped mass is < 2^−40 ≈ 1e−12 per side) and the 2^−60
+    * quantization of the floor is the draw's definition, not an error
+    * term. */
+  def dpNoiseCaseSql(hashExpr60: String, maxNoise: Int = 40): String = {
+    require(maxNoise >= 1 && maxNoise <= 59, "maxNoise in [1, 59]")
+    val m = java.math.BigInteger.ONE.shiftLeft(60)
+    def t(k: Int): java.math.BigInteger = {
+      // F(-j) = 2 / (3·2^j)  (j >= 1);  F(k) = (3·2^(k+1) − 2) / (3·2^(k+1))
+      val (num, den) =
+        if (k < 0) (java.math.BigInteger.TWO,
+          java.math.BigInteger.valueOf(3).shiftLeft(-k))
+        else (java.math.BigInteger.valueOf(3).shiftLeft(k + 1).subtract(java.math.BigInteger.TWO),
+          java.math.BigInteger.valueOf(3).shiftLeft(k + 1))
+      m.multiply(num).divide(den)
+    }
+    // plain integer literals only: the text must parse identically in
+    // Spark SQL and DuckDB (no engine-specific typed-literal suffixes)
+    val branches = (-maxNoise until maxNoise)
+      .map(k => s"WHEN $hashExpr60 < ${t(k)} THEN $k")
+    s"(CASE ${branches.mkString(" ")} ELSE $maxNoise END)"
+  }
+
+  /** ε = ln 2 differentially-private per-group counts: groups by the
+    * given columns, adds seeded discrete-Laplace noise keyed by
+    * (release label, group values) — the SAME release label must never
+    * be used twice over the same population (re-release under a new
+    * label costs another ε; that accounting is the caller's ledger).
+    * Output is (groups…, n_noisy) ONLY — the true count never leaves
+    * the operator. Noisy counts can be negative (the unbiased release;
+    * consumers clamp at read time if they need display-valid numbers).
+    *
+    * Scale shape: one counting shuffle with map-side combine (the same
+    * cost as the non-private count), then a per-row codegen'd CASE —
+    * noise adds nothing to the plan's data movement. */
+  def dpNoisyCounts(df: DataFrame, groupBy: Seq[String], release: String,
+                    maxNoise: Int = 40): DataFrame = {
+    require(groupBy.nonEmpty, "need at least one group column")
+    require(release.matches("[A-Za-z0-9_.-]+"),
+      s"release label must be [A-Za-z0-9_.-]+ (it is hashed into the draw): '$release'")
+    val counts = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val key = s"concat('$release'" +
+      groupBy.map(c => s", ':', CAST(`$c` AS STRING)").mkString + ")"
+    val h = s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+    counts.selectExpr(groupBy.map(c => s"`$c`") :+
+      s"__n + ${dpNoiseCaseSql(h, maxNoise)} AS n_noisy": _*)
+  }
 }

@@ -111,4 +111,39 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out === Set(("g1", 2L, 500000L, 0L), ("g2", 2L, 500000L, 0L)))
   }
+
+  test("dpNoisyCounts: deterministic per label, label-separated, bounded, count-shaped") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => ("g" + (i % 8).toString, i)).toDF("g", "id")
+    def release(label: String) =
+      Privacy.dpNoisyCounts(df, Seq("g"), label)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = release("spec-a")
+    assert(a === release("spec-a"), "same label => identical release")
+    assert(a !== release("spec-b"), "different label => different draw")
+    // true count is 500 per group; noise bounded by maxNoise = 40
+    assert(a.values.forall(v => math.abs(v - 500L) <= 40L))
+    // output column surface never includes the true count
+    assert(Privacy.dpNoisyCounts(df, Seq("g"), "spec-c").columns.toSeq === Seq("g", "n_noisy"))
+  }
+
+  test("dpNoiseCaseSql: exact thresholds and the 1/3 zero-mass law") {
+    // F(-1) = 1/3, F(0) = 2/3 on the 2^60 grid
+    val sql = Privacy.dpNoiseCaseSql("h", 40)
+    assert(sql.contains("WHEN h < 384307168202282325 THEN -1"))
+    assert(sql.contains("WHEN h < 768614336404564650 THEN 0"))
+    // empirical: uniform h sweep hits noise 0 about 1/3 of the time and
+    // stays within [-40, 40]
+    import spark.implicits._
+    val n = 100000L
+    val step = (java.math.BigInteger.ONE.shiftLeft(60)
+      .divide(java.math.BigInteger.valueOf(n))).longValueExact()
+    val noise = spark.range(n).selectExpr(s"${Privacy.dpNoiseCaseSql(s"id * $step", 40)} AS x")
+    val stats = noise.selectExpr(
+      "count(CASE WHEN x = 0 THEN 1 END) AS zeros",
+      "min(x) AS lo", "max(x) AS hi", "sum(x) AS s").collect()(0)
+    assert(math.abs(stats.getLong(0) - n / 3) < n / 50)
+    assert(stats.getAs[Number](1).longValue >= -40L && stats.getAs[Number](2).longValue <= 40L)
+    assert(math.abs(stats.getAs[Number](3).longValue) < 3000L) // mean ~ 0
+  }
 }
