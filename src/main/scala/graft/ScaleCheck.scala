@@ -242,6 +242,23 @@ object ScaleCheck {
     // excludes
     "bm25_store_probe", "bm25_incremental", "nb_classify_inrow",
     "pagerank_incremental", "image_phash_report",
+    // round-16: FF1 format-preserving masking (per-row AES cipher work,
+    // zero shuffle beyond the final 1-row agg — scan-bound by
+    // construction); the DP count release (one counting shuffle with
+    // map-side combine + a per-row codegen'd CASE — the noise adds
+    // nothing to data movement); and the registrable-domain report
+    // (in-row codegen'd suffix walk + one domain-keyed aggregate whose
+    // output is the distinct-domain count, which the planted URL classes
+    // pin ~constant while the scan grows).
+    // image_phash_incremental / stream_sig_probe are NOT here: their
+    // output is image_phash_dedup's oracle-priced PAIR LIST, Θ(Σ group²)
+    // in duplicate mass by definition (the scaled corpus replants the
+    // same 385 texture classes, so pairs grow ~100× at 10× — the
+    // image_phash_report note); the store machinery's scale terms
+    // (build = one chunk-partitioned write, probe = batch-broadcast join
+    // with zero corpus shuffle) are plan-structural, asserted in
+    // PlanShapeSpec instead
+    "mask_fpe_props", "dp_counts", "url_domain_report",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows

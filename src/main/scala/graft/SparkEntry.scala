@@ -838,6 +838,41 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Baseline JPEG codec contract over the SAME planted textures as the
+    * PNG dHash family ([[graft.operators.Jpeg]] — ITU T.81 baseline:
+    * marker walk, canonical Huffman, restart intervals, luma-only IDCT):
+    * each texture is encoded as quality-90 JPEG, decoded, and dHashed;
+    * the pinned contract is (a) every image decodes with correct
+    * dimensions and (b) JPEG compression displaces the dHash by ≤ 16
+    * bits (exhaustive worst over the texture universe: 11) — the
+    * perceptual-invariance law that makes lossy copies of one picture
+    * near-dup. Safe to pin at ANY scale factor: the texture universe is
+    * the 385 classes of (k%5, k%7, k%11), and JpegSpec checks the
+    * 16-bit bound over ALL of them exhaustively. */
+  private def qJpegPhashProps(spark: SparkSession, dir: String): DataFrame = {
+    val f = udf((id: Long) => {
+      val k = id / 2
+      val px = Array.tabulate[Byte](18 * 16) { i =>
+        val x = (i % 18).toLong; val y = (i / 18).toLong
+        ((x * x * (1 + k % 5) + y * y * (2 + k % 7) + x * y * (k % 11)) % 256).toByte
+      }
+      val pngHash = graft.operators.Multimodal.pngDHash64(
+        graft.operators.Multimodal.pngEncode(18, 16, 0, px))
+      val jpg = graft.operators.Jpeg.encodeGray(18, 16, px, quality = 90)
+      val dims = graft.operators.Jpeg.decodeLuma(jpg).map(d => (d._1, d._2))
+      (pngHash, graft.operators.Jpeg.jpegDHash64(jpg),
+        dims.contains((18, 16)))
+    })
+    graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), f(col("doc_id").cast("long")).as("r"))
+      .select(col("r._1").as("ph"), col("r._2").as("jh"), col("r._3").as("dims_ok"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("jh")).as("n_decoded"),
+        count(when(col("dims_ok"), 1)).as("n_dims_ok"),
+        count(when(bit_count(col("ph").bitwiseXOR(col("jh"))) <= 16, 1)).as("n_close"))
+  }
+
   /** Audio near-dup via the 64-bit envelope hash
     * ([[graft.operators.Multimodal.wavEnvelopeHash64]] — window |sample|
     * energies through the REAL WAV encode→decode round-trip, one bit per
@@ -5584,6 +5619,7 @@ object SparkEntry {
     "image_phash_dedup" -> qImagePhashDedup,
     "image_phash_incremental" -> qImagePhashIncremental,
     "stream_sig_probe" -> qStreamSigProbe,
+    "jpeg_phash_props" -> qJpegPhashProps,
     "image_phash_report" -> qImagePhashReport,
     "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
     "video_fingerprint_dedup" -> qVideoFingerprintDedup,
@@ -8057,6 +8093,12 @@ object SparkEntry {
         "FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id) " +
         "SELECT id_a, id_b, hamming FROM pairs " +
         "WHERE hamming <= 3 AND (id_a % 2) <> (id_b % 2) ORDER BY id_a, id_b"),
+    // JPEG codec contract: decode fidelity + perceptual invariance hold
+    // for every row (the 385-class texture universe is exhaustively
+    // bound-checked in JpegSpec, so the pins are SF-independent)
+    "jpeg_phash_props" ->
+      ("SELECT count(*) AS n, count(*) AS n_decoded, count(*) AS n_dims_ok, " +
+        "count(*) AS n_close FROM documents"),
     // the production twin replayed from the same pixel formula: identical
     // signatures group identically, so the report is a pure function of
     // the planted textures

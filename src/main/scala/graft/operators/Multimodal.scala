@@ -651,8 +651,8 @@ object Multimodal {
     * content. */
   def pngDHash64(content: Array[Byte]): Option[Long] =
     pngDecode(content).map { r =>
-      val w = r.width; val h = r.height; val ch = r.channels
-      @inline def luma(p: Int): Int = {
+      val ch = r.channels
+      dhashFromLuma(r.width, r.height, { p =>
         val base = p * ch
         r.colorType match {
           case 0 | 4 => r.samples(base) & 0xff
@@ -660,41 +660,48 @@ object Multimodal {
             (299 * (r.samples(base) & 0xff) + 587 * (r.samples(base + 1) & 0xff) +
               114 * (r.samples(base + 2) & 0xff)) / 1000
         }
-      }
-      // 9x8 cell grid of block-mean lumas (integer floor division)
-      val cells = Array.ofDim[Int](8, 9)
-      var ri = 0
-      while (ri < 8) {
-        var ci = 0
-        while (ci < 9) {
-          val x0 = math.min(ci * w / 9, w - 1)
-          val x1 = math.max((ci + 1) * w / 9, x0 + 1)
-          val y0 = math.min(ri * h / 8, h - 1)
-          val y1 = math.max((ri + 1) * h / 8, y0 + 1)
-          var s = 0L; var n = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) { s += luma(y * w + x); n += 1; x += 1 }
-            y += 1
-          }
-          cells(ri)(ci) = (s / n).toInt
-          ci += 1
-        }
-        ri += 1
-      }
-      var hash = 0L
-      ri = 0
-      while (ri < 8) {
-        var gx = 0
-        while (gx < 8) {
-          if (cells(ri)(gx + 1) > cells(ri)(gx)) hash |= 1L << (ri * 8 + gx)
-          gx += 1
-        }
-        ri += 1
-      }
-      hash
+      })
     }
+
+  /** The dHash cell construction over ANY luma accessor (shared with the
+    * JPEG path, [[Jpeg.jpegDHash64]], so both codecs land in one
+    * signature space): 9×8 grid of integer block-mean lumas, bit
+    * (gy·8+gx) = 1 iff the right neighbor cell is brighter. */
+  private[operators] def dhashFromLuma(w: Int, h: Int, luma: Int => Int): Long = {
+    // 9x8 cell grid of block-mean lumas (integer floor division)
+    val cells = Array.ofDim[Int](8, 9)
+    var ri = 0
+    while (ri < 8) {
+      var ci = 0
+      while (ci < 9) {
+        val x0 = math.min(ci * w / 9, w - 1)
+        val x1 = math.max((ci + 1) * w / 9, x0 + 1)
+        val y0 = math.min(ri * h / 8, h - 1)
+        val y1 = math.max((ri + 1) * h / 8, y0 + 1)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        cells(ri)(ci) = (s / n).toInt
+        ci += 1
+      }
+      ri += 1
+    }
+    var hash = 0L
+    ri = 0
+    while (ri < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cells(ri)(gx + 1) > cells(ri)(gx)) hash |= 1L << (ri * 8 + gx)
+        gx += 1
+      }
+      ri += 1
+    }
+    hash
+  }
 
   /** Batch dHash over (media_id, content): narrow mapPartitions (binary
     * decode has no Catalyst fit), no shuffle; undecodable rows emit a

@@ -254,6 +254,35 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
       "per-group CMS probe sort-merge-joins the cell table")
   }
 
+  test("signature-store probe broadcasts the batch; the store side never shuffles") {
+    // the incremental multimodal-dedup contract: a daily probe against a
+    // 100 TB signature store must be batch-broadcast + corpus scan — any
+    // exchange on the store side would re-shuffle the corpus per probe
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_planshape_sigstore")
+    if (path.exists()) org.apache.commons.io.FileUtils.deleteDirectory(path)
+    graft.operators.Dedup.writeSignatureStore(
+      (1L to 100L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "sig"),
+      path.getAbsolutePath)
+    val batch = Seq((1000L, 42L)).toDF("doc_id", "sig")
+    val plan = graft.operators.Dedup
+      .probeSignatureStore(spark, path.getAbsolutePath, batch)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected the batch pigeonhole rows to broadcast")
+    // the only exchange allowed is the final pair-sized distinct — the
+    // store scan below the join must reach the join without shuffling
+    val joinNode = bhj.head
+    val storeSide = Seq(joinNode.left, joinNode.right)
+      .find(_.collectLeaves().exists(_.toString.contains("parquet")))
+    assert(storeSide.isDefined)
+    assert(storeSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "store side of the probe join must not shuffle")
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")
