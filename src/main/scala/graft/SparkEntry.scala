@@ -5473,6 +5473,41 @@ object SparkEntry {
       .orderBy(col("n_urls").desc, col("domain"))
   }
 
+  /** The composition the domain key exists FOR: per-registrable-domain
+    * document caps ([[graft.operators.UrlDomain]] group key feeding
+    * [[graft.operators.Caps.capPerGroup]]'s deterministic ring-hash
+    * selection) — "at most K pages per site" over the same planted URL
+    * classes as `url_domain_report`; unattributable URLs (null domain)
+    * are excluded from capping, the curation convention (they flow to a
+    * separate review lane, not a shared null bucket that would cap
+    * unrelated IPs against each other). FULL-VALUE oracle: the domain
+    * replay composed with the ring-hash row_number rule. */
+  private def qUrlDomainCaps(spark: SparkSession, dir: String): DataFrame = {
+    val urls = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
+      .selectExpr("c_custkey",
+        """CASE
+           WHEN c_custkey % 12 = 0 THEN concat('https://shop', CAST(c_custkey % 97 AS STRING), '.example.com/products?id=', CAST(c_custkey AS STRING))
+           WHEN c_custkey % 12 = 1 THEN concat('http://user@www', CAST(c_custkey % 13 AS STRING), '.webmail.co.uk:8080/inbox')
+           WHEN c_custkey % 12 = 2 THEN concat('media', CAST(c_custkey % 7 AS STRING), '.cdn.ac.uk')
+           WHEN c_custkey % 12 = 3 THEN concat('https://192.168.', CAST(c_custkey % 256 AS STRING), '.', CAST(c_custkey % 250 AS STRING), '/admin')
+           WHEN c_custkey % 12 = 4 THEN concat('https://news.site', CAST(c_custkey % 11 AS STRING), '.com.au/a')
+           WHEN c_custkey % 12 = 5 THEN 'ftp://files.archive.org:21/pub'
+           WHEN c_custkey % 12 = 6 THEN 'https://www.gov.ck/services'
+           WHEN c_custkey % 12 = 7 THEN 'https://www.ck/index'
+           WHEN c_custkey % 12 = 8 THEN 'http://localhost:3000/dev'
+           WHEN c_custkey % 12 = 9 THEN concat('https://api.v', CAST(c_custkey % 3 AS STRING), '.app', CAST(c_custkey % 19 AS STRING), '.io/v1/q')
+           WHEN c_custkey % 12 = 10 THEN concat('//assets.tienda', CAST(c_custkey % 23 AS STRING), '.com.mx/img.png')
+           ELSE concat('dash.metrics', CAST(c_custkey % 5 AS STRING), '.example.co.jp.')
+           END AS url""")
+    val withDomain = urls.select(col("c_custkey").cast("long").as("id"),
+        graft.operators.UrlDomain.urlDomain(col("url")).as("domain"))
+      .where(col("domain").isNotNull)
+    graft.operators.Caps.capPerGroup(withDomain, Seq("domain"), "id", k = 40)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("domain")
+  }
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */
@@ -5749,6 +5784,7 @@ object SparkEntry {
     "score_calibrate" -> qScoreCalibrate,
     "dedup_cross_source" -> qDedupCrossSource,
     "url_domain_report" -> qUrlDomainReport,
+    "url_domain_caps" -> qUrlDomainCaps,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7431,6 +7467,47 @@ object SparkEntry {
         "SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT host)::BIGINT AS n_hosts, " +
         "((count(*) * 1000000) // (SELECT count(*) FROM r))::BIGINT AS share_ppm " +
         "FROM r GROUP BY domain ORDER BY n_urls DESC, domain"),
+    // the domain replay composed with the ring-hash cap: same suffix
+    // algorithm as url_domain_report, then row_number per domain in
+    // (idHash, id) order, keep rn <= 40, null domains excluded
+    "url_domain_caps" ->
+      ("WITH u AS (SELECT c_custkey AS id, CASE " +
+        "WHEN c_custkey % 12 = 0 THEN concat('https://shop', (c_custkey % 97)::VARCHAR, '.example.com/products?id=', c_custkey::VARCHAR) " +
+        "WHEN c_custkey % 12 = 1 THEN concat('http://user@www', (c_custkey % 13)::VARCHAR, '.webmail.co.uk:8080/inbox') " +
+        "WHEN c_custkey % 12 = 2 THEN concat('media', (c_custkey % 7)::VARCHAR, '.cdn.ac.uk') " +
+        "WHEN c_custkey % 12 = 3 THEN concat('https://192.168.', (c_custkey % 256)::VARCHAR, '.', (c_custkey % 250)::VARCHAR, '/admin') " +
+        "WHEN c_custkey % 12 = 4 THEN concat('https://news.site', (c_custkey % 11)::VARCHAR, '.com.au/a') " +
+        "WHEN c_custkey % 12 = 5 THEN 'ftp://files.archive.org:21/pub' " +
+        "WHEN c_custkey % 12 = 6 THEN 'https://www.gov.ck/services' " +
+        "WHEN c_custkey % 12 = 7 THEN 'https://www.ck/index' " +
+        "WHEN c_custkey % 12 = 8 THEN 'http://localhost:3000/dev' " +
+        "WHEN c_custkey % 12 = 9 THEN concat('https://api.v', (c_custkey % 3)::VARCHAR, '.app', (c_custkey % 19)::VARCHAR, '.io/v1/q') " +
+        "WHEN c_custkey % 12 = 10 THEN concat('//assets.tienda', (c_custkey % 23)::VARCHAR, '.com.mx/img.png') " +
+        "ELSE concat('dash.metrics', (c_custkey % 5)::VARCHAR, '.example.co.jp.') END AS url FROM customer), " +
+        "h AS (SELECT id, rtrim(lower(regexp_extract(regexp_replace(url, '^//', ''), " +
+        "'^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)', 1)), '.') AS host FROM u), " +
+        "hl AS (SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS nl " +
+        "FROM (SELECT DISTINCT host FROM h)), " +
+        "c2 AS (SELECT host, nl, ls, unnest(generate_series(1, nl)) AS i FROM hl), " +
+        "c3 AS (SELECT host, nl, i, array_to_string(ls[i:], '.') AS cand, " +
+        "CASE WHEN i < nl THEN array_to_string(ls[i+1:], '.') END AS tail FROM c2), " +
+        "m AS (SELECT host, nl, " +
+        "min(CASE WHEN cand IN ('www.ck') THEN i END) AS exc_i, " +
+        "min(CASE WHEN cand IN ('com','org','io','uk','co.uk','ac.uk','au','com.au','mx','com.mx','jp','co.jp') THEN i END) AS norm_i, " +
+        "min(CASE WHEN tail IN ('ck') THEN i END) AS wild_i FROM c3 GROUP BY host, nl), " +
+        "ps AS (SELECT host, CASE WHEN exc_i IS NOT NULL THEN exc_i + 1 " +
+        "WHEN norm_i IS NOT NULL OR wild_i IS NOT NULL THEN least(coalesce(norm_i, 9999), coalesce(wild_i, 9999)) " +
+        "ELSE nl END AS s FROM m), " +
+        "dm AS (SELECT hl.host, CASE " +
+        "WHEN regexp_matches(hl.host, '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$') THEN NULL " +
+        "WHEN hl.nl < 2 THEN NULL " +
+        "WHEN ps.s >= 2 THEN array_to_string(hl.ls[ps.s - 1:], '.') END AS domain " +
+        "FROM ps JOIN hl ON hl.host = ps.host), " +
+        "r AS (SELECT h.id, dm.domain FROM h JOIN dm ON dm.host = h.host WHERE dm.domain IS NOT NULL), " +
+        "rk AS (SELECT id, domain, row_number() OVER (PARTITION BY domain " +
+        "ORDER BY (id::HUGEINT * 2654435761) % 4294967296, id) AS rn FROM r) " +
+        "SELECT domain, count(*)::BIGINT AS n_kept, sum(id)::BIGINT AS id_sum " +
+        "FROM rk WHERE rn <= 40 GROUP BY domain ORDER BY domain"),
     // oriented-wedge triangle recompute over the same planted graph
     "triangle_count" ->
       ("WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents), " +

@@ -706,13 +706,26 @@ object Multimodal {
   /** Batch dHash over (media_id, content): narrow mapPartitions (binary
     * decode has no Catalyst fit), no shuffle; undecodable rows emit a
     * null hash. Output: (media_id, dhash, decoded). */
+  /** Format-agnostic image dHash: magic-byte dispatch to the PNG or
+    * baseline-JPEG decoder (a real media column holds both; lossy and
+    * lossless copies of one picture land in one signature space by the
+    * shared [[dhashFromLuma]] construction). Unknown/undecodable content
+    * → None. */
+  def imageDHash64(content: Array[Byte]): Option[Long] = {
+    if (content == null || content.length < 3) return None
+    if ((content(0) & 0xff) == 0x89 && content(1) == 'P'.toByte) pngDHash64(content)
+    else if ((content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8)
+      Jpeg.jpegDHash64(content)
+    else None
+  }
+
   def dhashImagesDF(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col("media_id").cast("long"), col("content").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, content) =>
-          pngDHash64(content) match {
+          imageDHash64(content) match {
             case Some(hd) => (id, Some(hd), true)
             case None => (id, None, false)
           }

@@ -85,6 +85,23 @@ class JpegSpec extends AnyFunSuite {
     info(s"worst dHash displacement across all 385 texture classes: $worst bits")
   }
 
+  test("dhashImagesDF dispatches by magic bytes: PNG, JPEG, junk in one column") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val (w, h) = (18, 16)
+    val px = texture(w, h, 7L)
+    val rows = Seq(
+      (1L, Multimodal.pngEncode(w, h, 0, px)),
+      (2L, Jpeg.encodeGray(w, h, px, quality = 90)),
+      (3L, "not an image".getBytes))
+    val got = Multimodal.dhashImagesDF(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(2L)._2 && !got(3L)._2)
+    assert(got(3L)._1 === None)
+    val d = java.lang.Long.bitCount(got(1L)._1.get ^ got(2L)._1.get)
+    assert(d <= 16, s"PNG vs JPEG dHash of one picture moved $d bits")
+  }
+
   test("interop: the decoder reads what javax.imageio writes (real-world baseline)") {
     // the JDK's ImageIO JPEG writer is an independent baseline implementation;
     // decoding its output proves the marker walk + Huffman + IDCT against

@@ -159,6 +159,25 @@ class MaskTransformSpec extends AnyFunSuite {
       === "(`c` + 1) * 2")
   }
 
+  test("mask_fpe composes as a metadata treatment (FPE joins the O1/O2 pipeline)") {
+    // treatments are SQL templates, so the FF1 function needs NO operator
+    // change to ride the metadata-driven masking stage — this pins that
+    graft.functions.Fpe.register(spark, SparkTestBase.passphrase)
+    val schema = StructType(Seq(
+      StructField("pan", StringType, nullable = true,
+        mkMeta("mask_fpe('0123456789', 'pan', ${value})"))))
+    val rows = Seq(Row("4111-1111-1111-1111"), Row("12"), Row(null: String))
+    val out = MaskTransform(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)).collect()
+    val masked = out(0).getString(0)
+    assert(masked.matches("^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}$"))
+    assert(masked !== "4111-1111-1111-1111")
+    assert(masked === graft.functions.Fpe.mask(SparkTestBase.passphrase)(
+      "0123456789", "pan", "4111-1111-1111-1111"))
+    assert(out(1).getString(0) !== null) // "12" is at the FF1 domain minimum
+    assert(out(2).isNullAt(0)) // null passes
+  }
+
   test("empty treatments array fails naming the field, not with a bare ParseException") {
     import spark.implicits._
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
