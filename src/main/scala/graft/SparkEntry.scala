@@ -5508,6 +5508,40 @@ object SparkEntry {
       .orderBy("domain")
   }
 
+  /** RFC 9309 robots.txt compliance pass ([[graft.operators.Robots]] —
+    * wildcard/anchor patterns, longest-match, allow-on-tie, named-group-
+    * beats-star, group merging) over three planted robots variants ×
+    * five path classes. FULL-VALUE oracle: DuckDB re-derives every
+    * verdict from a RULES TABLE — group selection (named if present,
+    * else `*`), pattern→regex conversion, max-length precedence with
+    * allow tie-break, and the no-match default — never from the
+    * engine's verdicts. */
+  private def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val robots0 = "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n# footer comment"
+    val robots1 = "User-agent: graftbot\nUser-agent: extra\nDisallow: /private*\n" +
+      "Allow: /private/ok$\n\nUser-agent: *\nDisallow: /"
+    val robots2 = "User-agent: otherbot\nDisallow: /"
+    val u = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
+      .select(col("c_custkey").cast("long").as("id"))
+      .withColumn("v", pmod(col("id"), lit(3L)))
+      .withColumn("path",
+        when(col("id") % 5 === 0, lit("/index"))
+          .when(col("id") % 5 === 1, lit("/admin/settings"))
+          .when(col("id") % 5 === 2, lit("/admin/public/page"))
+          .when(col("id") % 5 === 3, concat(lit("/private/"), col("id").cast("string")))
+          .otherwise(lit("/private/ok")))
+      .withColumn("robots",
+        when(col("v") === 0, lit(robots0))
+          .when(col("v") === 1, lit(robots1))
+          .otherwise(lit(robots2)))
+      .withColumn("ok", graft.operators.Robots.allowed(col("robots"), col("path"), "graftbot"))
+    u.groupBy(col("v"))
+      .agg(count(lit(1)).as("n_urls"),
+        count(when(col("ok"), 1)).as("n_allowed"),
+        coalesce(sum(when(col("ok"), col("id"))), lit(0L)).cast("long").as("allowed_id_sum"))
+      .orderBy("v")
+  }
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */
@@ -5785,6 +5819,7 @@ object SparkEntry {
     "dedup_cross_source" -> qDedupCrossSource,
     "url_domain_report" -> qUrlDomainReport,
     "url_domain_caps" -> qUrlDomainCaps,
+    "robots_filter" -> qRobotsFilter,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7467,6 +7502,38 @@ object SparkEntry {
         "SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT host)::BIGINT AS n_hosts, " +
         "((count(*) * 1000000) // (SELECT count(*) FROM r))::BIGINT AS share_ppm " +
         "FROM r GROUP BY domain ORDER BY n_urls DESC, domain"),
+    // rules-table replay of the RFC 9309 semantics: group selection
+    // (named group if the variant has one, else '*'), pattern->regex
+    // conversion ('*' -> '.*', trailing '$' kept as anchor), longest
+    // pattern wins with allow on ties, no-match defaults to allowed
+    "robots_filter" ->
+      ("WITH u AS (SELECT c_custkey AS id, c_custkey % 3 AS v, CASE " +
+        "WHEN c_custkey % 5 = 0 THEN '/index' " +
+        "WHEN c_custkey % 5 = 1 THEN '/admin/settings' " +
+        "WHEN c_custkey % 5 = 2 THEN '/admin/public/page' " +
+        "WHEN c_custkey % 5 = 3 THEN concat('/private/', c_custkey::VARCHAR) " +
+        "ELSE '/private/ok' END AS path FROM customer), " +
+        "r(v, agent, allow, pattern) AS (VALUES " +
+        "(0, '*', 0, '/admin'), (0, '*', 1, '/admin/public'), " +
+        "(1, 'graftbot', 0, '/private*'), (1, 'graftbot', 1, '/private/ok$'), (1, '*', 0, '/'), " +
+        "(2, 'otherbot', 0, '/')), " +
+        "g AS (SELECT v, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_named " +
+        "FROM r GROUP BY v), " +
+        "eff AS (SELECT r.v, r.allow, r.pattern, len(r.pattern) AS plen FROM r JOIN g USING (v) " +
+        "WHERE (g.has_named = 1 AND r.agent = 'graftbot') OR (g.has_named = 0 AND r.agent = '*')), " +
+        "m AS (SELECT u.id, u.v, e.allow, e.plen FROM u LEFT JOIN eff e ON e.v = u.v " +
+        "AND regexp_matches(u.path, '^' || " +
+        "replace(CASE WHEN e.pattern LIKE '%$' THEN substr(e.pattern, 1, len(e.pattern) - 1) ELSE e.pattern END, '*', '.*') || " +
+        "CASE WHEN e.pattern LIKE '%$' THEN '$' ELSE '' END)), " +
+        "rk AS (SELECT id, v, allow, row_number() OVER (PARTITION BY id " +
+        "ORDER BY plen DESC NULLS LAST, allow DESC) AS rn FROM m), " +
+        "verdict AS (SELECT id, v, " +
+        "CASE WHEN allow IS NULL THEN true WHEN allow = 1 THEN true ELSE false END AS ok " +
+        "FROM rk WHERE rn = 1) " +
+        "SELECT v::BIGINT AS v, count(*)::BIGINT AS n_urls, " +
+        "count(CASE WHEN ok THEN 1 END)::BIGINT AS n_allowed, " +
+        "coalesce(sum(CASE WHEN ok THEN id END), 0)::BIGINT AS allowed_id_sum " +
+        "FROM verdict GROUP BY v ORDER BY v"),
     // the domain replay composed with the ring-hash cap: same suffix
     // algorithm as url_domain_report, then row_number per domain in
     // (idHash, id) order, keep rn <= 40, null domains excluded
