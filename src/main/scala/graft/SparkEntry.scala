@@ -5542,6 +5542,51 @@ object SparkEntry {
       .orderBy("v")
   }
 
+  /** WARC ingestion end-to-end ([[graft.sources.Warc]] — ISO 28500
+    * container parse through REAL gzip member-per-record bytes, HTTP
+    * status/body split): each document plants a 4-record WARC file
+    * (warcinfo, request, a 200 response whose body is a deterministic
+    * function of doc_id, and a 404), the source flattens files to
+    * records, and the query keeps the 200 bodies — the first operator
+    * of every crawl-derived corpus. FULL-VALUE oracle: record/response
+    * counts, kept-200 count, body character mass and exact body-match
+    * count replayed from the planted construction (the container and
+    * HTTP machinery are what the engine adds; the oracle checks their
+    * output against ground truth it derives itself). */
+  private def qWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val body = s"warc body for doc $id " + Seq.fill((id % 7L).toInt + 1)("w").mkString(" ")
+      val uri = s"https://site${id % 50}.example.com/doc/$id"
+      Warc.writeWarcGz(Seq(
+        Warc.WarcRecord("warcinfo", "", s"<urn:uuid:info-$id>", "application/warc-fields",
+          "software: graft\r\n".getBytes("UTF-8")),
+        Warc.WarcRecord("request", uri, s"<urn:uuid:req-$id>",
+          "application/http;msgtype=request",
+          s"GET /doc/$id HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
+        Warc.WarcRecord("response", uri, s"<urn:uuid:resp-$id>",
+          "application/http;msgtype=response",
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body).getBytes("UTF-8")),
+        Warc.WarcRecord("response", uri + "/missing", s"<urn:uuid:miss-$id>",
+          "application/http;msgtype=response",
+          "HTTP/1.1 404 Not Found\r\n\r\ngone".getBytes("UTF-8"))))
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("warc_id"), mkWarc(col("doc_id").cast("long")).as("content"))
+    val recs = graft.sources.Warc.recordsDF(files)
+    recs.agg(
+      countDistinct(col("warc_id")).as("n_files"),
+      count(lit(1)).as("n_records"),
+      count(when(col("warc_type") === "response", 1)).as("n_responses"),
+      count(when(col("http_status") === 200, 1)).as("n_ok200"),
+      sum(when(col("http_status") === 200, length(col("body_text")))
+        .otherwise(lit(0L))).cast("long").as("body_chars"),
+      count(when(col("http_status") === 200 &&
+        col("body_text") === concat(lit("warc body for doc "), col("warc_id"), lit(" "),
+          concat_ws(" ", array_repeat(lit("w"), (pmod(col("warc_id"), lit(7L)) + 1).cast("int")))),
+        1)).as("n_body_match"))
+  }
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */
@@ -5820,6 +5865,7 @@ object SparkEntry {
     "url_domain_report" -> qUrlDomainReport,
     "url_domain_caps" -> qUrlDomainCaps,
     "robots_filter" -> qRobotsFilter,
+    "warc_ingest" -> qWarcIngest,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7502,6 +7548,17 @@ object SparkEntry {
         "SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT host)::BIGINT AS n_hosts, " +
         "((count(*) * 1000000) // (SELECT count(*) FROM r))::BIGINT AS share_ppm " +
         "FROM r GROUP BY domain ORDER BY n_urls DESC, domain"),
+    // ground truth from the planted construction: 4 records per doc,
+    // 2 responses, 1 kept 200; body = 'warc body for doc <id> ' plus
+    // (id%7)+1 space-joined 'w's, so body length = 18 + len(id) + 1 +
+    // (2*((id%7)+1) - 1); the engine's container/HTTP machinery must
+    // reproduce it byte-for-byte (n_body_match pins to n)
+    "warc_ingest" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "b AS (SELECT id, 19 + len(id::VARCHAR) + 2 * ((id % 7) + 1) - 1 AS blen FROM d) " +
+        "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
+        "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
+        "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
     // rules-table replay of the RFC 9309 semantics: group selection
     // (named group if the variant has one, else '*'), pattern->regex
     // conversion ('*' -> '.*', trailing '$' kept as anchor), longest

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def http200(body: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+      .getBytes(StandardCharsets.UTF_8)
+
+  private def sample = Seq(
+    Warc.WarcRecord("warcinfo", "", "<urn:uuid:info-1>", "application/warc-fields",
+      "software: graft-test\r\n".getBytes(StandardCharsets.UTF_8)),
+    Warc.WarcRecord("request", "https://a.example.com/x", "<urn:uuid:req-1>",
+      "application/http;msgtype=request",
+      "GET /x HTTP/1.1\r\nHost: a.example.com\r\n\r\n".getBytes(StandardCharsets.UTF_8)),
+    Warc.WarcRecord("response", "https://a.example.com/x", "<urn:uuid:resp-1>",
+      "application/http;msgtype=response", http200("hello warc body")),
+    Warc.WarcRecord("response", "https://b.example.org/y", "<urn:uuid:resp-2>",
+      "application/http;msgtype=response",
+      "HTTP/1.1 404 Not Found\r\n\r\nmissing".getBytes(StandardCharsets.UTF_8)))
+
+  test("round-trip: gzipped (member-per-record) and plain parse identically") {
+    for (bytes <- Seq(Warc.writeWarcGz(sample), Warc.writeWarc(sample))) {
+      val got = Warc.parse(bytes)
+      assert(got.map(_.warcType) === Seq("warcinfo", "request", "response", "response"))
+      assert(got.map(_.targetUri) === sample.map(_.targetUri))
+      assert(got(2).payload.toSeq === sample(2).payload.toSeq)
+    }
+  }
+
+  test("binary payloads survive byte-exactly (payload may contain CRLFCRLF)") {
+    val tricky = Array[Byte](13, 10, 13, 10, 0, -1, 127, 13, 10)
+    val rec = Warc.WarcRecord("resource", "https://c.example.com/bin",
+      "<urn:uuid:bin-1>", "application/octet-stream", tricky)
+    val got = Warc.parse(Warc.writeWarcGz(Seq(rec, sample(2))))
+    assert(got.length === 2)
+    assert(got(0).payload.toSeq === tricky.toSeq)
+  }
+
+  test("http helpers: status line and body split") {
+    assert(Warc.httpStatus(sample(2).payload) === 200)
+    assert(Warc.httpStatus(sample(3).payload) === 404)
+    assert(new String(Warc.httpBody(sample(2).payload), StandardCharsets.UTF_8) === "hello warc body")
+    assert(Warc.httpStatus("not http".getBytes) === 0)
+  }
+
+  test("truncation and garbage stop the parse at the failure point, never throw") {
+    val full = Warc.writeWarc(sample)
+    val truncated = full.take(full.length - sample(3).payload.length - 2)
+    val got = Warc.parse(truncated)
+    assert(got.length === 3, "records before the truncation point survive")
+    assert(Warc.parse("totally not a warc".getBytes) === Nil)
+    assert(Warc.parse(null) === Nil)
+    // a corrupt gzip stream yields Nil rather than a task failure
+    val gz = Warc.writeWarcGz(sample)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x55).toByte
+    Warc.parse(gz) // must not throw (may yield a prefix)
+  }
+
+  test("recordsDF flattens files to records: narrow, response bodies extracted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Warc.writeWarcGz(sample)),
+      (2L, Warc.writeWarc(sample.take(1)))).toDF("warc_id", "content")
+    val rows = Warc.recordsDF(df).collect()
+    assert(rows.length === 5)
+    val resp = rows.filter(_.getString(1) == "response").sortBy(_.getString(2))
+    assert(resp.map(_.getInt(4)).toSeq === Seq(200, 404))
+    assert(resp(0).getString(5) === "hello warc body")
+    assert(rows.filter(_.getString(1) == "warcinfo").forall(_.isNullAt(5)))
+  }
+}
