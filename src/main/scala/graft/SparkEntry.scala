@@ -4954,6 +4954,20 @@ object SparkEntry {
       .orderBy("nat", "seg")
   }
 
+  /** The DP SUM release ([[graft.operators.Privacy.dpNoisySums]] — the
+    * count mechanism's sibling for magnitudes): account balances clamped
+    * to $1000 (100000 cents — the clamp sets sensitivity, not the data),
+    * summed per market segment, noise = clip × the seeded draw. Oracle
+    * replays clamp, sum, and the identical generated noise CASE. */
+  private def qDpSums(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    graft.operators.Privacy.dpNoisySums(c, Seq("seg"), "bal_cents",
+        clip = 100000L, release = "r16-balances")
+      .orderBy("seg")
+  }
+
   /** The reference's PURPOSE measured end-to-end: re-identification risk
     * of the quasi-identifier tuple BEFORE and AFTER a metadata-driven
     * treatment set — the masking engine (O1/O2: treatments in schema
@@ -5686,6 +5700,7 @@ object SparkEntry {
     "k_anonymity" -> qKAnonymity,
     "t_closeness" -> qTCloseness,
     "dp_counts" -> qDpCounts,
+    "dp_sums" -> qDpSums,
     "mask_k_anon" -> qMaskKAnon,
     "generalize_k_anon" -> qGeneralizeKAnon,
     "dedup_lines_global" -> qDedupLinesGlobal,
@@ -7785,6 +7800,15 @@ object SparkEntry {
         graft.operators.Privacy.dpNoiseCaseSql(
           "('0x' || substr(md5('r16-census' || ':' || nat::VARCHAR || ':' || seg), 1, 15))::UBIGINT::BIGINT") +
         ")::BIGINT AS n_noisy FROM g ORDER BY nat, seg"),
+    // clamp + sum + the identical generated noise CASE scaled by clip
+    "dp_sums" ->
+      ("WITH c AS (SELECT c_mktsegment AS seg, " +
+        "least(greatest(round(c_acctbal * 100)::BIGINT, 0), 100000) AS v FROM customer), " +
+        "g AS (SELECT seg, sum(v)::BIGINT AS s FROM c GROUP BY seg) " +
+        "SELECT seg, (s + 100000 * " +
+        graft.operators.Privacy.dpNoiseCaseSql(
+          "('0x' || substr(md5('r16-balances' || ':' || seg), 1, 15))::UBIGINT::BIGINT") +
+        ")::BIGINT AS sum_noisy FROM g ORDER BY seg"),
     // before/after anonymity of the treatment set: suppress name,
     // generalize nation to 10-wide groups
     "mask_k_anon" ->

@@ -224,10 +224,36 @@ object Privacy {
       s"release label must be [A-Za-z0-9_.-]+ (it is hashed into the draw): '$release'")
     val counts = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
+    counts.selectExpr(groupBy.map(c => s"`$c`") :+
+      s"__n + ${dpNoiseCaseSql(hash60(release, groupBy), maxNoise)} AS n_noisy": _*)
+  }
+
+  private def hash60(release: String, groupBy: Seq[String]): String = {
     val key = s"concat('$release'" +
       groupBy.map(c => s", ':', CAST(`$c` AS STRING)").mkString + ")"
-    val h = s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
-    counts.selectExpr(groupBy.map(c => s"`$c`") :+
-      s"__n + ${dpNoiseCaseSql(h, maxNoise)} AS n_noisy": _*)
+    s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+  }
+
+  /** ε = ln 2 differentially-private per-group SUMS with contribution
+    * clamping: each row's value is clamped to [0, clip] BEFORE summing
+    * (the clamp, not the data, sets the sensitivity — one person moves
+    * the sum by at most `clip`), then noise = clip × the same seeded
+    * discrete-Laplace draw, scaled so one noise unit covers one clip of
+    * sensitivity and the ln 2 guarantee carries over unchanged. Noisy
+    * sums land on the clip grid around the clamped truth and can be
+    * negative; the clamped truth never leaves the operator. Same
+    * release-label ledger rule as [[dpNoisyCounts]] (counts and sums of
+    * one population under one label cost TWO releases). */
+  def dpNoisySums(df: DataFrame, groupBy: Seq[String], valueCol: String,
+                  clip: Long, release: String, maxNoise: Int = 40): DataFrame = {
+    require(groupBy.nonEmpty, "need at least one group column")
+    require(clip >= 1, "clip must be >= 1")
+    require(release.matches("[A-Za-z0-9_.-]+"),
+      s"release label must be [A-Za-z0-9_.-]+ (it is hashed into the draw): '$release'")
+    val clamped = least(greatest(col(s"`$valueCol`").cast("long"), lit(0L)), lit(clip))
+    val sums = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
+      .agg(sum(clamped).as("__s"))
+    sums.selectExpr(groupBy.map(c => s"`$c`") :+
+      s"__s + $clip * ${dpNoiseCaseSql(hash60(release, groupBy), maxNoise)} AS sum_noisy": _*)
   }
 }

@@ -146,4 +146,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(stats.getAs[Number](1).longValue >= -40L && stats.getAs[Number](2).longValue <= 40L)
     assert(math.abs(stats.getAs[Number](3).longValue) < 3000L) // mean ~ 0
   }
+
+  test("dpNoisySums: clamp sets sensitivity; noise rides the clip grid; deterministic") {
+    import spark.implicits._
+    // values WAY above the clip must not move the release more than the
+    // clamp allows: group g0 holds outliers of 1e9, g1 holds zeros
+    val df = (1L to 100L).map(i =>
+      ("g" + (i % 2).toString, if (i % 2 == 0) 1000000000L else 0L)).toDF("g", "v")
+    def release(label: String) =
+      Privacy.dpNoisySums(df, Seq("g"), "v", clip = 10L, release = label)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = release("sum-a")
+    assert(a === release("sum-a"))
+    assert(a !== release("sum-b"))
+    // clamped truth: g0 = 50 rows * 10 = 500, g1 = 0; noise in clip*[-40,40]
+    assert(math.abs(a("g0") - 500L) <= 400L && a("g0") % 10 == 0)
+    assert(math.abs(a("g1") - 0L) <= 400L && a("g1") % 10 == 0)
+    // negative inputs clamp at 0, not -clip
+    val neg = Seq(("g", -999L), ("g", 5L)).toDF("g", "v")
+    val out = Privacy.dpNoisySums(neg, Seq("g"), "v", clip = 10L, release = "sum-c")
+      .collect()(0).getLong(1)
+    assert(math.abs(out - 5L) <= 400L && (out - 5L) % 10 == 0)
+  }
 }
