@@ -259,6 +259,14 @@ object ScaleCheck {
     // with zero corpus shuffle) are plan-structural, asserted in
     // PlanShapeSpec instead
     "mask_fpe_props", "dp_counts", "url_domain_report",
+    // round-16 batch 2: the DP sum twin (same one-shuffle class as
+    // dp_counts), the domain∘cap composition (bounded-heap per-group
+    // selection — the cap_per_group class with the codegen'd suffix walk
+    // in front), the robots compliance pass (in-row rule walk over
+    // memoized compiled rules + a 3-row aggregate — scan-bound), and the
+    // WARC ingest (per-row gzip inflate + container parse, one narrow
+    // flatMap — the heaviest per-row CPU of the batch, no shuffle)
+    "dp_sums", "url_domain_caps", "robots_filter", "warc_ingest",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
