@@ -5601,6 +5601,94 @@ object SparkEntry {
         1)).as("n_body_match"))
   }
 
+  /** WARC ingestion as a STRUCTURED STREAM — "every batch source also
+    * streams": the same planted 4-record files arrive via readStream,
+    * each micro-batch runs [[graft.sources.Warc.recordsDF]] verbatim
+    * (the parser is a stateless narrow flatMap, so it lifts to streaming
+    * with ZERO state store) and lands its records in a parquet sink with
+    * per-batch overwrite idempotence. Shares `warc_ingest`'s oracle
+    * VERBATIM: streaming the ingest must not change one record. */
+  private def qStreamWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val body = s"warc body for doc $id " + Seq.fill((id % 7L).toInt + 1)("w").mkString(" ")
+      val uri = s"https://site${id % 50}.example.com/doc/$id"
+      Warc.writeWarcGz(Seq(
+        Warc.WarcRecord("warcinfo", "", s"<urn:uuid:info-$id>", "application/warc-fields",
+          "software: graft\r\n".getBytes("UTF-8")),
+        Warc.WarcRecord("request", uri, s"<urn:uuid:req-$id>",
+          "application/http;msgtype=request",
+          s"GET /doc/$id HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
+        Warc.WarcRecord("response", uri, s"<urn:uuid:resp-$id>",
+          "application/http;msgtype=response",
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body).getBytes("UTF-8")),
+        Warc.WarcRecord("response", uri + "/missing", s"<urn:uuid:miss-$id>",
+          "application/http;msgtype=response",
+          "HTTP/1.1 404 Not Found\r\n\r\ngone".getBytes("UTF-8"))))
+    })
+    val sink = freshTmpStore(spark, "graft_stream_warc_sink").getAbsolutePath
+    val stream = streamTable(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("warc_id"), mkWarc(col("doc_id").cast("long")).as("content"))
+    val q = graft.sources.Warc.recordsDF(stream).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink).agg(
+      countDistinct(col("warc_id")).as("n_files"),
+      count(lit(1)).as("n_records"),
+      count(when(col("warc_type") === "response", 1)).as("n_responses"),
+      count(when(col("http_status") === 200, 1)).as("n_ok200"),
+      sum(when(col("http_status") === 200, length(col("body_text")))
+        .otherwise(lit(0L))).cast("long").as("body_chars"),
+      count(when(col("http_status") === 200 &&
+        col("body_text") === concat(lit("warc body for doc "), col("warc_id"), lit(" "),
+          concat_ws(" ", array_repeat(lit("w"), (pmod(col("warc_id"), lit(7L)) + 1).cast("int")))),
+        1)).as("n_body_match"))
+  }
+
+  /** The crawl pipeline END-TO-END — the round-16 operators composed the
+    * way a real ingest runs them: WARC files → container+HTTP parse
+    * ([[graft.sources.Warc]]) → keep 200s → registrable-domain key
+    * ([[graft.operators.UrlDomain]]) → exact dedup on the PARSED body
+    * (equality across files holds only if gzip+HTTP round-tripped
+    * byte-exactly — the dedup IS a parse-fidelity check) → per-domain
+    * cap ([[graft.operators.Caps]]). Bodies are keyed by doc_id/2 so
+    * consecutive ids collide; min-id wins. FULL-VALUE oracle: the whole
+    * chain replayed from the construction (dup classes, domain classes,
+    * ring-hash cap). */
+  private def qCrawlPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val body = s"crawl document ${id / 2} body " + Seq.fill(((id / 2) % 5L).toInt + 1)("t").mkString(" ")
+      Warc.writeWarcGz(Seq(
+        Warc.WarcRecord("response", s"https://host.site${id % 20}.io/p/$id",
+          s"<urn:uuid:resp-$id>", "application/http;msgtype=response",
+          (s"HTTP/1.1 200 OK\r\n\r\n" + body).getBytes("UTF-8")),
+        Warc.WarcRecord("response", s"https://host.site${id % 20}.io/missing/$id",
+          s"<urn:uuid:miss-$id>", "application/http;msgtype=response",
+          "HTTP/1.1 404 Not Found\r\n\r\ngone".getBytes("UTF-8"))))
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("warc_id"), mkWarc(col("doc_id").cast("long")).as("content"))
+    val docs = graft.sources.Warc.recordsDF(files)
+      .where(col("http_status") === 200)
+      .select(col("warc_id").as("id"), col("target_uri"), col("body_text"))
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("target_uri")))
+    // exact dedup on the parsed body: min id per body wins. The body was
+    // planted keyed by id/2, but the GROUP KEY here is the body STRING
+    // that came back through gzip + WARC + HTTP — byte fidelity is load-bearing
+    val deduped = docs.groupBy(col("body_text"))
+      .agg(min(struct(col("id"), col("domain"))).as("w"))
+      .select(col("w.id").as("id"), col("w.domain").as("domain"))
+    val capped = graft.operators.Caps.capPerGroup(
+      deduped.select(col("id"), col("domain")), Seq("domain"), "id", k = 30)
+    capped.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("domain")
+  }
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */
@@ -5881,6 +5969,8 @@ object SparkEntry {
     "url_domain_caps" -> qUrlDomainCaps,
     "robots_filter" -> qRobotsFilter,
     "warc_ingest" -> qWarcIngest,
+    "crawl_pipeline_e2e" -> qCrawlPipelineE2e,
+    "stream_warc_ingest" -> qStreamWarcIngest,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7574,6 +7664,26 @@ object SparkEntry {
         "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
         "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
         "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
+    // streaming the ingest must not change one record: warc_ingest's
+    // construction replay VERBATIM
+    "stream_warc_ingest" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "b AS (SELECT id, 19 + len(id::VARCHAR) + 2 * ((id % 7) + 1) - 1 AS blen FROM d) " +
+        "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
+        "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
+        "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
+    // the whole ingest chain replayed from the construction: bodies are
+    // keyed by id/2 (min id wins the exact dedup), the winner's domain
+    // is site(id%20).io, then the ring-hash cap at 30 per domain — the
+    // engine's gzip+WARC+HTTP+suffix+cap machinery must land exactly here
+    "crawl_pipeline_e2e" ->
+      ("WITH u AS (SELECT doc_id AS id FROM documents), " +
+        "w AS (SELECT min(id) AS id FROM u GROUP BY id // 2), " +
+        "d AS (SELECT id, 'site' || (id % 20)::VARCHAR || '.io' AS domain FROM w), " +
+        "rk AS (SELECT id, domain, row_number() OVER (PARTITION BY domain " +
+        "ORDER BY (id::HUGEINT * 2654435761) % 4294967296, id) AS rn FROM d) " +
+        "SELECT domain, count(*)::BIGINT AS n_kept, sum(id)::BIGINT AS id_sum " +
+        "FROM rk WHERE rn <= 30 GROUP BY domain ORDER BY domain"),
     // rules-table replay of the RFC 9309 semantics: group selection
     // (named group if the variant has one, else '*'), pattern->regex
     // conversion ('*' -> '.*', trailing '$' kept as anchor), longest
