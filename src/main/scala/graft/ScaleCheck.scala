@@ -267,6 +267,12 @@ object ScaleCheck {
     // WARC ingest (per-row gzip inflate + container parse, one narrow
     // flatMap — the heaviest per-row CPU of the batch, no shuffle)
     "dp_sums", "url_domain_caps", "robots_filter", "warc_ingest",
+    // the composed ingest chain: parse cost linear (warc_ingest's term),
+    // dedup = one body-keyed aggregate (winners = half the corpus by
+    // construction), cap = the bounded-heap class. stream_warc_ingest is
+    // the same parser under trigger machinery — the memory-sink-harness
+    // exclusion class (stream_segment note)
+    "crawl_pipeline_e2e",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
