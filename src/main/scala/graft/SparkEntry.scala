@@ -5601,6 +5601,36 @@ object SparkEntry {
         1)).as("n_body_match"))
   }
 
+  /** Domain link graph from planted HTML
+    * ([[graft.operators.TextAnalysis.extractLinks]] ∘
+    * [[graft.operators.UrlDomain.urlDomain]]): each doc's page carries
+    * two absolute cross-site anchors (mixed quoting and case), one
+    * relative link, and one href-less anchor; links resolve to
+    * registrable domains (relative links have no host → drop from the
+    * domain graph) and aggregate to per-target in-link counts — the
+    * edge table a PageRank-style quality prior runs on. FULL-VALUE
+    * oracle: DuckDB builds the SAME html strings and independently
+    * replays extraction (its own regexp_extract_all) AND the suffix
+    * algorithm. */
+  private def qHtmlLinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .selectExpr("id",
+        """concat('<html><body><p>doc ', CAST(id AS STRING), '</p>',
+           '<a class="m" href="https://a.site', CAST((id * 31 + 7) % 20 AS STRING), '.io/p">one</a> ',
+           '<A HREF=''https://b.site', CAST((id * 17 + 3) % 20 AS STRING), '.io/q?z=1#frag''>two</A> ',
+           '<a href="/relative/path">rel</a> <a name="x">no href</a></body></html>') AS html""")
+    docs
+      .select(col("id"),
+        explode(graft.operators.TextAnalysis.extractLinks(col("html"))).as("link"))
+      .select(concat(lit("site"), (col("id") % 20).cast("string"), lit(".io")).as("src_domain"),
+        graft.operators.UrlDomain.urlDomain(col("link")).as("dst_domain"))
+      .where(col("dst_domain").isNotNull)
+      .groupBy(col("dst_domain"))
+      .agg(count(lit(1)).as("in_links"), countDistinct(col("src_domain")).as("n_src_domains"))
+      .orderBy("dst_domain")
+  }
+
   /** WARC ingestion as a STRUCTURED STREAM — "every batch source also
     * streams": the same planted 4-record files arrive via readStream,
     * each micro-batch runs [[graft.sources.Warc.recordsDF]] verbatim
@@ -5971,6 +6001,7 @@ object SparkEntry {
     "warc_ingest" -> qWarcIngest,
     "crawl_pipeline_e2e" -> qCrawlPipelineE2e,
     "stream_warc_ingest" -> qStreamWarcIngest,
+    "html_link_graph" -> qHtmlLinkGraph,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7664,6 +7695,32 @@ object SparkEntry {
         "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
         "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
         "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
+    // independent extraction + suffix replay: DuckDB builds the same html,
+    // pulls hrefs with ITS regexp_extract_all, derives hosts and runs the
+    // public-suffix algorithm over the reachable rule subset
+    "html_link_graph" ->
+      ("WITH docs AS (SELECT doc_id AS id, concat('<html><body><p>doc ', doc_id::VARCHAR, " +
+        "'</p><a class=\"m\" href=\"https://a.site', ((doc_id * 31 + 7) % 20)::VARCHAR, " +
+        "'.io/p\">one</a> <A HREF=''https://b.site', ((doc_id * 17 + 3) % 20)::VARCHAR, " +
+        "'.io/q?z=1#frag''>two</A> <a href=\"/relative/path\">rel</a> " +
+        "<a name=\"x\">no href</a></body></html>') AS html FROM documents), " +
+        "l AS (SELECT id, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"''#>]+)', 1)) AS link FROM docs), " +
+        "h AS (SELECT id, rtrim(lower(regexp_extract(regexp_replace(link, '^//', ''), " +
+        "'^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)', 1)), '.') AS host FROM l), " +
+        "hl AS (SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS nl " +
+        "FROM (SELECT DISTINCT host FROM h WHERE host <> '')), " +
+        "c2 AS (SELECT host, nl, ls, unnest(generate_series(1, nl)) AS i FROM hl), " +
+        "c3 AS (SELECT host, nl, i, array_to_string(ls[i:], '.') AS cand FROM c2), " +
+        "m AS (SELECT host, nl, min(CASE WHEN cand IN ('io', 'com') THEN i END) AS norm_i " +
+        "FROM c3 GROUP BY host, nl), " +
+        "dm AS (SELECT hl.host, CASE WHEN hl.nl < 2 THEN NULL " +
+        "WHEN coalesce(m.norm_i, hl.nl) >= 2 THEN array_to_string(hl.ls[coalesce(m.norm_i, hl.nl) - 1:], '.') END AS domain " +
+        "FROM m JOIN hl ON hl.host = m.host), " +
+        "e AS (SELECT 'site' || (h.id % 20)::VARCHAR || '.io' AS src_domain, dm.domain AS dst_domain " +
+        "FROM h JOIN dm ON dm.host = h.host WHERE dm.domain IS NOT NULL) " +
+        "SELECT dst_domain, count(*)::BIGINT AS in_links, " +
+        "count(DISTINCT src_domain)::BIGINT AS n_src_domains " +
+        "FROM e GROUP BY dst_domain ORDER BY dst_domain"),
     // streaming the ingest must not change one record: warc_ingest's
     // construction replay VERBATIM
     "stream_warc_ingest" ->

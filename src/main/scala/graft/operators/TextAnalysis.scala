@@ -585,6 +585,19 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** href targets of anchor tags — the raw material of the link graph
+    * (out-links feed PageRank-style quality priors; cross-domain edges
+    * via [[UrlDomain.urlDomain]] feed the domain graph). Codegen'd
+    * builtins only (`regexp_extract_all`): case-insensitive `<a … href=`
+    * with single- or double-quoted values, fragments stopped at `#`.
+    * Deliberately a TAG-LEVEL extractor, not an HTML parser — unquoted
+    * hrefs and exotic markup yield misses, which a curation pipeline
+    * absorbs (link statistics are aggregates, not per-row contracts);
+    * the regex is engine-portable so any engine replays the same list. */
+  def extractLinks(text: Column): Column =
+    regexp_extract_all(text,
+      lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)"), lit(1))
+
   /** Per-document top-k keyword extraction by tf-idf — the salient-term
     * summary used for corpus browsing, topic bucketing, and
     * diversity-aware sampling. The idf factor is the engine-portable

@@ -236,6 +236,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === "A & B x <tag> \"q\" 's' a b c &lt; d")
   }
 
+  test("extractLinks: quoting/case variants, fragments cut, non-href anchors skipped") {
+    import spark.implicits._
+    val html = """<a href="https://a.io/x">1</a> <A HREF='https://b.io/y#frag'>2</A>""" +
+      """ <a class="z" href="/rel/path">3</a> <a name="no">4</a>""" +
+      """ <a data-x="1" href = "https://c.io/q?k=v">5</a> plain text"""
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.extractLinks(org.apache.spark.sql.functions.col("t")))
+      .head().getSeq[String](0)
+    assert(out === Seq("https://a.io/x", "https://b.io/y", "/rel/path", "https://c.io/q?k=v"))
+  }
+
   test("qualityDecision: NULL guard stays arithmetic (no conditional wrapper)") {
     // r9 regression pin: wrapping the outputs in when(text.isNull, ...)
     // made the shared tokenize subtree a CaseWhen BRANCH — conditionally
