@@ -130,6 +130,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_url_domain(url) - registrable domain under public-suffix rules (null for IPs/single labels)", 1) {
       case Seq(u) => graft.plans.UrlExpressions.urlDomain(u)
     }
+    injectCol("graft_url_canonical",
+      "graft_url_canonical(url) - canonical URL (case/port/fragment/tracker-param/param-order normalized)", 1) {
+      case Seq(u) => graft.plans.UrlExpressions.urlCanonical(u)
+    }
     injectCol("graft_hash_bucket",
       "graft_hash_bucket(id) - deterministic 32-bit sample hash; WHERE graft_hash_bucket(id) < cutoff", 1) {
       case Seq(id) => graft.operators.Sampling.idHash(id)

@@ -5601,6 +5601,37 @@ object SparkEntry {
         1)).as("n_body_match"))
   }
 
+  /** URL-level exact dedup via canonicalization
+    * ([[graft.operators.UrlDomain.canonicalizeUrl]] — case/default-port/
+    * fragment/tracker-param/param-order/userinfo normalization): four
+    * spellings of each logical page (query order flipped, uppercase
+    * scheme+host with the default port and a fragment, utm/fbclid
+    * trackers injected, userinfo + trailing host dot) must collapse to
+    * ONE canonical key. FULL-VALUE oracle: the canonical string is a
+    * pure function of the page index, so counts, distinct keys, and the
+    * total canonical character mass all replay from the construction —
+    * the normalizer must land exactly there from all four messy
+    * spellings. */
+  private def qUrlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val urls = graft.operators.Partitioning.spread(table(spark, dir, "customer"))
+      .select(col("c_custkey").cast("long").as("id"))
+      .selectExpr("id", "CAST(id DIV 4 AS LONG) AS k")
+      .selectExpr("id", "k",
+        """CASE CAST(id % 4 AS INT)
+           WHEN 0 THEN concat('https://www.shop', CAST(k % 30 AS STRING), '.com/item/', CAST(k AS STRING), '?b=2&a=1')
+           WHEN 1 THEN concat('HTTPS://WWW.Shop', CAST(k % 30 AS STRING), '.COM:443/item/', CAST(k AS STRING), '?a=1&b=2#frag')
+           WHEN 2 THEN concat('https://www.shop', CAST(k % 30 AS STRING), '.com/item/', CAST(k AS STRING), '?utm_source=x&a=1&b=2')
+           ELSE concat('https://crawler@www.shop', CAST(k % 30 AS STRING), '.com./item/', CAST(k AS STRING), '?b=2&a=1&fbclid=z')
+           END AS url""")
+      .withColumn("canon", graft.operators.UrlDomain.urlCanonical(col("url")))
+    urls.agg(
+      count(lit(1)).as("n_urls"),
+      countDistinct(col("canon")).as("n_canonical"),
+      (count(lit(1)) - countDistinct(col("canon"))).as("n_redundant"),
+      sum(length(col("canon"))).cast("long").as("canon_chars"),
+      countDistinct(col("k")).as("n_pages"))
+  }
+
   /** Domain link graph from planted HTML
     * ([[graft.operators.TextAnalysis.extractLinks]] ∘
     * [[graft.operators.UrlDomain.urlDomain]]): each doc's page carries
@@ -6002,6 +6033,7 @@ object SparkEntry {
     "crawl_pipeline_e2e" -> qCrawlPipelineE2e,
     "stream_warc_ingest" -> qStreamWarcIngest,
     "html_link_graph" -> qHtmlLinkGraph,
+    "url_canonical_dedup" -> qUrlCanonicalDedup,
     "profile_table" -> qProfileTable,
     "triangle_count" -> qTriangleCount,
     "embed_centroid" -> qEmbedCentroid,
@@ -7695,6 +7727,16 @@ object SparkEntry {
         "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
         "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
         "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
+    // the canonical key is a pure function of the page index k: FULL
+    // values (distinct keys, redundancy, exact canonical character mass
+    // 34 + len(k%30) + len(k) per row) replay from the construction — the
+    // normalizer must land exactly there from all four messy spellings
+    "url_canonical_dedup" ->
+      ("WITH u AS (SELECT c_custkey AS id, c_custkey // 4 AS k FROM customer) " +
+        "SELECT count(*)::BIGINT AS n_urls, count(DISTINCT k)::BIGINT AS n_canonical, " +
+        "(count(*) - count(DISTINCT k))::BIGINT AS n_redundant, " +
+        "sum(34 + len((k % 30)::VARCHAR) + len(k::VARCHAR))::BIGINT AS canon_chars, " +
+        "count(DISTINCT k)::BIGINT AS n_pages FROM u"),
     // independent extraction + suffix replay: DuckDB builds the same html,
     // pulls hrefs with ITS regexp_extract_all, derives hosts and runs the
     // public-suffix algorithm over the reachable rule subset

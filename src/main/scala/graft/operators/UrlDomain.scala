@@ -149,9 +149,69 @@ object UrlDomain {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  /** Canonical URL form for URL-level exact dedup — the same page is
+    * crawled under dozens of spellings, and a canonicalizer is what
+    * makes "same URL" a join key:
+    *  - scheme and host lowercased; default ports (:80 http, :443
+    *    https) stripped; trailing host dot stripped;
+    *  - fragment removed (never sent to the server);
+    *  - tracking parameters removed (utm_*, fbclid, gclid, msclkid,
+    *    ref — the public analytics-tag families);
+    *  - remaining query parameters SORTED by (key, value): parameter
+    *    order is almost never semantic and unordered-equal URLs should
+    *    collide (deviations welcome at a caller that knows better);
+    *  - empty path → "/"; empty query dropped.
+    * Null/hostless input → null. Pure string function of the input —
+    * engine-replayable, oracle-checked. */
+  def canonicalizeUrl(url: String): String = {
+    if (url == null) return null
+    var s = url.trim
+    if (s.isEmpty) return null
+    val schemeAt = s.indexOf("://")
+    val scheme = if (schemeAt >= 0) s.substring(0, schemeAt).toLowerCase
+                 else if (s.startsWith("//")) "https" else return null
+    val rest = if (schemeAt >= 0) s.substring(schemeAt + 3) else s.substring(2)
+    var end = rest.length
+    var i = 0
+    while (i < end) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') end = i
+      i += 1
+    }
+    var authority = rest.substring(0, end)
+    val at = authority.lastIndexOf('@')
+    if (at >= 0) authority = authority.substring(at + 1)
+    val colon = authority.indexOf(':')
+    var host = (if (colon >= 0) authority.substring(0, colon) else authority).toLowerCase
+    while (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    val port = if (colon >= 0) authority.substring(colon + 1) else ""
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    val tail = rest.substring(end)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail
+    val qAt = noFrag.indexOf('?')
+    val path = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+    val query = if (qAt >= 0) noFrag.substring(qAt + 1) else ""
+    val kept = query.split("&").filter(_.nonEmpty).filterNot { p =>
+      val k = p.takeWhile(_ != '=').toLowerCase
+      k.startsWith("utm_") || k == "fbclid" || k == "gclid" || k == "msclkid" || k == "ref"
+    }.sorted
+    val canonPath = if (path.isEmpty) "/" else path
+    scheme + "://" + host + (if (keepPort) ":" + port else "") + canonPath +
+      (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+  }
+
+  def canonicalizeUrlUTF8(url: UTF8String): UTF8String = {
+    val r = canonicalizeUrl(url.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
   /** Column builders (codegen'd native expressions, not UDFs). */
   def urlHost(url: Column): Column = graft.plans.UrlExpressions.urlHost(url)
   def urlDomain(url: Column): Column = graft.plans.UrlExpressions.urlDomain(url)
+  def urlCanonical(url: Column): Column = graft.plans.UrlExpressions.urlCanonical(url)
 
   /** Per-registrable-domain curation report over a URL column: row and
     * distinct-host counts plus an exact ppm share — the table a

@@ -23,6 +23,8 @@ object UrlExpressions {
     GraftBridge.column(UrlHostExpr(GraftBridge.expression(url)))
   def urlDomain(url: Column): Column =
     GraftBridge.column(UrlDomainExpr(GraftBridge.expression(url)))
+  def urlCanonical(url: Column): Column =
+    GraftBridge.column(UrlCanonicalExpr(GraftBridge.expression(url)))
 }
 
 abstract class UrlStringExpr extends UnaryExpression {
@@ -59,5 +61,14 @@ case class UrlDomainExpr(child: Expression) extends UrlStringExpr {
   override def nullSafeEval(input: Any): Any =
     graft.operators.UrlDomain.domainOfUrlUTF8(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): UrlDomainExpr =
+    copy(child = newChild)
+}
+
+case class UrlCanonicalExpr(child: Expression) extends UrlStringExpr {
+  override def prettyName: String = "graft_url_canonical"
+  override protected def kernel: String = "canonicalizeUrlUTF8"
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.UrlDomain.canonicalizeUrlUTF8(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalExpr =
     copy(child = newChild)
 }

@@ -25,6 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "mask_string", "mask_string_alphabet", "mask_string_alphabet_format",
         "mask_date", "mask_timestamp", "mask_decimal", "mask_name", "mask_email",
         "mask_fpe", "unmask_fpe", "graft_url_host", "graft_url_domain",
+        "graft_url_canonical",
         "graft_dot", "graft_simhash64", "graft_quality", "graft_lang",
         "graft_langid", "graft_fingerprint", "graft_hash_bucket",
         "graft_max_abs", "graft_quantize_int8", "graft_dequant_max_error",

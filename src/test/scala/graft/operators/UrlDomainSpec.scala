@@ -73,6 +73,23 @@ class UrlDomainSpec extends AnyFunSuite {
       Seq("example.com", "blog.co.uk", null, "www.gov.ck", "www.ck", null))
   }
 
+  test("canonicalizeUrl: case, ports, fragments, trackers, param order, userinfo") {
+    val want = "https://www.shop.com/item/7?a=1&b=2"
+    assert(UrlDomain.canonicalizeUrl("https://www.shop.com/item/7?b=2&a=1") === want)
+    assert(UrlDomain.canonicalizeUrl("HTTPS://WWW.Shop.COM:443/item/7?a=1&b=2#frag") === want)
+    assert(UrlDomain.canonicalizeUrl("https://www.shop.com/item/7?utm_source=x&a=1&b=2") === want)
+    assert(UrlDomain.canonicalizeUrl("https://user@www.shop.com./item/7?b=2&a=1&fbclid=z") === want)
+    // non-default port kept; http default port stripped; empty path -> "/"
+    assert(UrlDomain.canonicalizeUrl("http://h.example.com:8080") === "http://h.example.com:8080/")
+    assert(UrlDomain.canonicalizeUrl("http://h.example.com:80/x") === "http://h.example.com/x")
+    // all params are trackers -> query dropped entirely
+    assert(UrlDomain.canonicalizeUrl("https://a.io/p?utm_a=1&ref=2&gclid=3") === "https://a.io/p")
+    // protocol-relative assumes https; schemeless (no authority marker) -> null
+    assert(UrlDomain.canonicalizeUrl("//cdn.a.io/lib.js") === "https://cdn.a.io/lib.js")
+    assert(UrlDomain.canonicalizeUrl("just-text") === null)
+    assert(UrlDomain.canonicalizeUrl(null) === null)
+  }
+
   test("domainReport: counts, distinct hosts, exact ppm shares, null group kept") {
     import spark.implicits._
     val df = (Seq.fill(6)("https://a.example.com/x") ++ Seq.fill(2)("https://b.example.com/y") ++
