@@ -273,6 +273,11 @@ object ScaleCheck {
     // the same parser under trigger machinery — the memory-sink-harness
     // exclusion class (stream_segment note)
     "crawl_pipeline_e2e",
+    // round-16 batch 3: link extraction (regexp_extract_all + explode +
+    // a domain-keyed aggregate over a fixed 20-domain space) and URL
+    // canonicalization (in-row string kernel + one 1-row agg with two
+    // distinct terms) — both scan-bound with bounded aggregates
+    "html_link_graph", "url_canonical_dedup",
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
