@@ -133,6 +133,22 @@ object Robots {
     true
   }
 
+  /** `Sitemap:` directives (RFC 9309 allows non-group records; sitemap
+    * lines are the URL-discovery seed a crawler reads next) — order
+    * preserved, duplicates kept (the caller's fetch planner dedups). */
+  def sitemaps(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Nil
+    robotsTxt.split("\n", -1).toSeq.flatMap { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
+
   def isAllowedUTF8(robotsTxt: UTF8String, agent: String, path: UTF8String): Boolean =
     isAllowed(if (robotsTxt == null) null else robotsTxt.toString, agent,
       if (path == null) null else path.toString)

@@ -177,9 +177,12 @@ object Warc {
 
   /** Flatten a (warc_id, content) frame of WARC files into records:
     * (warc_id, warc_type, target_uri, content_type, http_status,
-    * body_text, n_payload_bytes). `body_text` is the UTF-8 HTTP body
-    * for response records, null otherwise. Narrow mapPartitions — files
-    * are the parallelism unit, no shuffle. */
+    * body_text, n_payload_bytes). `body_text` is the UTF-8 HTTP body for
+    * `response` records and the raw payload for `conversion` records
+    * (WET files — Common Crawl's pre-extracted text — are WARC whose
+    * conversion records carry plain text with no HTTP envelope); null
+    * for every other type. Narrow mapPartitions — files are the
+    * parallelism unit, no shuffle. */
   def recordsDF(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col("warc_id").cast("long"), col("content").cast("binary"))
@@ -188,9 +191,12 @@ object Warc {
         rows.flatMap { case (id, content) =>
           parse(content).map { r =>
             val isResponse = r.warcType.equalsIgnoreCase("response")
+            val isConversion = r.warcType.equalsIgnoreCase("conversion")
             val status = if (isResponse) httpStatus(r.payload) else 0
-            val body = if (isResponse)
-              new String(httpBody(r.payload), StandardCharsets.UTF_8) else null
+            val body =
+              if (isResponse) new String(httpBody(r.payload), StandardCharsets.UTF_8)
+              else if (isConversion) new String(r.payload, StandardCharsets.UTF_8)
+              else null
             (id, r.warcType, r.targetUri, r.contentType, status, body,
               r.payload.length.toLong)
           }

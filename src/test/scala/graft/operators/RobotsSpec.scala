@@ -61,6 +61,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed("User-agent: *\nDisallow: /x", "bot", "")) // "" treated as "/"
   }
 
+  test("sitemap directives: non-group records, case-insensitive key, comments stripped") {
+    val txt = "Sitemap: https://a.example.com/sitemap.xml\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "sitemap: https://a.example.com/sitemap-news.xml # daily\n" +
+      "Sitemap:\n" // empty value ignored
+    assert(Robots.sitemaps(txt) === Seq(
+      "https://a.example.com/sitemap.xml", "https://a.example.com/sitemap-news.xml"))
+    assert(Robots.sitemaps(null) === Nil)
+    assert(Robots.sitemaps("User-agent: *\nDisallow: /") === Nil)
+  }
+
   test("column expression matches the kernel and keeps the null contract") {
     import spark.implicits._
     val txt = "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n"

@@ -65,6 +65,21 @@ class WarcSpec extends AnyFunSuite {
     Warc.parse(gz) // must not throw (may yield a prefix)
   }
 
+  test("WET conversion records: payload IS the text (no HTTP envelope)") {
+    import spark.implicits._
+    val wet = Seq(
+      Warc.WarcRecord("warcinfo", "", "<urn:uuid:wi>", "application/warc-fields",
+        "software: graft\r\n".getBytes(StandardCharsets.UTF_8)),
+      Warc.WarcRecord("conversion", "https://a.example.com/x", "<urn:uuid:conv-1>",
+        "text/plain", "extracted page text, already clean".getBytes(StandardCharsets.UTF_8)))
+    val rows = Warc.recordsDF(Seq((9L, Warc.writeWarcGz(wet))).toDF("warc_id", "content"))
+      .collect().sortBy(_.getString(1))
+    assert(rows.length === 2)
+    val conv = rows.find(_.getString(1) == "conversion").get
+    assert(conv.getString(5) === "extracted page text, already clean")
+    assert(conv.getInt(4) === 0) // no HTTP status on conversion records
+  }
+
   test("recordsDF flattens files to records: narrow, response bodies extracted") {
     import spark.implicits._
     val df = Seq(
