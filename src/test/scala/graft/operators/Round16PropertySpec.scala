@@ -183,6 +183,50 @@ class Round16PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- parser crash safety ----
+
+  test("binary parsers never throw: random bytes and mutated valid files") {
+    val rnd = new scala.util.Random(0xF02216L)
+    val validJpeg = graft.operators.Jpeg.encodeGray(16, 16,
+      Array.tabulate[Byte](256)(i => (i * 7).toByte))
+    val validPng = Multimodal.pngEncode(8, 8, 0, Array.tabulate[Byte](64)(_.toByte))
+    val validWarc = graft.sources.Warc.writeWarcGz(Seq(
+      graft.sources.Warc.WarcRecord("response", "https://h/x", "<urn:uuid:1>",
+        "application/http", "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)))
+    def mutate(b: Array[Byte]): Array[Byte] = {
+      val m = b.clone()
+      (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      if (rnd.nextBoolean()) m.take(1 + rnd.nextInt(m.length)) else m
+    }
+    val cases: Seq[Array[Byte]] =
+      (1 to 60).map(_ => Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)) ++
+        (1 to 40).map(_ => mutate(validJpeg)) ++
+        (1 to 40).map(_ => mutate(validPng)) ++
+        (1 to 40).map(_ => mutate(validWarc))
+    cases.foreach { bytes =>
+      graft.operators.Jpeg.decodeLuma(bytes) // Option or None, never throws
+      Multimodal.imageDHash64(bytes)
+      graft.sources.Warc.parse(bytes) // prefix or Nil, never throws
+      graft.operators.Multimodal.parseDimensions(bytes)
+    }
+  }
+
+  test("text parsers never throw: robots and canonicalizer on garbage strings") {
+    val rnd = new scala.util.Random(0xF02217L)
+    def junk(): String = new String(Array.fill(rnd.nextInt(200))(
+      (rnd.nextInt(0xD7FF) + 1).toChar))
+    (1 to 80).foreach { _ =>
+      val t = junk()
+      Robots.isAllowed(t, "bot", junk())
+      Robots.sitemaps(t)
+      UrlDomain.hostOf(t)
+      UrlDomain.registrableDomain(UrlDomain.hostOf(t))
+      UrlDomain.canonicalizeUrl(t)
+    }
+  }
+
   // ---- DP release ----
 
   test("DP noise draw: shifting the hash by one grid step changes noise by at most the CDF step (monotone inverse CDF)") {
