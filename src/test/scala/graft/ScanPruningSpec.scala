@@ -166,4 +166,29 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(listed <= buckets.size && listed < written,
       s"scan lists $listed of $written partitions for ${buckets.size} probed buckets — not pruned")
   }
+
+  test("signature-store reload prunes the chunk= layout to one of four directories") {
+    // readSignatureStore reads each signature exactly once via chunk = 0;
+    // with the store partitioned by chunk that filter must prune the scan
+    // to ONE directory, or every reload pays 4x the store I/O
+    import spark.implicits._
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sig_prune_store")
+    if (store.exists()) org.apache.commons.io.FileUtils.deleteDirectory(store)
+    graft.operators.Dedup.writeSignatureStore(
+      (1L to 200L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "sig"),
+      store.getAbsolutePath)
+    val written = store.listFiles().count(_.getName.startsWith("chunk="))
+    assert(written === 4, s"expected 4 chunk directories, found $written")
+    val df = graft.operators.Dedup.readSignatureStore(spark, store.getAbsolutePath)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",").contains("graft_sig_prune_store") => f
+    }
+    assert(scans.nonEmpty, "no scan over the signature store found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"chunk = 0 did not become a partition filter: ${scan.metadata.get("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"reload lists ${scan.selectedPartitions.partitionCount} of 4 chunk directories — not pruned")
+  }
 }
