@@ -48,20 +48,27 @@ object Fpe {
 
   // alphabet -> (char -> digit) map, memoized: UDF args arrive per ROW,
   // and rebuilding a map per cell would dominate the cipher cost. Tiny
-  // (distinct alphabets in a workload ~ a handful), never evicted.
+  // (distinct alphabets in a workload ~ a handful); bounded so a column
+  // of per-row-varying alphabets degrades to recompute, never to an
+  // unbounded executor heap.
   private val alphaCache = new ConcurrentHashMap[String, java.util.HashMap[Character, Integer]]()
+  private val alphaCacheCap = 1024
 
-  private def alphaMap(alphabet: String): java.util.HashMap[Character, Integer] =
-    alphaCache.computeIfAbsent(alphabet, a => {
-      require(a.length >= 2 && a.length <= 65536, s"alphabet size ${a.length} outside [2, 65536]")
-      val m = new java.util.HashMap[Character, Integer](a.length * 2)
-      var i = 0
-      while (i < a.length) {
-        require(m.put(a.charAt(i), i) == null, s"alphabet has duplicate char '${a.charAt(i)}'")
-        i += 1
-      }
-      m
-    })
+  private def alphaMap(alphabet: String): java.util.HashMap[Character, Integer] = {
+    val hit = alphaCache.get(alphabet)
+    if (hit != null) return hit
+    require(alphabet.length >= 2 && alphabet.length <= 65536,
+      s"alphabet size ${alphabet.length} outside [2, 65536]")
+    val m = new java.util.HashMap[Character, Integer](alphabet.length * 2)
+    var i = 0
+    while (i < alphabet.length) {
+      require(m.put(alphabet.charAt(i), i) == null,
+        s"alphabet has duplicate char '${alphabet.charAt(i)}'")
+      i += 1
+    }
+    if (alphaCache.size < alphaCacheCap) alphaCache.putIfAbsent(alphabet, m)
+    m
+  }
 
   private def transform(value: String, alphabet: String, tweak: String,
                         key: Array[Byte], forward: Boolean): String = {
