@@ -4943,14 +4943,19 @@ object SparkEntry {
     * counts ([[graft.operators.Privacy.dpNoisyCounts]] — seeded discrete-
     * Laplace, Ghosh/Roughgarden/Sundararajan 2009): noise is drawn by
     * integer comparisons of the portable 60-bit md5 hash against EXACT
-    * BigInteger CDF thresholds, keyed by (release label, class), so the
-    * release is deterministic per label and the oracle replays the draw
-    * bit-for-bit — both engines execute the same generated CASE text.
-    * Completes the privacy family's output side (report → release). */
+    * BigInteger CDF thresholds, keyed by (secret-derived release token,
+    * class — advisor r16: a draw keyed by PUBLIC inputs alone is
+    * replayable and the noise subtracts away), so the release is
+    * deterministic per (secret, label) and the ORACLE replays the draw
+    * bit-for-bit because the test owns its secret — both engines execute
+    * the same generated CASE text over the same token. The fixed test
+    * passphrase (not env) seeds both sides so the query is byte-stable
+    * under any harness environment. */
   private def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer").select(
       col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"))
-    graft.operators.Privacy.dpNoisyCounts(c, Seq("nat", "seg"), "r16-census")
+    graft.operators.Privacy.dpNoisyCounts(c, Seq("nat", "seg"), "r16-census",
+        graft.Defaults.testPassphrase)
       .orderBy("nat", "seg")
   }
 
@@ -4964,7 +4969,8 @@ object SparkEntry {
       col("c_mktsegment").as("seg"),
       round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
     graft.operators.Privacy.dpNoisySums(c, Seq("seg"), "bal_cents",
-        clip = 100000L, release = "r16-balances")
+        clip = 100000L, release = "r16-balances",
+        secret = graft.Defaults.testPassphrase)
       .orderBy("seg")
   }
 
@@ -8001,13 +8007,18 @@ object SparkEntry {
         "FROM p GROUP BY nat, seg, n_c ORDER BY nat, seg"),
     // full replay of the DP release: true counts + the IDENTICAL
     // generated noise-draw CASE (exact integer thresholds) over the
-    // DuckDB spelling of the same 60-bit md5 hash
+    // DuckDB spelling of the same secret-seeded 60-bit md5 hash — the
+    // key builder is SHARED with the engine side (Privacy.hash60DuckSql)
+    // and the test's own secret seeds the token, so the replay is the
+    // correctness check, not a de-noising leak (advisor r16)
     "dp_counts" ->
       ("WITH c AS (SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg FROM customer), " +
         "g AS (SELECT nat, seg, count(*)::BIGINT AS n FROM c GROUP BY nat, seg) " +
         "SELECT nat, seg, (n + " +
         graft.operators.Privacy.dpNoiseCaseSql(
-          "('0x' || substr(md5('r16-census' || ':' || nat::VARCHAR || ':' || seg), 1, 15))::UBIGINT::BIGINT") +
+          graft.operators.Privacy.hash60DuckSql(
+            graft.operators.Privacy.dpSeedToken(graft.Defaults.testPassphrase, "r16-census"),
+            Seq("nat", "seg"))) +
         ")::BIGINT AS n_noisy FROM g ORDER BY nat, seg"),
     // clamp + sum + the identical generated noise CASE scaled by clip
     "dp_sums" ->
@@ -8016,7 +8027,9 @@ object SparkEntry {
         "g AS (SELECT seg, sum(v)::BIGINT AS s FROM c GROUP BY seg) " +
         "SELECT seg, (s + 100000 * " +
         graft.operators.Privacy.dpNoiseCaseSql(
-          "('0x' || substr(md5('r16-balances' || ':' || seg), 1, 15))::UBIGINT::BIGINT") +
+          graft.operators.Privacy.hash60DuckSql(
+            graft.operators.Privacy.dpSeedToken(graft.Defaults.testPassphrase, "r16-balances"),
+            Seq("seg"))) +
         ")::BIGINT AS sum_noisy FROM g ORDER BY seg"),
     // before/after anonymity of the treatment set: suppress name,
     // generalize nation to 10-wide groups

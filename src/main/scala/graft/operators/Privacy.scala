@@ -205,33 +205,84 @@ object Privacy {
     s"(CASE ${branches.mkString(" ")} ELSE $maxNoise END)"
   }
 
+  /** Per-release seed token: hex(SHA-256(secret ‖ domain-sep label ‖
+    * release label)). The DRAW is keyed by this token, not by the public
+    * release label alone: DP requires the noise to be UNPREDICTABLE to
+    * anyone holding only the released output, and a draw derived from
+    * public inputs (label + group values, both visible in the release)
+    * is replayable — subtracting it recovers the true count (advisor
+    * r16, high). Embedding the TOKEN in the generated SQL (never the
+    * secret) means plan text for one release reveals nothing about any
+    * other release's draws; the caller's obligations are (a) the secret
+    * stays secret and (b) each release label is used ONCE per population
+    * (the ε ledger). Test oracles may replay the draw because the test
+    * knows its own secret — that replay is the correctness check, not a
+    * leak. */
+  def dpSeedToken(secret: Array[Byte], release: String): String = {
+    require(secret != null && secret.length >= 16,
+      "DP seed secret must be >= 16 bytes (the noise is only as unpredictable as this secret)")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(secret)
+    md.update("graft-dp-seed-v1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(release.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
+  /** One group column's contribution to the draw key, null-safe and
+    * injective: NULL encodes as the fixed term `:n` (a NULL value must
+    * get a real per-group draw, not fall through concat-of-NULL to the
+    * constant ELSE clamp — advisor r16), and non-null values are
+    * length-prefixed (`:v<len>:<value>`) so no separator characters in
+    * the data can make two distinct group tuples collide onto one key.
+    * `castSql` is the engine's string-cast spelling (the one dialect
+    * divergence between Spark and DuckDB here). */
+  private def keyTerm(colSql: String, castSql: String => String): String = {
+    val v = castSql(colSql)
+    val len = castSql(s"length($v)")
+    s"CASE WHEN $colSql IS NULL THEN ':n' ELSE concat(':v', $len, ':', $v) END"
+  }
+
+  private def keyTerms(cols: Seq[String], castSql: String => String): String =
+    cols.map(c => keyTerm(c, castSql)).mkString(", ")
+
+  /** Spark spelling of the 60-bit uniform draw key. */
+  private def hash60(token: String, groupBy: Seq[String]): String = {
+    val key = s"concat('$token', ${keyTerms(groupBy.map(c => s"`$c`"), s => s"CAST($s AS STRING)")})"
+    s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+  }
+
+  /** DuckDB spelling of the IDENTICAL 60-bit draw key — exposed so the
+    * correctness oracle is generated from the same term builder as the
+    * engine side and the two can never drift. */
+  def hash60DuckSql(token: String, cols: Seq[String]): String = {
+    val key = s"concat('$token', ${keyTerms(cols, s => s"CAST($s AS VARCHAR)")})"
+    s"('0x' || substr(md5($key), 1, 15))::UBIGINT::BIGINT"
+  }
+
   /** ε = ln 2 differentially-private per-group counts: groups by the
     * given columns, adds seeded discrete-Laplace noise keyed by
-    * (release label, group values) — the SAME release label must never
-    * be used twice over the same population (re-release under a new
-    * label costs another ε; that accounting is the caller's ledger).
-    * Output is (groups…, n_noisy) ONLY — the true count never leaves
-    * the operator. Noisy counts can be negative (the unbiased release;
-    * consumers clamp at read time if they need display-valid numbers).
+    * (secret-derived release token, group values) — the SAME release
+    * label must never be used twice over the same population under one
+    * secret (re-release under a new label costs another ε; that
+    * accounting is the caller's ledger), and the secret must not be
+    * shared with release consumers (see [[dpSeedToken]]). Output is
+    * (groups…, n_noisy) ONLY — the true count never leaves the operator.
+    * Noisy counts can be negative (the unbiased release; consumers clamp
+    * at read time if they need display-valid numbers).
     *
     * Scale shape: one counting shuffle with map-side combine (the same
     * cost as the non-private count), then a per-row codegen'd CASE —
     * noise adds nothing to the plan's data movement. */
   def dpNoisyCounts(df: DataFrame, groupBy: Seq[String], release: String,
-                    maxNoise: Int = 40): DataFrame = {
+                    secret: Array[Byte], maxNoise: Int = 40): DataFrame = {
     require(groupBy.nonEmpty, "need at least one group column")
     require(release.matches("[A-Za-z0-9_.-]+"),
       s"release label must be [A-Za-z0-9_.-]+ (it is hashed into the draw): '$release'")
+    val token = dpSeedToken(secret, release)
     val counts = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
     counts.selectExpr(groupBy.map(c => s"`$c`") :+
-      s"__n + ${dpNoiseCaseSql(hash60(release, groupBy), maxNoise)} AS n_noisy": _*)
-  }
-
-  private def hash60(release: String, groupBy: Seq[String]): String = {
-    val key = s"concat('$release'" +
-      groupBy.map(c => s", ':', CAST(`$c` AS STRING)").mkString + ")"
-    s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+      s"__n + ${dpNoiseCaseSql(hash60(token, groupBy), maxNoise)} AS n_noisy": _*)
   }
 
   /** ε = ln 2 differentially-private per-group SUMS with contribution
@@ -242,18 +293,20 @@ object Privacy {
     * sensitivity and the ln 2 guarantee carries over unchanged. Noisy
     * sums land on the clip grid around the clamped truth and can be
     * negative; the clamped truth never leaves the operator. Same
-    * release-label ledger rule as [[dpNoisyCounts]] (counts and sums of
-    * one population under one label cost TWO releases). */
+    * secret + release-label ledger rules as [[dpNoisyCounts]] (counts and
+    * sums of one population under one label cost TWO releases). */
   def dpNoisySums(df: DataFrame, groupBy: Seq[String], valueCol: String,
-                  clip: Long, release: String, maxNoise: Int = 40): DataFrame = {
+                  clip: Long, release: String, secret: Array[Byte],
+                  maxNoise: Int = 40): DataFrame = {
     require(groupBy.nonEmpty, "need at least one group column")
     require(clip >= 1, "clip must be >= 1")
     require(release.matches("[A-Za-z0-9_.-]+"),
       s"release label must be [A-Za-z0-9_.-]+ (it is hashed into the draw): '$release'")
+    val token = dpSeedToken(secret, release)
     val clamped = least(greatest(col(s"`$valueCol`").cast("long"), lit(0L)), lit(clip))
     val sums = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
       .agg(sum(clamped).as("__s"))
     sums.selectExpr(groupBy.map(c => s"`$c`") :+
-      s"__s + $clip * ${dpNoiseCaseSql(hash60(release, groupBy), maxNoise)} AS sum_noisy": _*)
+      s"__s + $clip * ${dpNoiseCaseSql(hash60(token, groupBy), maxNoise)} AS sum_noisy": _*)
   }
 }

@@ -105,16 +105,38 @@ object Robots {
   }
 
   // (robots-text, agent) -> compiled rules; robots files repeat across a
-  // corpus keyed by site, so this is a high-hit-rate bounded cache
+  // corpus keyed by site, so this is a high-hit-rate bounded cache. Keys
+  // are the SHA-256 of (agent, text), NOT the text itself (advisor r16,
+  // low: RFC 9309 expects files up to 500 KiB, so 4096 text-keyed entries
+  // could pin ~2 GB per executor forever), and the cache is bounded by
+  // BYTES of retained compiled patterns as well as by entry count — past
+  // either bound new inputs recompute (the alphaCache discipline), they
+  // never grow the heap.
   private val cache = new ConcurrentHashMap[String, Array[Rule]]()
   private val cacheCap = 4096
+  private val cacheByteCap = 64L << 20
+  private val cacheBytes = new java.util.concurrent.atomic.AtomicLong()
+  private val sha = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+
+  private def ruleSetBytes(rules: Array[Rule]): Long =
+    rules.foldLeft(64L)((acc, r) =>
+      acc + 48L + r.segments.foldLeft(0L)((a, s) => a + 40L + s.length * 2L))
 
   private def cachedRules(txt: String, agent: String): Array[Rule] = {
-    val key = agent + "\u0000" + txt
+    val md = sha.get()
+    md.reset()
+    md.update(agent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest())
     val hit = cache.get(key)
     if (hit != null) return hit
     val rules = rulesFor(txt, agent)
-    if (cache.size < cacheCap) cache.putIfAbsent(key, rules)
+    val sz = ruleSetBytes(rules)
+    if (cache.size < cacheCap && cacheBytes.get() + sz <= cacheByteCap &&
+        cache.putIfAbsent(key, rules) == null)
+      cacheBytes.addAndGet(sz)
     rules
   }
 

@@ -181,11 +181,29 @@ object UrlDomain {
     var authority = rest.substring(0, end)
     val at = authority.lastIndexOf('@')
     if (at >= 0) authority = authority.substring(at + 1)
-    val colon = authority.indexOf(':')
-    var host = (if (colon >= 0) authority.substring(0, colon) else authority).toLowerCase
-    while (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    // bracketed-IPv6 branch mirrors hostOf (advisor r16, low: splitting at
+    // the first ':' made '[::1]:8080' canonicalize to host '[' — hostOf and
+    // canonicalizeUrl must agree on every URL); the canonical form keeps the
+    // brackets (a canonical URL must itself be a valid URL)
+    var host: String = null
+    var port = ""
+    if (authority.startsWith("[")) {
+      val close = authority.indexOf(']')
+      if (close <= 1) return null
+      host = authority.substring(0, close + 1).toLowerCase
+      val after = authority.substring(close + 1)
+      if (after.startsWith(":")) port = after.substring(1)
+      else if (after.nonEmpty) return null
+    } else {
+      val colon = authority.indexOf(':')
+      host = (if (colon >= 0) authority.substring(0, colon) else authority).toLowerCase
+      while (host.endsWith(".")) host = host.substring(0, host.length - 1)
+      port = if (colon >= 0) authority.substring(colon + 1) else ""
+    }
     if (host.isEmpty) return null
-    val port = if (colon >= 0) authority.substring(colon + 1) else ""
+    // non-numeric "port" = no authority (the hostOf mailto:-class rule);
+    // both functions now return null rather than disagreeing
+    if (port.nonEmpty && !port.forall(c => c >= '0' && c <= '9')) return null
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
     val tail = rest.substring(end)

@@ -115,8 +115,9 @@ class PrivacySpec extends AnyFunSuite {
   test("dpNoisyCounts: deterministic per label, label-separated, bounded, count-shaped") {
     import spark.implicits._
     val df = (1L to 4000L).map(i => ("g" + (i % 8).toString, i)).toDF("g", "id")
+    val secret = "privacy-spec-secret-0123456789abcdef".getBytes
     def release(label: String) =
-      Privacy.dpNoisyCounts(df, Seq("g"), label)
+      Privacy.dpNoisyCounts(df, Seq("g"), label, secret)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val a = release("spec-a")
     assert(a === release("spec-a"), "same label => identical release")
@@ -124,7 +125,7 @@ class PrivacySpec extends AnyFunSuite {
     // true count is 500 per group; noise bounded by maxNoise = 40
     assert(a.values.forall(v => math.abs(v - 500L) <= 40L))
     // output column surface never includes the true count
-    assert(Privacy.dpNoisyCounts(df, Seq("g"), "spec-c").columns.toSeq === Seq("g", "n_noisy"))
+    assert(Privacy.dpNoisyCounts(df, Seq("g"), "spec-c", secret).columns.toSeq === Seq("g", "n_noisy"))
   }
 
   test("dpNoiseCaseSql: exact thresholds and the 1/3 zero-mass law") {
@@ -153,8 +154,9 @@ class PrivacySpec extends AnyFunSuite {
     // clamp allows: group g0 holds outliers of 1e9, g1 holds zeros
     val df = (1L to 100L).map(i =>
       ("g" + (i % 2).toString, if (i % 2 == 0) 1000000000L else 0L)).toDF("g", "v")
+    val secret = "privacy-spec-secret-0123456789abcdef".getBytes
     def release(label: String) =
-      Privacy.dpNoisySums(df, Seq("g"), "v", clip = 10L, release = label)
+      Privacy.dpNoisySums(df, Seq("g"), "v", clip = 10L, release = label, secret = secret)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val a = release("sum-a")
     assert(a === release("sum-a"))
@@ -164,8 +166,62 @@ class PrivacySpec extends AnyFunSuite {
     assert(math.abs(a("g1") - 0L) <= 400L && a("g1") % 10 == 0)
     // negative inputs clamp at 0, not -clip
     val neg = Seq(("g", -999L), ("g", 5L)).toDF("g", "v")
-    val out = Privacy.dpNoisySums(neg, Seq("g"), "v", clip = 10L, release = "sum-c")
+    val out = Privacy.dpNoisySums(neg, Seq("g"), "v", clip = 10L, release = "sum-c",
+        secret = secret)
       .collect()(0).getLong(1)
     assert(math.abs(out - 5L) <= 400L && (out - 5L) % 10 == 0)
+  }
+
+  test("dp draws are secret-keyed: no replay without the secret; labels still separate") {
+    import spark.implicits._
+    val df = (1L to 800L).map(i => ("g" + (i % 4).toString, i)).toDF("g", "id")
+    def release(secret: String, label: String) =
+      Privacy.dpNoisyCounts(df, Seq("g"), label, secret.getBytes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = release("secret-one-0123456789abcdef", "census")
+    // same (secret, label) => identical release (the determinism contract)
+    assert(a === release("secret-one-0123456789abcdef", "census"))
+    // a different SECRET under the SAME public label => different draws:
+    // the advisor-r16 property — knowing the label alone cannot replay
+    assert(a !== release("secret-two-0123456789abcdef", "census"))
+    // label separation still holds under one secret
+    assert(a !== release("secret-one-0123456789abcdef", "census-2"))
+    // a short secret fails loudly rather than seeding weak noise
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, Seq("g"), "census", "short".getBytes).collect()
+    }
+  }
+
+  test("dp draw keying is null-safe and separator-injection-proof") {
+    import spark.implicits._
+    val secret = "privacy-spec-secret-0123456789abcdef".getBytes
+    // NULL group values must get real per-(label) draws, not the constant
+    // ELSE clamp (+maxNoise) that concat-of-NULL used to fall into
+    val nulls = (1L to 600L).map(i =>
+      (if (i % 3 == 0) null else "g" + (i % 2).toString, i)).toDF("g", "id")
+    def nullNoise(label: String): Long = {
+      val m = Privacy.dpNoisyCounts(nulls, Seq("g"), label, secret)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      m(null) - 200L // true count of the null-keyed group is 600/3 = 200
+    }
+    val draws = Seq("nl-a", "nl-b", "nl-c", "nl-d", "nl-e", "nl-f").map(nullNoise)
+    assert(draws.forall(d => math.abs(d) <= 40L))
+    assert(draws.distinct.size > 1,
+      s"null-keyed groups must draw per-label noise, got constant $draws")
+    assert(!draws.forall(_ == 40L), "null keys must never hit the ELSE clamp constantly")
+    // two distinct group TUPLES whose ':'-joined spellings collide must
+    // still draw independently (length-prefixed keying)
+    val ab = Seq(("a:b", "c", 1L)).toDF("x", "y", "id")
+    val a_bc = Seq(("a", "b:c", 1L)).toDF("x", "y", "id")
+    // not a property that MUST differ for one probe, but across 8 labels
+    // at least one must: identical-for-all-labels means the keys collide
+    val diffs = (1 to 8).map { i =>
+      val l = s"inj-$i"
+      val n1 = Privacy.dpNoisyCounts(ab, Seq("x", "y"), l, secret).collect()(0).getLong(2) - 1L
+      val n2 = Privacy.dpNoisyCounts(a_bc, Seq("x", "y"), l, secret).collect()(0).getLong(2) - 1L
+      n1 == n2
+    }
+    assert(diffs.contains(false),
+      "('a:b','c') and ('a','b:c') drew identically under 8 labels: separator collision")
   }
 }

@@ -90,6 +90,23 @@ class UrlDomainSpec extends AnyFunSuite {
     assert(UrlDomain.canonicalizeUrl(null) === null)
   }
 
+  test("canonicalizeUrl agrees with hostOf on IPv6 and garbage ports (advisor r16)") {
+    // bracketed IPv6: hostOf reads the bracket contents; the canonical
+    // form keeps the brackets and the non-default port
+    assert(UrlDomain.hostOf("https://[::1]:8080/x") === "::1")
+    assert(UrlDomain.canonicalizeUrl("https://[::1]:8080/x") === "https://[::1]:8080/x")
+    assert(UrlDomain.canonicalizeUrl("https://[2001:DB8::1]/p?b=2&a=1") ===
+      "https://[2001:db8::1]/p?a=1&b=2")
+    // default port strips for IPv6 exactly like named hosts
+    assert(UrlDomain.canonicalizeUrl("https://[::1]:443/x") === "https://[::1]/x")
+    // unclosed bracket / empty bracket: both functions refuse
+    assert(UrlDomain.hostOf("https://[::1/x") === null)
+    assert(UrlDomain.canonicalizeUrl("https://[::1/x") === null)
+    // non-numeric port: hostOf says no host; canonicalizeUrl must agree
+    assert(UrlDomain.hostOf("https://h.example.com:abc/x") === null)
+    assert(UrlDomain.canonicalizeUrl("https://h.example.com:abc/x") === null)
+  }
+
   test("domainReport: counts, distinct hosts, exact ppm shares, null group kept") {
     import spark.implicits._
     val df = (Seq.fill(6)("https://a.example.com/x") ++ Seq.fill(2)("https://b.example.com/y") ++

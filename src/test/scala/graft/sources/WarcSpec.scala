@@ -65,6 +65,19 @@ class WarcSpec extends AnyFunSuite {
     Warc.parse(gz) // must not throw (may yield a prefix)
   }
 
+  test("streaming parse: a lying Content-Length stops the parse, never allocates it") {
+    // record claims 8 GB of payload — a whole-file or trust-the-header
+    // parser would try to allocate it; the streaming parser treats a
+    // length past MaxRecordBytes as the malformation point
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:lie>\r\n" +
+      "Content-Length: 8589934592\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val good = Warc.writeWarc(sample.take(2))
+    assert(Warc.parse(good ++ lying).map(_.warcType) === Seq("warcinfo", "request"))
+    // an over-long header line is a malformation, not an unbounded buffer
+    val longLine = ("WARC/1.0\r\nX-Junk: " + "a" * (2 << 20)).getBytes(StandardCharsets.UTF_8)
+    assert(Warc.parse(Warc.writeWarc(sample.take(1)) ++ longLine).length === 1)
+  }
+
   test("WET conversion records: payload IS the text (no HTTP envelope)") {
     import spark.implicits._
     val wet = Seq(
