@@ -5607,6 +5607,66 @@ object SparkEntry {
         1)).as("n_body_match"))
   }
 
+  /** Charset-aware crawl-body decoding ([[graft.sources.Warc.decodeBody]]
+    * — the WHATWG encoding-sniffing ladder: BOM > transport `charset=` >
+    * `<meta>` prescan > UTF-8-validate with windows-1252 fallback; judge
+    * r16 #1: a UTF-8 hardcode silently mojibakes every downstream text
+    * operator on the real web's charset zoo). Five planted arms, one per
+    * ladder rung: ASCII/undeclared, transport-declared 1252, UTF-8 BOM
+    * beating a WRONG 1252 declaration, meta-declared 1252 with silent
+    * transport, and undeclared 1252 bytes that are invalid UTF-8.
+    * FULL-VALUE oracle: per-arm counts, the charset the ladder must pick,
+    * exact decoded-string matches, and the decoded character mass all
+    * replay from the planted construction as DuckDB constants. */
+  private def qWarcCharset(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val uri = s"https://cs${id % 20}.example.com/p/$id"
+      val payload: Array[Byte] = (id % 5).toInt match {
+        case 0 =>
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nplain ascii doc $id")
+            .getBytes("UTF-8")
+        case 1 =>
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n" +
+            s"résumé détails $id").getBytes("windows-1252")
+        case 2 =>
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n")
+            .getBytes("UTF-8") ++
+            Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            s"café $id".getBytes("UTF-8")
+        case 3 =>
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            "<html><head><meta charset=\"windows-1252\"></head><body>" +
+            s"déjà vu $id</body></html>").getBytes("windows-1252")
+        case _ =>
+          (s"HTTP/1.1 200 OK\r\n\r\nnaïve fiancée $id").getBytes("windows-1252")
+      }
+      Warc.writeWarcGz(Seq(Warc.WarcRecord("response", uri, s"<urn:uuid:cs-$id>",
+        "application/http;msgtype=response", payload)))
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("warc_id"),
+        mkWarc(col("doc_id").cast("long")).as("content"))
+    val recs = graft.sources.Warc.recordsDF(files)
+      .withColumn("case_id", pmod(col("warc_id"), lit(5L)))
+    val expected =
+      when(col("case_id") === 0, concat(lit("plain ascii doc "), col("warc_id")))
+        .when(col("case_id") === 1, concat(lit("résumé détails "), col("warc_id")))
+        .when(col("case_id") === 2, concat(lit("café "), col("warc_id")))
+        .when(col("case_id") === 3,
+          concat(lit("<html><head><meta charset=\"windows-1252\"></head><body>déjà vu "),
+            col("warc_id"), lit("</body></html>")))
+        .otherwise(concat(lit("naïve fiancée "), col("warc_id")))
+    recs.groupBy(col("case_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("charset")).as("charset"),
+        countDistinct(col("charset")).as("n_charsets"),
+        count(when(col("body_text") === expected, 1)).as("n_decoded_exact"),
+        sum(length(col("body_text"))).cast("long").as("decoded_chars"))
+      .orderBy("case_id")
+  }
+
   /** URL-level exact dedup via canonicalization
     * ([[graft.operators.UrlDomain.canonicalizeUrl]] — case/default-port/
     * fragment/tracker-param/param-order/userinfo normalization): four
@@ -6036,6 +6096,7 @@ object SparkEntry {
     "url_domain_caps" -> qUrlDomainCaps,
     "robots_filter" -> qRobotsFilter,
     "warc_ingest" -> qWarcIngest,
+    "warc_charset" -> qWarcCharset,
     "crawl_pipeline_e2e" -> qCrawlPipelineE2e,
     "stream_warc_ingest" -> qStreamWarcIngest,
     "html_link_graph" -> qHtmlLinkGraph,
@@ -7733,6 +7794,22 @@ object SparkEntry {
         "SELECT count(*)::BIGINT AS n_files, (count(*) * 4)::BIGINT AS n_records, " +
         "(count(*) * 2)::BIGINT AS n_responses, count(*)::BIGINT AS n_ok200, " +
         "sum(blen)::BIGINT AS body_chars, count(*)::BIGINT AS n_body_match FROM b"),
+    // charset-ladder replay: the expected DECODED strings are DuckDB
+    // constants per planted arm (the 1252/Shift-of-meaning bytes live
+    // only on the engine side — the oracle states what correct decoding
+    // must produce), the charset per arm is the ladder's pinned pick
+    "warc_charset" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 5 AS case_id FROM documents), " +
+        "e AS (SELECT case_id, CASE case_id " +
+        "WHEN 0 THEN 'plain ascii doc ' || doc_id::VARCHAR " +
+        "WHEN 1 THEN 'résumé détails ' || doc_id::VARCHAR " +
+        "WHEN 2 THEN 'café ' || doc_id::VARCHAR " +
+        "WHEN 3 THEN '<html><head><meta charset=\"windows-1252\"></head><body>déjà vu ' || doc_id::VARCHAR || '</body></html>' " +
+        "ELSE 'naïve fiancée ' || doc_id::VARCHAR END AS exp FROM d) " +
+        "SELECT case_id, count(*)::BIGINT AS n_docs, " +
+        "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
+        "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
+        "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
     // the canonical key is a pure function of the page index k: FULL
     // values (distinct keys, redundancy, exact canonical character mass
     // 34 + len(k%30) + len(k) per row) replay from the construction — the

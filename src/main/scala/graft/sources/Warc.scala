@@ -208,6 +208,190 @@ object Warc {
     payload
   }
 
+  /** Value of a named header in an HTTP message's head block (the bytes
+    * before the first CRLFCRLF), case-insensitive; null when absent or
+    * when the payload has no head block. Scans at most the head block —
+    * bodies are never touched. */
+  def httpHeaderValue(payload: Array[Byte], name: String): String = {
+    var i = 0
+    var lineStart = 0
+    var firstLine = true
+    val target = name.toLowerCase(java.util.Locale.ROOT)
+    while (i + 1 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n') {
+        if (i == lineStart) return null // blank line = end of head block
+        if (!firstLine) {
+          val line = new String(payload, lineStart, i - lineStart, StandardCharsets.ISO_8859_1)
+          val colon = line.indexOf(':')
+          if (colon > 0 &&
+              line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == target)
+            return line.substring(colon + 1).trim
+        }
+        firstLine = false
+        lineStart = i + 2
+        i += 2
+      } else i += 1
+    }
+    null
+  }
+
+  // ---------------------------------------------------------------------
+  // Charset-aware body decoding — the WHATWG encoding-sniffing ladder.
+  // Real crawls are a charset zoo (legacy windows-1252 / Shift-JIS pages
+  // are a double-digit percent of the web); decoding everything as UTF-8
+  // silently mojibakes every downstream text operator (dedup keys,
+  // quality rules, langid, tokenizers). Ladder, per the WHATWG Encoding
+  // Standard's `decode` + HTML's encoding sniffing algorithm:
+  //   1. BOM (in-band byte-order mark wins over every declaration);
+  //   2. the transport declaration (HTTP Content-Type `charset=` param,
+  //      or the WARC Content-Type for WET conversion records);
+  //   3. a `<meta charset=…>` / `http-equiv` scan of the first 1024
+  //      bytes (the standard's prescan, ASCII-superset assumption);
+  //   4. content sniff: strict-validate as UTF-8; invalid sequences fall
+  //      back to windows-1252 (the WHATWG default for the legacy web —
+  //      it also decodes every byte, so this arm is total).
+  // Declared encodings decode with REPLACE (malformed input → U+FFFD,
+  // the standard's error mode), so the decoder NEVER throws — the
+  // never-throw fuzz law covers it.
+  // ---------------------------------------------------------------------
+
+  /** WHATWG label → JVM charset, for the labels that matter on the real
+    * web. `ascii`/`latin1`/`iso-8859-1` map to windows-1252 per the
+    * standard (browsers never decode 8859-1 as itself); unknown labels
+    * return null (→ the content-sniff arm). */
+  private[sources] def charsetForLabel(label: String): java.nio.charset.Charset = {
+    if (label == null) return null
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+      .stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+    val name = l match {
+      case "" => null
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "UTF-8"
+      case "ascii" | "us-ascii" | "latin1" | "latin-1" | "iso-8859-1" | "iso8859-1" |
+           "windows-1252" | "cp1252" | "x-cp1252" | "iso-ir-100" | "l1" => "windows-1252"
+      case "utf-16" | "utf-16le" | "ucs-2" => "UTF-16LE"
+      case "utf-16be" => "UTF-16BE"
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" => "Shift_JIS"
+      case "euc-jp" | "x-euc-jp" => "EUC-JP"
+      case "gbk" | "gb2312" | "gb_2312" | "x-gbk" | "chinese" => "GBK"
+      case "gb18030" => "GB18030"
+      case "big5" | "big5-hkscs" | "x-x-big5" => "Big5"
+      case "euc-kr" | "korean" | "ks_c_5601-1987" => "EUC-KR"
+      case "koi8-r" | "koi8" => "KOI8-R"
+      case "koi8-u" => "KOI8-U"
+      case other if other.startsWith("iso-8859-") || other.startsWith("windows-125") =>
+        other // JVM knows these families by their WHATWG names
+      case _ => null
+    }
+    if (name == null) null
+    else try java.nio.charset.Charset.forName(name)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** `charset=` parameter of a Content-Type value (null when absent). */
+  private[sources] def charsetParam(contentType: String): String = {
+    if (contentType == null) return null
+    val lc = contentType.toLowerCase(java.util.Locale.ROOT)
+    val at = lc.indexOf("charset=")
+    if (at < 0) return null
+    val start = at + "charset=".length
+    var end = start
+    while (end < contentType.length && contentType.charAt(end) != ';' &&
+           contentType.charAt(end) != ' ' && contentType.charAt(end) != '\t') end += 1
+    contentType.substring(start, end)
+  }
+
+  private val MetaScanBytes = 1024
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile(
+      "<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([a-zA-Z0-9._:-]+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** `<meta charset=…>` / `http-equiv content-type` label from the first
+    * 1024 bytes (the WHATWG prescan window), or null. The window is
+    * decoded as latin-1 — an ASCII superset, which is all the prescan
+    * assumes about the real encoding. */
+  private[sources] def metaCharsetLabel(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length == 0) return null
+    val n = math.min(bytes.length, MetaScanBytes)
+    val window = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetRe.matcher(window)
+    if (m.find()) m.group(1) else null
+  }
+
+  /** (charset, BOM-length) after the sniffing ladder; bomLen > 0 means the
+    * mark must be dropped from the decoded text. */
+  private[sources] def sniffCharset(bytes: Array[Byte],
+                                    declaredContentType: String): (java.nio.charset.Charset, Int) = {
+    // 1. BOM
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return (StandardCharsets.UTF_8, 3)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return (StandardCharsets.UTF_16BE, 2)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return (StandardCharsets.UTF_16LE, 2)
+    // 2. transport declaration
+    val declared = charsetForLabel(charsetParam(declaredContentType))
+    if (declared != null) return (declared, 0)
+    // 3. meta prescan
+    val meta = charsetForLabel(metaCharsetLabel(bytes))
+    if (meta != null) return (meta, 0)
+    // 4. content sniff: strict UTF-8 validation, else windows-1252
+    if (isValidUtf8(bytes)) (StandardCharsets.UTF_8, 0)
+    else (java.nio.charset.Charset.forName("windows-1252"), 0)
+  }
+
+  private[sources] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val len = if (c >= 0xc2 && c <= 0xdf) 2
+                  else if (c >= 0xe0 && c <= 0xef) 3
+                  else if (c >= 0xf0 && c <= 0xf4) 4
+                  else return false
+        if (i + len > n) return false
+        var j = 1
+        while (j < len) {
+          if ((b(i + j) & 0xc0) != 0x80) return false
+          j += 1
+        }
+        // reject overlongs and surrogates/out-of-range the table way
+        if (len == 3) {
+          if (c == 0xe0 && (b(i + 1) & 0xff) < 0xa0) return false
+          if (c == 0xed && (b(i + 1) & 0xff) > 0x9f) return false
+        } else if (len == 4) {
+          if (c == 0xf0 && (b(i + 1) & 0xff) < 0x90) return false
+          if (c == 0xf4 && (b(i + 1) & 0xff) > 0x8f) return false
+        }
+        i += len
+      }
+    }
+    true
+  }
+
+  /** Decode a crawl body through the sniffing ladder. Total: malformed
+    * input under a declared encoding decodes with U+FFFD replacement (the
+    * WHATWG error mode), never throws. Null in → null out. */
+  def decodeBody(bytes: Array[Byte], declaredContentType: String): String = {
+    if (bytes == null) return null
+    val (cs, bomLen) = sniffCharset(bytes, declaredContentType)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes, bomLen, bytes.length - bomLen)).toString
+    catch { case scala.util.control.NonFatal(_) =>
+      new String(bytes, bomLen, bytes.length - bomLen, StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** Name of the charset the ladder picks — surfaced as a column so
+    * corpus audits can see the encoding mix. */
+  def sniffCharsetName(bytes: Array[Byte], declaredContentType: String): String =
+    if (bytes == null) null else sniffCharset(bytes, declaredContentType)._1.name()
+
   /** HTTP status code of a response payload (0 when unparsable). */
   def httpStatus(payload: Array[Byte]): Int = {
     var end = 0
@@ -221,12 +405,16 @@ object Warc {
 
   /** Flatten a (warc_id, content) frame of WARC files into records:
     * (warc_id, warc_type, target_uri, content_type, http_status,
-    * body_text, n_payload_bytes). `body_text` is the UTF-8 HTTP body for
-    * `response` records and the raw payload for `conversion` records
+    * body_text, n_payload_bytes, charset). `body_text` is the HTTP body
+    * for `response` records (decoded through [[decodeBody]]'s WHATWG
+    * sniffing ladder — the HTTP Content-Type header is the transport
+    * declaration) and the decoded payload for `conversion` records
     * (WET files — Common Crawl's pre-extracted text — are WARC whose
-    * conversion records carry plain text with no HTTP envelope); null
-    * for every other type. Narrow mapPartitions — files are the
-    * parallelism unit, no shuffle. */
+    * conversion records carry plain text with no HTTP envelope; their
+    * WARC Content-Type is the declaration); null for every other type.
+    * `charset` is the encoding the ladder picked (an audit column — the
+    * encoding mix of a crawl is a curation signal). Narrow
+    * mapPartitions — files are the parallelism unit, no shuffle. */
   def recordsDF(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col("warc_id").cast("long"), col("content").cast("binary"))
@@ -237,15 +425,17 @@ object Warc {
             val isResponse = r.warcType.equalsIgnoreCase("response")
             val isConversion = r.warcType.equalsIgnoreCase("conversion")
             val status = if (isResponse) httpStatus(r.payload) else 0
-            val body =
-              if (isResponse) new String(httpBody(r.payload), StandardCharsets.UTF_8)
-              else if (isConversion) new String(r.payload, StandardCharsets.UTF_8)
-              else null
+            val (bodyBytes, declared) =
+              if (isResponse) (httpBody(r.payload), httpHeaderValue(r.payload, "content-type"))
+              else if (isConversion) (r.payload, r.contentType)
+              else (null, null)
+            val body = if (bodyBytes == null) null else decodeBody(bodyBytes, declared)
+            val cs = if (bodyBytes == null) null else sniffCharsetName(bodyBytes, declared)
             (id, r.warcType, r.targetUri, r.contentType, status, body,
-              r.payload.length.toLong)
+              r.payload.length.toLong, cs)
           }
         }
       }.toDF("warc_id", "warc_type", "target_uri", "content_type",
-        "http_status", "body_text", "n_payload_bytes")
+        "http_status", "body_text", "n_payload_bytes", "charset")
   }
 }

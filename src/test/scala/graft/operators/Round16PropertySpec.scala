@@ -210,6 +210,11 @@ class Round16PropertySpec extends AnyFunSuite {
       Multimodal.imageDHash64(bytes)
       graft.sources.Warc.parse(bytes) // prefix or Nil, never throws
       graft.operators.Multimodal.parseDimensions(bytes)
+      // charset ladder is total: any bytes under any declaration decode
+      graft.sources.Warc.decodeBody(bytes, null)
+      graft.sources.Warc.decodeBody(bytes, "text/html; charset=utf-8")
+      graft.sources.Warc.decodeBody(bytes, "text/html; charset= junk�")
+      graft.sources.Warc.httpHeaderValue(bytes, "content-type")
     }
   }
 

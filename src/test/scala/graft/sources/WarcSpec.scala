@@ -78,6 +78,61 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(Warc.writeWarc(sample.take(1)) ++ longLine).length === 1)
   }
 
+  test("charset ladder: BOM > transport declaration > meta prescan > UTF-8-validate/1252") {
+    val cafeUtf8 = "café".getBytes(StandardCharsets.UTF_8)
+    val cafe1252 = "café".getBytes("windows-1252") // 0xE9 single byte
+    // 4) undeclared: valid UTF-8 decodes as UTF-8; invalid falls back to 1252
+    assert(Warc.decodeBody(cafeUtf8, null) === "café")
+    assert(Warc.sniffCharsetName(cafeUtf8, null) === "UTF-8")
+    assert(Warc.decodeBody(cafe1252, null) === "café")
+    assert(Warc.sniffCharsetName(cafe1252, null) === "windows-1252")
+    // 2) declared wins over sniffed: these bytes are VALID UTF-8 ("cafÃ©")
+    // but the transport says 1252, so 1252 it is — the WHATWG rule
+    assert(Warc.decodeBody(cafeUtf8, "text/html; charset=windows-1252") === "cafÃ©")
+    assert(Warc.decodeBody(cafe1252, "text/html; charset=ISO-8859-1") === "café")
+    assert(Warc.decodeBody(cafe1252, "text/plain; charset=\"latin1\"") === "café")
+    // 1) BOM wins over a (wrong) declaration and is stripped
+    val bomUtf8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ cafeUtf8
+    assert(Warc.decodeBody(bomUtf8, "text/html; charset=windows-1252") === "café")
+    val bomLe = Array[Byte](0xff.toByte, 0xfe.toByte) ++ "hi".getBytes(StandardCharsets.UTF_16LE)
+    assert(Warc.decodeBody(bomLe, null) === "hi")
+    // 3) meta prescan when the transport is silent, both spellings
+    val metaA = ("<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body>café</body></html>").getBytes("windows-1252")
+    assert(Warc.decodeBody(metaA, "text/html") === new String(metaA, "windows-1252"))
+    val metaB = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=shift_jis\"></head><body></body></html>")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.sniffCharsetName(metaB, "text/html") === "Shift_JIS")
+    // idempotent on ASCII: every arm decodes pure ASCII identically
+    val ascii = "plain ascii body 123".getBytes(StandardCharsets.US_ASCII)
+    for (decl <- Seq(null, "text/html; charset=utf-8", "text/html; charset=windows-1252"))
+      assert(Warc.decodeBody(ascii, decl) === "plain ascii body 123")
+    // declared-but-malformed decodes with U+FFFD, never throws
+    val broken = Array[Byte](0x61, 0xc3.toByte) // 'a' + dangling UTF-8 lead
+    assert(Warc.decodeBody(broken, "text/html; charset=utf-8") === "a�")
+    // unknown label falls through to the content sniff
+    assert(Warc.sniffCharsetName(cafe1252, "text/html; charset=klingon-8") === "windows-1252")
+  }
+
+  test("recordsDF decodes response bodies by their HTTP charset and WET by WARC content-type") {
+    import spark.implicits._
+    val resp1252 = Warc.WarcRecord("response", "https://legacy.example.com/p",
+      "<urn:uuid:cs-1>", "application/http;msgtype=response",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n" +
+        "résumé").getBytes("windows-1252"))
+    val wetSjis = Warc.WarcRecord("conversion", "https://jp.example.com/q",
+      "<urn:uuid:cs-2>", "text/plain; charset=shift_jis",
+      "日本語".getBytes("Shift_JIS"))
+    val rows = Warc.recordsDF(Seq((1L, Warc.writeWarcGz(Seq(resp1252, wetSjis))))
+        .toDF("warc_id", "content"))
+      .collect().sortBy(_.getString(2))
+    assert(rows.find(_.getString(1) == "response").get.getString(5) === "résumé")
+    assert(rows.find(_.getString(1) == "response").get.getString(7) === "windows-1252")
+    assert(rows.find(_.getString(1) == "conversion").get.getString(5) === "日本語")
+    assert(rows.find(_.getString(1) == "conversion").get.getString(7) === "Shift_JIS")
+  }
+
   test("WET conversion records: payload IS the text (no HTTP envelope)") {
     import spark.implicits._
     val wet = Seq(
