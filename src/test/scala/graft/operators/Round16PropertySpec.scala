@@ -227,6 +227,7 @@ class Round16PropertySpec extends AnyFunSuite {
       val t = junk()
       Robots.isAllowed(t, "bot", junk())
       Robots.sitemaps(t)
+      MainContent.extract(t)
       UrlDomain.hostOf(t)
       UrlDomain.registrableDomain(UrlDomain.hostOf(t))
       UrlDomain.canonicalizeUrl(t)
