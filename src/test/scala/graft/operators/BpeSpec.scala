@@ -71,4 +71,46 @@ class BpeSpec extends AnyFunSuite {
     assert(v("abc") === 3L)
     assert(v.size === 4) // a b c abc
   }
+
+  test("byte arm: first merge is the dominant byte pair, spelled in hex") {
+    import spark.implicits._
+    // 'a' = 0x61; "aa" x3 plants pair (61, 61) with corpus weight 6
+    // (2 adjacent occurrences per "aaa"? no — "aa" has 1) -> n = 3
+    val docs = Seq((1L, "aa aa aa Zb")).toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1L, "61", "61", 3L)))
+  }
+
+  test("byte arm is TOTAL: emoji/CJK/mixed-case text encodes with no UNK and round-trips") {
+    import spark.implicits._
+    val texts = Seq((1L, "Héllo wörld 日本語 🎉🎉"), (2L, "MIXED Case tokens"), (3L, "🎉🎉 🎉🎉"))
+    val docs = texts.toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, "text", 6)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos").collect()
+    // totality: per doc, the concatenated token bytes == the UTF-8 bytes
+    // of its whitespace-joined words (nothing dropped, nothing UNK'd)
+    for ((id, text) <- texts) {
+      val toks = out.filter(_.getLong(0) == id).map(_.getString(2))
+      val decoded = new String(toks.flatMap(Bpe.byteTokenBytes), "UTF-8")
+      assert(decoded === text.trim.split("\\s+").mkString(""),
+        s"doc $id must round-trip byte-exactly")
+    }
+    // fixed alphabet: ids 0..255 are the sorted hex alphabet, corpus-free
+    assert(out.forall(_.getLong(3) >= 0L))
+    val v = Bpe.vocab(Bpe.ByteAlphabet, merges)
+    assert(v("00") === 0L && v("ff") === 255L)
+    assert(out.forall(r => v(r.getString(2)) == r.getLong(3)))
+  }
+
+  test("byte arm: multi-byte UTF-8 merges cross character boundaries legally") {
+    import spark.implicits._
+    // U+00E9 'é' = c3 a9; a corpus of "éé" must merge (c3, a9) first —
+    // byte-level BPE sees bytes, not characters
+    val docs = Seq((1L, "éé éé")).toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", 1).collect()
+    assert((m(0).getString(1), m(0).getString(2)) === ("c3", "a9"))
+  }
 }
