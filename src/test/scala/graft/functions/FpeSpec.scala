@@ -53,4 +53,63 @@ class FpeSpec extends AnyFunSuite {
   test("alphabet with duplicate characters is rejected") {
     intercept[IllegalArgumentException](Fpe.mask(pp)("0120456789", "t", "123"))
   }
+
+  test("rank-then-encipher: integer masking is a permutation of the declared domain") {
+    val key = Fpe.deriveKey(pp)
+    // a full small domain: [500, 1499], size 1000
+    val masked = (500L to 1499L).map(v => Fpe.maskLong(500L, 1499L, "salary", v, key))
+    assert(masked.forall(m => m != null && m >= 500L && m <= 1499L),
+      "every masked value stays inside the domain")
+    assert(masked.map(_.longValue).distinct.size === 1000, "injective over the full domain")
+    // exact inverse
+    (500L to 1499L).foreach { v =>
+      val m = Fpe.maskLong(500L, 1499L, "salary", v, key)
+      assert(Fpe.maskLong(500L, 1499L, "salary", m, key, forward = false) === v)
+    }
+    // deterministic; tweak-separated
+    assert(Fpe.maskLong(0L, 9999L, "a", 123L, key) === Fpe.maskLong(0L, 9999L, "a", 123L, key))
+    assert(Fpe.maskLong(0L, 9999L, "a", 123L, key) !== Fpe.maskLong(0L, 9999L, "b", 123L, key))
+  }
+
+  test("rank-then-encipher fails closed: null, out-of-domain, tiny or huge domains") {
+    val key = Fpe.deriveKey(pp)
+    assert(Fpe.maskLong(0L, 999L, "t", null, key) === null)
+    assert(Fpe.maskLong(0L, 999L, "t", 1000L, key) === null, "outside the domain")
+    assert(Fpe.maskLong(0L, 999L, "t", -1L, key) === null)
+    assert(Fpe.maskLong(0L, 98L, "t", 5L, key) === null, "domain < 100 is below FF1's floor")
+    assert(Fpe.maskLong(10L, 5L, "t", 7L, key) === null, "inverted bounds")
+    assert(Fpe.maskLong(Long.MinValue, Long.MaxValue, "t", 7L, key) === null,
+      "overflowing domain fails closed, never wraps")
+  }
+
+  test("date masking ranks on epoch days and round-trips") {
+    val key = Fpe.deriveKey(pp)
+    val lo = java.time.LocalDate.of(1990, 1, 1)
+    val hi = java.time.LocalDate.of(2026, 12, 31)
+    val d = java.time.LocalDate.of(2001, 9, 9)
+    val m = Fpe.maskDate(lo, hi, "dob", d, key)
+    assert(m != null && !m.isBefore(lo) && !m.isAfter(hi))
+    assert(m !== d)
+    assert(Fpe.maskDate(lo, hi, "dob", m, key, forward = false) === d)
+    assert(Fpe.maskDate(lo, hi, "dob", null, key) === null)
+    // a date outside the declared domain fails closed
+    assert(Fpe.maskDate(lo, hi, "dob", java.time.LocalDate.of(1970, 1, 1), key) === null)
+  }
+
+  test("SQL surface: mask_fpe_number / mask_fpe_date registered and invertible") {
+    graft.Defaults.registerAll(spark)
+    import spark.implicits._
+    val out = (1L to 200L).toDF("v")
+      .selectExpr("v",
+        "mask_fpe_number(1, 200, 'acct', v) AS m",
+        "unmask_fpe_number(1, 200, 'acct', mask_fpe_number(1, 200, 'acct', v)) AS rt",
+        "mask_fpe_date(DATE'2000-01-01', DATE'2026-12-31', 'd', DATE'2013-05-07') AS md")
+      .collect()
+    assert(out.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 200L))
+    assert(out.map(_.getLong(1)).distinct.length === 200)
+    assert(out.forall(r => r.getLong(2) == r.getLong(0)))
+    val md = out.head.getDate(3).toLocalDate
+    assert(!md.isBefore(java.time.LocalDate.of(2000, 1, 1)) &&
+      !md.isAfter(java.time.LocalDate.of(2026, 12, 31)))
+  }
 }
