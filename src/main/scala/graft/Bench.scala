@@ -27,131 +27,6 @@ object Bench {
     // + min per query reports the real cost instead of whichever pass a GC
     // pause landed on
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
-    // A failed query must surface as a FAILURE, never as a timing: round 9's
-    // broken gapfill_resample was recorded at 0.081s — the analysis-error
-    // path, timed as the fastest query in the suite — because the catch
-    // swallowed the exception and let the elapsed time land in `queries`.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-        var lastErr: Option[String] = None
-        val times = (1 to passes).flatMap { _ =>
-          val t0 = System.nanoTime()
-          // collect, not count: count() lets Catalyst prune deterministic
-          // expression columns out of aggregates, skipping the measured work.
-          // Every query returns a small aggregate or a <=10k-row profile.
-          val ok = try { fn(spark, sfDir).collect(); true } catch {
-            case e: Throwable =>
-              lastErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
-              false
-          }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          // Release any storage the query left behind so one query's retained
-          // blocks don't distort the next measurement (r3: accumulated caches
-          // inflated unrelated queries by up to 5x in one session), clear the
-          // KDF memo so a repeat pass re-measures real KDF work rather than a
-          // memo hit, and GC so soft-referenced KDF workspaces are reclaimed
-          // BETWEEN measurements rather than by pressure in the middle of one.
-          try { spark.catalog.clearCache() } catch { case _: Throwable => }
-          graft.functions.MaskFunctions.clearCache()
-          System.gc()
-          if (ok) Some(elapsed) else None
-        }
-        // a query is a FAILURE only when every pass failed — it then has no
-        // timing; a pass-level flake (some passes succeeded) keeps its min
-        // timing and is reported to stderr, NOT in errors, so the timing
-        // and failure sets stay disjoint (a reader can always reconcile
-        // n_queries + n_failed)
-        if (times.isEmpty) {
-          errors(name) = lastErr.getOrElse("failed with no message")
-          None
-        } else {
-          lastErr.foreach(e => System.err.println(s"[bench] $name flaky (kept min of ${times.size}/$passes passes): $e"))
-          Some(name -> times.min)
-        }
-      }
-    // single-threaded CPU calibration: a fixed Argon2id workload (the same
-    // 16384KB/1-iter profile the headline query uses), median of 5. Box
-    // noise (shared-host contention) moves this constant and every
-    // KDF-bound query together, so cross-round comparisons can normalize:
-    // r8 observed a ~30% box-wide slowdown that looked like a regression.
-    def measureCalib(): Double = {
-      val codec = new graft.codec.Argon2Codec(2, 16384, 1)
-      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
-      val times = (1 to 5).map { i =>
-        val t0 = System.nanoTime()
-        codec.hash(s"calibration-value-$i", deterministic = true, pp)
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      times(2)
-    }
-    val calib = measureCalib()
-    // PARALLEL calibration: per-hash wall with every core hashing at once.
-    // Argon2 is memory-HARD — at 32 threads the workspaces (32 x 16 MB)
-    // contend for DRAM bandwidth, so a loaded shared host can slow the
-    // parallel KDF queries 3-5x while the single-thread constant above
-    // barely moves (observed r10: calib 17.5 ms ~ r9's 18.2, yet
-    // mask_argon2_rate swung 69 -> 88 s between two same-code runs).
-    // par/single is the contention factor; normalize thread-saturated KDF
-    // queries (mask_argon2_rate) by THIS constant, not the single one.
-    def measureCalibPar(): Double = {
-      val codec = new graft.codec.Argon2Codec(2, 16384, 1)
-      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
-      val n = Runtime.getRuntime.availableProcessors()
-      val walls = (1 to 3).map { round =>
-        val t0 = System.nanoTime()
-        val threads = (1 to n).map { i =>
-          new Thread(() => { codec.hash(s"calib-par-$round-$i", deterministic = true, pp); () })
-        }
-        threads.foreach(_.start()); threads.foreach(_.join())
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      walls(1)
-    }
-    val calibPar = measureCalibPar()
-    // PBKDF2 calibration, single + parallel (r15): the mask/stage queries
-    // under Verify/Bench defaults are PBKDF2-HMAC-SHA512-bound
-    // ([[graft.Defaults]] — Argon2id is selected only via env), and SHA
-    // throughput moves INDEPENDENTLY of the Argon2 constants on a shared
-    // host (measured in-round: calib_argon2_par swung 69.7 → 109.6 →
-    // 439.5 ms within hours while the PBKDF2 microbench barely moved —
-    // and the whole KDF query class "confirmed" 3-4x flags that neither
-    // Argon2 normalization could excuse). These constants close that
-    // instrument gap; they join the flag conditions once a history entry
-    // carries them.
-    def measureCalibPb(): Double = {
-      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
-      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
-      (1 to 20).foreach(i => codec.hash(s"calib-pb-warm-$i", deterministic = true, pp))
-      val times = (1 to 5).map { i =>
-        val t0 = System.nanoTime()
-        (1 to 20).foreach(j => codec.hash(s"calib-pb-$i-$j", deterministic = true, pp))
-        (System.nanoTime() - t0) / 1e6 / 20
-      }.sorted
-      times(2)
-    }
-    val calibPb = measureCalibPb()
-    def measureCalibPbPar(): Double = {
-      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
-      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
-      val n = Runtime.getRuntime.availableProcessors()
-      val walls = (1 to 3).map { round =>
-        val t0 = System.nanoTime()
-        val threads = (1 to n).map { i =>
-          new Thread(() => {
-            (1 to 20).foreach(j =>
-              codec.hash(s"calib-pb-par-$round-$i-$j", deterministic = true, pp))
-            ()
-          })
-        }
-        threads.foreach(_.start()); threads.foreach(_.join())
-        (System.nanoTime() - t0) / 1e6 / 20
-      }.sorted
-      walls(1)
-    }
-    val calibPbPar = measureCalibPbPar()
-    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // ---- bench history: regression comparator + per-round archive ----
     // r12 verdict ask #1: a 70-second suite-level swing was unattributable
     // because only the total was archived per round. Every FULL-suite run
@@ -270,6 +145,158 @@ object Bench {
     def rawPrior(q: String): Option[Double] =
       Some(history.flatMap(h => h.qs.get(q)).filter(_ > 0))
         .filter(_.nonEmpty).map(_.min)
+    // A failed query must surface as a FAILURE, never as a timing: round 9's
+    // broken gapfill_resample was recorded at 0.081s — the analysis-error
+    // path, timed as the fastest query in the suite — because the catch
+    // swallowed the exception and let the elapsed time land in `queries`.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+        var lastErr: Option[String] = None
+        val times = (1 to passes).flatMap { _ =>
+          val t0 = System.nanoTime()
+          // collect, not count: count() lets Catalyst prune deterministic
+          // expression columns out of aggregates, skipping the measured work.
+          // Every query returns a small aggregate or a <=10k-row profile.
+          val ok = try { fn(spark, sfDir).collect(); true } catch {
+            case e: Throwable =>
+              lastErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+              false
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // Release any storage the query left behind so one query's retained
+          // blocks don't distort the next measurement (r3: accumulated caches
+          // inflated unrelated queries by up to 5x in one session), clear the
+          // KDF memo so a repeat pass re-measures real KDF work rather than a
+          // memo hit, and GC so soft-referenced KDF workspaces are reclaimed
+          // BETWEEN measurements rather than by pressure in the middle of one.
+          try { spark.catalog.clearCache() } catch { case _: Throwable => }
+          graft.functions.MaskFunctions.clearCache()
+          System.gc()
+          if (ok) Some(elapsed) else None
+        }
+        // Streaming-interference annotation (r16 verdict ask #5): the
+        // AvailableNow streaming queries read up to 3x their isolated wall
+        // when the suite's accumulated state-store/GC pressure lands on
+        // both passes (stream_join_outer: 22.4 s in-suite vs 6.9 s
+        // isolated, ratio 0.95 — three of the last five rounds' flags were
+        // this class, each costing an adjudication re-run). For queries in
+        // the class, a suspect in-suite wall (min > 1.5x the same-SF raw
+        // prior) earns ONE extra settle pass — quiesce + GC, the isolated
+        // protocol — and the min over all passes is the recorded timing. A
+        // genuine regression survives the settle pass and still flags;
+        // pure suite interference stops producing flags at the source.
+        // Rule documented in bench_history/README.md.
+        val settled: Seq[Double] =
+          if (times.nonEmpty && name.startsWith("stream_") &&
+              rawPrior(name).exists(p => times.min > 1.5 * p)) {
+            try { spark.catalog.clearCache() } catch { case _: Throwable => }
+            graft.functions.MaskFunctions.clearCache()
+            System.gc()
+            Thread.sleep(1000)
+            val t0 = System.nanoTime()
+            val ok = try { fn(spark, sfDir).collect(); true } catch { case _: Throwable => false }
+            val extra = (System.nanoTime() - t0) / 1e9
+            if (ok) {
+              System.err.println(f"[bench] $name settle pass: in-suite ${times.min}%.2fs -> $extra%.2fs")
+              times :+ extra
+            } else times
+          } else times
+        // a query is a FAILURE only when every pass failed — it then has no
+        // timing; a pass-level flake (some passes succeeded) keeps its min
+        // timing and is reported to stderr, NOT in errors, so the timing
+        // and failure sets stay disjoint (a reader can always reconcile
+        // n_queries + n_failed)
+        if (settled.isEmpty) {
+          errors(name) = lastErr.getOrElse("failed with no message")
+          None
+        } else {
+          lastErr.foreach(e => System.err.println(s"[bench] $name flaky (kept min of ${settled.size}/$passes passes): $e"))
+          Some(name -> settled.min)
+        }
+      }
+    // single-threaded CPU calibration: a fixed Argon2id workload (the same
+    // 16384KB/1-iter profile the headline query uses), median of 5. Box
+    // noise (shared-host contention) moves this constant and every
+    // KDF-bound query together, so cross-round comparisons can normalize:
+    // r8 observed a ~30% box-wide slowdown that looked like a regression.
+    def measureCalib(): Double = {
+      val codec = new graft.codec.Argon2Codec(2, 16384, 1)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      val times = (1 to 5).map { i =>
+        val t0 = System.nanoTime()
+        codec.hash(s"calibration-value-$i", deterministic = true, pp)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      times(2)
+    }
+    val calib = measureCalib()
+    // PARALLEL calibration: per-hash wall with every core hashing at once.
+    // Argon2 is memory-HARD — at 32 threads the workspaces (32 x 16 MB)
+    // contend for DRAM bandwidth, so a loaded shared host can slow the
+    // parallel KDF queries 3-5x while the single-thread constant above
+    // barely moves (observed r10: calib 17.5 ms ~ r9's 18.2, yet
+    // mask_argon2_rate swung 69 -> 88 s between two same-code runs).
+    // par/single is the contention factor; normalize thread-saturated KDF
+    // queries (mask_argon2_rate) by THIS constant, not the single one.
+    def measureCalibPar(): Double = {
+      val codec = new graft.codec.Argon2Codec(2, 16384, 1)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      val n = Runtime.getRuntime.availableProcessors()
+      val walls = (1 to 3).map { round =>
+        val t0 = System.nanoTime()
+        val threads = (1 to n).map { i =>
+          new Thread(() => { codec.hash(s"calib-par-$round-$i", deterministic = true, pp); () })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      walls(1)
+    }
+    val calibPar = measureCalibPar()
+    // PBKDF2 calibration, single + parallel (r15): the mask/stage queries
+    // under Verify/Bench defaults are PBKDF2-HMAC-SHA512-bound
+    // ([[graft.Defaults]] — Argon2id is selected only via env), and SHA
+    // throughput moves INDEPENDENTLY of the Argon2 constants on a shared
+    // host (measured in-round: calib_argon2_par swung 69.7 → 109.6 →
+    // 439.5 ms within hours while the PBKDF2 microbench barely moved —
+    // and the whole KDF query class "confirmed" 3-4x flags that neither
+    // Argon2 normalization could excuse). These constants close that
+    // instrument gap; they join the flag conditions once a history entry
+    // carries them.
+    def measureCalibPb(): Double = {
+      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      (1 to 20).foreach(i => codec.hash(s"calib-pb-warm-$i", deterministic = true, pp))
+      val times = (1 to 5).map { i =>
+        val t0 = System.nanoTime()
+        (1 to 20).foreach(j => codec.hash(s"calib-pb-$i-$j", deterministic = true, pp))
+        (System.nanoTime() - t0) / 1e6 / 20
+      }.sorted
+      times(2)
+    }
+    val calibPb = measureCalibPb()
+    def measureCalibPbPar(): Double = {
+      val codec = new graft.codec.Pbkdf2Codec(1024, 64)
+      val pp = ("calibration-passphrase-0123456789" * 2).getBytes
+      val n = Runtime.getRuntime.availableProcessors()
+      val walls = (1 to 3).map { round =>
+        val t0 = System.nanoTime()
+        val threads = (1 to n).map { i =>
+          new Thread(() => {
+            (1 to 20).foreach(j =>
+              codec.hash(s"calib-pb-par-$round-$i-$j", deterministic = true, pp))
+            ()
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6 / 20
+      }.sorted
+      walls(1)
+    }
+    val calibPbPar = measureCalibPbPar()
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // min normalized-ratio across every calibration family with a usable
     // prior. Each family excuses one kind of box drift (single-thread CPU,
     // 32-thread DRAM contention, SHA throughput single/saturated); a real
