@@ -281,7 +281,20 @@ object ScaleCheck {
     // events-table operators: the scaled table shifts user_id/event_id per
     // copy (10x users, same time window) — exactly how a bigger product
     // corpus grows
-    "events_funnel", "cohort_retention", "skew_report", "event_transitions")
+    "events_funnel", "cohort_retention", "skew_report", "event_transitions",
+    // round-17: the charset-ladder ingest (warc_ingest's narrow-flatMap
+    // class plus per-body sniff/decode CPU), the frontier composition
+    // (robots listing -> XML parse -> canonicalize -> one domain-keyed
+    // aggregate over a fixed 27-domain space), block-level main-content
+    // extraction (in-row codegen'd kernel + a 1-row agg — the
+    // quality_rules scan-bound class), byte-level BPE training (the
+    // distinct-WORD frame is the term under test: raw case-preserved
+    // words grow ~SCALEx under alphabet rotation, the char arm's worst
+    // case, with byte symbols ~2x the char count), the per-doc byte
+    // encode (distinct-word join + one doc-keyed aggregate), and the
+    // rank-then-encipher masking scan (in-row AES, no shuffle)
+    "warc_charset", "sitemap_frontier", "html_main_content",
+    "bpe_train_bytes", "bpe_encode_bytes", "mask_fpe_number")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

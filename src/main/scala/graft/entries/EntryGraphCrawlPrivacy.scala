@@ -1470,6 +1470,61 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** The ROUND-17 crawl pipeline end-to-end — charset decoding and
+    * main-content extraction composed INTO the ingest so their fidelity
+    * is LOAD-BEARING: each logical article k is planted TWICE (ids 2k,
+    * 2k+1) as a full boilerplate page — once as windows-1252 bytes with
+    * a transport charset declaration, once as undeclared UTF-8 — and the
+    * article text contains 'café', so the exact dedup on the EXTRACTED
+    * MAIN CONTENT collides the pair ONLY IF (a) both charset arms
+    * decoded to identical text (mojibake splits the class) and (b)
+    * extraction dropped every per-ID boilerplate block (the 'Site <id>'
+    * header and per-id copyright footer differ WITHIN a class — a
+    * tag-stripping pipeline would never dedup these pages). Chain: WARC
+    * parse → 200s → WHATWG decode → block extraction → exact dedup (min
+    * id wins) → registrable domain → ring-hash cap at 25/domain.
+    * FULL-VALUE oracle: winners, domains, and the cap replay from the
+    * construction. */
+  private[graft] def qCrawlPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val k = id / 2
+      val article = s"The café story of document $k is told in the text " +
+        "and a reader is sure to enjoy it."
+      val html = "<html><head><title>t</title><style>p{color:red}</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+        s"<header><h1>Site $id</h1></header>" +
+        s"<article><p>$article</p></article>" +
+        "<aside>Related: <a href=\"/x\">link one</a> <a href=\"/y\">link two</a></aside>" +
+        s"<footer>Copyright 2026 site$id — all rights reserved</footer></body></html>"
+      val payload =
+        if (id % 2 == 0)
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n" + html)
+            .getBytes("windows-1252")
+        else ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html).getBytes("UTF-8")
+      Warc.writeWarcGz(Seq(Warc.WarcRecord("response",
+        s"https://www.page${id % 20}.com/d/$id", s"<urn:uuid:v2-$id>",
+        "application/http;msgtype=response", payload)))
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("warc_id"),
+        mkWarc(col("doc_id").cast("long")).as("content"))
+    val docs = graft.sources.Warc.recordsDF(files)
+      .where(col("http_status") === 200)
+      .select(col("warc_id").as("id"), col("target_uri"),
+        graft.operators.MainContent.mainContent(col("body_text")).as("article"))
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("target_uri")))
+    val deduped = docs.groupBy(col("article"))
+      .agg(min(struct(col("id"), col("domain"))).as("w"))
+      .select(col("w.id").as("id"), col("w.domain").as("domain"))
+    val capped = graft.operators.Caps.capPerGroup(
+      deduped, Seq("domain"), "id", k = 25)
+    capped.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("domain")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

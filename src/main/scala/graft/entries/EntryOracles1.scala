@@ -497,6 +497,19 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "ORDER BY (id::HUGEINT * 2654435761) % 4294967296, id) AS rn FROM d) " +
         "SELECT domain, count(*)::BIGINT AS n_kept, sum(id)::BIGINT AS id_sum " +
         "FROM rk WHERE rn <= 30 GROUP BY domain ORDER BY domain"),
+    // the round-17 composition: classes are pairs (2k, 2k+1) planted in
+    // DIFFERENT encodings with per-id boilerplate — the min-id winner set
+    // below is reachable ONLY if charset decoding unified the pair's text
+    // and extraction dropped the per-id blocks; then domain + ring-hash
+    // cap replay exactly as in crawl_pipeline_e2e
+    "crawl_pipeline_v2" ->
+      ("WITH u AS (SELECT doc_id AS id FROM documents), " +
+        "w AS (SELECT min(id) AS id FROM u GROUP BY id // 2), " +
+        "d AS (SELECT id, 'page' || (id % 20)::VARCHAR || '.com' AS domain FROM w), " +
+        "rk AS (SELECT id, domain, row_number() OVER (PARTITION BY domain " +
+        "ORDER BY (id::HUGEINT * 2654435761) % 4294967296, id) AS rn FROM d) " +
+        "SELECT domain, count(*)::BIGINT AS n_kept, sum(id)::BIGINT AS id_sum " +
+        "FROM rk WHERE rn <= 25 GROUP BY domain ORDER BY domain"),
     // rules-table replay of the RFC 9309 semantics: group selection
     // (named group if the variant has one, else '*'), pattern->regex
     // conversion ('*' -> '.*', trailing '$' kept as anchor), longest
