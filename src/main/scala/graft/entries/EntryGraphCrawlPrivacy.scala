@@ -1225,6 +1225,16 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
     * canonical string, lastmod and cap replays from the planted
     * construction in DuckDB. */
   private[graft] def qSitemapFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    sitemapFrontierAgg(sitemapFrontierEntries(docs))
+  }
+
+  /** Shared planted-frontier construction (batch query + streaming twin):
+    * robots text per id, the REAL `Robots.sitemaps` listing, a fetch that
+    * re-derives the document from the LISTED url (a wrong listing yields
+    * nothing), and the XML source. All stateless narrow ops. */
+  private[graft] def sitemapFrontierEntries(docs: DataFrame): DataFrame = {
     import graft.sources.Sitemap
     val smList = udf((robots: String) => graft.operators.Robots.sitemaps(robots))
     val fetch = udf((url: String) => {
@@ -1246,16 +1256,17 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
         if (gz) Sitemap.gzip(bytes) else bytes
       }.orNull
     })
-    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id").cast("long").as("id"))
-      .withColumn("robots", concat(
-        lit("User-agent: *\nDisallow: /private/\nSitemap: https://www.site"),
-        pmod(col("id"), lit(20L)), lit(".com/sitemap"), col("id"),
-        when(pmod(col("id"), lit(2L)) === 0, lit(".xml.gz")).otherwise(lit(".xml")),
-        lit("\n")))
-    val listed = docs.select(col("id"), explode(smList(col("robots"))).as("sm_url"))
-    val entries = Sitemap.entriesDF(
+    val withRobots = docs.withColumn("robots", concat(
+      lit("User-agent: *\nDisallow: /private/\nSitemap: https://www.site"),
+      pmod(col("id"), lit(20L)), lit(".com/sitemap"), col("id"),
+      when(pmod(col("id"), lit(2L)) === 0, lit(".xml.gz")).otherwise(lit(".xml")),
+      lit("\n")))
+    val listed = withRobots.select(col("id"), explode(smList(col("robots"))).as("sm_url"))
+    Sitemap.entriesDF(
       listed.select(col("id").as("sitemap_id"), fetch(col("sm_url")).as("content")))
+  }
+
+  private[graft] def sitemapFrontierAgg(entries: DataFrame): DataFrame =
     entries
       .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("loc")))
       .withColumn("canon",
@@ -1268,7 +1279,6 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
         count(when(col("kind") === "url", col("lastmod"))).as("n_lastmod"),
         count(when(col("kind") === "sitemap", 1)).as("n_children"))
       .orderBy("domain")
-  }
 
 
   /** Main-content extraction ([[graft.operators.MainContent]] — jusText/
@@ -1522,6 +1532,30 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
     capped.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_kept"), sum(col("id")).cast("long").as("id_sum"))
       .orderBy("domain")
+  }
+
+
+  /** The sitemap frontier as a STRUCTURED STREAM — the crawl-discovery
+    * source joins the "every batch operator also streams" law: the whole
+    * robots-listing → fetch → [[graft.sources.Sitemap.entriesDF]] chain
+    * is stateless narrow ops (streaming-legal verbatim, zero state
+    * store), so the same planted documents arriving as micro-batches
+    * must land on the identical frontier. Entries stream into a parquet
+    * sink (per-batch overwrite idempotence — the stream_warc_ingest
+    * harness), then the batch aggregate runs over the sink. Shares
+    * `sitemap_frontier`'s oracle VERBATIM — the trigger machinery must
+    * not change one count. */
+  private[graft] def qStreamSitemap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = streamDocuments(spark, dir)
+      .select(col("doc_id").cast("long").as("id"))
+    val entries = sitemapFrontierEntries(docs)
+    val sink = freshTmpStore(spark, "graft_stream_sitemap_sink").getAbsolutePath
+    val q = entries.writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", sink + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sitemapFrontierAgg(spark.read.parquet(sink))
   }
 
 

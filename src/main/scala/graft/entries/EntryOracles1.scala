@@ -9,6 +9,27 @@ import graft.operators.MaskTransform
 /** DuckDB oracle SQL, part 1 of 2 (split from SparkEntry — r16 #6). */
 private[graft] trait EntryOracles1 { this: EntryCore =>
 
+  /** Frontier replay, shared VERBATIM by `sitemap_frontier` and its
+    * streaming twin `stream_sitemap`. */
+  private[graft] val sitemapFrontierOracleSql: String =
+    ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "e AS (" +
+        "SELECT 'url' AS kind, 'site' || (id % 20)::VARCHAR || '.com' AS domain, " +
+        "'https://www.site' || (id % 20)::VARCHAR || '.com/page/' || id::VARCHAR || '?a=1&b=2' AS canon, " +
+        "'2026-01-0' || (1 + id % 9)::VARCHAR AS lastmod FROM d WHERE id % 10 <> 0 " +
+        "UNION ALL SELECT 'url', 'site' || (id % 20)::VARCHAR || '.com', " +
+        "'https://www.site' || (id % 20)::VARCHAR || '.com/page/' || id::VARCHAR || '?a=1&b=2', NULL FROM d WHERE id % 10 <> 0 " +
+        "UNION ALL SELECT 'url', 'other' || (id % 7)::VARCHAR || '.io', " +
+        "'https://media.other' || (id % 7)::VARCHAR || '.io/x/' || id::VARCHAR, NULL FROM d WHERE id % 10 <> 0 " +
+        "UNION ALL SELECT 'sitemap', 'site' || (id % 20)::VARCHAR || '.com', NULL, NULL FROM d WHERE id % 10 = 0 " +
+        "UNION ALL SELECT 'sitemap', 'site' || (id % 20)::VARCHAR || '.com', NULL, NULL FROM d WHERE id % 10 = 0) " +
+        "SELECT domain, count(CASE WHEN kind = 'url' THEN 1 END)::BIGINT AS n_urls, " +
+        "count(DISTINCT canon)::BIGINT AS n_canonical, " +
+        "least(count(DISTINCT canon), 40)::BIGINT AS n_kept, " +
+        "count(CASE WHEN kind = 'url' THEN lastmod END)::BIGINT AS n_lastmod, " +
+        "count(CASE WHEN kind = 'sitemap' THEN 1 END)::BIGINT AS n_children " +
+        "FROM e GROUP BY domain ORDER BY domain")
+
   private[graft] def oracleSqlPart1: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
@@ -410,24 +431,9 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
     // frontier replay: urls, canonical collapses, lastmods, caps and
     // child-sitemap counts all re-derived from the planted construction
     // (two spellings per page -> one canonical; index docs -> 2 children)
-    "sitemap_frontier" ->
-      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
-        "e AS (" +
-        "SELECT 'url' AS kind, 'site' || (id % 20)::VARCHAR || '.com' AS domain, " +
-        "'https://www.site' || (id % 20)::VARCHAR || '.com/page/' || id::VARCHAR || '?a=1&b=2' AS canon, " +
-        "'2026-01-0' || (1 + id % 9)::VARCHAR AS lastmod FROM d WHERE id % 10 <> 0 " +
-        "UNION ALL SELECT 'url', 'site' || (id % 20)::VARCHAR || '.com', " +
-        "'https://www.site' || (id % 20)::VARCHAR || '.com/page/' || id::VARCHAR || '?a=1&b=2', NULL FROM d WHERE id % 10 <> 0 " +
-        "UNION ALL SELECT 'url', 'other' || (id % 7)::VARCHAR || '.io', " +
-        "'https://media.other' || (id % 7)::VARCHAR || '.io/x/' || id::VARCHAR, NULL FROM d WHERE id % 10 <> 0 " +
-        "UNION ALL SELECT 'sitemap', 'site' || (id % 20)::VARCHAR || '.com', NULL, NULL FROM d WHERE id % 10 = 0 " +
-        "UNION ALL SELECT 'sitemap', 'site' || (id % 20)::VARCHAR || '.com', NULL, NULL FROM d WHERE id % 10 = 0) " +
-        "SELECT domain, count(CASE WHEN kind = 'url' THEN 1 END)::BIGINT AS n_urls, " +
-        "count(DISTINCT canon)::BIGINT AS n_canonical, " +
-        "least(count(DISTINCT canon), 40)::BIGINT AS n_kept, " +
-        "count(CASE WHEN kind = 'url' THEN lastmod END)::BIGINT AS n_lastmod, " +
-        "count(CASE WHEN kind = 'sitemap' THEN 1 END)::BIGINT AS n_children " +
-        "FROM e GROUP BY domain ORDER BY domain"),
+    "sitemap_frontier" -> sitemapFrontierOracleSql,
+    // the trigger machinery must not change one frontier count
+    "stream_sitemap" -> sitemapFrontierOracleSql,
     // extraction replay: the expected extracted text is a constant of the
     // planted page; keep/reject decisions on both arms are determined by
     // the construction (500 vs 333 per-mille stopwords at a 450 bar)
