@@ -1559,6 +1559,45 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** WHATWG MIME sniffing over a planted payload mix
+    * ([[graft.operators.MimeSniff]] — servers lie about Content-Type
+    * constantly, so a crawl routes payloads by SNIFFED type: text/HTML
+    * to the text operators, images to the perceptual-hash family,
+    * containers to codecs, junk to the discard lane). Six arms, three of
+    * them REAL codec output (the engine's own JPEG encoder, PNG encoder,
+    * gzip) — the signature table must recognize genuine bytes, not
+    * planted magic strings. FULL-VALUE oracle: the sniffed type per arm
+    * is a constant of the construction, so per-type counts and id sums
+    * replay exactly. */
+  private[graft] def qMimeSniff(spark: SparkSession, dir: String): DataFrame = {
+    val mkPayload = udf((id: Long) => (id % 6).toInt match {
+      case 0 => graft.operators.Jpeg.encodeGray(8, 8,
+        Array.tabulate[Byte](64)(i => ((i * 7 + id) % 251).toByte))
+      case 1 => graft.operators.Multimodal.pngEncode(4, 4, 0,
+        Array.tabulate[Byte](16)(i => ((i * 3 + id) % 251).toByte))
+      case 2 => graft.sources.Sitemap.gzip(s"payload $id".getBytes("UTF-8"))
+      case 3 => s"<html><body><p>doc $id</p></body></html>".getBytes("UTF-8")
+      case 4 => s"plain prose for document $id with words".getBytes("UTF-8")
+      case _ => Array[Byte](0x00, 0x01, 0x02, (id % 127).toByte, 0x00)
+    })
+    val expected = when(pmod(col("id"), lit(6L)) === 0, lit("image/jpeg"))
+      .when(pmod(col("id"), lit(6L)) === 1, lit("image/png"))
+      .when(pmod(col("id"), lit(6L)) === 2, lit("application/gzip"))
+      .when(pmod(col("id"), lit(6L)) === 3, lit("text/html"))
+      .when(pmod(col("id"), lit(6L)) === 4, lit("text/plain"))
+      .otherwise(lit("application/octet-stream"))
+    graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .withColumn("mime", graft.operators.MimeSniff.mimeOf(mkPayload(col("id"))))
+      .groupBy(col("mime"))
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        count(when(col("mime") === expected, 1)).as("n_expected"),
+        sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("mime")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -428,6 +428,16 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // the sniffed type per arm is a construction constant (the three
+    // codec arms produce real JPEG/PNG/gzip magic bytes), so counts and
+    // id sums replay from doc_id % 6 alone
+    "mime_sniff" ->
+      ("WITH d AS (SELECT doc_id AS id, CASE doc_id % 6 " +
+        "WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' " +
+        "WHEN 2 THEN 'application/gzip' WHEN 3 THEN 'text/html' " +
+        "WHEN 4 THEN 'text/plain' ELSE 'application/octet-stream' END AS mime FROM documents) " +
+        "SELECT mime, count(*)::BIGINT AS n_payloads, count(*)::BIGINT AS n_expected, " +
+        "sum(id)::BIGINT AS id_sum FROM d GROUP BY mime ORDER BY mime"),
     // frontier replay: urls, canonical collapses, lastmods, caps and
     // child-sitemap counts all re-derived from the planted construction
     // (two spellings per page -> one canonical; index docs -> 2 children)

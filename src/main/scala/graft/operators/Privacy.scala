@@ -281,8 +281,14 @@ object Privacy {
     val token = dpSeedToken(secret, release)
     val counts = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
-    counts.selectExpr(groupBy.map(c => s"`$c`") :+
-      s"__n + ${dpNoiseCaseSql(hash60(token, groupBy), maxNoise)} AS n_noisy": _*)
+    // project the draw key ONCE: dpNoiseCaseSql substitutes its hash
+    // argument into every one of the 2·maxNoise CASE branches, and the
+    // r17 secret-keyed key is ~3x longer — inlining it 80 times tripled
+    // the expression tree and the plan-compile wall (bench r17 flag)
+    counts.selectExpr(groupBy.map(c => s"`$c`") ++ Seq("__n",
+      s"${hash60(token, groupBy)} AS __h"): _*)
+      .selectExpr(groupBy.map(c => s"`$c`") :+
+        s"__n + ${dpNoiseCaseSql("__h", maxNoise)} AS n_noisy": _*)
   }
 
   /** ε = ln 2 differentially-private per-group SUMS with contribution
@@ -306,7 +312,9 @@ object Privacy {
     val clamped = least(greatest(col(s"`$valueCol`").cast("long"), lit(0L)), lit(clip))
     val sums = df.groupBy(groupBy.map(c => col(s"`$c`")): _*)
       .agg(sum(clamped).as("__s"))
-    sums.selectExpr(groupBy.map(c => s"`$c`") :+
-      s"__s + $clip * ${dpNoiseCaseSql(hash60(token, groupBy), maxNoise)} AS sum_noisy": _*)
+    sums.selectExpr(groupBy.map(c => s"`$c`") ++ Seq("__s",
+      s"${hash60(token, groupBy)} AS __h"): _*)
+      .selectExpr(groupBy.map(c => s"`$c`") :+
+        s"__s + $clip * ${dpNoiseCaseSql("__h", maxNoise)} AS sum_noisy": _*)
   }
 }

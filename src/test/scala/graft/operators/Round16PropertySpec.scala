@@ -211,6 +211,7 @@ class Round16PropertySpec extends AnyFunSuite {
       graft.sources.Warc.parse(bytes) // prefix or Nil, never throws
       graft.operators.Multimodal.parseDimensions(bytes)
       graft.sources.Sitemap.parse(bytes) // entries or Nil, never throws
+      graft.operators.MimeSniff.sniff(bytes) // a type or null, never throws
       // charset ladder is total: any bytes under any declaration decode
       graft.sources.Warc.decodeBody(bytes, null)
       graft.sources.Warc.decodeBody(bytes, "text/html; charset=utf-8")
