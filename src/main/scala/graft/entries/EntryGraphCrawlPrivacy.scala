@@ -1598,6 +1598,47 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** HTML head-metadata extraction ([[graft.operators.HtmlMeta]] —
+    * title, meta description, canonical link): the canonical link is the
+    * SITE's own dedup hint, and the query uses it as one — canonicals
+    * are planted keyed by id/3, so ~3 crawled spellings collapse per
+    * canonical. Attribute order, quoting, and case are all varied across
+    * arms (id%2 flips quoting style and attribute order). FULL-VALUE
+    * oracle: exact title/description matches and the canonical-distinct
+    * count replay from the construction. */
+  private[graft] def qHtmlMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val html = when(pmod(col("id"), lit(2L)) === 0,
+      concat(lit("<html><head><title> Doc Title "), col("id"),
+        lit(" &amp; more </title><meta name=\"description\" content=\"Summary of document #"),
+        col("id"), lit(".\"><link rel=\"canonical\" href=\"https://www.example.com/canonical/"),
+        (col("id") / 3).cast("long"),
+        lit("\"></head><body><p>body</p></body></html>")))
+      .otherwise(
+        concat(lit("<html><head><TITLE> Doc Title "), col("id"),
+          lit(" &amp; more </TITLE><meta content='Summary of document #"),
+          col("id"), lit(".' name=DESCRIPTION><link href=https://www.example.com/canonical/"),
+          (col("id") / 3).cast("long"),
+          lit(" rel='alternate canonical'></head><body><p>body</p></body></html>")))
+    val expectedTitle = concat(lit("Doc Title "), col("id"), lit(" & more"))
+    val expectedDesc = concat(lit("Summary of document #"), col("id"), lit("."))
+    val expectedCanon = concat(lit("https://www.example.com/canonical/"),
+      (col("id") / 3).cast("long"))
+    docs.select(col("id"),
+        graft.operators.HtmlMeta.htmlTitle(html).as("t"),
+        graft.operators.HtmlMeta.htmlDescription(html).as("d"),
+        graft.operators.HtmlMeta.htmlCanonical(html).as("c"),
+        expectedTitle.as("et"), expectedDesc.as("ed"), expectedCanon.as("ec"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("t") === col("et"), 1)).as("n_title_exact"),
+        count(when(col("d") === col("ed"), 1)).as("n_desc_exact"),
+        count(when(col("c") === col("ec"), 1)).as("n_canon_exact"),
+        countDistinct(col("c")).as("n_canonical_groups"))
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -428,6 +428,13 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // extraction replay: titles/descriptions/canonicals are constants of
+    // the construction (both quoting arms must land on the same values);
+    // canonical groups = distinct id/3
+    "html_metadata" ->
+      ("SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_title_exact, " +
+        "count(*)::BIGINT AS n_desc_exact, count(*)::BIGINT AS n_canon_exact, " +
+        "count(DISTINCT doc_id // 3)::BIGINT AS n_canonical_groups FROM documents"),
     // the sniffed type per arm is a construction constant (the three
     // codec arms produce real JPEG/PNG/gzip magic bytes), so counts and
     // id sums replay from doc_id % 6 alone
