@@ -1639,6 +1639,66 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** Recrawl SCHEDULING — the politeness/freshness composition a frontier
+    * scheduler runs: `Crawl-delay:` per domain (the de-facto directive,
+    * [[graft.operators.Robots.crawlDelay]] — named-group-beats-`*`,
+    * conservative merge) sets the daily fetch budget (86400/delay);
+    * sitemap `changefreq`/`priority`/`lastmod` ([[graft.sources.Sitemap]]
+    * — the spec's scheduling fields) decide which URLs are DUE at a
+    * pinned as-of date (changefreq → refresh interval in days: always/
+    * hourly 0, daily 1, weekly 7, monthly 30, yearly 365, never ∞).
+    * FULL-VALUE oracle: delays, budgets, due counts, and the exact
+    * priority mass (one-decimal priorities on a x1000 integer grid)
+    * replay from the planted construction. */
+  private[graft] def qCrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sitemap
+    val mkSitemap = udf((id: Long) => {
+      val k = id % 20
+      val changefreq = (id % 5).toInt match {
+        case 0 => "always"
+        case 1 => "daily"
+        case 2 => "weekly"
+        case 3 => "yearly"
+        case _ => "never"
+      }
+      Sitemap.writeUrlsetFull(Seq((
+        s"https://www.site$k.com/page/$id",
+        s"2026-0${1 + id % 6}-15",
+        changefreq,
+        s"0.${id % 10}")))
+    })
+    val delayOf = udf((robots: String) =>
+      graft.operators.Robots.crawlDelay(robots, "graftbot"))
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .withColumn("robots", concat(
+        lit("User-agent: *\nCrawl-delay: "),
+        (lit(1L) + pmod(pmod(col("id"), lit(20L)), lit(5L))),
+        lit("\nDisallow: /private/\n")))
+      .withColumn("delay_s", delayOf(col("robots")).cast("long"))
+    val entries = Sitemap.entriesDF(
+        docs.select(col("id").as("sitemap_id"), mkSitemap(col("id")).as("content")))
+      .join(docs.select(col("id").as("sitemap_id"), col("delay_s")), "sitemap_id")
+    val intervalDays = when(col("changefreq").isin("always", "hourly"), lit(0))
+      .when(col("changefreq") === "daily", lit(1))
+      .when(col("changefreq") === "weekly", lit(7))
+      .when(col("changefreq") === "monthly", lit(30))
+      .when(col("changefreq") === "yearly", lit(365))
+    val due = intervalDays.isNotNull &&
+      datediff(lit("2026-08-16").cast("date"), to_date(col("lastmod"))) >= intervalDays
+    entries
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("loc")))
+      .groupBy(col("domain"))
+      .agg(
+        min(col("delay_s")).as("delay_s"),
+        (lit(86400L) / min(col("delay_s"))).cast("long").as("daily_budget"),
+        count(lit(1)).as("n_urls"),
+        count(when(due, 1)).as("n_due"),
+        sum((col("priority").cast("double") * 1000).cast("long")).as("priority_x1e3"))
+      .orderBy("domain")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -428,6 +428,20 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // scheduling replay: delay = 1 + (id%20)%5 per domain, budget =
+    // 86400/delay, due per the changefreq->interval map at the pinned
+    // as-of, priority mass on the x1000 grid — all id arithmetic
+    "crawl_schedule" ->
+      ("WITH d AS (SELECT doc_id AS id, doc_id % 20 AS k FROM documents), " +
+        "e AS (SELECT id, k, 'site' || k::VARCHAR || '.com' AS domain, " +
+        "1 + (k % 5) AS delay_s, " +
+        "CASE id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 7 WHEN 3 THEN 365 ELSE NULL END AS iv, " +
+        "('2026-0' || (1 + id % 6)::VARCHAR || '-15')::DATE AS lastmod, " +
+        "(id % 10) * 100 AS px FROM d) " +
+        "SELECT domain, min(delay_s)::BIGINT AS delay_s, " +
+        "(86400 // min(delay_s))::BIGINT AS daily_budget, count(*)::BIGINT AS n_urls, " +
+        "count(CASE WHEN iv IS NOT NULL AND lastmod + to_days(iv) <= DATE '2026-08-16' THEN 1 END)::BIGINT AS n_due, " +
+        "sum(px)::BIGINT AS priority_x1e3 FROM e GROUP BY domain ORDER BY domain"),
     // extraction replay: titles/descriptions/canonicals are constants of
     // the construction (both quoting arms must land on the same values);
     // canonical groups = distinct id/3

@@ -171,6 +171,48 @@ object Robots {
     }
   }
 
+  /** De-facto `Crawl-delay:` directive (not part of RFC 9309 but honored
+    * by most major crawlers — the politeness knob a frontier scheduler
+    * reads): seconds between fetches for the agent's matching groups.
+    * Group scoping follows the allow/disallow rules (named groups beat
+    * `*`; when several matching groups declare delays the most
+    * CONSERVATIVE — largest — wins). Null when absent or unparsable;
+    * negative values ignored. */
+  def crawlDelay(robotsTxt: String, agent: String): java.lang.Double = {
+    if (robotsTxt == null) return null
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    var named: java.lang.Double = null
+    var starred: java.lang.Double = null
+    var groupAgents: List[String] = Nil
+    var inAgentRun = false
+    for (raw <- robotsTxt.split("\n", -1)) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inAgentRun) groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+            else { groupAgents = List(value.toLowerCase(java.util.Locale.ROOT)); inAgentRun = true }
+          case "crawl-delay" =>
+            inAgentRun = false
+            val v = try java.lang.Double.parseDouble(value)
+                    catch { case _: NumberFormatException => Double.NaN }
+            if (!v.isNaN && v >= 0 && groupAgents.nonEmpty) {
+              if (groupAgents.contains(agentLc)) {
+                if (named == null || v > named.doubleValue()) named = v
+              } else if (groupAgents.contains("*")) {
+                if (starred == null || v > starred.doubleValue()) starred = v
+              }
+            }
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    if (named != null) named else starred
+  }
+
   def isAllowedUTF8(robotsTxt: UTF8String, agent: String, path: UTF8String): Boolean =
     isAllowed(if (robotsTxt == null) null else robotsTxt.toString, agent,
       if (path == null) null else path.toString)

@@ -39,8 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Sitemap {
 
-  /** kind is "url" (urlset entry) or "sitemap" (index child). */
+  /** kind is "url" (urlset entry) or "sitemap" (index child).
+    * `changefreq` (always/hourly/daily/weekly/monthly/yearly/never) and
+    * `priority` (0.0–1.0, kept as text — the spec's own format) are the
+    * recrawl-scheduling fields; null when absent or on index children. */
   final case class Entry(kind: String, loc: String, lastmod: String,
+                         changefreq: String, priority: String,
                          truncated: Boolean)
 
   /** Published per-document limits (sitemaps.org). */
@@ -165,7 +169,10 @@ object Sitemap {
           else {
             val loc = innerText(raw, lower, "loc", open, close)
             val lastmod = innerText(raw, lower, "lastmod", open, close)
-            if (loc != null && loc.nonEmpty) out += Entry(kind, loc, lastmod, truncated = false)
+            val changefreq = innerText(raw, lower, "changefreq", open, close)
+            val priority = innerText(raw, lower, "priority", open, close)
+            if (loc != null && loc.nonEmpty)
+              out += Entry(kind, loc, lastmod, changefreq, priority, truncated = false)
             pos = close + blockTag.length + 2
           }
         }
@@ -184,20 +191,26 @@ object Sitemap {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, c) =>
-          parse(c).map(e => (id, e.kind, e.loc, e.lastmod, e.truncated))
+          parse(c).map(e => (id, e.kind, e.loc, e.lastmod, e.changefreq, e.priority, e.truncated))
         }
-      }.toDF("sitemap_id", "kind", "loc", "lastmod", "truncated")
+      }.toDF("sitemap_id", "kind", "loc", "lastmod", "changefreq", "priority", "truncated")
   }
 
   /** Serialize a urlset document — test/fixture helper (the inverse the
     * specs and planted oracles round-trip through). */
-  def writeUrlset(urls: Seq[(String, String)]): Array[Byte] = {
+  def writeUrlset(urls: Seq[(String, String)]): Array[Byte] =
+    writeUrlsetFull(urls.map { case (loc, lastmod) => (loc, lastmod, null, null) })
+
+  /** Urlset with the scheduling fields (changefreq, priority). */
+  def writeUrlsetFull(urls: Seq[(String, String, String, String)]): Array[Byte] = {
     val sb = new StringBuilder()
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
     sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
-    urls.foreach { case (loc, lastmod) =>
+    urls.foreach { case (loc, lastmod, changefreq, priority) =>
       sb.append("  <url><loc>").append(escapeXml(loc)).append("</loc>")
       if (lastmod != null) sb.append("<lastmod>").append(lastmod).append("</lastmod>")
+      if (changefreq != null) sb.append("<changefreq>").append(changefreq).append("</changefreq>")
+      if (priority != null) sb.append("<priority>").append(priority).append("</priority>")
       sb.append("</url>\n")
     }
     sb.append("</urlset>\n")

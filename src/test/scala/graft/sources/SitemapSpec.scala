@@ -34,7 +34,7 @@ class SitemapSpec extends AnyFunSuite {
       """<url ><loc> https://h.example.com/x </loc><lastmod>2026-03-01</lastmod></url></urlset>""")
       .getBytes(StandardCharsets.UTF_8)
     val got = Sitemap.parse(xml)
-    assert(got === Seq(Sitemap.Entry("url", "https://h.example.com/x", "2026-03-01", false)))
+    assert(got === Seq(Sitemap.Entry("url", "https://h.example.com/x", "2026-03-01", null, null, false)))
   }
 
   test("published limits: URL cap truncates loudly, never throws") {
@@ -78,5 +78,31 @@ class SitemapSpec extends AnyFunSuite {
       (1L, "url", "https://a.example.com/1"),
       (2L, "sitemap", "https://b.example.com/sm.xml")))
     assert(rows(0).getString(3) === "2026-01-02")
+  }
+
+  test("scheduling fields: changefreq and priority round-trip; absent -> null") {
+    val bytes = Sitemap.writeUrlsetFull(Seq(
+      ("https://a.example.com/1", "2026-02-03", "weekly", "0.8"),
+      ("https://a.example.com/2", null, null, null)))
+    val got = Sitemap.parse(bytes)
+    assert(got.map(e => (e.loc, e.lastmod, e.changefreq, e.priority)) === Seq(
+      ("https://a.example.com/1", "2026-02-03", "weekly", "0.8"),
+      ("https://a.example.com/2", null, null, null)))
+  }
+
+  test("crawlDelay: group scoping, conservative merge, named beats *") {
+    import graft.operators.Robots
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 2\n", "bot") === 2.0)
+    assert(Robots.crawlDelay(
+      "User-agent: bot\nCrawl-delay: 5\nUser-agent: *\nCrawl-delay: 1\n", "bot") === 5.0)
+    // two matching groups -> the LARGEST (most polite) delay wins
+    assert(Robots.crawlDelay(
+      "User-agent: bot\nCrawl-delay: 2\n\nUser-agent: bot\nCrawl-delay: 7\n", "bot") === 7.0)
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x\n", "bot") === null)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: junk\n", "bot") === null)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: -3\n", "bot") === null)
+    assert(Robots.crawlDelay(null, "bot") === null)
+    // decimal delays parse (the de-facto format allows them)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 0.5\n", "bot") === 0.5)
   }
 }
