@@ -1699,6 +1699,35 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** URL-seen frontier store ([[graft.operators.Frontier]] — the crawl
+    * family joins the store/incremental discipline): two-thirds of the
+    * urls are "already crawled" (clean spellings in the store, Bloom
+    * sidecar + chunk partitioning), then a batch of MESSY spellings of
+    * every url (uppercase host, default port, trackers, fragment) probes
+    * for novelty. The novel set is exactly the id%3==0 third — reachable
+    * only if canonicalization unified the spellings, the Bloom
+    * prefilter never dropped a true novel, and the exact confirm join
+    * cleared the false positives. FULL-VALUE oracle: novel ids and
+    * domains replay from the construction. */
+  private[graft] def qFrontierIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val seen = docs.where(pmod(col("id"), lit(3L)) =!= 0)
+      .select(concat(lit("https://www.front"), pmod(col("id"), lit(20L)),
+        lit(".com/p/"), col("id")).as("url"))
+    val storeDir = freshTmpStore(spark, "graft_frontier_store").getAbsolutePath
+    graft.operators.Frontier.writeSeenStore(seen, "url", storeDir, capacity = 1000000L)
+    val batch = docs.select(concat(lit("HTTPS://WWW.Front"), pmod(col("id"), lit(20L)),
+      lit(".COM:443/p/"), col("id"), lit("?utm_source=x&ref=z#frag")).as("url"))
+    graft.operators.Frontier.novelUrls(spark, storeDir, batch, "url")
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("canon")))
+      .withColumn("nid", regexp_extract(col("canon"), "/p/(\\d+)$", 1).cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_novel"), sum(col("nid")).cast("long").as("novel_id_sum"))
+      .orderBy("domain")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -428,6 +428,14 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // the novel set is exactly the never-stored third: ids and domains
+    // replay from id arithmetic (canonicalization + bloom + confirm join
+    // must land there from the messy batch spellings)
+    "frontier_incremental" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT 'front' || (id % 20)::VARCHAR || '.com' AS domain, " +
+        "count(*)::BIGINT AS n_novel, sum(id)::BIGINT AS novel_id_sum " +
+        "FROM d GROUP BY domain ORDER BY domain"),
     // scheduling replay: delay = 1 + (id%20)%5 per domain, budget =
     // 86400/delay, due per the changefreq->interval map at the pinned
     // as-of, priority mass on the x1000 grid — all id arithmetic
