@@ -1728,6 +1728,39 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** WET EXPORT round-trip — the egress side of the crawl loop: a curated
+    * corpus ships as WET (WARC conversion records, the format it arrived
+    * in), so the writer matters as much as the reader. Every document
+    * exports as a gzipped conversion record (its text as the payload)
+    * and re-ingests through [[graft.sources.Warc.recordsDF]]; the decoded
+    * body must equal the original text byte-for-byte (gzip + container +
+    * charset ladder round-trip), the sniffed charset must be UTF-8, and
+    * the payload byte mass must equal the text's UTF-8 mass. FULL-VALUE
+    * oracle: everything replays from the documents table itself. */
+  private[graft] def qWetExport(spark: SparkSession, dir: String): DataFrame = {
+    val mkWet = udf((id: Long, text: String) => {
+      import graft.sources.Warc
+      Warc.writeWarcGz(Seq(Warc.WarcRecord("conversion",
+        s"https://site${id % 20}.example.com/doc/$id", s"<urn:uuid:wet-$id>",
+        "text/plain", text.getBytes("UTF-8"))))
+    })
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val files = docs.select(col("id").as("warc_id"), col("text"),
+      mkWet(col("id"), col("text")).as("content"))
+    graft.sources.Warc.recordsDF(files.select(col("warc_id"), col("content")))
+      .join(files.select(col("warc_id"), col("text")), "warc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("body_text") === col("text"), 1)).as("n_roundtrip"),
+        count(when(col("target_uri") === concat(lit("https://site"),
+          pmod(col("warc_id"), lit(20L)), lit(".example.com/doc/"), col("warc_id")), 1))
+          .as("n_uri_match"),
+        count(when(col("charset") === "UTF-8", 1)).as("n_utf8"),
+        sum(col("n_payload_bytes")).cast("long").as("payload_bytes"))
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -428,6 +428,12 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // the export loop replays from the corpus itself: every check holds
+    // for every row, payload mass = the text's own UTF-8 byte mass
+    "wet_export" ->
+      ("SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_roundtrip, " +
+        "count(*)::BIGINT AS n_uri_match, count(*)::BIGINT AS n_utf8, " +
+        "sum(octet_length(encode(text)))::BIGINT AS payload_bytes FROM documents"),
     // the novel set is exactly the never-stored third: ids and domains
     // replay from id arithmetic (canonicalization + bloom + confirm join
     // must land there from the messy batch spellings)
