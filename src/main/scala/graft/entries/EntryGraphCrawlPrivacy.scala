@@ -1761,6 +1761,45 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** The frontier novelty probe as a STRUCTURED STREAM — the shape a live
+    * ingest runs: discovered urls arrive as micro-batches and each batch
+    * is novelty-filtered against the static store via
+    * [[graft.operators.Frontier.novelUrls]] inside foreachBatch (the
+    * probe's broadcast-confirm join is batch machinery, so foreachBatch
+    * is the streaming-legal composition — the stream_foreach_batch
+    * harness). The union of per-batch novel sets equals the batch
+    * answer: the store is static and novelty is per-url, so batch
+    * boundaries are invisible. Shares `frontier_incremental`'s oracle
+    * VERBATIM. */
+  private[graft] def qStreamFrontierProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val seen = docs.where(pmod(col("id"), lit(3L)) =!= 0)
+      .select(concat(lit("https://www.front"), pmod(col("id"), lit(20L)),
+        lit(".com/p/"), col("id")).as("url"))
+    val storeDir = freshTmpStore(spark, "graft_stream_frontier_store").getAbsolutePath
+    graft.operators.Frontier.writeSeenStore(seen, "url", storeDir, capacity = 1000000L)
+    val out = freshTmpStore(spark, "graft_stream_frontier_sink")
+    val stream = streamDocuments(spark, dir)
+      .select(col("doc_id").cast("long").as("id"))
+      .select(concat(lit("HTTPS://WWW.Front"), pmod(col("id"), lit(20L)),
+        lit(".COM:443/p/"), col("id"), lit("?utm_source=x&ref=z#frag")).as("url"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Frontier.novelUrls(spark, storeDir, batch, "url")
+          .write.mode("append").parquet(out.getAbsolutePath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.getAbsolutePath)
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("canon")))
+      .withColumn("nid", regexp_extract(col("canon"), "/p/(\\d+)$", 1).cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_novel"), sum(col("nid")).cast("long").as("novel_id_sum"))
+      .orderBy("domain")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

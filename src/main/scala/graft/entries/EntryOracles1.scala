@@ -30,6 +30,14 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "count(CASE WHEN kind = 'sitemap' THEN 1 END)::BIGINT AS n_children " +
         "FROM e GROUP BY domain ORDER BY domain")
 
+  /** Novel set = the never-stored third, shared VERBATIM by
+    * `frontier_incremental` and its streaming twin. */
+  private[graft] val frontierNovelOracleSql: String =
+    "WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0) " +
+      "SELECT 'front' || (id % 20)::VARCHAR || '.com' AS domain, " +
+      "count(*)::BIGINT AS n_novel, sum(id)::BIGINT AS novel_id_sum " +
+      "FROM d GROUP BY domain ORDER BY domain"
+
   private[graft] def oracleSqlPart1: Map[String, String] = Map(
     "ann_pq_topk" -> annPqOracleSql,
     "pq_recall" -> pqRecallOracleSql,
@@ -437,11 +445,10 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
     // the novel set is exactly the never-stored third: ids and domains
     // replay from id arithmetic (canonicalization + bloom + confirm join
     // must land there from the messy batch spellings)
-    "frontier_incremental" ->
-      ("WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0) " +
-        "SELECT 'front' || (id % 20)::VARCHAR || '.com' AS domain, " +
-        "count(*)::BIGINT AS n_novel, sum(id)::BIGINT AS novel_id_sum " +
-        "FROM d GROUP BY domain ORDER BY domain"),
+    "frontier_incremental" -> frontierNovelOracleSql,
+    // per-batch novelty against a static store unions to the batch
+    // answer: the trigger machinery must not change one novel url
+    "stream_frontier_probe" -> frontierNovelOracleSql,
     // scheduling replay: delay = 1 + (id%20)%5 per domain, budget =
     // 86400/delay, due per the changefreq->interval map at the pinned
     // as-of, priority mass on the x1000 grid — all id arithmetic
