@@ -294,7 +294,18 @@ object ScaleCheck {
     // encode (distinct-word join + one doc-keyed aggregate), and the
     // rank-then-encipher masking scan (in-row AES, no shuffle)
     "warc_charset", "sitemap_frontier", "html_main_content",
-    "bpe_train_bytes", "bpe_encode_bytes", "mask_fpe_number")
+    "bpe_train_bytes", "bpe_encode_bytes", "mask_fpe_number",
+    // round-17 batch 2: the composed ingest with charset+extraction
+    // load-bearing (crawl_pipeline_e2e's class plus the decode/extract
+    // kernels), the in-row MIME table + head-metadata kernels (scan-bound
+    // with bounded aggregates), the schedule composition (one domain
+    // aggregate over a fixed 20-domain space), the frontier store cycle
+    // (store write + bloom + one store scan per probe — the probe's
+    // exchange is match-sized), and the WET export loop (two narrow
+    // flatMaps back to back). stream twins excluded: the memory/parquet
+    // sink harness class
+    "crawl_pipeline_v2", "mime_sniff", "html_metadata", "crawl_schedule",
+    "frontier_incremental", "wet_export")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
