@@ -1676,9 +1676,16 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
         (lit(1L) + pmod(pmod(col("id"), lit(20L)), lit(5L))),
         lit("\nDisallow: /private/\n")))
       .withColumn("delay_s", delayOf(col("robots")).cast("long"))
+    // delays are per-DOMAIN: fold the corpus-sized frame to the 20-row
+    // (domain, delay) table FIRST and broadcast it — the 100x ScaleCheck
+    // caught the corpus×corpus id-join flipping to sort-merge (180x
+    // bytes); a frontier scheduler keys politeness by site, not by page
+    val delays = docs
+      .groupBy(pmod(col("id"), lit(20L)).as("k"))
+      .agg(min(col("delay_s")).as("delay_s"))
+      .select(concat(lit("site"), col("k"), lit(".com")).as("domain"), col("delay_s"))
     val entries = Sitemap.entriesDF(
         docs.select(col("id").as("sitemap_id"), mkSitemap(col("id")).as("content")))
-      .join(docs.select(col("id").as("sitemap_id"), col("delay_s")), "sitemap_id")
     val intervalDays = when(col("changefreq").isin("always", "hourly"), lit(0))
       .when(col("changefreq") === "daily", lit(1))
       .when(col("changefreq") === "weekly", lit(7))
@@ -1688,6 +1695,7 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
       datediff(lit("2026-08-16").cast("date"), to_date(col("lastmod"))) >= intervalDays
     entries
       .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("loc")))
+      .join(broadcast(delays), "domain")
       .groupBy(col("domain"))
       .agg(
         min(col("delay_s")).as("delay_s"),
@@ -1748,14 +1756,22 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
       .select(col("doc_id").cast("long").as("id"), col("text"))
     val files = docs.select(col("id").as("warc_id"), col("text"),
       mkWet(col("id"), col("text")).as("content"))
-    graft.sources.Warc.recordsDF(files.select(col("warc_id"), col("content")))
-      .join(files.select(col("warc_id"), col("text")), "warc_id")
+    // both join sides fold to (id, digest, few bounded columns) BEFORE
+    // the id-keyed exchange — the 100x ScaleCheck caught the naive join
+    // shipping every body TWICE (text + parsed body) through sort-merge
+    // (257x bytes); digest equality is the same byte-exact round-trip
+    // check at ~50 bytes a row
+    val parsed = graft.sources.Warc.recordsDF(files.select(col("warc_id"), col("content")))
+      .select(col("warc_id"), md5(col("body_text")).as("body_md5"),
+        (col("target_uri") === concat(lit("https://site"),
+          pmod(col("warc_id"), lit(20L)), lit(".example.com/doc/"), col("warc_id")))
+          .as("uri_ok"),
+        col("charset"), col("n_payload_bytes"))
+    parsed.join(files.select(col("warc_id"), md5(col("text")).as("text_md5")), "warc_id")
       .agg(
         count(lit(1)).as("n_docs"),
-        count(when(col("body_text") === col("text"), 1)).as("n_roundtrip"),
-        count(when(col("target_uri") === concat(lit("https://site"),
-          pmod(col("warc_id"), lit(20L)), lit(".example.com/doc/"), col("warc_id")), 1))
-          .as("n_uri_match"),
+        count(when(col("body_md5") === col("text_md5"), 1)).as("n_roundtrip"),
+        count(when(col("uri_ok"), 1)).as("n_uri_match"),
         count(when(col("charset") === "UTF-8", 1)).as("n_utf8"),
         sum(col("n_payload_bytes")).cast("long").as("payload_bytes"))
   }
