@@ -283,6 +283,34 @@ class PlanShapeSpec extends AnyFunSuite with PredicateHelper {
       "store side of the probe join must not shuffle")
   }
 
+  test("frontier probe: confirm join broadcasts the batch; the store side never shuffles") {
+    // the URL-seen contract: a novelty probe against a billions-of-urls
+    // frontier store must be bloom-prefilter + ONE store scan with the
+    // (small) maybe-seen set broadcast — any exchange on the store side
+    // would re-shuffle the frontier per probe
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_planshape_frontier_${spark.sparkContext.applicationId}")
+    if (path.exists()) org.apache.commons.io.FileUtils.deleteDirectory(path)
+    graft.operators.Frontier.writeSeenStore(
+      (1 to 200).map(i => s"https://p.io/$i").toDF("url"), "url",
+      path.getAbsolutePath, capacity = 10000)
+    val batch = Seq("https://p.io/5", "https://p.io/9999").toDF("url")
+    val plan = graft.operators.Frontier
+      .novelUrls(spark, path.getAbsolutePath, batch, "url")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected the maybe-seen batch rows to broadcast")
+    val storeSide = bhj.flatMap(j => Seq(j.left, j.right))
+      .find(_.collectLeaves().exists(_.toString.contains("parquet")))
+    assert(storeSide.isDefined, "a confirm-join side must scan the store parquet")
+    assert(storeSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "store side of the confirm join must not shuffle")
+    org.apache.commons.io.FileUtils.deleteDirectory(path)
+  }
+
   test("allowlist entries are live (no stale exemptions)") {
     for (name <- allowlist.keys) {
       assert(SparkEntry.queries.contains(name), s"allowlisted '$name' is not a query")
