@@ -1549,10 +1549,16 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
     val docs = streamDocuments(spark, dir)
       .select(col("doc_id").cast("long").as("id"))
     val entries = sitemapFrontierEntries(docs)
+    // foreachBatch + per-batch overwrite + a FRESH (temp) checkpoint per
+    // invocation — the stream_warc_ingest harness. A persistent
+    // checkpoint next to a freshTmpStore sink breaks re-invocation in
+    // one JVM: the second run replays nothing into the re-deleted sink
+    // (caught by the full suite running every query twice per JVM).
     val sink = freshTmpStore(spark, "graft_stream_sitemap_sink").getAbsolutePath
     val q = entries.writeStream
-      .format("parquet").option("path", sink)
-      .option("checkpointLocation", sink + "_ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     sitemapFrontierAgg(spark.read.parquet(sink))
@@ -1812,6 +1818,40 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
       .withColumn("nid", regexp_extract(col("canon"), "/p/(\\d+)$", 1).cast("long"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_novel"), sum(col("nid")).cast("long").as("novel_id_sum"))
+      .orderBy("domain")
+  }
+
+
+  /** Anchor-text aggregation ([[graft.operators.TextAnalysis
+    * .extractAnchorPairs]] — incoming anchor text describes the TARGET
+    * page, the classic search-quality prior): pages plant two absolute
+    * anchors with id-keyed texts plus a relative one (no registrable
+    * domain → excluded); per target domain, in-link counts, anchor
+    * character mass, and exact text matches. All codegen'd regexp
+    * builtins; FULL-VALUE oracle replays from the construction
+    * arithmetic. */
+  private[graft] def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val t1 = concat(lit("read the "), col("id"), lit(" report"))
+    val t2 = concat(lit("more "), col("id"), lit(" details"))
+    val html = concat(
+      lit("<html><body><a class=\"x\" href=\"https://t.targ"),
+      pmod(col("id") * 31 + 7, lit(20L)), lit(".io/p\">"), t1,
+      lit("</a> and <A HREF='https://u.targ"),
+      pmod(col("id") * 17 + 3, lit(20L)), lit(".io/q'>"), t2,
+      lit("</A> <a href=\"/relative\">rel</a></body></html>"))
+    docs.select(col("id"), t1.as("t1"), t2.as("t2"),
+        explode(graft.operators.TextAnalysis.extractAnchorPairs(html)).as("p"))
+      .select(col("t1"), col("t2"), col("p.href").as("href"), col("p.anchor").as("anchor"))
+      .withColumn("domain", graft.operators.UrlDomain.urlDomain(col("href")))
+      .where(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        sum(length(col("anchor"))).cast("long").as("anchor_chars"),
+        count(when(col("anchor") === col("t1") || col("anchor") === col("t2"), 1))
+          .as("n_exact"))
       .orderBy("domain")
   }
 

@@ -436,6 +436,18 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // anchor texts and targets are id arithmetic: 'read the <id> report'
+    // (16 + digits chars) onto targ(id*31+7 % 20).io, 'more <id> details'
+    // (13 + digits) onto targ(id*17+3 % 20).io; the relative anchor has
+    // no registrable domain and drops
+    "anchor_text" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "e AS (SELECT 'targ' || ((id * 31 + 7) % 20)::VARCHAR || '.io' AS domain, " +
+        "16 + len(id::VARCHAR) AS alen FROM d " +
+        "UNION ALL SELECT 'targ' || ((id * 17 + 3) % 20)::VARCHAR || '.io', " +
+        "13 + len(id::VARCHAR) FROM d) " +
+        "SELECT domain, count(*)::BIGINT AS n_anchors, sum(alen)::BIGINT AS anchor_chars, " +
+        "count(*)::BIGINT AS n_exact FROM e GROUP BY domain ORDER BY domain"),
     // the export loop replays from the corpus itself: every check holds
     // for every row, payload mass = the text's own UTF-8 byte mass
     "wet_export" ->

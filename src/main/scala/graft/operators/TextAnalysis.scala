@@ -598,6 +598,22 @@ object TextAnalysis {
     regexp_extract_all(text,
       lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)"), lit(1))
 
+  /** Anchor (href, text) pairs — the RELEVANCE signal on top of the link
+    * graph: incoming anchor text describes the TARGET page (the classic
+    * search-quality prior), so a per-target anchor-text table feeds
+    * retrieval and quality scoring. ONE regex evaluated twice at
+    * different capture groups (identical pattern → identical match list
+    * → the two extract_all lists align positionally; `arrays_zip` pairs
+    * them), all codegen'd builtins in the RE2-safe subset — same
+    * tag-level honesty contract as [[extractLinks]] (anchors whose body
+    * contains nested tags keep them; strip downstream if needed). */
+  def extractAnchorPairs(text: Column): Column = {
+    val pat = lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)[^>]*>([^<]*)</a>")
+    arrays_zip(
+      regexp_extract_all(text, pat, lit(1)).as("href"),
+      regexp_extract_all(text, pat, lit(2)).as("anchor"))
+  }
+
   /** Per-document top-k keyword extraction by tf-idf — the salient-term
     * summary used for corpus browsing, topic bucketing, and
     * diversity-aware sampling. The idf factor is the engine-portable

@@ -247,6 +247,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Seq("https://a.io/x", "https://b.io/y", "/rel/path", "https://c.io/q?k=v"))
   }
 
+  test("extractAnchorPairs: hrefs and texts align positionally across quoting/case variants") {
+    import spark.implicits._
+    val html = """<a href="https://a.io/x">first text</a> junk""" +
+      """ <A class="k" HREF='https://b.io/y'>second</A>""" +
+      """ <a name="no-href">skipped</a> <a href="/rel">rel text</a>"""
+    import org.apache.spark.sql.functions.{col, explode, size}
+    val out = Seq(html).toDF("t")
+      .select(explode(TextAnalysis.extractAnchorPairs(col("t"))).as("p"))
+      .select(col("p.href"), col("p.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      ("https://a.io/x", "first text"),
+      ("https://b.io/y", "second"),
+      ("/rel", "rel text")))
+    // anchors with nested tags in the body don't match the [^<]* body —
+    // the documented tag-level honesty contract (aggregates, not per-row)
+    val nested = Seq("""<a href="https://c.io/z"><b>bold</b></a>""").toDF("t")
+      .select(size(TextAnalysis.extractAnchorPairs(col("t")))).head().getInt(0)
+    assert(nested === 0)
+  }
+
   test("qualityDecision: NULL guard stays arithmetic (no conditional wrapper)") {
     // r9 regression pin: wrapping the outputs in when(text.isNull, ...)
     // made the shared tokenize subtree a CaseWhen BRANCH — conditionally
