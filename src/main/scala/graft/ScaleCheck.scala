@@ -305,7 +305,10 @@ object ScaleCheck {
     // flatMaps back to back). stream twins excluded: the memory/parquet
     // sink harness class
     "crawl_pipeline_v2", "mime_sniff", "html_metadata", "crawl_schedule",
-    "frontier_incremental", "wet_export")
+    "frontier_incremental", "wet_export",
+    // anchor extraction: regexp_extract_all x2 + explode + a domain-keyed
+    // aggregate over a fixed 20-domain space — the html_link_graph class
+    "anchor_text")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
