@@ -1856,6 +1856,57 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
   }
 
 
+  /** Charset decoding FEEDING language-ID — the interaction a real crawl
+    * exercises on every page: langid runs over DECODED text, and for
+    * non-Latin scripts the decode is load-bearing (a GBK page decoded as
+    * 1252 is latin mojibake with zero CJK codepoints — the zh arm's
+    * script detector would never fire). Three arms: undeclared-UTF-8
+    * English, transport-declared GBK Chinese (the load-bearing one),
+    * transport-declared 1252 French. FULL-VALUE oracle: per-arm counts,
+    * the charset the ladder picks, the language the detector must emit,
+    * exact decoded bodies, and decoded character mass. */
+  private[graft] def qCrawlLangid(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val (body, ct, enc) = (id % 3).toInt match {
+        case 0 => (s"the report and the data of the crawl is here to stay with us number $id",
+          "text/plain", "UTF-8")
+        case 1 => (s"你好世界这是一个测试的报告编号 $id", "text/html; charset=gbk", "GBK")
+        case _ => (s"le chat est dans la maison et les champs pour une vie très belle $id",
+          "text/html; charset=windows-1252", "windows-1252")
+      }
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes("US-ASCII")
+      Warc.writeWarcGz(Seq(Warc.WarcRecord("response", s"https://lang.example.com/$id",
+        s"<urn:uuid:lang-$id>", "application/http;msgtype=response",
+        head ++ body.getBytes(enc))))
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"),
+        mkWarc(col("doc_id").cast("long")).as("content"))
+      .withColumnRenamed("id", "warc_id")
+    val recs = graft.sources.Warc.recordsDF(files)
+      .withColumn("case_id", pmod(col("warc_id"), lit(3L)))
+    val expected =
+      when(col("case_id") === 0, concat(
+        lit("the report and the data of the crawl is here to stay with us number "),
+        col("warc_id")))
+        .when(col("case_id") === 1, concat(lit("你好世界这是一个测试的报告编号 "), col("warc_id")))
+        .otherwise(concat(
+          lit("le chat est dans la maison et les champs pour une vie très belle "),
+          col("warc_id")))
+    recs.withColumn("lang", graft.operators.TextAnalysis.languageId(col("body_text")))
+      .groupBy(col("case_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("charset")).as("charset"),
+        min(col("lang")).as("lang"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(when(col("body_text") === expected, 1)).as("n_exact"),
+        sum(length(col("body_text"))).cast("long").as("body_chars"))
+      .orderBy("case_id")
+  }
+
+
   /** One-pass column profile of the documents table (row/null/distinct
     * counts + string-rendered min/max per column) — the per-ingest
     * schema-drift report. */

@@ -436,6 +436,21 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE WHEN case_id IN (0, 2) THEN 'UTF-8' ELSE 'windows-1252' END AS charset, " +
         "1::BIGINT AS n_charsets, count(*)::BIGINT AS n_decoded_exact, " +
         "sum(len(exp))::BIGINT AS decoded_chars FROM e GROUP BY case_id ORDER BY case_id"),
+    // decode->langid replay: per-arm charset, language, exact decoded
+    // bodies and char mass are construction constants (the zh arm is
+    // reachable only if the GBK declaration was honored — 1252 mojibake
+    // has no CJK codepoints for the script detector)
+    "crawl_langid" ->
+      ("WITH d AS (SELECT doc_id AS id, doc_id % 3 AS c FROM documents), " +
+        "e AS (SELECT c, CASE c " +
+        "WHEN 0 THEN 'the report and the data of the crawl is here to stay with us number ' || id::VARCHAR " +
+        "WHEN 1 THEN '你好世界这是一个测试的报告编号 ' || id::VARCHAR " +
+        "ELSE 'le chat est dans la maison et les champs pour une vie très belle ' || id::VARCHAR END AS exp FROM d) " +
+        "SELECT c AS case_id, count(*)::BIGINT AS n_docs, " +
+        "CASE c WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'GBK' ELSE 'windows-1252' END AS charset, " +
+        "CASE c WHEN 0 THEN 'en' WHEN 1 THEN 'zh' ELSE 'fr' END AS lang, " +
+        "1::BIGINT AS n_langs, count(*)::BIGINT AS n_exact, " +
+        "sum(len(exp))::BIGINT AS body_chars FROM e GROUP BY c ORDER BY case_id"),
     // anchor texts and targets are id arithmetic: 'read the <id> report'
     // (16 + digits chars) onto targ(id*31+7 % 20).io, 'more <id> details'
     // (13 + digits) onto targ(id*17+3 % 20).io; the relative anchor has
