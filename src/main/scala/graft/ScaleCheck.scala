@@ -308,7 +308,10 @@ object ScaleCheck {
     "frontier_incremental", "wet_export",
     // anchor extraction: regexp_extract_all x2 + explode + a domain-keyed
     // aggregate over a fixed 20-domain space — the html_link_graph class
-    "anchor_text")
+    "anchor_text",
+    // decode->langid: warc_charset's narrow parse/decode class plus the
+    // in-row langid kernel and a 3-row aggregate
+    "crawl_langid")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the
