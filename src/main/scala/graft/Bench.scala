@@ -326,28 +326,40 @@ object Bench {
     // per-query wall swings up to 2x with suite-order scheduling/GC noise,
     // and the last two rounds each spent a manual isolated re-measure per
     // flag. The bench now carries its own adjudication: each flagged query
-    // re-runs ONCE at suite end (caches cleared, post-GC — the same
-    // protocol as a manual SPARK_GRAFT_QUERIES run), and the archive
-    // records both walls. A flag is CONFIRMED only if the isolated wall
-    // still exceeds 1.5x the trailing minimum under both normalizations.
+    // re-runs MIN-OF-3 at suite end (caches cleared, post-GC before each
+    // pass — the same protocol as a manual SPARK_GRAFT_QUERIES run), and
+    // the archive records both walls. A flag is CONFIRMED only if the
+    // min isolated wall still exceeds 1.5x the trailing minimum under
+    // both normalizations. Min-of-3, not one sample (verdict r17 ask #1):
+    // the single-sample adjudicator CONFIRMED three phantom regressions
+    // in one r17 run — including a 26.9x reading on mask_fpe_number whose
+    // 3-pass re-measure landed at 1.01 s — because one collect() on a
+    // contended shared box has exactly the noise-sensitivity the in-suite
+    // min-of-2 exists to avoid.
     val adjudicated: Map[String, (Double, Double, Double)] = flagged.map { case (q, ratio) =>
-      try { spark.catalog.clearCache() } catch { case _: Throwable => }
-      graft.functions.MaskFunctions.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(q)(spark, sfDir).collect(); true }
-        catch { case _: Throwable => false }
-      val iso = (System.nanoTime() - t0) / 1e9
       // the shared box OSCILLATES on minute scales (measured in-round:
       // calib_argon2_par 69.7 -> 439.5 -> 149.4 ms across runs an hour
       // apart) — suite-END constants can miss the contention window a
       // query actually ran in, so the adjudicator re-measures the
-      // calibration family FRESH next to each isolated re-run and
-      // normalizes by the instant constants
-      val isoRatio =
-        if (!ok) Double.PositiveInfinity
-        else normRatio(q, iso, measureCalib(), measureCalibPar(),
-          measureCalibPb(), measureCalibPbPar()).getOrElse(Double.PositiveInfinity)
+      // calibration family FRESH next to each isolated pass and
+      // normalizes by the instant constants; min over passes on BOTH
+      // the wall and the normalized ratio.
+      val passes: Seq[(Double, Double)] = (1 to 3).map { _ =>
+        try { spark.catalog.clearCache() } catch { case _: Throwable => }
+        graft.functions.MaskFunctions.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(q)(spark, sfDir).collect(); true }
+          catch { case _: Throwable => false }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val r =
+          if (!ok) Double.PositiveInfinity
+          else normRatio(q, wall, measureCalib(), measureCalibPar(),
+            measureCalibPb(), measureCalibPbPar()).getOrElse(Double.PositiveInfinity)
+        (wall, r)
+      }
+      val iso = passes.map(_._1).min
+      val isoRatio = passes.map(_._2).min
       // a failed isolated re-run records 999 (JSON has no Infinity); the
       // failure itself already surfaced in the suite pass if systematic
       q -> (ratio, iso,

@@ -91,12 +91,16 @@ private[graft] trait EntryCrawl17 { this: EntryCore =>
   /** Charset decoding FEEDING language-ID — the interaction a real crawl
     * exercises on every page: langid runs over DECODED text, and for
     * non-Latin scripts the decode is load-bearing (a GBK page decoded as
-    * 1252 is latin mojibake with zero CJK codepoints — the zh arm's
-    * script detector would never fire). Three arms: undeclared-UTF-8
-    * English, transport-declared GBK Chinese (the load-bearing one),
-    * transport-declared 1252 French. FULL-VALUE oracle: per-arm counts,
-    * the charset the ladder picks, the language the detector must emit,
-    * exact decoded bodies, and decoded character mass. */
+    * 1252 is latin mojibake with zero CJK codepoints — no zh profile
+    * gram would ever match). Three arms: undeclared-UTF-8 English,
+    * transport-declared GBK Chinese (the load-bearing one),
+    * transport-declared 1252 French. The detector is the Cavnar–Trenkle
+    * profile ranker ([[graft.operators.LangId]], 17 languages incl. the
+    * non-Latin scripts — r18: replaced the 5-language marker heuristic
+    * this query first shipped with; the zh arm is hanzi-ONLY, the
+    * ja-vs-zh separation the profile set must carry). FULL-VALUE oracle:
+    * per-arm counts, the charset the ladder picks, the language the
+    * detector must emit, exact decoded bodies, and decoded char mass. */
   private[graft] def qCrawlLangid(spark: SparkSession, dir: String): DataFrame = {
     val mkWarc = udf((id: Long) => {
       import graft.sources.Warc
@@ -126,7 +130,7 @@ private[graft] trait EntryCrawl17 { this: EntryCore =>
         .otherwise(concat(
           lit("le chat est dans la maison et les champs pour une vie très belle "),
           col("warc_id")))
-    recs.withColumn("lang", graft.operators.TextAnalysis.languageId(col("body_text")))
+    recs.withColumn("lang", graft.operators.LangId.langid(col("body_text")))
       .groupBy(col("case_id"))
       .agg(
         count(lit(1)).as("n_docs"),

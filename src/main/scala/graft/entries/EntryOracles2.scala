@@ -812,7 +812,10 @@ private[graft] trait EntryOracles2 { this: EntryCore =>
         "(1, 'en'), (2, 'en'), (3, 'de'), (4, 'de'), (5, 'fr'), (6, 'fr'), " +
         "(7, 'es'), (8, 'es'), (9, 'pt'), (10, 'pt'), (11, 'it'), (12, 'it'), " +
         "(13, 'nl'), (14, 'nl'), (15, 'sv'), (16, 'sv'), (17, 'da'), (18, 'da'), " +
-        "(19, 'pl'), (20, 'pl'), (21, 'tr'), (22, 'tr')) AS t(doc_id, lang) " +
+        "(19, 'pl'), (20, 'pl'), (21, 'tr'), (22, 'tr'), " +
+        "(23, 'zh'), (24, 'zh'), (25, 'zh'), (26, 'ja'), (27, 'ja'), " +
+        "(28, 'ko'), (29, 'ko'), (30, 'ru'), (31, 'ru'), (32, 'ar'), " +
+        "(33, 'ar'), (34, 'hi'), (35, 'hi')) AS t(doc_id, lang) " +
         "ORDER BY doc_id"),
     // the full 20-round greedy trainer replayed in one recursive CTE
     "bpe_train" ->

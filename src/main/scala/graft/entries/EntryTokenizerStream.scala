@@ -538,7 +538,24 @@ private[graft] trait EntryTokenizerStream { this: EntryCore =>
       19L -> "szliśmy wąską drogą, podczas gdy deszcz wciąż padał na pola",
       20L -> "nikt nie wiedział, dlaczego stary zegar zatrzymał się tamtej nocy",
       21L -> "dar yol boyunca yürürken yağmur tarlaların üzerine yağmaya devam ediyordu",
-      22L -> "kimse eski saatin o gece neden durduğunu bilmiyordu")
+      22L -> "kimse eski saatin o gece neden durduğunu bilmiyordu",
+      // non-Latin scripts (r18) incl. the ja-vs-zh same-script-family
+      // pair (both write han characters; kana grams + the ja-frequent vs
+      // zh-frequent character distributions separate them) and a
+      // hanzi-ONLY zh row (25) that must not leak to ja
+      23L -> "他们在火车上聊了很久，谈到了工作和家里的事情。",
+      24L -> "这家饭馆的菜很好吃，我们决定下个月再来一次。",
+      25L -> "你好世界这是一个测试的报告编号",
+      26L -> "彼らは電車の中で長い間話して、仕事や家のことについて語り合いました。",
+      27L -> "この店の料理はとてもおいしかったので、来月また来ることにしました。",
+      28L -> "그들은 기차 안에서 오랫동안 이야기하며 일과 집안일에 대해 말했습니다.",
+      29L -> "이 식당의 음식이 아주 맛있어서 다음 달에 다시 오기로 했습니다.",
+      30L -> "они долго разговаривали в поезде о работе и о домашних делах",
+      31L -> "еда в этом ресторане была очень вкусной, и мы решили прийти снова",
+      32L -> "تحدثوا طويلا في القطار عن العمل وعن أمور البيت",
+      33L -> "كان الطعام في هذا المطعم لذيذا جدا فقررنا أن نعود في الشهر القادم",
+      34L -> "उन्होंने रेलगाड़ी में देर तक काम और घर की बातों पर चर्चा की",
+      35L -> "इस भोजनालय का खाना बहुत स्वादिष्ट था, हमने अगले महीने फिर आने का फैसला किया")
     import spark.implicits._
     planted.toDF("doc_id", "text")
       .select(col("doc_id"), graft.operators.LangId.langid(col("text")).as("lang"))

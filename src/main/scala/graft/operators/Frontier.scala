@@ -89,9 +89,15 @@ object Frontier {
     val c = canonChunks(urls, urlCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      c.write.mode("append").partitionBy("chunk").parquet(path)
+      // Bloom FIRST, parquet second: a crash between the two writes must
+      // leave bloom ⊇ store. The reverse order (advisor r17) would leave
+      // store rows the Bloom never saw, and novelUrls treats
+      // bloom-negative as definitely-novel with zero store I/O — those
+      // urls would be re-reported novel forever. Bloom-without-rows only
+      // costs false positives, which the exact confirm join absorbs.
       val merged = readBloom(spark, path).mergeInPlace(bloomOf(c, capacity, fpp))
       writeBloom(spark, path, merged)
+      c.write.mode("append").partitionBy("chunk").parquet(path)
     } finally c.unpersist(blocking = false)
   }
 

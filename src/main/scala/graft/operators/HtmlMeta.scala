@@ -132,8 +132,12 @@ object HtmlMeta {
       val a = attrs(body)
       val content = a.get("content")
       if (content.isDefined) {
-        if (a.get("name").exists(_.equalsIgnoreCase("description")))
-          return clean(content.get)
+        if (a.get("name").exists(_.equalsIgnoreCase("description"))) {
+          // a whitespace-only description cleans to null — keep scanning
+          // so a later og:description can still apply (advisor r17)
+          val c = clean(content.get)
+          if (c != null) return c
+        }
         if (og == null && a.get("property").exists(_.equalsIgnoreCase("og:description")))
           og = content.get
       }

@@ -39,8 +39,16 @@ object LangId {
     * classifying a 10 MB document must not cost 10 MB of gramming. */
   val maxChars = 4000
 
+  /** 11 Latin-script languages plus the six major non-Latin scripts
+    * (verdict r17 ask #2): the method is char-level already, so CJK/
+    * Cyrillic/Arabic/Devanagari need only committed snippet resources —
+    * hanzi/kana/hangul unigrams separate ja-vs-zh-vs-ko, and ja-vs-zh
+    * (the same-script-family pair) falls to kana grams plus the
+    * distribution shift between Japanese-frequent and Chinese-frequent
+    * characters. Sorted: code order IS the deterministic tie-break. */
   val languages: Seq[String] =
-    Seq("da", "de", "en", "es", "fr", "it", "nl", "pl", "pt", "sv", "tr")
+    Seq("ar", "da", "de", "en", "es", "fr", "hi", "it", "ja", "ko",
+      "nl", "pl", "pt", "ru", "sv", "tr", "zh")
 
   /** Top-`profileSize` grams of `text`, ranked 0..k-1 by (count desc,
     * gram asc) — the deterministic tie-break matters: profile order is

@@ -134,9 +134,15 @@ object Robots {
     if (hit != null) return hit
     val rules = rulesFor(txt, agent)
     val sz = ruleSetBytes(rules)
-    if (cache.size < cacheCap && cacheBytes.get() + sz <= cacheByteCap &&
-        cache.putIfAbsent(key, rules) == null)
-      cacheBytes.addAndGet(sz)
+    // reserve bytes BEFORE the insert and roll back on failure: the old
+    // check-then-act (get() + sz <= cap, then insert) let N concurrent
+    // inserts all pass the check and collectively overshoot the byte cap
+    // (advisor r17). With reservation the bound holds under concurrency.
+    if (cache.size < cacheCap) {
+      val reserved = cacheBytes.addAndGet(sz)
+      if (reserved > cacheByteCap || cache.putIfAbsent(key, rules) != null)
+        cacheBytes.addAndGet(-sz)
+    }
     rules
   }
 

@@ -138,12 +138,22 @@ object Warc {
     new String(bytes, 0, len, StandardCharsets.UTF_8)
   }
 
-  /** Fill exactly n bytes; null when the stream ends first (truncation). */
+  /** Fill exactly n bytes; null when the stream ends first (truncation).
+    * Allocation grows geometrically (64 KiB start, ×4) with bytes ACTUALLY
+    * read, never up-front from the untrusted Content-Length header: a
+    * truncated/crafted WARC claiming a 1 GiB record costs only the bytes
+    * present, not a 1 GiB allocation per task (advisor r17). */
   private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
-    val out = new Array[Byte](n)
+    if (n == 0) return Array.emptyByteArray
+    var cap = math.min(n, 64 * 1024)
+    var out = new Array[Byte](cap)
     var off = 0
     while (off < n) {
-      val r = in.read(out, off, n - off)
+      if (off == cap) {
+        cap = math.min(n.toLong, cap.toLong * 4).toInt
+        out = java.util.Arrays.copyOf(out, cap)
+      }
+      val r = in.read(out, off, cap - off)
       if (r < 0) return null
       off += r
     }

@@ -36,6 +36,11 @@ class HtmlMetaSpec extends AnyFunSuite {
       "<meta property=\"og:description\" content=\"og d\">" +
         "<meta name=description content=real>") === "real")
     assert(HtmlMeta.description("<meta name=\"keywords\" content=\"x\">") === null)
+    // a whitespace-only name=description does NOT consume the slot — a
+    // later og:description still applies (advisor r17)
+    assert(HtmlMeta.description(
+      "<meta name=description content=\"   \">" +
+        "<meta property=\"og:description\" content=\"og d\">") === "og d")
   }
 
   test("canonical: rel is a token list; href required") {

@@ -32,7 +32,22 @@ class LangIdSpec extends AnyFunSuite {
     "pl" -> "szliśmy wąską drogą, podczas gdy deszcz wciąż padał na pola",
     "pl" -> "nikt nie wiedział, dlaczego stary zegar zatrzymał się tamtej nocy",
     "tr" -> "dar yol boyunca yürürken yağmur tarlaların üzerine yağmaya devam ediyordu",
-    "tr" -> "kimse eski saatin o gece neden durduğunu bilmiyordu")
+    "tr" -> "kimse eski saatin o gece neden durduğunu bilmiyordu",
+    // non-Latin scripts (r18): ja-vs-zh is the same-script-family pair —
+    // both use han characters, so the separator is kana grams plus the
+    // Japanese-frequent vs Chinese-frequent character distributions
+    "zh" -> "他们在火车上聊了很久，谈到了工作和家里的事情。",
+    "zh" -> "这家饭馆的菜很好吃，我们决定下个月再来一次。",
+    "ja" -> "彼らは電車の中で長い間話して、仕事や家のことについて語り合いました。",
+    "ja" -> "この店の料理はとてもおいしかったので、来月また来ることにしました。",
+    "ko" -> "그들은 기차 안에서 오랫동안 이야기하며 일과 집안일에 대해 말했습니다.",
+    "ko" -> "이 식당의 음식이 아주 맛있어서 다음 달에 다시 오기로 했습니다.",
+    "ru" -> "они долго разговаривали в поезде о работе и о домашних делах",
+    "ru" -> "еда в этом ресторане была очень вкусной, и мы решили прийти снова",
+    "ar" -> "تحدثوا طويلا في القطار عن العمل وعن أمور البيت",
+    "ar" -> "كان الطعام في هذا المطعم لذيذا جدا فقررنا أن نعود في الشهر القادم",
+    "hi" -> "उन्होंने रेलगाड़ी में देर तक काम और घर की बातों पर चर्चा की",
+    "hi" -> "इस भोजनालय का खाना बहुत स्वादिष्ट था, हमने अगले महीने फिर आने का फैसला किया")
 
   test("held-out sentences classify correctly, incl. es/pt and sv/da pairs") {
     val wrong = heldOut.flatMap { case (expected, text) =>
@@ -40,6 +55,12 @@ class LangIdSpec extends AnyFunSuite {
       if (got != expected) Some(s"'$text' -> $got (expected $expected)") else None
     }
     assert(wrong.isEmpty, wrong.mkString("\n"))
+  }
+
+  test("ja-vs-zh: hanzi-only zh (the crawl arm's shape) does not leak to ja") {
+    // no kana to lean on — the han-character distribution alone decides
+    assert(LangId.classify("你好世界这是一个测试的报告编号 42") === "zh")
+    assert(LangId.classify("我们需要一个新的计划来解决这个问题") === "zh")
   }
 
   test("kernel edge cases: null, empty, no letters, huge input bounded") {
