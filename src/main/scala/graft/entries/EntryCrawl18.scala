@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registry: the round-18 crawl-realism additions — redirect-chain
+  * resolution + revisit-record consumption (verdict r17 ask #3),
+  * conditional-recrawl validators (ask #5). */
+private[graft] trait EntryCrawl18 { this: EntryCore =>
+
+  /** Redirect chains + revisit records — the two crawl signals
+    * [[graft.sources.Warc.recordsDF]] gained in r18, composed the way a
+    * curation pipeline consumes them. Each document plants a
+    * 301→302→200 chain (`/a/id` root-relative to `/b/id`, absolute to
+    * the final url shared by every id ≡ mod 20 — the canonical-target
+    * mapping IS dedup evidence: n ids collapse onto ≤20 finals) plus a
+    * `revisit` record pointing at the final capture (ISO 28500 §6.7 —
+    * the crawler's own duplicate detection); every 10th id plants a
+    * 301↔301 LOOP that must report unresolved at the hop cap.
+    * [[graft.operators.Redirects.resolveChains]] resolves the mapping;
+    * FULL-VALUE oracle: every count replays from id arithmetic. */
+  private[graft] def qWarcRedirects(spark: SparkSession, dir: String): DataFrame = {
+    val mkWarc = udf((id: Long) => {
+      import graft.sources.Warc
+      val fin = s"https://final.example.com/p/${id % 20}"
+      val recs = scala.collection.mutable.ArrayBuffer(
+        Warc.WarcRecord("response", s"https://chain.example.com/a/$id",
+          s"<urn:uuid:a-$id>", "application/http;msgtype=response",
+          s"HTTP/1.1 301 Moved Permanently\r\nLocation: /b/$id\r\n\r\n"
+            .getBytes("US-ASCII")),
+        Warc.WarcRecord("response", s"https://chain.example.com/b/$id",
+          s"<urn:uuid:b-$id>", "application/http;msgtype=response",
+          s"HTTP/1.1 302 Found\r\nLocation: $fin\r\n\r\n".getBytes("US-ASCII")),
+        Warc.WarcRecord("response", fin, s"<urn:uuid:f-$id>",
+          "application/http;msgtype=response",
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nfinal page ${id % 20}")
+            .getBytes("US-ASCII")),
+        Warc.WarcRecord("revisit", s"https://re.example.com/dup/$id",
+          s"<urn:uuid:v-$id>", "application/http;msgtype=revisit",
+          Array.emptyByteArray, refersTo = s"<urn:uuid:f-$id>", refersToUri = fin,
+          profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+      if (id % 10 == 0) {
+        recs += Warc.WarcRecord("response", s"https://loop.example.com/x/$id",
+          s"<urn:uuid:x-$id>", "application/http;msgtype=response",
+          s"HTTP/1.1 301 Moved Permanently\r\nLocation: /y/$id\r\n\r\n"
+            .getBytes("US-ASCII"))
+        recs += Warc.WarcRecord("response", s"https://loop.example.com/y/$id",
+          s"<urn:uuid:y-$id>", "application/http;msgtype=response",
+          s"HTTP/1.1 301 Moved Permanently\r\nLocation: /x/$id\r\n\r\n"
+            .getBytes("US-ASCII"))
+      }
+      Warc.writeWarcGz(recs.toSeq)
+    })
+    val files = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("warc_id"))
+      .withColumn("content", mkWarc(col("warc_id")))
+    val recs = graft.sources.Warc.recordsDF(files)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val chains = graft.operators.Redirects.resolveChains(recs)
+      .withColumn("aid", nullif(regexp_extract(col("url"),
+        "^https://chain\\.example\\.com/[ab]/(\\d+)$", 1), lit("")).cast("long"))
+      .withColumn("exp_final", when(col("aid").isNotNull,
+        concat(lit("https://final.example.com/p/"), pmod(col("aid"), lit(20L)))))
+      .agg(
+        count(lit(1)).as("n_chains"),
+        count(when(col("resolved"), 1)).as("n_resolved"),
+        count(when(col("resolved") && col("hops") === 1, 1)).as("n_hop1"),
+        count(when(col("resolved") && col("hops") === 2, 1)).as("n_hop2"),
+        count(when(!col("resolved"), 1)).as("n_unresolved"),
+        count(when(col("final_url") === col("exp_final"), 1)).as("n_final_ok"),
+        countDistinct(when(col("resolved"), col("final_url"))).as("n_distinct_final"))
+    val revisits = recs.where(col("warc_type") === "revisit")
+      .withColumn("vid", nullif(regexp_extract(col("target_uri"), "/dup/(\\d+)$", 1),
+        lit("")).cast("long"))
+      .agg(
+        count(lit(1)).as("n_revisit"),
+        count(when(col("refers_to_uri") === concat(
+          lit("https://final.example.com/p/"), pmod(col("vid"), lit(20L))), 1))
+          .as("n_refers_ok"),
+        countDistinct(col("revisit_profile")).as("n_profiles"))
+    graft.operators.Partitioning.releaseAfterUse(
+      chains.crossJoin(revisits), recs) // two 1-row frames
+  }
+
+}

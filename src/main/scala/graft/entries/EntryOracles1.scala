@@ -451,6 +451,20 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
         "CASE c WHEN 0 THEN 'en' WHEN 1 THEN 'zh' ELSE 'fr' END AS lang, " +
         "1::BIGINT AS n_langs, count(*)::BIGINT AS n_exact, " +
         "sum(len(exp))::BIGINT AS body_chars FROM e GROUP BY c ORDER BY case_id"),
+    // redirect/revisit replay: every chain is 2 hops of id arithmetic
+    // (/a/id -> /b/id -> final p/(id%20)), every 10th id adds a 2-url
+    // loop that must land unresolved at the hop cap, and each id's
+    // revisit record points at its final capture — so every count is a
+    // closed form over the id set
+    "warc_redirects" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "a AS (SELECT count(*)::BIGINT AS n, " +
+        "count(*) FILTER (WHERE id % 10 = 0)::BIGINT AS l, " +
+        "count(DISTINCT id % 20)::BIGINT AS df FROM d) " +
+        "SELECT (2*n + 2*l) AS n_chains, (2*n) AS n_resolved, n AS n_hop1, " +
+        "n AS n_hop2, (2*l) AS n_unresolved, (2*n) AS n_final_ok, " +
+        "df AS n_distinct_final, n AS n_revisit, n AS n_refers_ok, " +
+        "1::BIGINT AS n_profiles FROM a"),
     // anchor texts and targets are id arithmetic: 'read the <id> report'
     // (16 + digits chars) onto targ(id*31+7 % 20).io, 'more <id> details'
     // (13 + digits) onto targ(id*17+3 % 20).io; the relative anchor has
@@ -479,17 +493,24 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
     // scheduling replay: delay = 1 + (id%20)%5 per domain, budget =
     // 86400/delay, due per the changefreq->interval map at the pinned
     // as-of, priority mass on the x1000 grid — all id arithmetic
+    // v2: due urls lane-split on the planted validators (id%4 — 0 ETag,
+    // 1 Last-Modified, 2 both with ETag winning, 3 none -> full fetch)
     "crawl_schedule" ->
       ("WITH d AS (SELECT doc_id AS id, doc_id % 20 AS k FROM documents), " +
         "e AS (SELECT id, k, 'site' || k::VARCHAR || '.com' AS domain, " +
         "1 + (k % 5) AS delay_s, " +
         "CASE id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 7 WHEN 3 THEN 365 ELSE NULL END AS iv, " +
         "('2026-0' || (1 + id % 6)::VARCHAR || '-15')::DATE AS lastmod, " +
-        "(id % 10) * 100 AS px FROM d) " +
+        "(id % 10) * 100 AS px, " +
+        "(id % 4 IN (0, 2)) AS has_etag, (id % 4 IN (1, 2)) AS has_lm FROM d), " +
+        "f AS (SELECT *, iv IS NOT NULL AND lastmod + to_days(iv) <= DATE '2026-08-16' AS due FROM e) " +
         "SELECT domain, min(delay_s)::BIGINT AS delay_s, " +
         "(86400 // min(delay_s))::BIGINT AS daily_budget, count(*)::BIGINT AS n_urls, " +
-        "count(CASE WHEN iv IS NOT NULL AND lastmod + to_days(iv) <= DATE '2026-08-16' THEN 1 END)::BIGINT AS n_due, " +
-        "sum(px)::BIGINT AS priority_x1e3 FROM e GROUP BY domain ORDER BY domain"),
+        "count(CASE WHEN due THEN 1 END)::BIGINT AS n_due, " +
+        "count(CASE WHEN due AND has_etag THEN 1 END)::BIGINT AS n_if_none_match, " +
+        "count(CASE WHEN due AND NOT has_etag AND has_lm THEN 1 END)::BIGINT AS n_if_modified_since, " +
+        "count(CASE WHEN due AND NOT has_etag AND NOT has_lm THEN 1 END)::BIGINT AS n_full_fetch, " +
+        "sum(px)::BIGINT AS priority_x1e3 FROM f GROUP BY domain ORDER BY domain"),
     // extraction replay: titles/descriptions/canonicals are constants of
     // the construction (both quoting arms must land on the same values);
     // canonical groups = distinct id/3

@@ -35,9 +35,18 @@ import org.apache.spark.sql.functions._
   * count makes truncation observable. */
 object Warc {
 
+  /** One WARC record. `refersTo`/`refersToUri`/`profile` carry the
+    * `revisit` linkage headers (ISO 28500 §6.7 — `WARC-Refers-To`,
+    * `WARC-Refers-To-Target-URI`, `WARC-Profile`): a revisit record is
+    * the CRAWLER'S OWN dedup evidence ("this fetch matched an earlier
+    * capture"), free signal a curation pipeline should consume rather
+    * than re-derive. Null for every other record type. */
   final case class WarcRecord(warcType: String, targetUri: String,
                               recordId: String, contentType: String,
-                              payload: Array[Byte])
+                              payload: Array[Byte],
+                              refersTo: String = null,
+                              refersToUri: String = null,
+                              profile: String = null)
 
   private val CRLF = "\r\n"
 
@@ -73,6 +82,12 @@ object Warc {
       h.append("WARC-Target-URI: ").append(r.targetUri).append(CRLF)
     h.append("WARC-Record-ID: ").append(r.recordId).append(CRLF)
     h.append("WARC-Date: 2026-01-01T00:00:00Z").append(CRLF) // fixed: deterministic bytes
+    if (r.refersTo != null && r.refersTo.nonEmpty)
+      h.append("WARC-Refers-To: ").append(r.refersTo).append(CRLF)
+    if (r.refersToUri != null && r.refersToUri.nonEmpty)
+      h.append("WARC-Refers-To-Target-URI: ").append(r.refersToUri).append(CRLF)
+    if (r.profile != null && r.profile.nonEmpty)
+      h.append("WARC-Profile: ").append(r.profile).append(CRLF)
     if (r.contentType != null && r.contentType.nonEmpty)
       h.append("Content-Type: ").append(r.contentType).append(CRLF)
     h.append("Content-Length: ").append(r.payload.length).append(CRLF)
@@ -171,6 +186,8 @@ object Warc {
         else if (!version.startsWith("WARC/")) done = true // malformed: stop
         else {
           var wtype = ""; var uri = ""; var rid = ""; var ctype = ""; var clen = -1L
+          var refersTo: String = null; var refersToUri: String = null
+          var profile: String = null
           var hl = readLine(in)
           while (hl != null && hl.nonEmpty) {
             val colon = hl.indexOf(':')
@@ -181,6 +198,9 @@ object Warc {
                 case "warc-type" => wtype = v
                 case "warc-target-uri" => uri = v
                 case "warc-record-id" => rid = v
+                case "warc-refers-to" => refersTo = v
+                case "warc-refers-to-target-uri" => refersToUri = v
+                case "warc-profile" => profile = v
                 case "content-type" => ctype = v
                 case "content-length" =>
                   clen = try v.toLong catch { case _: NumberFormatException => -1L }
@@ -193,7 +213,8 @@ object Warc {
           else {
             val payload = readFully(in, clen.toInt)
             if (payload == null) done = true // truncated mid-payload
-            else out += WarcRecord(wtype, uri, rid, ctype, payload)
+            else out += WarcRecord(wtype, uri, rid, ctype, payload,
+              refersTo, refersToUri, profile)
           }
         }
       }
@@ -415,7 +436,8 @@ object Warc {
 
   /** Flatten a (warc_id, content) frame of WARC files into records:
     * (warc_id, warc_type, target_uri, content_type, http_status,
-    * body_text, n_payload_bytes, charset). `body_text` is the HTTP body
+    * body_text, n_payload_bytes, charset, location, refers_to_uri,
+    * revisit_profile). `body_text` is the HTTP body
     * for `response` records (decoded through [[decodeBody]]'s WHATWG
     * sniffing ladder — the HTTP Content-Type header is the transport
     * declaration) and the decoded payload for `conversion` records
@@ -423,8 +445,14 @@ object Warc {
     * conversion records carry plain text with no HTTP envelope; their
     * WARC Content-Type is the declaration); null for every other type.
     * `charset` is the encoding the ladder picked (an audit column — the
-    * encoding mix of a crawl is a curation signal). Narrow
-    * mapPartitions — files are the parallelism unit, no shuffle. */
+    * encoding mix of a crawl is a curation signal). `location` is the
+    * HTTP Location header of 3xx responses (null otherwise) — the raw
+    * material of redirect-chain resolution
+    * ([[graft.operators.Redirects]]: the canonical URL a page actually
+    * lives at is the end of its Location chain). `refers_to_uri` /
+    * `revisit_profile` surface `revisit` records (ISO 28500 §6.7): the
+    * crawler's own duplicate detections, consumable dedup evidence.
+    * Narrow mapPartitions — files are the parallelism unit, no shuffle. */
   def recordsDF(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col("warc_id").cast("long"), col("content").cast("binary"))
@@ -441,11 +469,19 @@ object Warc {
               else (null, null)
             val body = if (bodyBytes == null) null else decodeBody(bodyBytes, declared)
             val cs = if (bodyBytes == null) null else sniffCharsetName(bodyBytes, declared)
+            val location =
+              if (isResponse && status >= 300 && status <= 399)
+                httpHeaderValue(r.payload, "location")
+              else null
+            val isRevisit = r.warcType.equalsIgnoreCase("revisit")
             (id, r.warcType, r.targetUri, r.contentType, status, body,
-              r.payload.length.toLong, cs)
+              r.payload.length.toLong, cs, location,
+              if (isRevisit) r.refersToUri else null,
+              if (isRevisit) r.profile else null)
           }
         }
       }.toDF("warc_id", "warc_type", "target_uri", "content_type",
-        "http_status", "body_text", "n_payload_bytes", "charset")
+        "http_status", "body_text", "n_payload_bytes", "charset",
+        "location", "refers_to_uri", "revisit_profile")
   }
 }

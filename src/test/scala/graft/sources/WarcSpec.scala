@@ -148,6 +148,40 @@ class WarcSpec extends AnyFunSuite {
     assert(conv.getInt(4) === 0) // no HTTP status on conversion records
   }
 
+  test("revisit records and 3xx Location headers round-trip and surface as columns") {
+    import spark.implicits._
+    val recs = Seq(
+      Warc.WarcRecord("response", "https://c.com/a", "<urn:uuid:r-1>",
+        "application/http;msgtype=response",
+        ("HTTP/1.1 301 Moved Permanently\r\nLocation: /b\r\n" +
+          "Content-Type: text/html\r\n\r\n").getBytes(StandardCharsets.UTF_8)),
+      Warc.WarcRecord("response", "https://c.com/b", "<urn:uuid:r-2>",
+        "application/http;msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nok body")
+          .getBytes(StandardCharsets.UTF_8)),
+      Warc.WarcRecord("revisit", "https://c.com/dup", "<urn:uuid:r-3>",
+        "application/http;msgtype=revisit", Array.emptyByteArray,
+        refersTo = "<urn:uuid:r-2>", refersToUri = "https://c.com/b",
+        profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+    // parse-level round trip of the §6.7 headers
+    val parsed = Warc.parse(Warc.writeWarcGz(recs))
+    val rv = parsed.find(_.warcType == "revisit").get
+    assert(rv.refersTo === "<urn:uuid:r-2>")
+    assert(rv.refersToUri === "https://c.com/b")
+    assert(rv.profile.endsWith("identical-payload-digest"))
+    assert(parsed.find(_.warcType == "response").get.refersTo === null)
+    // frame-level columns
+    val rows = Warc.recordsDF(Seq((1L, Warc.writeWarcGz(recs))).toDF("warc_id", "content"))
+      .select("target_uri", "http_status", "location", "refers_to_uri", "revisit_profile")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(rows.toSet === Set(
+      ("https://c.com/a", 301, "/b", null, null),
+      ("https://c.com/b", 200, null, null, null), // Location only on 3xx
+      ("https://c.com/dup", 0, null, "https://c.com/b",
+        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+  }
+
   test("recordsDF flattens files to records: narrow, response bodies extracted") {
     import spark.implicits._
     val df = Seq(
