@@ -71,6 +71,29 @@ class FpeSpec extends AnyFunSuite {
     assert(Fpe.maskLong(0L, 9999L, "a", 123L, key) !== Fpe.maskLong(0L, 9999L, "b", 123L, key))
   }
 
+  test("v2 cycle walk: radix-2 acceptance >= 1/2 — expected < 2 FF1 calls per cell") {
+    val key = Fpe.deriveKey(pp)
+    // structural law: the walked space 2^w is < 2x every legal domain,
+    // so acceptance > 1/2 by construction (this is WHY v2 exists: the
+    // r17 radix-10 walk paid ~9.1 calls on the benched domain below)
+    for (domain <- Seq(100L, 128L, 129L, 1000L, 1099999L, 1000000000000000000L)) {
+      val w = math.max(7, 64 - java.lang.Long.numberOfLeadingZeros(domain - 1))
+      assert((BigInt(1) << w) < BigInt(2) * domain && (BigInt(1) << w) >= domain,
+        s"domain $domain walks 2^$w")
+    }
+    // empirical law on the benched mask_fpe_number domain [-99999, 999999]
+    // (domain 1,099,999 -> w=21, acceptance 0.5245, expected ~1.9 calls):
+    // the mean walk over 400 cells sits far below the radix-10 ~9.1
+    val domain = 1099999L
+    val walks = (0 until 400).map { i =>
+      Fpe.rankEncipherWalk(i.toLong * 2749L % domain, domain, "t", key,
+        forward = true)._2
+    }
+    val mean = walks.sum.toDouble / walks.length
+    assert(mean < 2.6, s"mean walk $mean exceeds the radix-2 bound regime")
+    assert(walks.max < 40, "geometric tail under p>=1/2") // P(>=40) ~ 2^-40
+  }
+
   test("rank-then-encipher fails closed: null, out-of-domain, tiny or huge domains") {
     val key = Fpe.deriveKey(pp)
     assert(Fpe.maskLong(0L, 999L, "t", null, key) === null)
