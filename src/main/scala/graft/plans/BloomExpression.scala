@@ -80,6 +80,49 @@ final class BloomImage(val bytes: Array[Byte]) extends Serializable {
   override def toString: String = s"bloom[${bytes.length}B]"
 }
 
+/** Sharded variant: probes the CHUNK-LOCAL filter of a per-chunk sidecar
+  * (the r18 frontier layout — 64 filters, each covering one hash chunk of
+  * the store). `left` is the chunk index (long, already computed by the
+  * caller from the same hash that partitioned the store), `right` the
+  * string key. Keeps the probe inside whole-stage codegen like the
+  * single-filter form; the image array decodes once per executor. */
+case class BloomMightContainSharded(left: Expression, right: Expression,
+                                    images: Vector[BloomImage])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  @transient private lazy val filters: Array[BloomFilter] =
+    images.map(im => BloomFilter.readFrom(new ByteArrayInputStream(im.bytes))).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint chunk, string key), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain_sharded"
+
+  /** Probe entry point shared by interpreted eval and generated code.
+    * An out-of-range chunk is a caller bug — loud, never a silent miss. */
+  def probe(chunk: Long, s: UTF8String): Boolean = {
+    require(chunk >= 0 && chunk < filters.length,
+      s"chunk $chunk outside sidecar [0, ${filters.length})")
+    filters(chunk.toInt).mightContainBinary(s.getBytes)
+  }
+
+  override def nullSafeEval(chunk: Any, input: Any): Any =
+    probe(chunk.asInstanceOf[Long], input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomShardProbe", this,
+      classOf[BloomMightContainSharded].getName)
+    nullSafeCodeGen(ctx, ev, (c, v) => s"${ev.value} = $ref.probe($c, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainSharded =
+    copy(left = newLeft, right = newRight)
+}
+
 object BloomExpression {
 
   /** Column probe for a built [[BloomFilter]] (serialized once here,
@@ -89,5 +132,14 @@ object BloomExpression {
     filter.writeTo(bos)
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(BloomMightContain(GraftBridge.expression(c), new BloomImage(bos.toByteArray)))
+  }
+
+  /** Chunk-local probe over a per-chunk filter array (serialized images). */
+  def mightContainSharded(chunk: Column, c: Column,
+                          images: Seq[Array[Byte]]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(BloomMightContainSharded(
+      GraftBridge.expression(chunk), GraftBridge.expression(c),
+      images.map(new BloomImage(_)).toVector))
   }
 }

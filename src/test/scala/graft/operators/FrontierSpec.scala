@@ -55,6 +55,46 @@ class FrontierSpec extends AnyFunSuite {
     assert(novel === Set("https://a.io/x", "https://b.io/y"))
   }
 
+  test("sharded sidecar: 64 per-chunk files; markSeen touches only the batch's chunks") {
+    import spark.implicits._
+    val path = freshDir("graft_frontier_shard")
+    Frontier.writeSeenStore((1 to 200).map(i => s"https://s.io/$i").toDF("url"), "url",
+      path, capacity = 10000)
+    val dir = new java.io.File(path, "_bloom")
+    // local-FS Hadoop writes .crc twins next to each chunk file
+    def chunkFiles() = dir.listFiles().filter(_.getName.startsWith("chunk-"))
+    val files = chunkFiles().sortBy(_.getName)
+    assert(files.length === Frontier.Chunks, "one sidecar file per chunk")
+    val before = files.map(f => f.getName -> f.lastModified()).toMap
+    val sizes = files.map(_.length()).distinct
+    assert(sizes.length === 1, "per-chunk filters share one bit size (mergeable)")
+    Thread.sleep(1100) // fs mtime granularity
+    // a 1-url batch hashes into exactly one chunk -> exactly one file rewritten
+    Frontier.markSeen(path, Seq("https://s.io/99999").toDF("url"), "url",
+      capacity = 10000)
+    val touched = chunkFiles().filter(f => f.lastModified() != before(f.getName))
+    assert(touched.length === 1,
+      s"a single-url append must rewrite one chunk file, got ${touched.length}")
+    assert(Frontier.novelUrls(spark, path,
+      Seq("https://s.io/99999", "https://s.io/77777").toDF("url"), "url")
+      .collect().map(_.getString(0)).toSet === Set("https://s.io/77777"))
+  }
+
+  test("sidecar covers the store per chunk: bloom-positive for every stored url") {
+    import spark.implicits._
+    val path = freshDir("graft_frontier_cover")
+    val urls = (1 to 500).map(i => s"https://c${i % 13}.io/p/$i")
+    Frontier.writeSeenStore(urls.toDF("url"), "url", path, capacity = 10000)
+    Frontier.markSeen(path, (501 to 700).map(i => s"https://c${i % 13}.io/p/$i")
+      .toDF("url"), "url", capacity = 10000)
+    // every stored url must be bloom-positive in ITS chunk (a Bloom never
+    // misses its own inserts; chunk routing must agree between build,
+    // append, and probe) -> novelUrls of the full stored set is empty
+    assert(Frontier.novelUrls(spark, path,
+      (1 to 700).map(i => s"https://c${i % 13}.io/p/$i").toDF("url"), "url")
+      .count() === 0)
+  }
+
   test("tiny capacity degrades the bloom, never the answer (confirm join is exact)") {
     import spark.implicits._
     val path = freshDir("graft_frontier_tiny")
