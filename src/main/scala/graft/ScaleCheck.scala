@@ -311,7 +311,12 @@ object ScaleCheck {
     "anchor_text",
     // decode->langid: warc_charset's narrow parse/decode class plus the
     // in-row langid kernel and a 3-row aggregate
-    "crawl_langid")
+    "crawl_langid",
+    // round-18: redirect-chain resolution (3xx-only edge frame — a few
+    // rows per file — through two bounded equi-join hops + the revisit
+    // aggregate; the corpus-linear term is the WARC parse, the joins are
+    // edge-sized)
+    "warc_redirects")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -92,24 +92,31 @@ private[graft] trait EntryCrawl17 { this: EntryCore =>
     * exercises on every page: langid runs over DECODED text, and for
     * non-Latin scripts the decode is load-bearing (a GBK page decoded as
     * 1252 is latin mojibake with zero CJK codepoints — no zh profile
-    * gram would ever match). Three arms: undeclared-UTF-8 English,
-    * transport-declared GBK Chinese (the load-bearing one),
-    * transport-declared 1252 French. The detector is the Cavnar–Trenkle
-    * profile ranker ([[graft.operators.LangId]], 17 languages incl. the
-    * non-Latin scripts — r18: replaced the 5-language marker heuristic
-    * this query first shipped with; the zh arm is hanzi-ONLY, the
-    * ja-vs-zh separation the profile set must carry). FULL-VALUE oracle:
-    * per-arm counts, the charset the ladder picks, the language the
-    * detector must emit, exact decoded bodies, and decoded char mass. */
+    * gram would ever match). Five arms: undeclared-UTF-8 English,
+    * transport-declared GBK Chinese, transport-declared 1252 French,
+    * and (r18, with the non-Latin profile set) transport-declared
+    * Shift_JIS Japanese and EUC-KR Korean — the zh/ja pair now exercises
+    * BOTH ends of the same-script-family separation over two different
+    * legacy encodings. The detector is the Cavnar–Trenkle profile ranker
+    * ([[graft.operators.LangId]], 17 languages incl. the non-Latin
+    * scripts — r18: replaced the 5-language marker heuristic this query
+    * first shipped with; the zh arm is hanzi-ONLY, the ja-vs-zh
+    * separation the profile set must carry). FULL-VALUE oracle: per-arm
+    * counts, the charset the ladder picks, the language the detector
+    * must emit, exact decoded bodies, and decoded char mass. */
   private[graft] def qCrawlLangid(spark: SparkSession, dir: String): DataFrame = {
     val mkWarc = udf((id: Long) => {
       import graft.sources.Warc
-      val (body, ct, enc) = (id % 3).toInt match {
+      val (body, ct, enc) = (id % 5).toInt match {
         case 0 => (s"the report and the data of the crawl is here to stay with us number $id",
           "text/plain", "UTF-8")
         case 1 => (s"你好世界这是一个测试的报告编号 $id", "text/html; charset=gbk", "GBK")
-        case _ => (s"le chat est dans la maison et les champs pour une vie très belle $id",
+        case 2 => (s"le chat est dans la maison et les champs pour une vie très belle $id",
           "text/html; charset=windows-1252", "windows-1252")
+        case 3 => (s"これは日本語のページでありクロールの報告を含んでいます番号 $id",
+          "text/html; charset=shift_jis", "Shift_JIS")
+        case _ => (s"이것은 한국어 시험 보고서입니다 번호 $id",
+          "text/html; charset=euc-kr", "EUC-KR")
       }
       val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes("US-ASCII")
       Warc.writeWarcGz(Seq(Warc.WarcRecord("response", s"https://lang.example.com/$id",
@@ -121,15 +128,18 @@ private[graft] trait EntryCrawl17 { this: EntryCore =>
         mkWarc(col("doc_id").cast("long")).as("content"))
       .withColumnRenamed("id", "warc_id")
     val recs = graft.sources.Warc.recordsDF(files)
-      .withColumn("case_id", pmod(col("warc_id"), lit(3L)))
+      .withColumn("case_id", pmod(col("warc_id"), lit(5L)))
     val expected =
       when(col("case_id") === 0, concat(
         lit("the report and the data of the crawl is here to stay with us number "),
         col("warc_id")))
         .when(col("case_id") === 1, concat(lit("你好世界这是一个测试的报告编号 "), col("warc_id")))
-        .otherwise(concat(
+        .when(col("case_id") === 2, concat(
           lit("le chat est dans la maison et les champs pour une vie très belle "),
           col("warc_id")))
+        .when(col("case_id") === 3, concat(
+          lit("これは日本語のページでありクロールの報告を含んでいます番号 "), col("warc_id")))
+        .otherwise(concat(lit("이것은 한국어 시험 보고서입니다 번호 "), col("warc_id")))
     recs.withColumn("lang", graft.operators.LangId.langid(col("body_text")))
       .groupBy(col("case_id"))
       .agg(

@@ -441,14 +441,18 @@ private[graft] trait EntryOracles1 { this: EntryCore =>
     // reachable only if the GBK declaration was honored — 1252 mojibake
     // has no CJK codepoints for the script detector)
     "crawl_langid" ->
-      ("WITH d AS (SELECT doc_id AS id, doc_id % 3 AS c FROM documents), " +
+      ("WITH d AS (SELECT doc_id AS id, doc_id % 5 AS c FROM documents), " +
         "e AS (SELECT c, CASE c " +
         "WHEN 0 THEN 'the report and the data of the crawl is here to stay with us number ' || id::VARCHAR " +
         "WHEN 1 THEN '你好世界这是一个测试的报告编号 ' || id::VARCHAR " +
-        "ELSE 'le chat est dans la maison et les champs pour une vie très belle ' || id::VARCHAR END AS exp FROM d) " +
+        "WHEN 2 THEN 'le chat est dans la maison et les champs pour une vie très belle ' || id::VARCHAR " +
+        "WHEN 3 THEN 'これは日本語のページでありクロールの報告を含んでいます番号 ' || id::VARCHAR " +
+        "ELSE '이것은 한국어 시험 보고서입니다 번호 ' || id::VARCHAR END AS exp FROM d) " +
         "SELECT c AS case_id, count(*)::BIGINT AS n_docs, " +
-        "CASE c WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'GBK' ELSE 'windows-1252' END AS charset, " +
-        "CASE c WHEN 0 THEN 'en' WHEN 1 THEN 'zh' ELSE 'fr' END AS lang, " +
+        "CASE c WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'GBK' WHEN 2 THEN 'windows-1252' " +
+        "WHEN 3 THEN 'Shift_JIS' ELSE 'EUC-KR' END AS charset, " +
+        "CASE c WHEN 0 THEN 'en' WHEN 1 THEN 'zh' WHEN 2 THEN 'fr' " +
+        "WHEN 3 THEN 'ja' ELSE 'ko' END AS lang, " +
         "1::BIGINT AS n_langs, count(*)::BIGINT AS n_exact, " +
         "sum(len(exp))::BIGINT AS body_chars FROM e GROUP BY c ORDER BY case_id"),
     // redirect/revisit replay: every chain is 2 hops of id arithmetic
