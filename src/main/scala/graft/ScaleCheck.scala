@@ -316,7 +316,23 @@ object ScaleCheck {
     // rows per file — through two bounded equi-join hops + the revisit
     // aggregate; the corpus-linear term is the WARC parse, the joins are
     // edge-sized)
-    "warc_redirects")
+    "warc_redirects",
+    // round-18 batch 2: sentence segmentation (in-row regex-free scan +
+    // posexplode — output is rows-per-sentence, the linear term);
+    // sentence-level dedup (one sentence-keyed count aggregate + a
+    // key-join back — the Dedup discipline; literal planted sentences
+    // collide ACROSS scaled copies so duplicate mass grows linearly, the
+    // regime under test); CCNet-style bucketing (bigram-LM training over
+    // the rotated corpus — distinct bigrams grow ~SCALEx, Heaps' worst
+    // case — plus the per-language score HISTOGRAM aggregate whose
+    // distinct (lang, score) keys bound the window input, never a
+    // per-doc global sort); URL-shape scoring (in-row codegen'd kernel +
+    // no aggregate at all — output linear); and content-defined chunking
+    // (in-row gear-hash walk over ~24.5 KiB blobs + the chunk-hash
+    // dedup aggregate — chunk keys grow with the corpus's unique-prefix
+    // chunks, shared-segment chunks stay 4 families)
+    "sentence_split", "sentence_dedup", "lm_quality_buckets",
+    "url_spam_score", "cdc_chunking")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

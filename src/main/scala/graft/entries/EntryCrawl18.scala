@@ -82,4 +82,79 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
       chains.crossJoin(revisits), recs) // two 1-row frames
   }
 
+  /** Content-defined chunking ([[graft.operators.Cdc]] — FastCDC gear
+    * hash) as the sub-document dedup primitive over binary blobs. Each
+    * document plants `unique-prefix(64 + id%257 bytes) ++ S(id%4) ++
+    * S(id%4 + 1) ++ S(id%4 + 2)` with four shared 8 KiB segments — the
+    * "same payload, different header" shape chunk-level dedup exists
+    * for. PINNED-CONTRACT oracle (chunk boundaries are content-defined,
+    * not SQL-expressible): byte totals replay from id arithmetic; the
+    * partition/bounds/roundtrip laws must hold with ZERO violations;
+    * within a `id%4` group chunking must RESYNCHRONIZE after the unique
+    * prefix (exactly 4 distinct tail-chunk hashes corpus-wide — one per
+    * suffix family); and chunk-level dedup must save over half the
+    * corpus bytes, which whole-blob hashing cannot (every blob is
+    * distinct by its prefix). */
+  private[graft] def qCdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    val mkBlob = udf((id: Long) => {
+      def gen(seed: Long, n: Int): Array[Byte] = {
+        val a = new Array[Byte](n)
+        var x = seed
+        var i = 0
+        while (i < n) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          a(i) = (x >>> 56).toByte
+          i += 1
+        }
+        a
+      }
+      def seg(k: Long): Array[Byte] = gen(k + 1, 8192)
+      gen(1000 + id, 64 + (id % 257).toInt) ++
+        seg(id % 4) ++ seg((id + 1) % 4) ++ seg((id + 2) % 4)
+    })
+    val blobs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .withColumn("blob", mkBlob(col("id")))
+    val chunked = blobs.select(col("id"), length(col("blob")).cast("long").as("blen"),
+        graft.plans.CdcExpressions.cdcChunks(col("blob"), 256, 1024, 4096).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val perDoc = chunked
+      .withColumn("roundtrip_ok", aggregate(col("c"),
+        struct(lit(0L).as("off"), lit(true).as("ok")),
+        (acc, x) => struct((acc.getField("off") + x.getField("size")).as("off"),
+          (acc.getField("ok") && x.getField("offset") === acc.getField("off")).as("ok")),
+        acc => acc.getField("ok") && acc.getField("off") === col("blen")))
+      .withColumn("over_max", exists(col("c"), x => x.getField("size") > 4096))
+      .withColumn("under_min_nonlast",
+        exists(slice(col("c"), lit(1), size(col("c")) - 1),
+          x => x.getField("size") <= 256))
+      .withColumn("tail_hash", element_at(col("c"), -1).getField("hash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("blen")).as("total_bytes"),
+        count(when(col("over_max"), 1)).as("over_max"),
+        count(when(col("under_min_nonlast"), 1)).as("under_min_nonlast"),
+        count(when(!col("roundtrip_ok"), 1)).as("roundtrip_violations"),
+        countDistinct(col("tail_hash")).as("n_distinct_tail_hash"))
+    val chunkLevel = chunked
+      .select(explode(col("c")).as("x"))
+      .select(col("x.hash").as("hash"), col("x.size").as("sz"))
+      .agg(sum(col("sz")).as("tot"), count(lit(1)).as("n_chunks"))
+    val distinctLevel = chunked
+      .select(explode(col("c")).as("x"))
+      .groupBy(col("x.hash")).agg(max(col("x.size")).as("sz"))
+      .agg(sum(col("sz")).as("dtot"))
+    graft.operators.Partitioning.releaseAfterUse(
+      perDoc.crossJoin(chunkLevel).crossJoin(distinctLevel)
+        .select(col("n_docs"), col("total_bytes"), col("over_max"),
+          col("under_min_nonlast"), col("roundtrip_violations"),
+          col("n_distinct_tail_hash"),
+          when((col("tot") - col("dtot")) * 2 >= col("tot"), lit(1L))
+            .otherwise(lit(0L)).as("dedup_saved_ge_half"),
+          when(col("tot") / col("n_chunks") >= 384 &&
+            col("tot") / col("n_chunks") <= 3072, lit(1L))
+            .otherwise(lit(0L)).as("avg_size_in_range")),
+      chunked)
+  }
+
 }

@@ -10,6 +10,100 @@ import graft.operators.MaskTransform
 private[graft] trait EntryOracles2 { this: EntryCore =>
 
   private[graft] def oracleSqlPart2: Map[String, String] = Map(
+    // full-value from first principles: the six expected sentences are
+    // CONSTRUCTED from (text, lang, source), not replayed through the
+    // regex chain — abbreviation/decimal periods must stay inside their
+    // sentences, CJK must split with no whitespace, the unterminated
+    // tail must still be a sentence
+    "sentence_split" ->
+      ("WITH c AS (SELECT doc_id, text, lang, source FROM documents) " +
+        "SELECT doc_id, 0::BIGINT AS sentence_idx, " +
+        "'Intro words ' || substr(text, 1, 40) || '.' AS sentence FROM c " +
+        "UNION ALL SELECT doc_id, 1::BIGINT, 'Dr. Smith replied to Mrs. Jones!' FROM c " +
+        "UNION ALL SELECT doc_id, 2::BIGINT, 'Was it version 3.14 of ' || lang || '?' FROM c " +
+        "UNION ALL SELECT doc_id, 3::BIGINT, '句子一。' FROM c " +
+        "UNION ALL SELECT doc_id, 4::BIGINT, '这是第二句！' FROM c " +
+        "UNION ALL SELECT doc_id, 5::BIGINT, 'Tail from ' || source || ' e.g. the end' FROM c"),
+    // construction arithmetic: the slogan sentence collides on doc_id%7
+    // (~n/7 copies each) and 'Dr. Smith replied.' collides corpus-wide,
+    // so exactly the two doc_id-bearing sentences survive per document
+    "sentence_dedup" ->
+      ("SELECT doc_id, 2::BIGINT AS n_kept, " +
+        "'Unique lead ' || substr(text, 1, 30) || ' of doc ' || doc_id || '. " +
+        "Tail source ' || source || ' closes doc ' || doc_id || '.' AS kept_text " +
+        "FROM documents"),
+    // language from the planted-prefix arm (the Spark side must DETECT
+    // it — profile-ranker green is load-bearing for ru/zh/ar); score
+    // replays the lm_score bigram construction over the composed text;
+    // tertiles replay the histogram-cutoff rule with the same integer
+    // arithmetic
+    "lm_quality_buckets" ->
+      ("WITH c AS (SELECT doc_id, CASE (doc_id % 4) " +
+        "WHEN 0 THEN 'the quick brown fox jumps over the lazy dog near the river bank today' " +
+        "WHEN 1 THEN 'в этом документе говорится о последних новостях и погоде в москве сегодня вечером' " +
+        "WHEN 2 THEN '这是一个关于新闻和天气的中文文档今天晚上在北京发布的内容' " +
+        "ELSE 'هذه وثيقة باللغة العربية عن الأخبار والطقس في المساء اليوم' END " +
+        "|| ' ' || substr(text, 1, 40) AS t FROM documents), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\\s+') AS t FROM c), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), " +
+        "bg AS (SELECT bgk, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgk " +
+        "FROM toks WHERE len(t) >= 2) GROUP BY bgk), " +
+        "v AS (SELECT count(*)::DOUBLE AS v FROM uni), " +
+        "e AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)), " +
+        "s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "floor(avg(ln((coalesce(c2, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v))) * 10000 + 0.000001)::BIGINT AS sc " +
+        "FROM e LEFT JOIN bg ON e.b = bg.bgk LEFT JOIN uni ON e.w1 = uni.w CROSS JOIN v GROUP BY doc_id), " +
+        "l AS (SELECT doc_id, CASE (doc_id % 4) WHEN 0 THEN 'en' WHEN 1 THEN 'ru' " +
+        "WHEN 2 THEN 'zh' ELSE 'ar' END AS lang FROM documents), " +
+        "pd AS (SELECT l.doc_id, l.lang, s.n_bigrams, s.sc FROM l JOIN s ON l.doc_id = s.doc_id), " +
+        "h AS (SELECT lang, sc, count(*)::BIGINT AS cnt FROM pd GROUP BY lang, sc), " +
+        "cut AS (SELECT lang, sc, " +
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) - cnt AS start, " +
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM h), " +
+        "b AS (SELECT lang, sc, CASE WHEN start < floor((n + 2) / 3.0) THEN 'head' " +
+        "WHEN start < floor((n * 2 + 2) / 3.0) THEN 'middle' ELSE 'tail' END AS bucket FROM cut) " +
+        "SELECT pd.doc_id, pd.lang, pd.n_bigrams, pd.sc AS avg_logp_x1e4, b.bucket " +
+        "FROM pd JOIN b ON pd.lang = b.lang AND pd.sc = b.sc"),
+    // pinned contract: byte totals from id arithmetic; partition/bounds/
+    // roundtrip laws zero-violation; 4 suffix families -> 4 distinct
+    // tail-chunk hashes (within-family chunking must RESYNC after the
+    // unique prefix); chunk-level dedup saves >half the corpus bytes
+    "cdc_chunking" ->
+      ("SELECT count(*)::BIGINT AS n_docs, " +
+        "sum(64 + (doc_id % 257) + 3 * 8192)::BIGINT AS total_bytes, " +
+        "0::BIGINT AS over_max, 0::BIGINT AS under_min_nonlast, " +
+        "0::BIGINT AS roundtrip_violations, 4::BIGINT AS n_distinct_tail_hash, " +
+        "1::BIGINT AS dedup_saved_ge_half, 1::BIGINT AS avg_size_in_range " +
+        "FROM documents"),
+    // every feature integer replays from the five-arm construction with
+    // the same string builtins (shared Java-regex/RE2 dialect)
+    "url_spam_score" ->
+      ("WITH u AS (SELECT doc_id, CASE (doc_id % 5) " +
+        "WHEN 0 THEN 'https://news.example.com/articles/' || doc_id " +
+        "WHEN 1 THEN 'https://example.com/p/' || doc_id || '?utm_source=feed&fbclid=x' || doc_id || '&ref=tw' " +
+        "WHEN 2 THEN 'http://best-cheap-pills-' || (doc_id % 7) || '.win-prizes-online.example.biz/offer/' || doc_id " +
+        "WHEN 3 THEN 'https://example.org/a/b/c/d/e/f/g/h/' || doc_id || '/page' " +
+        "ELSE 'http://h' || doc_id || 'x' || ((doc_id * 7) % 1000) || '.example.net/' || doc_id END AS url " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
+        "g AS (SELECT doc_id, url, host, " +
+        "greatest(len(string_split(host, '.')) - 2, 0)::BIGINT AS n_sub, " +
+        "(len(host) - len(replace(host, '-', '')))::BIGINT AS n_hyphen, " +
+        "floor((len(host) - len(regexp_replace(host, '[0-9]', '', 'g'))) * 100.0 / len(host))::BIGINT AS digit_pct, " +
+        "(CASE WHEN len(path) = 0 THEN 0 ELSE len(string_split(path, '/')) - 1 END)::BIGINT AS path_depth, " +
+        "(CASE WHEN len(query) = 0 THEN 0 ELSE len(string_split(query, '&')) END)::BIGINT AS n_params, " +
+        "len(regexp_extract_all(query, '(^|&)(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))::BIGINT AS n_tracking " +
+        "FROM f) " +
+        "SELECT doc_id, url, host, n_sub, n_hyphen, digit_pct, path_depth, n_params, n_tracking, " +
+        "(3 * n_hyphen + 2 * n_sub + (digit_pct // 10) + 2 * greatest(path_depth - 4, 0) " +
+        "+ greatest(n_params - 2, 0) + 4 * n_tracking " +
+        "+ CASE WHEN len(host) > 40 THEN 5 ELSE 0 END " +
+        "+ CASE WHEN regexp_matches(host, '\\.(biz|win|top|loan|click)$') THEN 6 ELSE 0 END)::BIGINT AS spam_score " +
+        "FROM g"),
     // the same three synthetic annotators, reconciled with window SQL:
     // same majority, same lexicographic tie-break, same integer agreement
     "label_vote" ->

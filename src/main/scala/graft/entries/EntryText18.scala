@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query registry: round-18 batch 2 — sentence-level text pipeline
+  * ([[graft.operators.Sentences]]), CCNet-style per-language LM quality
+  * bucketing, and URL-shape spam scoring ([[graft.operators.UrlSpam]]). */
+private[graft] trait EntryText18 { this: EntryCore =>
+
+  /** The planted document used by the two sentence queries: real corpus
+    * words wrapped in sentence structure that exercises every segmentation
+    * rule — abbreviation periods (`Dr. Mrs.`), a dotted pair (`e.g.`), a
+    * decimal point (`3.14`), Latin terminators `.!?` and the no-whitespace
+    * CJK terminators `。！`. */
+  private def sentenceDoc: Column = concat(
+    lit("Intro words "), substring(col("text"), 1, 40), lit(". "),
+    lit("Dr. Smith replied to Mrs. Jones! "),
+    lit("Was it version 3.14 of "), col("lang"), lit("? "),
+    lit("句子一。这是第二句！"),
+    lit("Tail from "), col("source"), lit(" e.g. the end"))
+
+  /** Sentence segmentation — [[graft.operators.Sentences.splitSentences]]
+    * over the planted six-sentence document. FULL-VALUE oracle: the six
+    * expected sentences are constructed directly from (text, lang, source)
+    * — the oracle does NOT replay the regex chain, it asserts the
+    * segmentation contract from first principles (abbreviations and the
+    * decimal stay inside their sentences; CJK splits without whitespace;
+    * the unterminated tail is still a sentence). */
+  private[graft] def qSentenceSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    docs.select(col("doc_id"), sentenceDoc.as("t"))
+      .select(col("doc_id"),
+        posexplode(graft.operators.Sentences.splitSentences(col("t"))))
+      .select(col("doc_id"), col("pos").cast("long").as("sentence_idx"),
+        col("col").as("sentence"))
+  }
+
+  /** Sentence-level exact dedup — the CCNet/RefinedWeb paragraph-dedup
+    * move at sentence granularity: segment, count each distinct sentence
+    * corpus-wide, CUT every sentence that occurs more than once (the
+    * planted slogan arm collides by `doc_id % 7`; "Dr. Smith..." collides
+    * everywhere), and rebuild documents from the surviving sentences.
+    * Plan shape: segmentation is a narrow projection; the duplicate count
+    * is one hash aggregate on the sentence key joined back by key — the
+    * [[graft.operators.Dedup]] discipline, never all-pairs. */
+  private[graft] def qSentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val composed = docs.select(col("doc_id"), concat(
+      lit("Unique lead "), substring(col("text"), 1, 30), lit(" of doc "),
+      col("doc_id"), lit(". "),
+      lit("Shared slogan number "), pmod(col("doc_id"), lit(7L)),
+      lit(" appears often! "),
+      lit("Dr. Smith replied. "),
+      lit("Tail source "), col("source"), lit(" closes doc "), col("doc_id"),
+      lit(".")).as("t"))
+    val sent = composed.select(col("doc_id"),
+        posexplode(graft.operators.Sentences.splitSentences(col("t"))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("sentence"))
+    val counts = sent.groupBy("sentence").agg(count(lit(1)).as("cnt"))
+    val kept = sent.join(counts, "sentence").where(col("cnt") === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", array_sort(collect_list(struct(col("idx"), col("sentence"))))
+          .getField("sentence")).as("kept_text"))
+      .join(composed.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** CCNet-style quality bucketing: language from the Cavnar–Trenkle
+    * profile ranker ([[graft.operators.LangId]] — the planted-prefix arm
+    * by `doc_id % 4` covers en plus the three non-Latin scripts ru/zh/ar,
+    * so the r18 profiles are LOAD-BEARING), per-document score from the
+    * corpus-trained bigram LM ([[graft.operators.LanguageModel]]), then
+    * head/middle/tail tertiles PER LANGUAGE.
+    *
+    * The tertile assignment is the 100-TB shape, not a per-doc global
+    * sort: build the per-language (score -> count) HISTOGRAM (one hash
+    * aggregate; distinct integer scores, not documents), window over the
+    * histogram for cutoffs, broadcast-join the bucket back by (lang,
+    * score). A score group straddling a cutoff promotes whole into the
+    * better bucket — deterministic, and exactly replayable in SQL. */
+  private[graft] def qLmQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val planted = when(pmod(col("doc_id"), lit(4L)) === 0,
+        lit("the quick brown fox jumps over the lazy dog near the river bank today"))
+      .when(pmod(col("doc_id"), lit(4L)) === 1,
+        lit("в этом документе говорится о последних новостях и погоде в москве сегодня вечером"))
+      .when(pmod(col("doc_id"), lit(4L)) === 2,
+        lit("这是一个关于新闻和天气的中文文档今天晚上在北京发布的内容"))
+      .otherwise(
+        lit("هذه وثيقة باللغة العربية عن الأخبار والطقس في المساء اليوم"))
+    val composed = docs.select(col("doc_id"),
+      concat(planted, lit(" "), substring(col("text"), 1, 40)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langs = composed.select(col("doc_id"),
+      graft.operators.LangId.langid(col("t")).as("lang"))
+    val (bg, uni) = graft.operators.LanguageModel.trainBigramCounts(composed, "t")
+    val scored = graft.operators.LanguageModel
+      .scoreBigrams(composed, "doc_id", "t", bg, uni)
+    val perDoc = langs.join(scored, "doc_id")
+    val hist = perDoc.groupBy("lang", "avg_logp_x1e4")
+      .agg(count(lit(1)).as("cnt"))
+    val wDesc = Window.partitionBy("lang").orderBy(col("avg_logp_x1e4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = hist
+      .withColumn("cum", sum(col("cnt")).over(wDesc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .withColumn("start", col("cum") - col("cnt"))
+      .withColumn("bucket",
+        when(col("start") < floor((col("n") + 2) / lit(3.0)).cast("long"), lit("head"))
+          .when(col("start") < floor((col("n") * 2 + 2) / lit(3.0)).cast("long"),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("lang"), col("avg_logp_x1e4"), col("bucket"))
+    graft.operators.Partitioning.releaseAfterUse(
+      perDoc.join(broadcast(cutoffs), Seq("lang", "avg_logp_x1e4"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("avg_logp_x1e4"), col("bucket")),
+      composed)
+  }
+
+  /** URL-shape spam scoring — [[graft.operators.UrlSpam.features]] over
+    * five planted URL arms (clean / tracking-littered / keyword-stuffed
+    * throwaway-TLD host / machine-deep path / generated digit host).
+    * FULL-VALUE oracle: every feature integer replays from the arm
+    * construction with the same string builtins. */
+  private[graft] def qUrlSpamScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val id = col("doc_id").cast("long")
+    val url = when(pmod(id, lit(5L)) === 0,
+        concat(lit("https://news.example.com/articles/"), id))
+      .when(pmod(id, lit(5L)) === 1,
+        concat(lit("https://example.com/p/"), id,
+          lit("?utm_source=feed&fbclid=x"), id, lit("&ref=tw")))
+      .when(pmod(id, lit(5L)) === 2,
+        concat(lit("http://best-cheap-pills-"), pmod(id, lit(7L)),
+          lit(".win-prizes-online.example.biz/offer/"), id))
+      .when(pmod(id, lit(5L)) === 3,
+        concat(lit("https://example.org/a/b/c/d/e/f/g/h/"), id, lit("/page")))
+      .otherwise(
+        concat(lit("http://h"), id, lit("x"), pmod(id * 7, lit(1000L)),
+          lit(".example.net/"), id))
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("f", graft.operators.UrlSpam.features(col("url")))
+      .select(col("doc_id"), col("url"), col("f.host").as("host"),
+        col("f.n_sub").as("n_sub"), col("f.n_hyphen").as("n_hyphen"),
+        col("f.digit_pct").as("digit_pct"), col("f.path_depth").as("path_depth"),
+        col("f.n_params").as("n_params"), col("f.n_tracking").as("n_tracking"),
+        col("f.spam_score").as("spam_score"))
+  }
+}

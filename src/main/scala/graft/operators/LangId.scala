@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ranking the same way and summing, over the document's grams, the rank
   * displacement against each language profile (a gram absent from the
   * profile costs the maximum, `profileSize`); the language with the
-  * smallest total distance wins, ties broken by language code.
+  * smallest total distance wins, ties broken by language code. Ranking
+  * is gated to the dominant script's candidate set first
+  * ([[candidates]]) so Latin boilerplate inside CJK/Cyrillic/Arabic
+  * pages cannot outvote the body.
   *
   * Profiles are built ONCE per JVM from snippet resources committed at
   * `graft/langid/<code>.txt` (original sample text written for this
@@ -94,6 +97,61 @@ object LangId {
     top
   }
 
+  /** Candidate-language gating by dominant script (the CLD2 move,
+    * simplified: segment-by-script, score within script). Web text mixes
+    * scripts constantly — CJK/Cyrillic/Arabic pages carry Latin
+    * boilerplate, product names, URLs — and raw gram ranking lets a
+    * Latin tail outvote a shorter non-Latin body because its grams
+    * overlap SOME Latin profile while hanzi 2..5-grams rarely recur
+    * enough to hit the zh profile. Letters are counted per script with
+    * CJK weighted 4x (a hanzi char is a morpheme, a kana/hangul char a
+    * syllable; a Latin char is ~1/5 word), and only the dominant
+    * script's languages are ranked. Han and kana share a bucket (ja
+    * text interleaves them; the ranker separates ja-vs-zh inside the
+    * bucket). Unrecognized-script or letterless text falls back to the
+    * full set. */
+  private[operators] def candidates(s: String): java.util.Set[String] = {
+    var latin = 0L; var cjk = 0L; var hangul = 0L
+    var cyr = 0L; var arab = 0L; var deva = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        import Character.UnicodeScript
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN => latin += 1
+          case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+               UnicodeScript.KATAKANA => cjk += 4
+          case UnicodeScript.HANGUL => hangul += 4
+          case UnicodeScript.CYRILLIC => cyr += 1
+          case UnicodeScript.ARABIC => arab += 1
+          case UnicodeScript.DEVANAGARI => deva += 1
+          case _ => ()
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    // fixed evaluation order + strict > keeps the pick deterministic
+    val buckets: Array[(Long, Array[String])] = Array(
+      latin -> Array("da", "de", "en", "es", "fr", "it", "nl", "pl",
+        "pt", "sv", "tr"),
+      cjk -> Array("ja", "zh"),
+      hangul -> Array("ko"),
+      cyr -> Array("ru"),
+      arab -> Array("ar"),
+      deva -> Array("hi"))
+    var best = -1
+    var bestW = 0L
+    var b = 0
+    while (b < buckets.length) {
+      if (buckets(b)._1 > bestW) { bestW = buckets(b)._1; best = b }
+      b += 1
+    }
+    val out = new java.util.HashSet[String]()
+    if (best < 0) languages.foreach(out.add) else buckets(best)._2.foreach(out.add)
+    out
+  }
+
   /** language code -> ranked gram profile, loaded once per JVM. */
   private lazy val profiles: Array[(String, java.util.HashMap[String, Integer])] =
     languages.map { code =>
@@ -124,15 +182,19 @@ object LangId {
     * distance wins" IS the code-order tie-break. */
   def classify(text: String): String = {
     if (text == null) return null
-    val doc = profile(text)
+    val s = if (text.length > maxChars) text.substring(0, maxChars) else text
+    val doc = profile(s)
     if (doc.isEmpty) return null
+    val cand = candidates(s)
     var bestCode: String = null
     var bestDist = Long.MaxValue
     var i = 0
     while (i < profiles.length) {
       val (code, p) = profiles(i)
-      val d = distance(doc, p)
-      if (d < bestDist) { bestDist = d; bestCode = code }
+      if (cand.contains(code)) {
+        val d = distance(doc, p)
+        if (d < bestDist) { bestDist = d; bestCode = code }
+      }
       i += 1
     }
     bestCode

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** HTTP redirect-chain resolution over a crawl's record frame — the step
   * that decides the canonical URL a page ACTUALLY lives at: a crawler
@@ -35,10 +34,11 @@ import org.apache.spark.storage.StorageLevel
   * of the still-active chains against the edge frame, both sides hashed
   * on the url key; active strictly shrinks (resolved chains leave the
   * loop), real chains are 1–3 hops, and the loop exits early the first
-  * hop nothing advances. The edge frame persists across hops (built
-  * once, reused `maxHops` times) and releases with the result
-  * ([[Partitioning.releaseAfterUse]]). No driver-side iteration over
-  * rows, no collect. */
+  * hop nothing advances. The edge frame is materialized once with an
+  * eager `localCheckpoint` and reused `maxHops` times; each hop's join
+  * is checkpointed the same way so per-hop lineage stays flat and the
+  * blocks free themselves when unreferenced (the [[CcStar]]/[[KCore]]
+  * iterative idiom). No driver-side iteration over rows, no collect. */
 object Redirects {
 
   /** Resolve an HTTP Location header against the url it was served from.
@@ -120,18 +120,16 @@ object Redirects {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .groupBy(col("src")).agg(min(col("dst")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(eager = true)
     val hopEdges = edges.withColumnRenamed("src", "cur").withColumnRenamed("dst", "nxt")
     var active = edges.select(col("src").as("url"), col("dst").as("cur"),
       lit(1).as("hops"))
     var resolvedParts = List.empty[DataFrame]
     var hop = 1
     var exhausted = false
-    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (hop < maxHops && !exhausted) {
       val step = active.join(hopEdges, Seq("cur"), "left")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      spent += step
+        .localCheckpoint(eager = true)
       resolvedParts ::= step.where(col("nxt").isNull)
         .select(col("url"), col("cur").as("final_url"), col("hops"),
           lit(true).as("resolved"))
@@ -150,7 +148,6 @@ object Redirects {
     resolvedParts ::= last.where(col("nxt").isNotNull)
       .select(col("url"), lit(null).cast("string").as("final_url"),
         col("hops"), lit(false).as("resolved"))
-    Partitioning.releaseAfterUse(
-      resolvedParts.reduce(_ unionByName _), (edges +: spent.toSeq): _*)
+    resolvedParts.reduce(_ unionByName _)
   }
 }

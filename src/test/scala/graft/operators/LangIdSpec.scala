@@ -88,6 +88,28 @@ class LangIdSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("lm_quality_buckets arms: planted prefix survives a 40-char English salad tail") {
+    // the exact composition the lm_quality_buckets query builds: planted
+    // language prefix + ' ' + substr(text, 1, 40) of the word-salad corpus
+    val tail = " key agg row scan slow fast table value pa"
+    assert(LangId.classify(
+      "the quick brown fox jumps over the lazy dog near the river bank today" + tail) === "en")
+    assert(LangId.classify(
+      "в этом документе говорится о последних новостях и погоде в москве сегодня вечером" + tail) === "ru")
+    assert(LangId.classify(
+      "这是一个关于新闻和天气的中文文档今天晚上在北京发布的内容" + tail) === "zh")
+    assert(LangId.classify(
+      "هذه وثيقة باللغة العربية عن الأخبار والطقس في المساء اليوم" + tail) === "ar")
+  }
+
+  test("script gating: CJK body beats a longer Latin tail; kana still separates ja") {
+    val tail = " see http example com index html page item list next prev"
+    // 4x CJK weight: 26 hanzi outvote 50+ Latin letters
+    assert(LangId.classify("这是一个关于新闻和天气的中文文档今天晚上在北京发布的内容" + tail) === "zh")
+    assert(LangId.classify("これは天気と新しいニュースについての日本語の文書です" + tail) === "ja")
+    assert(LangId.classify("오늘 저녁 날씨와 새로운 소식에 관한 한국어 문서입니다" + tail) === "ko")
+  }
+
   test("determinism: same text classifies identically across invocations") {
     val t = heldOut(4)._2
     assert((1 to 5).map(_ => LangId.classify(t)).distinct.size === 1)
