@@ -332,7 +332,12 @@ object ScaleCheck {
     // dedup aggregate — chunk keys grow with the corpus's unique-prefix
     // chunks, shared-segment chunks stay 4 families)
     "sentence_split", "sentence_dedup", "lm_quality_buckets",
-    "url_spam_score", "cdc_chunking")
+    "url_spam_score", "cdc_chunking",
+    // round-18 batch 3: feed discovery (narrow XML build + parse, one
+    // host-keyed aggregate over a fixed 20-host space — the
+    // sitemap_frontier class), and the two in-row kernels (date ladder,
+    // robots-directive tests — scan-bound, no aggregate at all)
+    "feed_frontier", "page_dates", "noindex_filter")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -5,8 +5,135 @@ import org.apache.spark.sql.functions._
 
 /** Query registry: the round-18 crawl-realism additions — redirect-chain
   * resolution + revisit-record consumption (verdict r17 ask #3),
-  * conditional-recrawl validators (ask #5). */
+  * conditional-recrawl validators (ask #5), and the discovery/metadata
+  * batch (RSS/Atom feeds, publication dates, robots-meta compliance). */
 private[graft] trait EntryCrawl18 { this: EntryCore =>
+
+  /** RSS/Atom url discovery — [[graft.sources.Feed]] closing the loop
+    * next to `sitemap_frontier`: each document plants a feed (RSS by
+    * even id, Atom by odd — BOTH dialects load-bearing) with two
+    * entries linking into a fixed 20-host space and RFC 1123 / RFC 3339
+    * publication times on a minute grid. The XML is BUILT with string
+    * builtins and must round-trip through the real parser: links, kinds,
+    * and parsed epochs all replay from id arithmetic in the oracle —
+    * a date-parse bug shows up as a null epoch (counted) or a wrong
+    * sum. Scale shape: narrow parse (files are the parallelism unit),
+    * one host-keyed aggregate over a fixed 20-host space. */
+  private[graft] def qFeedFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val mm1 = lpad(pmod(col("id"), lit(60L)).cast("string"), 2, "0")
+    val mm2 = lpad(pmod(col("id") + 13, lit(60L)).cast("string"), 2, "0")
+    val link1 = concat(lit("https://news-"), pmod(col("id"), lit(20L)),
+      lit(".example.com/"), col("id"), lit("/a"))
+    val link2 = concat(lit("https://news-"), pmod(col("id") + 7, lit(20L)),
+      lit(".example.com/"), col("id"), lit("/b"))
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel><title>f</title>"),
+      lit("<item><title>t-a</title><link>"), link1,
+      lit("</link><pubDate>Mon, 15 Jun 2026 10:"), mm1,
+      lit(":00 GMT</pubDate><guid>g-"), col("id"), lit("-a</guid></item>"),
+      lit("<item><title>t-b</title><link>"), link2,
+      lit("</link><pubDate>Mon, 15 Jun 2026 10:"), mm2,
+      lit(":00 GMT</pubDate><guid>g-"), col("id"), lit("-b</guid></item>"),
+      lit("</channel></rss>"))
+    val atom = concat(
+      lit("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+      lit("<title>f</title>"),
+      lit("<entry><title>t-a</title><link rel=\"alternate\" href=\""), link1,
+      lit("\"/><published>2026-06-15T10:"), mm1,
+      lit(":00Z</published><id>u-"), col("id"), lit("-a</id></entry>"),
+      lit("<entry><title>t-b</title><link href=\""), link2,
+      lit("\"/><published>2026-06-15T10:"), mm2,
+      lit(":00Z</published><id>u-"), col("id"), lit("-b</id></entry>"),
+      lit("</feed>"))
+    val files = docs.select(col("id").as("feed_id"),
+      when(pmod(col("id"), lit(2L)) === 0, rss).otherwise(atom)
+        .cast("binary").as("content"))
+    graft.sources.Feed.entriesDF(files)
+      .withColumn("host", regexp_extract(col("link"), "^https://([^/]+)/", 1))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        count(when(col("kind") === "rss", 1)).as("n_rss"),
+        count(when(col("kind") === "atom", 1)).as("n_atom"),
+        sum(col("published_epoch")).as("sum_epoch"),
+        count(when(col("published_epoch").isNull, 1)).as("n_bad_epoch"))
+  }
+
+  /** Publication-date extraction — [[graft.operators.PageDate]]'s
+    * ladder over four planted arms (og/article meta, body `<time>`,
+    * `/YYYY/MM/DD/` permalink, dateless). The meta and time arms ALSO
+    * carry a valid decoy url date the ladder must NOT return — rung
+    * order is load-bearing, not just rung firing. FULL-VALUE oracle:
+    * every (src, date) replays from id arithmetic. */
+  private[graft] def qPageDates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val ds = concat(
+      (lit(2000L) + pmod(col("id"), lit(20L))).cast("string"), lit("-"),
+      lpad((lit(1L) + pmod(col("id"), lit(12L))).cast("string"), 2, "0"), lit("-"),
+      lpad((lit(1L) + pmod(col("id"), lit(28L))).cast("string"), 2, "0"))
+    val decoyUrl = concat(lit("https://e.com/"),
+      (lit(1995L) + pmod(col("id"), lit(5L))).cast("string"),
+      lit("/01/02/p-"), col("id"))
+    val arm = pmod(col("id"), lit(4L))
+    val html = when(arm === 0, concat(
+        lit("<html><head><meta property=\"article:published_time\" content=\""),
+        ds, lit("T08:30:00Z\"><title>x</title></head><body>text</body></html>")))
+      .when(arm === 1, concat(
+        lit("<html><body><p>intro</p><time datetime=\""), ds,
+        lit("\">then</time></body></html>")))
+      .otherwise(lit("<html><body>no dates here</body></html>"))
+    val url = when(arm.isin(0L, 1L), decoyUrl)
+      .when(arm === 2, concat(lit("https://e.com/"),
+        (lit(2000L) + pmod(col("id"), lit(20L))).cast("string"), lit("/"),
+        lpad((lit(1L) + pmod(col("id"), lit(12L))).cast("string"), 2, "0"), lit("/"),
+        lpad((lit(1L) + pmod(col("id"), lit(28L))).cast("string"), 2, "0"),
+        lit("/post-"), col("id")))
+      .otherwise(concat(lit("https://e.com/about/"), col("id")))
+    docs.select(col("id").as("doc_id"),
+        graft.operators.PageDate.pageDate(url, html).as("d"))
+      .select(col("doc_id"), col("d.date_src").as("date_src"),
+        col("d.pub_date").as("pub_date"))
+  }
+
+  /** Robots-meta / X-Robots-Tag compliance — the page-level indexing
+    * directives (the html-level sibling of RFC 9309): noindex via
+    * EITHER channel excludes the page, nofollow only flags it. The meta
+    * channel runs through [[graft.operators.HtmlMeta.robotsContent]]
+    * (codegen'd), the header channel through the REAL
+    * [[graft.sources.Warc.httpHeaderValue]] parser over a constructed
+    * response head; token tests are comma-split builtins so the oracle
+    * replays them verbatim. FULL-VALUE oracle by arm arithmetic. */
+  private[graft] def qNoindexFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val arm = pmod(col("id"), lit(5L))
+    val html = when(arm === 1,
+        lit("<head><meta name=\"robots\" content=\"noindex, follow\"><title>t</title></head>"))
+      .when(arm === 3,
+        lit("<head><meta name=\"robots\" content=\"nofollow\"><title>t</title></head>"))
+      .otherwise(lit("<head><title>t</title></head>"))
+    val head = concat(lit("HTTP/1.1 200 OK\r\n"),
+      when(arm === 2, lit("X-Robots-Tag: noindex\r\n"))
+        .when(arm === 4, lit("X-Robots-Tag: all\r\n")).otherwise(lit("")),
+      lit("Content-Type: text/html\r\n\r\n"))
+    val headerOf = udf((head: String, name: String) =>
+      graft.sources.Warc.httpHeaderValue(
+        if (head == null) null else head.getBytes("ISO-8859-1"), name))
+    def hasToken(c: org.apache.spark.sql.Column, tok: String) =
+      array_contains(transform(split(lower(coalesce(c, lit(""))), ","),
+        t => trim(t)), tok)
+    docs.select(col("id").as("doc_id"),
+        graft.operators.HtmlMeta.htmlRobots(html).as("meta_robots"),
+        headerOf(head, lit("x-robots-tag")).as("hdr_robots"))
+      .withColumn("noindex",
+        hasToken(col("meta_robots"), "noindex") || hasToken(col("hdr_robots"), "noindex"))
+      .withColumn("nofollow",
+        hasToken(col("meta_robots"), "nofollow") || hasToken(col("hdr_robots"), "nofollow"))
+      .withColumn("kept", !col("noindex"))
+  }
 
   /** Redirect chains + revisit records — the two crawl signals
     * [[graft.sources.Warc.recordsDF]] gained in r18, composed the way a

@@ -10,6 +10,43 @@ import graft.operators.MaskTransform
 private[graft] trait EntryOracles2 { this: EntryCore =>
 
   private[graft] def oracleSqlPart2: Map[String, String] = Map(
+    // the feed XML is BUILT from id arithmetic and must round-trip
+    // through the real RSS/Atom parser: links, kinds, and RFC 1123 /
+    // RFC 3339 epochs all replay here without parsing any XML; a
+    // date-parse bug surfaces as n_bad_epoch > 0 or a wrong sum_epoch
+    "feed_frontier" ->
+      ("WITH e AS (SELECT 'news-' || (doc_id % 20) || '.example.com' AS host, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind, " +
+        "1781517600 + (doc_id % 60) * 60 AS epoch FROM documents " +
+        "UNION ALL SELECT 'news-' || ((doc_id + 7) % 20) || '.example.com', " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END, " +
+        "1781517600 + ((doc_id + 13) % 60) * 60 FROM documents) " +
+        "SELECT host, count(*)::BIGINT AS n_entries, " +
+        "sum(CASE WHEN kind = 'rss' THEN 1 ELSE 0 END)::BIGINT AS n_rss, " +
+        "sum(CASE WHEN kind = 'atom' THEN 1 ELSE 0 END)::BIGINT AS n_atom, " +
+        "sum(epoch)::BIGINT AS sum_epoch, 0::BIGINT AS n_bad_epoch " +
+        "FROM e GROUP BY host"),
+    // ladder arms replay from id arithmetic; the meta/time arms carry a
+    // valid DECOY url date the ladder must not return, so src order is
+    // load-bearing in the hash
+    "page_dates" ->
+      ("SELECT doc_id, CASE (doc_id % 4) WHEN 0 THEN 'meta' WHEN 1 THEN 'time' " +
+        "WHEN 2 THEN 'url' ELSE NULL END AS date_src, " +
+        "CASE WHEN (doc_id % 4) <= 2 THEN (2000 + doc_id % 20) || '-' || " +
+        "lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || " +
+        "lpad((1 + doc_id % 28)::VARCHAR, 2, '0') ELSE NULL END AS pub_date " +
+        "FROM documents"),
+    // both directive channels replay by arm: meta via the html kernel,
+    // header via the real HTTP head parser; noindex from EITHER channel
+    // excludes, nofollow only flags
+    "noindex_filter" ->
+      ("SELECT doc_id, CASE (doc_id % 5) WHEN 1 THEN 'noindex, follow' " +
+        "WHEN 3 THEN 'nofollow' ELSE NULL END AS meta_robots, " +
+        "CASE (doc_id % 5) WHEN 2 THEN 'noindex' WHEN 4 THEN 'all' ELSE NULL END AS hdr_robots, " +
+        "(doc_id % 5) IN (1, 2) AS noindex, " +
+        "(doc_id % 5) = 3 AS nofollow, " +
+        "(doc_id % 5) NOT IN (1, 2) AS kept " +
+        "FROM documents"),
     // full-value from first principles: the six expected sentences are
     // CONSTRUCTED from (text, lang, source), not replayed through the
     // regex chain — abbreviation/decimal periods must stay inside their

@@ -47,7 +47,7 @@ object HtmlMeta {
 
   /** Attributes of the tag whose body is `tag` (the text between `<name`
     * and `>`): lowercase keys, unquoted/single/double values. */
-  private[operators] def attrs(tag: String): Map[String, String] = {
+  private[graft] def attrs(tag: String): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     val n = tag.length
@@ -80,7 +80,7 @@ object HtmlMeta {
   }
 
   /** Every (tagName, attrBody) in the head window, in order. */
-  private def tags(w: String): Iterator[(String, String)] = new Iterator[(String, String)] {
+  private[operators] def tags(w: String): Iterator[(String, String)] = new Iterator[(String, String)] {
     private val lower = w.toLowerCase(java.util.Locale.ROOT)
     private var pos = 0
     private var nextTag: (String, String) = null
@@ -160,6 +160,24 @@ object HtmlMeta {
     null
   }
 
+  /** Raw content of the first `<meta name=robots content=…>` — the
+    * page's OWN indexing directives (noindex/nofollow token list, RFC
+    * 9309's html-level sibling). The kernel returns the content string;
+    * token tests stay in the query so the contract is replayable with
+    * plain string builtins. Null when absent. */
+  def robotsContent(html: String): String = {
+    val w = window(html)
+    if (w == null) return null
+    for ((name, body) <- tags(w) if name == "meta") {
+      val a = attrs(body)
+      if (a.get("name").exists(_.equalsIgnoreCase("robots")) && a.contains("content")) {
+        val c = clean(a("content"))
+        if (c != null) return c
+      }
+    }
+    null
+  }
+
   def titleUTF8(html: UTF8String): UTF8String =
     if (html == null) null else {
       val r = title(html.toString); if (r == null) null else UTF8String.fromString(r)
@@ -172,9 +190,14 @@ object HtmlMeta {
     if (html == null) null else {
       val r = canonical(html.toString); if (r == null) null else UTF8String.fromString(r)
     }
+  def robotsContentUTF8(html: UTF8String): UTF8String =
+    if (html == null) null else {
+      val r = robotsContent(html.toString); if (r == null) null else UTF8String.fromString(r)
+    }
 
   /** Column forms — codegen'd native expressions. */
   def htmlTitle(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlTitle(html)
   def htmlDescription(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlDescription(html)
   def htmlCanonical(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlCanonical(html)
+  def htmlRobots(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlRobots(html)
 }

@@ -20,6 +20,8 @@ object HtmlMetaExpressions {
     GraftBridge.column(HtmlDescriptionExpr(GraftBridge.expression(html)))
   def htmlCanonical(html: Column): Column =
     GraftBridge.column(HtmlCanonicalExpr(GraftBridge.expression(html)))
+  def htmlRobots(html: Column): Column =
+    GraftBridge.column(HtmlRobotsExpr(GraftBridge.expression(html)))
 }
 
 abstract class HtmlMetaStringExpr extends UnaryExpression {
@@ -65,5 +67,14 @@ case class HtmlCanonicalExpr(child: Expression) extends HtmlMetaStringExpr {
   override def nullSafeEval(input: Any): Any =
     graft.operators.HtmlMeta.canonicalUTF8(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): HtmlCanonicalExpr =
+    copy(child = newChild)
+}
+
+case class HtmlRobotsExpr(child: Expression) extends HtmlMetaStringExpr {
+  override def prettyName: String = "graft_html_robots"
+  override protected def kernel: String = "robotsContentUTF8"
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.HtmlMeta.robotsContentUTF8(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): HtmlRobotsExpr =
     copy(child = newChild)
 }

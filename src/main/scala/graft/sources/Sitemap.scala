@@ -94,7 +94,7 @@ object Sitemap {
 
   /** Inflate a gzip document up to [[MaxBytes]]; (bytes, hitCap). Plain
     * input passes through (truncated to the cap, flagged). */
-  private def inflate(content: Array[Byte]): (Array[Byte], Boolean) = {
+  private[sources] def inflate(content: Array[Byte]): (Array[Byte], Boolean) = {
     if (content.length >= 2 && (content(0) & 0xff) == 0x1f && (content(1) & 0xff) == 0x8b) {
       try {
         val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(content), 65536)
@@ -112,7 +112,7 @@ object Sitemap {
 
   /** Next occurrence of tag `<name>` (exact tag, not a prefix — `<url>`
     * must not match `<urlset>`) at or after `from`; -1 when absent. */
-  private def findTag(lower: String, name: String, from: Int): Int = {
+  private[sources] def findTag(lower: String, name: String, from: Int): Int = {
     var i = from
     val probe = "<" + name
     while (i >= 0) {
@@ -130,7 +130,7 @@ object Sitemap {
 
   /** Text content of the first `<name>…</name>` inside [from, to); null
     * when absent or unclosed. */
-  private def innerText(raw: String, lower: String, name: String,
+  private[sources] def innerText(raw: String, lower: String, name: String,
                         from: Int, to: Int): String = {
     val open = findTag(lower, name, from)
     if (open < 0 || open >= to) return null

@@ -67,6 +67,22 @@ class HtmlMetaSpec extends AnyFunSuite {
     assert(HtmlMeta.title("<!-- <title>x</title> --><title>y</title>") === "y")
   }
 
+  test("robots meta: first name=robots content, any case/order; absent is null") {
+    assert(HtmlMeta.robotsContent(
+      "<head><meta content=\"noindex, nofollow\" name=ROBOTS></head>") === "noindex, nofollow")
+    assert(HtmlMeta.robotsContent("<meta name=robots content=\"  all \">") === "all")
+    assert(HtmlMeta.robotsContent("<meta name=viewport content=\"w=1\">") === null)
+    // googlebot-scoped meta is NOT name=robots — closed contract
+    assert(HtmlMeta.robotsContent("<meta name=googlebot content=noindex>") === null)
+    assert(HtmlMeta.robotsContent(null) === null)
+    // codegen column agrees
+    import spark.implicits._
+    val r = Seq("<meta name=robots content=noindex>", "plain").toDF("h")
+      .select(HtmlMeta.htmlRobots(col("h"))).collect()
+    assert(r(0).getString(0) === "noindex")
+    assert(r(1).isNullAt(0))
+  }
+
   test("codegen'd columns agree with the kernels") {
     import spark.implicits._
     val pages = Seq(page, "<title>t2</title>", "plain", "")
