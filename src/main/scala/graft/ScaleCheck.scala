@@ -337,7 +337,14 @@ object ScaleCheck {
     // host-keyed aggregate over a fixed 20-host space — the
     // sitemap_frontier class), and the two in-row kernels (date ladder,
     // robots-directive tests — scan-bound, no aggregate at all)
-    "feed_frontier", "page_dates", "noindex_filter")
+    "feed_frontier", "page_dates", "noindex_filter",
+    // round-18 batch 4: feed autodiscovery (in-row link scan + one
+    // 1-row agg), and the chunk-CAS ingest loop (store write + TWO
+    // broadcast-probed store scans; the batch's distinct-chunk frame is
+    // the broadcast side — store never shuffles; chunking CPU is the
+    // corpus-linear term). stream_feed_poll excluded: the
+    // memory/parquet sink harness class (stream_segment note)
+    "feed_autodiscovery", "cdc_incremental")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -19,9 +19,9 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
     * a date-parse bug shows up as a null epoch (counted) or a wrong
     * sum. Scale shape: narrow parse (files are the parallelism unit),
     * one host-keyed aggregate over a fixed 20-host space. */
-  private[graft] def qFeedFrontier(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
-      .select(col("doc_id").cast("long").as("id"))
+  /** The planted feed files of [[qFeedFrontier]] (and its streaming
+    * twin): id → (feed_id, content) with RSS by even id, Atom by odd. */
+  private[graft] def feedFiles(docs: DataFrame): DataFrame = {
     val mm1 = lpad(pmod(col("id"), lit(60L)).cast("string"), 2, "0")
     val mm2 = lpad(pmod(col("id") + 13, lit(60L)).cast("string"), 2, "0")
     val link1 = concat(lit("https://news-"), pmod(col("id"), lit(20L)),
@@ -47,10 +47,14 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
       lit("\"/><published>2026-06-15T10:"), mm2,
       lit(":00Z</published><id>u-"), col("id"), lit("-b</id></entry>"),
       lit("</feed>"))
-    val files = docs.select(col("id").as("feed_id"),
+    docs.select(col("id").as("feed_id"),
       when(pmod(col("id"), lit(2L)) === 0, rss).otherwise(atom)
         .cast("binary").as("content"))
-    graft.sources.Feed.entriesDF(files)
+  }
+
+  /** The host-keyed frontier aggregate over parsed feed entries. */
+  private[graft] def feedAgg(entries: DataFrame): DataFrame =
+    entries
       .withColumn("host", regexp_extract(col("link"), "^https://([^/]+)/", 1))
       .groupBy("host")
       .agg(
@@ -59,6 +63,136 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
         count(when(col("kind") === "atom", 1)).as("n_atom"),
         sum(col("published_epoch")).as("sum_epoch"),
         count(when(col("published_epoch").isNull, 1)).as("n_bad_epoch"))
+
+  private[graft] def qFeedFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    feedAgg(graft.sources.Feed.entriesDF(feedFiles(docs)))
+  }
+
+  /** Streaming twin of [[qFeedFrontier]] — continuous feed POLLING is
+    * the natural arrival mode of this source (feeds announce what's
+    * new; a crawler re-reads them on a schedule). The build → parse
+    * chain is stateless narrow ops, streaming-legal verbatim; entries
+    * land in a parquet sink per batch (the stream_warc_ingest overwrite
+    * harness), then the batch aggregate runs over the sink. Shares
+    * `feed_frontier`'s oracle VERBATIM — trigger machinery must not
+    * change one count. */
+  private[graft] def qStreamFeedPoll(spark: SparkSession, dir: String): DataFrame = {
+    val docs = streamDocuments(spark, dir).select(col("doc_id").cast("long").as("id"))
+    val entries = graft.sources.Feed.entriesDF(feedFiles(docs))
+    val sink = freshTmpStore(spark, "graft_stream_feed_sink").getAbsolutePath
+    val q = entries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    feedAgg(spark.read.parquet(sink))
+  }
+
+  /** Feed AUTODISCOVERY — how feeds are actually found: pages advertise
+    * them as head `<link rel=alternate type=application/rss+xml|
+    * atom+xml>` ([[graft.operators.HtmlMeta.feedLinks]], codegen'd),
+    * and relative hrefs resolve against the page url with the same RFC
+    * 3986 machinery the redirect resolver uses. Four arms: relative rss
+    * link among decoys / absolute rss+atom pair / decoys only
+    * (rel=alternate but type=text/html, rel=stylesheet) / no links.
+    * FULL-VALUE 1-row oracle: every count replays from id arithmetic —
+    * decoy arms contributing 0 is the load-bearing discrimination. */
+  private[graft] def qFeedAutodiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val arm = pmod(col("id"), lit(4L))
+    val pageUrl = concat(lit("https://site-"), pmod(col("id"), lit(20L)),
+      lit(".example.com/p/"), col("id"))
+    val html = when(arm === 0, lit(
+        "<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\">" +
+        "<title>t</title></head>"))
+      .when(arm === 1, concat(
+        lit("<head><link rel=\"alternate\" type=\"application/rss+xml\" href=\"https://feeds.example.net/r/"),
+        col("id"),
+        lit("\"><link rel=\"alternate\" type=\"application/atom+xml\" href=\"https://feeds.example.net/a/"),
+        col("id"), lit("\"></head>")))
+      .when(arm === 2, lit(
+        "<head><link rel=\"alternate\" type=\"text/html\" href=\"/amp.html\">" +
+        "<link rel=\"stylesheet\" href=\"/s.css\"></head>"))
+      .otherwise(lit("<head><title>t</title></head>"))
+    val resolveU = udf((base: String, loc: String) =>
+      graft.operators.Redirects.resolveUrl(base, loc))
+    docs.select(col("id"), pageUrl.as("page_url"), arm.as("arm"),
+        graft.operators.HtmlMeta.htmlFeedLinks(html).as("links"))
+      .select(col("id"), col("page_url"), col("arm"),
+        explode_outer(col("links")).as("href"))
+      .withColumn("resolved",
+        when(col("href").isNotNull, resolveU(col("page_url"), col("href"))))
+      .agg(
+        countDistinct(col("id")).as("n_pages"),
+        count(col("href")).as("n_feed_links"),
+        count(when(col("arm") === 0 && col("resolved") === concat(
+          lit("https://site-"), pmod(col("id"), lit(20L)),
+          lit(".example.com/feed.xml")), 1)).as("n_rel_resolved"),
+        count(when(col("arm") === 1 &&
+          col("resolved") === concat(lit("https://feeds.example.net/r/"), col("id")), 1))
+          .as("n_abs_rss"),
+        count(when(col("arm") === 1 &&
+          col("resolved") === concat(lit("https://feeds.example.net/a/"), col("id")), 1))
+          .as("n_abs_atom"),
+        count(when(col("arm").isin(2L, 3L) && col("href").isNotNull, 1))
+          .as("n_from_decoy_arms"))
+  }
+
+  /** Incremental sub-document dedup — the chunk CAS ingest loop
+    * ([[graft.operators.Cdc.ingestNovel]]): a day-0 chunk store (ids ≡
+    * 0 mod 3), then the FULL corpus re-arrives as a batch and only
+    * never-seen chunks are admitted. Plan shape: the batch's distinct
+    * chunk set broadcasts against one partition-pruned store scan —
+    * store never shuffles (the [[graft.operators.Frontier]]
+    * discipline, bloomless by design: a CAS batch is mostly novel).
+    * PINNED-CONTRACT oracle: re-arrived documents must contribute ZERO
+    * novel chunks (store exactness), a re-probe after ingest must find
+    * ZERO novel (append correctness), novel bytes are bounded by the
+    * new documents' bytes — plus the arithmetic doc counts. */
+  private[graft] def qCdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .withColumn("blob", mkBlob(col("id")))
+    val chunked = docs
+      .select(col("id"), length(col("blob")).cast("long").as("blen"),
+        explode(graft.plans.CdcExpressions.cdcChunks(col("blob"), 256, 1024, 4096)).as("c"))
+      .select(col("id"), col("blen"), col("c.hash").as("hash"), col("c.size").as("size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val storePath = freshTmpStore(spark, "graft_cdc_store").getAbsolutePath
+    graft.operators.Cdc.writeChunkStore(
+      chunked.where(pmod(col("id"), lit(3L)) === 0), storePath)
+    // ingestNovel pins its novel set with an eager localCheckpoint, so
+    // the re-probe's append cannot retroactively empty it
+    val novel = graft.operators.Cdc.ingestNovel(spark, storePath, chunked)
+    val novelAfter = graft.operators.Cdc.ingestNovel(spark, storePath, chunked)
+    val rearrivedHit = chunked.where(pmod(col("id"), lit(3L)) === 0)
+      .select(col("hash")).distinct()
+      .join(novel.select(col("hash")).distinct(), Seq("hash"))
+      .agg(count(lit(1)).as("n_novel_from_rearrived"))
+    val newBytes = docs.where(pmod(col("id"), lit(3L)) =!= 0)
+      .agg(sum(length(col("blob")).cast("long")).as("new_bytes"))
+    val counts = docs.agg(
+      count(when(pmod(col("id"), lit(3L)) === 0, 1)).as("n_day0_docs"),
+      count(lit(1)).as("n_batch_docs"))
+    val novelAgg = novel.agg(
+      count(lit(1)).as("n_novel_chunks"),
+      coalesce(sum(col("size")), lit(0L)).as("novel_bytes"))
+    val afterAgg = novelAfter.agg(count(lit(1)).as("n_novel_after_ingest"))
+    graft.operators.Partitioning.releaseAfterUse(
+      counts.crossJoin(rearrivedHit).crossJoin(novelAgg)
+        .crossJoin(afterAgg).crossJoin(newBytes)
+        .select(col("n_day0_docs"), col("n_batch_docs"),
+          col("n_novel_from_rearrived"),
+          when(col("n_novel_chunks") > 0, lit(1L)).otherwise(lit(0L)).as("has_novel"),
+          when(col("novel_bytes") <= col("new_bytes"), lit(1L)).otherwise(lit(0L))
+            .as("novel_bytes_le_new"),
+          col("n_novel_after_ingest")),
+      chunked, novel)
   }
 
   /** Publication-date extraction — [[graft.operators.PageDate]]'s
@@ -222,23 +356,27 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
     * suffix family); and chunk-level dedup must save over half the
     * corpus bytes, which whole-blob hashing cannot (every blob is
     * distinct by its prefix). */
-  private[graft] def qCdcChunking(spark: SparkSession, dir: String): DataFrame = {
-    val mkBlob = udf((id: Long) => {
-      def gen(seed: Long, n: Int): Array[Byte] = {
-        val a = new Array[Byte](n)
-        var x = seed
-        var i = 0
-        while (i < n) {
-          x = x * 6364136223846793005L + 1442695040888963407L
-          a(i) = (x >>> 56).toByte
-          i += 1
-        }
-        a
+  /** The planted CDC blob (shared by `cdc_chunking` and
+    * `cdc_incremental`): unique prefix (64 + id%257 bytes) ++ three of
+    * four shared 8 KiB segments — "same payload, different header". */
+  private[graft] val mkBlob = udf((id: Long) => {
+    def gen(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var x = seed
+      var i = 0
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        a(i) = (x >>> 56).toByte
+        i += 1
       }
-      def seg(k: Long): Array[Byte] = gen(k + 1, 8192)
-      gen(1000 + id, 64 + (id % 257).toInt) ++
-        seg(id % 4) ++ seg((id + 1) % 4) ++ seg((id + 2) % 4)
-    })
+      a
+    }
+    def seg(k: Long): Array[Byte] = gen(k + 1, 8192)
+    gen(1000 + id, 64 + (id % 257).toInt) ++
+      seg(id % 4) ++ seg((id + 1) % 4) ++ seg((id + 2) % 4)
+  })
+
+  private[graft] def qCdcChunking(spark: SparkSession, dir: String): DataFrame = {
     val blobs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
       .select(col("doc_id").cast("long").as("id"))
       .withColumn("blob", mkBlob(col("id")))

@@ -9,23 +9,48 @@ import graft.operators.MaskTransform
 /** DuckDB oracle SQL, part 2 of 2 (split from SparkEntry — r16 #6). */
 private[graft] trait EntryOracles2 { this: EntryCore =>
 
+  /** Shared by `feed_frontier` and its streaming twin
+    * `stream_feed_poll`. */
+  private val feedFrontierOracleSql: String =
+    "WITH e AS (SELECT 'news-' || (doc_id % 20) || '.example.com' AS host, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind, " +
+      "1781517600 + (doc_id % 60) * 60 AS epoch FROM documents " +
+      "UNION ALL SELECT 'news-' || ((doc_id + 7) % 20) || '.example.com', " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END, " +
+      "1781517600 + ((doc_id + 13) % 60) * 60 FROM documents) " +
+      "SELECT host, count(*)::BIGINT AS n_entries, " +
+      "sum(CASE WHEN kind = 'rss' THEN 1 ELSE 0 END)::BIGINT AS n_rss, " +
+      "sum(CASE WHEN kind = 'atom' THEN 1 ELSE 0 END)::BIGINT AS n_atom, " +
+      "sum(epoch)::BIGINT AS sum_epoch, 0::BIGINT AS n_bad_epoch " +
+      "FROM e GROUP BY host"
+
   private[graft] def oracleSqlPart2: Map[String, String] = Map(
     // the feed XML is BUILT from id arithmetic and must round-trip
     // through the real RSS/Atom parser: links, kinds, and RFC 1123 /
     // RFC 3339 epochs all replay here without parsing any XML; a
     // date-parse bug surfaces as n_bad_epoch > 0 or a wrong sum_epoch
-    "feed_frontier" ->
-      ("WITH e AS (SELECT 'news-' || (doc_id % 20) || '.example.com' AS host, " +
-        "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind, " +
-        "1781517600 + (doc_id % 60) * 60 AS epoch FROM documents " +
-        "UNION ALL SELECT 'news-' || ((doc_id + 7) % 20) || '.example.com', " +
-        "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END, " +
-        "1781517600 + ((doc_id + 13) % 60) * 60 FROM documents) " +
-        "SELECT host, count(*)::BIGINT AS n_entries, " +
-        "sum(CASE WHEN kind = 'rss' THEN 1 ELSE 0 END)::BIGINT AS n_rss, " +
-        "sum(CASE WHEN kind = 'atom' THEN 1 ELSE 0 END)::BIGINT AS n_atom, " +
-        "sum(epoch)::BIGINT AS sum_epoch, 0::BIGINT AS n_bad_epoch " +
-        "FROM e GROUP BY host"),
+    "feed_frontier" -> feedFrontierOracleSql,
+    // the streaming twin shares the oracle VERBATIM: trigger machinery
+    // must not change one count
+    "stream_feed_poll" -> feedFrontierOracleSql,
+    // every count replays from the four-arm arithmetic; the decoy arms
+    // (rel=alternate type=text/html, rel=stylesheet, linkless)
+    // contributing ZERO is the load-bearing discrimination
+    "feed_autodiscovery" ->
+      ("SELECT count(*)::BIGINT AS n_pages, " +
+        "(sum(CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END))::BIGINT AS n_feed_links, " +
+        "sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel_resolved, " +
+        "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_rss, " +
+        "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_atom, " +
+        "0::BIGINT AS n_from_decoy_arms FROM documents"),
+    // pinned store-exactness contract: re-arrived docs contribute ZERO
+    // novel chunks, a re-probe after ingest finds ZERO novel, novel
+    // bytes bounded by the new docs' bytes; doc counts arithmetic
+    "cdc_incremental" ->
+      ("SELECT sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_day0_docs, " +
+        "count(*)::BIGINT AS n_batch_docs, 0::BIGINT AS n_novel_from_rearrived, " +
+        "1::BIGINT AS has_novel, 1::BIGINT AS novel_bytes_le_new, " +
+        "0::BIGINT AS n_novel_after_ingest FROM documents"),
     // ladder arms replay from id arithmetic; the meta/time arms carry a
     // valid DECOY url date the ladder must not return, so src order is
     // load-bearing in the hash

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Content-defined chunking (FastCDC-style gear rolling hash — Xia et
   * al., "FastCDC: a Fast and Efficient Content-Defined Chunking Approach
@@ -104,6 +106,60 @@ object Cdc {
       i += 1
     }
     h
+  }
+
+  /** Number of hash partitions in a chunk store. */
+  val StoreChunks = 64
+
+  /** (hash, size) of a chunk-index frame, distinct by hash, keyed for
+    * the store layout: `part = pmod(hash, 64)` — the same
+    * chunk-partitioned parquet discipline as [[Frontier]]'s url store. */
+  private def distinctChunks(chunks: DataFrame): DataFrame =
+    chunks.select(col("hash").cast("long").as("hash"),
+        col("size").cast("long").as("size"))
+      .groupBy("hash").agg(max(col("size")).as("size"))
+      .withColumn("part", pmod(col("hash"), lit(StoreChunks.toLong)))
+
+  /** Build the chunk CAS index from a (hash, size) chunk frame — the
+    * store a content-addressed blob store keeps next to its chunk data:
+    * one row per distinct chunk hash, parquet-partitioned by
+    * `pmod(hash, 64)`. (Unlike [[Frontier]] there is no Bloom sidecar:
+    * a frontier probe is mostly NEGATIVE — the bloom short-circuits
+    * store I/O — while a CAS ingest batch is mostly NOVEL chunks whose
+    * confirm join must run anyway, so a prefilter buys one scan it
+    * would spend itself.) */
+  def writeChunkStore(chunks: DataFrame, path: String,
+                      filesPerPartition: Int = 1): Unit =
+    graft.sources.Sinks.writePartitioned(
+      distinctChunks(chunks), path, Seq("part"), filesPerPartition)
+
+  /** EXACT novel chunks of a batch against the store, and append them —
+    * the per-batch CAS ingest step: only bytes of never-seen chunks are
+    * stored/shipped; re-arriving content costs index rows only. Plan
+    * shape: the batch's DISTINCT (hash, size) set BROADCASTS against
+    * ONE store scan (left_anti on (part, hash) — partition-pruned by
+    * the batch's parts); the store is never shuffled, never grouped,
+    * and novelty is exact. Returns the novel (hash, size) frame AFTER
+    * appending it (eagerly materialized — the caller's counts and the
+    * store agree). */
+  def ingestNovel(spark: SparkSession, path: String,
+                  batchChunks: DataFrame): DataFrame = {
+    val b = distinctChunks(batchChunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val store = spark.read.schema("hash LONG, size LONG, part BIGINT").parquet(path)
+    val seen = store.join(broadcast(b.select(col("part"), col("hash"))),
+        Seq("part", "hash"))
+      .select(col("hash")).distinct()
+    // eager localCheckpoint BEFORE the append: the append refreshes any
+    // cache whose plan reads the store path (recacheByPath), which would
+    // re-execute a merely-persisted novel frame against the
+    // post-append listing and collapse it to empty; the checkpoint
+    // truncates lineage so the novel set is pinned
+    val novelExact = b.join(broadcast(seen), Seq("hash"), "left_anti")
+      .localCheckpoint(eager = true)
+    novelExact.write.mode("append").partitionBy("part").parquet(path)
+    Partitioning.releaseAfterUse(
+      novelExact.select(col("hash"), col("size")), b)
   }
 
   /** Static entry point for generated code: array of (offset, size,

@@ -160,6 +160,33 @@ object HtmlMeta {
     null
   }
 
+  /** Feed autodiscovery (the RSS/Atom convention every browser and
+    * crawler implements): hrefs of head `<link>` tags whose `rel` token
+    * list contains `alternate` AND whose `type` is
+    * `application/rss+xml` or `application/atom+xml`, in document
+    * order. This is how feeds are actually FOUND — pages advertise
+    * them; [[graft.sources.Feed]] then parses what this discovers.
+    * Empty array when none (null only on null input). */
+  def feedLinks(html: String): Seq[String] = {
+    val w = window(html)
+    if (w == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, body) <- tags(w) if name == "link") {
+      val a = attrs(body)
+      val isAlt = a.get("rel").exists(
+        _.toLowerCase(java.util.Locale.ROOT).split("\\s+").contains("alternate"))
+      val isFeed = a.get("type").exists { t =>
+        val tt = t.trim.toLowerCase(java.util.Locale.ROOT)
+        tt == "application/rss+xml" || tt == "application/atom+xml"
+      }
+      if (isAlt && isFeed && a.contains("href")) {
+        val v = a("href").trim
+        if (v.nonEmpty) out += decodeEntities(v)
+      }
+    }
+    out.toSeq
+  }
+
   /** Raw content of the first `<meta name=robots content=…>` — the
     * page's OWN indexing directives (noindex/nofollow token list, RFC
     * 9309's html-level sibling). The kernel returns the content string;
@@ -194,10 +221,14 @@ object HtmlMeta {
     if (html == null) null else {
       val r = robotsContent(html.toString); if (r == null) null else UTF8String.fromString(r)
     }
+  def feedLinksArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (html == null) null else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      feedLinks(html.toString).map(UTF8String.fromString).toArray[Any])
 
   /** Column forms — codegen'd native expressions. */
   def htmlTitle(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlTitle(html)
   def htmlDescription(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlDescription(html)
   def htmlCanonical(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlCanonical(html)
   def htmlRobots(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlRobots(html)
+  def htmlFeedLinks(html: Column): Column = graft.plans.HtmlMetaExpressions.htmlFeedLinks(html)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML head-metadata extraction as native codegen'd expressions — the
@@ -22,6 +22,8 @@ object HtmlMetaExpressions {
     GraftBridge.column(HtmlCanonicalExpr(GraftBridge.expression(html)))
   def htmlRobots(html: Column): Column =
     GraftBridge.column(HtmlRobotsExpr(GraftBridge.expression(html)))
+  def htmlFeedLinks(html: Column): Column =
+    GraftBridge.column(HtmlFeedLinksExpr(GraftBridge.expression(html)))
 }
 
 abstract class HtmlMetaStringExpr extends UnaryExpression {
@@ -67,6 +69,25 @@ case class HtmlCanonicalExpr(child: Expression) extends HtmlMetaStringExpr {
   override def nullSafeEval(input: Any): Any =
     graft.operators.HtmlMeta.canonicalUTF8(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): HtmlCanonicalExpr =
+    copy(child = newChild)
+}
+
+/** Feed autodiscovery hrefs — `array<string>` result (document order,
+  * empty when the page advertises no feed). */
+case class HtmlFeedLinksExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_html_feed_links"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.HtmlMeta.feedLinksArray(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.HtmlMeta.feedLinksArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlFeedLinksExpr =
     copy(child = newChild)
 }
 

@@ -81,6 +81,26 @@ class CdcSpec extends AnyFunSuite {
     assert(sizes(bytes(257, 9L)).sum === 257)
   }
 
+  test("chunk store: exact novelty, append correctness, idempotent re-ingest") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"cdc_store_spec_${System.nanoTime()}").getAbsolutePath
+    def frame(hs: (Long, Long)*) = hs.toSeq.toDF("hash", "size")
+    Cdc.writeChunkStore(frame(1L -> 100L, 2L -> 200L, 65L -> 300L), path)
+    // 65 % 64 == 1 % 64: same store partition, distinct hashes must both live
+    val novel = Cdc.ingestNovel(spark, path, frame(2L -> 200L, 3L -> 50L, 129L -> 70L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(novel.toSeq === Seq(3L -> 50L, 129L -> 70L)) // 2 was seen
+    // re-ingesting the same batch finds nothing: the append landed
+    val again = Cdc.ingestNovel(spark, path, frame(2L -> 200L, 3L -> 50L, 129L -> 70L))
+    assert(again.count() === 0)
+    // the store remains a set: all five distinct hashes, no duplicates
+    val store = spark.read.parquet(path)
+    assert(store.select("hash").distinct().count() === 5)
+    assert(store.count() === 5)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+  }
+
   test("expression path: codegen column agrees with the kernel; null-safe") {
     import spark.implicits._
     val data = bytes(20000, 10L)

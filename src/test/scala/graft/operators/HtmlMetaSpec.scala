@@ -83,6 +83,25 @@ class HtmlMetaSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0))
   }
 
+  test("feed autodiscovery: rel token + type filter, document order, decoys skipped") {
+    val page = "<head>" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\">" +
+      "<link rel=\"ALTERNATE home\" type=\"Application/Atom+XML\" href=\"/atom.xml\">" +
+      "<link rel=\"alternate\" type=\"text/html\" href=\"/amp.html\">" +
+      "<link rel=\"alternate\" type=\"application/rss+xml\">" + // no href
+      "</head>"
+    assert(HtmlMeta.feedLinks(page) === Seq("/feed.xml", "/atom.xml"))
+    assert(HtmlMeta.feedLinks("<head><title>t</title></head>") === Seq.empty)
+    assert(HtmlMeta.feedLinks(null) === null)
+    // codegen column agrees
+    import spark.implicits._
+    val r = Seq(page, "plain").toDF("h")
+      .select(HtmlMeta.htmlFeedLinks(col("h"))).collect()
+    assert(r(0).getSeq[String](0) === Seq("/feed.xml", "/atom.xml"))
+    assert(r(1).getSeq[String](0) === Seq.empty)
+  }
+
   test("codegen'd columns agree with the kernels") {
     import spark.implicits._
     val pages = Seq(page, "<title>t2</title>", "plain", "")
