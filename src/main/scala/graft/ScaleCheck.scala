@@ -344,7 +344,13 @@ object ScaleCheck {
     // the broadcast side — store never shuffles; chunking CPU is the
     // corpus-linear term). stream_feed_poll excluded: the
     // memory/parquet sink harness class (stream_segment note)
-    "feed_autodiscovery", "cdc_incremental")
+    "feed_autodiscovery", "cdc_incremental",
+    // round-18 batch 5: interpolated-KN trigram scoring — training is
+    // five vocabulary-shaped counting aggregates (rotation grows
+    // distinct trigrams ~SCALEx, the Heaps' worst case), scoring joins
+    // the per-position frame against the model tables (the lm
+    // bucketing shape one order up — watch the broadcast→SMJ shift)
+    "lm_kn_score")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -138,6 +138,47 @@ private[graft] trait EntryOracles2 { this: EntryCore =>
         "0::BIGINT AS roundtrip_violations, 4::BIGINT AS n_distinct_tail_hash, " +
         "1::BIGINT AS dedup_saved_ge_half, 1::BIGINT AS avg_size_in_range " +
         "FROM documents"),
+    // the FULL interpolated-KN construction replayed: train split,
+    // tri/bi counts, continuation counts, unigram continuation, D=0.75
+    // interpolation down to the uniform 1/Vhat floor, the 1e4 log grid
+    "lm_kn_score" ->
+      ("WITH c AS (SELECT doc_id, substr(text, 1, 60) || ' ' || CASE (doc_id % 4) " +
+        "WHEN 0 THEN 'alpha beta gamma' WHEN 1 THEN 'alpha beta r' || doc_id " +
+        "WHEN 2 THEN 'delta epsilon' ELSE '' END AS t FROM documents), " +
+        "ttoks AS (SELECT string_split_regex(lower(trim(t)), '\\s+') AS t FROM c WHERE doc_id % 3 <> 0), " +
+        "tripos AS (SELECT t[i] || ' ' || t[i+1] AS ctx, t[i+2] AS w3 FROM " +
+        "(SELECT t, unnest(range(1, len(t) - 1)) AS i FROM ttoks WHERE len(t) >= 3)), " +
+        "tri AS (SELECT ctx, w3, count(*) AS c3 FROM tripos GROUP BY ctx, w3), " +
+        "bi AS (SELECT ctx, sum(c3) AS c2, count(*) AS t3 FROM tri GROUP BY ctx), " +
+        "cont AS (SELECT split_part(ctx, ' ', 2) AS w2, w3, count(*) AS cc FROM tri GROUP BY 1, 2), " +
+        "contagg AS (SELECT w2, sum(cc) AS cc2, count(*) AS t2 FROM cont GROUP BY w2), " +
+        "bitypes AS (SELECT DISTINCT t[i] AS w1, t[i+1] AS w2 FROM " +
+        "(SELECT t, unnest(range(1, len(t))) AS i FROM ttoks WHERE len(t) >= 2)), " +
+        "unicont AS (SELECT w2 AS w, count(*) AS n1p FROM bitypes GROUP BY w2), " +
+        "consts AS (SELECT (SELECT sum(n1p)::DOUBLE FROM unicont) AS btypes, " +
+        "(SELECT count(*)::DOUBLE FROM unicont) AS u, " +
+        "(SELECT count(DISTINCT w)::DOUBLE FROM (SELECT unnest(t) AS w FROM ttoks)) + 1.0 AS vhat), " +
+        "stoks AS (SELECT doc_id, string_split_regex(lower(trim(t)), '\\s+') AS t FROM c), " +
+        "spos AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS ctx, t[i+1] AS w2, t[i+2] AS w3 FROM " +
+        "(SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM stoks WHERE len(t) >= 3)), " +
+        "j AS (SELECT s.doc_id, tri.c3, bi.c2, bi.t3, cont.cc, ca.cc2, ca.t2, uc.n1p, " +
+        "k.btypes, k.u, k.vhat FROM spos s " +
+        "LEFT JOIN tri ON s.ctx = tri.ctx AND s.w3 = tri.w3 " +
+        "LEFT JOIN bi ON s.ctx = bi.ctx " +
+        "LEFT JOIN cont ON s.w2 = cont.w2 AND s.w3 = cont.w3 " +
+        "LEFT JOIN contagg ca ON s.w2 = ca.w2 " +
+        "LEFT JOIN unicont uc ON s.w3 = uc.w CROSS JOIN consts k), " +
+        "j2 AS (SELECT doc_id, c3, c2, t3, cc, cc2, t2, " +
+        "greatest(coalesce(n1p, 0)::DOUBLE - 0.75, 0) / btypes + 0.75 * u / btypes / vhat AS p1 FROM j), " +
+        "j3 AS (SELECT doc_id, c3, c2, t3, CASE WHEN cc2 IS NULL THEN p1 ELSE " +
+        "greatest(coalesce(cc, 0)::DOUBLE - 0.75, 0) / cc2::DOUBLE + 0.75 * t2::DOUBLE / cc2::DOUBLE * p1 END AS p2 FROM j2), " +
+        "j4 AS (SELECT doc_id, CASE WHEN c2 IS NULL THEN p2 ELSE " +
+        "greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0) / c2::DOUBLE + 0.75 * t3::DOUBLE / c2::DOUBLE * p2 END AS p3 FROM j3), " +
+        "s2 AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams, " +
+        "floor(avg(ln(p3)) * 10000 + 0.000001)::BIGINT AS avg_logp_x1e4 FROM j4 GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(s2.n_trigrams, 0)::BIGINT AS n_trigrams, " +
+        "coalesce(s2.avg_logp_x1e4, 0)::BIGINT AS avg_logp_x1e4 " +
+        "FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id"),
     // every feature integer replays from the five-arm construction with
     // the same string builtins (shared Java-regex/RE2 dialect)
     "url_spam_score" ->

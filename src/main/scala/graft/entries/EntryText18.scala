@@ -122,6 +122,35 @@ private[graft] trait EntryText18 { this: EntryCore =>
       composed)
   }
 
+  /** Interpolated Kneser–Ney trigram scoring
+    * ([[graft.operators.LanguageModel.trainKneserNey]]) — the
+    * KenLM/CCNet model class with a REAL train/score split: the model
+    * trains on ids ≢ 0 mod 3 and scores the FULL corpus, so held-out
+    * documents exercise every backoff layer (their word-salad trigrams
+    * are mostly unseen → P2/P1 paths; arm 1's per-id token is
+    * genuinely OOV for held-out ids → the uniform 1/V̂ floor; arm 0's
+    * planted trigram is corpus-common → the highest-order path).
+    * FULL-VALUE oracle: DuckDB replays the entire construction —
+    * counts, continuation counts, discount interpolation, the 1e4
+    * log-grid. */
+  private[graft] def qLmKnScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val composed = docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 60), lit(" "),
+      when(pmod(col("doc_id"), lit(4L)) === 0, lit("alpha beta gamma"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("alpha beta r"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2, lit("delta epsilon"))
+        .otherwise(lit(""))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = graft.operators.LanguageModel.trainKneserNey(
+      composed.where(pmod(col("doc_id"), lit(3L)) =!= 0), "t")
+    graft.operators.Partitioning.releaseAfterUse(
+      graft.operators.LanguageModel.scoreKneserNey(
+        composed, "doc_id", "t", model),
+      composed)
+  }
+
   /** URL-shape spam scoring — [[graft.operators.UrlSpam.features]] over
     * five planted URL arms (clean / tracking-littered / keyword-stuffed
     * throwaway-TLD host / machine-deep path / generated digit host).
