@@ -350,7 +350,13 @@ object ScaleCheck {
     // distinct trigrams ~SCALEx, the Heaps' worst case), scoring joins
     // the per-position frame against the model tables (the lm
     // bucketing shape one order up — watch the broadcast→SMJ shift)
-    "lm_kn_score")
+    "lm_kn_score",
+    // round-18 batch 6: the keep-newest dedup (one bounded struct-max
+    // aggregate per duplicate group — the dedup_keep_best class with
+    // the date ladder in front). stream_cdc_ingest excluded: the
+    // foreachBatch/parquet-sink harness class, and its operator cost is
+    // cdc_incremental's, already measured
+    "dated_dedup")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -343,6 +343,103 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
       chains.crossJoin(revisits), recs) // two 1-row frames
   }
 
+  /** Streaming twin of `cdc_incremental` — blobs arriving as
+    * micro-batches through the CAS ingest loop (the frontier-probe
+    * pattern for chunk stores): the day-0 store builds batch-side, then
+    * each micro-batch chunks in-row and [[graft.operators.Cdc
+    * .ingestNovel]] admits only never-seen chunks inside foreachBatch
+    * (novel frames land in a parquet sink). The pinned contract is
+    * BATCHING-INVARIANT — re-arrived docs contribute zero novel chunks
+    * and a post-stream re-probe finds zero novel no matter how the
+    * micro-batches cut — so it shares `cdc_incremental`'s oracle
+    * VERBATIM. */
+  private[graft] def qStreamCdcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CdcExpressions
+    // the twin runs on the id % 4 == 1 quarter: the contract under test
+    // is BATCHING-invariance of the CAS loop, not corpus volume (the
+    // batch query already prices the full corpus), and the blob
+    // generation + gear-hash CPU is the suite's heaviest kernel
+    val batchDocs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+      .where(pmod(col("id"), lit(4L)) === 1)
+      .withColumn("blob", mkBlob(col("id")))
+    def chunksOf(d: DataFrame): DataFrame = d
+      .select(col("id"),
+        explode(CdcExpressions.cdcChunks(col("blob"), 256, 1024, 4096)).as("c"))
+      .select(col("id"), col("c.hash").as("hash"), col("c.size").as("size"))
+    val storePath = freshTmpStore(spark, "graft_stream_cdc_store").getAbsolutePath
+    graft.operators.Cdc.writeChunkStore(
+      chunksOf(batchDocs.where(pmod(col("id"), lit(3L)) === 0)), storePath)
+    val sink = freshTmpStore(spark, "graft_stream_cdc_sink").getAbsolutePath
+    val stream = streamDocuments(spark, dir).select(col("doc_id").cast("long").as("id"))
+      .where(pmod(col("id"), lit(4L)) === 1)
+      .withColumn("blob", mkBlob(col("id")))
+    val q = chunksOf(stream).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Cdc.ingestNovel(spark, storePath, batch)
+          .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val novel = spark.read.schema("hash LONG, size LONG").parquet(sink)
+    val chunked = chunksOf(batchDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val novelAfter = graft.operators.Cdc.ingestNovel(spark, storePath, chunked)
+    val rearrivedHit = chunked.where(pmod(col("id"), lit(3L)) === 0)
+      .select(col("hash")).distinct()
+      .join(novel.select(col("hash")).distinct(), Seq("hash"))
+      .agg(count(lit(1)).as("n_novel_from_rearrived"))
+    val newBytes = batchDocs.where(pmod(col("id"), lit(3L)) =!= 0)
+      .agg(sum(length(col("blob")).cast("long")).as("new_bytes"))
+    val counts = batchDocs.agg(
+      count(when(pmod(col("id"), lit(3L)) === 0, 1)).as("n_day0_docs"),
+      count(lit(1)).as("n_batch_docs"))
+    val novelAgg = novel.agg(
+      count(lit(1)).as("n_novel_chunks"),
+      coalesce(sum(col("size")), lit(0L)).as("novel_bytes"))
+    val afterAgg = novelAfter.agg(count(lit(1)).as("n_novel_after_ingest"))
+    graft.operators.Partitioning.releaseAfterUse(
+      counts.crossJoin(rearrivedHit).crossJoin(novelAgg)
+        .crossJoin(afterAgg).crossJoin(newBytes)
+        .select(col("n_day0_docs"), col("n_batch_docs"),
+          col("n_novel_from_rearrived"),
+          when(col("n_novel_chunks") > 0, lit(1L)).otherwise(lit(0L)).as("has_novel"),
+          when(col("novel_bytes") <= col("new_bytes"), lit(1L)).otherwise(lit(0L))
+            .as("novel_bytes_le_new"),
+          col("n_novel_after_ingest")),
+      chunked)
+  }
+
+  /** Dated dedup — the keep-NEWEST-capture tie-break real url-level
+    * dedup runs on ([[graft.operators.PageDate]] composed with the
+    * exact-dedup discipline): duplicate groups are planted by `id / 3`
+    * (same body key), each capture carries a permalink date whose DAY
+    * varies with the capture; the winner per group is the latest
+    * `pub_date`, ties broken by min doc_id. One group-keyed aggregate
+    * over (group, date, id) — never all-pairs, no window over the
+    * corpus. FULL-VALUE oracle: winner ids and dates replay from id
+    * arithmetic. */
+  private[graft] def qDatedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("id"))
+    val grp = floor(col("id") / 3).cast("long")
+    val url = concat(lit("https://a.example.com/"),
+      (lit(2010L) + pmod(col("id"), lit(10L))).cast("string"), lit("/"),
+      lpad((lit(1L) + pmod(col("id"), lit(12L))).cast("string"), 2, "0"), lit("/"),
+      lpad((lit(1L) + pmod(col("id"), lit(28L))).cast("string"), 2, "0"),
+      lit("/copy-"), col("id"))
+    val dated = docs.select(col("id"), grp.as("grp"),
+        graft.operators.PageDate.pageDate(url, lit("<p>no inline date</p>"))
+          .getField("pub_date").as("pub_date"))
+    dated.groupBy("grp")
+      .agg(count(lit(1)).as("n_captures"),
+        // lexicographic struct max = latest ISO date, then smallest id
+        // (negated) — ONE bounded aggregate state per group, no window
+        max(struct(col("pub_date"), (-col("id")).as("neg"))).as("m"))
+      .select(col("grp"), col("n_captures"),
+        col("m.pub_date").as("kept_date"), (-col("m.neg")).as("kept_id"))
+  }
+
   /** Content-defined chunking ([[graft.operators.Cdc]] — FastCDC gear
     * hash) as the sub-document dedup primitive over binary blobs. Each
     * document plants `unique-prefix(64 + id%257 bytes) ++ S(id%4) ++

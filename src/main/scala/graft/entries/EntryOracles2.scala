@@ -24,6 +24,14 @@ private[graft] trait EntryOracles2 { this: EntryCore =>
       "sum(epoch)::BIGINT AS sum_epoch, 0::BIGINT AS n_bad_epoch " +
       "FROM e GROUP BY host"
 
+  /** Shared by `cdc_incremental` and its streaming twin
+    * `stream_cdc_ingest` (the contract is batching-invariant). */
+  private def cdcIncrementalOracleSql(where: String): String =
+    "SELECT sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_day0_docs, " +
+      "count(*)::BIGINT AS n_batch_docs, 0::BIGINT AS n_novel_from_rearrived, " +
+      "1::BIGINT AS has_novel, 1::BIGINT AS novel_bytes_le_new, " +
+      "0::BIGINT AS n_novel_after_ingest FROM documents" + where
+
   private[graft] def oracleSqlPart2: Map[String, String] = Map(
     // the feed XML is BUILT from id arithmetic and must round-trip
     // through the real RSS/Atom parser: links, kinds, and RFC 1123 /
@@ -43,14 +51,24 @@ private[graft] trait EntryOracles2 { this: EntryCore =>
         "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_rss, " +
         "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_atom, " +
         "0::BIGINT AS n_from_decoy_arms FROM documents"),
+    // the streaming twin shares the pinned contract VERBATIM: the
+    // invariants are batching-invariant by construction
+    "stream_cdc_ingest" -> cdcIncrementalOracleSql(" WHERE doc_id % 4 = 1"),
+    // keep-newest capture: winner ids and dates replay from the
+    // permalink-date arithmetic; ISO strings order chronologically
+    "dated_dedup" ->
+      ("WITH d AS (SELECT doc_id AS id, doc_id // 3 AS grp, " +
+        "(2010 + doc_id % 10) || '-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') " +
+        "|| '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS pub_date FROM documents), " +
+        "m AS (SELECT grp, count(*)::BIGINT AS n_captures, max(pub_date) AS kept_date " +
+        "FROM d GROUP BY grp) " +
+        "SELECT m.grp, m.n_captures, m.kept_date, min(d.id)::BIGINT AS kept_id " +
+        "FROM m JOIN d ON d.grp = m.grp AND d.pub_date = m.kept_date " +
+        "GROUP BY m.grp, m.n_captures, m.kept_date"),
     // pinned store-exactness contract: re-arrived docs contribute ZERO
     // novel chunks, a re-probe after ingest finds ZERO novel, novel
     // bytes bounded by the new docs' bytes; doc counts arithmetic
-    "cdc_incremental" ->
-      ("SELECT sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_day0_docs, " +
-        "count(*)::BIGINT AS n_batch_docs, 0::BIGINT AS n_novel_from_rearrived, " +
-        "1::BIGINT AS has_novel, 1::BIGINT AS novel_bytes_le_new, " +
-        "0::BIGINT AS n_novel_after_ingest FROM documents"),
+    "cdc_incremental" -> cdcIncrementalOracleSql(""),
     // ladder arms replay from id arithmetic; the meta/time arms carry a
     // valid DECOY url date the ladder must not return, so src order is
     // load-bearing in the hash
