@@ -356,7 +356,12 @@ object ScaleCheck {
     // the date ladder in front). stream_cdc_ingest excluded: the
     // foreachBatch/parquet-sink harness class, and its operator cost is
     // cdc_incremental's, already measured
-    "dated_dedup")
+    "dated_dedup",
+    // bitext margin mining: bounded src (200 vectors) against the
+    // growing tgt corpus — pair volume is 200·|tgt|, LINEAR in the
+    // corpus by the maxSrc contract; the windows partition by sid/tid
+    // so per-partition state is bounded
+    "bitext_margin_mine")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -1393,5 +1393,21 @@ private[graft] trait EntryAnnSketchText { this: EntryCore =>
         countDistinct(col("fp")).as("n_distinct_fp"))
   }
 
+  /** Margin-based bitext mining
+    * ([[graft.operators.Similarity.marginMine]] — Artetxe & Schwenk's
+    * ratio margin, forward strategy): even vec_ids play the source
+    * language, odd the target; the source is BOUNDED (vec_id < 400 —
+    * the operator's contract; corpus-scale mining shortlists per
+    * source with an ANN probe first). FULL-VALUE oracle: DuckDB
+    * replays the neighborhood averages and margins brute-force —
+    * ids and ranks only, so the contract is ordering, never float
+    * equality. */
+  private[graft] def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    graft.operators.Similarity.marginMine(
+      emb.where(pmod(col("vec_id"), lit(2L)) === 0 && col("vec_id") < 400),
+      emb.where(pmod(col("vec_id"), lit(2L)) === 1),
+      "vec_id", "embedding", k = 4)
+  }
 
 }

@@ -51,6 +51,28 @@ private[graft] trait EntryOracles2 { this: EntryCore =>
         "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_rss, " +
         "sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_abs_atom, " +
         "0::BIGINT AS n_from_decoy_arms FROM documents"),
+    // brute-force replay of the ratio margin over both k-NN
+    // neighborhoods; ids and ranks only (ordering contract, not float
+    // equality), embeddings cast to double like every ANN oracle
+    "bitext_margin_mine" ->
+      ("WITH src AS (SELECT vec_id AS sid, list_transform(embedding, x -> x::DOUBLE) AS e " +
+        "FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 400), " +
+        "tgt AS (SELECT vec_id AS tid, list_transform(embedding, x -> x::DOUBLE) AS e " +
+        "FROM embeddings WHERE vec_id % 2 = 1), " +
+        "x AS (SELECT sid, tid, list_cosine_similarity(src.e, tgt.e) AS c FROM src CROSS JOIN tgt), " +
+        "fk AS (SELECT sid, avg(c) AS f FROM (SELECT sid, c, " +
+        "row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rn FROM x) WHERE rn <= 4 GROUP BY sid), " +
+        "bk AS (SELECT tid, avg(c) AS b FROM (SELECT tid, c, " +
+        "row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rn FROM x) WHERE rn <= 4 GROUP BY tid), " +
+        "cand AS (SELECT sid, tid, c FROM (SELECT sid, tid, c, " +
+        "row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rn FROM x) WHERE rn <= 4), " +
+        "m AS (SELECT cand.sid, cand.tid, cand.c / ((fk.f + bk.b) / 2) AS margin FROM cand " +
+        "JOIN fk ON cand.sid = fk.sid JOIN bk ON cand.tid = bk.tid), " +
+        "best AS (SELECT sid, tid, margin, row_number() OVER (PARTITION BY sid " +
+        "ORDER BY margin DESC, tid) AS rn FROM m) " +
+        "SELECT sid AS src_id, tid AS tgt_id, " +
+        "row_number() OVER (ORDER BY margin DESC, sid)::BIGINT AS rank " +
+        "FROM best WHERE rn = 1"),
     // the streaming twin shares the pinned contract VERBATIM: the
     // invariants are batching-invariant by construction
     "stream_cdc_ingest" -> cdcIncrementalOracleSql(" WHERE doc_id % 4 = 1"),

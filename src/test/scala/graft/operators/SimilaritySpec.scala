@@ -412,4 +412,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("maxBucket"))
   }
+
+  test("marginMine: a true pair beats a hub that is moderately close to everything") {
+    // src 0 and tgt 11 are a planted translation pair (near-identical);
+    // tgt 99 is a HUB: decent cosine to EVERY src. A raw-cosine top-1
+    // would sometimes pick the hub; the margin criterion must not —
+    // the hub's backward neighborhood average is as high as its pair
+    // cosines, so its margins hover near 1.
+    val base = (0 until 6).map(_ => randUnit(32))
+    val hub = {
+      // the normalized centroid: moderately close to every src
+      val c = Array.tabulate(32)(d => base.map(_(d)).sum)
+      val n = math.sqrt(c.map(x => x * x.toDouble).sum).toFloat
+      c.map(_ / n)
+    }
+    val srcRows = base.zipWithIndex.map { case (v, i) => (i * 2).toLong -> v }
+    val tgtRows = base.zipWithIndex.map { case (v, i) => (i * 2 + 11).toLong -> jitter(v, 0.02f) } :+
+      (99L -> hub)
+    val out = Similarity.marginMine(
+      vecs(srcRows: _*), vecs(tgtRows: _*), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 6).foreach { i =>
+      assert(out((i * 2).toLong) === (i * 2 + 11).toLong,
+        s"src ${i * 2} should mine its planted pair, got ${out((i * 2).toLong)}")
+    }
+  }
+
+  test("marginMine: bounded-src guard throws on an oversized source side") {
+    val big = vecs((0L until 50L).map(i => i -> randUnit(8)): _*)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.marginMine(big, big, "vec_id", "embedding", k = 2, maxSrc = 10)
+    }
+    assert(err.getMessage.contains("maxSrc"))
+  }
 }
