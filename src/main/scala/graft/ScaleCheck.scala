@@ -361,7 +361,13 @@ object ScaleCheck {
     // growing tgt corpus — pair volume is 200·|tgt|, LINEAR in the
     // corpus by the maxSrc contract; the windows partition by sid/tid
     // so per-partition state is bounded
-    "bitext_margin_mine")
+    "bitext_margin_mine",
+    // round-18 batch 8: the sixth iterative operator (HITS — 10 fixed
+    // rounds, two node-keyed join+agg exchanges per round with map-side
+    // partials; per-round cost must be linear, round count flat), and
+    // the in-row readability kernel (segmentation + token fold, no
+    // shuffle beyond the input spread)
+    "hits_scores", "readability_scores")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

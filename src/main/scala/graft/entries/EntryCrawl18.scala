@@ -440,6 +440,25 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
         col("m.pub_date").as("kept_date"), (-col("m.neg")).as("kept_id"))
   }
 
+  /** Integer-exact HITS ([[graft.operators.Hits]]) over a generated
+    * 3-out-regular link graph — the hubs-and-authorities prior a
+    * frontier scheduler prices fetch order with, next to `pagerank`'s
+    * random-walk importance (different multipliers, so the two graph
+    * fixtures cannot mask each other's bugs). FULL-VALUE oracle: ten
+    * rounds of integer sums + max-renormalization replayed as chained
+    * CTEs — bit-identical scores by construction. */
+  private[graft] def qHitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+      .select(col("doc_id").cast("long").as("node"))
+    val nn = nodes.count()
+    val edges = nodes.select(col("node").as("src"),
+        pmod(col("node") * 19 + 5, lit(nn)).as("dst"))
+      .unionAll(nodes.select(col("node"), pmod(col("node") * 23 + 2, lit(nn))))
+      .unionAll(nodes.select(col("node"), pmod(col("node") * 29 + 1, lit(nn))))
+    graft.operators.Hits.scores(edges, nodes)
+      .orderBy(col("auth").desc, col("node").asc).limit(10)
+  }
+
   /** Content-defined chunking ([[graft.operators.Cdc]] — FastCDC gear
     * hash) as the sub-document dedup primitive over binary blobs. Each
     * document plants `unique-prefix(64 + id%257 bytes) ++ S(id%4) ++

@@ -151,6 +151,37 @@ private[graft] trait EntryText18 { this: EntryCore =>
       composed)
   }
 
+  /** Flesch Reading Ease over composed multi-sentence documents — the
+    * classic readability facet of a quality-scoring pipeline, built
+    * ENTIRELY from this round's sentence segmenter plus in-row token
+    * and vowel-group arithmetic:
+    *   FRE·1000 = 206835 − 1015·(words/sentences) − 84600·(syllables/words)
+    * with the engine-replayable syllable heuristic syl(w) = max(1,
+    * vowelGroups(w) − [w ends in 'e' and has ≥2 groups]). Everything is
+    * one narrow projection (segmentation, token array, a transform/
+    * aggregate fold for syllables) — no shuffle, no explode. */
+  private[graft] def qReadabilityScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val t = concat(lit("The quick start. "), substring(col("text"), 1, 80),
+      lit("! Then "), substring(col("text"), 30, 40), lit("?"))
+    val sentences = graft.operators.Sentences.splitSentences(t)
+    val toks = filter(split(trim(lower(t)), "\\s+"), w => length(w) > 0)
+    val syl = (w: org.apache.spark.sql.Column) => greatest(
+      regexp_count(w, lit("[aeiouy]+")) -
+        when(w.rlike("e$") && regexp_count(w, lit("[aeiouy]+")) >= 2, lit(1))
+          .otherwise(lit(0)),
+      lit(1)).cast("long")
+    docs.select(col("doc_id"),
+        size(sentences).cast("long").as("n_sentences"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, w) => acc + syl(w)).as("n_syllables"))
+      .withColumn("fre_x1000", floor(
+        lit(206835.0) -
+          lit(1015.0) * col("n_words") / greatest(col("n_sentences"), lit(1L)) -
+          lit(84600.0) * col("n_syllables") / greatest(col("n_words"), lit(1L)) +
+          lit(1e-6)).cast("long"))
+  }
+
   /** URL-shape spam scoring — [[graft.operators.UrlSpam.features]] over
     * five planted URL arms (clean / tracking-littered / keyword-stuffed
     * throwaway-TLD host / machine-deep path / generated digit host).
