@@ -367,7 +367,11 @@ object ScaleCheck {
     // partials; per-round cost must be linear, round count flat), and
     // the in-row readability kernel (segmentation + token fold, no
     // shuffle beyond the input spread)
-    "hits_scores", "readability_scores")
+    "hits_scores", "readability_scores",
+    // the gate ensemble: three in-row kernels (spam features, profile
+    // langid, FRE fold) in ONE narrow projection — the url_spam_score
+    // class with more CPU per row
+    "quality_gate")
 
   /** Total shuffle bytes written across all tasks, collected off the
     * listener bus. Wall-clock ratios conflate CPU with data movement; the

@@ -82,16 +82,22 @@ private[graft] trait EntryText18 { this: EntryCore =>
     * histogram for cutoffs, broadcast-join the bucket back by (lang,
     * score). A score group straddling a cutoff promotes whole into the
     * better bucket — deterministic, and exactly replayable in SQL. */
-  private[graft] def qLmQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
-    val planted = when(pmod(col("doc_id"), lit(4L)) === 0,
+  /** The four planted language-arm prefixes (en/ru/zh/ar by doc_id % 4)
+    * — shared by `lm_quality_buckets` and `quality_gate`; the r18
+    * non-Latin profiles are load-bearing for arms 1–3. */
+  private def langArmOf(id: Column): Column =
+    when(pmod(id, lit(4L)) === 0,
         lit("the quick brown fox jumps over the lazy dog near the river bank today"))
-      .when(pmod(col("doc_id"), lit(4L)) === 1,
+      .when(pmod(id, lit(4L)) === 1,
         lit("в этом документе говорится о последних новостях и погоде в москве сегодня вечером"))
-      .when(pmod(col("doc_id"), lit(4L)) === 2,
+      .when(pmod(id, lit(4L)) === 2,
         lit("这是一个关于新闻和天气的中文文档今天晚上在北京发布的内容"))
       .otherwise(
         lit("هذه وثيقة باللغة العربية عن الأخبار والطقس في المساء اليوم"))
+
+  private[graft] def qLmQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val planted = langArmOf(col("doc_id"))
     val composed = docs.select(col("doc_id"),
       concat(planted, lit(" "), substring(col("text"), 1, 40)).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -160,26 +166,73 @@ private[graft] trait EntryText18 { this: EntryCore =>
     * vowelGroups(w) − [w ends in 'e' and has ≥2 groups]). Everything is
     * one narrow projection (segmentation, token array, a transform/
     * aggregate fold for syllables) — no shuffle, no explode. */
-  private[graft] def qReadabilityScores(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
-    val t = concat(lit("The quick start. "), substring(col("text"), 1, 80),
-      lit("! Then "), substring(col("text"), 30, 40), lit("?"))
-    val sentences = graft.operators.Sentences.splitSentences(t)
+  /** (n_sentences, n_words, n_syllables) of a text column — the FRE
+    * inputs, shared by `readability_scores` and `quality_gate`. */
+  private def freCounts(t: Column): (Column, Column, Column) = {
     val toks = filter(split(trim(lower(t)), "\\s+"), w => length(w) > 0)
-    val syl = (w: org.apache.spark.sql.Column) => greatest(
+    val syl = (w: Column) => greatest(
       regexp_count(w, lit("[aeiouy]+")) -
         when(w.rlike("e$") && regexp_count(w, lit("[aeiouy]+")) >= 2, lit(1))
           .otherwise(lit(0)),
       lit(1)).cast("long")
-    docs.select(col("doc_id"),
-        size(sentences).cast("long").as("n_sentences"),
-        size(toks).cast("long").as("n_words"),
-        aggregate(toks, lit(0L), (acc, w) => acc + syl(w)).as("n_syllables"))
-      .withColumn("fre_x1000", floor(
-        lit(206835.0) -
-          lit(1015.0) * col("n_words") / greatest(col("n_sentences"), lit(1L)) -
-          lit(84600.0) * col("n_syllables") / greatest(col("n_words"), lit(1L)) +
-          lit(1e-6)).cast("long"))
+    (size(graft.operators.Sentences.splitSentences(t)).cast("long"),
+      size(toks).cast("long"),
+      aggregate(toks, lit(0L), (acc, w) => acc + syl(w)))
+  }
+
+  /** FRE·1000 from the three counts (the double-op chain the oracle
+    * replays verbatim). */
+  private def freX1000(s: Column, w: Column, syl: Column): Column = floor(
+    lit(206835.0) -
+      lit(1015.0) * w / greatest(s, lit(1L)) -
+      lit(84600.0) * syl / greatest(w, lit(1L)) +
+      lit(1e-6)).cast("long")
+
+  private[graft] def qReadabilityScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val t = concat(lit("The quick start. "), substring(col("text"), 1, 80),
+      lit("! Then "), substring(col("text"), 30, 40), lit("?"))
+    val (s, w, syl) = freCounts(t)
+    docs.select(col("doc_id"), s.as("n_sentences"), w.as("n_words"),
+        syl.as("n_syllables"))
+      .withColumn("fre_x1000",
+        freX1000(col("n_sentences"), col("n_words"), col("n_syllables")))
+  }
+
+  /** Quality-gate ENSEMBLE — how production curation actually filters:
+    * no single signal decides, a document passes every gate or carries
+    * the ordered reasons it failed. Composes three of this round's
+    * operators on planted arms: URL-shape spam ([[graft.operators
+    * .UrlSpam]] over the five spam arms), script-gated language ID
+    * ([[graft.operators.LangId]] over the four language arms — ru/zh/ar
+    * detection load-bearing), and Flesch readability (applied only to
+    * the en arm: FRE is English-calibrated, gating zh on vowel groups
+    * would be noise — the gate is language-CONDITIONAL by design).
+    * One narrow projection per doc, no shuffle. FULL-VALUE oracle:
+    * spam arithmetic, arm languages, the FRE chain, and the reason
+    * string all replay. */
+  private[graft] def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val id = col("doc_id").cast("long")
+    // the id%8==4 half of the en arm appends syllable-dense words so the
+    // readability check measurably FIRES (a gate lane that cannot fire
+    // is decoration); the suffix is Latin, so the language arm holds
+    val t = concat(langArmOf(id), lit(" "), substring(col("text"), 1, 40),
+      when(pmod(id, lit(8L)) === 4,
+        lit(" extraordinarily unconstitutionally incomprehensibilities revolutionarily"))
+        .otherwise(lit("")))
+    val (s, w, syl) = freCounts(t)
+    val base = docs.select(col("doc_id"),
+      graft.operators.UrlSpam.features(spamUrlOf(id)).getField("spam_score")
+        .as("spam_score"),
+      graft.operators.LangId.langid(t).as("lang"),
+      freX1000(s, w, syl).as("fre_x1000"))
+    base.withColumn("reasons", concat_ws(",",
+        when(col("spam_score") > 8, lit("spam")),
+        when(col("lang").isNull, lit("lang")),
+        when(coalesce(col("lang") === "en", lit(false)) &&
+          col("fre_x1000") < 60000, lit("readability"))))
+      .withColumn("kept", col("reasons") === "")
   }
 
   /** URL-shape spam scoring — [[graft.operators.UrlSpam.features]] over
@@ -187,10 +240,11 @@ private[graft] trait EntryText18 { this: EntryCore =>
     * throwaway-TLD host / machine-deep path / generated digit host).
     * FULL-VALUE oracle: every feature integer replays from the arm
     * construction with the same string builtins. */
-  private[graft] def qUrlSpamScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
-    val id = col("doc_id").cast("long")
-    val url = when(pmod(id, lit(5L)) === 0,
+  /** The five planted URL arms (clean / tracking-littered /
+    * keyword-stuffed throwaway-TLD host / machine-deep path / generated
+    * digit host) — shared by `url_spam_score` and `quality_gate`. */
+  private def spamUrlOf(id: Column): Column =
+    when(pmod(id, lit(5L)) === 0,
         concat(lit("https://news.example.com/articles/"), id))
       .when(pmod(id, lit(5L)) === 1,
         concat(lit("https://example.com/p/"), id,
@@ -203,7 +257,11 @@ private[graft] trait EntryText18 { this: EntryCore =>
       .otherwise(
         concat(lit("http://h"), id, lit("x"), pmod(id * 7, lit(1000L)),
           lit(".example.net/"), id))
-    docs.select(col("doc_id"), url.as("url"))
+
+  private[graft] def qUrlSpamScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Partitioning.spread(table(spark, dir, "documents"))
+    val id = col("doc_id").cast("long")
+    docs.select(col("doc_id"), spamUrlOf(id).as("url"))
       .withColumn("f", graft.operators.UrlSpam.features(col("url")))
       .select(col("doc_id"), col("url"), col("f.host").as("host"),
         col("f.n_sub").as("n_sub"), col("f.n_hyphen").as("n_hyphen"),
