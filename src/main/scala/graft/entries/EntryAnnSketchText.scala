@@ -814,15 +814,26 @@ private[graft] trait EntryAnnSketchText { this: EntryCore =>
       .select(col("vec_id"), col("nbr_id"))
     val cents = graft.operators.Similarity.kmeansCentroids(
       emb, "vec_id", "embedding", 8, iters = 3)
+    // the pruned graph is <= 3 rows/vector — persist it and take every
+    // structural count in ONE aggregate pass. The old shape ran FOUR
+    // separate actions (count / distinct-count / self-count / recall
+    // join), each re-executing the whole IVF bucket join because
+    // knnJoin's internal cache releases after the first action — 4x the
+    // dominant cost for numbers one pass produces (guide §1.2/§5).
     val pruned = graft.operators.Similarity.knnJoin(
       emb, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 4,
       centroids = Some(cents))
-    val prunedN = pruned.count()
-    val served = pruned.select(col("vec_id")).distinct().count()
-    val selfEdges = pruned.where(col("vec_id") === col("nbr_id")).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val structRow = pruned.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("served"),
+      count(when(col("vec_id") === col("nbr_id"), 1)).as("self")).collect()(0)
+    val (prunedN, served, selfEdges) =
+      (structRow.getLong(0), structRow.getLong(1), structRow.getLong(2))
     val nVec = emb.count()
     val hit = pruned.select(col("vec_id"), col("nbr_id"))
       .join(exact, Seq("vec_id", "nbr_id")).count()
+    pruned.unpersist(false)
     val exactN = nVec * 3
     val recallOk = if (hit.toDouble / exactN >= 0.6) 1L else 0L
     import spark.implicits._
@@ -877,20 +888,28 @@ private[graft] trait EntryAnnSketchText { this: EntryCore =>
     * sf0.01), exactly the deep-graph regime `connectedComponentsStar`'s
     * O(log² n) rounds exist for. */
   private[graft] def qKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    // persist the <= 3n-row edge set before the mutual self-join: the two
+    // join branches are the SAME subtree, and without the cache each
+    // branch re-executed the full IVF bucket join (the dominant cost,
+    // ~4M candidate pairs) — plus the CC validation re-reads the edges.
+    // One bucket-join execution instead of two+ (guide §5: reuse).
     val edges = graft.operators.Similarity.knnJoin(
       table(spark, dir, "embeddings"), "vec_id", "embedding", k = 3,
       nLists = 8, nProbe = 8)
       .select(col("vec_id"), col("nbr_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mutual = edges.as("x").join(edges.as("y"),
         col("x.vec_id") === col("y.nbr_id") && col("x.nbr_id") === col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("x.nbr_id").as("id_b"))
       .where(col("id_a") < col("id_b"))
-    graft.operators.CcStar.connectedComponentsStar(mutual)
+    graft.operators.Partitioning.releaseAfterUse(
+      graft.operators.CcStar.connectedComponentsStar(mutual)
       .agg(
         count(lit(1)).as("n_nodes"),
         countDistinct(col("component")).as("n_clusters"),
         coalesce(sum(col("component") % 1000003), lit(0L)).cast("long").as("comp_checksum"),
-        coalesce(sum(col("id")), lit(0L)).cast("long").as("node_id_sum"))
+        coalesce(sum(col("id")), lit(0L)).cast("long").as("node_id_sum")),
+      edges)
   }
 
 

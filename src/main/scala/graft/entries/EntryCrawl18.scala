@@ -174,8 +174,14 @@ private[graft] trait EntryCrawl18 { this: EntryCore =>
       .select(col("hash")).distinct()
       .join(novel.select(col("hash")).distinct(), Seq("hash"))
       .agg(count(lit(1)).as("n_novel_from_rearrived"))
-    val newBytes = docs.where(pmod(col("id"), lit(3L)) =!= 0)
-      .agg(sum(length(col("blob")).cast("long")).as("new_bytes"))
+    // new-doc bytes from the PERSISTED chunk index (blen rides every chunk
+    // row; max per id = the doc's length, every blob chunks to >= 1 row) —
+    // the old docs-side sum re-ran the full blob generation for a number
+    // the index already holds: a second complete data pass at 100 TB
+    // (guide §1.2: don't compute things twice)
+    val newBytes = chunked.where(pmod(col("id"), lit(3L)) =!= 0)
+      .groupBy(col("id")).agg(max(col("blen")).as("blen"))
+      .agg(sum(col("blen")).as("new_bytes"))
     val counts = docs.agg(
       count(when(pmod(col("id"), lit(3L)) === 0, 1)).as("n_day0_docs"),
       count(lit(1)).as("n_batch_docs"))

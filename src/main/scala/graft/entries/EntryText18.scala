@@ -104,9 +104,18 @@ private[graft] trait EntryText18 { this: EntryCore =>
     val langs = composed.select(col("doc_id"),
       graft.operators.LangId.langid(col("t")).as("lang"))
     val (bg, uni) = graft.operators.LanguageModel.trainBigramCounts(composed, "t")
+    // persist the model tables and the per-doc scored frame: uni's subtree
+    // is referenced three times (unigram join, vocab constant, and again
+    // through the second perDoc use), and perDoc feeds BOTH the histogram
+    // and the final bucket join — unpersisted, the whole train+score
+    // pipeline executed twice (59 Exchanges in the before-plan,
+    // plans/r18/lm_quality_buckets_before.txt)
+    bg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = graft.operators.LanguageModel
       .scoreBigrams(composed, "doc_id", "t", bg, uni)
     val perDoc = langs.join(scored, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = perDoc.groupBy("lang", "avg_logp_x1e4")
       .agg(count(lit(1)).as("cnt"))
     val wDesc = Window.partitionBy("lang").orderBy(col("avg_logp_x1e4").desc)
@@ -125,7 +134,7 @@ private[graft] trait EntryText18 { this: EntryCore =>
       perDoc.join(broadcast(cutoffs), Seq("lang", "avg_logp_x1e4"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           col("avg_logp_x1e4"), col("bucket")),
-      composed)
+      composed, bg, uni, perDoc)
   }
 
   /** Interpolated Kneser–Ney trigram scoring
@@ -151,10 +160,19 @@ private[graft] trait EntryText18 { this: EntryCore =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.operators.LanguageModel.trainKneserNey(
       composed.where(pmod(col("doc_id"), lit(3L)) =!= 0), "t")
+    // persist the two root model tables: tri's trigram explode+count
+    // subtree is referenced by FOUR scoring branches (tri/bi/cont/contAgg
+    // all derive from it) and uniCont's bigram-type distinct by two —
+    // unpersisted, each branch replayed the full training pass (58
+    // Exchanges in the before-plan, plans/r18/lm_kn_score_before.txt).
+    // The model tables are vocabulary-shaped (the operator's documented
+    // materialize-once story); derived aggregates stay lazy on top.
+    model.tri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.uniCont.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.Partitioning.releaseAfterUse(
       graft.operators.LanguageModel.scoreKneserNey(
         composed, "doc_id", "t", model),
-      composed)
+      composed, model.tri, model.uniCont)
   }
 
   /** Flesch Reading Ease over composed multi-sentence documents — the

@@ -157,7 +157,17 @@ object Cdc {
     // truncates lineage so the novel set is pinned
     val novelExact = b.join(broadcast(seen), Seq("hash"), "left_anti")
       .localCheckpoint(eager = true)
-    novelExact.write.mode("append").partitionBy("part").parquet(path)
+    // repartition on `part` before the append: a plain partitionBy write
+    // fans every task across every live part value — measured 32 tasks x
+    // 64 parts = ~2048 five-row files per ingest at sf0.1, and the NEXT
+    // ingest's store scan paid the listing+footers (6.0 s -> the file
+    // explosion was the whole cost; guide §6 small-files). After the
+    // shuffle each part's rows sit in one task: <= 64 files per append.
+    // An all-seen batch (novel empty) skips the append job outright —
+    // the store is byte-identical either way.
+    if (!novelExact.isEmpty)
+      novelExact.repartition(col("part"))
+        .write.mode("append").partitionBy("part").parquet(path)
     Partitioning.releaseAfterUse(
       novelExact.select(col("hash"), col("size")), b)
   }

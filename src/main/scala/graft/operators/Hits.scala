@@ -43,6 +43,11 @@ object Hits {
              iters: Int = 10, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "HITS needs at least one round")
     require(scale >= 1, "scale must be positive")
+    // deliberately NOT checkpointed: a LogicalRDD loses the scan's size
+    // statistics, demoting every renorm's node join from broadcast to
+    // sort-merge (measured +1.7 s at sf0.1); the node scan is narrow and
+    // column-pruned, and re-reading it per renorm is the cheaper side of
+    // that trade at any scale where the node list broadcasts
     val n = nodes.select(col(s"`$nodeCol`").cast("long").as("node"))
       .where(col("node").isNotNull)
     val e = Partitioning.spread(edges.select(
@@ -64,14 +69,20 @@ object Hits {
     var auths: DataFrame = null
     var round = 0
     while (round < iters) {
+      // LAZY checkpoint, materialized by renorm's own max() action: the
+      // eager form ran a separate materialization job per half-round (4
+      // driver actions per round where 2 suffice — renorm must read the
+      // max anyway, and the checkpoint persists as a side effect of that
+      // same job). Lineage truncation and the literal renorm constant are
+      // unchanged; only the extra job per half-round is gone.
       val aRaw = e.join(hubs, e("src") === hubs("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-        .localCheckpoint(eager = true)
-      auths = renorm(n, aRaw, scale, "auth")
+        .localCheckpoint(eager = false)
+      auths = renorm(aRaw, scale, "auth")
       val hRaw = e.join(auths, e("dst") === auths("node"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-        .localCheckpoint(eager = true)
-      hubs = renorm(n, hRaw, scale, "hub")
+        .localCheckpoint(eager = false)
+      hubs = renorm(hRaw, scale, "hub")
       round += 1
     }
     n.join(auths, Seq("node"), "left")
@@ -81,17 +92,22 @@ object Hits {
         coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
-  /** raw -> raw * scale div max(raw) over the checkpointed raw frame,
-    * restored over the full node set (absent = 0). The max is one 1-row
-    * driver action per round over node-sized checkpointed data (the
-    * CcStar per-round-sync class); an all-zero round (edgeless graph)
-    * keeps zeros via the floor division by 1. */
-  private def renorm(n: DataFrame, raw: DataFrame, scale: Long,
-                     out: String): DataFrame = {
+  /** raw -> raw * scale div max(raw) over the checkpointed raw frame.
+    * The max is one 1-row driver action per round (the CcStar
+    * per-round-sync class; it also materializes the lazy checkpoint);
+    * an all-zero round (edgeless graph) keeps zeros via the floor
+    * division by 1.
+    *
+    * NOT restored over the full node set: a node absent from `raw` has
+    * score 0, and a zero score contributes exactly nothing to the next
+    * round's sums — joining the node table back in every half-round
+    * only re-inserted rows the next join multiplies by zero (2·iters
+    * node-table joins for bit-identical sums; the FINAL output restores
+    * absents once in [[scores]]). */
+  private def renorm(raw: DataFrame, scale: Long, out: String): DataFrame = {
     val mxRow = raw.agg(max(col("raw"))).collect()(0)
     val mx = if (mxRow.isNullAt(0)) 1L else math.max(mxRow.getLong(0), 1L)
-    n.join(raw, Seq("node"), "left")
-      .select(col("node"),
-        expr(s"(coalesce(raw, 0L) * $scale) div $mx").as(out))
+    raw.select(col("node"),
+      expr(s"(coalesce(raw, 0L) * $scale) div $mx").as(out))
   }
 }

@@ -311,10 +311,18 @@ object Similarity {
     * nbr_emb), ppm-grid cosine, ≤ k results per query vector in
     * (cos_ppm DESC, nbr ASC) rank order. */
   private def bucketTopK(queries: DataFrame, members: DataFrame, k: Int): DataFrame = {
-    val qe = col("emb").cast("array<double>")
-    val ne = col("nbr_emb").cast("array<double>")
-    val cosPpm = round(graft.plans.VectorExpressions.dot(qe, ne) /
-      greatest(norm(qe) * norm(ne), lit(1e-300)) * 1e6, 0)
+    // Per-PAIR cost is the whole bill of the bucket join (|probes∩bucket| ×
+    // |bucket| pairs). The old expression cast both float embeddings to
+    // array<double> and recomputed both norms per pair — 3 dot products +
+    // 2 sqrt + 2 array allocations per pair. Norms are per-VECTOR
+    // quantities: both sides now arrive with a precomputed `nrm`/`nbr_nrm`
+    // (computed once per row before the join), and the dot product runs on
+    // the float arrays directly ([[graft.plans.DotProduct]] widens each
+    // element to double in the accumulator — bit-identical to casting
+    // first, documented on the expression). 1 dot product, 0 allocations
+    // per pair; cos_ppm values are unchanged bit-for-bit.
+    val cosPpm = round(graft.plans.VectorExpressions.dot(col("emb"), col("nbr_emb")) /
+      greatest(col("nrm") * col("nbr_nrm"), lit(1e-300)) * 1e6, 0)
     queries.join(members, Seq("list_id"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), cosPpm.as("cos_ppm"), col("nbr_id"))
@@ -342,16 +350,19 @@ object Similarity {
     val assigned = ivfAssign(df, idCol, embCol, cents)
       .where(col("list_id") >= 0)
       .withColumn("probes", probeListsCol(cents, nProbe))
+      // vector norm computed ONCE per row here (8 bytes carried) instead
+      // of once per candidate pair in the bucket join — see bucketTopK
+      .withColumn("nrm", norm(col("emb")))
       .persist()
     // the guard THROWS on oversized buckets (documented, expected) — on
     // that path the persisted assignment must not outlive the call
     // (advisor r14: cached blocks leaked for the session)
     try requireBucketsBounded(assigned, maxBucket, "knnJoin")
     catch { case t: Throwable => assigned.unpersist(false); throw t }
-    val queries = assigned.select(col("vec_id"), col("emb"),
+    val queries = assigned.select(col("vec_id"), col("emb"), col("nrm"),
       explode(col("probes")).as("list_id"))
     val members = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),
-      col("emb").as("nbr_emb"))
+      col("emb").as("nbr_emb"), col("nrm").as("nbr_nrm"))
     graft.operators.Partitioning.releaseAfterUse(bucketTopK(queries, members, k), assigned)
   }
 
@@ -388,7 +399,7 @@ object Similarity {
     requireBucketsBounded(index, maxBucket, "knnProbeIndexed")
     val queries = ivfAssign(batch, idCol, embCol, centroids)
       .where(col("list_id") >= 0)
-      .select(col("vec_id"), col("emb"),
+      .select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"),
         explode(probeListsCol(centroids, nProbe)).as("list_id"))
     // the BATCH's probed-list union is batch-sized (the operator's whole
     // premise is a small daily batch) — collect it and filter the index
@@ -397,7 +408,8 @@ object Similarity {
     // not the whole index. Full probe degrades to an all-lists IN.
     val probed = queries.select(col("list_id")).distinct().collect().map(_.get(0))
     val members = index.where(col("list_id").isin(probed.toIndexedSeq: _*))
-      .select(col("list_id"), col("vec_id").as("nbr_id"), col("emb").as("nbr_emb"))
+      .select(col("list_id"), col("vec_id").as("nbr_id"), col("emb").as("nbr_emb"),
+        norm(col("emb")).as("nbr_nrm"))
     if (verifyQuantizer) {
       // Quantizer integrity (verdict r15 ask #3): routing batch vectors
       // through DIFFERENT centroids than the index was built with
