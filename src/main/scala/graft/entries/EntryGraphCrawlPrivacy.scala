@@ -882,8 +882,13 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
     val liOrd = table(spark, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
     val ord = table(spark, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
     val w = 4096
-    val selfEst = Sketches.cmsJoinSizeEstimate(
-      Sketches.cmsAggregate(liPart, "k", 4, w), Sketches.cmsAggregate(liPart, "k", 4, w), 4, w)
+    // ONE sketch build for the self-join estimate: both arguments are the
+    // same CMS, and passing two fresh cmsAggregate frames executed the full
+    // lineitem aggregation twice (the sketch is a 1-row, 128 KiB frame —
+    // persisting it is free; the scan it saves is corpus-sized)
+    val selfCms = Sketches.cmsAggregate(liPart, "k", 4, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selfEst = Sketches.cmsJoinSizeEstimate(selfCms, selfCms, 4, w)
       .select(col("join_size_est").as("est_self"))
     val olEst = Sketches.cmsJoinSizeEstimate(
       Sketches.cmsAggregate(liOrd, "k", 4, w), Sketches.cmsAggregate(ord, "k", 4, w), 4, w)
@@ -894,7 +899,8 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
       .join(ord.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_ol"))
     val nOrd = ord.agg(count(lit(1)).as("n_ord"))
-    selfEst.crossJoin(olEst).crossJoin(exactSelf).crossJoin(exactOl).crossJoin(nOrd)
+    graft.operators.Partitioning.releaseAfterUse(
+      selfEst.crossJoin(olEst).crossJoin(exactSelf).crossJoin(exactOl).crossJoin(nOrd)
       .select(
         col("est_self"), col("exact_self"),
         when(col("est_self") >= col("exact_self"), 1L).otherwise(0L).as("self_ge_ok"),
@@ -903,7 +909,8 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
         col("est_ol"), col("exact_ol"),
         when(col("est_ol") >= col("exact_ol"), 1L).otherwise(0L).as("ol_ge_ok"),
         when(col("est_ol") <= col("exact_ol") +
-          expr(s"(3 * n_li_part * n_ord) div $w"), 1L).otherwise(0L).as("ol_bound_ok"))
+          expr(s"(3 * n_li_part * n_ord) div $w"), 1L).otherwise(0L).as("ol_bound_ok")),
+      selfCms)
   }
 
 
