@@ -648,6 +648,10 @@ private[graft] trait EntryGraphCrawlPrivacy { this: EntryCore =>
     val day0 = gen(31, 7).unionByName(gen(10, 3))
     val full = day0.unionByName(gen(25, 11))
     val stored = PageRank.ranks(day0, nodes, iters = 10)
+    // ref feeds BOTH l1 branches; the branches' ref-side exchanges are
+    // identical subtrees, so exchange reuse already computes the tail once
+    // (verified: checkpointing it here measured SLOWER — extra job, no
+    // saved work)
     val ref = PageRank.ranks(full, nodes, iters = 10)
     val warm = PageRank.ranksFrom(full, nodes, Some(stored), iters = 4)
     val cold = PageRank.ranks(full, nodes, iters = 4)

@@ -105,10 +105,18 @@ object CcStar {
     var iter = 0
     var converged = false
     var nCur = e.count()
+    // the round's edge count RIDES the checkpoint materialization as a
+    // CollectMetrics observation (the Convergence.Latched pattern shared
+    // with min-label CC / LPA) — a separate count() job per round doubled
+    // the driver's per-round job count for a number the checkpoint job
+    // already knows
+    val conv = new Convergence.Latched(spark, "ccstar")
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = truncate(smallStar(largeStar(e)))
-      val nNext = next.count()
+      val (next, nNext) = conv.observedRound(
+        obsName => truncate(smallStar(largeStar(e))
+          .observe(obsName, count(lit(1)).as("n_edges"))),
+        df => df.count())
       // unchanged SET <=> equal counts and no new edge (both frames are
       // post-distinct sets, so one anti-join direction suffices)
       val nNew = next.join(e, Seq("u", "v"), "left_anti").count()
@@ -127,33 +135,43 @@ object CcStar {
 
     // converged edge set is a star forest (u -> center); centers label
     // themselves
-    val labels = e.select(col("u").as("id"), col("v").as("component"))
+    val labelsLazy = e.select(col("u").as("id"), col("v").as("component"))
       .unionByName(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
 
     // ---- validation: a wrong labeling must THROW, never return ----
-    if (!validate) return labels
-    // (1) every original edge connects identically-labeled nodes (a split
-    // component fails here even if each side looks star-shaped)
+    if (!validate) return labelsLazy
+    // the label frame feeds all three checks AND the caller — materialize
+    // it once instead of replaying the union+distinct per consumer
+    val labels = labelsLazy.localCheckpoint(eager = false)
+    // the three checks are independent counts over node/edge-sized frames;
+    // collecting them as ONE 1-row action (instead of three count() jobs)
+    // pays one driver round-trip for all three — same protocol the checks
+    // had, same throw-on-violation semantics, checked in original order
     val la = labels.select(col("id").as("id_a"), col("component").as("__ca"))
     val lb = labels.select(col("id").as("id_b"), col("component").as("__cb"))
-    val split = pairs.select(col("id_a").cast("long").as("id_a"),
+    // (1) every original edge connects identically-labeled nodes (a split
+    // component fails here even if each side looks star-shaped)
+    val splitF = pairs.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .join(la, Seq("id_a")).join(lb, Seq("id_b"))
-      .where(col("__ca") =!= col("__cb")).count()
+      .where(col("__ca") =!= col("__cb"))
+      .agg(count(lit(1)).as("__split"))
+    // (2) every node carries exactly ONE label (a node attached to two
+    // centers would survive check 1 if the centers merged elsewhere)
+    val multiF = labels.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).agg(count(lit(1)).as("__multi"))
+    // (3) every label is its component's minimum member id
+    val badMinF = labels.groupBy(col("component")).agg(min(col("id")).as("__mn"))
+      .where(col("__mn") =!= col("component")).agg(count(lit(1)).as("__badmin"))
+    val checks = splitF.crossJoin(multiF).crossJoin(badMinF).collect()(0)
+    val (split, multi, badMin) = (checks.getLong(0), checks.getLong(1), checks.getLong(2))
     if (split > 0) throw new IllegalStateException(
       s"connectedComponentsStar produced a split labeling: $split input " +
         "edges straddle two components")
-    // (2) every node carries exactly ONE label (a node attached to two
-    // centers would survive check 1 if the centers merged elsewhere)
-    val multi = labels.groupBy(col("id")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).count()
     if (multi > 0) throw new IllegalStateException(
       s"connectedComponentsStar labeled $multi nodes more than once")
-    // (3) every label is its component's minimum member id
-    val badMin = labels.groupBy(col("component")).agg(min(col("id")).as("__mn"))
-      .where(col("__mn") =!= col("component")).count()
     if (badMin > 0) throw new IllegalStateException(
       s"connectedComponentsStar labels are not component minima in $badMin components")
     labels

@@ -82,8 +82,13 @@ object PageRank {
     val r0 = scale / nNodes
 
     // outdegree once, fused onto the edge table so each round's join
-    // carries (src, dst, outdeg) and the per-edge share needs no extra join
+    // carries (src, dst, outdeg) and the per-edge share needs no extra
+    // join; laid out by src BEFORE the checkpoint (LogicalRDD keeps the
+    // physical partitioning) so every round's src-keyed join reuses this
+    // one exchange and only the node-sized rank frame moves — without it
+    // each round re-shuffled the full edge table
     val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
 
     var ranks = init match {
