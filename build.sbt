@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver + all N executor cores in ONE JVM: the old 8g
+  // default gave 32 concurrent tasks ~256 MB each — storage-pool eviction
+  // plus GC pressure measurably inflated the bench suite (streaming subset
+  // A/B at sf0.1/32c: 54.1s @8g vs 46.4s @24g on a busier box). 24g is
+  // ~750 MB/core, the low end of Spark's per-core sizing guidance, still
+  // env-overridable for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
