@@ -189,14 +189,22 @@ object Bench {
         // pure suite interference stops producing flags at the source.
         // Rule documented in bench_history/README.md.
         val settled: Seq[Double] =
-          // r18: the class test matches "_stream"-SUFFIXED names too —
-          // events_dedup_stream / events_window_stream / events_sessions_stream
-          // are the same AvailableNow trigger machinery the rule exists for
-          // (r18 baseline: events_dedup_stream 8.2 s in-suite vs 2.4 s
-          // isolated, exactly the interference signature), but the r17 rule
-          // only matched the "stream_" prefix
+          // r18: the rule now covers EVERY query, not just the streaming
+          // class. First the class test was widened to "_stream"-SUFFIXED
+          // names (events_dedup_stream read 8.2 s in-suite vs 2.4 s
+          // isolated — the AvailableNow machinery the r17 prefix match
+          // missed); then a full r18 run on a contended shared-box window
+          // showed the same signature on BATCH queries (hits_scores 37.7 s
+          // in-suite vs 5.0 s isolated, cc_incremental 33.8 vs 7.0,
+          // split_leakage 8.4 vs 3.8 — 46 flags, 0 confirmed, all
+          // adjudicated down by the min-of-3 isolated pass). The settle
+          // trigger (min > 1.5x the same-SF raw trailing minimum) already
+          // encodes "suspect"; restricting WHICH queries may settle only
+          // left batch-query noise in the archive for the adjudicator to
+          // clean up after the fact. Semantics unchanged: one extra
+          // quiesced pass, min over all passes, genuine regressions
+          // survive and still flag.
           if (times.nonEmpty &&
-              (name.startsWith("stream_") || name.endsWith("_stream")) &&
               rawPrior(name).exists(p => times.min > 1.5 * p)) {
             try { spark.catalog.clearCache() } catch { case _: Throwable => }
             graft.functions.MaskFunctions.clearCache()
