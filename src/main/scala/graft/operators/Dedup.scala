@@ -808,7 +808,10 @@ object Dedup {
     * doc_id is the caller's bug (its pairs would duplicate); dedup
     * upstream. */
   def addSignatureBatch(path: String, sigs: DataFrame): Unit =
-    chunked64(sigs).write.mode("append").partitionBy("chunk").parquet(path)
+    // chunk layout before the append — one file per chunk dir instead of
+    // one per (task x chunk); same fix as Cdc.ingestNovel / InvertedIndex
+    chunked64(sigs).repartition(col("chunk"))
+      .write.mode("append").partitionBy("chunk").parquet(path)
 
   /** Reload the raw (doc_id, sig) frame from a store: chunk 0 carries
     * each signature exactly once (partition-pruned single-directory

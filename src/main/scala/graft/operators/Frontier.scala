@@ -169,7 +169,10 @@ object Frontier {
         merged.writeTo(bos)
         writeChunkBloom(spark, path, k, bos.toByteArray)
       }
-      c.write.mode("append").partitionBy("chunk").parquet(path)
+      // lay out by chunk before the append (the Cdc.ingestNovel small-files
+      // fix): unpartitioned, every task opened a file per chunk dir it
+      // touched — 32 tasks x 64 chunks of litter per markSeen batch
+      c.repartition(col("chunk")).write.mode("append").partitionBy("chunk").parquet(path)
     } finally c.unpersist(blocking = false)
   }
 

@@ -123,6 +123,11 @@ object InvertedIndex {
     val row = corpusStats(batch, idCol, textCol).collect()(0)
     val (nb, sb) = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     postings(batch, idCol, textCol, nBuckets)
+      // lay out by the partition column before the append: without it every
+      // write task opens a file in every bucket dir it touches (32 tasks x
+      // up to 64 dirs per batch) and every later store scan pays the
+      // listing — the Cdc.ingestNovel small-files fix applied here
+      .repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(path)
     // stats swap via temp-write + rename (advisor r15 #2): mode
     // "overwrite" deletes the old sidecar BEFORE the new files land, so
